@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.filter.FilterTranslator
+
+/** The driver-checked operator inventory (SURVEY §2): every entry has a
+  * Spark implementation and (where SQL-expressible) a DuckDB oracle on the
+  * same parquet tables.
+  *
+  * Conventions for oracle hash-match:
+  *  - every query's output is fully ordered (ORDER BY on a unique key) and
+  *    the SQL mirrors the ordering;
+  *  - double aggregates are rounded to fixed decimals on both sides;
+  *  - vector queries output integer ids only (distance floats differ in the
+  *    last ulps between engines, ids don't);
+  *  - column names are aliased identically on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** deterministic literal query vector = embedding of vec_id 0 at this SF */
+  private def qvec(s: SparkSession, dir: String): Column =
+    lit(SparkEntry.queryVectorOf(s, dir))
+
+  // oracle fragment: the same query vector as a DuckDB scalar subquery
+  private val QV = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+  // oracle fragments: double-precision distance over list<float>
+  private def sqlL2sqr(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))**2))"
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private def sqlNorm(a: String) =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+  private def sqlCosDist(a: String, b: String) =
+    s"1.0 - ${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.5/2.8: aggregation (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- §2.8 joins (free in Spark; broadcast the small dims) ----
+    "q3_join_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+          o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+    }),
+
+    // ---- §2.2 filter-expression language (P2-P8) ----
+    "p2_filter_expr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val filter = "l_quantity * (1 - l_discount) > 30 AND " +
+        "l_returnflag IN ('A', 'R') AND NOT l_linestatus = 'O' AND " +
+        "l_extendedprice % 10 < 5"
+      li.filter(FilterTranslator.translate(filter, li.schema))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "p7_like" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.filter(FilterTranslator.translate("p_name LIKE '%ros%' OR p_brand LIKE 'Brand_3_'", p.schema))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+    "p4_arith_concat" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(FilterTranslator.translate("c_acctbal / 2 + 100 >= 2000", c.schema))
+        .select(col("c_custkey"),
+          FilterTranslator.translateScalar("c_name + '|' + c_mktsegment", c.schema).as("tag"),
+          round(FilterTranslator.translateScalar("c_acctbal * 2 - 1", c.schema), 2).as("calc"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- §2.3 exact top-K vector search (V1/V3/V6) ----
+    "v3_topk_l2" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("@distance", l2sqr_distance(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"))
+    }),
+    "v3_topk_cosine" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("@distance", cosine_distance(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"))
+    }),
+    "v3_topk_dot" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("@distance", negative_dot(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"))
+    }),
+    // V4: pre-filtered search — filter pushed below the distance projection
+    "v4_filtered_topk" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .filter(col("label") >= 5)
+        .withColumn("@distance", l2sqr_distance(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("label"))
+    }),
+
+    // ---- §2.4 attribute scan / pagination / PK lookup (A1/A2) ----
+    "a1_scan_page" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") =!= "click")
+        .orderBy(col("event_id"))
+        .offset(100).limit(50)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+    }),
+    "a2_pk_lookup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey").isin(1L, 7L, 42L, 100L, 999L, 1500L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- §2.5 facets: aggregate over the POST-LIMIT result (G1-G6) ----
+    "g1_facet_over_topk" -> ((s, dir) => {
+      val topk = t(s, dir, "embeddings")
+        .withColumn("@distance", l2sqr_distance(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(100)
+      topk.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_id"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- §2.8 free ops: sort, set ops, window, distinct agg ----
+    "w1_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running", round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"), col("running"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "so_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val pri = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hi.intersect(pri).unionByName(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .except(pri)).distinct()
+        .orderBy(col("o_custkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+    "p2_filter_expr" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_quantity * (1 - l_discount) > 30 AND l_returnflag IN ('A','R')
+        |  AND NOT l_linestatus = 'O' AND fmod(l_extendedprice, 10) < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p7_like" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%ros%' OR p_brand LIKE 'Brand_3_'
+        |ORDER BY p_partkey""".stripMargin,
+    "p4_arith_concat" ->
+      """SELECT c_custkey, c_name || '|' || c_mktsegment AS tag,
+        |  round(c_acctbal * 2 - 1, 2) AS calc
+        |FROM customer WHERE c_acctbal / 2 + 100 >= 2000
+        |ORDER BY c_custkey""".stripMargin,
+    "v3_topk_l2" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v3_topk_cosine" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlCosDist("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v3_topk_dot" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY -${sqlDot("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v4_filtered_topk" ->
+      s"""SELECT vec_id, label FROM embeddings WHERE label >= 5
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "a1_scan_page" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events WHERE event_type <> 'click'
+        |ORDER BY event_id LIMIT 50 OFFSET 100""".stripMargin,
+    "a2_pk_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (1, 7, 42, 100, 999, 1500)
+        |ORDER BY o_orderkey""".stripMargin,
+    "g1_facet_over_topk" ->
+      s"""WITH topk AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 100)
+         |SELECT label, count(*) AS n, sum(vec_id) AS sum_id
+         |FROM topk GROUP BY label ORDER BY label""".stripMargin,
+    "w1_window_running" ->
+      """SELECT user_id, event_id, rn, running FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "so_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+        |ORDER BY o_custkey""".stripMargin)
+}

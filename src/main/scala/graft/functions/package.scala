@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level façade over the engine's custom Catalyst expressions plus the
+  * composed-from-built-ins scalar functions. Everything here is deterministic
+  * and codegen-friendly (no Scala UDFs on the hot path).
+  */
+package object functions {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    CatalystBridge.column(e)
+  private def ex(c: Column) = CatalystBridge.expression(c)
+
+  /** Squared Euclidean distance between two array<float> columns. */
+  def l2sqr_distance(a: Column, b: Column): Column = col(L2SqrDistance(ex(a), ex(b)))
+
+  /** Euclidean distance (sqrt of l2sqr). */
+  def l2_distance(a: Column, b: Column): Column = F.sqrt(l2sqr_distance(a, b))
+
+  /** dot(a,b). */
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+
+  /** Dot-product *distance* = -dot (reference: space_ip.hpp:8-20). */
+  def negative_dot(a: Column, b: Column): Column = F.negate(dot_product(a, b))
+
+  /** Cosine distance 1 - cos_sim. */
+  def cosine_distance(a: Column, b: Column): Column = col(CosineDistance(ex(a), ex(b)))
+
+  /** l2-normalize array<float> (ingest-side for COSINE fields). */
+  def l2_normalize(a: Column): Column = col(L2Normalize(ex(a)))
+
+  def sparse_dot(a: Column, b: Column): Column = col(SparseDot(ex(a), ex(b)))
+  def sparse_negative_dot(a: Column, b: Column): Column = F.negate(sparse_dot(a, b))
+  def sparse_cosine_distance(a: Column, b: Column): Column = col(SparseCosineDistance(ex(a), ex(b)))
+  def sparse_l2sqr_distance(a: Column, b: Column): Column = col(SparseL2Sqr(ex(a), ex(b)))
+  def sparse_l2_distance(a: Column, b: Column): Column = F.sqrt(sparse_l2sqr_distance(a, b))
+  def sparse_l2_normalize(a: Column): Column = col(SparseL2Normalize(ex(a)))
+
+  /** Great-circle distance in km on the reference's 6371-km sphere
+    * (reference: engine/db/index/spatial/geoindex.cpp:41-59 haversine).
+    * Composed from built-ins so the whole predicate stays inside
+    * whole-stage codegen and an ANSI-SQL oracle can mirror it exactly. */
+  def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val rad = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * rad / 2.0
+    val dLon = (lon2 - lon1) * rad / 2.0
+    val h = F.pow(F.sin(dLat), 2) +
+      F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.pow(F.sin(dLon), 2)
+    F.asin(F.sqrt(h)) * (2.0 * 6371.0)
+  }
+
+  /** NEARBY(geo, lat, lon, km) boolean predicate (reference: expr.cpp:532-608). */
+  def nearby(lat: Column, lon: Column, centerLat: Double, centerLon: Double, radiusKm: Double): Column =
+    haversine_km(lat, lon, F.lit(centerLat), F.lit(centerLon)) <= F.lit(radiusKm)
+}

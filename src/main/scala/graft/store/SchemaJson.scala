@@ -1,0 +1,51 @@
+package graft.store
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.types._
+
+/** JSON catalog (de)serialization for table schemas, mirroring the reference's
+  * JSON catalog file (reference: engine/db/catalog/basic_meta_impl.cpp:35-200):
+  * a table is `{"name":..., "fields":[{"name","dataType","primaryKey",
+  * "dimensions","metricType"}...]}`. */
+object SchemaJson {
+  def write(s: TableSchema): String = {
+    val fields = s.fields.map { f =>
+      val base = List(
+        "name" -> JString(f.name),
+        "dataType" -> JString(f.fieldType.toString),
+        "primaryKey" -> JBool(f.primaryKey))
+      val vec =
+        if (FieldType.isVector(f.fieldType))
+          List("dimensions" -> JInt(f.dimensions), "metricType" -> JString(f.metric.toString))
+        else Nil
+      JObject(base ++ vec)
+    }
+    JsonMethods.compact(JsonMethods.render(
+      JObject("name" -> JString(s.name), "fields" -> JArray(fields.toList))))
+  }
+
+  def read(json: String): TableSchema = {
+    val o = JsonMethods.parse(json)
+    val name = (o \ "name") match { case JString(s) => s; case _ => "table" }
+    val fields = (o \ "fields") match {
+      case JArray(fs) => fs.map { f =>
+        val fname = (f \ "name") match { case JString(s) => s; case _ => sys.error("field name") }
+        val ft = (f \ "dataType") match {
+          case JString(s) => FieldType.withName(s)
+          case _ => sys.error("field dataType")
+        }
+        val pk = (f \ "primaryKey") match { case JBool(b) => b; case _ => false }
+        val dims = (f \ "dimensions") match {
+          case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
+        }
+        val metric = (f \ "metricType") match {
+          case JString(s) => MetricType.withName(s); case _ => MetricType.Euclidean
+        }
+        FieldSchema(fname, ft, pk, dims, metric)
+      }
+      case _ => Nil
+    }
+    TableSchema(name, fields)
+  }
+}

@@ -1,0 +1,250 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import graft.types._
+import graft.functions.{l2_normalize, sparse_l2_normalize}
+
+/** Result counters mirroring the reference's insert/delete responses
+  * (reference: table_segment_mvp.cpp:800 `{inserted, skipped}`,
+  * :321-405 `{deleted}`). */
+case class InsertResult(inserted: Long, skipped: Long)
+case class DeleteResult(deleted: Long)
+
+/** Parquet-backed table with the reference's ingest semantics
+  * (reference: engine/db/table_segment_mvp.cpp):
+  *
+  *  - stable monotonic `__row_id` = insertion order (the reference's internal
+  *    row id, table_segment_mvp.hpp:65-89); `/data/get` pagination and
+  *    top-K tie-breaks depend on it.
+  *  - PK duplicate on INSERT => row skipped, first writer wins (in-batch and
+  *    against the table, :652-737).
+  *  - UPSERT => last wins; old row tombstoned (:652-795).
+  *  - DELETE by PK list and/or filter => tombstones (:321-405); deleted rows
+  *    keep their positions, later reads anti-join them away — same model as
+  *    the reference's tombstone bitset, and as Delta's deletion vectors.
+  *  - COSINE vector fields are l2-normalized at ingest (dense :580-587,
+  *    sparse :555-562) so query-time cosine degenerates to a dot product.
+  *  - invalid sparse vectors (len mismatch / negative / non-increasing /
+  *    index >= dims) are *skipped rows*, not errors (:511-553).
+  *
+  * Storage layout under `path/`:
+  *   schema.json              — TableSchema (catalog entry)
+  *   data/                    — append-only parquet of row batches
+  *   tombstones/              — parquet of tombstoned __row_id
+  *   watermark                — high watermark for __row_id assignment
+  *
+  * Scale notes: appends are pure file additions (no shuffle); PK dedup is a
+  * broadcast-or-shuffle left-anti join on the PK (what Delta MERGE does);
+  * tombstone application is a broadcast anti-join while tombstones are small,
+  * with periodic `compact()` folding them into the base files.
+  */
+class TableStore(val spark: SparkSession, val path: String, val schema: TableSchema) {
+  import TableStore._
+
+  private val dataPath = s"$path/data"
+  private val tombPath = s"$path/tombstones"
+  private val wmPath = Paths.get(s"$path/watermark")
+
+  def pkField: Option[FieldSchema] = schema.primaryKey
+
+  private def watermark: Long =
+    if (Files.exists(wmPath)) new String(Files.readAllBytes(wmPath)).trim.toLong else 0L
+  private def setWatermark(v: Long): Unit =
+    Files.write(wmPath, v.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+  private def hasData: Boolean = Files.exists(Paths.get(dataPath))
+  private def hasTombs: Boolean = Files.exists(Paths.get(tombPath))
+
+  /** Raw rows incl. tombstoned (positions preserved). */
+  def rawRead(): DataFrame = spark.read.schema(
+    StructType(StructField(RowId, LongType, nullable = false) +: schema.structType.fields))
+    .parquet(dataPath)
+
+  /** Live rows (tombstones applied), in a plan that keeps the anti-join
+    * broadcastable: tombstone set is typically tiny vs data. */
+  def read(): DataFrame = {
+    if (!hasData) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(StructField(RowId, LongType, nullable = false) +: schema.structType.fields))
+    else if (!hasTombs) rawRead()
+    else rawRead().join(broadcast(spark.read.parquet(tombPath)), Seq(RowId), "left_anti")
+  }
+
+  /** Validate + normalize an incoming batch; returns (validDf, skippedInvalid).
+    * Adds `__valid` handling for sparse fields; normalizes COSINE fields. */
+  private def prepare(batch: DataFrame): (DataFrame, Long) = {
+    // presence check for all fields (vector index targets excepted in the
+    // reference; we require all declared fields, matching insert validation
+    // table_segment_mvp.cpp:465-473)
+    val missing = schema.fields.map(_.name).filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"missing fields in insert batch: ${missing.mkString(",")}")
+
+    var df = batch.select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)): _*)
+
+    // sparse-vector validity (table_segment_mvp.cpp:511-553)
+    val sparseChecks = schema.fields.filter(f => FieldType.isSparse(f.fieldType)).map { f =>
+      val c = col(f.name)
+      val idx = c.getField("indices")
+      val sameLen = size(idx) === size(c.getField("values"))
+      val nonNeg = size(filter_exprs(idx, x => x < 0)) === 0
+      val increasing = size(idx) <= 1 ||
+        size(filter_exprs(zip_with(idx, slice(idx, lit(2), greatest(size(idx) - 1, lit(0))),
+          (a, b) => b.isNotNull && b <= a), x => x)) === 0
+      val inRange = size(filter_exprs(idx, x => x >= f.dimensions)) === 0
+      c.isNull || (sameLen && nonNeg && increasing && inRange)
+    }
+    var skipped = 0L
+    if (sparseChecks.nonEmpty) {
+      val valid = sparseChecks.reduce(_ && _)
+      val total = df.count()
+      df = df.filter(valid)
+      skipped = total - df.count()
+    }
+
+    // cosine normalize-at-ingest (dense + sparse)
+    schema.fields.filter(f => FieldType.isVector(f.fieldType) && f.metric == MetricType.Cosine)
+      .foreach { f =>
+        df =
+          if (FieldType.isSparse(f.fieldType))
+            df.withColumn(f.name, sparse_l2_normalize(col(f.name)))
+          else df.withColumn(f.name, l2_normalize(col(f.name)))
+      }
+    (df, skipped)
+  }
+
+  /** INSERT (first-wins) or UPSERT (last-wins). */
+  def insert(batch: DataFrame, upsert: Boolean = false): InsertResult = {
+    val (prepared, invalidSkipped) = prepare(batch)
+    val wm = watermark
+
+    // batch order: input row order within the batch (the reference's cursor).
+    val ordered = prepared.withColumn(BatchOrd, monotonically_increasing_id())
+
+    val (toWrite, dupSkipped, tombstoneOld) = pkField match {
+      case None => (ordered, 0L, None)
+      case Some(pk) =>
+        val pkCol = col(pk.name)
+        // in-batch dedup: first-wins for insert, last-wins for upsert
+        // (table_segment_mvp.cpp:652-737)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pkCol)
+          .orderBy(if (upsert) col(BatchOrd).desc else col(BatchOrd).asc)
+        val deduped = ordered
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!hasData) {
+          val n = ordered.count(); val kept = deduped.count()
+          (deduped, n - kept, None)
+        } else {
+          val existing = read().select(col(pk.name), col(RowId))
+          if (upsert) {
+            // old versions of upserted PKs get tombstoned (last wins)
+            val olds = existing.join(deduped.select(pkCol), Seq(pk.name), "left_semi")
+              .select(col(RowId))
+            val n = ordered.count(); val kept = deduped.count()
+            (deduped, n - kept, Some(olds))
+          } else {
+            val fresh = deduped.join(existing.select(pkCol), Seq(pk.name), "left_anti")
+            val n = ordered.count(); val kept = fresh.count()
+            (fresh, n - kept, None)
+          }
+        }
+    }
+
+    // assign __row_id continuing the watermark, in batch order
+    val withId = toWrite
+      .withColumn(RowId, row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(BatchOrd)))
+        .cast(LongType) + lit(wm - 1) + lit(1))
+      .drop(BatchOrd)
+      .select(col(RowId) +: schema.fields.map(f => col(f.name)): _*)
+
+    val written = withId.cache()
+    val nWritten = written.count()
+    written.write.mode(SaveMode.Append).parquet(dataPath)
+    tombstoneOld.foreach { olds =>
+      olds.write.mode(SaveMode.Append).parquet(tombPath)
+    }
+    written.unpersist()
+    setWatermark(wm + nWritten)
+    InsertResult(nWritten, invalidSkipped + dupSkipped)
+  }
+
+  /** DELETE by PK list and/or filter (both optional; PKs are each checked
+    * against the filter when both given — db_server.cpp:297-360). */
+  def delete(pks: Seq[Any] = Nil, filter: String = ""): DeleteResult = {
+    if (!hasData) return DeleteResult(0)
+    var victims = read()
+    if (pks.nonEmpty) {
+      val pk = pkField.getOrElse(
+        throw new IllegalArgumentException("delete by primary key requires a primary key"))
+      victims = victims.filter(col(pk.name).isin(pks: _*))
+    }
+    if (filter.nonEmpty)
+      victims = victims.filter(graft.filter.FilterTranslator.translate(filter, schema.structType))
+    val ids = victims.select(col(RowId)).cache()
+    val n = ids.count()
+    if (n > 0) ids.write.mode(SaveMode.Append).parquet(tombPath)
+    ids.unpersist()
+    DeleteResult(n)
+  }
+
+  /** InsertPrepare (D4): 32-bit-packed existence bitmask over a PK list —
+    * bit CLEARED iff the pk exists (table_segment_mvp.cpp:816-876). */
+  def insertPrepare(pks: Seq[Any]): (Long, Array[Int]) = {
+    val pk = pkField.getOrElse(
+      throw new IllegalArgumentException("insertPrepare requires a primary key"))
+    val existing: Set[Any] =
+      if (!hasData) Set.empty
+      else read().select(col(pk.name)).filter(col(pk.name).isin(pks: _*))
+        .collect().map(_.get(0)).toSet
+    val words = new Array[Int]((pks.size + 31) / 32)
+    java.util.Arrays.fill(words, -1)
+    pks.zipWithIndex.foreach { case (p, i) =>
+      if (existing.contains(p)) words(i / 32) &= ~(1 << (i % 32))
+    }
+    (if (hasData) read().count() else 0L, words)
+  }
+
+  /** Fold tombstones into the base files (Delta OPTIMIZE analog). */
+  def compact(): Unit = {
+    if (!hasData) return
+    val live = read().cache()
+    live.count()
+    val tmp = s"$path/data_compact"
+    live.write.mode(SaveMode.Overwrite).parquet(tmp)
+    live.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dataPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dataPath))
+  }
+
+  def count(): Long = if (hasData) read().count() else 0L
+}
+
+object TableStore {
+  val RowId = "__row_id"
+  private val BatchOrd = "__batch_ord"
+
+  /** `filter(arr, fn)` built-in wrapper (named to avoid DataFrame.filter clash). */
+  private[store] def filter_exprs(arr: Column, f: Column => Column): Column =
+    org.apache.spark.sql.functions.filter(arr, f)
+
+  def create(spark: SparkSession, path: String, schema: TableSchema): TableStore = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    Files.write(Paths.get(s"$path/schema.json"), SchemaJson.write(schema).getBytes)
+    new TableStore(spark, path, schema)
+  }
+
+  def open(spark: SparkSession, path: String): TableStore = {
+    val json = new String(Files.readAllBytes(Paths.get(s"$path/schema.json")))
+    new TableStore(spark, path, SchemaJson.read(json))
+  }
+}
