@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextAnalysis, Multimodal}
+import graft.functions._
+
+/** Training-data-pipeline operators for the driver gate: dedup family, text
+  * analysis, kNN, event-stream analytics, multimodal plumbing. Each query
+  * has a DuckDB oracle that recomputes the SAME deterministic algorithm
+  * (shared md5-based hashing), so even the approximate operators (minhash
+  * LSH, simhash) are value-checked, not just row-counted.
+  */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- shared oracle SQL fragments (DuckDB dialect) ----------
+  // tokens of trimmed text (empty -> [])
+  private val sqlToks =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+  // 60-bit md5 hash of a string expression
+  private def sqlHash60(e: String) =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+  // word 3-gram shingles over toks
+  private val sqlShingles =
+    s"""CASE WHEN len(toks) = 0 THEN []
+       |  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(len(toks) - 2),
+       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END""".stripMargin
+
+  private val P = 2147483647L
+
+  /** minhash signature as a DuckDB list literal expression over `hs`
+    * (list of shingle hashes already mod P), using the same xorshift-derived
+    * affine family as Dedup.hashFamily. */
+  private def sqlMinhashSig(k: Int): String = {
+    val fam = Dedup.hashFamily(k)
+    val entries = fam.map { case (a, b) =>
+      s"CASE WHEN len(hs) = 0 THEN $P ELSE list_min(list_transform(hs, x -> ($a * x + $b) % $P)) END"
+    }
+    entries.mkString("[", ",\n ", "]")
+  }
+
+  /** simhash as a DuckDB sum of 60 per-bit sign votes over `hs`. */
+  private def sqlSimhash: String = {
+    val bits = (0 until 60).map { i =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1)) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
+    }
+    s"CASE WHEN len(hs) = 0 THEN 0 ELSE ${bits.mkString(" + ")} END"
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------- dedup family ----------
+    "dd_exact_dups" -> ((s, dir) => {
+      Dedup.exactDuplicates(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("digest"))
+    }),
+    "dd_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.as("x").join(ids.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      Dedup.withJaccard(pairs, docs, "text", "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dd_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5, numHashes = 32, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dd_simhash_fp" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    "dd_embed_cosine" -> ((s, dir) => {
+      Dedup.embeddingNearDuplicates(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300), "embedding", "vec_id",
+          minCosine = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---------- text analysis ----------
+    "tx_stats" -> ((s, dir) => {
+      TextAnalysis.annotate(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
+          col("lang_pred"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+    "tx_quality_agg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), round(avg(col("quality")), 6).as("avg_quality"),
+          round(min(col("quality")), 6).as("min_quality"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---------- kNN join (R1 analog) ----------
+    "r1_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val joined = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("d", l2sqr_distance(col("qv"), col("nv")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d").asc, col("nid").asc)
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---------- event-stream analytics (batch mirror of the streaming ops) ----------
+    "ev_hour_window" -> ((s, dir) => {
+      // ts is epoch-nanos (nanosAsLong); bucket with exact integer division
+      t(s, dir, "events")
+        .withColumn("hour_bucket", expr("ts div 3600000000000"))
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }),
+    "ev_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000000000L
+      val sessioned = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+    "js_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---------- geo (P9 NEARBY) ----------
+    "p9_geo_nearby" -> ((s, dir) => {
+      // deterministic synthetic coordinates from the integer key
+      val c = t(s, dir, "customer")
+        .withColumn("lat", (col("c_custkey") * 37 % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("c_custkey") * 73 % 360 - 180).cast("double") + 0.5)
+      val geo = c.withColumn("geo", struct(col("lat").as("latitude"), col("lon").as("longitude")))
+      geo.filter(graft.filter.FilterTranslator.translate(
+          "NEARBY(geo, 10.5, 20.5, 3000)", geo.schema))
+        .select(col("c_custkey"),
+          round(haversine_km(col("lat"), col("lon"), lit(10.5), lit(20.5)), 3).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---------- multimodal plumbing ----------
+    "mm_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"))
+        .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact_dups" ->
+      """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY digest""".stripMargin,
+    "dd_jaccard_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct($sqlToks) toks FROM documents WHERE doc_id < 200)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+         |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $sqlToks toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles shingles FROM tok),
+         |h AS (SELECT doc_id, list_transform(shingles, s -> ${sqlHash60("s")} % $P) hs FROM sh),
+         |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+         |  FROM sig, (SELECT unnest(range(8)) b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |tokd AS (SELECT doc_id, list_distinct(toks) toks FROM tok),
+         |jac AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+         |      (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) AS j
+         |  FROM cand JOIN tokd x ON cand.id_a = x.doc_id JOIN tokd y ON cand.id_b = y.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_simhash_fp" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $sqlToks toks FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id, list_transform(toks, s -> ${sqlHash60("s")}) hs FROM tok)
+         |SELECT doc_id, $sqlSimhash AS simhash FROM h ORDER BY doc_id""".stripMargin,
+    "dd_embed_cosine" -> {
+      val dot = "list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      val na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      val nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($dot / ($na * $nb), 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 300 AND b.vec_id < 300 AND $dot / ($na * $nb) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "tx_stats" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      val langCases = {
+        val scores = TextAnalysis.LangProfiles.map { case (lang, markers) =>
+          lang -> s"len(list_filter(ltoks, w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val whens = scores.map { case (lang, sc) =>
+          s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"CASE $whens ELSE 'und' END"
+      }
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, $sqlToks toks FROM documents),
+         |tok2 AS (
+         |  SELECT *, list_transform(toks, w -> lower(w)) ltoks, $sqlShingles shingles FROM tok)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  round(CASE WHEN len(toks) > 0 THEN CAST(length(text) AS DOUBLE)/len(toks) ELSE 0 END, 4) AS avg_token_len,
+         |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE)/len(toks) ELSE 0 END, 4) AS stopword_ratio,
+         |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END, 4) AS punct_ratio,
+         |  $langCases AS lang_pred,
+         |  CASE WHEN len(shingles) = 0 THEN 0
+         |       ELSE list_min(list_transform(shingles, s -> ${sqlHash60("s")})) END AS fingerprint
+         |FROM tok2 ORDER BY doc_id""".stripMargin
+    },
+    "tx_quality_agg" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, lang, text, $sqlToks toks FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    least(CAST(length(text) AS DOUBLE)/500.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) > 0 AND CAST(length(text) AS DOUBLE)/len(toks) >= 3
+         |              AND CAST(length(text) AS DOUBLE)/len(toks) <= 12 THEN 1.0 ELSE 0.3 END AS toklen_score,
+         |    least(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE)/len(toks) ELSE 0 END * 4.0, 1.0) AS stop_score,
+         |    CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END) <= 0.2 THEN 1.0
+         |         ELSE greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text)) * 2) END AS punct_score
+         |  FROM tok),
+         |scored AS (
+         |  SELECT lang, round(len_score*0.3 + toklen_score*0.2 + stop_score*0.3 + punct_score*0.2, 6) AS quality FROM q)
+         |SELECT lang, count(*) AS n, round(avg(quality), 6) AS avg_quality,
+         |  round(min(quality), 6) AS min_quality
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "r1_knn_join" -> {
+      val d = "list_sum(list_transform(list_zip(q.embedding, n.embedding), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))**2))"
+      s"""WITH ranked AS (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $d ASC, n.vec_id ASC) AS rank
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 20)
+         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+    "ev_hour_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "ev_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_tns
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "js_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p9_geo_nearby" -> {
+      val lat = "(CAST(c_custkey * 37 % 180 - 90 AS DOUBLE) + 0.5)"
+      val lon = "(CAST(c_custkey * 73 % 360 - 180 AS DOUBLE) + 0.5)"
+      val rad = "0.017453292519943295" // Pi/180, exact double literal both engines
+      val d = s"2.0 * 6371.0 * asin(sqrt(pow(sin(($lat - 10.5) * $rad / 2.0), 2) + " +
+        s"cos(10.5 * $rad) * cos($lat * $rad) * pow(sin(($lon - 20.5) * $rad / 2.0), 2)))"
+      s"""SELECT c_custkey, round($d, 3) AS dist_km FROM customer
+         |WHERE $d <= 3000 ORDER BY c_custkey""".stripMargin
+    },
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |  CAST(list_sum(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1)))) % 997 AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -39,7 +39,7 @@ object SparkEntry {
       .head().getSeq[Float](0).toArray
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ QueriesPipeline.all
 
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] = Queries.oracle ++ QueriesPipeline.oracle
 }

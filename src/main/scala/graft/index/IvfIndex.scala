@@ -1,0 +1,187 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+import graft.types.{FieldSchema, MetricType}
+
+/** IVF (inverted-file) ANN index: the Spark-native replacement for the
+  * reference's NSG graph index (reference: engine/db/ann_graph_segment.cpp,
+  * engine/db/index/nsg; batch rebuild semantics table_mvp.cpp:94-203).
+  *
+  * Why IVF instead of a graph at Spark scale: a best-first graph walk is
+  * pointer-chasing over the whole dataset — the one access pattern a
+  * shared-nothing engine cannot do cheaply. IVF turns ANN into exactly the
+  * two things Spark is good at: a partition-pruned scan (only nProbe
+  * clusters are read; cluster id is a partition column, so pruning happens
+  * at the parquet-footer level) and a local top-K merge
+  * (TakeOrderedAndProject).
+  *
+  * Build = one k-means (Lloyd) run over the vector column, then write the
+  * table repartitioned by cluster id. Rebuild semantics mirror the
+  * reference: skip when row count unchanged or below MinimalGraphSize
+  * (table_mvp.cpp:121-127); readers of a stale index still get correct
+  * results because search unions the exact tail of rows newer than the
+  * index snapshot (vec_search_executor.cpp:885-904 analog).
+  */
+class IvfIndex(
+    val spark: SparkSession,
+    val path: String,
+    val idCol: String,
+    val metric: MetricType.Value) {
+
+  def centroidsPath = s"$path/centroids"
+  def dataPath = s"$path/clustered"
+  def metaPath = s"$path/ivf_meta.json"
+
+  /** Load centroids to the driver (nClusters × dim floats — tiny). */
+  def centroids(): Array[(Int, Array[Float])] =
+    spark.read.parquet(centroidsPath)
+      .collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+
+  def clustered(): DataFrame = spark.read.parquet(dataPath)
+
+  /** Rows indexed at build time (for the fresh-tail union). */
+  def indexedWatermark(): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath)))
+    s.trim.toLong
+  }
+
+  /** ANN top-K: prune to the nProbe nearest clusters of the query, exact
+    * search within them. `freshTail` (rows not yet indexed) is searched
+    * exactly and unioned before the final top-K cut. */
+  def search(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
+      freshTail: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids()
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    val probed = cents
+      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+      .sortBy { case (_, d) => d }
+      .take(nProbe)
+      .map(_._1)
+    val distCol = IvfIndex.distColumn(metric, col(vecCol), q)
+    // cluster IN (...) prunes parquet row groups via the partition column
+    val head = clustered()
+      .filter(col("cluster").isin(probed.toSeq: _*))
+      .withColumn("@distance", distCol)
+    val searched = freshTail match {
+      case Some(tail) =>
+        head.unionByName(tail.withColumn("@distance", distCol)
+          .withColumn("cluster", lit(-1)), allowMissingColumns = true)
+      case None => head
+    }
+    searched
+      .orderBy(col("@distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}
+
+object IvfIndex {
+
+  /** Lloyd k-means over an array<float> column, implemented with the
+    * aggregate-on-cluster pattern (no MLlib dependency on the Vector UDT,
+    * keeps the column format native):
+    * assign = argmin distance to broadcast centroids (map-side),
+    * update = groupBy(cluster).avg — one shuffle of (cluster, sum, count)
+    * partials per iteration. Deterministic init: first k distinct rows by id.
+    */
+  def build(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
+      path: String, metric: MetricType.Value, nClusters: Int = 64,
+      maxIter: Int = 10): IvfIndex = {
+    import spark.implicits._
+
+    val prepared0 = df.select(col(idCol), col(vecCol))
+    val prepared = (if (metric == MetricType.Cosine)
+      prepared0.withColumn(vecCol, l2_normalize(col(vecCol)))
+    else prepared0).cache()
+    val n = prepared.count()
+
+    // deterministic seed centroids: the k lowest-id vectors
+    var cents: Array[Array[Float]] = prepared
+      .orderBy(col(idCol).asc).limit(nClusters)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = prepared.withColumn("cluster",
+        nearestClusterCol(metric, col(vecCol), bc.value))
+      // map-side partial aggregation of per-cluster sums
+      val updated = assigned
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cnt"),
+          array((0 until cents(0).length).map(i =>
+            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
+        .collect()
+        .map { r =>
+          val cid = r.getAs[Int]("cluster")
+          val cnt = r.getAs[Long]("cnt")
+          val sums = r.getAs[scala.collection.Seq[Double]]("sums")
+          cid -> sums.map(s => (s / cnt).toFloat).toArray
+        }.toMap
+      val next = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      converged = cents.zip(next).forall { case (a, b) =>
+        dist(MetricType.Euclidean, a, b) < 1e-8
+      }
+      cents = next
+      bc.destroy()
+      iter += 1
+    }
+
+    // final assignment; write partitioned by cluster for scan pruning
+    val bc = spark.sparkContext.broadcast(cents)
+    prepared
+      .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
+      .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/ivf_meta.json"),
+      n.toString.getBytes)
+    prepared.unpersist()
+    new IvfIndex(spark, path, idCol, metric)
+  }
+
+  /** argmin over broadcast centroids as a single codegen'd expression chain:
+    * distances to each centroid are literal-vector expressions, folded into
+    * a least()-driven index pick. */
+  private def nearestClusterCol(metric: MetricType.Value, vec: Column,
+      cents: Array[Array[Float]]): Column = {
+    val dists = cents.map(c => distColumn(metric, vec, c))
+    val minD = least(dists: _*)
+    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), els) =>
+      when(d === minD, lit(i)).otherwise(els)
+    }
+  }
+
+  def distColumn(metric: MetricType.Value, vec: Column, q: Array[Float]): Column =
+    metric match {
+      case MetricType.Euclidean => l2sqr_distance(vec, lit(q))
+      case MetricType.Cosine => lit(1.0) - dot_product(vec, lit(q))
+      case MetricType.DotProduct => negative_dot(vec, lit(q))
+    }
+
+  def dist(metric: MetricType.Value, a: Array[Float], b: Array[Float]): Double = {
+    var l2 = 0.0; var dot = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      l2 += d * d; dot += a(i).toDouble * b(i).toDouble; i += 1
+    }
+    metric match {
+      case MetricType.Euclidean => l2
+      case MetricType.Cosine => 1.0 - dot
+      case MetricType.DotProduct => -dot
+    }
+  }
+
+  def normalize(v: Array[Float]): Array[Float] = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+    if (acc == 0.0) v else { val inv = 1.0 / math.sqrt(acc); v.map(x => (x * inv).toFloat) }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{dot_product, cosine_distance}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *  - exact: hash-groupBy — one shuffle on a 16-byte digest, no text moves.
+  *  - MinHash + LSH: shingle -> k minhashes -> b bands; candidate pairs come
+  *    from an equi-join on (band, bandKey) buckets, NEVER an O(n^2) cross
+  *    join. Shuffle volume = b rows per doc of (bandKey, id).
+  *  - SimHash: 60-bit fingerprint; near-dup candidates from prefix-bucket
+  *    join, verified by hamming distance.
+  *  - n-gram Jaccard: exact verify step over candidate pairs only.
+  *  - embedding cosine: exact over a bucketed self-join (or brute pairs for
+  *    small n); at scale the IVF index provides the bucketing.
+  */
+object Dedup {
+
+  import TextAnalysis.{hash60, shingles, tokens}
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for affine minhash
+
+  /** Deterministic affine hash family: seeds derived from a fixed LCG so
+    * Spark and any oracle can reproduce them. */
+  def hashFamily(k: Int): Seq[(Long, Long)] = {
+    var state = 88172645463325252L
+    def next(): Long = { // xorshift64, public-domain PRNG
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      state
+    }
+    (0 until k).map { _ =>
+      val a = math.floorMod(next(), P - 1) + 1
+      val b = math.floorMod(next(), P)
+      (a, b)
+    }
+  }
+
+  /** Exact duplicate groups by content digest.
+    * Returns (digest, n_docs, min_doc_id) for groups with n > 1. */
+  def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
+      .filter(col("n") > 1)
+
+  /** First-occurrence exact dedup: keep the lowest id per digest. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature column: array of k minimums of affine-hashed shingle
+    * hashes. Pure per-row compute (no shuffle). */
+  def minhashSignature(text: Column, k: Int = 64, shingleLen: Int = 3): Column = {
+    val family = hashFamily(k)
+    val hs = transform(shingles(text, shingleLen), s => pmod(hash60(s), lit(P)))
+    val sig = family.map { case (a, b) =>
+      when(size(hs) === 0, lit(P))
+        .otherwise(array_min(transform(hs, h => pmod(h * a + b, lit(P)))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs from banded minhash signatures.
+    * bands * rowsPerBand must equal the signature length.
+    * Output: (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(textCol), numHashes)
+    val banded = df
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // bucket self-join: same band index + identical band key
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair DataFrame (verify step after LSH). */
+  def withJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+    pairs
+      .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .withColumn("jaccard", when(col("uni") > 0,
+        col("inter").cast("double") / col("uni")).otherwise(lit(1.0)))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = lshCandidatePairs(df, textCol, idCol, numHashes, bands)
+    withJaccard(cands, df, textCol, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash fingerprint: sign of per-bit vote over token hashes
+    * (term frequency weighted — duplicate tokens vote again), assembled
+    * into a long. */
+  def simhashBits(text: Column): Column = {
+    val hs = transform(tokens(text), t => hash60(t))
+    val bits = (0 until 60).map { i =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    when(size(hs) === 0, lit(0L)).otherwise(bits.reduce((a, b) => a + b))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: bucket by the top `prefixBits` bits (near-dups agree
+    * on most bits, so a few prefix rotations catch nearly all), verify by
+    * full hamming distance <= maxDist. */
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, prefixBits: Int = 12): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhashBits(col(textCol)).as("sim"))
+    // 4 rotations of the 60-bit word => 4 bucket keys per doc; duplicates
+    // differing in <= 3 bits share at least one 12-bit aligned block with
+    // high probability (block-permutation LSH for hamming space)
+    val rotated = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 5).map(blk =>
+        shiftrightunsigned(col("sim"), blk * 12).bitwiseAND(lit(0xFFFL))): _*)))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "key")
+    val a = rotated.alias("a"); val b = rotated.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding cosine near-dup pairs over a (small or pre-bucketed) set.
+    * For the full-scale path, feed each IVF cluster through this. */
+  def embeddingNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", lit(1.0) - cosine_distance(col("va"), col("vb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

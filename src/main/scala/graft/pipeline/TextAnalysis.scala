@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is composed from codegen'd built-ins (split / transform /
+  * aggregate / filter) — no UDFs — so the operators run inside whole-stage
+  * codegen and scale linearly with partitions: each is a pure map over rows
+  * with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (empty input => empty array, not [""]). */
+  def tokens(text: Column): Column = {
+    val trimmed = trim(text)
+    when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens plus intra-word
+    * splits on case/digit/punct boundaries (a cheap stand-in for a real
+    * tokenizer's fertility, deterministic and shuffle-free). */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(trim(text),
+      "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?=[^A-Za-z0-9\\s])")
+    size(filter(pieces, p => length(p) > 0))
+  }
+
+  /** English-ish stopword list used by quality scoring (fixed, public). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  /** Quality features + composite score in [0,1]:
+    * length signal, mean token length sanity, stopword presence,
+    * punctuation/alpha balance. Deterministic, mirrorable in ANSI SQL. */
+  def qualityFeatures(text: Column): (Column, Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val avgTokLen = when(nTok > 0, nChars.cast("double") / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    (nChars.cast("long"), nTok.cast("long"), avgTokLen, stopRatio, punctRatio)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val (nChars, nTok, avgTokLen, stopRatio, punctRatio) = qualityFeatures(text)
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    val tokLenScore = when(avgTokLen >= 3 && avgTokLen <= 12, 1.0).otherwise(0.3)
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(greatest(lit(0.0), lit(1.0) - punctRatio * 2))
+    round((lenScore * 0.3 + tokLenScore * 0.2 + stopScore * 0.3 + punctScore * 0.2), 6)
+  }
+
+  /** Language-ID marker profiles (function words; public linguistic facts).
+    * Ordered map: ties resolve to the earlier entry — the SQL mirror must
+    * use the same order. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit", "auf", "für"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "con", "del", "sono"))
+
+  /** N-gram-heuristic language ID: count profile function words among the
+    * lowercased tokens; argmax with first-profile-wins tie-break; "und"
+    * (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower(_))
+    val scores = LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // shared 60-bit shingle hash: both engines compute
+  // hex_to_bigint(md5(s)[0:15]) identically
+  private[pipeline] def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word k-gram shingles of a document. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, when(size(toks) > 0, array(concat_ws(" ", toks)).cast("array<string>"))
+      .otherwise(array().cast("array<string>")))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Document fingerprint = min shingle-hash (the winnowing/rolling-hash
+    * family collapsed to its cheapest deterministic member: identical docs
+    * get identical fingerprints; near-identical docs collide with
+    * probability = their shingle-Jaccard). */
+  def fingerprint(text: Column, k: Int = 3): Column = {
+    val hs = transform(shingles(text, k), hash60(_))
+    when(size(hs) === 0, lit(0L)).otherwise(array_min(hs))
+  }
+
+  /** Convenience: annotate a documents DataFrame with the full feature set. */
+  def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val (nChars, nTok, avgTokLen, stopRatio, punctRatio) = qualityFeatures(c)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_subwords", subwordCount(c))
+      .withColumn("avg_token_len", round(avgTokLen, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("quality", qualityScore(c))
+      .withColumn("lang_pred", langId(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}
