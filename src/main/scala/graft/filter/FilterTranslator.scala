@@ -215,7 +215,8 @@ object FilterTranslator {
               // string-only IN lists, expr.cpp:503-505
               throw new UnsupportedOperationException(s"IN supports string literals only, got $other")
           }
-          require(l.dt == StringType, "IN requires a string attribute")
+          if (l.dt != StringType) // expr.cpp:503-505 NOT_IMPLEMENTED
+            throw new UnsupportedOperationException("IN supports string attributes only")
           TC(l.col.isin(items.toSeq: _*), BooleanType)
         case _ => l
       }

@@ -98,9 +98,11 @@ object IvfIndex {
     else prepared0).cache()
     val n = prepared.count()
 
-    // deterministic seed centroids: the k lowest-id vectors
+    // deterministic seed centroids, spread across the data: order by a hash
+    // of the id so seeds sample the whole distribution (lowest-id rows can be
+    // spatially clustered, which collapses Lloyd iterations)
     var cents: Array[Array[Float]] = prepared
-      .orderBy(col(idCol).asc).limit(nClusters)
+      .orderBy(md5(col(idCol).cast("string")).asc).limit(nClusters)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextAnalysis, Multimodal}
+
+/** Unit tests for the training-data pipeline operators on hand-rolled docs
+  * (the testdata tables are covered by the oracle gate; these pin semantics
+  * the synthetic corpus can't, e.g. langid on real sentences, LSH recall on
+  * known near-duplicates). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, ""),                                               // empty
+    (5L, "der hund läuft nicht auf der straße und die katze ist da"),
+    (6L, "el gato y el perro en la casa que es de los niños"),
+    (7L, "le chien est dans la maison et les chats sont pour une femme"),
+    (8L, "short")
+  ).toDF("doc_id", "text")
+
+  test("tokens: empty string yields empty array") {
+    val r = docs.select(TextAnalysis.tokenCount(col("text")).as("n"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(r(4L) == 0 && r(8L) == 1 && r(0L) == 9)
+  }
+
+  test("langid picks the profile language on real sentences") {
+    val r = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0L) == "en", s"got ${r(0L)}")
+    assert(r(5L) == "de", s"got ${r(5L)}")
+    assert(r(6L) == "es", s"got ${r(6L)}")
+    assert(r(7L) == "fr", s"got ${r(7L)}")
+    assert(r(4L) == "und")
+  }
+
+  test("exact dedup finds the duplicate group") {
+    val groups = Dedup.exactDuplicates(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2 && groups.head.getAs[Long]("min_id") == 0L)
+    assert(Dedup.dropExactDuplicates(docs, "text", "doc_id").count() == 8)
+  }
+
+  test("minhash LSH catches the near-duplicate pair and the exact pair") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)), s"exact dup missing: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)), s"near dup missing: $pairs")
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups are close") {
+    val sims = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(3L))
+    val hamming01 = java.lang.Long.bitCount(sims(0L) ^ sims(1L))
+    val hamming02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
+    assert(sims(4L) == 0L)
+  }
+
+  test("simhashNearDuplicates returns the exact-dup pair at distance 0") {
+    val nd = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(nd.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+  }
+
+  test("fingerprint: identical docs collide, distinct docs don't") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+    assert(fps(4L) == 0L)
+  }
+
+  test("multimodal: binary plumbing round-trips deterministic features") {
+    val feats = Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(docs, "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(4), r.getInt(5)))).toMap
+    assert(feats(0L)._1 == 43L) // byte length of doc 0
+    assert(feats(0L)._2 == 't'.toInt)
+    assert(feats(4L)._1 == 0L && feats(4L)._2 == -1)
+    // decode stub metadata is a pure function of length
+    assert(feats(0L)._3 == 16 + (43 % 64) && feats(0L)._4 == 16 + ((43 / 64) % 64))
+  }
+
+  test("frame sampling explodes payload chunks") {
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(docs.filter(col("doc_id") === 0L), "text"),
+        stride = 16)
+    assert(frames.count() == 3) // 44 bytes / 16 = 3 chunks
+  }
+
+  test("quality score orders garbage below prose") {
+    val q = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(0L) > q(4L))
+    assert(q(0L) > q(8L))
+  }
+}
