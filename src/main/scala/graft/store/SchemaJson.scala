@@ -13,7 +13,7 @@ object SchemaJson {
     val fields = s.fields.map { f =>
       val base = List(
         "name" -> JString(f.name),
-        "dataType" -> JString(f.fieldType.toString),
+        "dataType" -> JString(FieldType.refName(f.fieldType)),
         "primaryKey" -> JBool(f.primaryKey))
       val vec =
         if (FieldType.isVector(f.fieldType))
@@ -32,7 +32,7 @@ object SchemaJson {
       case JArray(fs) => fs.map { f =>
         val fname = (f \ "name") match { case JString(s) => s; case _ => sys.error("field name") }
         val ft = (f \ "dataType") match {
-          case JString(s) => FieldType.withName(s)
+          case JString(s) => FieldType.parse(s)
           case _ => sys.error("field dataType")
         }
         val pk = (f \ "primaryKey") match { case JBool(b) => b; case _ => false }
@@ -40,7 +40,7 @@ object SchemaJson {
           case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 0
         }
         val metric = (f \ "metricType") match {
-          case JString(s) => MetricType.withName(s); case _ => MetricType.Euclidean
+          case JString(s) => MetricType.parse(s); case _ => MetricType.Euclidean
         }
         FieldSchema(fname, ft, pk, dims, metric)
       }

@@ -83,7 +83,13 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     val missing = schema.fields.map(_.name).filterNot(batch.columns.contains)
     require(missing.isEmpty, s"missing fields in insert batch: ${missing.mkString(",")}")
 
-    var df = batch.select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)): _*)
+    // cast via catalogString: Spark refuses casts TO containsNull=false
+    // array/struct types, and catalogString parses as the nullable variant
+    var df = batch.select(schema.fields.map { f =>
+      if (batch.schema(f.name).dataType.catalogString == f.sparkType.catalogString)
+        col(f.name)
+      else col(f.name).cast(f.sparkType.catalogString).as(f.name)
+    }: _*)
 
     // sparse-vector validity (table_segment_mvp.cpp:511-553)
     val sparseChecks = schema.fields.filter(f => FieldType.isSparse(f.fieldType)).map { f =>

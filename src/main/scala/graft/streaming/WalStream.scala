@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.store.TableStore
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Write-ahead-log ingestion re-expressed as Structured Streaming
+  * (reference: engine/db/wal/write_ahead_log.hpp:30-142 — text lines
+  * `<gid> <type> <json>`, types INSERT(1)/DELETE(2)/UPSERT(3), replay skips
+  * `gid <= consumed`).
+  *
+  * Here the log is a directory of JSON-lines files; `readStream` tails it,
+  * `foreachBatch` applies each micro-batch to the TableStore in gid order.
+  * The streaming checkpoint plays the role of the reference's consumed-id
+  * watermark: restarts resume exactly-once from the last committed batch.
+  */
+object WalStream {
+
+  val entrySchema: StructType = StructType(Seq(
+    StructField("gid", LongType, nullable = false),
+    StructField("op", StringType, nullable = false), // INSERT | UPSERT | DELETE
+    StructField("payload", StringType, nullable = true), // JSON records for insert/upsert
+    StructField("pks", ArrayType(StringType), nullable = true), // delete by pk
+    StructField("filter", StringType, nullable = true))) // delete by filter
+
+  /** Append an entry to the log (test/ingest-side helper). */
+  def append(walDir: String, gid: Long, op: String, payload: String = null,
+      pks: Seq[String] = null, filter: String = null): Unit = {
+    Files.createDirectories(Paths.get(walDir))
+    def q(s: String) = if (s == null) "null" else
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    val pksJson = if (pks == null) "null" else pks.map(q).mkString("[", ",", "]")
+    val line = s"""{"gid":$gid,"op":${q(op)},"payload":${q(payload)},"pks":$pksJson,"filter":${q(filter)}}"""
+    Files.write(Paths.get(s"$walDir/wal-$gid.json"), (line + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Apply one micro-batch of WAL entries to the store, in gid order.
+    * Entries are collected to the driver (WAL batches are control-plane
+    * sized; the row payloads inside INSERT/UPSERT go through the normal
+    * distributed insert path). */
+  def applyBatch(store: TableStore)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import scala.jdk.CollectionConverters._
+    val entries = batch.orderBy(col("gid")).collect()
+    entries.foreach { r =>
+      val op = r.getAs[String]("op")
+      op match {
+        case "INSERT" | "UPSERT" =>
+          val payload = r.getAs[String]("payload")
+          // one JSON record per line inside the payload
+          val ds = spark.createDataset(payload.split('\n').toList.asJava)(
+            org.apache.spark.sql.Encoders.STRING)
+          val rows = spark.read
+            .schema(store.schema.structType)
+            .json(ds)
+          store.insert(rows, upsert = op == "UPSERT")
+        case "DELETE" =>
+          val pks = Option(r.getAs[scala.collection.Seq[String]]("pks"))
+            .map(_.toSeq).getOrElse(Nil)
+          val f = Option(r.getAs[String]("filter")).getOrElse("")
+          val typedPks: Seq[Any] = store.pkField match {
+            case Some(pk) => pk.sparkType match {
+              case LongType => pks.map(_.toLong)
+              case IntegerType => pks.map(_.toInt)
+              case ShortType => pks.map(_.toShort)
+              case ByteType => pks.map(_.toByte)
+              case _ => pks
+            }
+            case None => pks
+          }
+          store.delete(typedPks, f)
+        case other => throw new IllegalArgumentException(s"unknown WAL op $other")
+      }
+    }
+  }
+
+  /** Start the replay stream; `checkpointDir` carries the consumed-gid
+    * watermark across restarts. */
+  def start(spark: SparkSession, walDir: String, store: TableStore,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(entrySchema)
+      .option("maxFilesPerTrigger", "64")
+      .json(walDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(applyBatch(store) _)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+}
+
+/** Streaming analytics over an event stream: the windowed/watermarked and
+  * stateful operators of a training-data ingest pipeline (Structured
+  * Streaming versions of the batch `ev_*` queries). */
+object EventStream {
+
+  /** Tumbling-window counts/sums with a watermark for late data. */
+  def hourlyAggregate(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // epoch-nanos -> timestamp
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding-window event rate. */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -30,8 +30,21 @@ object FieldType extends Enumeration {
     "GEO_POINT" -> GeoPoint)
 
   def parse(s: String): Value =
-    names.getOrElse(s.toUpperCase,
-      throw new IllegalArgumentException(s"unknown field type: $s"))
+    names.get(s.toUpperCase)
+      .orElse(values.find(_.toString == s))
+      .getOrElse(throw new IllegalArgumentException(s"unknown field type: $s"))
+
+  /** Canonical reference-style name (meta_types.hpp:92-107). */
+  def refName(t: Value): String = t match {
+    case TinyInt => "TINYINT"; case SmallInt => "SMALLINT"
+    case Int4 => "INT"; case BigInt => "BIGINT"
+    case Float4 => "FLOAT"; case Double8 => "DOUBLE"
+    case Bool => "BOOL"; case Str => "STRING"; case Json => "JSON"
+    case VectorFloat => "VECTOR_FLOAT"; case VectorDouble => "VECTOR_DOUBLE"
+    case SparseVectorFloat => "SPARSE_VECTOR_FLOAT"
+    case SparseVectorDouble => "SPARSE_VECTOR_DOUBLE"
+    case GeoPoint => "GEO_POINT"
+  }
 
   def isVector(t: Value): Boolean =
     t == VectorFloat || t == VectorDouble || t == SparseVectorFloat || t == SparseVectorDouble
