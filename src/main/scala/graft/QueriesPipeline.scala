@@ -76,8 +76,8 @@ object QueriesPipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "dd_simhash_fp" -> ((s, dir) => {
-      t(s, dir, "documents").filter(col("doc_id") < 500)
-        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))
+      Dedup.simhashes(t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("sim").as("simhash"))
         .orderBy(col("doc_id"))
     }),
     "dd_embed_cosine" -> ((s, dir) => {

@@ -52,17 +52,34 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature column: array of k minimums of affine-hashed shingle
-    * hashes. Pure per-row compute (no shuffle). */
-  def minhashSignature(text: Column, k: Int = 64, shingleLen: Int = 3): Column = {
+  /** MinHash signature column over a PRE-MATERIALIZED shingle-hash array
+    * column. The md5 hashing must live in its own projection stage (see
+    * `minhashSignatures`): inlining it here would re-evaluate the md5s once
+    * per signature entry — k times. */
+  def minhashSignatureFromHashes(hs: Column, k: Int): Column = {
     val family = hashFamily(k)
-    val hs = transform(shingles(text, shingleLen), s => pmod(hash60(s), lit(P)))
     val sig = family.map { case (a, b) =>
       when(size(hs) === 0, lit(P))
         .otherwise(array_min(transform(hs, h => pmod(h * a + b, lit(P)))))
     }
     array(sig: _*)
   }
+
+  /** Shingle-hash array for a text column (one md5 per shingle). */
+  def shingleHashes(text: Column, shingleLen: Int = 3): Column =
+    transform(shingles(text, shingleLen), s => pmod(hash60(s), lit(P)))
+
+  /** (id, sig) DataFrame with the md5 stage separated from the k affine
+    * minimums so each shingle is hashed exactly once. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleLen: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleLen).as("hs"))
+      .select(col("id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+
+  /** Single-column convenience (tests / small data): k affine minimums with
+    * the md5 stage inlined. Prefer `minhashSignatures` in pipelines. */
+  def minhashSignature(text: Column, k: Int = 64, shingleLen: Int = 3): Column =
+    minhashSignatureFromHashes(shingleHashes(text, shingleLen), k)
 
   /** LSH candidate pairs from banded minhash signatures.
     * bands * rowsPerBand must equal the signature length.
@@ -71,9 +88,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes)
-    val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
+    val banded = minhashSignatures(df, textCol, idCol, numHashes)
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
@@ -105,11 +120,9 @@ object Dedup {
     withJaccard(cands, df, textCol, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** 60-bit SimHash fingerprint: sign of per-bit vote over token hashes
-    * (term frequency weighted — duplicate tokens vote again), assembled
-    * into a long. */
-  def simhashBits(text: Column): Column = {
-    val hs = transform(tokens(text), t => hash60(t))
+  /** 60-bit SimHash from a PRE-MATERIALIZED token-hash array column (see
+    * minhashSignatureFromHashes for why the md5 stage is separate). */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 60).map { i =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
@@ -118,6 +131,18 @@ object Dedup {
     when(size(hs) === 0, lit(0L)).otherwise(bits.reduce((a, b) => a + b))
   }
 
+  /** (id, sim) DataFrame with the token-md5 stage separated from the 60
+    * per-bit votes. */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), transform(tokens(col(textCol)), hash60(_)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sim"))
+
+  /** 60-bit SimHash fingerprint: sign of per-bit vote over token hashes
+    * (term frequency weighted — duplicate tokens vote again), assembled
+    * into a long. Single-column convenience; prefer `simhashes`. */
+  def simhashBits(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), hash60(_)))
+
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dups: bucket by the top `prefixBits` bits (near-dups agree
@@ -125,7 +150,7 @@ object Dedup {
     * full hamming distance <= maxDist. */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, prefixBits: Int = 12): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhashBits(col(textCol)).as("sim"))
+    val withSim = simhashes(df, textCol, idCol)
     // 4 rotations of the 60-bit word => 4 bucket keys per doc; duplicates
     // differing in <= 3 bits share at least one 12-bit aligned block with
     // high probability (block-permutation LSH for hamming space)

@@ -91,14 +91,15 @@ object TextAnalysis {
   private[pipeline] def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Word k-gram shingles of a document. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word k-gram shingles over a token-array column. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) < k, when(size(toks) > 0, array(concat_ws(" ", toks)).cast("array<string>"))
       .otherwise(array().cast("array<string>")))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+
+  /** Word k-gram shingles of a document. */
+  def shingles(text: Column, k: Int = 3): Column = shinglesFromTokens(tokens(text), k)
 
   /** Document fingerprint = min shingle-hash (the winnowing/rolling-hash
     * family collapsed to its cheapest deterministic member: identical docs
@@ -109,17 +110,54 @@ object TextAnalysis {
     when(size(hs) === 0, lit(0L)).otherwise(array_min(hs))
   }
 
-  /** Convenience: annotate a documents DataFrame with the full feature set. */
+  /** Annotate a documents DataFrame with the full feature set.
+    * Tokenization and shingle hashing are staged into their own projection
+    * so they run ONCE per row; every feature reads the materialized arrays.
+    * (Catalyst's CollapseProject keeps the stage because the arrays are
+    * non-cheap and referenced many times.) */
   def annotate(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
-    val (nChars, nTok, avgTokLen, stopRatio, punctRatio) = qualityFeatures(c)
-    df.withColumn("n_tokens", nTok)
+    val staged = df
+      .withColumn("__toks", tokens(c))
+      .withColumn("__hs", transform(shinglesFromTokens(col("__toks")), hash60(_)))
+
+    val toks = col("__toks")
+    val nTok = size(toks)
+    val nChars = length(c)
+    val avgTokLen = when(nTok > 0, nChars.cast("double") / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0,
+      (nChars - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") / nChars)
+      .otherwise(lit(0.0))
+
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    val tokLenScore = when(avgTokLen >= 3 && avgTokLen <= 12, 1.0).otherwise(0.3)
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctScore = when(punctRatio <= 0.2, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - punctRatio * 2))
+
+    val ltoks = transform(toks, lower(_))
+    val scores = LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(ltoks, t => t.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val langPred = scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+
+    staged
+      .withColumn("n_tokens", nTok.cast("long"))
       .withColumn("n_subwords", subwordCount(c))
       .withColumn("avg_token_len", round(avgTokLen, 4))
       .withColumn("stopword_ratio", round(stopRatio, 4))
       .withColumn("punct_ratio", round(punctRatio, 4))
-      .withColumn("quality", qualityScore(c))
-      .withColumn("lang_pred", langId(c))
-      .withColumn("fingerprint", fingerprint(c))
+      .withColumn("quality",
+        round(lenScore * 0.3 + tokLenScore * 0.2 + stopScore * 0.3 + punctScore * 0.2, 6))
+      .withColumn("lang_pred", langPred)
+      .withColumn("fingerprint",
+        when(size(col("__hs")) === 0, lit(0L)).otherwise(array_min(col("__hs"))))
+      .drop("__toks", "__hs")
   }
 }
