@@ -124,6 +124,43 @@ object Queries {
         .select(col("vec_id"), col("label"))
     }),
 
+    // V5: IVF ANN search (no SQL oracle — approximate; recall vs exact is
+    // gated in SemicircleSpec). Small tables brute-force, mirroring the
+    // reference's BruteforceThreshold.
+    "v5_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      val q = SparkEntry.queryVectorOf(s, dir)
+      graft.index.IvfIndex.rebuildIfNeeded(s, emb, "embedding", "vec_id", path,
+          graft.types.MetricType.Euclidean) match {
+        case Some(idx) =>
+          idx.search("embedding", q, 10, nProbe = 8).select(col("vec_id"))
+        case None => // brute force below threshold
+          emb.withColumn("@distance", l2sqr_distance(col("embedding"), lit(q)))
+            .orderBy(col("@distance").asc, col("vec_id").asc)
+            .limit(10).select(col("vec_id"))
+      }
+    }),
+    // V9: search-by-content — embed the query text, then vector search
+    // (deterministic offline embedder; rows-only check).
+    "v9_search_by_content" -> ((s, dir) => {
+      val svc = new graft.embed.DeterministicEmbedder("fake/offline", 64)
+      val q = svc.embedBatch(Seq("spark join merge sort shuffle")).head
+      t(s, dir, "embeddings")
+        .withColumn("@distance", cosine_distance(col("embedding"), lit(q)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"), col("label"))
+    }),
+    // P10: @distance usable in the filter (post-filter mode)
+    "v10_distance_filter" -> ((s, dir) => {
+      val withDist = t(s, dir, "embeddings")
+        .withColumn("@distance", l2sqr_distance(col("embedding"), qvec(s, dir)))
+      withDist
+        .filter(FilterTranslator.translate("@distance <= 1.4 AND label >= 3", withDist.schema))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- §2.4 attribute scan / pagination / PK lookup (A1/A2) ----
     "a1_scan_page" -> ((s, dir) => {
       t(s, dir, "events")
@@ -148,6 +185,18 @@ object Queries {
         .limit(100)
       topk.groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_id"))
+        .orderBy(col("label"))
+    }),
+
+    // G7 (our AVG extension) through the facet executor itself
+    "g7_avg_facet" -> ((s, dir) => {
+      val topk = t(s, dir, "embeddings")
+        .withColumn("@distance", l2sqr_distance(col("embedding"), qvec(s, dir)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(50)
+      graft.query.QueryEngine.facet(topk,
+          graft.query.QueryEngine.Facet(Seq("label"), Seq("AVG(vec_id)", "COUNT(*)", "MAX(vec_id)")))
+        .toDF("label", "avg_id", "n", "max_id") // parquet forbids ()* in names
         .orderBy(col("label"))
     }),
 
@@ -219,6 +268,16 @@ object Queries {
     "v4_filtered_topk" ->
       s"""SELECT vec_id, label FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v10_distance_filter" ->
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE ${sqlL2sqr("embedding", QV)} <= 1.4 AND label >= 3
+         |ORDER BY vec_id""".stripMargin,
+    "g7_avg_facet" ->
+      s"""WITH topk AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 50)
+         |SELECT label, avg(vec_id) AS avg_id, count(*) AS n, max(vec_id) AS max_id
+         |FROM topk GROUP BY label ORDER BY label""".stripMargin,
     "a1_scan_page" ->
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
         |FROM events WHERE event_type <> 'click'

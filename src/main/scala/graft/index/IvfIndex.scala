@@ -80,6 +80,30 @@ class IvfIndex(
 
 object IvfIndex {
 
+  /** Below this row count no index is built — search brute-forces
+    * (reference: MinimalGraphSize config.hpp:22 + BruteforceThreshold
+    * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
+  val MinimalIndexSize = 512
+
+  /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
+    * every 60s): skip when the table is too small or the row count is
+    * unchanged since the last build. Returns the fresh-or-existing index,
+    * or None when the table should brute-force. */
+  def rebuildIfNeeded(spark: SparkSession, df: DataFrame, vecCol: String,
+      idCol: String, path: String, metric: MetricType.Value,
+      nClusters: Int = 64): Option[IvfIndex] = {
+    val n = df.count()
+    if (n < MinimalIndexSize) return None
+    val metaPath = java.nio.file.Paths.get(s"$path/ivf_meta.json")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val indexed = new String(java.nio.file.Files.readAllBytes(metaPath)).trim.toLong
+      if (indexed == n) // row count unchanged -> skip rebuild
+        return Some(new IvfIndex(spark, path, idCol, metric))
+    }
+    Some(build(spark, df, vecCol, idCol, path, metric,
+      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt))))
+  }
+
   /** Lloyd k-means over an array<float> column, implemented with the
     * aggregate-on-cluster pattern (no MLlib dependency on the Vector UDT,
     * keeps the column format native):

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.embed._
+import graft.functions._
+
+/** D5 auto-embedding stage + V9 search-by-content + S6 CSV source. */
+class EmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("embedStage fills the vector column in batches; deterministic") {
+    val docs = Seq((1L, "hello world"), (2L, "goodbye world"), (3L, "hello world"))
+      .toDF("id", "text")
+    val svc = new DeterministicEmbedder("fake/unit", 8)
+    val out = AutoEmbed.embedStage(docs, "text", "emb", svc, batchSize = 2)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(rows(1L).length == 8)
+    assert(rows(1L) == rows(3L)) // same text, same vector
+    assert(rows(1L) != rows(2L))
+    // unit norm
+    val n = math.sqrt(rows(1L).map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+  }
+
+  test("retrying service retries then succeeds") {
+    var calls = 0
+    val flaky = new EmbeddingService {
+      def model = "flaky"; def dim = 4
+      def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException("transient")
+        texts.map(_ => Array(1f, 0f, 0f, 0f))
+      }
+    }
+    val svc = new RetryingEmbeddingService(flaky, retries = 3, backoffMs = 1)
+    assert(svc.embedBatch(Seq("x")).head.toSeq == Seq(1f, 0f, 0f, 0f))
+    assert(calls == 3)
+  }
+
+  test("search-by-content e2e: embed at ingest, query by text finds same doc") {
+    val docs = Seq(
+      (1L, "spark shuffles and joins"),
+      (2L, "cats and dogs at home"),
+      (3L, "parquet column pruning")).toDF("id", "text")
+    val svc = new DeterministicEmbedder("fake/e2e", 16)
+    val embedded = AutoEmbed.embedStage(docs, "text", "emb", svc)
+    // querying with the exact text of doc 2 must rank doc 2 first
+    val q = svc.embedBatch(Seq("cats and dogs at home")).head
+    val top = embedded
+      .withColumn("@distance", cosine_distance(col("emb"), lit(q)))
+      .orderBy(col("@distance").asc, col("id").asc)
+      .limit(1).select("id").head().getLong(0)
+    assert(top == 2L)
+  }
+
+  test("CSV source round-trips a table (S6)") {
+    val dir = tmpDir("csv_src")
+    Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "name", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+}
