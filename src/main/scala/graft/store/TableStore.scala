@@ -161,11 +161,20 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
         }
     }
 
-    // assign __row_id continuing the watermark, in batch order
-    val withId = toWrite
-      .withColumn(RowId, row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(BatchOrd)))
-        .cast(LongType) + lit(wm - 1) + lit(1))
+    // assign __row_id continuing the watermark, in batch order.
+    // NOT row_number() over a global window (that collapses to one
+    // partition): range-partition by batch order so partitions cover
+    // disjoint ordered ranges, then zipWithIndex hands out contiguous ids
+    // distributedly.
+    val sorted = toWrite
+      .repartitionByRange(col(BatchOrd))
+      .sortWithinPartitions(col(BatchOrd))
+    val innerSchema = sorted.schema
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq((wm + i + 1) +: r.toSeq)
+    }
+    val withId = spark.createDataFrame(indexed,
+      StructType(StructField(RowId, LongType, nullable = false) +: innerSchema.fields))
       .drop(BatchOrd)
       .select(col(RowId) +: schema.fields.map(f => col(f.name)): _*)
 
