@@ -38,6 +38,16 @@ package object functions {
   def sparse_l2_distance(a: Column, b: Column): Column = F.sqrt(sparse_l2sqr_distance(a, b))
   def sparse_l2_normalize(a: Column): Column = col(SparseL2Normalize(ex(a)))
 
+  /** 60-bit md5-prefix hash (== conv(substr(md5(s),1,15),16,10)). */
+  def hash60(c: Column): Column = col(Hash60(ex(c)))
+
+  /** k affine minhash minimums in one pass over an array<long> column. */
+  def minhash_signature(c: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    col(MinHashSignature(ex(c), a, b, p))
+
+  /** 60-bit simhash from an array<long> of token hashes. */
+  def simhash_bits(c: Column): Column = col(SimHashBits(ex(c)))
+
   /** Great-circle distance in km on the reference's 6371-km sphere
     * (reference: engine/db/index/spatial/geoindex.cpp:41-59 haversine).
     * Composed from built-ins so the whole predicate stays inside

@@ -130,31 +130,42 @@ object IvfIndex {
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
+    val dim = cents(0).length
+    val vecIdx = prepared.schema.fieldIndex(vecCol)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assigned = prepared.withColumn("cluster",
-        nearestClusterCol(metric, col(vecCol), bc.value))
-      // map-side partial aggregation of per-cluster sums
-      val updated = assigned
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cnt"),
-          array((0 until cents(0).length).map(i =>
-            sum(element_at(col(vecCol), i + 1).cast("double"))): _*).as("sums"))
+      // assignment: single-pass argmin expression; update: per-partition
+      // (sum, count) accumulation reduced by cluster id — one narrow pass +
+      // one tiny shuffle of nClusters rows per iteration
+      val centsNow = cents
+      val updated = prepared
+        .withColumn("cluster", nearestClusterCol(metric, col(vecCol), centsNow))
+        .rdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
+          it.foreach { r =>
+            val cid = r.getAs[Int]("cluster")
+            val v = r.getAs[scala.collection.Seq[Float]](vecIdx)
+            val (sums, _) = acc.getOrElseUpdate(cid, (new Array[Double](dim), 0L))
+            var i = 0
+            while (i < dim) { sums(i) += v(i); i += 1 }
+            acc(cid) = (sums, acc(cid)._2 + 1)
+          }
+          acc.iterator
+        }
+        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
+          var i = 0
+          while (i < dim) { x._1(i) += y._1(i); i += 1 }
+          (x._1, x._2 + y._2)
+        }
         .collect()
-        .map { r =>
-          val cid = r.getAs[Int]("cluster")
-          val cnt = r.getAs[Long]("cnt")
-          val sums = r.getAs[scala.collection.Seq[Double]]("sums")
-          cid -> sums.map(s => (s / cnt).toFloat).toArray
-        }.toMap
+        .map { case (cid, (sums, n)) => cid -> sums.map(s => (s / n).toFloat) }
+        .toMap
       val next = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
       converged = cents.zip(next).forall { case (a, b) =>
         dist(MetricType.Euclidean, a, b) < 1e-8
       }
       cents = next
-      bc.destroy()
       iter += 1
     }
 
@@ -172,17 +183,15 @@ object IvfIndex {
     new IvfIndex(spark, path, idCol, metric)
   }
 
-  /** argmin over broadcast centroids as a single codegen'd expression chain:
-    * distances to each centroid are literal-vector expressions, folded into
-    * a least()-driven index pick. */
+  /** argmin over broadcast centroids: one pass over the vector per row
+    * (custom expression — a least()/when() chain evaluates every distance
+    * twice and defeats reuse). */
   private def nearestClusterCol(metric: MetricType.Value, vec: Column,
-      cents: Array[Array[Float]]): Column = {
-    val dists = cents.map(c => distColumn(metric, vec, c))
-    val minD = least(dists: _*)
-    dists.zipWithIndex.foldRight(lit(-1): Column) { case ((d, i), els) =>
-      when(d === minD, lit(i)).otherwise(els)
-    }
-  }
+      cents: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graftbridge.CatalystBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.CatalystBridge.expression(vec),
+        cents, metric.toString))
 
   def distColumn(metric: MetricType.Value, vec: Column, q: Array[Float]): Column =
     metric match {

@@ -58,11 +58,8 @@ object Dedup {
     * per signature entry — k times. */
   def minhashSignatureFromHashes(hs: Column, k: Int): Column = {
     val family = hashFamily(k)
-    val sig = family.map { case (a, b) =>
-      when(size(hs) === 0, lit(P))
-        .otherwise(array_min(transform(hs, h => pmod(h * a + b, lit(P)))))
-    }
-    array(sig: _*)
+    graft.functions.minhash_signature(hs,
+      family.map(_._1).toArray, family.map(_._2).toArray, P)
   }
 
   /** Shingle-hash array for a text column (one md5 per shingle). */
@@ -122,14 +119,7 @@ object Dedup {
 
   /** 60-bit SimHash from a PRE-MATERIALIZED token-hash array column (see
     * minhashSignatureFromHashes for why the md5 stage is separate). */
-  def simhashFromHashes(hs: Column): Column = {
-    val bits = (0 until 60).map { i =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    when(size(hs) === 0, lit(0L)).otherwise(bits.reduce((a, b) => a + b))
-  }
+  def simhashFromHashes(hs: Column): Column = graft.functions.simhash_bits(hs)
 
   /** (id, sim) DataFrame with the token-md5 stage separated from the 60
     * per-bit votes. */

@@ -87,9 +87,9 @@ object TextAnalysis {
   }
 
   // shared 60-bit shingle hash: both engines compute
-  // hex_to_bigint(md5(s)[0:15]) identically
-  private[pipeline] def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  // hex_to_bigint(md5(s)[0:15]) identically (custom single-pass expression;
+  // equivalence with the conv(substr(md5)) composition is unit-tested)
+  private[pipeline] def hash60(s: Column): Column = graft.functions.hash60(s)
 
   /** Word k-gram shingles over a token-array column. */
   def shinglesFromTokens(toks: Column, k: Int = 3): Column =

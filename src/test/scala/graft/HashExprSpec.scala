@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Equivalence of the single-pass hash expressions with their built-in
+  * compositions (the DuckDB oracle computes the composed form). */
+class HashExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 == conv(substr(md5,1,15),16,10)") {
+    val rnd = new scala.util.Random(1)
+    val strs = (0 until 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) :+ ""
+    val df = strs.toDF("s")
+    val bad = df.select(
+      graft.functions.hash60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("minhash_signature == composed array_min(transform(...)) form") {
+    val rnd = new scala.util.Random(2)
+    val rows = (0 until 50).map(_ =>
+      Tuple1((0 until rnd.nextInt(40)).map(_ => rnd.nextLong().abs % 2147483647L)))
+    val df = rows.toDF("hs")
+    val fam = Dedup.hashFamily(16)
+    val composed = fam.map { case (a, b) =>
+      when(size(col("hs")) === 0, lit(2147483647L))
+        .otherwise(array_min(transform(col("hs"), h => pmod(h * a + b, lit(2147483647L)))))
+    }
+    val bad = df.select(
+      graft.functions.minhash_signature(col("hs"),
+        fam.map(_._1).toArray, fam.map(_._2).toArray, 2147483647L).as("fast"),
+      array(composed: _*).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("simhash_bits == composed 60-aggregate form") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 50).map(_ =>
+      Tuple1((0 until rnd.nextInt(40)).map(_ => rnd.nextLong().abs % (1L << 60))))
+    val df = rows.toDF("hs")
+    val bits = (0 until 60).map { i =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftrightunsigned(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    val composed = when(size(col("hs")) === 0, lit(0L))
+      .otherwise(bits.reduce((a, b) => a + b))
+    val bad = df.select(graft.functions.simhash_bits(col("hs")).as("fast"),
+      composed.as("ref")).filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+}
