@@ -212,6 +212,27 @@ object Queries {
         .select(col("user_id"), col("event_id"), col("rn"), col("running"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // grouping sets / rollup + distinct aggregation (§2.8 free ops)
+    "q8_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    // scalar function library sampler (dates, strings, math — all built-ins)
+    "p11_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .groupBy(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(length(col("o_orderpriority"))), 4).as("avg_prio_len"),
+          max(upper(substring(col("o_orderstatus"), 1, 1))).as("max_status"),
+          round(sum(sqrt(abs(col("o_totalprice")))), 4).as("sum_sqrt_price"))
+        .orderBy(col("yr"), col("mo"))
+    }),
     "so_set_ops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val hi = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
@@ -300,6 +321,20 @@ object Queries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "p11_scalar_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) AS n,
+        |  round(avg(length(o_orderpriority)), 4) AS avg_prio_len,
+        |  max(upper(substr(o_orderstatus, 1, 1))) AS max_status,
+        |  round(sum(sqrt(abs(o_totalprice))), 4) AS sum_sqrt_price
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "so_set_ops" ->
       """SELECT DISTINCT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000

@@ -64,4 +64,31 @@ package object functions {
   /** NEARBY(geo, lat, lon, km) boolean predicate (reference: expr.cpp:532-608). */
   def nearby(lat: Column, lon: Column, centerLat: Double, centerLon: Double, radiusKm: Double): Column =
     haversine_km(lat, lon, F.lit(centerLat), F.lit(centerLon)) <= F.lit(radiusKm)
+
+  /** Grid cell id for geo bucketing (the scale replacement for the
+    * reference's per-table R-tree, geoindex.hpp:20-40): partition or
+    * cluster by cell so radius queries prune to the cells intersecting the
+    * query circle. `cellDeg` = cell edge in degrees. */
+  def geo_cell(lat: Column, lon: Column, cellDeg: Double): Column =
+    (F.floor((lat + 90.0) / cellDeg) * F.lit((360.0 / cellDeg).toLong + 1) +
+      F.floor((lon + 180.0) / cellDeg)).cast("long")
+
+  /** Cell ids a radius query must probe: every cell intersecting the
+    * bounding box of the circle (driver-side; the list is small). */
+  def geoCellsForRadius(centerLat: Double, centerLon: Double, radiusKm: Double,
+      cellDeg: Double): Seq[Long] = {
+    val dLat = radiusKm / 111.0 // ~km per degree latitude
+    val latMin = math.max(-90.0, centerLat - dLat)
+    val latMax = math.min(90.0, centerLat + dLat)
+    val cosLat = math.max(0.01, math.cos(centerLat * math.Pi / 180.0))
+    val dLon = radiusKm / (111.0 * cosLat)
+    val lonMin = math.max(-180.0, centerLon - dLon)
+    val lonMax = math.min(180.0, centerLon + dLon)
+    val lonCells = (360.0 / cellDeg).toLong + 1
+    val out = for {
+      li <- math.floor((latMin + 90.0) / cellDeg).toLong to math.floor((latMax + 90.0) / cellDeg).toLong
+      lo <- math.floor((lonMin + 180.0) / cellDeg).toLong to math.floor((lonMax + 180.0) / cellDeg).toLong
+    } yield li * lonCells + lo
+    out.distinct
+  }
 }
