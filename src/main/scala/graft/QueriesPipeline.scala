@@ -23,14 +23,18 @@ object QueriesPipeline {
   // 60-bit md5 hash of a string expression
   private def sqlHash60(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
-  // word 3-gram shingles over toks
-  private val sqlShingles =
-    s"""CASE WHEN len(toks) = 0 THEN []
-       |  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |  ELSE list_transform(range(len(toks) - 2),
-       |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END""".stripMargin
-
   private val P = 2147483647L
+
+  // per-token 31-bit hashes, then polynomial 3-gram shingle combine —
+  // mirrors TextAnalysis.tokenHashesMod / shingleHashesFromTokenHashes
+  private def sqlTokenHashes =
+    s"list_transform(toks, t -> ${sqlHash60("t")} % $P)"
+  private val sqlShingleHashes =
+    s"""CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+       |  WHEN len(th) = 1 THEN [th[1]]
+       |  WHEN len(th) = 2 THEN [(th[1]*1000003 + th[2]*2000003) % $P]
+       |  ELSE list_transform(range(len(th) - 2),
+       |         i -> (th[i+1]*1000003 + th[i+2]*2000003 + th[i+3]*3000017) % $P) END""".stripMargin
 
   /** minhash signature as a DuckDB list literal expression over `hs`
     * (list of shingle hashes already mod P), using the same xorshift-derived
@@ -193,8 +197,8 @@ object QueriesPipeline {
     "dd_minhash_lsh" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),
-         |sh AS (SELECT doc_id, $sqlShingles shingles FROM tok),
-         |h AS (SELECT doc_id, list_transform(shingles, s -> ${sqlHash60("s")} % $P) hs FROM sh),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+         |h AS (SELECT doc_id, $sqlShingleHashes hs FROM tkh),
          |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
          |bands AS (
          |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
@@ -240,7 +244,9 @@ object QueriesPipeline {
       s"""WITH tok AS (
          |  SELECT doc_id, text, $sqlToks toks FROM documents),
          |tok2 AS (
-         |  SELECT *, list_transform(toks, w -> lower(w)) ltoks, $sqlShingles shingles FROM tok)
+         |  SELECT *, list_transform(toks, w -> lower(w)) ltoks, $sqlTokenHashes th FROM tok),
+         |tok3 AS (
+         |  SELECT *, $sqlShingleHashes hs FROM tok2)
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -248,9 +254,8 @@ object QueriesPipeline {
          |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE)/len(toks) ELSE 0 END, 4) AS stopword_ratio,
          |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END, 4) AS punct_ratio,
          |  $langCases AS lang_pred,
-         |  CASE WHEN len(shingles) = 0 THEN 0
-         |       ELSE list_min(list_transform(shingles, s -> ${sqlHash60("s")})) END AS fingerprint
-         |FROM tok2 ORDER BY doc_id""".stripMargin
+         |  CASE WHEN len(hs) = 0 THEN 0 ELSE list_min(hs) END AS fingerprint
+         |FROM tok3 ORDER BY doc_id""".stripMargin
     },
     "tx_quality_agg" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")

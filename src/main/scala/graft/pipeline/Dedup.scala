@@ -62,15 +62,19 @@ object Dedup {
       family.map(_._1).toArray, family.map(_._2).toArray, P)
   }
 
-  /** Shingle-hash array for a text column (one md5 per shingle). */
+  /** Shingle-hash array for a text column: one md5 per token, polynomial
+    * combine per shingle (TextAnalysis.shingleHashesFromTokenHashes). */
   def shingleHashes(text: Column, shingleLen: Int = 3): Column =
-    transform(shingles(text, shingleLen), s => pmod(hash60(s), lit(P)))
+    TextAnalysis.shingleHashesFromTokenHashes(TextAnalysis.tokenHashesMod(text))
 
-  /** (id, sig) DataFrame with the md5 stage separated from the k affine
-    * minimums so each shingle is hashed exactly once. */
+  /** (id, sig) DataFrame with each expensive array in its own projection
+    * stage: token md5s once, shingle combines once, then the k minimums.
+    * (Inlining the token-hash array into the shingle lambda makes Catalyst
+    * re-evaluate ALL token md5s per shingle index — O(tokens^2).) */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleLen: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleLen).as("hs"))
+    df.select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
+      .select(col("id"), TextAnalysis.shingleHashesFromTokenHashes(col("th")).as("hs"))
       .select(col("id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
 
   /** Single-column convenience (tests / small data): k affine minimums with
@@ -85,10 +89,13 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // cache: the self-join below would otherwise recompute the whole
+    // tokenize->hash->signature pipeline for BOTH join sides
     val banded = minhashSignatures(df, textCol, idCol, numHashes)
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .cache()
     // bucket self-join: same band index + identical band key
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -101,12 +101,34 @@ object TextAnalysis {
   /** Word k-gram shingles of a document. */
   def shingles(text: Column, k: Int = 3): Column = shinglesFromTokens(tokens(text), k)
 
+  // --- fast shingle hashing: one md5 per TOKEN, shingle hashes are
+  // polynomial combinations of the token hashes (no per-shingle string
+  // concat/md5). Domain: [0, P). Mirrored verbatim in the DuckDB oracle. ---
+  private[pipeline] val P = 2147483647L
+  private[pipeline] val R1 = 1000003L
+  private[pipeline] val R2 = 2000003L
+  private[pipeline] val R3 = 3000017L
+
+  /** Per-token 31-bit hashes. */
+  def tokenHashesMod(text: Column): Column =
+    transform(tokens(text), t => pmod(hash60(t), lit(P)))
+
+  /** 3-gram shingle hashes from a token-hash array column. */
+  def shingleHashesFromTokenHashes(th: Column): Column =
+    when(size(th) === 0, array().cast("array<bigint>"))
+      .when(size(th) === 1, array(element_at(th, 1)))
+      .when(size(th) === 2,
+        array(pmod(element_at(th, 1) * R1 + element_at(th, 2) * R2, lit(P))))
+      .otherwise(transform(sequence(lit(0), size(th) - 3), i =>
+        pmod(element_at(th, i + 1) * R1 + element_at(th, i + 2) * R2 +
+          element_at(th, i + 3) * R3, lit(P))))
+
   /** Document fingerprint = min shingle-hash (the winnowing/rolling-hash
     * family collapsed to its cheapest deterministic member: identical docs
     * get identical fingerprints; near-identical docs collide with
     * probability = their shingle-Jaccard). */
   def fingerprint(text: Column, k: Int = 3): Column = {
-    val hs = transform(shingles(text, k), hash60(_))
+    val hs = shingleHashesFromTokenHashes(tokenHashesMod(text))
     when(size(hs) === 0, lit(0L)).otherwise(array_min(hs))
   }
 
@@ -119,7 +141,8 @@ object TextAnalysis {
     val c = col(textCol)
     val staged = df
       .withColumn("__toks", tokens(c))
-      .withColumn("__hs", transform(shinglesFromTokens(col("__toks")), hash60(_)))
+      .withColumn("__th", transform(col("__toks"), t => pmod(hash60(t), lit(P))))
+      .withColumn("__hs", shingleHashesFromTokenHashes(col("__th")))
 
     val toks = col("__toks")
     val nTok = size(toks)
@@ -158,6 +181,6 @@ object TextAnalysis {
       .withColumn("lang_pred", langPred)
       .withColumn("fingerprint",
         when(size(col("__hs")) === 0, lit(0L)).otherwise(array_min(col("__hs"))))
-      .drop("__toks", "__hs")
+      .drop("__toks", "__th", "__hs")
   }
 }
