@@ -88,12 +88,71 @@ class GraftDb(val spark: SparkSession, val root: String) {
         SparseQuery(
           (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray,
           (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray)
-      case _ => throw new IllegalArgumentException("queryVector required")
+      case _ => (req \ "query") match {
+        // search-by-content (db_server.cpp:512-600): embed the query text
+        // with the model of the queried field's embedding index
+        case JString(text) =>
+          val ix = st.schema.indices.find(_.tgt == queryField).getOrElse(
+            throw new IllegalArgumentException(s"no embedding index targets $queryField"))
+          val svc = graft.embed.AutoEmbed.serviceFor(
+            ix.model, st.schema.field(queryField).dimensions)
+          DenseQuery(svc.embedBatch(Seq(text)).head)
+        case _ => throw new IllegalArgumentException("queryVector or query required")
+      }
     }
+    val useAnn = (req \ "ann") match { case JBool(b) => b; case _ => false }
     val facets = parseFacets(req \ "facets")
-    val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
-      SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
-    render(out, facetDfs, facets)
+    if (useAnn) {
+      val out = queryAnn(st, queryField, qv, limit, filter, response, withDistance)
+      render(out, Nil, Nil)
+    } else {
+      val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
+        SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
+      render(out, facetDfs, facets)
+    }
+  }
+
+  /** Build (or refresh) the IVF index for a vector field
+    * (reference: /api/rebuild, db_server.hpp:133-142). Returns false when
+    * the table is below the brute-force threshold. */
+  def rebuildIndex(table: String, field: String): Boolean = {
+    val st = store(table)
+    val f = st.schema.field(field)
+    graft.index.IvfIndex.rebuildIfNeeded(spark, st.read(), field,
+      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric).isDefined
+  }
+
+  /** ANN query path: IVF-pruned candidates + exact tail of rows newer than
+    * the index snapshot, re-joined to the live table (tombstones applied),
+    * then filtered/ordered/cut (the reference's graph-over-prefix +
+    * brute-force-tail search, vec_search_executor.cpp:885-904). */
+  private def queryAnn(st: graft.store.TableStore, queryField: String,
+      qv: QueryVector, limit: Int, filter: String, response: Seq[String],
+      withDistance: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rowId = graft.store.TableStore.RowId
+    val path = s"$root/${st.schema.name}/ivf_$queryField"
+    val dense = qv match {
+      case DenseQuery(v) => v
+      case _ => throw new IllegalArgumentException("ANN supports dense queries")
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json")))
+      return QueryEngine.search(st.read(), st.schema,
+        SearchRequest(queryField, qv, limit, filter, response, withDistance))
+    val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
+    val live = st.read()
+    val tail = live.filter(col(rowId) > idx.indexedWatermark())
+      .select(col(rowId), col(queryField))
+    val cands = idx.search(queryField, dense, limit * 4, nProbe = 8, freshTail = Some(tail))
+      .select(col(rowId), col("@distance"))
+    val joined = cands.join(live, Seq(rowId)) // live only: tombstones drop here
+    val filtered =
+      if (filter.nonEmpty)
+        joined.filter(graft.filter.FilterTranslator.translate(filter, joined.schema))
+      else joined
+    QueryEngine.project(
+      filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit),
+      st.schema, response, withDistance)
   }
 
   /** POST /data/get analog: filtered scan / PK lookup with pagination. */

@@ -21,8 +21,14 @@ object SchemaJson {
         else Nil
       JObject(base ++ vec)
     }
+    val indices = s.indices.map { ix =>
+      JObject(List(
+        "name" -> JString(ix.name), "src" -> JString(ix.src),
+        "tgt" -> JString(ix.tgt), "model" -> JString(ix.model)))
+    }
     JsonMethods.compact(JsonMethods.render(
-      JObject("name" -> JString(s.name), "fields" -> JArray(fields.toList))))
+      JObject("name" -> JString(s.name), "fields" -> JArray(fields.toList),
+        "indices" -> JArray(indices.toList))))
   }
 
   def read(json: String): TableSchema = {
@@ -46,6 +52,15 @@ object SchemaJson {
       }
       case _ => Nil
     }
-    TableSchema(name, fields)
+    val indices = (o \ "indices") match {
+      case JArray(ixs) => ixs.map { ix =>
+        def s(k: String): String = (ix \ k) match {
+          case JString(v) => v; case _ => sys.error(s"index $k")
+        }
+        EmbeddingIndex(s("name"), s("src"), s("tgt"), s("model"))
+      }
+      case _ => Nil
+    }
+    TableSchema(name, fields, indices)
   }
 }

@@ -122,9 +122,17 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     (df, skipped)
   }
 
-  /** INSERT (first-wins) or UPSERT (last-wins). */
+  /** INSERT (first-wins) or UPSERT (last-wins). Embedding-index target
+    * vectors are auto-filled from their src text fields first
+    * (reference: table_segment_mvp.cpp:746-762 — embeds at insert). */
   def insert(batch: DataFrame, upsert: Boolean = false): InsertResult = {
-    val (prepared, invalidSkipped) = prepare(batch)
+    val embedded = schema.indices.foldLeft(batch) { (df, ix) =>
+      val dim = schema.field(ix.tgt).dimensions
+      graft.embed.AutoEmbed.embedStage(df, ix.src, ix.tgt,
+        new graft.embed.RetryingEmbeddingService(
+          graft.embed.AutoEmbed.serviceFor(ix.model, dim)))
+    }
+    val (prepared, invalidSkipped) = prepare(embedded)
     val wm = watermark
 
     // batch order: input row order within the batch (the reference's cursor).

@@ -99,9 +99,15 @@ case class FieldSchema(
   }
 }
 
+/** Embedding index: src text field auto-embedded into tgt vector field via
+  * the named model at ingest (meta_types.hpp:68-75 `Index` /
+  * `AutoEmbedding`). */
+case class EmbeddingIndex(name: String, src: String, tgt: String, model: String)
+
 /** Table schema: at most one PK; vector fields need dimensions
   * (web_controller.hpp:274-297). */
-case class TableSchema(name: String, fields: Seq[FieldSchema]) {
+case class TableSchema(name: String, fields: Seq[FieldSchema],
+    indices: Seq[EmbeddingIndex] = Nil) {
   require(fields.count(_.primaryKey) <= 1, s"table $name: at most one primary key")
   fields.filter(f => FieldType.isVector(f.fieldType)).foreach { f =>
     require(f.dimensions > 0, s"vector field ${f.name} requires dimensions")
@@ -111,6 +117,14 @@ case class TableSchema(name: String, fields: Seq[FieldSchema]) {
   def vectorFields: Seq[FieldSchema] = fields.filter(f => FieldType.isVector(f.fieldType))
   def field(n: String): FieldSchema = fields.find(_.name == n)
     .getOrElse(throw new IllegalArgumentException(s"no field $n in table $name"))
+  indices.foreach { ix =>
+    require(field(ix.src).fieldType == FieldType.Str, s"index ${ix.name}: src must be STRING")
+    require(FieldType.isVector(field(ix.tgt).fieldType), s"index ${ix.name}: tgt must be a vector")
+  }
+  /** Fields callers must supply at insert: index target vectors are
+    * auto-filled (web_controller.hpp:434-507 validation). */
+  def requiredAtInsert: Seq[FieldSchema] =
+    fields.filterNot(f => indices.exists(_.tgt == f.name))
 }
 
 object TableSchema {

@@ -59,6 +59,33 @@ class ApiSpec extends SparkSpec {
     assert(db.statistics("MyTable") == """{"table":"MyTable","totalRecords":1}""")
   }
 
+  test("auto-embedding index: insert without vectors, query by text, ANN path") {
+    val dbe = new GraftDb(spark, tmpDir("graftdb_embed"))
+    dbe.createTable(
+      """{"name":"Docs","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Body","dataType":"STRING"},
+        |{"name":"Emb","dataType":"VECTOR_FLOAT","dimensions":16,"metricType":"COSINE"}],
+        |"indices":[{"name":"ix","src":"Body","tgt":"Emb","model":"fake/api"}]}""".stripMargin)
+    // no Emb in the payload — auto-filled from Body at insert
+    val ins = dbe.insert(
+      """{"table":"Docs","data":[
+        |{"ID":1,"Body":"spark shuffles and joins"},
+        |{"ID":2,"Body":"cats and dogs at home"},
+        |{"ID":3,"Body":"parquet column pruning"}]}""".stripMargin)
+    assert(ins == """{"inserted":3,"skipped":0}""")
+    // search-by-content: exact text of doc 2 ranks doc 2 first
+    val q = dbe.query(
+      """{"table":"Docs","queryField":"Emb","query":"cats and dogs at home","limit":1}""")
+    assert(q.contains("cats and dogs at home"), q)
+    // ANN path over a small table falls back to exact search
+    val annQ = dbe.query(
+      """{"table":"Docs","queryField":"Emb","query":"parquet column pruning",
+        |"limit":1,"ann":true}""".stripMargin)
+    assert(annQ.contains("parquet column pruning"))
+    assert(!dbe.rebuildIndex("Docs", "Emb")) // below brute-force threshold
+  }
+
   test("get with pagination and facets through the JSON API") {
     val dbg = new GraftDb(spark, tmpDir("graftdb2"))
     dbg.createTable(schemaJson.replace("MyTable", "T2"))
