@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.index.IvfIndex
+import graft.types.MetricType
+
+/** ANN-vs-exact benchmark (the BASELINE.md contract: ANN measured
+  * separately with recall reported against the exact oracle).
+  * Prints one JSON line:
+  *   {"exact_qps":..,"ann_qps":..,"recall_at_10":..,"n":..,"sf":".."}
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_ANN_N > 0: benchmark on a deterministic synthetic table of
+    // that many 64-dim vectors (written to parquet, read UNCACHED by both
+    // paths) — shows the exact/ANN crossover beyond the tiny testdata sizes.
+    val synthN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "0").toLong
+    val emb =
+      if (synthN > 0) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_$synthN"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          // clustered geometry (like real embeddings): 256 latent centers +
+          // small noise. Uniform random high-dim data has no neighborhood
+          // structure and defeats ANY pruning index.
+          spark.range(synthN)
+            .withColumn("c", pmod(xxhash64(col("id")), lit(256)))
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(1), lit(64)), i =>
+                ((pmod(xxhash64(col("c") * 64 + i), lit(2000)) / 1000.0 - 1.0) +
+                  (pmod(xxhash64(col("id") * 64 + i), lit(2000)) / 10000.0 - 0.1))
+                  .cast("float"))
+                .as("embedding"))
+            .repartition(32).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      } else spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 20)
+      .orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+
+    def exactTopK(q: Array[Float], k: Int): Seq[Long] =
+      emb.withColumn("d", l2sqr_distance(col("embedding"), lit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    // warm up
+    exactTopK(queries.head, 10)
+
+    val t0 = System.nanoTime()
+    val exact = queries.map(q => exactTopK(q, 10))
+    val exactSec = (System.nanoTime() - t0) / 1e9
+
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_annbench_${math.abs(sfDir.hashCode)}"
+    val tb = System.nanoTime()
+    val idx = IvfIndex.build(spark, emb, "embedding", "vec_id", idxPath,
+      MetricType.Euclidean,
+      nClusters = math.min(256, math.max(8, (n / 256).toInt)), maxIter = 5)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+
+    def annTopK(q: Array[Float], k: Int): Seq[Long] =
+      idx.search("embedding", q, k, nProbe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    annTopK(queries.head, 10)
+
+    val t1 = System.nanoTime()
+    val ann = queries.map(q => annTopK(q, 10))
+    val annSec = (System.nanoTime() - t1) / 1e9
+
+    val recall = exact.zip(ann).map { case (e, a) =>
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
+    println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
+      f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
+      f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

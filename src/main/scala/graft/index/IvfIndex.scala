@@ -35,13 +35,19 @@ class IvfIndex(
   def dataPath = s"$path/clustered"
   def metaPath = s"$path/ivf_meta.json"
 
-  /** Load centroids to the driver (nClusters × dim floats — tiny). */
-  def centroids(): Array[(Int, Array[Float])] =
+  /** Centroids on the driver (nClusters × dim floats — tiny; loaded once
+    * per index instance). */
+  @transient private lazy val centroidCache: Array[(Int, Array[Float])] =
     spark.read.parquet(centroidsPath)
       .collect()
       .map(r => (r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+  def centroids(): Array[(Int, Array[Float])] = centroidCache
 
-  def clustered(): DataFrame = spark.read.parquet(dataPath)
+  /** Clustered table, loaded once per instance: re-reading per query would
+    * re-list every cluster directory (256 FS listings per search). Partition
+    * pruning on the cached relation is plan-time only. */
+  @transient private lazy val clusteredCache: DataFrame = spark.read.parquet(dataPath)
+  def clustered(): DataFrame = clusteredCache
 
   /** Rows indexed at build time (for the fresh-tail union). */
   def indexedWatermark(): Long = {

@@ -58,6 +58,35 @@ class SemicircleSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall")
   }
 
+  test("GraftDb ANN path: rebuild index, ann query matches exact top-20") {
+    val root = tmpDir("graftdb_ann")
+    val db = new graft.api.GraftDb(spark, root)
+    db.createTable(
+      """{"name":"Semi","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Theta","dataType":"STRING"},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":2,"metricType":"COSINE"}]}""".stripMargin)
+    val rows = (0 until N).map { i =>
+      val theta = math.Pi * i / N
+      org.apache.spark.sql.Row(i, theta.toString,
+        Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    db.store("Semi").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema.structType))
+    assert(db.rebuildIndex("Semi", "Vec"))
+    val resp = db.query(
+      """{"table":"Semi","queryField":"Vec","queryVector":[1.0,0.0],
+        |"limit":20,"ann":true,"response":["ID"]}""".stripMargin)
+    val ids = org.json4s.jackson.JsonMethods.parse(resp) \ "result" match {
+      case org.json4s.JArray(a) => a.map(r => (r \ "ID") match {
+        case org.json4s.JInt(i) => i.toInt
+        case other => fail(s"bad ID $other")
+      })
+      case _ => fail("no result")
+    }
+    assert(ids == (0 until 20).toList, s"got $ids")
+  }
+
   test("IVF fresh-tail union finds unindexed rows") {
     val dir = tmpDir("ivf_tail")
     // index only even ids; odd ids arrive "after the rebuild"
