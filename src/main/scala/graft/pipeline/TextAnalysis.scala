@@ -141,6 +141,7 @@ object TextAnalysis {
     val c = col(textCol)
     val staged = df
       .withColumn("__toks", tokens(c))
+      .withColumn("__ltoks", transform(col("__toks"), lower(_)))
       .withColumn("__th", transform(col("__toks"), t => pmod(hash60(t), lit(P))))
       .withColumn("__hs", shingleHashesFromTokenHashes(col("__th")))
 
@@ -161,7 +162,7 @@ object TextAnalysis {
     val punctScore = when(punctRatio <= 0.2, 1.0)
       .otherwise(greatest(lit(0.0), lit(1.0) - punctRatio * 2))
 
-    val ltoks = transform(toks, lower(_))
+    val ltoks = col("__ltoks") // staged: referenced once per language profile
     val scores = LangProfiles.map { case (lang, markers) =>
       lang -> size(filter(ltoks, t => t.isin(markers: _*)))
     }
@@ -181,6 +182,6 @@ object TextAnalysis {
       .withColumn("lang_pred", langPred)
       .withColumn("fingerprint",
         when(size(col("__hs")) === 0, lit(0L)).otherwise(array_min(col("__hs"))))
-      .drop("__toks", "__th", "__hs")
+      .drop("__toks", "__ltoks", "__th", "__hs")
   }
 }
