@@ -16,30 +16,42 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]],
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val metric = MetricType.withName(metricName)
+  // flat row-major centroid matrix for cache locality; |c|^2 precomputed so
+  // the Euclidean argmin reduces to argmin(|c|^2 - 2 x·c) — one fused dot
+  // loop per centroid, |x|^2 never needed
+  @transient private lazy val dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](centroids.length * dim)
+    var c = 0
+    while (c < centroids.length) {
+      var i = 0
+      while (i < dim) { out(c * dim + i) = centroids(c)(i); i += 1 }
+      c += 1
+    }
+    out
+  }
+  @transient private lazy val norms: Array[Double] = centroids.map { cent =>
+    var s = 0.0; var i = 0
+    while (i < cent.length) { s += cent(i).toDouble * cent(i); i += 1 }
+    s
+  }
+  @transient private lazy val euclidean = metric == MetricType.Euclidean
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val dim = a.numElements()
+    val x = a.toFloatArray()
     var best = -1
     var bestD = Double.MaxValue
     var c = 0
+    var off = 0
     while (c < centroids.length) {
-      val cent = centroids(c)
-      var d = 0.0
+      var dot = 0.0
       var i = 0
-      metric match {
-        case MetricType.Euclidean =>
-          while (i < dim) {
-            val x = a.getFloat(i).toDouble - cent(i)
-            d += x * x; i += 1
-          }
-        case _ => // Cosine (pre-normalized) and DotProduct: -dot ordering
-          var dot = 0.0
-          while (i < dim) { dot += a.getFloat(i).toDouble * cent(i); i += 1 }
-          d = -dot
-      }
+      while (i < dim) { dot += x(i) * flat(off + i); i += 1 }
+      val d = if (euclidean) norms(c) - 2.0 * dot else -dot
       if (d < bestD) { bestD = d; best = c }
       c += 1
+      off += dim
     }
     best
   }

@@ -137,15 +137,27 @@ object QueryEngine {
     (out, req.facets.map(facet(topK, _)))
   }
 
+  /** PK-list predicate: literal isin for API-sized lists, broadcast
+    * semi-join beyond that (a 100k-key isin literal bloats the plan and
+    * isn't pushed down; a semi-join broadcasts the key set). */
+  private def pkLookup(df: DataFrame, schema: TableSchema, pks: Seq[Any]): DataFrame = {
+    val pk = schema.primaryKey.getOrElse(
+      throw new IllegalArgumentException("primaryKeys lookup requires a primary key"))
+    if (pks.size <= 1000) df.filter(col(pk.name).isin(pks: _*))
+    else {
+      val spark = df.sparkSession
+      val keyDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pks.map(org.apache.spark.sql.Row(_))),
+        StructType(Seq(StructField(pk.name, schema.field(pk.name).sparkType))))
+      df.join(broadcast(keyDf), Seq(pk.name), "left_semi")
+    }
+  }
+
   /** Attribute scan / PK lookup with insertion-order skip/limit pagination
     * (reference: vec_search_executor.cpp:937-1032). */
   def get(table: DataFrame, schema: TableSchema, req: GetRequest): DataFrame = {
     var df = table
-    if (req.primaryKeys.nonEmpty) {
-      val pk = schema.primaryKey.getOrElse(
-        throw new IllegalArgumentException("primaryKeys lookup requires a primary key"))
-      df = df.filter(col(pk.name).isin(req.primaryKeys: _*))
-    }
+    if (req.primaryKeys.nonEmpty) df = pkLookup(df, schema, req.primaryKeys)
     if (req.filter.nonEmpty)
       df = df.filter(FilterTranslator.translate(req.filter, schema.structType))
     // insertion order = __row_id order (A1)
@@ -158,11 +170,7 @@ object QueryEngine {
   def getWithFacets(table: DataFrame, schema: TableSchema, req: GetRequest)
       : (DataFrame, Seq[DataFrame]) = {
     var df = table
-    if (req.primaryKeys.nonEmpty) {
-      val pk = schema.primaryKey.getOrElse(
-        throw new IllegalArgumentException("primaryKeys lookup requires a primary key"))
-      df = df.filter(col(pk.name).isin(req.primaryKeys: _*))
-    }
+    if (req.primaryKeys.nonEmpty) df = pkLookup(df, schema, req.primaryKeys)
     if (req.filter.nonEmpty)
       df = df.filter(FilterTranslator.translate(req.filter, schema.structType))
     df = df.orderBy(col(TableStore.RowId).asc)

@@ -114,4 +114,38 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
+
+  case class SessionState(count: Long, firstEvent: Long, lastTsNs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, first_event: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState: emits a
+    * session row when a per-user gap exceeds `gapNs` (custom state — the
+    * streaming twin of the batch `ev_sessions` query). */
+  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(SessionState(0, -1, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { case (_, eventId, tsNs) =>
+            if (st.count > 0 && tsNs - st.lastTsNs > gapNs) {
+              out += SessionOut(userId, st.count, st.firstEvent)
+              st = SessionState(0, -1, Long.MinValue)
+            }
+            st = SessionState(st.count + 1,
+              if (st.count == 0) eventId else st.firstEvent, tsNs)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }
