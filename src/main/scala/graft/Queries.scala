@@ -124,6 +124,22 @@ object Queries {
         .select(col("vec_id"), col("label"))
     }),
 
+    // V2: sparse-vector top-K through the sparse merge-join expressions
+    // (testdata embeddings densely encoded as struct<indices,values>; the
+    // oracle computes the same distance from the dense column)
+    "v2_sparse_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sparse = emb.select(col("vec_id"),
+        struct(
+          sequence(lit(0), size(col("embedding")) - 1).cast("array<int>").as("indices"),
+          col("embedding").as("values")).as("sv"))
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val qc = struct(lit(q.indices.toArray).as("indices"), lit(q).as("values"))
+      sparse
+        .withColumn("@distance", sparse_l2sqr_distance(col("sv"), qc))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10).select(col("vec_id"))
+    }),
     // V5: IVF ANN search (no SQL oracle — approximate; recall vs exact is
     // gated in SemicircleSpec). Small tables brute-force, mirroring the
     // reference's BruteforceThreshold.
@@ -288,6 +304,9 @@ object Queries {
          |ORDER BY -${sqlDot("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v4_filtered_topk" ->
       s"""SELECT vec_id, label FROM embeddings WHERE label >= 5
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v2_sparse_topk" ->
+      s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v10_distance_filter" ->
       s"""SELECT vec_id, label FROM embeddings

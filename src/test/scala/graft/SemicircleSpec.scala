@@ -87,6 +87,18 @@ class SemicircleSpec extends SparkSpec {
     assert(ids == (0 until 20).toList, s"got $ids")
   }
 
+  test("rebuildIfNeeded skips when the row count is unchanged (R3)") {
+    val dir = tmpDir("ivf_skip")
+    val df = store.read()
+    assert(IvfIndex.rebuildIfNeeded(spark, df, "Vec", "ID", dir, MetricType.Cosine).isDefined)
+    val meta = java.nio.file.Paths.get(s"$dir/ivf_meta.json")
+    val mtime = java.nio.file.Files.getLastModifiedTime(meta)
+    Thread.sleep(20)
+    // unchanged count -> existing index returned, nothing rewritten
+    assert(IvfIndex.rebuildIfNeeded(spark, df, "Vec", "ID", dir, MetricType.Cosine).isDefined)
+    assert(java.nio.file.Files.getLastModifiedTime(meta) == mtime)
+  }
+
   test("IVF fresh-tail union finds unindexed rows") {
     val dir = tmpDir("ivf_tail")
     // index only even ids; odd ids arrive "after the rebuild"
