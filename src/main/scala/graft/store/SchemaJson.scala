@@ -17,7 +17,8 @@ object SchemaJson {
         "primaryKey" -> JBool(f.primaryKey))
       val vec =
         if (FieldType.isVector(f.fieldType))
-          List("dimensions" -> JInt(f.dimensions), "metricType" -> JString(f.metric.toString))
+          List("dimensions" -> JInt(f.dimensions),
+            "metricType" -> JString(MetricType.refName(f.metric)))
         else Nil
       JObject(base ++ vec)
     }

@@ -57,8 +57,14 @@ object MetricType extends Enumeration {
   def parse(s: String): Value = s.toUpperCase match {
     case "EUCLIDEAN" => Euclidean
     case "COSINE" => Cosine
-    case "DOT_PRODUCT" => DotProduct
+    case "DOT_PRODUCT" | "DOTPRODUCT" => DotProduct
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+  /** Canonical reference-style name (meta_types.hpp:45-50). */
+  def refName(t: Value): String = t match {
+    case Euclidean => "EUCLIDEAN"
+    case Cosine => "COSINE"
+    case DotProduct => "DOT_PRODUCT"
   }
 }
 

@@ -150,6 +150,27 @@ class FiveCitySpec extends SparkSpec {
     assert(f.getLong(0) == 9L && f.getLong(1) == 3L && f.getInt(2) == 1 && f.getInt(3) == 5)
   }
 
+  test("@distance usable in facet group and aggregate expressions (F8)") {
+    val (_, facets) = QueryEngine.searchWithFacets(denseStore.read(), denseStore.schema,
+      SearchRequest("EmbeddingEuclidean", DenseQuery(queryVec), 3, "",
+        Seq("Doc"), withDistance = true,
+        facets = Seq(
+          Facet(Seq.empty, Seq("MIN(@distance)", "MAX(@distance)")),
+          Facet(Seq("@distance < 0.2"), Seq("COUNT(*)")))))
+    val g = facets.head.collect().head
+    assert(g.getDouble(0) >= 0.0 && g.getDouble(1) >= g.getDouble(0))
+    val byNear = facets(1).collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byNear.values.sum == 3)
+  }
+
+  test("multi-vector-field dispatch requires explicit queryField (V10)") {
+    val db = new graft.api.GraftDb(spark, tmpDir("v10db"))
+    db.createTable(graft.store.SchemaJson.write(denseSchema))
+    intercept[IllegalArgumentException] {
+      db.query("""{"table":"MyTable","queryVector":[0.1,0.2,0.3,0.4],"limit":1}""")
+    }
+  }
+
   test("get: skip/limit pagination in insertion order (A1/A2)") {
     val page = QueryEngine.get(denseStore.read(), denseStore.schema,
       GetRequest(filter = "ID <> 3", skip = 1, limit = 2))
