@@ -245,7 +245,9 @@ object Queries {
         .groupBy(col("yr"), col("mo"))
         .agg(count(lit(1)).as("n"),
           round(avg(length(col("o_orderpriority"))), 4).as("avg_prio_len"),
-          max(upper(substring(col("o_orderstatus"), 1, 1))).as("max_status"),
+          // ascii() keeps the agg buffer fixed-width: max(string) would
+          // force SortAggregate (2 extra sorts) instead of HashAggregate
+          max(ascii(upper(substring(col("o_orderstatus"), 1, 1)))).as("max_status"),
           round(sum(sqrt(abs(col("o_totalprice")))), 4).as("sum_sqrt_price"))
         .orderBy(col("yr"), col("mo"))
     }),
@@ -351,7 +353,7 @@ object Queries {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |  count(*) AS n,
         |  round(avg(length(o_orderpriority)), 4) AS avg_prio_len,
-        |  max(upper(substr(o_orderstatus, 1, 1))) AS max_status,
+        |  max(ascii(upper(substr(o_orderstatus, 1, 1)))) AS max_status,
         |  round(sum(sqrt(abs(o_totalprice))), 4) AS sum_sqrt_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "so_set_ops" ->
