@@ -3,7 +3,8 @@ package graft.store
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import graft.types._
 import graft.functions.{l2_normalize, sparse_l2_normalize}
 
@@ -32,9 +33,15 @@ case class DeleteResult(deleted: Long)
   *
   * Storage layout under `path/`:
   *   schema.json              — TableSchema (catalog entry)
-  *   data/                    — append-only parquet of row batches
-  *   tombstones/              — parquet of tombstoned __row_id
-  *   watermark                — high watermark for __row_id assignment
+  *   data/b<nano>-<uuid>/     — one parquet dir per committed batch
+  *   tombstones/b.../         — one parquet dir per tombstone batch
+  *   _versions/v%08d.json     — snapshot manifests: the committed batch
+  *                              dirs + the row-id watermark
+  *
+  * Commit protocol (Delta-style): write the new batch dirs, then publish a
+  * new manifest via an ATOMIC_MOVE — readers resolve the latest manifest
+  * and see either the old or the new snapshot, never a partial write.
+  * Old manifests remain readable (`readVersion`) = time travel.
   *
   * Scale notes: appends are pure file additions (no shuffle); PK dedup is a
   * broadcast-or-shuffle left-anti join on the PK (what Delta MERGE does);
@@ -46,32 +53,89 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
   private val dataPath = s"$path/data"
   private val tombPath = s"$path/tombstones"
-  private val wmPath = Paths.get(s"$path/watermark")
+  private val versionsPath = Paths.get(s"$path/_versions")
 
   def pkField: Option[FieldSchema] = schema.primaryKey
 
-  private def watermark: Long =
-    if (Files.exists(wmPath)) new String(Files.readAllBytes(wmPath)).trim.toLong else 0L
-  private def setWatermark(v: Long): Unit =
-    Files.write(wmPath, v.toString.getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  /** Snapshot manifest: committed batch dirs + row-id watermark. */
+  case class Snapshot(version: Long, data: Seq[String], tombs: Seq[String], watermark: Long)
 
-  private def hasData: Boolean = Files.exists(Paths.get(dataPath))
-  private def hasTombs: Boolean = Files.exists(Paths.get(tombPath))
+  /** Latest committed snapshot (None before the first commit). */
+  def snapshot(): Option[Snapshot] = {
+    if (!Files.exists(versionsPath)) return None
+    val latest = Files.list(versionsPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .foldLeft(-1L)(math.max)
+    if (latest < 0) None else Some(readManifest(latest))
+  }
 
-  /** Raw rows incl. tombstoned (positions preserved). */
-  def rawRead(): DataFrame = spark.read.schema(
+  def readManifest(version: Long): Snapshot = {
+    import org.json4s._
+    val o = org.json4s.jackson.JsonMethods.parse(
+      new String(Files.readAllBytes(versionsPath.resolve(f"v$version%08d.json"))))
+    def dirs(k: String): Seq[String] = (o \ k) match {
+      case JArray(a) => a.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val wm = (o \ "watermark") match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    }
+    Snapshot(version, dirs("data"), dirs("tombs"), wm)
+  }
+
+  /** Publish a new snapshot: temp file + ATOMIC_MOVE (fails if the target
+    * version exists => single-committer semantics on a local/HDFS-like fs). */
+  private def commit(data: Seq[String], tombs: Seq[String], wm: Long): Snapshot = {
+    Files.createDirectories(versionsPath)
+    val next = snapshot().map(_.version + 1).getOrElse(0L)
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val json = s"""{"data":${arr(data)},"tombs":${arr(tombs)},"watermark":$wm}"""
+    val tmp = Files.createTempFile(versionsPath, ".commit", ".tmp")
+    Files.write(tmp, json.getBytes)
+    Files.move(tmp, versionsPath.resolve(f"v$next%08d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Snapshot(next, data, tombs, wm)
+  }
+
+  private def newBatchDir(base: String): String = {
+    val d = s"$base/b${System.nanoTime()}-${java.util.UUID.randomUUID().toString.take(8)}"
+    d
+  }
+
+  private def watermark: Long = snapshot().map(_.watermark).getOrElse(0L)
+  private def hasData: Boolean = snapshot().exists(_.data.nonEmpty)
+
+  private def emptyDf: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
     StructType(StructField(RowId, LongType, nullable = false) +: schema.structType.fields))
-    .parquet(dataPath)
 
-  /** Live rows (tombstones applied), in a plan that keeps the anti-join
-    * broadcastable: tombstone set is typically tiny vs data. */
-  def read(): DataFrame = {
-    if (!hasData) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(StructField(RowId, LongType, nullable = false) +: schema.structType.fields))
-    else if (!hasTombs) rawRead()
-    else rawRead().join(broadcast(spark.read.parquet(tombPath)), Seq(RowId), "left_anti")
+  /** Raw rows of a snapshot incl. tombstoned (positions preserved). */
+  def rawRead(s: Option[Snapshot] = None): DataFrame = {
+    val snap = s.orElse(snapshot())
+    snap match {
+      case Some(sn) if sn.data.nonEmpty =>
+        spark.read.schema(
+          StructType(StructField(RowId, LongType, nullable = false) +: schema.structType.fields))
+          .parquet(sn.data: _*)
+      case _ => emptyDf
+    }
+  }
+
+  /** Live rows of the latest snapshot (tombstones applied), in a plan that
+    * keeps the anti-join broadcastable: tombstones are tiny vs data. */
+  def read(): DataFrame = readSnapshot(snapshot())
+
+  /** Time travel: live rows as of a past version. */
+  def readVersion(version: Long): DataFrame = readSnapshot(Some(readManifest(version)))
+
+  private def readSnapshot(s: Option[Snapshot]): DataFrame = s match {
+    case Some(sn) if sn.data.nonEmpty =>
+      val raw = rawRead(s)
+      if (sn.tombs.isEmpty) raw
+      else raw.join(broadcast(spark.read.parquet(sn.tombs: _*)), Seq(RowId), "left_anti")
+    case _ => emptyDf
   }
 
   /** Validate + normalize an incoming batch; returns (validDf, skippedInvalid).
@@ -188,12 +252,27 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
     val written = withId.cache()
     val nWritten = written.count()
-    written.write.mode(SaveMode.Append).parquet(dataPath)
-    tombstoneOld.foreach { olds =>
-      olds.write.mode(SaveMode.Append).parquet(tombPath)
+    val prev = snapshot()
+    val newData =
+      if (nWritten > 0) {
+        val dir = newBatchDir(dataPath)
+        written.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+        Seq(dir)
+      } else Nil
+    val newTombs = tombstoneOld.toSeq.flatMap { olds =>
+      val materialized = olds.cache()
+      val dir =
+        if (materialized.count() > 0) {
+          val d = newBatchDir(tombPath)
+          materialized.write.mode(SaveMode.ErrorIfExists).parquet(d)
+          Seq(d)
+        } else Nil
+      materialized.unpersist()
+      dir
     }
     written.unpersist()
-    setWatermark(wm + nWritten)
+    commit(prev.map(_.data).getOrElse(Nil) ++ newData,
+      prev.map(_.tombs).getOrElse(Nil) ++ newTombs, wm + nWritten)
     InsertResult(nWritten, invalidSkipped + dupSkipped)
   }
 
@@ -211,7 +290,14 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
       victims = victims.filter(graft.filter.FilterTranslator.translate(filter, schema.structType))
     val ids = victims.select(col(RowId)).cache()
     val n = ids.count()
-    if (n > 0) ids.write.mode(SaveMode.Append).parquet(tombPath)
+    if (n > 0) {
+      val prev = snapshot()
+      val dir = newBatchDir(tombPath)
+      ids.write.mode(SaveMode.ErrorIfExists).parquet(dir)
+      commit(prev.map(_.data).getOrElse(Nil),
+        prev.map(_.tombs).getOrElse(Nil) :+ dir,
+        prev.map(_.watermark).getOrElse(0L))
+    }
     ids.unpersist()
     DeleteResult(n)
   }
@@ -233,19 +319,33 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     (if (hasData) read().count() else 0L, words)
   }
 
-  /** Fold tombstones into the base files (Delta OPTIMIZE analog). */
+  /** Fold tombstones into a single compacted batch (Delta OPTIMIZE
+    * analog): write the live rows as one new dir, commit a manifest that
+    * references only it. Old batch dirs stay on disk for time travel until
+    * vacuumed. */
   def compact(): Unit = {
-    if (!hasData) return
+    val prev = snapshot().getOrElse(return)
     val live = read().cache()
     live.count()
-    val tmp = s"$path/data_compact"
-    live.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = newBatchDir(dataPath)
+    live.write.mode(SaveMode.ErrorIfExists).parquet(dir)
     live.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dataPath), true)
-    fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dataPath))
+    commit(Seq(dir), Nil, prev.watermark)
+  }
+
+  /** Delete batch dirs no longer referenced by the latest manifest. */
+  def vacuum(): Unit = {
+    val current = snapshot().getOrElse(return)
+    val keep = (current.data ++ current.tombs).map(Paths.get(_).getFileName.toString).toSet
+    Seq(dataPath, tombPath).foreach { base =>
+      val p = Paths.get(base)
+      if (Files.exists(p))
+        Files.list(p).iterator().asScala.toSeq
+          .filterNot(d => keep.contains(d.getFileName.toString))
+          .foreach { d =>
+            Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+    }
   }
 
   def count(): Long = if (hasData) read().count() else 0L

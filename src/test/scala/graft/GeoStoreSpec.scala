@@ -35,6 +35,31 @@ class GeoStoreSpec extends SparkSpec {
     assert(loc.getDouble(0) == -33.8688 && loc.getDouble(1) == 151.2093)
   }
 
+  test("snapshot isolation: versions, time travel, compaction, vacuum") {
+    val s2 = TableSchema("Versioned", Seq(
+      FieldSchema("ID", FieldType.Int4, primaryKey = true),
+      FieldSchema("V", FieldType.Str)))
+    val store = TableStore.create(spark, tmpDir("versioned"), s2)
+    import spark.implicits._
+    store.insert(Seq((1, "a"), (2, "b")).toDF("ID", "V"))          // v0
+    val v0 = store.snapshot().get.version
+    val frozen = store.readVersion(v0) // hold a reader on v0
+    store.insert(Seq((3, "c")).toDF("ID", "V"))                    // v1
+    store.delete(pks = Seq(1))                                     // v2
+    assert(store.read().select("ID").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // the old reader still sees the v0 world
+    assert(frozen.select("ID").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(store.readVersion(v0 + 1).count() == 3)
+    // compact folds tombstones; vacuum drops unreferenced dirs; data intact
+    store.compact()
+    store.vacuum()
+    assert(store.read().select("ID").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // new inserts continue the watermark after compaction
+    val r = store.insert(Seq((4, "d")).toDF("ID", "V"))
+    assert(r.inserted == 1)
+    assert(store.read().count() == 3)
+  }
+
   test("multi-batch inserts continue row ids; pagination spans batches (F4)") {
     val s2 = TableSchema("Batches", Seq(
       FieldSchema("ID", FieldType.Int4, primaryKey = true),
