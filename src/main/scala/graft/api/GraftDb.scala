@@ -103,8 +103,16 @@ class GraftDb(val spark: SparkSession, val root: String) {
     val useAnn = (req \ "ann") match { case JBool(b) => b; case _ => false }
     val facets = parseFacets(req \ "facets")
     if (useAnn) {
-      val out = queryAnn(st, queryField, qv, limit, filter, response, withDistance)
-      render(out, Nil, Nil)
+      val cut = queryAnnCut(st, queryField, qv, limit, filter)
+      val out = QueryEngine.project(cut, st.schema, response, withDistance)
+      if (facets.isEmpty) render(out, Nil, Nil)
+      else {
+        // facets aggregate the post-limit result, same as the exact path
+        val page = cut.cache()
+        try render(QueryEngine.project(page, st.schema, response, withDistance),
+          facets.map(QueryEngine.facet(page, _)), facets)
+        finally page.unpersist()
+      }
     } else {
       val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
         SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
@@ -126,9 +134,8 @@ class GraftDb(val spark: SparkSession, val root: String) {
     * the index snapshot, re-joined to the live table (tombstones applied),
     * then filtered/ordered/cut (the reference's graph-over-prefix +
     * brute-force-tail search, vec_search_executor.cpp:885-904). */
-  private def queryAnn(st: graft.store.TableStore, queryField: String,
-      qv: QueryVector, limit: Int, filter: String, response: Seq[String],
-      withDistance: Boolean): org.apache.spark.sql.DataFrame = {
+  private def queryAnnCut(st: graft.store.TableStore, queryField: String,
+      qv: QueryVector, limit: Int, filter: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val rowId = graft.store.TableStore.RowId
     val path = s"$root/${st.schema.name}/ivf_$queryField"
@@ -136,11 +143,19 @@ class GraftDb(val spark: SparkSession, val root: String) {
       case DenseQuery(v) => v
       case _ => throw new IllegalArgumentException("ANN supports dense queries")
     }
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json")))
-      return QueryEngine.search(st.read(), st.schema,
-        SearchRequest(queryField, qv, limit, filter, response, withDistance))
-    val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
     val live = st.read()
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json"))) {
+      // no index: exact search (brute-force-below-threshold semantics)
+      val field = st.schema.field(queryField)
+      val withDist = live.withColumn("@distance",
+        QueryEngine.distanceColumn(field, qv))
+      val filtered =
+        if (filter.nonEmpty)
+          withDist.filter(graft.filter.FilterTranslator.translate(filter, withDist.schema))
+        else withDist
+      return filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
+    }
+    val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
     val tail = live.filter(col(rowId) > idx.indexedWatermark())
       .select(col(rowId), col(queryField))
     val cands = idx.search(queryField, dense, limit * 4, nProbe = 8, freshTail = Some(tail))
@@ -150,9 +165,7 @@ class GraftDb(val spark: SparkSession, val root: String) {
       if (filter.nonEmpty)
         joined.filter(graft.filter.FilterTranslator.translate(filter, joined.schema))
       else joined
-    QueryEngine.project(
-      filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit),
-      st.schema, response, withDistance)
+    filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
   }
 
   /** POST /data/get analog: filtered scan / PK lookup with pagination. */

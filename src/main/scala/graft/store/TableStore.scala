@@ -189,7 +189,13 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   /** INSERT (first-wins) or UPSERT (last-wins). Embedding-index target
     * vectors are auto-filled from their src text fields first
     * (reference: table_segment_mvp.cpp:746-762 — embeds at insert). */
-  def insert(batch: DataFrame, upsert: Boolean = false): InsertResult = {
+  /** In-process writer lock mirroring the reference's single-writer mutex
+    * (table_segment_mvp.cpp:456 data_update_mutex_). Cross-process writers
+    * are serialized by the ATOMIC_MOVE commit (a losing committer throws
+    * FileAlreadyExistsException rather than corrupting the table). */
+  private val writeLock = new Object
+
+  def insert(batch: DataFrame, upsert: Boolean = false): InsertResult = writeLock.synchronized {
     val embedded = schema.indices.foldLeft(batch) { (df, ix) =>
       val dim = schema.field(ix.tgt).dimensions
       graft.embed.AutoEmbed.embedStage(df, ix.src, ix.tgt,
@@ -278,7 +284,7 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
   /** DELETE by PK list and/or filter (both optional; PKs are each checked
     * against the filter when both given — db_server.cpp:297-360). */
-  def delete(pks: Seq[Any] = Nil, filter: String = ""): DeleteResult = {
+  def delete(pks: Seq[Any] = Nil, filter: String = ""): DeleteResult = writeLock.synchronized {
     if (!hasData) return DeleteResult(0)
     var victims = read()
     if (pks.nonEmpty) {
@@ -323,7 +329,7 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     * analog): write the live rows as one new dir, commit a manifest that
     * references only it. Old batch dirs stay on disk for time travel until
     * vacuumed. */
-  def compact(): Unit = {
+  def compact(): Unit = writeLock.synchronized {
     val prev = snapshot().getOrElse(return)
     val live = read().cache()
     live.count()

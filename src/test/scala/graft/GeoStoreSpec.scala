@@ -35,6 +35,22 @@ class GeoStoreSpec extends SparkSpec {
     assert(loc.getDouble(0) == -33.8688 && loc.getDouble(1) == 151.2093)
   }
 
+  test("JSON fields store as strings and filter via json functions") {
+    val s2 = TableSchema("JsonTable", Seq(
+      FieldSchema("ID", FieldType.Int4, primaryKey = true),
+      FieldSchema("Meta", FieldType.Json)))
+    val store = TableStore.create(spark, tmpDir("json_store"), s2)
+    import spark.implicits._
+    store.insert(Seq(
+      (1, """{"tag":"a","n":5}"""),
+      (2, """{"tag":"b","n":10}""")).toDF("ID", "Meta"))
+    val got = store.read()
+      .withColumn("n", org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("Meta"), "$.n").cast("int"))
+      .filter("n > 7").select("ID").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2))
+  }
+
   test("snapshot isolation: versions, time travel, compaction, vacuum") {
     val s2 = TableSchema("Versioned", Seq(
       FieldSchema("ID", FieldType.Int4, primaryKey = true),
