@@ -29,14 +29,18 @@ object SparkEntry {
       .select(col("vec_id"), col("label"), col("@distance"))
   }
 
+  private val qvCache = scala.collection.concurrent.TrieMap[String, Array[Float]]()
+
   /** The deterministic query vector used by vector-search queries: the
-    * embedding of vec_id 0 of the scale factor under test. Tiny driver-side
-    * lookup; the oracle SQL mirrors it with a scalar subquery. */
+    * embedding of vec_id 0 of the scale factor under test (cached per SF —
+    * many queries share it). The oracle SQL mirrors it with a scalar
+    * subquery. */
   def queryVectorOf(spark: SparkSession, dir: String): Array[Float] =
-    table(spark, dir, "embeddings")
-      .filter(col("vec_id") === 0)
-      .select(col("embedding"))
-      .head().getSeq[Float](0).toArray
+    qvCache.getOrElseUpdate(dir,
+      table(spark, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(col("embedding"))
+        .head().getSeq[Float](0).toArray)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesPipeline.all

@@ -45,14 +45,49 @@ class IvfIndex(
 
   /** Clustered table, loaded once per instance: re-reading per query would
     * re-list every cluster directory (256 FS listings per search). Partition
-    * pruning on the cached relation is plan-time only. */
-  @transient private lazy val clusteredCache: DataFrame = spark.read.parquet(dataPath)
-  def clustered(): DataFrame = clusteredCache
+    * pruning on the cached relation is plan-time only; append() invalidates. */
+  @transient private var clusteredCache: DataFrame = null
+  def clustered(): DataFrame = synchronized {
+    if (clusteredCache == null) clusteredCache = spark.read.parquet(dataPath)
+    clusteredCache
+  }
 
   /** Rows indexed at build time (for the fresh-tail union). */
   def indexedWatermark(): Long = {
     val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath)))
     s.trim.toLong
+  }
+
+  /** Incremental maintenance: assign NEW rows to the existing centroids and
+    * append them to the clustered layout (no full rebuild — the micro-batch
+    * path; centroids drift is bounded until the next scheduled rebuild).
+    * `newRows` must carry (idCol, vecCol). */
+  def append(newRows: DataFrame, vecCol: String): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val cents = centroids().sortBy(_._1).map(_._2)
+    val prepared =
+      if (metric == MetricType.Cosine)
+        newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
+      else newRows
+    val assigned = prepared
+      .select(c(idCol), c(vecCol))
+      .withColumn("cluster",
+        org.apache.spark.sql.graftbridge.CatalystBridge.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.graftbridge.CatalystBridge.expression(c(vecCol)),
+            cents, metric.toString)))
+      .cache()
+    val n = assigned.count()
+    if (n > 0) {
+      assigned.repartition(c("cluster"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cluster").parquet(dataPath)
+      java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
+        (indexedWatermark() + n).toString.getBytes)
+      synchronized { clusteredCache = null } // re-list on next search
+    }
+    assigned.unpersist()
+    n
   }
 
   /** ANN top-K: prune to the nProbe nearest clusters of the query, exact

@@ -87,6 +87,21 @@ class SemicircleSpec extends SparkSpec {
     assert(ids == (0 until 20).toList, s"got $ids")
   }
 
+  test("incremental append: new rows searchable without full rebuild") {
+    val dir = tmpDir("ivf_append")
+    val even = store.read().filter(col("ID") % 2 === 0)
+    val odd = store.read().filter(col("ID") % 2 === 1)
+    val idx = IvfIndex.build(spark, even, "Vec", "ID", dir,
+      MetricType.Cosine, nClusters = 16, maxIter = 3)
+    val appended = idx.append(odd.select(col("ID"), col("Vec")), "Vec")
+    assert(appended == N / 2)
+    val ids = idx.search("Vec", Array(1.0f, 0.0f), 100, nProbe = 4)
+      .select("ID").collect().map(_.getInt(0)).toSet
+    val exact = (0 until 100).toSet
+    assert((ids intersect exact).size >= 95, s"recall ${(ids intersect exact).size}/100")
+    assert(ids.exists(_ % 2 == 1), "appended odd rows missing")
+  }
+
   test("rebuildIfNeeded skips when the row count is unchanged (R3)") {
     val dir = tmpDir("ivf_skip")
     val df = store.read()
