@@ -96,7 +96,7 @@ object QueriesPipeline {
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_chars"),
           col("avg_token_len"), col("stopword_ratio"), col("punct_ratio"),
-          col("lang_pred"), col("fingerprint"))
+          col("lang_pred"), col("fingerprint"), col("dup_shingle_ratio"))
         .orderBy(col("doc_id"))
     }),
     "tx_quality_agg" -> ((s, dir) => {
@@ -254,7 +254,9 @@ object QueriesPipeline {
          |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE)/len(toks) ELSE 0 END, 4) AS stopword_ratio,
          |  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END, 4) AS punct_ratio,
          |  $langCases AS lang_pred,
-         |  CASE WHEN len(hs) = 0 THEN 0 ELSE list_min(hs) END AS fingerprint
+         |  CASE WHEN len(hs) = 0 THEN 0 ELSE list_min(hs) END AS fingerprint,
+         |  CASE WHEN len(hs) = 0 THEN 0.0
+         |       ELSE round(1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs), 4) END AS dup_shingle_ratio
          |FROM tok3 ORDER BY doc_id""".stripMargin
     },
     "tx_quality_agg" -> {

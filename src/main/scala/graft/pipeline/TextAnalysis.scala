@@ -86,6 +86,33 @@ object TextAnalysis {
     }
   }
 
+  /** Character-trigram profiles (most-frequent trigrams of each language,
+    * public linguistic facts — spaces marked as '_'). */
+  val CharTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "ich", "nde", "die", "che", "en_", "und", "cht"),
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "he_", "of_", "ed_", "is_", "in_"),
+    "es" -> Seq("de_", "la_", "os_", "el_", "ent", "que", "ión", "ado", "es_", "nte"),
+    "fr" -> Seq("es_", "de_", "ent", "le_", "la_", "ion", "re_", "une", "ait", "eur"),
+    "it" -> Seq("di_", "che", "la_", "to_", "re_", "ion", "ent", "del", "no_", "are"))
+
+  /** Char-trigram language ID: count profile trigrams in the lowercased
+    * text (spaces normalized to '_'); argmax, first-profile-wins ties,
+    * "und" when nothing matches. Heavier than the word-marker `langId`
+    * (one contains() per profile trigram) but robust to unseen words. */
+  def langIdNgram(text: Column): Column = {
+    val norm = concat(lit("_"),
+      regexp_replace(lower(trim(text)), "\\s+", "_"), lit("_"))
+    val scores = CharTrigramProfiles.map { case (lang, tris) =>
+      lang -> tris.map(t =>
+        (length(norm) - length(regexp_replace(norm, java.util.regex.Pattern.quote(t), "")))
+          / t.length).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
   // shared 60-bit shingle hash: both engines compute
   // hex_to_bigint(md5(s)[0:15]) identically (custom single-pass expression;
   // equivalence with the conv(substr(md5)) composition is unit-tested)
@@ -182,6 +209,11 @@ object TextAnalysis {
       .withColumn("lang_pred", langPred)
       .withColumn("fingerprint",
         when(size(col("__hs")) === 0, lit(0L)).otherwise(array_min(col("__hs"))))
+      // Gopher-style repetition signal: fraction of duplicate shingles
+      .withColumn("dup_shingle_ratio",
+        when(size(col("__hs")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("__hs"))).cast("double") / size(col("__hs")), 4)))
       .drop("__toks", "__ltoks", "__th", "__hs")
   }
 }

@@ -94,6 +94,14 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() == 3) // 44 bytes / 16 = 3 chunks
   }
 
+  test("char-trigram langid identifies the profile language") {
+    val r = docs.select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(5L) == "de", s"got ${r(5L)}")
+    assert(r(6L) == "es", s"got ${r(6L)}")
+    assert(r(4L) == "und")
+  }
+
   test("quality score orders garbage below prose") {
     val q = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
