@@ -100,8 +100,9 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
     "tx_quality_agg" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      docs.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      // annotate stages tokenization once; qualityScore(text) standalone
+      // would re-split the text per feature
+      TextAnalysis.annotate(t(s, dir, "documents"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), round(avg(col("quality")), 6).as("avg_quality"),
           round(min(col("quality")), 6).as("min_quality"))
