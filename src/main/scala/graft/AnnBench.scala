@@ -28,9 +28,10 @@ object AnnBench {
     // that many 64-dim vectors (written to parquet, read UNCACHED by both
     // paths) — shows the exact/ANN crossover beyond the tiny testdata sizes.
     val synthN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "0").toLong
+    val synthDim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
     val emb =
       if (synthN > 0) {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_$synthN"
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_${synthN}_$synthDim"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
           // clustered geometry (like real embeddings): 256 latent centers +
           // small noise. Uniform random high-dim data has no neighborhood
@@ -38,9 +39,9 @@ object AnnBench {
           spark.range(synthN)
             .withColumn("c", pmod(xxhash64(col("id")), lit(256)))
             .select(col("id").as("vec_id"),
-              transform(sequence(lit(1), lit(64)), i =>
-                ((pmod(xxhash64(col("c") * 64 + i), lit(2000)) / 1000.0 - 1.0) +
-                  (pmod(xxhash64(col("id") * 64 + i), lit(2000)) / 10000.0 - 0.1))
+              transform(sequence(lit(1), lit(synthDim)), i =>
+                ((pmod(xxhash64(col("c") * synthDim + i), lit(2000)) / 1000.0 - 1.0) +
+                  (pmod(xxhash64(col("id") * synthDim + i), lit(2000)) / 10000.0 - 0.1))
                   .cast("float"))
                 .as("embedding"))
             .repartition(32).write.mode("overwrite").parquet(path)
@@ -66,9 +67,11 @@ object AnnBench {
 
     val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_annbench_${math.abs(sfDir.hashCode)}"
     val tb = System.nanoTime()
+    val nClusters = sys.env.get("SPARK_GRAFT_ANN_CLUSTERS").map(_.toInt)
+      .getOrElse(math.min(256, math.max(8, (n / 256).toInt)))
+    val maxIter = sys.env.getOrElse("SPARK_GRAFT_ANN_ITERS", "5").toInt
     val idx = IvfIndex.build(spark, emb, "embedding", "vec_id", idxPath,
-      MetricType.Euclidean,
-      nClusters = math.min(256, math.max(8, (n / 256).toInt)), maxIter = 5)
+      MetricType.Euclidean, nClusters = nClusters, maxIter = maxIter)
     val buildSec = (System.nanoTime() - tb) / 1e9
 
     def annTopK(q: Array[Float], k: Int): Seq[Long] =

@@ -228,6 +228,16 @@ object Queries {
         .select(col("user_id"), col("event_id"), col("rn"), col("running"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // exact percentiles (stat functions; interpolated, matching quantile_cont)
+    "q9_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(stddev_pop(col("l_quantity")), 4).as("sd_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
     // grouping sets / rollup + distinct aggregation (§2.8 free ops)
     "q8_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -342,6 +352,12 @@ object Queries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "q9_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |  round(stddev_pop(l_quantity), 4) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q8_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  count(DISTINCT l_orderkey) AS n_orders,
