@@ -141,8 +141,11 @@ object IvfIndex {
       if (indexed == n) // row count unchanged -> skip rebuild
         return Some(new IvfIndex(spark, path, idCol, metric))
     }
+    // maxIter 5: recall comes from probing multiple clusters, not from a
+    // fully converged Lloyd run; extra iterations at rebuild cadence are
+    // per-job overhead, not quality
     Some(build(spark, df, vecCol, idCol, path, metric,
-      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt))))
+      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5))
   }
 
   /** Lloyd k-means over an array<float> column, implemented with the
