@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, TextAnalysis, Multimodal}
+import graft.pipeline.{Dedup, TextAnalysis, Multimodal, Pipelines}
 import graft.functions._
 
 /** Training-data-pipeline operators for the driver gate: dedup family, text
@@ -107,6 +107,12 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n"), round(avg(col("quality")), 6).as("avg_quality"),
           round(min(col("quality")), 6).as("min_quality"))
         .orderBy(col("lang"))
+    }),
+
+    // ---------- composed end-to-end corpus cleaning ----------
+    "pl_clean_corpus" -> ((s, dir) => {
+      Pipelines.cleanCorpus(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---------- kNN join (R1 analog) ----------
@@ -277,6 +283,44 @@ object QueriesPipeline {
          |SELECT lang, count(*) AS n, round(avg(quality), 6) AS avg_quality,
          |  round(min(quality), 6) AS min_quality
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "pl_clean_corpus" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, $sqlToks toks FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(
+         |      least(CAST(length(text) AS DOUBLE)/500.0, 1.0) * 0.3 +
+         |      (CASE WHEN len(toks) > 0 AND CAST(length(text) AS DOUBLE)/len(toks) >= 3
+         |            AND CAST(length(text) AS DOUBLE)/len(toks) <= 12 THEN 1.0 ELSE 0.3 END) * 0.2 +
+         |      least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE)/len(toks) ELSE 0 END) * 4.0, 1.0) * 0.3 +
+         |      (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END) <= 0.2 THEN 1.0
+         |            ELSE greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)/length(text) ELSE 0 END) * 2) END) * 0.2,
+         |      6) AS quality
+         |  FROM tok),
+         |qual AS (SELECT * FROM q WHERE quality >= 0.5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qual),
+         |ex AS (SELECT doc_id, text, toks, n_tokens, quality FROM ranked WHERE rn = 1),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM ex),
+         |h AS (SELECT doc_id, $sqlShingleHashes hs FROM tkh),
+         |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+         |  FROM sig, (SELECT unnest(range(8)) b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |tokd AS (SELECT doc_id, list_distinct(toks) dtoks FROM ex),
+         |losers AS (
+         |  SELECT DISTINCT id_b FROM cand
+         |  JOIN tokd x ON cand.id_a = x.doc_id JOIN tokd y ON cand.id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.dtoks, y.dtoks)) AS DOUBLE) /
+         |    (len(x.dtoks) + len(y.dtoks) - len(list_intersect(x.dtoks, y.dtoks))) >= 0.5)
+         |SELECT doc_id, n_tokens, quality FROM ex
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY doc_id""".stripMargin
     },
     "r1_knn_join" -> {
       val d = "list_sum(list_transform(list_zip(q.embedding, n.embedding), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))**2))"
