@@ -9,9 +9,9 @@ import org.apache.spark.sql.types._
 /** Sparse vectors are plain structs: struct<indices: array<int>, values: array<float>>
   * with strictly increasing indices (reference: engine/db/vector.hpp:13-19).
   * Distances are merge-joins over the index-sorted pairs
-  * (reference: engine/db/vector.cpp:7-100). These run at ingest/parity-test
-  * scale, so interpreted eval (CodegenFallback) is acceptable; the dense hot
-  * path has real codegen.
+  * (reference: engine/db/vector.cpp:7-100). The binary distances emit the
+  * merge loop via doGenCode (whole-stage codegen); only the ingest-side
+  * normalize stays interpreted.
   */
 object SparseVec {
   val sqlType: StructType = StructType(Seq(
@@ -39,14 +39,46 @@ object SparseVec {
   }
 }
 
-abstract class SparseBinary extends BinaryExpression with CodegenFallback {
+abstract class SparseBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   protected def compute(dot: Double, na: Double, nb: Double): Double
+  /** Java expression over accumulators `dot`, `na`, `nb` (same formula as
+    * `compute`) — emitted into whole-stage codegen. */
+  protected def finishJava(dot: String, na: String, nb: String): String
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[InternalRow]; val b = r.asInstanceOf[InternalRow]
     val (dot, na, nb) = SparseVec.merge(a.getArray(0), a.getArray(1), b.getArray(0), b.getArray(1))
     compute(dot, na, nb)
+  }
+
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val ai = ctx.freshName("ai"); val av = ctx.freshName("av")
+    val bi = ctx.freshName("bi"); val bv = ctx.freshName("bv")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val n = ctx.freshName("n"); val m = ctx.freshName("m")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $ai = $a.getArray(0);
+         |org.apache.spark.sql.catalyst.util.ArrayData $av = $a.getArray(1);
+         |org.apache.spark.sql.catalyst.util.ArrayData $bi = $b.getArray(0);
+         |org.apache.spark.sql.catalyst.util.ArrayData $bv = $b.getArray(1);
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |final int $n = $ai.numElements(), $m = $bi.numElements();
+         |int $i = 0, $j = 0;
+         |while ($i < $n && $j < $m) {
+         |  final int x = $ai.getInt($i), y = $bi.getInt($j);
+         |  if (x == y) { $dot += (double)$av.getFloat($i) * (double)$bv.getFloat($j); $i++; $j++; }
+         |  else if (x < y) $i++; else $j++;
+         |}
+         |for ($i = 0; $i < $n; $i++) { final double v = (double)$av.getFloat($i); $na += v * v; }
+         |for ($j = 0; $j < $m; $j++) { final double v = (double)$bv.getFloat($j); $nb += v * v; }
+         |${ev.value} = ${finishJava(dot, na, nb)};
+       """.stripMargin
+    })
   }
 }
 
@@ -54,6 +86,7 @@ abstract class SparseBinary extends BinaryExpression with CodegenFallback {
 case class SparseDot(left: Expression, right: Expression) extends SparseBinary {
   override def prettyName: String = "sparse_dot"
   protected def compute(dot: Double, na: Double, nb: Double): Double = dot
+  protected def finishJava(dot: String, na: String, nb: String): String = dot
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -62,6 +95,8 @@ case class SparseCosineDistance(left: Expression, right: Expression) extends Spa
   override def prettyName: String = "sparse_cosine_distance"
   protected def compute(dot: Double, na: Double, nb: Double): Double =
     if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  protected def finishJava(dot: String, na: String, nb: String): String =
+    s"($na == 0.0 || $nb == 0.0) ? 1.0 : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
@@ -72,6 +107,8 @@ case class SparseL2Sqr(left: Expression, right: Expression) extends SparseBinary
     val d = na + nb - 2.0 * dot
     if (d < 0.0) 0.0 else d
   }
+  protected def finishJava(dot: String, na: String, nb: String): String =
+    s"java.lang.Math.max(0.0, $na + $nb - 2.0 * $dot)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
