@@ -65,4 +65,22 @@ class FilterTranslatorSpec extends SparkSpec {
   test("empty filter matches everything") {
     assert(ids("") == Seq(1, 2, 3, 4))
   }
+  test("numeric literal edge cases") {
+    assert(ids("score > 1.05e1") == Seq(2))      // exponent notation
+    assert(ids("score > -1e10") == Seq(1, 2, 3, 4))
+    assert(ids("id = 2.0") == Seq(2))            // int/double coercion
+    assert(ids("score >= .5") == Seq(1, 2))      // leading-dot decimal
+  }
+  test("deep nesting and mixed precedence") {
+    assert(ids("NOT (NOT (id = 1 OR (id = 2 AND flag = FALSE)))") == Seq(1, 2))
+    assert(ids("id + 1 * 2 = 5") == Seq(3))      // * binds tighter than +
+    assert(ids("(id + 1) * 2 = 6") == Seq(2))
+  }
+  test("malformed filters raise clear errors") {
+    intercept[IllegalArgumentException](ids("id ="))
+    intercept[IllegalArgumentException](ids("(id = 1"))
+    intercept[IllegalArgumentException](ids("id = 1)"))
+    intercept[IllegalArgumentException](ids("name = 'unterminated"))
+    intercept[IllegalArgumentException](ids("AND id = 1"))
+  }
 }
