@@ -156,6 +156,23 @@ object QueriesPipeline {
           max(col("event_id")).as("last_event"))
         .orderBy(col("user_id"), col("session_idx"))
     }),
+    // as-of join: each purchase matched to the user's most recent prior
+    // signup. Spark has no asof-join operator; the windowed last-match
+    // formulation is the distributed equivalent (one shuffle on user_id,
+    // no point-in-time cross join).
+    "ev_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("last_signup",
+          last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("last_signup"))
+        .orderBy(col("event_id"))
+    }),
     "js_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -354,6 +371,14 @@ object QueriesPipeline {
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "ev_asof_join" ->
+      """SELECT event_id, user_id, last_signup FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "js_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
