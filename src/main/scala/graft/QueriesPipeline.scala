@@ -109,6 +109,11 @@ object QueriesPipeline {
         .orderBy(col("lang"))
     }),
 
+    "tx_tfidf_topterms" -> ((s, dir) => {
+      TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // ---------- composed end-to-end corpus cleaning ----------
     "pl_clean_corpus" -> ((s, dir) => {
       Pipelines.cleanCorpus(t(s, dir, "documents"))
@@ -301,6 +306,21 @@ object QueriesPipeline {
          |  round(min(quality), 6) AS min_quality
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "tx_tfidf_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY doc_id, word),
+         |docf AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM ex) GROUP BY word),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n / docf.df) AS score
+         |  FROM tf JOIN docf ON tf.word = docf.word, n),
+         |ranked AS (
+         |  SELECT doc_id, word, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, word, round(score, 4) AS score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "pl_clean_corpus" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (

@@ -159,6 +159,29 @@ object TextAnalysis {
     when(size(hs) === 0, lit(0L)).otherwise(array_min(hs))
   }
 
+  /** Top-k terms per document by tf-idf.
+    * Plan shape: explode tokens -> (doc, word) counts [one shuffle] ->
+    * word document-frequency [one shuffle of distinct (doc,word)] ->
+    * broadcast df join -> per-doc top-k window. The df table is vocabulary-
+    * sized, so the join broadcasts at any corpus scale. */
+  def topTermsTfIdf(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val exploded = df.select(id, explode(tokens(col(textCol))).as("word"))
+    val tf = exploded.groupBy(id, col("word")).agg(count(lit(1)).as("tf"))
+    val docFreq = exploded.select(id, col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val w = Window.partitionBy(id)
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(docFreq), "word")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(id, col("rank"), col("word"), round(col("score"), 4).as("score"))
+  }
+
   /** Annotate a documents DataFrame with the full feature set.
     * Tokenization and shingle hashing are staged into their own projection
     * so they run ONCE per row; every feature reads the materialized arrays.
