@@ -342,7 +342,7 @@ object Queries {
       s"""WITH topk AS (
          |  SELECT vec_id, label FROM embeddings
          |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 100)
-         |SELECT label, count(*) AS n, sum(vec_id) AS sum_id
+         |SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id
          |FROM topk GROUP BY label ORDER BY label""".stripMargin,
     "w1_window_running" ->
       """SELECT user_id, event_id, rn, running FROM (

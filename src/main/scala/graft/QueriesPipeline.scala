@@ -384,8 +384,8 @@ object QueriesPipeline {
         |  FROM g),
         |sess AS (
         |  SELECT user_id, event_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
@@ -401,7 +401,7 @@ object QueriesPipeline {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "js_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "p9_geo_nearby" -> {
       val lat = "(CAST(c_custkey * 37 % 180 - 90 AS DOUBLE) + 0.5)"

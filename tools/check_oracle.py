@@ -25,6 +25,27 @@ def norm(v):
         return repr(v)
     return str(v)
 
+def canon_type(t):
+    """Canonical Arrow type string, mirroring the driver's type-sensitive hash.
+
+    String/binary width variants are equivalent, but numeric width/kind is NOT:
+    DuckDB sum() yields int128 (HUGEINT) while Spark yields int64 — the driver
+    hash-fails on that, so we must too (the old stringify-only compare hid it).
+    """
+    s = str(t)
+    if s in ("string", "large_string", "utf8", "large_utf8"): return "str"
+    if s in ("binary", "large_binary"): return "bin"
+    # int widths are hash-equivalent in the driver (row_number int32 vs duck
+    # int64 passed in r1), but int64 vs decimal128/HUGEINT is NOT.
+    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"):
+        return "int"
+    if s.startswith("list<") or s.startswith("large_list<"):
+        inner = s[s.index("<") + 1:-1]
+        # strip the child field name duckdb/pyarrow disagree on ("item:"/"l:")
+        inner = inner.split(": ", 1)[-1]
+        return f"list<{inner}>"
+    return s
+
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     rdir = f"{outdir}/{name}"
@@ -41,6 +62,11 @@ for name, sql in sorted(oracle.items()):
     gcols = sorted(got.column_names); wcols = sorted(want.column_names)
     if gcols != wcols:
         fails.append((name, f"schema mismatch: spark={gcols} duck={wcols}")); continue
+    gtypes = {f.name: canon_type(f.type) for f in got.schema}
+    wtypes = {f.name: canon_type(f.type) for f in want.schema}
+    tdiff = [(c, gtypes[c], wtypes[c]) for c in gcols if gtypes[c] != wtypes[c]]
+    if tdiff:
+        fails.append((name, f"type mismatch (spark,duck): {tdiff}")); continue
     grows = sorted([tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()])
     wrows = sorted([tuple(norm(r[c]) for c in wcols) for r in want.to_pylist()])
     if len(grows) != len(wrows):
