@@ -130,10 +130,12 @@ class GraftDb(val spark: SparkSession, val root: String) {
       graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric).isDefined
   }
 
-  /** ANN query path: IVF-pruned candidates + exact tail of rows newer than
-    * the index snapshot, re-joined to the live table (tombstones applied),
-    * then filtered/ordered/cut (the reference's graph-over-prefix +
-    * brute-force-tail search, vec_search_executor.cpp:885-904). */
+  /** ANN query path: IVF-pruned scan over the cluster-partitioned layout
+    * (the index carries full rows, so the filter pushes into the pruned
+    * scan BEFORE the top-K cut — the reference evaluates filter nodes
+    * during search for the same reason), unioned with an exact tail of rows
+    * newer than the index watermark; tombstones are anti-joined away
+    * (vec_search_executor.cpp:885-928 analog). */
   private def queryAnnCut(st: graft.store.TableStore, queryField: String,
       qv: QueryVector, limit: Int, filter: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -157,15 +159,18 @@ class GraftDb(val spark: SparkSession, val root: String) {
     }
     val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
     val tail = live.filter(col(rowId) > idx.indexedWatermark())
-      .select(col(rowId), col(queryField))
-    val cands = idx.search(queryField, dense, limit * 4, nProbe = 8, freshTail = Some(tail))
-      .select(col(rowId), col("@distance"))
-    val joined = cands.join(live, Seq(rowId)) // live only: tombstones drop here
-    val filtered =
+    // filter may reference any table column and @distance (post-filter mode)
+    val searchedSchema = org.apache.spark.sql.types.StructType(
+      live.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "@distance", org.apache.spark.sql.types.DoubleType))
+    val pre =
       if (filter.nonEmpty)
-        joined.filter(graft.filter.FilterTranslator.translate(filter, joined.schema))
-      else joined
-    filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
+        Some(graft.filter.FilterTranslator.translate(filter, searchedSchema))
+      else None
+    idx.search(queryField, dense, limit, nProbe = 8,
+        freshTail = Some(tail), preFilter = pre,
+        excludeIds = st.tombstoneIds())
+      .drop("cluster")
   }
 
   /** POST /data/get analog: filtered scan / PK lookup with pagination. */

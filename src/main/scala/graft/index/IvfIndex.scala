@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions._
@@ -18,12 +18,32 @@ import graft.types.{FieldSchema, MetricType}
   * at the parquet-footer level) and a local top-K merge
   * (TakeOrderedAndProject).
   *
-  * Build = one k-means (Lloyd) run over the vector column, then write the
-  * table repartitioned by cluster id. Rebuild semantics mirror the
-  * reference: skip when row count unchanged or below MinimalGraphSize
-  * (table_mvp.cpp:121-127); readers of a stale index still get correct
-  * results because search unions the exact tail of rows newer than the
-  * index snapshot (vec_search_executor.cpp:885-904 analog).
+  * The clustered layout carries ALL columns of the indexed table (a
+  * cluster-partitioned materialized copy, the Spark analog of a clustering
+  * key). That costs one extra copy of the data on disk — the standard IVF
+  * trade — and buys the property that matters at 100 TB: an attribute
+  * filter is evaluated INSIDE the pruned scan (predicate pushdown into the
+  * parquet read), before the top-K cut, with no join back to the base
+  * table. The reference evaluates filters during its graph walk for the
+  * same reason (vec_search_executor.cpp:905-928); a post-cut filter can
+  * under-fill K under selective predicates.
+  *
+  * Index metadata (`ivf_meta.json`) records two numbers:
+  *   - `watermark`: the max row id covered by the index. Search unions an
+  *     exact scan of rows with id > watermark (the reference's
+  *     graph-over-prefix + brute-force-tail, vec_search_executor.cpp:885-904).
+  *     This is an ID, not a count — row ids are never reclaimed on
+  *     delete/upsert, so a count would drift and the tail would overlap
+  *     already-indexed rows.
+  *   - `count`: live rows at build time, for the rebuild-skip heuristic.
+  *
+  * Build = k-means fitted on a bounded SAMPLE (Lloyd over ~max(128·k, 8192)
+  * rows — centroid quality does not improve with the full pass, and a full
+  * Lloyd iteration at 100 TB is a job per iteration), then a single
+  * assign-only pass over the full data writing the clustered layout.
+  * Rebuild semantics mirror the reference: skip when the table is
+  * unchanged (count AND watermark) or below MinimalIndexSize
+  * (table_mvp.cpp:121-127).
   */
 class IvfIndex(
     val spark: SparkSession,
@@ -52,16 +72,19 @@ class IvfIndex(
     clusteredCache
   }
 
-  /** Rows indexed at build time (for the fresh-tail union). */
-  def indexedWatermark(): Long = {
-    val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath)))
-    s.trim.toLong
-  }
+  private def meta(): (Long, Long) = IvfIndex.readMeta(metaPath)
+
+  /** Max row id covered by the index (rows with id > this are the fresh
+    * tail, searched exactly). */
+  def indexedWatermark(): Long = meta()._1
+
+  /** Row count at build time (rebuild-skip heuristic only — NOT an id). */
+  def indexedCount(): Long = meta()._2
 
   /** Incremental maintenance: assign NEW rows to the existing centroids and
     * append them to the clustered layout (no full rebuild — the micro-batch
-    * path; centroids drift is bounded until the next scheduled rebuild).
-    * `newRows` must carry (idCol, vecCol). */
+    * path; centroid drift is bounded until the next scheduled rebuild).
+    * `newRows` carries the full row (all columns incl. idCol + vecCol). */
   def append(newRows: DataFrame, vecCol: String): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val cents = centroids().sortBy(_._1).map(_._2)
@@ -70,20 +93,20 @@ class IvfIndex(
         newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
       else newRows
     val assigned = prepared
-      .select(c(idCol), c(vecCol))
       .withColumn("cluster",
         org.apache.spark.sql.graftbridge.CatalystBridge.column(
           graft.functions.NearestCentroid(
             org.apache.spark.sql.graftbridge.CatalystBridge.expression(c(vecCol)),
             cents, metric.toString)))
       .cache()
-    val n = assigned.count()
+    val stats = assigned.agg(count(lit(1)), max(c(idCol).cast("long"))).head()
+    val n = stats.getLong(0)
     if (n > 0) {
       assigned.repartition(c("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cluster").parquet(dataPath)
-      java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-        (indexedWatermark() + n).toString.getBytes)
+      val (wm, cnt) = meta()
+      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n)
       synchronized { clusteredCache = null } // re-list on next search
     }
     assigned.unpersist()
@@ -91,10 +114,21 @@ class IvfIndex(
   }
 
   /** ANN top-K: prune to the nProbe nearest clusters of the query, exact
-    * search within them. `freshTail` (rows not yet indexed) is searched
-    * exactly and unioned before the final top-K cut. */
+    * search within them.
+    *
+    *  - `freshTail`: rows not yet indexed (id > watermark); searched exactly
+    *    and unioned BEFORE the cut.
+    *  - `preFilter`: attribute predicate evaluated inside the pruned scan,
+    *    before the top-K cut (may also reference `@distance` — the
+    *    reference's post-filter mode). Without this, a selective filter
+    *    applied after the cut can return fewer than k rows despite matches.
+    *  - `excludeIds`: tombstoned row ids (tiny; broadcast anti-join) — the
+    *    clustered layout is a build-time copy and does not see later deletes.
+    */
   def search(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
-      freshTail: Option[DataFrame] = None): DataFrame = {
+      freshTail: Option[DataFrame] = None,
+      preFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val cents = centroids()
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     val probed = cents
@@ -104,16 +138,21 @@ class IvfIndex(
       .map(_._1)
     val distCol = IvfIndex.distColumn(metric, col(vecCol), q)
     // cluster IN (...) prunes parquet row groups via the partition column
-    val head = clustered()
+    val pruned = clustered()
       .filter(col("cluster").isin(probed.toSeq: _*))
-      .withColumn("@distance", distCol)
+    val head = excludeIds match {
+      case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
+      case None => pruned
+    }
     val searched = freshTail match {
       case Some(tail) =>
-        head.unionByName(tail.withColumn("@distance", distCol)
-          .withColumn("cluster", lit(-1)), allowMissingColumns = true)
+        head.unionByName(tail.withColumn("cluster", lit(-1)),
+          allowMissingColumns = true)
       case None => head
     }
-    searched
+    val withDist = searched.withColumn("@distance", distCol)
+    val filtered = preFilter.map(withDist.filter).getOrElse(withDist)
+    filtered
       .orderBy(col("@distance").asc, col(idCol).asc)
       .limit(k)
   }
@@ -126,19 +165,38 @@ object IvfIndex {
     * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
   val MinimalIndexSize = 512
 
+  private[index] def readMeta(metaPath: String): (Long, Long) = {
+    import org.json4s._
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    val o = org.json4s.jackson.JsonMethods.parse(s)
+    def long(k: String): Long = (o \ k) match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    }
+    (long("watermark"), long("count"))
+  }
+
+  private[index] def writeMeta(metaPath: String, watermark: Long, count: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
+      s"""{"watermark":$watermark,"count":$count}""".getBytes)
+
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
-    * every 60s): skip when the table is too small or the row count is
-    * unchanged since the last build. Returns the fresh-or-existing index,
-    * or None when the table should brute-force. */
+    * every 60s): skip when the table is too small or unchanged since the
+    * last build — unchanged means BOTH row count and max row id match (a
+    * delete+insert can leave the count equal while the content moved).
+    * Returns the fresh-or-existing index, or None when the table should
+    * brute-force. */
   def rebuildIfNeeded(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String, metric: MetricType.Value,
       nClusters: Int = 64): Option[IvfIndex] = {
-    val n = df.count()
+    val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    val n = stats.getLong(0)
     if (n < MinimalIndexSize) return None
+    val maxId = stats.getLong(1)
     val metaPath = java.nio.file.Paths.get(s"$path/ivf_meta.json")
     if (java.nio.file.Files.exists(metaPath)) {
-      val indexed = new String(java.nio.file.Files.readAllBytes(metaPath)).trim.toLong
-      if (indexed == n) // row count unchanged -> skip rebuild
+      val (wm, cnt) = readMeta(s"$path/ivf_meta.json")
+      if (cnt == n && wm == maxId) // unchanged -> skip rebuild
         return Some(new IvfIndex(spark, path, idCol, metric))
     }
     // maxIter 5: recall comes from probing multiple clusters, not from a
@@ -148,42 +206,57 @@ object IvfIndex {
       nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5))
   }
 
-  /** Lloyd k-means over an array<float> column, implemented with the
-    * aggregate-on-cluster pattern (no MLlib dependency on the Vector UDT,
-    * keeps the column format native):
-    * assign = argmin distance to broadcast centroids (map-side),
-    * update = groupBy(cluster).avg — one shuffle of (cluster, sum, count)
-    * partials per iteration. Deterministic init: first k distinct rows by id.
+  /** Rows Lloyd iterates over: beyond ~128 rows per centroid the update
+    * step is averaging noise, and every extra row is a full-data pass per
+    * iteration at build time. */
+  private def sampleTarget(nClusters: Int): Long =
+    math.max(128L * nClusters, 8192L)
+
+  /** K-means over an array<float> column: centroids fitted with Lloyd on a
+    * bounded deterministic sample, then ONE assign-only pass over the full
+    * data writes the clustered layout (all input columns are carried — see
+    * class doc). Assignment is a broadcast argmin (map-side, no shuffle);
+    * the layout write shuffles once on the cluster id.
+    * Deterministic init: first k rows by id-hash (spread across the data).
     */
   def build(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
       path: String, metric: MetricType.Value, nClusters: Int = 64,
       maxIter: Int = 10): IvfIndex = {
     import spark.implicits._
 
-    val prepared0 = df.select(col(idCol), col(vecCol))
     val prepared = (if (metric == MetricType.Cosine)
-      prepared0.withColumn(vecCol, l2_normalize(col(vecCol)))
-    else prepared0).cache()
-    val n = prepared.count()
+      df.withColumn(vecCol, l2_normalize(col(vecCol)))
+    else df).cache()
+    val stats = prepared.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    val n = stats.getLong(0)
+    val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+
+    // bounded fit sample (deterministic seed); Lloyd runs distributed over
+    // the sample only — the full data is touched once more, at assignment
+    val target = sampleTarget(nClusters)
+    val fitDf = (if (n <= target) prepared.select(col(idCol), col(vecCol))
+      else prepared.select(col(idCol), col(vecCol))
+        .sample(withReplacement = false, math.min(1.0, target.toDouble * 1.2 / n), seed = 42L))
+      .cache()
 
     // deterministic seed centroids, spread across the data: order by a hash
     // of the id so seeds sample the whole distribution (lowest-id rows can be
     // spatially clustered, which collapses Lloyd iterations)
-    var cents: Array[Array[Float]] = prepared
+    var cents: Array[Array[Float]] = fitDf
       .orderBy(md5(col(idCol).cast("string")).asc).limit(nClusters)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
 
     val dim = cents(0).length
-    val vecIdx = prepared.schema.fieldIndex(vecCol)
+    val vecIdx = fitDf.schema.fieldIndex(vecCol)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // assignment: single-pass argmin expression; update: per-partition
       // (sum, count) accumulation reduced by cluster id — one narrow pass +
-      // one tiny shuffle of nClusters rows per iteration
+      // one tiny shuffle of nClusters rows per iteration, over the sample
       val centsNow = cents
-      val updated = prepared
+      val updated = fitDf
         .withColumn("cluster", nearestClusterCol(metric, col(vecCol), centsNow))
         .rdd.mapPartitions { it =>
           val acc = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
@@ -212,8 +285,9 @@ object IvfIndex {
       cents = next
       iter += 1
     }
+    fitDf.unpersist()
 
-    // final assignment; write partitioned by cluster for scan pruning.
+    // assign-only full pass; write partitioned by cluster for scan pruning.
     // repartition ON the partition column first: otherwise every write task
     // keeps up to nClusters parquet writers open (tasks x clusters small
     // files + writer churn was 70s of a 73s build at 500k rows)
@@ -225,8 +299,7 @@ object IvfIndex {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/ivf_meta.json"),
-      n.toString.getBytes)
+    writeMeta(s"$path/ivf_meta.json", maxId, n)
     prepared.unpersist()
     new IvfIndex(spark, path, idCol, metric)
   }

@@ -65,7 +65,7 @@ object Dedup {
   /** Shingle-hash array for a text column: one md5 per token, polynomial
     * combine per shingle (TextAnalysis.shingleHashesFromTokenHashes). */
   def shingleHashes(text: Column, shingleLen: Int = 3): Column =
-    TextAnalysis.shingleHashesFromTokenHashes(TextAnalysis.tokenHashesMod(text))
+    TextAnalysis.shingleHashesFromTokenHashes(TextAnalysis.tokenHashesMod(text), shingleLen)
 
   /** (id, sig) DataFrame with each expensive array in its own projection
     * stage: token md5s once, shingle combines once, then the k minimums.
@@ -74,7 +74,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleLen: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
-      .select(col("id"), TextAnalysis.shingleHashesFromTokenHashes(col("th")).as("hs"))
+      .select(col("id"), TextAnalysis.shingleHashesFromTokenHashes(col("th"), shingleLen).as("hs"))
       .select(col("id"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
 
   /** Single-column convenience (tests / small data): k affine minimums with

@@ -140,15 +140,30 @@ object TextAnalysis {
   def tokenHashesMod(text: Column): Column =
     transform(tokens(text), t => pmod(hash60(t), lit(P)))
 
-  /** 3-gram shingle hashes from a token-hash array column. */
-  def shingleHashesFromTokenHashes(th: Column): Column =
-    when(size(th) === 0, array().cast("array<bigint>"))
-      .when(size(th) === 1, array(element_at(th, 1)))
-      .when(size(th) === 2,
-        array(pmod(element_at(th, 1) * R1 + element_at(th, 2) * R2, lit(P))))
-      .otherwise(transform(sequence(lit(0), size(th) - 3), i =>
-        pmod(element_at(th, i + 1) * R1 + element_at(th, i + 2) * R2 +
-          element_at(th, i + 3) * R3, lit(P))))
+  /** Polynomial-combine coefficient for shingle position j (R1..R3 for the
+    * default 3-gram; deterministic extension beyond). Products stay well
+    * inside Long: coef < 2^25, token hash < P = 2^31. */
+  private[pipeline] def rCoef(j: Int): Long = j match {
+    case 0 => R1
+    case 1 => R2
+    case 2 => R3
+    case _ => (j + 1) * 1000003L + 31
+  }
+
+  /** n-gram shingle hashes from a token-hash array column (default 3-gram).
+    * Documents shorter than `shingleLen` yield one shingle over all their
+    * tokens (a single token passes through unchanged). */
+  def shingleHashesFromTokenHashes(th: Column, shingleLen: Int = 3): Column = {
+    require(shingleLen >= 1, "shingleLen must be >= 1")
+    def window(i: Column, m: Int): Column =
+      if (m == 1) element_at(th, i + 1)
+      else pmod((0 until m).map(j => element_at(th, i + j + 1) * rCoef(j)).reduce(_ + _), lit(P))
+    var result = when(size(th) === 0, array().cast("array<bigint>"))
+    for (m <- 1 until shingleLen)
+      result = result.when(size(th) === m, array(window(lit(0), m)))
+    result.otherwise(transform(sequence(lit(0), size(th) - shingleLen),
+      i => window(i, shingleLen)))
+  }
 
   /** Document fingerprint = min shingle-hash (the winnowing/rolling-hash
     * family collapsed to its cheapest deterministic member: identical docs

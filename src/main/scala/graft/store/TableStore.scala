@@ -85,8 +85,14 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     Snapshot(version, dirs("data"), dirs("tombs"), wm)
   }
 
-  /** Publish a new snapshot: temp file + ATOMIC_MOVE (fails if the target
-    * version exists => single-committer semantics on a local/HDFS-like fs). */
+  /** Publish a new snapshot: write a temp file, then hard-link it to the
+    * version name. createLink is atomic AND fails with
+    * FileAlreadyExistsException when the target exists — unlike
+    * ATOMIC_MOVE, whose POSIX rename() silently REPLACES an existing
+    * target. A losing concurrent committer therefore throws (its batch
+    * dirs stay unreferenced — garbage, not corruption) instead of silently
+    * dropping the winner's committed batches. The caller must not retry
+    * with the same manifest: its base-snapshot lists are stale. */
   private def commit(data: Seq[String], tombs: Seq[String], wm: Long): Snapshot = {
     Files.createDirectories(versionsPath)
     val next = snapshot().map(_.version + 1).getOrElse(0L)
@@ -94,8 +100,8 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     val json = s"""{"data":${arr(data)},"tombs":${arr(tombs)},"watermark":$wm}"""
     val tmp = Files.createTempFile(versionsPath, ".commit", ".tmp")
     Files.write(tmp, json.getBytes)
-    Files.move(tmp, versionsPath.resolve(f"v$next%08d.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(versionsPath.resolve(f"v$next%08d.json"), tmp)
+    finally Files.deleteIfExists(tmp)
     Snapshot(next, data, tombs, wm)
   }
 
@@ -196,12 +202,23 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   private val writeLock = new Object
 
   def insert(batch: DataFrame, upsert: Boolean = false): InsertResult = writeLock.synchronized {
-    val embedded = schema.indices.foldLeft(batch) { (df, ix) =>
+    val embedded0 = schema.indices.foldLeft(batch) { (df, ix) =>
       val dim = schema.field(ix.tgt).dimensions
       graft.embed.AutoEmbed.embedStage(df, ix.src, ix.tgt,
         new graft.embed.RetryingEmbeddingService(
           graft.embed.AutoEmbed.serviceFor(ix.model, dim)))
     }
+    // cache BEFORE any action: insert runs several counts (validation,
+    // dedup, id assignment) and each would otherwise recompute the whole
+    // lineage — including the embedding stage's external REST calls
+    // (4-6 re-embeddings per batch without this, and embedding calls are
+    // neither free nor idempotent at scale)
+    val embedded = embedded0.cache()
+    try insertPrepared(embedded, upsert)
+    finally embedded.unpersist()
+  }
+
+  private def insertPrepared(embedded: DataFrame, upsert: Boolean): InsertResult = {
     val (prepared, invalidSkipped) = prepare(embedded)
     val wm = watermark
 
@@ -355,6 +372,13 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   }
 
   def count(): Long = if (hasData) read().count() else 0L
+
+  /** Tombstoned row ids of the latest snapshot (None when there are none).
+    * Tiny relative to data — callers broadcast it in anti-joins. */
+  def tombstoneIds(): Option[DataFrame] = snapshot() match {
+    case Some(sn) if sn.tombs.nonEmpty => Some(spark.read.parquet(sn.tombs: _*))
+    case _ => None
+  }
 }
 
 object TableStore {

@@ -14,8 +14,12 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Here the log is a directory of JSON-lines files; `readStream` tails it,
   * `foreachBatch` applies each micro-batch to the TableStore in gid order.
-  * The streaming checkpoint plays the role of the reference's consumed-id
-  * watermark: restarts resume exactly-once from the last committed batch.
+  * foreachBatch side effects are at-least-once (a crash before the
+  * checkpoint commits redelivers the batch), so exactly-once EFFECT comes
+  * from the same mechanism as the reference: a consumed-gid watermark
+  * persisted in the store directory after every applied entry — replay
+  * skips `gid <= consumed` (write_ahead_log.hpp:93-142). The streaming
+  * checkpoint only bounds how far redelivery reaches back.
   */
 object WalStream {
 
@@ -39,14 +43,36 @@ object WalStream {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Max gid already applied to the store (persisted across restarts —
+    * the reference's `wal_global_id_` consumed watermark). */
+  def consumedGid(store: TableStore): Long = {
+    val p = Paths.get(s"${store.path}/_wal_consumed")
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toLong
+    else Long.MinValue
+  }
+
+  private def setConsumedGid(store: TableStore, gid: Long): Unit = {
+    val dir = Paths.get(store.path)
+    val tmp = Files.createTempFile(dir, ".walwm", ".tmp")
+    Files.write(tmp, gid.toString.getBytes)
+    Files.move(tmp, dir.resolve("_wal_consumed"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Apply one micro-batch of WAL entries to the store, in gid order.
     * Entries are collected to the driver (WAL batches are control-plane
     * sized; the row payloads inside INSERT/UPSERT go through the normal
-    * distributed insert path). */
+    * distributed insert path). Entries at or below the persisted consumed
+    * gid are skipped, so a redelivered batch (crash between the store
+    * mutation and the checkpoint commit) is a no-op — at-least-once
+    * delivery, exactly-once effect. */
   def applyBatch(store: TableStore)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import scala.jdk.CollectionConverters._
+    val consumed = consumedGid(store)
     val entries = batch.orderBy(col("gid")).collect()
+      .filter(_.getAs[Long]("gid") > consumed)
     entries.foreach { r =>
       val op = r.getAs[String]("op")
       op match {
@@ -76,6 +102,9 @@ object WalStream {
           store.delete(typedPks, f)
         case other => throw new IllegalArgumentException(s"unknown WAL op $other")
       }
+      // watermark advances per entry: a mid-batch crash resumes after the
+      // last APPLIED entry, not the last committed micro-batch
+      setConsumedGid(store, r.getAs[Long]("gid"))
     }
   }
 
