@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.TableStore
+import graft.types._
+import scala.jdk.CollectionConverters._
+
+/** Driver-checked gate queries that route through TableStore/GraftDb — the
+  * storage/DML half of SURVEY §2 (S2/S7, D1-D4, A1 over the store). Each
+  * query builds a FRESH store under the JVM temp dir from
+  * `documents.parquet`, applies the DML under test, and returns the
+  * re-READ state; the DuckDB oracle reproduces the same end state from the
+  * raw parquet with window/anti-join SQL (reference semantics:
+  * table_segment_mvp.cpp:455-876 insert/upsert/delete/insertPrepare).
+  *
+  * Determinism notes:
+  *  - batches are ordered by doc_id before insert, so `__row_id` order ==
+  *    doc_id order and pagination oracles can ORDER BY doc_id;
+  *  - in-batch duplicate order is the DataFrame union order (originals
+  *    before mutated copies), matching the `ord` column in the oracles.
+  */
+object QueriesStore {
+
+  private val docSchema = TableSchema("documents", Seq(
+    FieldSchema("doc_id", FieldType.BigInt, primaryKey = true),
+    FieldSchema("text", FieldType.Str),
+    FieldSchema("lang", FieldType.Str),
+    FieldSchema("source", FieldType.Str),
+    FieldSchema("n_chars", FieldType.BigInt)))
+
+  /** Fresh store + the documents batch in doc_id order. */
+  private def freshStore(s: SparkSession, dir: String, tag: String): (TableStore, DataFrame) = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_gate_${tag}_${math.abs(dir.hashCode)}"
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    val st = TableStore.create(s, root, docSchema)
+    val docs = s.read.parquet(s"$dir/documents.parquet").orderBy("doc_id")
+    (st, docs)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1: INSERT first-wins — the batch carries every doc twice (original,
+    // then a mutated copy); the duplicate is skipped in-batch
+    // (table_segment_mvp.cpp:652-737).
+    "d1_insert_firstwins" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "d1")
+      val dup = docs.withColumn("text", concat(lit("DUP:"), col("text")))
+      st.insert(docs.unionByName(dup))
+      st.read().select(col("doc_id"), col("text"), col("lang")).orderBy("doc_id")
+    }),
+
+    // D1: the {inserted, skipped} response counters across two inserts —
+    // in-batch dup skip, then an all-duplicates second batch
+    // (table_segment_mvp.cpp:800).
+    "d1_insert_counts" -> ((s, dir) => {
+      import s.implicits._
+      val (st, docs) = freshStore(s, dir, "d1c")
+      val dup = docs.withColumn("text", concat(lit("DUP:"), col("text")))
+      val r1 = st.insert(docs.unionByName(dup))
+      val r2 = st.insert(dup) // every PK already present -> all skipped
+      Seq((1L, r1.inserted, r1.skipped), (2L, r2.inserted, r2.skipped))
+        .toDF("step", "inserted", "skipped").orderBy("step")
+    }),
+
+    // D2: UPSERT last-wins, in-batch included: docs with doc_id%3=0 appear
+    // twice in the upsert batch (V2 then V3 -> V3 wins), plus brand-new
+    // rows; old versions are tombstoned (table_segment_mvp.cpp:652-795).
+    "d2_upsert_lastwins" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "d2")
+      st.insert(docs)
+      val third = docs.filter(col("doc_id") % 3 === 0)
+      val v2 = third.withColumn("text", concat(lit("V2:"), col("text")))
+      val v3 = third.withColumn("text", concat(lit("V3:"), col("text")))
+      val news = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("NEW:"), col("text")))
+      st.insert(v2.unionByName(v3).unionByName(news), upsert = true)
+      st.read().select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+
+    // D3: DELETE by PK list, by filter, and by PK-list-checked-against-
+    // filter (db_server.cpp:297-360; tombstone bitset analog
+    // table_segment_mvp.cpp:321-405).
+    "d3_delete_filter" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "d3")
+      st.insert(docs)
+      st.delete(pks = Seq(0L, 1L, 2L))
+      st.delete(Nil, "n_chars < 200")
+      st.delete(Seq(5L, 6L, 7L), "lang <> 'en'")
+      st.read().select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // D4: InsertPrepare existence bitmask — bit CLEARED iff the pk exists
+    // (table_segment_mvp.cpp:816-876).
+    "d4_insert_prepare" -> ((s, dir) => {
+      import s.implicits._
+      val (st, docs) = freshStore(s, dir, "d4")
+      st.insert(docs)
+      val (_, words) = st.insertPrepare((490L to 509L).map(x => x: Any))
+      words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+        .toDF("word_idx", "word_val").orderBy("word_idx")
+    }),
+
+    // A1 over the store: pagination (skip/limit window in __row_id =
+    // insertion order) with filter + projection, over a table with
+    // tombstones (vec_search_executor.cpp:1016-1029).
+    "a1_store_scan_page" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "a1s")
+      st.insert(docs)
+      st.delete(Nil, "n_chars < 200")
+      graft.query.QueryEngine.get(st.read(), st.schema,
+        graft.query.QueryEngine.GetRequest(
+          filter = "lang <> 'fr'", skip = 20, limit = 30,
+          outputFields = Seq("doc_id", "lang", "source")))
+    }),
+
+    // S2: versioned snapshots — time travel to the pre-delete version
+    // while the live table reflects the delete (manifest-per-commit
+    // analog of data_mvp.bin save/load + WAL versioning).
+    "s2_time_travel" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "tt")
+      st.insert(docs) // commit v0
+      st.delete(Nil, "lang = 'en'") // commit v1
+      val v0 = st.readVersion(0).groupBy(col("lang")).agg(count(lit(1)).as("n_v0"))
+      val cur = st.read().groupBy(col("lang")).agg(count(lit(1)).as("n_cur"))
+      v0.join(cur, Seq("lang"), "left_outer")
+        .na.fill(0L, Seq("n_cur")).orderBy("lang")
+    }),
+
+    // S7: per-table statistics after DML (db_server.cpp:105-119).
+    "s7_statistics" -> ((s, dir) => {
+      import s.implicits._
+      val (st, docs) = freshStore(s, dir, "s7")
+      st.insert(docs)
+      st.delete(Nil, "doc_id < 10")
+      Seq(st.count()).toDF("total_records")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "d1_insert_firstwins" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text, lang, 0 AS ord FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'DUP:' || text, lang, 1 FROM documents)
+        |SELECT doc_id, text, lang FROM (
+        |  SELECT doc_id, text, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+        |  FROM batch) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d1_insert_counts" ->
+      """SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS inserted,
+        |  CAST(count(*) AS BIGINT) AS skipped FROM documents
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+        |FROM documents ORDER BY step""".stripMargin,
+    "d2_upsert_lastwins" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'V3:' || text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'NEW:' || text FROM documents WHERE doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "d3_delete_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (0, 1, 2)
+        |  AND NOT (n_chars < 200)
+        |  AND NOT (doc_id IN (5, 6, 7) AND lang <> 'en')
+        |ORDER BY doc_id""".stripMargin,
+    "d4_insert_prepare" ->
+      """WITH pks AS (SELECT range AS i, 490 + range AS pk FROM range(0, 20)),
+        |m AS (SELECT i,
+        |  CASE WHEN EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = pk)
+        |       THEN (1 << (i % 32)) ELSE 0 END AS bit FROM pks)
+        |SELECT CAST(i // 32 AS BIGINT) AS word_idx,
+        |  CAST(-1 - sum(bit) AS INTEGER) AS word_val
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a1_store_scan_page" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE NOT (n_chars < 200) AND lang <> 'fr'
+        |ORDER BY doc_id LIMIT 30 OFFSET 20""".stripMargin,
+    "s2_time_travel" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_v0,
+        |  CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS n_cur
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "s7_statistics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_records
+        |FROM documents WHERE doc_id >= 10""".stripMargin)
+}

@@ -43,7 +43,8 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ QueriesPipeline.all
+    Queries.all ++ QueriesPipeline.all ++ QueriesStore.all
 
-  def oracleSql: Map[String, String] = Queries.oracle ++ QueriesPipeline.oracle
+  def oracleSql: Map[String, String] =
+    Queries.oracle ++ QueriesPipeline.oracle ++ QueriesStore.oracle
 }
