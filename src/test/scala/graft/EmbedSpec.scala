@@ -4,6 +4,19 @@ import org.apache.spark.sql.functions._
 import graft.embed._
 import graft.functions._
 
+/** Static counters survive closure serialization in local mode (one JVM). */
+object CountingEmbedder {
+  val textsEmbedded = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = textsEmbedded.set(0)
+}
+class CountingEmbedder(val model: String, val dim: Int) extends EmbeddingService {
+  private val inner = new DeterministicEmbedder(model, dim)
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    CountingEmbedder.textsEmbedded.addAndGet(texts.size)
+    inner.embedBatch(texts)
+  }
+}
+
 /** D5 auto-embedding stage + V9 search-by-content + S6 CSV source. */
 class EmbedSpec extends SparkSpec {
   import spark.implicits._
@@ -51,6 +64,26 @@ class EmbedSpec extends SparkSpec {
       .orderBy(col("@distance").asc, col("id").asc)
       .limit(1).select("id").head().getLong(0)
     assert(top == 2L)
+  }
+
+  test("insert embeds each row exactly once (batch cached across actions)") {
+    // insert runs several actions (validation/dedup counts, id assignment,
+    // write); without caching each one re-runs the embedding stage — and
+    // re-calls the external service 4-6x per batch
+    CountingEmbedder.reset()
+    AutoEmbed.register("counting", dim => new CountingEmbedder("counting/test", dim))
+    val schema = graft.types.TableSchema("embonce", Seq(
+      graft.types.FieldSchema("id", graft.types.FieldType.BigInt, primaryKey = true),
+      graft.types.FieldSchema("text", graft.types.FieldType.Str),
+      graft.types.FieldSchema("vec", graft.types.FieldType.VectorFloat, dimensions = 8)),
+      indices = Seq(graft.types.EmbeddingIndex("ix", "text", "vec", "counting/test")))
+    val store = graft.store.TableStore.create(spark, tmpDir("embed_once"), schema)
+    val n = 100
+    val rows = (1 to n).map(i => (i.toLong, s"document number $i")).toDF("id", "text")
+    val res = store.insert(rows)
+    assert(res.inserted == n)
+    assert(CountingEmbedder.textsEmbedded.get() == n,
+      s"expected each of $n rows embedded once, got ${CountingEmbedder.textsEmbedded.get()}")
   }
 
   test("CSV source round-trips a table (S6)") {
