@@ -91,6 +91,24 @@ object QueriesPipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the scale path: same predicate, but candidates restricted to pairs
+    // sharing an L2-argmin bucket on the unit sphere (equi-join, never
+    // all-pairs); centroids = the first 16 embeddings, so the oracle can
+    // reproduce the assignment exactly
+    "dd_embed_bucketed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+      Dedup.embeddingNearDuplicatesBucketed(emb, "embedding", "vec_id", cents,
+          minCosine = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---------- text analysis ----------
     "tx_stats" -> ((s, dir) => {
       TextAnalysis.annotate(t(s, dir, "documents"))
@@ -256,6 +274,26 @@ object QueriesPipeline {
          |  round($dot / ($na * $nb), 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 300 AND b.vec_id < 300 AND $dot / ($na * $nb) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "dd_embed_bucketed" -> {
+      val dot = "list_sum(list_transform(list_zip(a.v, b.v), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      val na = "sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      val nb = "sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT x.vec_id AS id, x.embedding AS v,
+         |    (SELECT c.vec_id FROM nrm c WHERE c.vec_id < 16
+         |     ORDER BY list_sum(list_transform(list_zip(x.nv, c.nv),
+         |       p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.vec_id ASC LIMIT 1) AS cluster
+         |  FROM nrm x)
+         |SELECT a.id AS id_a, b.id AS id_b, round($dot / ($na * $nb), 6) AS cos_sim
+         |FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+         |WHERE $dot / ($na * $nb) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
     "tx_stats" -> {

@@ -164,13 +164,57 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding cosine near-dup pairs over a (small or pre-bucketed) set.
-    * For the full-scale path, feed each IVF cluster through this. */
+  /** Embedding cosine near-dup pairs by exhaustive comparison — the
+    * correctness baseline. The `id_a < id_b` theta-join is O(n²); bound the
+    * input (a verification subset, or one bucket of
+    * `embeddingNearDuplicatesBucketed`). */
   def embeddingNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
       minCosine: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", lit(1.0) - cosine_distance(col("va"), col("vb")))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Assign each row to its `probes` nearest centroids by L2² over
+    * l2-NORMALIZED vectors (unit sphere: l2² = 2 − 2·cos, so cosine-near ⇒
+    * bucket-near). One output row per (row, probed cluster). Distances are
+    * computed in double with a (dist, cid) struct-sort tie-break so an SQL
+    * oracle can reproduce the assignment bit-for-bit. */
+  def assignClusters(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], probes: Int = 1): DataFrame = {
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val vd = transform(col(vecCol), x => x.cast("double") / norm)
+    val dists = centroids.zipWithIndex.map { case (c, k) =>
+      struct(
+        aggregate(zip_with(vd, lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("dist"),
+        lit(k).as("cid"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        slice(array_sort(array(dists: _*)), 1, probes).as("near"))
+      .select(col("id"), col("v"), explode(col("near")).as("nc"))
+      .select(col("id"), col("v"), col("nc.cid").as("cluster"))
+  }
+
+  /** Embedding near-dup at scale: pairs are formed ONLY within shared
+    * buckets (equi-join on cluster id — never the all-pairs theta-join).
+    * `probes` > 1 multi-assigns each row to its nearest clusters so pairs
+    * straddling a boundary still co-bucket (IVF-style multi-probe);
+    * candidate pairs are deduped before the cosine verify. Centroids come
+    * from a k-means fit (IvfIndex.build) or any deterministic sample. */
+  def embeddingNearDuplicatesBucketed(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], minCosine: Double, probes: Int = 1): DataFrame = {
+    val assigned = assignClusters(df, vecCol, idCol, centroids, probes)
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct() // a pair may share several probed clusters
       .withColumn("cos_sim", lit(1.0) - cosine_distance(col("va"), col("vb")))
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))

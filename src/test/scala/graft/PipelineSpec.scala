@@ -108,4 +108,34 @@ class PipelineSpec extends SparkSpec {
     assert(q(0L) > q(4L))
     assert(q(0L) > q(8L))
   }
+
+  test("bucketed embedding near-dup: subset of brute force, recall >= 0.95") {
+    import spark.implicits._
+    // 10 tight direction-clusters on the unit sphere: real near-dups
+    // (cos >= 0.9) exist within clusters — the regime the operator targets
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val points = (0 until 400).map { i =>
+      val c = centers(i % 10)
+      val p = unit(c.zip(Array.fill(dim)(rnd.nextGaussian() * 0.15)).map { case (a, b) => a + b })
+      (i.toLong, p.map(_.toFloat).toSeq)
+    }
+    val df = points.toDF("id", "v")
+    val brute = Dedup.embeddingNearDuplicates(df, "v", "id", minCosine = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size > 100, s"fixture too sparse: ${brute.size} brute pairs")
+    // centroids deliberately misaligned with the true centers (first 12
+    // points) — multi-probe has to recover boundary pairs
+    val cents = points.take(12).map(_._2.map(_.toDouble).toArray).toArray
+    val buck = Dedup.embeddingNearDuplicatesBucketed(df, "v", "id", cents,
+        minCosine = 0.9, probes = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(buck.subsetOf(brute), "bucketed produced a pair brute force did not")
+    val recall = buck.size.toDouble / brute.size
+    assert(recall >= 0.95, f"recall $recall%.3f (${buck.size}/${brute.size})")
+  }
 }
