@@ -16,7 +16,8 @@ import scala.jdk.CollectionConverters._
   * delete, statistics). A database is a directory of tables; the catalog is
   * a JSON file per table (basic_meta_impl.cpp analog).
   */
-class GraftDb(val spark: SparkSession, val root: String) {
+class GraftDb(val spark: SparkSession, val root: String,
+    val maxRenderRows: Int = 100000) {
 
   private def tablePath(name: String) = s"$root/$name"
   private val stores = scala.collection.concurrent.TrieMap[String, TableStore]()
@@ -63,8 +64,20 @@ class GraftDb(val spark: SparkSession, val root: String) {
     s"""{"inserted":${res.inserted},"skipped":${res.skipped}}"""
   }
 
-  /** POST /data/query analog: vector top-K with filter/projection/facets. */
+  /** POST /data/query analog: vector top-K with filter/projection/facets.
+    * JSON in, JSON out (rendering is capped — see `render`); use
+    * `queryDataFrame` as the primary surface for large results. */
   def query(requestJson: String): String = {
+    val (out, facetDfs, facets, unbounded) = queryPlan(requestJson)
+    render(out, facetDfs, facets, unbounded)
+  }
+
+  /** DataFrame-returning query: the result stays distributed (nothing is
+    * collected to the driver until the caller acts on it). */
+  def queryDataFrame(requestJson: String): DataFrame = queryPlan(requestJson)._1
+
+  private def queryPlan(requestJson: String)
+      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean) = {
     val req = JsonMethods.parse(requestJson)
     val table = str(req \ "table")
     val st = store(table)
@@ -101,22 +114,19 @@ class GraftDb(val spark: SparkSession, val root: String) {
       }
     }
     val useAnn = (req \ "ann") match { case JBool(b) => b; case _ => false }
+    val unbounded = (req \ "unbounded") match { case JBool(b) => b; case _ => false }
     val facets = parseFacets(req \ "facets")
     if (useAnn) {
-      val cut = queryAnnCut(st, queryField, qv, limit, filter)
-      val out = QueryEngine.project(cut, st.schema, response, withDistance)
-      if (facets.isEmpty) render(out, Nil, Nil)
-      else {
-        // facets aggregate the post-limit result, same as the exact path
-        val page = cut.cache()
-        try render(QueryEngine.project(page, st.schema, response, withDistance),
-          facets.map(QueryEngine.facet(page, _)), facets)
-        finally page.unpersist()
-      }
+      val cut0 = queryAnnCut(st, queryField, qv, limit, filter)
+      // facets aggregate the post-limit result, same as the exact path;
+      // cache so each facet doesn't redo the pruned scan (small: <= limit rows)
+      val cut = if (facets.nonEmpty) cut0.cache() else cut0
+      (QueryEngine.project(cut, st.schema, response, withDistance),
+        facets.map(QueryEngine.facet(cut, _)), facets, unbounded)
     } else {
       val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
         SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
-      render(out, facetDfs, facets)
+      (out, facetDfs, facets, unbounded)
     }
   }
 
@@ -173,13 +183,27 @@ class GraftDb(val spark: SparkSession, val root: String) {
       .drop("cluster")
   }
 
-  /** POST /data/get analog: filtered scan / PK lookup with pagination. */
+  /** POST /data/get analog: filtered scan / PK lookup with pagination.
+    * The reference's default limit is effectively unbounded (`1<<30`,
+    * web_controller.hpp:902-907); we keep that plan semantics but the JSON
+    * renderer is capped (see `render`) — whole-table dumps belong on the
+    * `getDataFrame` surface. */
   def get(requestJson: String): String = {
+    val (out, facetDfs, facets, unbounded) = getPlan(requestJson)
+    render(out, facetDfs, facets, unbounded)
+  }
+
+  /** DataFrame-returning scan: the primary surface for large results. */
+  def getDataFrame(requestJson: String): DataFrame = getPlan(requestJson)._1
+
+  private def getPlan(requestJson: String)
+      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean) = {
     val req = JsonMethods.parse(requestJson)
     val st = store(str(req \ "table"))
     val filter = (req \ "filter") match { case JString(s) => s; case _ => "" }
     val skip = (req \ "skip") match { case JInt(i) => i.toInt; case _ => 0 }
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => Int.MaxValue }
+    val unbounded = (req \ "unbounded") match { case JBool(b) => b; case _ => false }
     val response = (req \ "response") match {
       case JArray(a) => a.collect { case JString(s) => s }
       case _ => Nil
@@ -195,7 +219,7 @@ class GraftDb(val spark: SparkSession, val root: String) {
     val facets = parseFacets(req \ "facets")
     val (out, facetDfs) = QueryEngine.getWithFacets(st.read(), st.schema,
       GetRequest(filter, skip, limit, pks, response, facets))
-    render(out, facetDfs, facets)
+    (out, facetDfs, facets, unbounded)
   }
 
   /** POST /data/delete analog. Returns `{"deleted": n}`. */
@@ -252,13 +276,38 @@ class GraftDb(val spark: SparkSession, val root: String) {
     case _ => Nil
   }
 
-  private def render(out: DataFrame, facetDfs: Seq[DataFrame], facets: Seq[Facet]): String = {
-    val records = out.toJSON.collect().mkString("[", ",", "]")
-    if (facets.isEmpty) s"""{"result":$records}"""
-    else {
-      val fJson = facetDfs.map(df => df.toJSON.collect().mkString("[", ",", "]"))
-        .mkString("[", ",", "]")
-      s"""{"result":$records,"facets":$fJson}"""
+  /** Bounded JSON rendering: rows stream through `toLocalIterator` (one
+    * partition on the driver at a time, never the whole result), and the
+    * row count is capped at `maxRenderRows` unless the request set
+    * `"unbounded": true`. The reference happily serializes the whole table
+    * through one response (limit default 1<<30); at 100 TB that is a
+    * driver OOM, so the cap makes the caller choose the DataFrame surface
+    * deliberately. */
+  private def render(out: DataFrame, facetDfs: Seq[DataFrame], facets: Seq[Facet],
+      unbounded: Boolean = false): String = {
+    val sb = new java.lang.StringBuilder("{\"result\":[")
+    val it = out.toJSON.toLocalIterator()
+    var n = 0L
+    var first = true
+    while (it.hasNext) {
+      if (!unbounded && n >= maxRenderRows)
+        throw new IllegalStateException(
+          s"result exceeds maxRenderRows=$maxRenderRows; pass \"unbounded\":true " +
+            "or use the DataFrame API (queryDataFrame/getDataFrame)")
+      if (!first) sb.append(',')
+      sb.append(it.next()); first = false; n += 1
     }
+    sb.append(']')
+    if (facets.nonEmpty) {
+      // facet outputs are one row per group — driver-sized by construction
+      sb.append(",\"facets\":[")
+      facetDfs.zipWithIndex.foreach { case (df, i) =>
+        if (i > 0) sb.append(',')
+        sb.append(df.toJSON.collect().mkString("[", ",", "]"))
+      }
+      sb.append(']')
+    }
+    sb.append('}')
+    sb.toString
   }
 }

@@ -86,6 +86,27 @@ class ApiSpec extends SparkSpec {
     assert(!dbe.rebuildIndex("Docs", "Emb")) // below brute-force threshold
   }
 
+  test("render cap: big results refuse JSON unless unbounded; DataFrame surface stays lazy") {
+    import spark.implicits._
+    val capped = new GraftDb(spark, tmpDir("graftdb_cap"), maxRenderRows = 50)
+    capped.createTable(
+      """{"name":"Big","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Doc","dataType":"STRING","primaryKey":false}]}""".stripMargin)
+    capped.store("Big").insert((1L to 500L).map(i => (i, s"doc$i")).toDF("ID", "Doc"))
+    val e = intercept[IllegalStateException] {
+      capped.get("""{"table":"Big"}""")
+    }
+    assert(e.getMessage.contains("maxRenderRows"))
+    // explicit opt-out matches the reference's unbounded default
+    val all = JsonMethods.parse(capped.get("""{"table":"Big","unbounded":true}"""))
+    assert((all \ "result").asInstanceOf[JArray].arr.size == 500)
+    // within-cap requests and the DataFrame surface are unaffected
+    assert(JsonMethods.parse(capped.get("""{"table":"Big","limit":10}"""))
+      .\("result").asInstanceOf[JArray].arr.size == 10)
+    assert(capped.getDataFrame("""{"table":"Big"}""").count() == 500)
+  }
+
   test("get with pagination and facets through the JSON API") {
     val dbg = new GraftDb(spark, tmpDir("graftdb2"))
     dbg.createTable(schemaJson.replace("MyTable", "T2"))
