@@ -1,0 +1,137 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Thin HTTP front door over GraftDb, mirroring the reference's endpoint
+  * shapes (reference: engine/server/web_server/web_controller.hpp:40-1036 —
+  * oatpp controller; here the JDK's built-in HttpServer, since the engine
+  * is a library and the server is a ~200-line adapter):
+  *
+  *   GET  /                                    → welcome text
+  *   GET  /state                               → {"statusCode","message"}
+  *   POST /api/{db}/schema/tables              → create table
+  *   DELETE /api/{db}/schema/tables/{table}    → drop table
+  *   GET  /api/{db}/schema/tables/show         → list tables
+  *   POST /api/{db}/data/insert                → insert/upsert
+  *   POST /api/{db}/data/insertprepare         → existence bitmask
+  *   POST /api/{db}/data/query                 → vector top-K (+facets)
+  *   POST /api/{db}/data/get                   → scan/PK lookup (+facets)
+  *   POST /api/{db}/data/delete                → delete by PK/filter
+  *   GET  /api/{db}/statistics                 → per-table totalRecords
+  *   POST /api/rebuild                         → rebuild ANN indexes
+  *
+  * Every response is `{"statusCode": n, "message": "...", ...}` like the
+  * reference's StatusDto; data-plane payloads carry `"result"` too. The
+  * `{db}` path segment is accepted for API parity; GraftDb is one
+  * database (multi-DB namespacing is a directory-of-roots above this).
+  */
+class GraftHttpServer(val db: GraftDb, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  def actualPort: Int = server.getAddress.getPort
+
+  def start(): GraftHttpServer = { server.createContext("/", handler _); server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  private def status(code: Int, message: String): String =
+    s"""{"statusCode":$code,"message":${jstr(message)}}"""
+
+  /** Wrap a GraftDb `{"result":...}` payload with statusCode/message. */
+  private def withStatus(payloadJson: String, message: String): String =
+    s"""{"statusCode":200,"message":${jstr(message)},${payloadJson.substring(1)}"""
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def handler(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val (code, resp) =
+      try route(method, path, body)
+      catch {
+        case e: IllegalArgumentException => (400, status(400, Option(e.getMessage).getOrElse("bad request")))
+        case e: Throwable => (500, status(500, Option(e.getMessage).getOrElse(e.toString)))
+      }
+    val bytes = resp.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      if (path.isEmpty) "text/plain" else "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def route(method: String, path: String, body: String): (Int, String) = {
+    val seg = path.split("/").filter(_.nonEmpty)
+    (method, seg.toList) match {
+      case ("GET", Nil) =>
+        (200, "Welcome to graft, a Spark-native vector analytics engine.")
+      case ("GET", List("state")) =>
+        (200, status(200, "Server is online!"))
+      case ("POST", List("api", _, "schema", "tables")) =>
+        val schema = db.createTable(body)
+        (200, status(200, s"Create table ${schema.name} successfully."))
+      case ("DELETE", List("api", _, "schema", "tables", table)) =>
+        db.dropTable(table)
+        (200, status(200, s"Drop table $table successfully."))
+      case ("GET", List("api", _, "schema", "tables", "show")) =>
+        val names = db.listTables().map(jstr).mkString("[", ",", "]")
+        (200, s"""{"statusCode":200,"message":"Get all tables successfully.","result":$names}""")
+      case ("POST", List("api", _, "data", "insert")) =>
+        val table = tableOf(body)
+        (200, withStatus(s"""{"result":${db.insert(body)}}""",
+          s"Insert data to $table successfully."))
+      case ("POST", List("api", _, "data", "insertprepare")) =>
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val table = tableOf(body)
+        val pks: Seq[Any] = (req \ "primaryKeys") match {
+          case org.json4s.JArray(a) => a.map {
+            case org.json4s.JInt(i) => i.toLong
+            case org.json4s.JString(s) => s
+            case other => throw new IllegalArgumentException(s"bad pk $other")
+          }
+          case _ => Nil
+        }
+        val (n, words) = db.store(table).insertPrepare(pks)
+        (200, withStatus(
+          s"""{"result":{"recordNumber":$n,"bitmask":${words.mkString("[", ",", "]")}}}""",
+          s"Insert prepare on $table successfully."))
+      case ("POST", List("api", _, "data", "query")) =>
+        (200, withStatus(db.query(body), "Query search successfully."))
+      case ("POST", List("api", _, "data", "get")) =>
+        (200, withStatus(db.get(body), "Query get successfully."))
+      case ("POST", List("api", _, "data", "delete")) =>
+        val table = tableOf(body)
+        (200, withStatus(s"""{"result":${db.delete(body)}}""",
+          s"Delete data from $table successfully."))
+      case ("GET", List("api", _, "statistics")) =>
+        val stats = db.listTables().map(db.statistics).mkString("[", ",", "]")
+        (200, s"""{"statusCode":200,"message":"","result":$stats}""")
+      case ("POST", List("api", "rebuild")) =>
+        var rebuilt = 0
+        db.listTables().foreach { t =>
+          db.store(t).schema.vectorFields
+            .filterNot(f => graft.types.FieldType.isSparse(f.fieldType))
+            .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+        }
+        (200, status(200, s"Rebuild finished ($rebuilt indexes)."))
+      case _ =>
+        (404, status(404, s"no route for $method $path"))
+    }
+  }
+
+  private def tableOf(body: String): String =
+    org.json4s.jackson.JsonMethods.parse(body) \ "table" match {
+      case org.json4s.JString(s) => s
+      case _ => throw new IllegalArgumentException("missing table")
+    }
+}
