@@ -65,13 +65,18 @@ class RetryingEmbeddingService(inner: EmbeddingService, retries: Int = 3,
 object AutoEmbed {
 
   /** Registry keyed by model-name prefix (the reference dispatches
-    * openai/jina/voyage/... the same way; here everything resolves to the
-    * deterministic fake unless a real service is registered). */
-  @volatile private var registry: Map[String, Int => EmbeddingService] = Map.empty
-  def register(prefix: String, factory: Int => EmbeddingService): Unit =
+    * openai/jina/voyage/... the same way, embedding_service.cpp:140-170;
+    * everything resolves to the deterministic fake unless a real service
+    * is registered). The factory receives the FULL model name and the
+    * target dimension. */
+  @volatile private var registry: Map[String, (String, Int) => EmbeddingService] = Map.empty
+  def register(prefix: String, factory: (String, Int) => EmbeddingService): Unit =
     registry = registry + (prefix -> factory)
+  /** Back-compat overload for dim-only factories. */
+  def register(prefix: String, factory: Int => EmbeddingService): Unit =
+    register(prefix, (_: String, dim: Int) => factory(dim))
   def serviceFor(model: String, dim: Int): EmbeddingService =
-    registry.collectFirst { case (p, f) if model.startsWith(p) => f(dim) }
+    registry.collectFirst { case (p, f) if model.startsWith(p) => f(model, dim) }
       .getOrElse(new DeterministicEmbedder(model, dim))
 
   /** Batched embedding stage: fills `tgtCol` (array<float>) from `srcCol`

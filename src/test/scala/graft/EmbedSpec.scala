@@ -86,6 +86,69 @@ class EmbedSpec extends SparkSpec {
       s"expected each of $n rows embedded once, got ${CountingEmbedder.textsEmbedded.get()}")
   }
 
+  test("provider clients: request shapes, key headers, prefix dispatch") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // capturing fake transport: echoes back unit vectors
+    var captured: (String, Map[String, String], String) = null
+    val fake = new HttpTransport {
+      def post(url: String, headers: Map[String, String], body: String): (Int, String) = {
+        captured = (url, headers, body)
+        val n = (JsonMethods.parse(body) \ "documents") match {
+          case JArray(a) => a.size
+          case _ => (JsonMethods.parse(body) \ "inputs") match {
+            case JArray(a) => a.size; case _ => 1
+          }
+        }
+        val vecs = (1 to n).map(i => s"[${i.toFloat}, 0.0]").mkString(",")
+        (200, s"""{"statusCode":200,"result":[$vecs]}""")
+      }
+    }
+    val keys = Map(
+      "X-OpenAI-API-Key" -> "sk-test",
+      "X-VoyageAI-API-Key" -> "vk-test")
+
+    // standard shape: /v1/embeddings with model/documents/dimensions
+    val openai = new ProviderEmbeddingService(
+      "http://svc", "openai/text-embedding-3-small", 2, keys, fake)
+    val out = openai.embedBatch(Seq("a", "b"))
+    assert(out.size == 2 && out(1).head == 2.0f)
+    assert(captured._1 == "http://svc/v1/embeddings")
+    assert(captured._2("X-OpenAI-API-Key") == "sk-test")
+    val body = JsonMethods.parse(captured._3)
+    assert((body \ "model") == JString("openai/text-embedding-3-small"))
+    assert((body \ "documents") == JArray(List(JString("a"), JString("b"))))
+
+    // voyage contextualized: dedicated path + [[doc]] inputs
+    val ctx = new ProviderEmbeddingService(
+      "http://svc", "voyageai/voyage-context-3", 2, keys, fake)
+    ctx.embedBatch(Seq("x"))
+    assert(captured._1 == "http://svc/v1/contextualizedembeddings")
+    assert((JsonMethods.parse(captured._3) \ "inputs")
+      == JArray(List(JArray(List(JString("x"))))))
+    assert((JsonMethods.parse(captured._3) \ "output_dtype") == JString("float"))
+
+    // voyage multimodal: dedicated path + truncation flag
+    val mm = new ProviderEmbeddingService(
+      "http://svc", "voyageai/voyage-multimodal-3", 2, keys, fake)
+    mm.embedBatch(Seq("y"))
+    assert(captured._1 == "http://svc/v1/multimodalembeddings")
+    assert((JsonMethods.parse(captured._3) \ "truncation") == JBool(true))
+
+    // missing key mirrors the reference's error text
+    val noKey = new ProviderEmbeddingService(
+      "http://svc", "mistralai/mistral-embed", 2, Map.empty, fake)
+    val e = intercept[IllegalArgumentException](noKey.embedBatch(Seq("z")))
+    assert(e.getMessage == "Missing MistralAI API key.")
+
+    // registry dispatch by prefix; unknown models fall back to the fake
+    ProviderEmbeddingService.configure("http://svc", keys, fake)
+    assert(AutoEmbed.serviceFor("openai/text-embedding-3-small", 2)
+      .isInstanceOf[ProviderEmbeddingService])
+    assert(AutoEmbed.serviceFor("totally/unknown-model", 2)
+      .isInstanceOf[DeterministicEmbedder])
+  }
+
   test("CSV source round-trips a table (S6)") {
     val dir = tmpDir("csv_src")
     Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "name", "v")
