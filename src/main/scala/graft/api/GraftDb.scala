@@ -131,13 +131,14 @@ class GraftDb(val spark: SparkSession, val root: String,
   }
 
   /** Build (or refresh) the IVF index for a vector field
-    * (reference: /api/rebuild, db_server.hpp:133-142). Returns false when
-    * the table is below the brute-force threshold. */
+    * (reference: /api/rebuild, db_server.hpp:133-142). Returns true iff a
+    * build actually ran — false when the table is below the brute-force
+    * threshold OR the index is already current (skip-as-unchanged). */
   def rebuildIndex(table: String, field: String): Boolean = {
     val st = store(table)
     val f = st.schema.field(field)
-    graft.index.IvfIndex.rebuildIfNeeded(spark, st.read(), field,
-      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric).isDefined
+    graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
+      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric)._2
   }
 
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout

@@ -1,0 +1,74 @@
+package graft.api
+
+import graft.types.FieldType
+
+case class MaintenanceReport(indexesRebuilt: Int, manifestsExpired: Int,
+    walFilesExpired: Int)
+
+/** Background maintenance, the Spark analog of the reference's rebuild
+  * thread + WAL janitor (reference: db_server.hpp:21,133-142 — rebuild
+  * every 60 s; write_ahead_log.hpp:27-28,86-89 — WAL rotation/retention):
+  *
+  *  - re-run `rebuildIfNeeded` for every dense vector field of every
+  *    table (skips unchanged tables via the index watermark+count check);
+  *  - expire snapshot manifests beyond the retention window and vacuum
+  *    the batch dirs only they referenced;
+  *  - expire fully-consumed WAL files beyond the retention window.
+  *
+  * `tick()` is the unit of work (call it from any scheduler); `start()`
+  * runs it on a daemon thread every `rebuildIntervalMs` like the
+  * reference's in-process loop. In a real deployment, schedule `tick()`
+  * as a batch job instead — the work is idempotent and skip-guarded.
+  */
+class Maintenance(
+    db: GraftDb,
+    rebuildIntervalMs: Long = 60000L,
+    retentionMs: Long = 7L * 24 * 3600 * 1000,
+    walDirs: Map[String, String] = Map.empty) {
+
+  def tick(now: Long = System.currentTimeMillis): MaintenanceReport = {
+    var rebuilt = 0
+    var manifests = 0
+    var walFiles = 0
+    db.listTables().foreach { t =>
+      val st = db.store(t)
+      st.schema.vectorFields
+        .filterNot(f => FieldType.isSparse(f.fieldType))
+        .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+      manifests += st.expireVersions(retentionMs, now)
+      st.vacuum()
+      walDirs.get(t).foreach { dir =>
+        walFiles += graft.streaming.WalStream.expire(dir, st, retentionMs, now)
+      }
+    }
+    MaintenanceReport(rebuilt, manifests, walFiles)
+  }
+
+  @volatile private var running = false
+  private var thread: Thread = null
+
+  def start(): Maintenance = synchronized {
+    if (running) return this
+    running = true
+    thread = new Thread(() => {
+      while (running) {
+        try tick()
+        catch { case e: Throwable =>
+          System.err.println(s"[maintenance] tick failed: ${e.getMessage}")
+        }
+        var slept = 0L
+        while (running && slept < rebuildIntervalMs) {
+          Thread.sleep(math.min(200L, rebuildIntervalMs - slept)); slept += 200
+        }
+      }
+    }, "graft-maintenance")
+    thread.setDaemon(true)
+    thread.start()
+    this
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    if (thread != null) { thread.join(5000); thread = null }
+  }
+}

@@ -188,22 +188,30 @@ object IvfIndex {
     * brute-force. */
   def rebuildIfNeeded(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String, metric: MetricType.Value,
-      nClusters: Int = 64): Option[IvfIndex] = {
+      nClusters: Int = 64): Option[IvfIndex] =
+    rebuildVerbose(spark, df, vecCol, idCol, path, metric, nClusters)._1
+
+  /** Like `rebuildIfNeeded`, but also reports whether a build actually ran
+    * (false = skipped-as-unchanged or too small) — the rebuild scheduler
+    * counts real rebuilds. */
+  def rebuildVerbose(spark: SparkSession, df: DataFrame, vecCol: String,
+      idCol: String, path: String, metric: MetricType.Value,
+      nClusters: Int = 64): (Option[IvfIndex], Boolean) = {
     val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
     val n = stats.getLong(0)
-    if (n < MinimalIndexSize) return None
+    if (n < MinimalIndexSize) return (None, false)
     val maxId = stats.getLong(1)
     val metaPath = java.nio.file.Paths.get(s"$path/ivf_meta.json")
     if (java.nio.file.Files.exists(metaPath)) {
       val (wm, cnt) = readMeta(s"$path/ivf_meta.json")
       if (cnt == n && wm == maxId) // unchanged -> skip rebuild
-        return Some(new IvfIndex(spark, path, idCol, metric))
+        return (Some(new IvfIndex(spark, path, idCol, metric)), false)
     }
     // maxIter 5: recall comes from probing multiple clusters, not from a
     // fully converged Lloyd run; extra iterations at rebuild cadence are
     // per-job overhead, not quality
-    Some(build(spark, df, vecCol, idCol, path, metric,
-      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5))
+    (Some(build(spark, df, vecCol, idCol, path, metric,
+      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5)), true)
   }
 
   /** Rows Lloyd iterates over: beyond ~128 rows per centroid the update

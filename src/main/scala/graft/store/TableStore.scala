@@ -356,10 +356,43 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     commit(Seq(dir), Nil, prev.watermark)
   }
 
-  /** Delete batch dirs no longer referenced by the latest manifest. */
+  /** All manifest versions currently on disk (ascending). */
+  def versions(): Seq[Long] =
+    if (!Files.exists(versionsPath)) Nil
+    else Files.list(versionsPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.substring(1, n.length - 5).toLong)
+      .toSeq.sorted
+
+  /** Retention: drop manifests older than `retainMs` (by file mtime),
+    * never the latest — bounds time travel the way the reference bounds
+    * WAL replay history (write_ahead_log.hpp:86-89, 7-day retention).
+    * Returns the number of manifests removed. `vacuum()` afterwards
+    * reclaims the batch dirs only they referenced. */
+  def expireVersions(retainMs: Long,
+      now: Long = System.currentTimeMillis): Int = writeLock.synchronized {
+    val vs = versions()
+    if (vs.size <= 1) return 0
+    val latest = vs.max
+    var removed = 0
+    vs.filter(_ != latest).foreach { v =>
+      val p = versionsPath.resolve(f"v$v%08d.json")
+      if (Files.getLastModifiedTime(p).toMillis < now - retainMs) {
+        Files.delete(p); removed += 1
+      }
+    }
+    removed
+  }
+
+  /** Delete batch dirs referenced by NO remaining manifest (all retained
+    * versions stay readable — time travel is bounded by `expireVersions`,
+    * not silently broken here). */
   def vacuum(): Unit = {
-    val current = snapshot().getOrElse(return)
-    val keep = (current.data ++ current.tombs).map(Paths.get(_).getFileName.toString).toSet
+    val vs = versions()
+    if (vs.isEmpty) return
+    val keep = vs.map(readManifest).flatMap(m => m.data ++ m.tombs)
+      .map(Paths.get(_).getFileName.toString).toSet
     Seq(dataPath, tombPath).foreach { base =>
       val p = Paths.get(base)
       if (Files.exists(p))

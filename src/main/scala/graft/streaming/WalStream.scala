@@ -108,6 +108,30 @@ object WalStream {
     }
   }
 
+  /** Retention (reference: write_ahead_log.hpp:27-28, 86-89 — rotation
+    * 600 s, retention 7 d): delete log files that are BOTH fully consumed
+    * (gid <= the store's watermark) and older than `retentionMs`. Unconsumed
+    * files are never deleted regardless of age. Returns files removed. */
+  def expire(walDir: String, store: TableStore, retentionMs: Long,
+      now: Long = System.currentTimeMillis): Int = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(walDir)
+    if (!Files.exists(dir)) return 0
+    val consumed = consumedGid(store)
+    var removed = 0
+    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("wal-") && n.endsWith(".json")) {
+        val gid = scala.util.Try(n.stripPrefix("wal-").stripSuffix(".json").toLong)
+        val old = Files.getLastModifiedTime(p).toMillis < now - retentionMs
+        if (gid.isSuccess && gid.get <= consumed && old) {
+          Files.delete(p); removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   /** Start the replay stream; `checkpointDir` carries the consumed-gid
     * watermark across restarts. */
   def start(spark: SparkSession, walDir: String, store: TableStore,
