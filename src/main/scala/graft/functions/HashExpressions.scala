@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -15,23 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - SimHashBits      == 60× aggregate-of-bit-votes, sign-assembled
   *
   * The md5-prefix semantics are shared with the DuckDB oracle SQL, so these
-  * stay value-checked cross-engine.
+  * stay value-checked cross-engine. All three emit inline Java via
+  * doGenCode so the dedup stages run inside whole-stage codegen (the md5
+  * call goes through a static helper — the digest is thread-local).
   */
-case class Hash60(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Hash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "hash60"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    val md = Hash60.digest.get()
-    md.reset()
-    val d = md.digest(bytes)
-    // first 15 hex chars = bytes 0..6 fully + high nibble of byte 7
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) >> 4) & 0xfL)
-  }
+  override def nullSafeEval(v: Any): Any = Hash60.compute(v.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60$$.MODULE$$.compute($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -40,13 +35,24 @@ object Hash60 {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  def compute(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 15 hex chars = bytes 0..6 fully + high nibble of byte 7
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) >> 4) & 0xfL)
+  }
 }
 
 /** All k affine minhash minimums in one pass over the hash array.
   * Empty input -> array of p (the family's "infinity"), matching the
   * composed form. */
 case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long], p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -67,7 +73,27 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long], p
       }
       i += 1
     }
-    new GenericArrayData(mins.map(Long.box))
+    new GenericArrayData(mins)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j"); val h = ctx.freshName("h")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |final int $n = $c.numElements();
+         |final long[] $mins = new long[${a.length}];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < ${a.length}; $j++) {
+         |    final long x = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |    if (x < $mins[$j]) $mins[$j] = x;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -75,7 +101,7 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long], p
 
 /** 60-bit simhash: per-bit ±1 votes over the hash array, assembled by sign.
   * Empty input -> 0. */
-case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_bits"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -101,6 +127,29 @@ case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFa
       bit += 1
     }
     out
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+    val i = ctx.freshName("i"); val b = ctx.freshName("b")
+    val h = ctx.freshName("h"); val acc = ctx.freshName("acc")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |final int $n = $c.numElements();
+         |long $acc = 0L;
+         |if ($n > 0) {
+         |  final int[] $votes = new int[60];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $h = $c.getLong($i);
+         |    for (int $b = 0; $b < 60; $b++) {
+         |      $votes[$b] += ((int)(($h >>> $b) & 1L) << 1) - 1;
+         |    }
+         |  }
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ($votes[$b] > 0) $acc |= 1L << $b;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -112,8 +112,9 @@ case class SparseL2Sqr(left: Expression, right: Expression) extends SparseBinary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** l2-normalize a sparse struct (reference: table_segment_mvp.cpp:555-562). */
-case class SparseL2Normalize(child: Expression) extends UnaryExpression with CodegenFallback {
+/** l2-normalize a sparse struct (reference: table_segment_mvp.cpp:555-562).
+  * Codegen'd like the distances — the ingest stage stays one span. */
+case class SparseL2Normalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sparse_l2_normalize"
   override def dataType: DataType = SparseVec.sqlType
   override def nullIntolerant: Boolean = true
@@ -126,11 +127,39 @@ case class SparseL2Normalize(child: Expression) extends UnaryExpression with Cod
     if (acc == 0.0) row.copy()
     else {
       val inv = 1.0 / math.sqrt(acc)
-      val out = new Array[Any](n)
+      val out = new Array[Float](n)
       i = 0
       while (i < n) { out(i) = (vals.getFloat(i) * inv).toFloat; i += 1 }
       InternalRow(idx.copy(), new GenericArrayData(out))
     }
+  }
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val vals = ctx.freshName("vals"); val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    val out = ctx.freshName("out"); val inv = ctx.freshName("inv")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $vals = $c.getArray(1);
+         |final int $n = $vals.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double x = (double) $vals.getFloat($i); $acc += x * x;
+         |}
+         |if ($acc == 0.0) {
+         |  ${ev.value} = $c.copy();
+         |} else {
+         |  final double $inv = 1.0 / java.lang.Math.sqrt($acc);
+         |  final float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (float) ($vals.getFloat($i) * $inv);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(new Object[] {
+         |    $c.getArray(0).copy(),
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out) });
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

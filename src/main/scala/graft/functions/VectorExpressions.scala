@@ -118,8 +118,10 @@ case class CosineDistance(left: Expression, right: Expression) extends DenseDist
 
 /** l2-normalize an array<float> (the reference normalizes COSINE fields at
   * ingest so query-time cosine becomes a dot product —
-  * table_segment_mvp.cpp:580-587). Zero vectors pass through unchanged. */
-case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  * table_segment_mvp.cpp:580-587). Zero vectors pass through unchanged.
+  * Codegen'd: ingest normalize runs inside the same whole-stage span as
+  * the cast/validation projections around it. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "l2_normalize"
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -131,11 +133,34 @@ case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFa
     if (acc == 0.0) a.copy()
     else {
       val inv = 1.0 / math.sqrt(acc)
-      val out = new Array[Any](n)
+      val out = new Array[Float](n)
       i = 0
       while (i < n) { out(i) = (a.getFloat(i) * inv).toFloat; i += 1 }
       new GenericArrayData(out)
     }
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i"); val out = ctx.freshName("out")
+    val inv = ctx.freshName("inv")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |final int $n = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double x = (double) $c.getFloat($i); $acc += x * x;
+         |}
+         |if ($acc == 0.0) {
+         |  ${ev.value} = $c.copy();
+         |} else {
+         |  final double $inv = 1.0 / java.lang.Math.sqrt($acc);
+         |  final float[] $out = new float[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (float) ($c.getFloat($i) * $inv);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

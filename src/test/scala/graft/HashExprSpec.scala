@@ -8,6 +8,34 @@ import graft.pipeline.Dedup
 class HashExprSpec extends SparkSpec {
   import spark.implicits._
 
+  test("all custom kernels compile under CODEGEN_ONLY (no interpreted fallback)") {
+    // codegen failures normally fall back to interpreted eval silently;
+    // CODEGEN_ONLY makes a broken doGenCode throw instead of hiding
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(
+        ("hello world text", Seq(1f, 2f, 2f), Seq(0, 3, 7), Seq(1f, 0f, 2f)),
+        ("", Seq(0f, 0f, 0f), Seq[Int](), Seq[Float]()))
+        .toDF("s", "v", "si", "sv")
+        .withColumn("sp", struct(col("si").as("indices"), col("sv").as("values")))
+        .withColumn("hs", array(graft.functions.hash60(col("s")), lit(7L)))
+      val fam = Dedup.hashFamily(4)
+      val out = df.select(
+        graft.functions.hash60(col("s")).as("h60"),
+        graft.functions.l2_normalize(col("v")).as("nv"),
+        graft.functions.sparse_l2_normalize(col("sp")).as("nsp"),
+        graft.functions.minhash_signature(col("hs"),
+          fam.map(_._1).toArray, fam.map(_._2).toArray, 2147483647L).as("mh"),
+        graft.functions.simhash_bits(col("hs")).as("sh"))
+        .collect()
+      assert(out.length == 2)
+      val nv = out(0).getSeq[Float](1)
+      assert(math.abs(nv.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+      assert(out(1).getSeq[Float](1) == Seq(0f, 0f, 0f)) // zero vector unchanged
+      assert(out(0).getSeq[Long](3).length == 4)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("hash60 == conv(substr(md5,1,15),16,10)") {
     val rnd = new scala.util.Random(1)
     val strs = (0 until 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) :+ ""
