@@ -26,19 +26,27 @@ object WalStream {
   val entrySchema: StructType = StructType(Seq(
     StructField("gid", LongType, nullable = false),
     StructField("op", StringType, nullable = false), // INSERT | UPSERT | DELETE
-    StructField("payload", StringType, nullable = true), // JSON records for insert/upsert
+    StructField("payload", StringType, nullable = true), // inline JSON records
+    StructField("payloadPath", StringType, nullable = true), // by-reference bulk payload
     StructField("pks", ArrayType(StringType), nullable = true), // delete by pk
     StructField("filter", StringType, nullable = true))) // delete by filter
 
-  /** Append an entry to the log (test/ingest-side helper). */
+  /** Append an entry to the log (test/ingest-side helper). Large insert
+    * batches should pass `payloadPath` (a JSON-lines file/dir read
+    * DISTRIBUTEDLY at apply time) instead of `payload` — an inline payload
+    * is one row collected to the driver, which caps entry size at driver
+    * memory; a path entry stays control-plane sized no matter how big the
+    * batch behind it is. */
   def append(walDir: String, gid: Long, op: String, payload: String = null,
-      pks: Seq[String] = null, filter: String = null): Unit = {
+      pks: Seq[String] = null, filter: String = null,
+      payloadPath: String = null): Unit = {
     Files.createDirectories(Paths.get(walDir))
     def q(s: String) = if (s == null) "null" else
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
     val pksJson = if (pks == null) "null" else pks.map(q).mkString("[", ",", "]")
-    val line = s"""{"gid":$gid,"op":${q(op)},"payload":${q(payload)},"pks":$pksJson,"filter":${q(filter)}}"""
+    val line = s"""{"gid":$gid,"op":${q(op)},"payload":${q(payload)},""" +
+      s""""payloadPath":${q(payloadPath)},"pks":$pksJson,"filter":${q(filter)}}"""
     Files.write(Paths.get(s"$walDir/wal-$gid.json"), (line + "\n").getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
@@ -77,13 +85,18 @@ object WalStream {
       val op = r.getAs[String]("op")
       op match {
         case "INSERT" | "UPSERT" =>
-          val payload = r.getAs[String]("payload")
-          // one JSON record per line inside the payload
-          val ds = spark.createDataset(payload.split('\n').toList.asJava)(
-            org.apache.spark.sql.Encoders.STRING)
-          val rows = spark.read
-            .schema(store.schema.structType)
-            .json(ds)
+          val rows = Option(r.getAs[String]("payloadPath")) match {
+            case Some(path) =>
+              // by-reference bulk payload: distributed read, never a
+              // driver-side string
+              spark.read.schema(store.schema.structType).json(path)
+            case None =>
+              // inline payload: one JSON record per line
+              val payload = r.getAs[String]("payload")
+              val ds = spark.createDataset(payload.split('\n').toList.asJava)(
+                org.apache.spark.sql.Encoders.STRING)
+              spark.read.schema(store.schema.structType).json(ds)
+          }
           store.insert(rows, upsert = op == "UPSERT")
         case "DELETE" =>
           val pks = Option(r.getAs[scala.collection.Seq[String]]("pks"))

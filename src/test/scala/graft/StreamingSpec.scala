@@ -51,6 +51,24 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1, 2)) // id 1 NOT duplicated => batch 0 not reapplied
   }
 
+  test("WAL bulk insert by payloadPath: rows read distributedly, not via a driver string") {
+    val walDir = tmpDir("wal3")
+    val store = TableStore.create(spark, tmpDir("wal3_store"), schema)
+    // bulk payload lives in its own JSON-lines file; the WAL entry carries
+    // only the path
+    val bulkDir = tmpDir("wal3_bulk")
+    val lines = (1 to 1000).map(i =>
+      s"""{"ID":$i,"Doc":"bulk$i","Vec":[$i.0,0.0]}""").mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$bulkDir/part-0.json"),
+      lines.getBytes)
+    WalStream.append(walDir, 1, "INSERT", payloadPath = bulkDir)
+    WalStream.append(walDir, 2, "DELETE", filter = "ID > 900")
+    val q = WalStream.start(spark, walDir, store, tmpDir("wal3_ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    assert(store.count() == 900)
+    assert(WalStream.consumedGid(store) == 2)
+  }
+
   test("streaming hourly aggregate over the events table matches batch") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     // batch-run the streaming plan (same analyzed logical plan semantics)
