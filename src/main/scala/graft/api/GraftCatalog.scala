@@ -1,0 +1,94 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Multi-database namespace (reference: meta_types.hpp:85-90
+  * `DatabaseSchema` — a named database with a path, containing tables;
+  * load/unload/drop semantics db_server LoadDB/UnloadDB/DropDB via
+  * basic_meta_impl.cpp:35-98). A database here is one GraftDb root
+  * directory; `catalog.json` under the catalog root records every loaded
+  * database (name → path) so a restart reloads the same namespace — the
+  * same role as the reference's persisted meta catalog.
+  *
+  *  - load: open (or create) a database at a path and register it;
+  *  - unload: forget the name, keep the files (reference UnloadDB);
+  *  - drop: unload AND delete the files (reference DropDB).
+  */
+class GraftCatalog(val spark: SparkSession, val rootDir: String) {
+
+  private val catalogPath = Paths.get(s"$rootDir/catalog.json")
+  private val dbs = scala.collection.concurrent.TrieMap[String, GraftDb]()
+
+  // reload previously-loaded databases on open
+  if (Files.exists(catalogPath)) {
+    val o = JsonMethods.parse(new String(Files.readAllBytes(catalogPath)))
+    (o \ "databases") match {
+      case JObject(fields) => fields.foreach {
+        case (name, JString(path)) => dbs(name) = new GraftDb(spark, path)
+        case _ =>
+      }
+      case _ =>
+    }
+  }
+
+  private def persist(): Unit = synchronized {
+    Files.createDirectories(Paths.get(rootDir))
+    val entries = dbs.toSeq.sortBy(_._1)
+      .map { case (n, db) => s"""${jstr(n)}:${jstr(db.root)}""" }
+      .mkString(",")
+    val tmp = Files.createTempFile(Paths.get(rootDir), ".catalog", ".tmp")
+    Files.write(tmp, s"""{"databases":{$entries}}""".getBytes)
+    Files.move(tmp, catalogPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Load (or create) a database; default path = `<rootDir>/<name>`. */
+  def load(name: String, path: String = null): GraftDb = {
+    val p = Option(path).getOrElse(s"$rootDir/$name")
+    val db = dbs.getOrElseUpdate(name, {
+      Files.createDirectories(Paths.get(p))
+      new GraftDb(spark, p)
+    })
+    persist()
+    db
+  }
+
+  /** Register an already-open GraftDb under a name (in-process only use —
+    * also persisted like load). */
+  def register(name: String, db: GraftDb): GraftDb = {
+    dbs(name) = db
+    persist()
+    db
+  }
+
+  /** Forget the database; its files stay on disk (reference UnloadDB). */
+  def unload(name: String): Boolean = {
+    val had = dbs.remove(name).isDefined
+    if (had) persist()
+    had
+  }
+
+  /** Unload AND delete the database directory (reference DropDB). */
+  def drop(name: String): Unit = {
+    val db = dbs.remove(name)
+    db.foreach { d =>
+      val p = Paths.get(d.root)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    persist()
+  }
+
+  def db(name: String): GraftDb = dbs.getOrElse(name,
+    throw new IllegalArgumentException(s"database $name not loaded"))
+
+  def list(): Seq[String] = dbs.keys.toSeq.sorted
+}

@@ -22,12 +22,25 @@ import java.nio.charset.StandardCharsets
   *   GET  /api/{db}/statistics                 → per-table totalRecords
   *   POST /api/rebuild                         → rebuild ANN indexes
   *
+  *   POST /api/load                            → load/create a database
+  *   POST /api/{db}/unload                     → forget, keep files
+  *   DELETE /api/{db}/drop                     → unload + delete files
+  *
   * Every response is `{"statusCode": n, "message": "...", ...}` like the
   * reference's StatusDto; data-plane payloads carry `"result"` too. The
-  * `{db}` path segment is accepted for API parity; GraftDb is one
-  * database (multi-DB namespacing is a directory-of-roots above this).
+  * `{db}` path segment resolves through a GraftCatalog (reference
+  * DatabaseSchema namespace); the single-db constructor registers its
+  * database as `default`.
   */
-class GraftHttpServer(val db: GraftDb, port: Int = 0) {
+class GraftHttpServer(val catalog: GraftCatalog, port: Int) {
+
+  def this(db: GraftDb, port: Int = 0) = {
+    this({
+      val c = new GraftCatalog(db.spark, db.root)
+      c.register("default", db)
+      c
+    }, port)
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -77,20 +90,37 @@ class GraftHttpServer(val db: GraftDb, port: Int = 0) {
         (200, "Welcome to graft, a Spark-native vector analytics engine.")
       case ("GET", List("state")) =>
         (200, status(200, "Server is online!"))
-      case ("POST", List("api", _, "schema", "tables")) =>
-        val schema = db.createTable(body)
+      case ("POST", List("api", "load")) =>
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val name = (req \ "name") match {
+          case org.json4s.JString(s) => s
+          case _ => throw new IllegalArgumentException("missing database name")
+        }
+        val p = (req \ "path") match {
+          case org.json4s.JString(s) => s; case _ => null
+        }
+        catalog.load(name, p)
+        (200, status(200, s"Load/Create $name successfully."))
+      case ("POST", List("api", d, "unload")) =>
+        if (catalog.unload(d)) (200, status(200, s"Unload $d successfully."))
+        else (404, status(404, s"database $d not loaded"))
+      case ("DELETE", List("api", d, "drop")) =>
+        catalog.drop(d)
+        (200, status(200, s"Drop $d successfully."))
+      case ("POST", List("api", d, "schema", "tables")) =>
+        val schema = catalog.db(d).createTable(body)
         (200, status(200, s"Create table ${schema.name} successfully."))
-      case ("DELETE", List("api", _, "schema", "tables", table)) =>
-        db.dropTable(table)
+      case ("DELETE", List("api", d, "schema", "tables", table)) =>
+        catalog.db(d).dropTable(table)
         (200, status(200, s"Drop table $table successfully."))
-      case ("GET", List("api", _, "schema", "tables", "show")) =>
-        val names = db.listTables().map(jstr).mkString("[", ",", "]")
+      case ("GET", List("api", d, "schema", "tables", "show")) =>
+        val names = catalog.db(d).listTables().map(jstr).mkString("[", ",", "]")
         (200, s"""{"statusCode":200,"message":"Get all tables successfully.","result":$names}""")
-      case ("POST", List("api", _, "data", "insert")) =>
+      case ("POST", List("api", d, "data", "insert")) =>
         val table = tableOf(body)
-        (200, withStatus(s"""{"result":${db.insert(body)}}""",
+        (200, withStatus(s"""{"result":${catalog.db(d).insert(body)}}""",
           s"Insert data to $table successfully."))
-      case ("POST", List("api", _, "data", "insertprepare")) =>
+      case ("POST", List("api", d, "data", "insertprepare")) =>
         val req = org.json4s.jackson.JsonMethods.parse(body)
         val table = tableOf(body)
         val pks: Seq[Any] = (req \ "primaryKeys") match {
@@ -101,27 +131,31 @@ class GraftHttpServer(val db: GraftDb, port: Int = 0) {
           }
           case _ => Nil
         }
-        val (n, words) = db.store(table).insertPrepare(pks)
+        val (n, words) = catalog.db(d).store(table).insertPrepare(pks)
         (200, withStatus(
           s"""{"result":{"recordNumber":$n,"bitmask":${words.mkString("[", ",", "]")}}}""",
           s"Insert prepare on $table successfully."))
-      case ("POST", List("api", _, "data", "query")) =>
-        (200, withStatus(db.query(body), "Query search successfully."))
-      case ("POST", List("api", _, "data", "get")) =>
-        (200, withStatus(db.get(body), "Query get successfully."))
-      case ("POST", List("api", _, "data", "delete")) =>
+      case ("POST", List("api", d, "data", "query")) =>
+        (200, withStatus(catalog.db(d).query(body), "Query search successfully."))
+      case ("POST", List("api", d, "data", "get")) =>
+        (200, withStatus(catalog.db(d).get(body), "Query get successfully."))
+      case ("POST", List("api", d, "data", "delete")) =>
         val table = tableOf(body)
-        (200, withStatus(s"""{"result":${db.delete(body)}}""",
+        (200, withStatus(s"""{"result":${catalog.db(d).delete(body)}}""",
           s"Delete data from $table successfully."))
-      case ("GET", List("api", _, "statistics")) =>
+      case ("GET", List("api", d, "statistics")) =>
+        val db = catalog.db(d)
         val stats = db.listTables().map(db.statistics).mkString("[", ",", "]")
         (200, s"""{"statusCode":200,"message":"","result":$stats}""")
       case ("POST", List("api", "rebuild")) =>
         var rebuilt = 0
-        db.listTables().foreach { t =>
-          db.store(t).schema.vectorFields
-            .filterNot(f => graft.types.FieldType.isSparse(f.fieldType))
-            .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+        catalog.list().foreach { d =>
+          val db = catalog.db(d)
+          db.listTables().foreach { t =>
+            db.store(t).schema.vectorFields
+              .filterNot(f => graft.types.FieldType.isSparse(f.fieldType))
+              .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+          }
         }
         (200, status(200, s"Rebuild finished ($rebuilt indexes)."))
       case _ =>

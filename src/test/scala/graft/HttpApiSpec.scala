@@ -121,6 +121,33 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       == JArray(Nil))
   }
 
+  test("multi-database endpoints: load, isolated tables, unload, drop") {
+    val (lc, lb) = post("/api/load", """{"name":"second"}""")
+    assert(lc == 200, lb)
+    val (cc, _) = post("/api/second/schema/tables",
+      """{"name":"Only","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true}]}""".stripMargin)
+    assert(cc == 200)
+    // the table exists in `second`, not in `default`
+    assert((JsonMethods.parse(get("/api/second/schema/tables/show")._2) \ "result")
+      == JArray(List(JString("Only"))))
+    assert(!((JsonMethods.parse(get("/api/default/schema/tables/show")._2) \ "result")
+      .asInstanceOf[JArray].arr.contains(JString("Only"))))
+    // unloaded databases 404 on access; unknown db errors cleanly
+    assert(post("/api/second/unload", "")._1 == 200)
+    assert(post("/api/second/unload", "")._1 == 404)
+    assert(post("/api/second/data/get", """{"table":"Only"}""")._1 >= 400)
+    // reload finds the files again; drop removes them
+    assert(post("/api/load", """{"name":"second"}""")._1 == 200)
+    assert((JsonMethods.parse(get("/api/second/schema/tables/show")._2) \ "result")
+      == JArray(List(JString("Only"))))
+    assert(delete("/api/second/drop")._1 == 200)
+    assert(post("/api/load", """{"name":"second"}""")._1 == 200)
+    assert((JsonMethods.parse(get("/api/second/schema/tables/show")._2) \ "result")
+      == JArray(Nil))
+    delete("/api/second/drop")
+  }
+
   test("error shapes: bad payload 400/500, unknown route 404") {
     assert(post("/api/default/data/insert", """{"data":[]}""")._1 >= 400)
     assert(get("/api/nope")._1 == 404)
