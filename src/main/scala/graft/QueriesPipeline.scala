@@ -84,6 +84,15 @@ object QueriesPipeline {
         .select(col("id").as("doc_id"), col("sim").as("simhash"))
         .orderBy(col("doc_id"))
     }),
+    // canonical-doc selection: connected components over the LSH near-dup
+    // pairs, min-id label per component (what a dedup pipeline keeps)
+    "dd_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 8)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
     "dd_embed_cosine" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(
           t(s, dir, "embeddings").filter(col("vec_id") < 300), "embedding", "vec_id",
@@ -261,6 +270,34 @@ object QueriesPipeline {
          |  FROM cand JOIN tokd x ON cand.id_a = x.doc_id JOIN tokd y ON cand.id_b = y.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_dup_clusters" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, $sqlToks toks FROM documents),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+         |h AS (SELECT doc_id, $sqlShingleHashes hs FROM tkh),
+         |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
+         |bands AS (
+         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+         |  FROM sig, (SELECT unnest(range(8)) b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |tokd AS (SELECT doc_id, list_distinct(toks) toks FROM tok),
+         |edges AS (
+         |  SELECT id_a, id_b FROM cand
+         |  JOIN tokd x ON cand.id_a = x.doc_id
+         |  JOIN tokd y ON cand.id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+         |    (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.5),
+         |und AS (SELECT id_a AS s, id_b AS d FROM edges
+         |        UNION ALL SELECT id_b AS s, id_a AS d FROM edges),
+         |nodes AS (SELECT DISTINCT s AS id FROM und),
+         |reach AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id)
+         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dd_simhash_fp" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents WHERE doc_id < 500),

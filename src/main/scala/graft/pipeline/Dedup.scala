@@ -185,19 +185,65 @@ object Dedup {
     * oracle can reproduce the assignment bit-for-bit. */
   def assignClusters(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Double]], probes: Int = 1): DataFrame = {
-    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val vd = transform(col(vecCol), x => x.cast("double") / norm)
+    // STAGED projections (same reason as minhashSignatures): the norm must
+    // be its own column before the per-element division references it —
+    // inlining sqrt(aggregate(...)) inside the transform lambda makes
+    // Catalyst re-evaluate the whole O(dim) aggregate per element, and the
+    // 16 distance aggregates then multiply that again (O(dim^2 * k) per
+    // row; measured 34 s for 2k rows at sf0.1 before staging).
+    val normed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__norm", sqrt(aggregate(col("v"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(col("id"), col("v"),
+        transform(col("v"), x => x.cast("double") / col("__norm")).as("__vd"))
     val dists = centroids.zipWithIndex.map { case (c, k) =>
       struct(
-        aggregate(zip_with(vd, lit(c), (x, y) => (x - y) * (x - y)),
+        aggregate(zip_with(col("__vd"), lit(c), (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, x) => acc + x).as("dist"),
         lit(k).as("cid"))
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        slice(array_sort(array(dists: _*)), 1, probes).as("near"))
+    normed
+      .withColumn("near", slice(array_sort(array(dists: _*)), 1, probes))
       .select(col("id"), col("v"), explode(col("near")).as("nc"))
       .select(col("id"), col("v"), col("nc.cid").as("cluster"))
+  }
+
+  /** Duplicate clusters from a near-dup pair list: every id that appears
+    * in a pair gets a canonical id = the MIN id of its connected
+    * component (the doc a dedup pipeline keeps). Iterative min-label
+    * propagation — per round one equi-join (neighbor labels) + one
+    * groupBy-min, rounds = component diameter. Near-dup components are
+    * shallow (stars/short chains), so this converges in a handful of
+    * rounds even when the pair list is billions of edges; there is no
+    * all-pairs step anywhere. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster")).union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev"))
+        .limit(1).count() // existence probe, not a full count
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Embedding near-dup at scale: pairs are formed ONLY within shared
@@ -208,13 +254,17 @@ object Dedup {
     * from a k-means fit (IvfIndex.build) or any deterministic sample. */
   def embeddingNearDuplicatesBucketed(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Double]], minCosine: Double, probes: Int = 1): DataFrame = {
-    val assigned = assignClusters(df, vecCol, idCol, centroids, probes)
+    // cache: both self-join sides would otherwise recompute the assignment
+    val assigned = assignClusters(df, vecCol, idCol, centroids, probes).cache()
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("cluster"))
+    val joined = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .distinct() // a pair may share several probed clusters
+    // multi-probe can co-bucket a pair more than once; probes=1 cannot, so
+    // skip the (array-keyed, shuffle-heavy) distinct there
+    val cand = if (probes == 1) joined else joined.distinct()
+    cand
       .withColumn("cos_sim", lit(1.0) - cosine_distance(col("va"), col("vb")))
       .filter(col("cos_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))

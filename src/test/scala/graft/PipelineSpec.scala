@@ -109,6 +109,17 @@ class PipelineSpec extends SparkSpec {
     assert(q(0L) > q(8L))
   }
 
+  test("duplicateClusters labels every component by its min id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, {20,21,22} (star), {5,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 5L -> 5L, 9L -> 5L), got)
+  }
+
   test("bucketed embedding near-dup: subset of brute force, recall >= 0.95") {
     import spark.implicits._
     // 10 tight direction-clusters on the unit sphere: real near-dups
