@@ -84,6 +84,29 @@ object QueriesPipeline {
         .select(col("id").as("doc_id"), col("sim").as("simhash"))
         .orderBy(col("doc_id"))
     }),
+    // sparse search at corpus scale: hashed-vocab tf vectors scored by the
+    // inverted-list plan (postings joined on the query's nonzero dims) —
+    // the batch-scale path for sparse vectors (V2/V5 sparse analog);
+    // integral tf values keep the dot products exact in both engines
+    "v2_sparse_inverted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val posting = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(graft.functions.hash60(col("tok")), lit(1024)).cast("int").as("dim"))
+        .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
+      val sparse = posting
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("v")))).as("ps"))
+        .select(col("doc_id"),
+          struct(transform(col("ps"), p => p.getField("dim")).as("indices"),
+            transform(col("ps"), p => p.getField("v")).as("values")).as("sv"))
+      val q0 = sparse.filter(col("doc_id") === 0).select("sv").head().getStruct(0)
+      graft.query.SparseSearch.topKDot(sparse, "sv", "doc_id",
+          q0.getSeq[Int](0).toArray, q0.getSeq[Float](1).toArray, k = 20)
+        .select(col("id").as("doc_id"), col("dot").cast("long").as("dot"))
+    }),
+
     // canonical-doc selection: connected components over the LSH near-dup
     // pairs, min-id label per component (what a dedup pipeline keeps)
     "dd_dup_clusters" -> ((s, dir) => {
@@ -270,6 +293,17 @@ object QueriesPipeline {
          |  FROM cand JOIN tokd x ON cand.id_a = x.doc_id JOIN tokd y ON cand.id_b = y.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "v2_sparse_inverted" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $sqlToks toks FROM documents),
+         |posting AS (
+         |  SELECT doc_id, ${sqlHash60("t.tok")} % 1024 AS dim, count(*) AS v
+         |  FROM tok, unnest(toks) AS t(tok) GROUP BY 1, 2),
+         |q AS (SELECT dim, v AS qval FROM posting WHERE doc_id = 0)
+         |SELECT p.doc_id, CAST(sum(p.v * q.qval) AS BIGINT) AS dot
+         |FROM posting p JOIN q ON p.dim = q.dim
+         |GROUP BY p.doc_id
+         |ORDER BY dot DESC, p.doc_id ASC LIMIT 20""".stripMargin,
     "dd_dup_clusters" ->
       s"""WITH RECURSIVE tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),

@@ -234,11 +234,18 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pkCol)
           .orderBy(if (upsert) col(BatchOrd).desc else col(BatchOrd).asc)
-        val deduped = ordered
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val flagged = ordered.withColumn("__rn", row_number().over(w))
+        val deduped = flagged.filter(col("__rn") === 1).drop("__rn")
+        // one job for (batch total, in-batch survivors) — two counts would
+        // be two full passes over the cached batch
+        def batchCounts(): (Long, Long) = {
+          val r = flagged.agg(
+            org.apache.spark.sql.functions.count(lit(1)),
+            org.apache.spark.sql.functions.count(when(col("__rn") === 1, lit(1)))).head()
+          (r.getLong(0), r.getLong(1))
+        }
         if (!hasData) {
-          val n = ordered.count(); val kept = deduped.count()
+          val (n, kept) = batchCounts()
           (deduped, n - kept, None)
         } else {
           val existing = read().select(col(pk.name), col(RowId))
@@ -246,11 +253,11 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
             // old versions of upserted PKs get tombstoned (last wins)
             val olds = existing.join(deduped.select(pkCol), Seq(pk.name), "left_semi")
               .select(col(RowId))
-            val n = ordered.count(); val kept = deduped.count()
+            val (n, kept) = batchCounts()
             (deduped, n - kept, Some(olds))
           } else {
             val fresh = deduped.join(existing.select(pkCol), Seq(pk.name), "left_anti")
-            val n = ordered.count(); val kept = fresh.count()
+            val n = batchCounts()._1; val kept = fresh.count()
             (fresh, n - kept, None)
           }
         }
