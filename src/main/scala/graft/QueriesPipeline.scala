@@ -95,12 +95,14 @@ object QueriesPipeline {
         .select(col("doc_id"),
           pmod(graft.functions.hash60(col("tok")), lit(1024)).cast("int").as("dim"))
         .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
+      // cache: read once for the query-vector lookup and once for the scan
       val sparse = posting
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("dim"), col("v")))).as("ps"))
         .select(col("doc_id"),
           struct(transform(col("ps"), p => p.getField("dim")).as("indices"),
             transform(col("ps"), p => p.getField("v")).as("values")).as("sv"))
+        .cache()
       val q0 = sparse.filter(col("doc_id") === 0).select("sv").head().getStruct(0)
       graft.query.SparseSearch.topKDot(sparse, "sv", "doc_id",
           q0.getSeq[Int](0).toArray, q0.getSeq[Float](1).toArray, k = 20)

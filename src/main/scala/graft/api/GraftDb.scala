@@ -152,13 +152,12 @@ class GraftDb(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.col
     val rowId = graft.store.TableStore.RowId
     val path = s"$root/${st.schema.name}/ivf_$queryField"
-    val dense = qv match {
+    lazy val dense = qv match {
       case DenseQuery(v) => v
       case _ => throw new IllegalArgumentException("ANN supports dense queries")
     }
     val live = st.read()
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json"))) {
-      // no index: exact search (brute-force-below-threshold semantics)
+    def exact(): org.apache.spark.sql.DataFrame = {
       val field = st.schema.field(queryField)
       val withDist = live.withColumn("@distance",
         QueryEngine.distanceColumn(field, qv))
@@ -166,7 +165,14 @@ class GraftDb(val spark: SparkSession, val root: String,
         if (filter.nonEmpty)
           withDist.filter(graft.filter.FilterTranslator.translate(filter, withDist.schema))
         else withDist
-      return filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
+      filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
+    }
+    // sparse fields have no IVF layout (dense centroids) — exact search is
+    // the sparse path; SparseSearch.topKDot is the batch-scale alternative
+    if (qv.isInstanceOf[SparseQuery]) return exact()
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json"))) {
+      // no index: exact search (brute-force-below-threshold semantics)
+      return exact()
     }
     val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
     val tail = live.filter(col(rowId) > idx.indexedWatermark())

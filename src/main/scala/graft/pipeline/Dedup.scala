@@ -185,28 +185,16 @@ object Dedup {
     * oracle can reproduce the assignment bit-for-bit. */
   def assignClusters(df: DataFrame, vecCol: String, idCol: String,
       centroids: Array[Array[Double]], probes: Int = 1): DataFrame = {
-    // STAGED projections (same reason as minhashSignatures): the norm must
-    // be its own column before the per-element division references it —
-    // inlining sqrt(aggregate(...)) inside the transform lambda makes
-    // Catalyst re-evaluate the whole O(dim) aggregate per element, and the
-    // 16 distance aggregates then multiply that again (O(dim^2 * k) per
-    // row; measured 34 s for 2k rows at sf0.1 before staging).
-    val normed = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("__norm", sqrt(aggregate(col("v"), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      .select(col("id"), col("v"),
-        transform(col("v"), x => x.cast("double") / col("__norm")).as("__vd"))
-    val dists = centroids.zipWithIndex.map { case (c, k) =>
-      struct(
-        aggregate(zip_with(col("__vd"), lit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x).as("dist"),
-        lit(k).as("cid"))
-    }
-    normed
-      .withColumn("near", slice(array_sort(array(dists: _*)), 1, probes))
-      .select(col("id"), col("v"), explode(col("near")).as("nc"))
-      .select(col("id"), col("v"), col("nc.cid").as("cluster"))
+    // one codegen'd pass per row (normalize + k sequential-double L2²
+    // distances + top-probes selection) — the equivalent formulation with
+    // aggregate(zip_with(...)) higher-order functions pays interpreted
+    // lambda cost per element per centroid (~11 s for 2k rows at sf0.1)
+    val nearCol = org.apache.spark.sql.graftbridge.CatalystBridge.column(
+      graft.functions.NearestCentroidsExact(
+        org.apache.spark.sql.graftbridge.CatalystBridge.expression(col(vecCol)),
+        centroids, probes))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), nearCol.as("near"))
+      .select(col("id"), col("v"), explode(col("near")).as("cluster"))
   }
 
   /** Duplicate clusters from a near-dup pair list: every id that appears

@@ -86,6 +86,26 @@ class ApiSpec extends SparkSpec {
     assert(!dbe.rebuildIndex("Docs", "Emb")) // below brute-force threshold
   }
 
+  test("ann:true with a sparse query falls back to exact sparse search") {
+    val dbs = new GraftDb(spark, tmpDir("graftdb_sparse"))
+    dbs.createTable(
+      """{"name":"Sp","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    dbs.insert(
+      """{"table":"Sp","data":[
+        |{"ID":1,"SV":{"indices":[0,3],"values":[1.0,2.0]}},
+        |{"ID":2,"SV":{"indices":[1,2],"values":[3.0,1.0]}},
+        |{"ID":3,"SV":{"indices":[0,3],"values":[1.1,2.1]}}]}""".stripMargin)
+    val resp = dbs.query(
+      """{"table":"Sp","queryField":"SV","limit":1,"ann":true,
+        |"queryVector":{"indices":[0,3],"values":[1.0,2.0]}}""".stripMargin)
+    val ids = (JsonMethods.parse(resp) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "ID") match { case JInt(i) => i.toInt; case _ => fail("no ID") })
+    assert(ids == List(1), resp)
+  }
+
   test("render cap: big results refuse JSON unless unbounded; DataFrame surface stays lazy") {
     import spark.implicits._
     val capped = new GraftDb(spark, tmpDir("graftdb_cap"), maxRenderRows = 50)
