@@ -205,11 +205,41 @@ object Dedup {
     * shallow (stars/short chains), so this converges in a handful of
     * rounds even when the pair list is billions of edges; there is no
     * all-pairs step anywhere. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 100000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val norm = pairs.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).cache()
+    // size-adaptive cutover (same idea as broadcast joins): a small edge
+    // set resolves in one collect + union-find instead of paying several
+    // rounds of join/shuffle overhead; the distributed loop below is the
+    // 100 TB path
+    if (norm.count() <= driverThreshold) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      norm.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id => the root IS the canonical id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      norm.unpersist()
+      return labels.toDF("id", "cluster")
+    }
+    val edges = norm
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(norm
+        .select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).cache()

@@ -114,10 +114,16 @@ class PipelineSpec extends SparkSpec {
     // components: {1,2,3} (chain), {10,11}, {20,21,22} (star), {5,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (5L, 9L))
       .toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 5L -> 5L, 9L -> 5L)
+    // driver union-find path (small edge set)...
+    val small = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 5L -> 5L, 9L -> 5L), got)
+    assert(small == want, small)
+    // ...and the distributed min-label loop must agree
+    val dist = Dedup.duplicateClusters(pairs, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want, dist)
   }
 
   test("bucketed embedding near-dup: subset of brute force, recall >= 0.95") {
