@@ -84,6 +84,50 @@ object QueriesPipeline {
         .select(col("id").as("doc_id"), col("sim").as("simhash"))
         .orderBy(col("doc_id"))
     }),
+    // PII/noise scrubbing over text with injected URLs/emails/digit runs
+    // (the raw corpus is clean prose, so the fixtures are planted
+    // identically in both engines before scrubbing)
+    "tx_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com see http://ex.com/p/"), col("doc_id").cast("string"),
+              lit(" ref 1234567890"))).otherwise(lit(""))))
+      injected.select(col("doc_id"),
+          TextAnalysis.scrub(col("t")).as("scrubbed"),
+          regexp_count(col("t"), lit(TextAnalysis.UrlPattern)).as("n_urls"),
+          regexp_count(col("t"), lit(TextAnalysis.EmailPattern)).as("n_emails"),
+          regexp_count(col("t"), lit(TextAnalysis.LongDigitsPattern)).as("n_nums"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic data mixing: hash-bucket stratified sample by language
+    "pl_stratified_sample" -> ((s, dir) =>
+      Pipelines.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // token-budget sequence packing: greedy running-sum batches
+    "pl_pack_batches" -> ((s, dir) => {
+      val sized = t(s, dir, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Pipelines.packBySize(sized, "n_tokens", "doc_id", budget = 2000L)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("batch_id"))
+    }),
+
+    // train/test decontamination: shingle overlap of the training split
+    // (doc_id >= 20) against the "benchmark" split (doc_id < 20)
+    "dd_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sparse search at corpus scale: hashed-vocab tf vectors scored by the
     // inverted-list plan (postings joined on the query's nonzero dims) —
     // the batch-scale path for sparse vectors (V2/V5 sparse analog);
@@ -295,6 +339,53 @@ object QueriesPipeline {
          |  FROM cand JOIN tokd x ON cand.id_a = x.doc_id JOIN tokd y ON cand.id_b = y.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "tx_scrub" -> {
+      import graft.pipeline.TextAnalysis.{UrlPattern, EmailPattern, LongDigitsPattern}
+      s"""WITH base AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+         |    THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@example.com see http://ex.com/p/' || CAST(doc_id AS VARCHAR) ||
+         |         ' ref 1234567890'
+         |    ELSE '' END AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$UrlPattern', '<URL>', 'g'),
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$LongDigitsPattern', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(t, '$UrlPattern')) AS n_urls,
+         |  len(regexp_extract_all(t, '$EmailPattern')) AS n_emails,
+         |  len(regexp_extract_all(t, '$LongDigitsPattern')) AS n_nums
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+    "pl_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 <
+         |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+    "pl_pack_batches" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |sized AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      / 2000.0) AS BIGINT) AS batch_id
+         |  FROM sized)
+         |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "dd_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+         |h AS (SELECT doc_id, list_distinct($sqlShingleHashes) hs FROM tkh),
+         |bench AS (SELECT DISTINCT x.h FROM (
+         |  SELECT unnest(hs) AS h FROM h WHERE doc_id < 20) x),
+         |cand AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+         |  FROM h WHERE doc_id >= 20)
+         |SELECT c.doc_id, c.n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
+         |  round(CAST(count(*) AS DOUBLE) / c.n_shingles, 6) AS overlap
+         |FROM cand c JOIN bench b ON c.h = b.h
+         |GROUP BY c.doc_id, c.n_shingles ORDER BY c.doc_id""".stripMargin,
     "v2_sparse_inverted" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),

@@ -197,6 +197,31 @@ object Dedup {
       .select(col("id"), col("v"), explode(col("near")).as("cluster"))
   }
 
+  /** Train/test contamination check: fraction of a document's distinct
+    * shingles that appear anywhere in a benchmark corpus. The benchmark's
+    * distinct shingle-hash set is corpus-wide tiny relative to the
+    * training set (it's an eval suite), so the overlap join broadcasts;
+    * the training side is one explode + one groupBy — no pairwise doc
+    * comparison anywhere. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int = 3): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingleHashesFromTokenHashes(col("th"), shingleLen)).as("hs"))
+    val benchSet = shingled(benchmark)
+      .select(explode(col("hs")).as("h")).distinct()
+    val docShingles = shingled(docs)
+      .select(col("id"), size(col("hs")).as("n_shingles"), explode(col("hs")).as("h"))
+    docShingles
+      .join(broadcast(benchSet), Seq("h"), "left_semi")
+      .groupBy(col("id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+      .select(col("id"), col("n_shingles"), col("n_shared"), col("overlap"))
+  }
+
   /** Duplicate clusters from a near-dup pair list: every id that appears
     * in a pair gets a canonical id = the MIN id of its connected
     * component (the doc a dedup pipeline keeps). Iterative min-label

@@ -13,6 +13,38 @@ object Pipelines {
     * shuffle-minimal: the quality gate is a narrow map, exact dedup is one
     * digest shuffle, near-dup is the LSH band join over the survivors only.
     */
+  /** Deterministic hash-based stratified sampling — the data-mixing stage
+    * of a training pipeline ("50% en, 25% de, 10% everything else").
+    * Membership is a pure function of the row id (md5-hash bucket < rate),
+    * so the sample is reproducible across runs/engines and never shuffles:
+    * one narrow filter, no sampleBy randomness, no global sort. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val bucket = pmod(graft.functions.hash60(col(idCol).cast("string")), lit(1000))
+    val rate = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    docs.filter(bucket < rate * 1000)
+  }
+
+  /** Token-budget sequence packing: assign rows (ordered by `orderCol`) to
+    * consecutive batches so each batch holds ~`budget` units of `sizeCol`
+    * (a row straddling the boundary starts inside its batch — the greedy
+    * running-sum rule). One window pass. The window here is global (one
+    * partition); at 100 TB pack per shard instead: repartition by a shard
+    * key and add it to the partitionBy — packing quality is per-shard
+    * local, which is what batch assembly wants anyway. */
+  def packBySize(docs: DataFrame, sizeCol: String, orderCol: String,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("batch_id",
+        floor((col("__cum") - col(sizeCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {

@@ -165,6 +165,23 @@ object TextAnalysis {
       i => window(i, shingleLen)))
   }
 
+  /** PII / noise scrubbing patterns — written to behave identically under
+    * Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsPattern = "[0-9]{7,}"
+
+  /** Scrub URLs, emails and long digit runs (ids/phone numbers) from text
+    * — the PII-masking stage of a training pipeline. Order matters: URLs
+    * first (emails can appear inside them), then emails, then digit runs.
+    * Narrow codegen'd map, no shuffle. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      LongDigitsPattern, "<NUM>")
+
   /** Document fingerprint = min shingle-hash (the winnowing/rolling-hash
     * family collapsed to its cheapest deterministic member: identical docs
     * get identical fingerprints; near-identical docs collide with

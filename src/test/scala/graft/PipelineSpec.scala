@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, TextAnalysis, Multimodal}
+import graft.pipeline.{Dedup, TextAnalysis, Multimodal, Pipelines}
 
 /** Unit tests for the training-data pipeline operators on hand-rolled docs
   * (the testdata tables are covered by the oracle gate; these pin semantics
@@ -107,6 +107,54 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(q(0L) > q(4L))
     assert(q(0L) > q(8L))
+  }
+
+  test("scrub masks URLs, emails, long digit runs; leaves prose alone") {
+    import spark.implicits._
+    val out = Seq(
+      "visit https://ex.com/a?b=1 or mail bob.smith+x@corp.example.org id 123456789",
+      "plain text with short 123 numbers")
+      .toDF("t").select(TextAnalysis.scrub(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "visit <URL> or mail <EMAIL> id <NUM>", out(0))
+    assert(out(1) == "plain text with short 123 numbers")
+  }
+
+  test("stratified sample hits the per-stratum rates deterministically") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else if (i % 4 == 1) "de" else "fr")).toDF("id", "lang")
+    val s1 = Pipelines.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.25), 0.1)
+    val s2 = Pipelines.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.25), 0.1)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // reproducible
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.5) < 0.05, byLang)
+    assert(math.abs(byLang("de") / 1000.0 - 0.25) < 0.05, byLang)
+    assert(math.abs(byLang("fr") / 1000.0 - 0.1) < 0.05, byLang)
+  }
+
+  test("packBySize: batches respect the greedy running-sum rule") {
+    import spark.implicits._
+    val df = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 100L), (5L, 10L))
+      .toDF("id", "sz")
+    val got = Pipelines.packBySize(df, "sz", "id", budget = 100L)
+      .select("id", "batch_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cum-exclusive: 0,40,90,120,220 -> batches 0,0,0,1,2
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L), got)
+  }
+
+  test("contamination finds planted benchmark overlap only") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "t")
+    val train = Seq(
+      (1L, "the quick brown fox jumps high today"), // shares a shingle prefix
+      (2L, "completely different words entirely here")).toDF("id", "t")
+    val got = Dedup.contamination(train, bench, "t", "id")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L), got)
   }
 
   test("duplicateClusters labels every component by its min id") {
