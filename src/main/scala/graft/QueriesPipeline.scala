@@ -296,6 +296,35 @@ object QueriesPipeline {
         .orderBy(col("c_custkey"))
     }),
 
+    // A3: geo-index uplift — prune to the grid cells intersecting the
+    // query circle (the reference's R-tree candidate fetch,
+    // expr_evaluator.cpp:260-282), then re-verify the exact predicate.
+    // The oracle is the predicate WITHOUT pruning: a dropped candidate
+    // would hash-fail, so the prune's completeness is driver-checked.
+    "a3_geo_prune" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("lat", (col("c_custkey") * 37 % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon", (col("c_custkey") * 73 % 360 - 180).cast("double") + 0.5)
+      val (cLat, cLon, r) = (0.5, 0.5, 2000.0)
+      val cells = graft.functions.geoCellsForRadius(cLat, cLon, r, cellDeg = 5.0)
+      c.withColumn("cell", graft.functions.geo_cell(col("lat"), col("lon"), 5.0))
+        .filter(col("cell").isin(cells: _*)) // index prune
+        .filter(graft.functions.haversine_km(col("lat"), col("lon"),
+          lit(cLat), lit(cLon)) <= r) // residual verify
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }),
+
+    // S6: CSV source round-trip — write scalar columns as CSV, read back
+    // through the CSV source; identity vs the parquet-sourced oracle
+    "s6_csv_load" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(dir.hashCode)}"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT").csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------- multimodal plumbing ----------
     "mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
@@ -614,6 +643,17 @@ object QueriesPipeline {
       s"""SELECT c_custkey, round($d, 3) AS dist_km FROM customer
          |WHERE $d <= 3000 ORDER BY c_custkey""".stripMargin
     },
+    "a3_geo_prune" -> {
+      val lat = "(CAST(c_custkey * 37 % 180 - 90 AS DOUBLE) + 0.5)"
+      val lon = "(CAST(c_custkey * 73 % 360 - 180 AS DOUBLE) + 0.5)"
+      val rad = "0.017453292519943295" // Pi/180, exact double literal both engines
+      val d = s"2.0 * 6371.0 * asin(sqrt(pow(sin(($lat - 0.5) * $rad / 2.0), 2) + " +
+        s"cos(0.5 * $rad) * cos($lat * $rad) * pow(sin(($lon - 0.5) * $rad / 2.0), 2)))"
+      s"""SELECT c_custkey FROM customer
+         |WHERE $d <= 2000 ORDER BY c_custkey""".stripMargin
+    },
+    "s6_csv_load" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
