@@ -27,7 +27,16 @@ object Bench {
     // JVM/codegen/file-listing warm-up on the smallest SF (not measured)
     try SparkEntry.queries.get("q1_agg").foreach(run) catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional single-query focus (comma-separated), e.g. for profiling:
+    // SPARK_GRAFT_BENCH_ONLY=dd_contamination,tx_stats
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false

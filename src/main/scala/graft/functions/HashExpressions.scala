@@ -48,6 +48,46 @@ object Hash60 {
   }
 }
 
+/** Whitespace-tokenize + 60-bit-md5-hash + mod-p, in one pass per row —
+  * bit-identical to `transform(tokens(text), t -> pmod(hash60(t), p))`
+  * (space-only trim like Spark's `trim`, Java-regex `\s+` split with
+  * limit -1), but with no interpreted higher-order-function lambdas: the
+  * HOF form pays lambda-interpretation cost per token and, being
+  * non-codegen, re-evaluates under a Generate per OUTPUT row. */
+case class TokenHashesMod(child: Expression, p: Long) extends UnaryExpression {
+  override def prettyName: String = "token_hashes_mod"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TokenHashesMod.compute(v.asInstanceOf[UTF8String], p)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashesMod$$.MODULE$$.compute($c, ${p}L);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TokenHashesMod {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  def compute(s: UTF8String, p: Long): ArrayData = {
+    val str = s.toString
+    // space-only trim — Spark's trim() strips 0x20, not all whitespace
+    var b = 0
+    var e = str.length
+    while (b < e && str.charAt(b) == ' ') b += 1
+    while (e > b && str.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return new GenericArrayData(Array.emptyLongArray)
+    val toks = ws.split(str.substring(b, e), -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Hash60.compute(UTF8String.fromString(toks(i))) % p
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** All k affine minhash minimums in one pass over the hash array.
   * Empty input -> array of p (the family's "infinity"), matching the
   * composed form. */

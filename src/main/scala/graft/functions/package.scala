@@ -48,6 +48,9 @@ package object functions {
   /** 60-bit simhash from an array<long> of token hashes. */
   def simhash_bits(c: Column): Column = col(SimHashBits(ex(c)))
 
+  /** Tokenize + hash60 + mod-p in one codegen'd pass (see TokenHashesMod). */
+  def token_hashes_mod(c: Column, p: Long): Column = col(TokenHashesMod(ex(c), p))
+
   /** Great-circle distance in km on the reference's 6371-km sphere
     * (reference: engine/db/index/spatial/geoindex.cpp:41-59 haversine).
     * Composed from built-ins so the whole predicate stays inside

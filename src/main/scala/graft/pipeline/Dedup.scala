@@ -209,9 +209,15 @@ object Dedup {
       .select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
       .select(col("id"),
         array_distinct(TextAnalysis.shingleHashesFromTokenHashes(col("th"), shingleLen)).as("hs"))
-    val benchSet = shingled(benchmark)
+    // materialize the shingle arrays BEFORE each explode: a Generate over
+    // a (non-codegen, HOF-built) array expression re-evaluates it per
+    // OUTPUT row — the uncached benchmark side alone was 15.9 s vs 0.9 s
+    // at sf0.1; same reason lshCandidatePairs caches its banded frame
+    val benchHs = shingled(benchmark).cache()
+    val benchSet = benchHs
       .select(explode(col("hs")).as("h")).distinct()
-    val docShingles = shingled(docs)
+    val docHs = shingled(docs).cache()
+    val docShingles = docHs
       .select(col("id"), size(col("hs")).as("n_shingles"), explode(col("hs")).as("h"))
     docShingles
       .join(broadcast(benchSet), Seq("h"), "left_semi")

@@ -136,9 +136,11 @@ object TextAnalysis {
   private[pipeline] val R2 = 2000003L
   private[pipeline] val R3 = 3000017L
 
-  /** Per-token 31-bit hashes. */
+  /** Per-token 31-bit hashes — codegen'd single pass (the HOF composition
+    * `transform(tokens(text), t -> pmod(hash60(t), P))` is the tested
+    * reference form; see HashExprSpec equivalence). */
   def tokenHashesMod(text: Column): Column =
-    transform(tokens(text), t => pmod(hash60(t), lit(P)))
+    graft.functions.token_hashes_mod(text, P)
 
   /** Polynomial-combine coefficient for shingle position j (R1..R3 for the
     * default 3-gram; deterministic extension beyond). Products stay well

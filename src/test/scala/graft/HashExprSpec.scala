@@ -36,6 +36,24 @@ class HashExprSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("token_hashes_mod == transform(tokens, t -> pmod(hash60(t), P)) composed form") {
+    import graft.pipeline.TextAnalysis
+    val rnd = new scala.util.Random(5)
+    val words = Vector("alpha", "beta", "Gamma", "x", "", "Ümlaut", "123")
+    val strs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    } ++ Seq("", "   ", " leading", "trailing ", "tab\tinside", "\tleads")
+    val df = strs.toDF("s")
+    val p = 2147483647L
+    val bad = df.select(
+      graft.functions.token_hashes_mod(col("s"), p).as("fast"),
+      transform(TextAnalysis.tokens(col("s")),
+        t => pmod(graft.functions.hash60(t), lit(p))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
   test("hash60 == conv(substr(md5,1,15),16,10)") {
     val rnd = new scala.util.Random(1)
     val strs = (0 until 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) :+ ""
