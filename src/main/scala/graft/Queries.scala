@@ -140,6 +140,20 @@ object Queries {
         .orderBy(col("@distance").asc, col("vec_id").asc)
         .limit(10).select(col("vec_id"))
     }),
+    // V5/S3: IVF with nProbe = ALL clusters degenerates to exact search,
+    // so the whole index lifecycle (k-means build -> save -> load ->
+    // partition-pruned scan -> top-K merge) is value-checked against the
+    // brute-force oracle — the approximation is ONLY the probe cut,
+    // verified separately by recall gates.
+    "v5_ivf_fullprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_full_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8)
+        .select(col("vec_id"))
+    }),
+
     // V5: IVF ANN search (no SQL oracle — approximate; recall vs exact is
     // gated in SemicircleSpec). Small tables brute-force, mirroring the
     // reference's BruteforceThreshold.
@@ -318,6 +332,9 @@ object Queries {
       s"""SELECT vec_id, label FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v2_sparse_topk" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v5_ivf_fullprobe" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v10_distance_filter" ->
