@@ -184,10 +184,23 @@ class GraftDb(val spark: SparkSession, val root: String,
       if (filter.nonEmpty)
         Some(graft.filter.FilterTranslator.translate(filter, searchedSchema))
       else None
-    idx.search(queryField, dense, limit, nProbe = 8,
-        freshTail = Some(tail), preFilter = pre,
-        excludeIds = st.tombstoneIds())
-      .drop("cluster")
+    val tombs = st.tombstoneIds()
+    val nClusters = idx.centroids().length
+    var nProbe = math.min(8, nClusters)
+    var cut = idx.search(queryField, dense, limit, nProbe,
+      freshTail = Some(tail), preFilter = pre, excludeIds = tombs)
+    // a selective filter can leave fewer than `limit` survivors inside the
+    // probed clusters even though matches exist elsewhere — widen the
+    // probe until the cut fills or the scan is exhaustive (the reference
+    // under-fills instead: bounded pool, vec_search_executor.cpp:905-928)
+    if (pre.isDefined) {
+      while (nProbe < nClusters && cut.count() < limit) {
+        nProbe = math.min(nClusters, nProbe * 4)
+        cut = idx.search(queryField, dense, limit, nProbe,
+          freshTail = Some(tail), preFilter = pre, excludeIds = tombs)
+      }
+    }
+    cut.drop("cluster")
   }
 
   /** POST /data/get analog: filtered scan / PK lookup with pagination.

@@ -87,6 +87,39 @@ class SemicircleSpec extends SparkSpec {
     assert(ids == (0 until 20).toList, s"got $ids")
   }
 
+  test("GraftDb ANN path: selective filter widens the probe instead of under-filling") {
+    val root = tmpDir("graftdb_ann_widen")
+    val db = new graft.api.GraftDb(spark, root)
+    db.createTable(
+      """{"name":"Semi","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Theta","dataType":"STRING"},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":2,"metricType":"COSINE"}]}""".stripMargin)
+    val rows = (0 until N).map { i =>
+      val theta = math.Pi * i / N
+      org.apache.spark.sql.Row(i, theta.toString,
+        Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    db.store("Semi").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema.structType))
+    assert(db.rebuildIndex("Semi", "Vec"))
+    // query near theta=0, but the filter only admits the FAR end of the
+    // semicircle — those rows live in clusters the initial 8 probes of 64
+    // never touch; without widening the result under-fills
+    val resp = db.query(
+      s"""{"table":"Semi","queryField":"Vec","queryVector":[1.0,0.0],
+         |"limit":15,"ann":true,"filter":"ID >= ${N - 200}","response":["ID"]}""".stripMargin)
+    val ids = org.json4s.jackson.JsonMethods.parse(resp) \ "result" match {
+      case org.json4s.JArray(a) => a.map(r => (r \ "ID") match {
+        case org.json4s.JInt(i) => i.toInt
+        case other => fail(s"bad ID $other")
+      })
+      case _ => fail("no result")
+    }
+    // nearest 15 admitted rows = the lowest admitted ids (closest to the query)
+    assert(ids == (N - 200 until N - 185).toList, s"got $ids")
+  }
+
   test("incremental append: new rows searchable without full rebuild") {
     val dir = tmpDir("ivf_append")
     val even = store.read().filter(col("ID") % 2 === 0)
