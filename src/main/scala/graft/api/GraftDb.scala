@@ -68,8 +68,9 @@ class GraftDb(val spark: SparkSession, val root: String,
     * JSON in, JSON out (rendering is capped — see `render`); use
     * `queryDataFrame` as the primary surface for large results. */
   def query(requestJson: String): String = {
-    val (out, facetDfs, facets, unbounded) = queryPlan(requestJson)
-    render(out, facetDfs, facets, unbounded)
+    val (out, facetDfs, facets, unbounded, cleanup) = queryPlan(requestJson)
+    try render(out, facetDfs, facets, unbounded)
+    finally cleanup()
   }
 
   /** DataFrame-returning query: the result stays distributed (nothing is
@@ -77,7 +78,7 @@ class GraftDb(val spark: SparkSession, val root: String,
   def queryDataFrame(requestJson: String): DataFrame = queryPlan(requestJson)._1
 
   private def queryPlan(requestJson: String)
-      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean) = {
+      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean, () => Unit) = {
     val req = JsonMethods.parse(requestJson)
     val table = str(req \ "table")
     val st = store(table)
@@ -119,14 +120,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     if (useAnn) {
       val cut0 = queryAnnCut(st, queryField, qv, limit, filter)
       // facets aggregate the post-limit result, same as the exact path;
-      // cache so each facet doesn't redo the pruned scan (small: <= limit rows)
+      // cache so each facet doesn't redo the pruned scan (small: <= limit
+      // rows) — released by the cleanup thunk after rendering
       val cut = if (facets.nonEmpty) cut0.cache() else cut0
+      val cleanup = if (facets.nonEmpty) () => { cut.unpersist(); () } else () => ()
       (QueryEngine.project(cut, st.schema, response, withDistance),
-        facets.map(QueryEngine.facet(cut, _)), facets, unbounded)
+        facets.map(QueryEngine.facet(cut, _)), facets, unbounded, cleanup)
     } else {
       val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
         SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
-      (out, facetDfs, facets, unbounded)
+      (out, facetDfs, facets, unbounded, () => ())
     }
   }
 
