@@ -140,6 +140,16 @@ object Queries {
         .orderBy(col("@distance").asc, col("vec_id").asc)
         .limit(10).select(col("vec_id"))
     }),
+    // int8-quantized vector scan: top-K over reconstructed vectors — the
+    // 4x-fewer-bytes scan path; the affine code/decode is exact-mirrored
+    // in the oracle (explicit floor(y+0.5) rounding both engines)
+    "vq_int8_topk" -> ((s, dir) => {
+      val q = SparkEntry.queryVectorOf(s, dir).map(_.toDouble)
+      graft.pipeline.Quantize.topKL2Quantized(
+          t(s, dir, "embeddings"), "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"))
+    }),
+
     // V5/S3: IVF with nProbe = ALL clusters degenerates to exact search,
     // so the whole index lifecycle (k-means build -> save -> load ->
     // partition-pruned scan -> top-K merge) is value-checked against the
@@ -337,6 +347,25 @@ object Queries {
     "v5_ivf_fullprobe" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vq_int8_topk" -> {
+      val qd = s"(SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings WHERE vec_id = 0)"
+      s"""WITH qz AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+         |    CAST(list_max(embedding) AS DOUBLE) AS mx
+         |  FROM embeddings),
+         |dq AS (
+         |  SELECT vec_id,
+         |    CASE WHEN mx = mn THEN list_transform(embedding, x -> mn)
+         |         ELSE list_transform(embedding, x ->
+         |           mn + floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255.0 + 0.5)
+         |                * (mx - mn) / 255.0) END AS v
+         |  FROM qz)
+         |SELECT vec_id FROM dq
+         |ORDER BY list_sum(list_transform(list_zip(v, $qd),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, vec_id ASC
+         |LIMIT 10""".stripMargin
+    },
     "v10_distance_filter" ->
       s"""SELECT vec_id, label FROM embeddings
          |WHERE ${sqlL2sqr("embedding", QV)} <= 1.4 AND label >= 3

