@@ -50,13 +50,19 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** Load (or create) a database; default path = `<rootDir>/<name>`. */
+  /** Load (or create) a database; default path = `<rootDir>/<name>`.
+    * Re-loading an already-loaded name with a DIFFERENT explicit path is
+    * an error — silently returning the instance at the old path would hand
+    * the caller the wrong database. */
   def load(name: String, path: String = null): GraftDb = {
-    val p = Option(path).getOrElse(s"$rootDir/$name")
     val db = dbs.getOrElseUpdate(name, {
+      val p = Option(path).getOrElse(s"$rootDir/$name")
       Files.createDirectories(Paths.get(p))
       new GraftDb(spark, p)
     })
+    if (path != null && db.root != path)
+      throw new IllegalArgumentException(
+        s"database $name is already loaded from ${db.root}; requested $path")
     persist()
     db
   }

@@ -74,10 +74,13 @@ class GraftDb(val spark: SparkSession, val root: String,
   }
 
   /** DataFrame-returning query: the result stays distributed (nothing is
-    * collected to the driver until the caller acts on it). */
-  def queryDataFrame(requestJson: String): DataFrame = queryPlan(requestJson)._1
+    * collected to the driver until the caller acts on it). Facets are
+    * ignored on this surface — computing them would cache the cut with no
+    * render step to release it. */
+  def queryDataFrame(requestJson: String): DataFrame =
+    queryPlan(requestJson, skipFacets = true)._1
 
-  private def queryPlan(requestJson: String)
+  private def queryPlan(requestJson: String, skipFacets: Boolean = false)
       : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean, () => Unit) = {
     val req = JsonMethods.parse(requestJson)
     val table = str(req \ "table")
@@ -116,7 +119,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val useAnn = (req \ "ann") match { case JBool(b) => b; case _ => false }
     val unbounded = (req \ "unbounded") match { case JBool(b) => b; case _ => false }
-    val facets = parseFacets(req \ "facets")
+    val facets = if (skipFacets) Nil else parseFacets(req \ "facets")
     if (useAnn) {
       val cut0 = queryAnnCut(st, queryField, qv, limit, filter)
       // facets aggregate the post-limit result, same as the exact path;
@@ -127,9 +130,9 @@ class GraftDb(val spark: SparkSession, val root: String,
       (QueryEngine.project(cut, st.schema, response, withDistance),
         facets.map(QueryEngine.facet(cut, _)), facets, unbounded, cleanup)
     } else {
-      val (out, facetDfs) = QueryEngine.searchWithFacets(st.read(), st.schema,
+      val (out, facetDfs, cleanup) = QueryEngine.searchWithFacets(st.read(), st.schema,
         SearchRequest(queryField, qv, limit, filter, response, withDistance, facets))
-      (out, facetDfs, facets, unbounded, () => ())
+      (out, facetDfs, facets, unbounded, cleanup)
     }
   }
 
@@ -141,7 +144,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     val st = store(table)
     val f = st.schema.field(field)
     graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
-      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric)._2
+      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric,
+      purgeGen = st.purgeGen())._2
   }
 
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout
@@ -187,11 +191,19 @@ class GraftDb(val spark: SparkSession, val root: String,
       if (filter.nonEmpty)
         Some(graft.filter.FilterTranslator.translate(filter, searchedSchema))
       else None
-    val tombs = st.tombstoneIds()
+    // a compact() since the build purged tombstones the clustered copy
+    // still contains — the cheap tombstone anti-join can no longer mask
+    // every removed row, so restrict candidates to live ids (heavier but
+    // correct) until the purge-mismatch rebuild lands (rebuildVerbose
+    // forces one on generation mismatch)
+    val stale = idx.indexedPurgeGen() < st.purgeGen()
+    val tombs = if (stale) None else st.tombstoneIds()
+    val liveIds = if (stale) Some(live.select(col(rowId))) else None
     val nClusters = idx.centroids().length
     var nProbe = math.min(8, nClusters)
     var cut = idx.search(queryField, dense, limit, nProbe,
-      freshTail = Some(tail), preFilter = pre, excludeIds = tombs)
+      freshTail = Some(tail), preFilter = pre, excludeIds = tombs,
+      restrictIds = liveIds)
     // a selective filter can leave fewer than `limit` survivors inside the
     // probed clusters even though matches exist elsewhere — widen the
     // probe until the cut fills or the scan is exhaustive (the reference
@@ -200,7 +212,8 @@ class GraftDb(val spark: SparkSession, val root: String,
       while (nProbe < nClusters && cut.count() < limit) {
         nProbe = math.min(nClusters, nProbe * 4)
         cut = idx.search(queryField, dense, limit, nProbe,
-          freshTail = Some(tail), preFilter = pre, excludeIds = tombs)
+          freshTail = Some(tail), preFilter = pre, excludeIds = tombs,
+          restrictIds = liveIds)
       }
     }
     cut.drop("cluster")
@@ -212,15 +225,18 @@ class GraftDb(val spark: SparkSession, val root: String,
     * renderer is capped (see `render`) — whole-table dumps belong on the
     * `getDataFrame` surface. */
   def get(requestJson: String): String = {
-    val (out, facetDfs, facets, unbounded) = getPlan(requestJson)
-    render(out, facetDfs, facets, unbounded)
+    val (out, facetDfs, facets, unbounded, cleanup) = getPlan(requestJson)
+    try render(out, facetDfs, facets, unbounded)
+    finally cleanup()
   }
 
-  /** DataFrame-returning scan: the primary surface for large results. */
-  def getDataFrame(requestJson: String): DataFrame = getPlan(requestJson)._1
+  /** DataFrame-returning scan: the primary surface for large results.
+    * Facets are ignored here (no render step to release their cache). */
+  def getDataFrame(requestJson: String): DataFrame =
+    getPlan(requestJson, skipFacets = true)._1
 
-  private def getPlan(requestJson: String)
-      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean) = {
+  private def getPlan(requestJson: String, skipFacets: Boolean = false)
+      : (DataFrame, Seq[DataFrame], Seq[Facet], Boolean, () => Unit) = {
     val req = JsonMethods.parse(requestJson)
     val st = store(str(req \ "table"))
     val filter = (req \ "filter") match { case JString(s) => s; case _ => "" }
@@ -239,10 +255,10 @@ class GraftDb(val spark: SparkSession, val root: String,
       }
       case _ => Nil
     }
-    val facets = parseFacets(req \ "facets")
-    val (out, facetDfs) = QueryEngine.getWithFacets(st.read(), st.schema,
+    val facets = if (skipFacets) Nil else parseFacets(req \ "facets")
+    val (out, facetDfs, cleanup) = QueryEngine.getWithFacets(st.read(), st.schema,
       GetRequest(filter, skip, limit, pks, response, facets))
-    (out, facetDfs, facets, unbounded)
+    (out, facetDfs, facets, unbounded, cleanup)
   }
 
   /** POST /data/delete analog. Returns `{"deleted": n}`. */

@@ -55,24 +55,44 @@ class IvfIndex(
   def dataPath = s"$path/clustered"
   def metaPath = s"$path/ivf_meta.json"
 
-  /** Centroids on the driver (nClusters × dim floats — tiny; loaded once
-    * per index instance). */
-  @transient private lazy val centroidCache: Array[(Int, Array[Float])] =
-    spark.read.parquet(centroidsPath)
-      .collect()
-      .map(r => (r.getAs[Int]("cluster"), r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
-  def centroids(): Array[(Int, Array[Float])] = centroidCache
-
-  /** Clustered table, loaded once per instance: re-reading per query would
-    * re-list every cluster directory (256 FS listings per search). Partition
-    * pruning on the cached relation is plan-time only; append() invalidates. */
+  /** Caches are keyed on the meta content (watermark, count, purge): a
+    * rebuild or append — in THIS process or another JVM sharing the store —
+    * rewrites ivf_meta.json, so a cheap re-read of that tiny file per
+    * access detects cross-process index changes (the reference's follower
+    * replica reloads the saved index on rebuild, table_mvp.cpp:143-170).
+    * Without this a second JVM would serve a stale clustered layout until
+    * it reopened the index. */
+  @transient private var cachedStamp: (Long, Long, Long) = null
+  @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
+
+  private def refreshIfStale(): Unit = {
+    val s = meta()
+    if (s != cachedStamp) { cachedStamp = s; centroidCache = null; clusteredCache = null }
+  }
+
+  /** Centroids on the driver (nClusters × dim floats — tiny; reloaded only
+    * when the index meta changes). */
+  def centroids(): Array[(Int, Array[Float])] = synchronized {
+    refreshIfStale()
+    if (centroidCache == null)
+      centroidCache = spark.read.parquet(centroidsPath)
+        .collect()
+        .map(r => (r.getAs[Int]("cluster"),
+          r.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    centroidCache
+  }
+
+  /** Clustered table, cached per meta stamp: re-reading per query would
+    * re-list every cluster directory (256 FS listings per search). Partition
+    * pruning on the cached relation is plan-time only. */
   def clustered(): DataFrame = synchronized {
+    refreshIfStale()
     if (clusteredCache == null) clusteredCache = spark.read.parquet(dataPath)
     clusteredCache
   }
 
-  private def meta(): (Long, Long) = IvfIndex.readMeta(metaPath)
+  private def meta(): (Long, Long, Long) = IvfIndex.readMeta(metaPath)
 
   /** Max row id covered by the index (rows with id > this are the fresh
     * tail, searched exactly). */
@@ -80,6 +100,13 @@ class IvfIndex(
 
   /** Row count at build time (rebuild-skip heuristic only — NOT an id). */
   def indexedCount(): Long = meta()._2
+
+  /** Store purge generation at build time: when the store's current
+    * generation is higher, a compact() has folded tombstones away since
+    * this build — the tombstone anti-join no longer masks every removed
+    * row and callers must restrict candidates to live ids until the next
+    * rebuild (see TableStore.Snapshot.purge). */
+  def indexedPurgeGen(): Long = meta()._3
 
   /** Incremental maintenance: assign NEW rows to the existing centroids and
     * append them to the clustered layout (no full rebuild — the micro-batch
@@ -105,9 +132,10 @@ class IvfIndex(
       assigned.repartition(c("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cluster").parquet(dataPath)
-      val (wm, cnt) = meta()
-      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n)
-      synchronized { clusteredCache = null } // re-list on next search
+      val (wm, cnt, purge) = meta()
+      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge)
+      // the meta stamp changed — refreshIfStale() re-lists on next access,
+      // here and in any other JVM sharing this index path
     }
     assigned.unpersist()
     n
@@ -124,11 +152,15 @@ class IvfIndex(
     *    applied after the cut can return fewer than k rows despite matches.
     *  - `excludeIds`: tombstoned row ids (tiny; broadcast anti-join) — the
     *    clustered layout is a build-time copy and does not see later deletes.
+    *  - `restrictIds`: live row ids (semi-join) — the correct-but-heavier
+    *    mask for when the tombstone set is no longer complete (a compact()
+    *    purged it since this index was built). Used instead of `excludeIds`.
     */
   def search(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       freshTail: Option[DataFrame] = None,
       preFilter: Option[Column] = None,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
     val cents = centroids()
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     val probed = cents
@@ -140,9 +172,12 @@ class IvfIndex(
     // cluster IN (...) prunes parquet row groups via the partition column
     val pruned = clustered()
       .filter(col("cluster").isin(probed.toSeq: _*))
-    val head = excludeIds match {
-      case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
-      case None => pruned
+    val head = restrictIds match {
+      case Some(live) => pruned.join(live, Seq(idCol), "left_semi")
+      case None => excludeIds match {
+        case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
+        case None => pruned
+      }
     }
     val searched = freshTail match {
       case Some(tail) =>
@@ -165,7 +200,7 @@ object IvfIndex {
     * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
   val MinimalIndexSize = 512
 
-  private[index] def readMeta(metaPath: String): (Long, Long) = {
+  private[index] def readMeta(metaPath: String): (Long, Long, Long) = {
     import org.json4s._
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
@@ -173,12 +208,13 @@ object IvfIndex {
     def long(k: String): Long = (o \ k) match {
       case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
     }
-    (long("watermark"), long("count"))
+    (long("watermark"), long("count"), long("purge"))
   }
 
-  private[index] def writeMeta(metaPath: String, watermark: Long, count: Long): Unit =
+  private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
+      purge: Long): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count}""".getBytes)
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge}""".getBytes)
 
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
     * every 60s): skip when the table is too small or unchanged since the
@@ -188,30 +224,34 @@ object IvfIndex {
     * brute-force. */
   def rebuildIfNeeded(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String, metric: MetricType.Value,
-      nClusters: Int = 64): Option[IvfIndex] =
-    rebuildVerbose(spark, df, vecCol, idCol, path, metric, nClusters)._1
+      nClusters: Int = 64, purgeGen: Long = 0L): Option[IvfIndex] =
+    rebuildVerbose(spark, df, vecCol, idCol, path, metric, nClusters, purgeGen)._1
 
   /** Like `rebuildIfNeeded`, but also reports whether a build actually ran
     * (false = skipped-as-unchanged or too small) — the rebuild scheduler
-    * counts real rebuilds. */
+    * counts real rebuilds. `purgeGen` is the store's current purge
+    * generation: a mismatch with the build-time generation forces a
+    * rebuild even when count+watermark look unchanged (the clustered copy
+    * may carry rows a compact() has since removed without a tombstone). */
   def rebuildVerbose(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String, metric: MetricType.Value,
-      nClusters: Int = 64): (Option[IvfIndex], Boolean) = {
+      nClusters: Int = 64, purgeGen: Long = 0L): (Option[IvfIndex], Boolean) = {
     val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
     val n = stats.getLong(0)
     if (n < MinimalIndexSize) return (None, false)
     val maxId = stats.getLong(1)
     val metaPath = java.nio.file.Paths.get(s"$path/ivf_meta.json")
     if (java.nio.file.Files.exists(metaPath)) {
-      val (wm, cnt) = readMeta(s"$path/ivf_meta.json")
-      if (cnt == n && wm == maxId) // unchanged -> skip rebuild
+      val (wm, cnt, pg) = readMeta(s"$path/ivf_meta.json")
+      if (cnt == n && wm == maxId && pg == purgeGen) // unchanged -> skip rebuild
         return (Some(new IvfIndex(spark, path, idCol, metric)), false)
     }
     // maxIter 5: recall comes from probing multiple clusters, not from a
     // fully converged Lloyd run; extra iterations at rebuild cadence are
     // per-job overhead, not quality
     (Some(build(spark, df, vecCol, idCol, path, metric,
-      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5)), true)
+      nClusters = math.min(nClusters, math.max(2, (n / 64).toInt)), maxIter = 5,
+      purgeGen = purgeGen)), true)
   }
 
   /** Rows Lloyd iterates over: beyond ~128 rows per centroid the update
@@ -229,7 +269,7 @@ object IvfIndex {
     */
   def build(spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
       path: String, metric: MetricType.Value, nClusters: Int = 64,
-      maxIter: Int = 10): IvfIndex = {
+      maxIter: Int = 10, purgeGen: Long = 0L): IvfIndex = {
     import spark.implicits._
 
     val prepared = (if (metric == MetricType.Cosine)
@@ -307,7 +347,7 @@ object IvfIndex {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    writeMeta(s"$path/ivf_meta.json", maxId, n)
+    writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen)
     prepared.unpersist()
     new IvfIndex(spark, path, idCol, metric)
   }

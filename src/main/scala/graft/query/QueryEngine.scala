@@ -119,9 +119,15 @@ object QueryEngine {
   }
 
   /** Search + facets; facets aggregate the POST-LIMIT result set, not the
-    * base table (load-bearing semantic — table_mvp.cpp:377-400). */
+    * base table (load-bearing semantic — table_mvp.cpp:377-400).
+    *
+    * The top-K is cache()d only when facets are present (each facet would
+    * otherwise redo the scan; the cut is <= limit rows, driver-small) and
+    * the returned cleanup thunk unpersists it — call it after consuming
+    * the result or the block manager accumulates pinned cuts across
+    * queries in a long-lived serving process. */
   def searchWithFacets(table: DataFrame, schema: TableSchema, req: SearchRequest)
-      : (DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, Seq[DataFrame], () => Unit) = {
     val field = schema.field(req.queryField)
     val dist = distanceColumn(field, req.queryVector)
     val withDist = table.withColumn(DistanceCol, dist)
@@ -129,12 +135,13 @@ object QueryEngine {
       if (req.filter.nonEmpty)
         withDist.filter(FilterTranslator.translate(req.filter, withDist.schema))
       else withDist
-    val topK = filtered
+    val topK0 = filtered
       .orderBy(col(DistanceCol).asc, col(TableStore.RowId).asc)
       .limit(req.limit)
-      .cache()
+    val topK = if (req.facets.nonEmpty) topK0.cache() else topK0
+    val cleanup = if (req.facets.nonEmpty) () => { topK.unpersist(); () } else () => ()
     val out = project(topK, schema, req.outputFields, req.withDistance)
-    (out, req.facets.map(facet(topK, _)))
+    (out, req.facets.map(facet(topK, _)), cleanup)
   }
 
   /** PK-list predicate: literal isin for API-sized lists, broadcast
@@ -167,8 +174,12 @@ object QueryEngine {
     project(df, schema, req.outputFields, withDistance = false)
   }
 
+  /** Get + facets; same caching contract as `searchWithFacets` — and the
+    * page is cached only when it is bounded (a facetted no-limit get over
+    * a big table would otherwise pin the whole table in the block
+    * manager; the facets then simply recompute from the scan). */
   def getWithFacets(table: DataFrame, schema: TableSchema, req: GetRequest)
-      : (DataFrame, Seq[DataFrame]) = {
+      : (DataFrame, Seq[DataFrame], () => Unit) = {
     var df = table
     if (req.primaryKeys.nonEmpty) df = pkLookup(df, schema, req.primaryKeys)
     if (req.filter.nonEmpty)
@@ -176,9 +187,11 @@ object QueryEngine {
     df = df.orderBy(col(TableStore.RowId).asc)
     if (req.skip > 0) df = df.offset(req.skip)
     if (req.limit != Int.MaxValue) df = df.limit(req.limit)
-    val page = df.cache()
+    val doCache = req.facets.nonEmpty && req.limit != Int.MaxValue
+    val page = if (doCache) df.cache() else df
+    val cleanup = if (doCache) () => { page.unpersist(); () } else () => ()
     (project(page, schema, req.outputFields, withDistance = false),
-      req.facets.map(facet(page, _)))
+      req.facets.map(facet(page, _)), cleanup)
   }
 
   /** Default projection = all non-vector fields; `@distance` appended when

@@ -57,8 +57,13 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
   def pkField: Option[FieldSchema] = schema.primaryKey
 
-  /** Snapshot manifest: committed batch dirs + row-id watermark. */
-  case class Snapshot(version: Long, data: Seq[String], tombs: Seq[String], watermark: Long)
+  /** Snapshot manifest: committed batch dirs + row-id watermark + purge
+    * generation (bumped whenever `compact()` folds tombstones away — ANN
+    * indexes built before a purge can no longer rely on the tombstone set
+    * to mask removed rows, so they compare this against their build-time
+    * generation). */
+  case class Snapshot(version: Long, data: Seq[String], tombs: Seq[String],
+      watermark: Long, purge: Long = 0L)
 
   /** Latest committed snapshot (None before the first commit). */
   def snapshot(): Option[Snapshot] = {
@@ -79,10 +84,10 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
       case JArray(a) => a.collect { case JString(s) => s }
       case _ => Nil
     }
-    val wm = (o \ "watermark") match {
+    def long(k: String): Long = (o \ k) match {
       case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
     }
-    Snapshot(version, dirs("data"), dirs("tombs"), wm)
+    Snapshot(version, dirs("data"), dirs("tombs"), long("watermark"), long("purge"))
   }
 
   /** Publish a new snapshot: write a temp file, then hard-link it to the
@@ -93,16 +98,18 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     * dirs stay unreferenced — garbage, not corruption) instead of silently
     * dropping the winner's committed batches. The caller must not retry
     * with the same manifest: its base-snapshot lists are stale. */
-  private def commit(data: Seq[String], tombs: Seq[String], wm: Long): Snapshot = {
+  private def commit(data: Seq[String], tombs: Seq[String], wm: Long,
+      purge: Long): Snapshot = {
     Files.createDirectories(versionsPath)
     val next = snapshot().map(_.version + 1).getOrElse(0L)
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    val json = s"""{"data":${arr(data)},"tombs":${arr(tombs)},"watermark":$wm}"""
+    val json =
+      s"""{"data":${arr(data)},"tombs":${arr(tombs)},"watermark":$wm,"purge":$purge}"""
     val tmp = Files.createTempFile(versionsPath, ".commit", ".tmp")
     Files.write(tmp, json.getBytes)
     try Files.createLink(versionsPath.resolve(f"v$next%08d.json"), tmp)
     finally Files.deleteIfExists(tmp)
-    Snapshot(next, data, tombs, wm)
+    Snapshot(next, data, tombs, wm, purge)
   }
 
   private def newBatchDir(base: String): String = {
@@ -112,6 +119,9 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
   private def watermark: Long = snapshot().map(_.watermark).getOrElse(0L)
   private def hasData: Boolean = snapshot().exists(_.data.nonEmpty)
+
+  /** Purge generation of the latest snapshot (see `Snapshot.purge`). */
+  def purgeGen(): Long = snapshot().map(_.purge).getOrElse(0L)
 
   private def emptyDf: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -176,9 +186,13 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     var skipped = 0L
     if (sparseChecks.nonEmpty) {
       val valid = sparseChecks.reduce(_ && _)
-      val total = df.count()
+      // one job for (total, valid) — two count() calls would be two full
+      // passes over the cached batch
+      val r = df.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(valid, lit(1)))).head()
+      skipped = r.getLong(0) - r.getLong(1)
       df = df.filter(valid)
-      skipped = total - df.count()
     }
 
     // cosine normalize-at-ingest (dense + sparse)
@@ -302,7 +316,8 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     }
     written.unpersist()
     commit(prev.map(_.data).getOrElse(Nil) ++ newData,
-      prev.map(_.tombs).getOrElse(Nil) ++ newTombs, wm + nWritten)
+      prev.map(_.tombs).getOrElse(Nil) ++ newTombs, wm + nWritten,
+      prev.map(_.purge).getOrElse(0L))
     InsertResult(nWritten, invalidSkipped + dupSkipped)
   }
 
@@ -326,7 +341,8 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
       ids.write.mode(SaveMode.ErrorIfExists).parquet(dir)
       commit(prev.map(_.data).getOrElse(Nil),
         prev.map(_.tombs).getOrElse(Nil) :+ dir,
-        prev.map(_.watermark).getOrElse(0L))
+        prev.map(_.watermark).getOrElse(0L),
+        prev.map(_.purge).getOrElse(0L))
     }
     ids.unpersist()
     DeleteResult(n)
@@ -360,7 +376,11 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     val dir = newBatchDir(dataPath)
     live.write.mode(SaveMode.ErrorIfExists).parquet(dir)
     live.unpersist()
-    commit(Seq(dir), Nil, prev.watermark)
+    // folding tombstones away bumps the purge generation: removed rows are
+    // no longer discoverable via tombstoneIds(), so any ANN index built
+    // before this point must stop trusting its tombstone anti-join
+    val purge = prev.purge + (if (prev.tombs.nonEmpty) 1 else 0)
+    commit(Seq(dir), Nil, prev.watermark, purge)
   }
 
   /** All manifest versions currently on disk (ascending). */
@@ -394,17 +414,25 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 
   /** Delete batch dirs referenced by NO remaining manifest (all retained
     * versions stay readable — time travel is bounded by `expireVersions`,
-    * not silently broken here). */
-  def vacuum(): Unit = {
+    * not silently broken here).
+    *
+    * Writers create batch dirs BEFORE committing the manifest that
+    * references them, so vacuum must (a) hold the writeLock — an in-process
+    * writer mid-insert otherwise races it — and (b) spare dirs younger than
+    * `graceMs`, which protects a cross-process writer whose commit hasn't
+    * landed yet (same uncommitted-file grace Delta VACUUM uses). */
+  def vacuum(graceMs: Long = DefaultVacuumGraceMs): Unit = writeLock.synchronized {
     val vs = versions()
     if (vs.isEmpty) return
     val keep = vs.map(readManifest).flatMap(m => m.data ++ m.tombs)
       .map(Paths.get(_).getFileName.toString).toSet
+    val cutoff = System.currentTimeMillis - graceMs
     Seq(dataPath, tombPath).foreach { base =>
       val p = Paths.get(base)
       if (Files.exists(p))
         Files.list(p).iterator().asScala.toSeq
           .filterNot(d => keep.contains(d.getFileName.toString))
+          .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
           .foreach { d =>
             Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
           }
@@ -424,6 +452,11 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
 object TableStore {
   val RowId = "__row_id"
   private val BatchOrd = "__batch_ord"
+
+  /** vacuum() spares unreferenced batch dirs younger than this: a
+    * cross-process writer creates its dirs before committing the manifest
+    * that references them. */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
 
   /** `filter(arr, fn)` built-in wrapper (named to avoid DataFrame.filter clash). */
   private[store] def filter_exprs(arr: Column, f: Column => Column): Column =

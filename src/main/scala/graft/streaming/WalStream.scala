@@ -31,15 +31,26 @@ object WalStream {
     StructField("pks", ArrayType(StringType), nullable = true), // delete by pk
     StructField("filter", StringType, nullable = true))) // delete by filter
 
+  /** Inline payloads above this size are rejected at append time: every
+    * inline payload is one row collected to the DRIVER at apply time, so an
+    * uncapped producer can OOM the replay process. Bulk batches go through
+    * `payloadPath` instead (distributed read, control-plane-sized entry). */
+  val MaxInlinePayloadBytes: Int = 16 * 1024 * 1024
+
   /** Append an entry to the log (test/ingest-side helper). Large insert
     * batches should pass `payloadPath` (a JSON-lines file/dir read
     * DISTRIBUTEDLY at apply time) instead of `payload` — an inline payload
     * is one row collected to the driver, which caps entry size at driver
     * memory; a path entry stays control-plane sized no matter how big the
-    * batch behind it is. */
+    * batch behind it is. Inline payloads over `MaxInlinePayloadBytes` are
+    * rejected. */
   def append(walDir: String, gid: Long, op: String, payload: String = null,
       pks: Seq[String] = null, filter: String = null,
       payloadPath: String = null): Unit = {
+    if (payload != null && payload.length > MaxInlinePayloadBytes)
+      throw new IllegalArgumentException(
+        s"inline WAL payload is ${payload.length} bytes (cap $MaxInlinePayloadBytes); " +
+          "write the batch to a file and pass payloadPath instead")
     Files.createDirectories(Paths.get(walDir))
     def q(s: String) = if (s == null) "null" else
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -140,7 +140,7 @@ class FiveCitySpec extends SparkSpec {
   }
 
   test("facets aggregate the post-limit result (G1-G6)") {
-    val (out, facets) = QueryEngine.searchWithFacets(denseStore.read(), denseStore.schema,
+    val (out, facets, _) = QueryEngine.searchWithFacets(denseStore.read(), denseStore.schema,
       SearchRequest("EmbeddingEuclidean", DenseQuery(queryVec), 3, "",
         Seq("Doc"), withDistance = true,
         facets = Seq(Facet(Seq.empty, Seq("SUM(ID)", "COUNT(*)", "MIN(ID)", "MAX(ID)")))))
@@ -151,7 +151,7 @@ class FiveCitySpec extends SparkSpec {
   }
 
   test("@distance usable in facet group and aggregate expressions (F8)") {
-    val (_, facets) = QueryEngine.searchWithFacets(denseStore.read(), denseStore.schema,
+    val (_, facets, _) = QueryEngine.searchWithFacets(denseStore.read(), denseStore.schema,
       SearchRequest("EmbeddingEuclidean", DenseQuery(queryVec), 3, "",
         Seq("Doc"), withDistance = true,
         facets = Seq(

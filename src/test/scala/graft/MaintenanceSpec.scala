@@ -70,7 +70,10 @@ class MaintenanceSpec extends SparkSpec {
     val removed = st.expireVersions(retainMs = 0L,
       now = System.currentTimeMillis + 1000)
     assert(removed == 3)
+    // default grace spares just-written dirs (cross-process writer safety)
     st.vacuum()
+    assert(dataDirs() == 3)
+    st.vacuum(graceMs = 0L)
     assert(dataDirs() == 1)
     assert(st.count() == 150)
     assert(st.read().filter(col("ID") <= 50).count() == 0)

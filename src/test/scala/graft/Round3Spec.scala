@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import graft.types._
+import graft.store.TableStore
+import graft.index.IvfIndex
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Round-3 regression coverage: ANN consistency across compact(),
+  * cross-process index freshness, vacuum grace, facet-cache release,
+  * WAL payload cap, catalog path guard, dedup convergence guard. */
+class Round3Spec extends SparkSpec {
+
+  private def annIds(resp: String): Seq[Int] =
+    (JsonMethods.parse(resp) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "ID") match { case JInt(i) => i.toInt; case _ => fail("no ID") })
+
+  test("ANN excludes compacted-away deletes (purge generation)") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r3_ann_compact"))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("T")
+    val rows = (0 until 600).map(i =>
+      Row(i, Seq(i.toFloat, 0f, 0f, 0f)))
+    st.insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), st.schema.structType))
+    assert(db.rebuildIndex("T", "Vec"))
+    val idxPath = s"${db.root}/T/ivf_Vec"
+    val idx = new IvfIndex(spark, idxPath, TableStore.RowId, MetricType.Euclidean)
+    assert(idx.indexedPurgeGen() == 0L && st.purgeGen() == 0L)
+
+    // delete the 10 best matches for the query point, then compact: the
+    // tombstones are folded away while the clustered copy still has them
+    st.delete(pks = (0 until 10).map(Int.box))
+    st.compact()
+    assert(st.purgeGen() == 1L)
+    assert(idx.indexedPurgeGen() == 0L) // index predates the purge
+
+    val q = """{"table":"T","queryVector":[0,0,0,0],"limit":5,"ann":true}"""
+    val got = annIds(db.query(q))
+    assert(got == Seq(10, 11, 12, 13, 14), s"stale ANN rows leaked: $got")
+
+    // the purge mismatch forces a rebuild even though it alone would look
+    // count-changed anyway; after it the fast tombstone path is back
+    assert(db.rebuildIndex("T", "Vec"))
+    assert(idx.indexedPurgeGen() == 1L)
+    assert(annIds(db.query(q)) == Seq(10, 11, 12, 13, 14))
+  }
+
+  test("second IvfIndex instance sees append made through the first (cross-process freshness)") {
+    import spark.implicits._
+    val dir = tmpDir("r3_fresh")
+    val base = (0 until 600).map(i => (i.toLong, Seq(i.toFloat, 1f))).toDF("id", "v")
+    val idx1 = IvfIndex.build(spark, base, "v", "id", dir, MetricType.Euclidean,
+      nClusters = 4, maxIter = 3)
+    val idx2 = new IvfIndex(spark, dir, "id", MetricType.Euclidean)
+    assert(idx2.clustered().count() == 600)
+    val extra = (600 until 650).map(i => (i.toLong, Seq(i.toFloat, 1f))).toDF("id", "v")
+    assert(idx1.append(extra, "v") == 50)
+    // idx2 was NOT reopened — the meta stamp re-read must invalidate its cache
+    assert(idx2.clustered().count() == 650)
+    assert(idx2.indexedWatermark() == 649L)
+  }
+
+  test("query/get with facets leave no cached RDD behind") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r3_facets"))
+    db.createTable(
+      """{"name":"F","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Grp","dataType":"STRING"},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":2,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    db.insert(
+      """{"table":"F","data":[
+        |{"ID":1,"Grp":"a","Vec":[0.0,0.0]},
+        |{"ID":2,"Grp":"a","Vec":[1.0,0.0]},
+        |{"ID":3,"Grp":"b","Vec":[2.0,0.0]}]}""".stripMargin)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val q = db.query(
+      """{"table":"F","queryVector":[0.0,0.0],"limit":2,
+        |"facets":[{"group":["Grp"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+    assert(q.contains("facets"))
+    val g = db.get(
+      """{"table":"F","limit":2,
+        |"facets":[{"group":["Grp"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+    assert(g.contains("facets"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"facet caches leaked RDDs: $leaked")
+  }
+
+  test("oversized inline WAL payload is rejected with a payloadPath pointer") {
+    val big = "x" * (graft.streaming.WalStream.MaxInlinePayloadBytes + 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.WalStream.append(tmpDir("r3_wal"), 1L, "INSERT", payload = big)
+    }
+    assert(e.getMessage.contains("payloadPath"))
+  }
+
+  test("catalog load with a conflicting path throws instead of returning the wrong db") {
+    val cat = new graft.api.GraftCatalog(spark, tmpDir("r3_cat"))
+    val db = cat.load("alpha")
+    assert(cat.load("alpha").root == db.root) // idempotent without a path
+    val other = tmpDir("r3_cat_other")
+    val e = intercept[IllegalArgumentException](cat.load("alpha", other))
+    assert(e.getMessage.contains("already loaded"))
+  }
+
+  test("duplicateClusters throws on non-convergence instead of splitting components") {
+    import spark.implicits._
+    // a 40-node chain: pointer-jumping resolves it in O(log 39) rounds,
+    // but one round only reaches ~3 hops — must throw, not split
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.duplicateClusters(chain, maxIter = 1, driverThreshold = 0)
+    }
+    assert(e.getMessage.contains("converge"))
+    val ok = graft.pipeline.Dedup.duplicateClusters(chain, maxIter = 10, driverThreshold = 0)
+    assert(ok.select(col("cluster")).distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+}
