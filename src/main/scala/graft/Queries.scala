@@ -28,6 +28,13 @@ object Queries {
 
   // oracle fragment: the same query vector as a DuckDB scalar subquery
   private val QV = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+  // V9's query embedding, inlined as a list literal: DeterministicEmbedder
+  // is pure, so the exact floats the Spark query uses are computable here
+  // (toDouble.toString round-trips the float value exactly)
+  private val V9Q: String =
+    new graft.embed.DeterministicEmbedder("fake/offline", 64)
+      .embedBatch(Seq("spark join merge sort shuffle")).head
+      .map(f => f.toDouble.toString).mkString("[", ", ", "]")
   // oracle fragments: double-precision distance over list<float>
   private def sqlL2sqr(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a, $b), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))**2))"
@@ -77,9 +84,16 @@ object Queries {
           round(col("l_extendedprice"), 2).as("price"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    // LIKE edge cases against values the fixtures actually contain:
+    // '%red%' (contains), 'Brand#1_' (single-char wildcard — matches
+    // Brand#10..19, NOT Brand#1), 'small %' (prefix); plus the
+    // reference's edge semantics (expr.cpp:14-35): bare '%' matches every
+    // non-null value and `x LIKE ''` only the empty string.
     "p7_like" -> ((s, dir) => {
       val p = t(s, dir, "part")
-      p.filter(FilterTranslator.translate("p_name LIKE '%ros%' OR p_brand LIKE 'Brand_3_'", p.schema))
+      val f = "(p_name LIKE '%red%' OR p_brand LIKE 'Brand#1_' OR p_name LIKE 'small %') " +
+        "AND p_name LIKE '%' AND NOT p_name LIKE ''"
+      p.filter(FilterTranslator.translate(f, p.schema))
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
         .orderBy(col("p_partkey"))
     }),
@@ -164,25 +178,32 @@ object Queries {
         .select(col("vec_id"))
     }),
 
-    // V5: IVF ANN search (no SQL oracle — approximate; recall vs exact is
-    // gated in SemicircleSpec). Small tables brute-force, mirroring the
-    // reference's BruteforceThreshold.
+    // V5: IVF ANN search, emitted as a deterministic VERDICT row: recall@10
+    // of the probe-pruned cut (4 of 8 clusters) vs the in-query exact
+    // top-10, thresholded at 0.5 (the k-means build is seeded, so the
+    // measured recall is a fixed fact of the data — 0.7-1.0 across the SF
+    // dirs; asserting the exact value would couple the oracle to one SF).
+    // Tighter recall gates (>= 0.95) run in SemicircleSpec/AnnBench where
+    // the geometry is controlled.
     "v5_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${math.abs(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_r3_${math.abs(dir.hashCode)}"
       val q = SparkEntry.queryVectorOf(s, dir)
-      graft.index.IvfIndex.rebuildIfNeeded(s, emb, "embedding", "vec_id", path,
-          graft.types.MetricType.Euclidean) match {
-        case Some(idx) =>
-          idx.search("embedding", q, 10, nProbe = 8).select(col("vec_id"))
-        case None => // brute force below threshold
-          emb.withColumn("@distance", l2sqr_distance(col("embedding"), lit(q)))
-            .orderBy(col("@distance").asc, col("vec_id").asc)
-            .limit(10).select(col("vec_id"))
-      }
+      val exactIds = emb
+        .withColumn("@distance", l2sqr_distance(col("embedding"), lit(q)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      val ivfIds = idx.search("embedding", q, 10, nProbe = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val recall = ivfIds.intersect(exactIds).size / 10.0
+      import s.implicits._
+      Seq(if (recall >= 0.5) 1.0 else 0.0).toDF("recall_ok")
     }),
-    // V9: search-by-content — embed the query text, then vector search
-    // (deterministic offline embedder; rows-only check).
+    // V9: search-by-content — embed the query text, then vector search.
+    // The embedder is pure, so the SAME query embedding is inlined into
+    // the oracle SQL as a list literal (V9Q below) => full hash check.
     "v9_search_by_content" -> ((s, dir) => {
       val svc = new graft.embed.DeterministicEmbedder("fake/offline", 64)
       val q = svc.embedBatch(Seq("spark join merge sort shuffle")).head
@@ -190,6 +211,18 @@ object Queries {
         .withColumn("@distance", cosine_distance(col("embedding"), lit(q)))
         .orderBy(col("@distance").asc, col("vec_id").asc)
         .limit(10).select(col("vec_id"), col("label"))
+    }),
+    // Persisted int8 layout: quantized candidate scan over the IVF
+    // clustered copy (reads codes, never the float column), reranked on
+    // the full vectors — with every cluster probed the result is EXACTLY
+    // the brute-force top-10, which the oracle value-checks.
+    "vq_ivf_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      idx.searchQuantized("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8)
+        .select(col("vec_id"))
     }),
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
@@ -322,7 +355,8 @@ object Queries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "p7_like" ->
       """SELECT p_partkey, p_name, p_brand FROM part
-        |WHERE p_name LIKE '%ros%' OR p_brand LIKE 'Brand_3_'
+        |WHERE (p_name LIKE '%red%' OR p_brand LIKE 'Brand#1_' OR p_name LIKE 'small %')
+        |  AND p_name LIKE '%' AND NOT p_name LIKE ''
         |ORDER BY p_partkey""".stripMargin,
     "p4_arith_concat" ->
       """SELECT c_custkey, c_name || '|' || c_mktsegment AS tag,
@@ -345,6 +379,13 @@ object Queries {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_ivf_fullprobe" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v5_ann_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_ok",
+    "v9_search_by_content" ->
+      s"""SELECT vec_id, label FROM embeddings
+         |ORDER BY ${sqlCosDist("embedding", V9Q)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vq_ivf_rerank" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_int8_topk" -> {

@@ -51,6 +51,13 @@ package object functions {
   /** Tokenize + hash60 + mod-p in one codegen'd pass (see TokenHashesMod). */
   def token_hashes_mod(c: Column, p: Long): Column = col(TokenHashesMod(ex(c), p))
 
+  /** Int8-quantize array<float> -> struct<qmin,qmax,codes:binary>. */
+  def quantize_vec(c: Column): Column = col(QuantizeVec(ex(c)))
+
+  /** Squared L2 of dequantized codes vs a full-precision query. */
+  def quantized_l2(codes: Column, qmin: Column, qmax: Column, q: Array[Double]): Column =
+    col(QuantizedL2(ex(codes), ex(qmin), ex(qmax), q))
+
   /** Great-circle distance in km on the reference's 6371-km sphere
     * (reference: engine/db/index/spatial/geoindex.cpp:41-59 haversine).
     * Composed from built-ins so the whole predicate stays inside

@@ -119,7 +119,7 @@ class IvfIndex(
       if (metric == MetricType.Cosine)
         newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
       else newRows
-    val assigned = prepared
+    val assigned = IvfIndex.withQuantized(prepared, vecCol)
       .withColumn("cluster",
         org.apache.spark.sql.graftbridge.CatalystBridge.column(
           graft.functions.NearestCentroid(
@@ -186,6 +186,68 @@ class IvfIndex(
       case None => head
     }
     val withDist = searched.withColumn("@distance", distCol)
+    val filtered = preFilter.map(withDist.filter).getOrElse(withDist)
+    filtered
+      .orderBy(col("@distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Quantized-scan-then-rerank top-K: the candidate pass reads ONLY the
+    * int8 codes + scales of the probed clusters (a quarter of the vector
+    * bytes — the float column never reaches that scan), cuts to
+    * `candK = max(candMult*k, 64)` by dequantized L2, then reranks JUST
+    * those candidates on the full float vectors for exact distances.
+    *
+    * Caveats vs `search`: the metric for the candidate cut is L2 over the
+    * dequantized codes — for Cosine/Dot the stored vectors are unit (or
+    * treated as-is) and the rerank applies the real metric, so candidates
+    * only need to be a superset of the true top-k; `preFilter` is applied
+    * at rerank (a selective filter may under-fill — callers widen the
+    * probe, same contract as the exact path). Falls back to `search` when
+    * the layout predates the quantized columns. */
+  def searchQuantized(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
+      candMult: Int = 8,
+      freshTail: Option[DataFrame] = None,
+      preFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
+    val full = clustered()
+    if (!full.columns.contains("__qcode"))
+      return search(vecCol, query, k, nProbe, freshTail, preFilter, excludeIds, restrictIds)
+    val cents = centroids()
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    val probed = cents
+      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+      .sortBy { case (_, d) => d }
+      .take(nProbe)
+      .map(_._1)
+    val pruned = full.filter(col("cluster").isin(probed.toSeq: _*))
+    val masked = restrictIds match {
+      case Some(live) => pruned.join(live, Seq(idCol), "left_semi")
+      case None => excludeIds match {
+        case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
+        case None => pruned
+      }
+    }
+    val candK = math.max(candMult * k, 64)
+    // candidate scan: id + codes + scales only -> parquet reads no floats
+    val cand = masked
+      .select(col(idCol), col("__qcode"), col("__qmin"), col("__qmax"))
+      .withColumn("@qdist",
+        quantized_l2(col("__qcode"), col("__qmin"), col("__qmax"), q.map(_.toDouble)))
+      .orderBy(col("@qdist").asc, col(idCol).asc)
+      .limit(candK)
+      .select(col(idCol))
+    // rerank candidates on the full vectors (candK rows — broadcast join)
+    val reranked = masked.join(broadcast(cand), Seq(idCol), "left_semi")
+    val searched = freshTail match {
+      case Some(tail) =>
+        reranked.unionByName(tail.withColumn("cluster", lit(-1)),
+          allowMissingColumns = true)
+      case None => reranked
+    }
+    val withDist = searched.withColumn("@distance",
+      IvfIndex.distColumn(metric, col(vecCol), q))
     val filtered = preFilter.map(withDist.filter).getOrElse(withDist)
     filtered
       .orderBy(col("@distance").asc, col(idCol).asc)
@@ -340,7 +402,7 @@ object IvfIndex {
     // keeps up to nClusters parquet writers open (tasks x clusters small
     // files + writer churn was 70s of a 73s build at 500k rows)
     val bc = spark.sparkContext.broadcast(cents)
-    prepared
+    withQuantized(prepared, vecCol)
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
@@ -351,6 +413,18 @@ object IvfIndex {
     prepared.unpersist()
     new IvfIndex(spark, path, idCol, metric)
   }
+
+  /** Int8 codes stored NEXT TO the float vectors in the clustered layout
+    * (columns `__qcode` binary, `__qmin`/`__qmax` double): the quantized
+    * scan path reads a quarter of the vector bytes, then reranks its
+    * candidates on the float column (see `searchQuantized`). One pass,
+    * computed during the same assign-and-write job. */
+  private[index] def withQuantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__qv", quantize_vec(col(vecCol)))
+      .withColumn("__qmin", col("__qv.qmin"))
+      .withColumn("__qmax", col("__qv.qmax"))
+      .withColumn("__qcode", col("__qv.codes"))
+      .drop("__qv")
 
   /** argmin over broadcast centroids: one pass over the vector per row
     * (custom expression — a least()/when() chain evaluates every distance

@@ -37,18 +37,19 @@ object Quantize {
     transform(qCol, q => qmin + q.cast("double") * (qmax - qmin) / 255.0)
 
   /** Exact top-K over the QUANTIZED representation: squared-L2 of the
-    * reconstructed vectors against a full-precision query. The scan reads
-    * int8 codes + two scale floats per row — a quarter of the bytes of
-    * the float32 column. */
+    * reconstructed vectors against a full-precision query, through the
+    * codegen'd QuantizeVec/QuantizedL2 kernels (one fused loop per row —
+    * replaces an interpreted `aggregate(zip_with(...))` HOF chain that
+    * paid per-element lambda dispatch). Same affine math as `quantizeI8`,
+    * so the SQL oracle is unchanged. The PERSISTED form of this path lives
+    * in the IVF clustered layout (IvfIndex.searchQuantized), where the
+    * scan genuinely reads a quarter of the vector bytes. */
   def topKL2Quantized(df: DataFrame, vecCol: String, idCol: String,
-      query: Array[Double], k: Int): DataFrame = {
-    val staged = quantizeI8(df, vecCol)
-      .withColumn("__dq", dequantized(col("q"), col("qmin"), col("qmax")))
-    staged
-      .withColumn("@distance",
-        aggregate(zip_with(col("__dq"), lit(query), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x))
+      query: Array[Double], k: Int): DataFrame =
+    df.withColumn("__qv", graft.functions.quantize_vec(col(vecCol)))
+      .withColumn("@distance", graft.functions.quantized_l2(
+        col("__qv.codes"), col("__qv.qmin"), col("__qv.qmax"), query))
+      .drop("__qv")
       .orderBy(col("@distance").asc, col(idCol).asc)
       .limit(k)
-  }
 }

@@ -20,15 +20,21 @@ class HashExprSpec extends SparkSpec {
         .withColumn("sp", struct(col("si").as("indices"), col("sv").as("values")))
         .withColumn("hs", array(graft.functions.hash60(col("s")), lit(7L)))
       val fam = Dedup.hashFamily(4)
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      val cents = Array(Array(0f, 0f, 0f), Array(1f, 2f, 2f))
       val out = df.select(
         graft.functions.hash60(col("s")).as("h60"),
         graft.functions.l2_normalize(col("v")).as("nv"),
         graft.functions.sparse_l2_normalize(col("sp")).as("nsp"),
         graft.functions.minhash_signature(col("hs"),
           fam.map(_._1).toArray, fam.map(_._2).toArray, 2147483647L).as("mh"),
-        graft.functions.simhash_bits(col("hs")).as("sh"))
+        graft.functions.simhash_bits(col("hs")).as("sh"),
+        bridge.column(graft.functions.NearestCentroid(
+          bridge.expression(col("v")), cents, "Euclidean")).as("nc"))
         .collect()
       assert(out.length == 2)
+      assert(out(0).getInt(5) == 1) // (1,2,2) is its own centroid
+      assert(out(1).getInt(5) == 0) // zero vector -> zero centroid
       val nv = out(0).getSeq[Float](1)
       assert(math.abs(nv.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
       assert(out(1).getSeq[Float](1) == Seq(0f, 0f, 0f)) // zero vector unchanged

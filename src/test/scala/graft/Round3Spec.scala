@@ -93,6 +93,33 @@ class Round3Spec extends SparkSpec {
     assert(leaked.isEmpty, s"facet caches leaked RDDs: $leaked")
   }
 
+  test("searchQuantized: candidate scan reads codes not floats; result == exact top-k") {
+    import spark.implicits._
+    val dir = tmpDir("r3_quant")
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 1000).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("id", "v")
+    val idx = IvfIndex.build(spark, data, "v", "id", dir, MetricType.Euclidean,
+      nClusters = 4, maxIter = 3)
+    val q = Array.fill(16)(0.1f)
+    // full probe + rerank must equal brute force exactly
+    val got = idx.searchQuantized("v", q, k = 10, nProbe = 4)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val exact = data
+      .withColumn("d", graft.functions.l2sqr_distance(col("v"), org.apache.spark.sql.functions.lit(q)))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"quantized rerank diverged: $got vs $exact")
+    // the candidate cut's parquet scan must NOT read the float column
+    val plan = idx.searchQuantized("v", q, k = 10, nProbe = 4).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.exists(s => s.contains("__qcode") && !s.contains("v")),
+      s"no float-free quantized scan found: $scans")
+  }
+
   test("oversized inline WAL payload is rejected with a payloadPath pointer") {
     val big = "x" * (graft.streaming.WalStream.MaxInlinePayloadBytes + 1)
     val e = intercept[IllegalArgumentException] {
