@@ -87,8 +87,32 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // driver-side serving path: same probes, no Spark job per query (the
+    // probed clusters are resident after the first touch). Loop the query
+    // set enough times to measure past timer resolution.
+    idx.servePoint("embedding", queries.head, 10, nProbe = 8) // warm (loads clusters)
+    val serveRounds = math.max(1, (20000 / math.max(1, queries.length)).toInt)
+    val t2 = System.nanoTime()
+    var r = 0
+    var served: Array[(Long, Double)] = null
+    while (r < serveRounds) {
+      var qi = 0
+      while (qi < queries.length) {
+        served = idx.servePoint("embedding", queries(qi), 10, nProbe = 8)
+        qi += 1
+      }
+      r += 1
+    }
+    val serveSec = (System.nanoTime() - t2) / 1e9
+    val serveQueries = serveRounds.toLong * queries.length
+    val serveRecall = exact.zip(queries.map(q =>
+      idx.servePoint("embedding", q, 10, nProbe = 8).map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
+      f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }

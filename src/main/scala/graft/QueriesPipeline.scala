@@ -117,6 +117,16 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("batch_id"))
     }),
+    // the scale form: per-language packing — the window partitions by
+    // lang, so no single-partition global window appears in the plan
+    "pl_pack_sharded" -> ((s, dir) => {
+      val sized = t(s, dir, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      Pipelines.packBySizeSharded(sized, "lang", "n_tokens", "doc_id", budget = 2000L)
+        .groupBy(col("lang"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("lang"), col("batch_id"))
+    }),
 
     // train/test decontamination: shingle overlap of the training split
     // (doc_id >= 20) against the "benchmark" split (doc_id < 20)
@@ -403,6 +413,18 @@ object QueriesPipeline {
          |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "pl_pack_sharded" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $sqlToks toks FROM documents),
+         |sized AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      / 2000.0) AS BIGINT) AS batch_id
+         |  FROM sized)
+         |SELECT lang, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
     "dd_contamination" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),

@@ -253,6 +253,134 @@ class IvfIndex(
       .orderBy(col("@distance").asc, col(idCol).asc)
       .limit(k)
   }
+
+  // ---- driver-side serving (no Spark job on the hot path) ----
+
+  /** Per-cluster driver-resident vectors: (ids, row-major floats). The
+    * reference serves every query from vectors held in process RAM
+    * (table_segment_mvp.cpp:106-111, vec_search_executor.cpp:833-935);
+    * this is the same model scoped to the PROBED clusters — each cluster
+    * is loaded once (one pruned Spark job), then every subsequent
+    * servePoint over it is pure JVM compute, microseconds not a job.
+    * Invalidated when the index meta changes (rebuild/append). */
+  /** (ids, row-major doubles, per-row |x|^2): doubles avoid a float->double
+    * conversion per element in the hot loop, and the precomputed norms turn
+    * Euclidean scoring into `|x|^2 - 2 x.q` — one multiply-add per element. */
+  @transient private var serveCache =
+    scala.collection.mutable.Map[Int, (Array[Long], Array[Double], Array[Double])]()
+  @transient private var serveStamp: (Long, Long, Long) = null
+  @transient private var serveStampCheckedAt = 0L
+
+  /** How stale the serving cache may be before re-reading ivf_meta.json:
+    * parsing the meta file per query would dominate serving latency
+    * (~ms), so freshness is re-checked at most every 250 ms. */
+  val ServeFreshnessMs = 250L
+
+  /** Resident vector count (cache sizing: rows x dim x 4 bytes). */
+  def servingResidentRows(): Long =
+    synchronized { serveCache.valuesIterator.map(_._1.length.toLong).sum }
+
+  /** Low-latency top-K answered on the DRIVER: centroid argmin -> probe
+    * the nProbe nearest clusters from the resident cache -> bounded-heap
+    * top-K with the engine's (distance, id) tie-break. Returns
+    * (id, distance) pairs, best first.
+    *
+    * Serving answers FROM THE INDEX: rows newer than the indexed
+    * watermark and un-purged tombstones are not consulted — `exclude`
+    * masks known-dead ids; callers needing read-your-writes semantics use
+    * `search()` (the job path). */
+  def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
+      exclude: Long => Boolean = _ => false): Array[(Long, Double)] = synchronized {
+    val now = System.currentTimeMillis
+    if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
+      serveStampCheckedAt = now
+      val s = meta()
+      if (s != serveStamp) { serveStamp = s; serveCache.clear() }
+    }
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    val probed = centroids()
+      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+      .sortBy { case (_, d) => d }
+      .take(nProbe)
+      .map(_._1)
+    val missing = probed.filterNot(serveCache.contains)
+    if (missing.nonEmpty) {
+      // one pruned job per COLD cluster set; partition pruning keeps the
+      // read to exactly these cluster directories
+      val rows = clustered()
+        .filter(col("cluster").isin(missing.toSeq: _*))
+        .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
+        .collect()
+      val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
+      missing.foreach { cid =>
+        val cr = rows.filter(_.getInt(0) == cid)
+        val ids = new Array[Long](cr.length)
+        val flat = new Array[Double](cr.length * dim)
+        val norms = new Array[Double](cr.length)
+        var i = 0
+        while (i < cr.length) {
+          ids(i) = cr(i).getLong(1)
+          val v = cr(i).getAs[scala.collection.Seq[Float]](2)
+          var j = 0
+          var nrm = 0.0
+          while (j < dim) {
+            val x = v(j).toDouble
+            flat(i * dim + j) = x; nrm += x * x; j += 1
+          }
+          norms(i) = nrm
+          i += 1
+        }
+        serveCache(cid) = (ids, flat, norms)
+      }
+    }
+    // bounded max-heap over (distance, id): evict the WORST (largest
+    // distance, then largest id) — yields ascending (distance, id) output
+    val heap = new java.util.PriorityQueue[(Long, Double)](k,
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    val dim = q.length
+    val qd = new Array[Double](dim)
+    var qi = 0
+    var qNorm = 0.0
+    while (qi < dim) {
+      qd(qi) = q(qi).toDouble; qNorm += qd(qi) * qd(qi); qi += 1
+    }
+    // metric specialized OUTSIDE the row loop; every metric reduces to one
+    // fused dot per row (Euclidean via |x|^2 - 2 x.q + |q|^2)
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    probed.foreach { cid =>
+      val (ids, flat, norms) = serveCache(cid)
+      var i = 0
+      var off = 0
+      while (i < ids.length) {
+        if (!exclude(ids(i))) {
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += flat(off + j) * qd(j); j += 1 }
+          val d =
+            if (l2Metric) norms(i) - 2.0 * dot + qNorm
+            else if (cosMetric) 1.0 - dot
+            else -dot
+          if (heap.size < k) heap.add((ids(i), d))
+          else {
+            val worst = heap.peek()
+            if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+              heap.poll(); heap.add((ids(i), d))
+            }
+          }
+        }
+        i += 1
+        off += dim
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out
+  }
 }
 
 object IvfIndex {
@@ -262,13 +390,21 @@ object IvfIndex {
     * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
   val MinimalIndexSize = 512
 
+  /** Hand-parsed (the file is `{"watermark":N,"count":N,"purge":N}`):
+    * meta() runs on EVERY index access as the freshness stamp, including
+    * the driver-side serving path, so it must cost microseconds — a JSON
+    * library parse here was the dominant term of servePoint latency. */
   private[index] def readMeta(metaPath: String): (Long, Long, Long) = {
-    import org.json4s._
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
-    val o = org.json4s.jackson.JsonMethods.parse(s)
-    def long(k: String): Long = (o \ k) match {
-      case JInt(i) => i.toLong; case JLong(l) => l; case _ => 0L
+    def long(k: String): Long = {
+      val key = "\"" + k + "\":"
+      val at = s.indexOf(key)
+      if (at < 0) return 0L
+      var i = at + key.length
+      var end = i
+      while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+      if (end == i) 0L else s.substring(i, end).toLong
     }
     (long("watermark"), long("count"), long("purge"))
   }

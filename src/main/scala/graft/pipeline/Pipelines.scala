@@ -45,6 +45,24 @@ object Pipelines {
       .drop("__cum")
   }
 
+  /** The 100 TB form of `packBySize`: the running sum is windowed PER
+    * SHARD (language, source, date bucket — whatever batch assembly groups
+    * by), so each shard packs independently on its own executor instead of
+    * collapsing the whole table into one partition for a global window.
+    * `batch_id` is unique per (shard, batch) — globally unique ids, if
+    * needed, come from hashing the pair. */
+  def packBySizeSharded(docs: DataFrame, shardCol: String, sizeCol: String,
+      orderCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("batch_id",
+        floor((col("__cum") - col(sizeCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {

@@ -120,6 +120,34 @@ class Round3Spec extends SparkSpec {
       s"no float-free quantized scan found: $scans")
   }
 
+  test("servePoint: driver-side serving matches the job path, zero jobs when warm") {
+    import spark.implicits._
+    val dir = tmpDir("r3_serve")
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 2000).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat()))
+    }.toDF("id", "v")
+    val idx = IvfIndex.build(spark, data, "v", "id", dir, MetricType.Euclidean,
+      nClusters = 8, maxIter = 3)
+    val q = Array.fill(8)(0.5f)
+    val viaJob = idx.search("v", q, 10, nProbe = 8)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val served = idx.servePoint("v", q, 10, nProbe = 8)
+    assert(served.map(_._1).toSeq == viaJob)
+    assert(served.map(_._2).toSeq == served.map(_._2).toSeq.sorted) // ascending distance
+    // warm path runs no Spark job
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    idx.servePoint("v", q, 10, nProbe = 8)
+    idx.servePoint("v", Array.fill(8)(0.1f), 10, nProbe = 8)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"warm servePoint ran ${after - before} Spark job(s)")
+    // exclusion mask drops a served id
+    val excluded = served.head._1
+    val masked = idx.servePoint("v", q, 10, nProbe = 8, exclude = _ == excluded)
+    assert(!masked.map(_._1).contains(excluded))
+  }
+
   test("oversized inline WAL payload is rejected with a payloadPath pointer") {
     val big = "x" * (graft.streaming.WalStream.MaxInlinePayloadBytes + 1)
     val e = intercept[IllegalArgumentException] {
