@@ -21,6 +21,32 @@ class GraftDb(val spark: SparkSession, val root: String,
 
   private def tablePath(name: String) = s"$root/$name"
   private val stores = scala.collection.concurrent.TrieMap[String, TableStore]()
+  // one IvfIndex instance per (table, field): the instance owns the
+  // centroid/clustered/serving caches (all meta-stamp-invalidated), so
+  // re-creating it per query would re-list and re-load per query
+  private val indexes =
+    scala.collection.concurrent.TrieMap[(String, String), graft.index.IvfIndex]()
+  private def index(st: TableStore, field: String): graft.index.IvfIndex =
+    indexes.getOrElseUpdate((st.schema.name, field),
+      new graft.index.IvfIndex(spark, s"$root/${st.schema.name}/ivf_$field",
+        graft.store.TableStore.RowId, st.schema.field(field).metric))
+  // tombstone ids as a driver Set, re-collected only when the snapshot
+  // version moves (tombstones are control-plane sized; serving must not
+  // run a Spark job per query to learn them)
+  private val tombCache =
+    scala.collection.concurrent.TrieMap[String, (Long, Set[Long])]()
+  private def tombstoneSet(st: TableStore): Set[Long] = {
+    val ver = st.snapshot().map(_.version).getOrElse(-1L)
+    tombCache.get(st.schema.name) match {
+      case Some((v, s)) if v == ver => s
+      case _ =>
+        val s = st.tombstoneIds()
+          .map(_.collect().map(_.getLong(0)).toSet)
+          .getOrElse(Set.empty[Long])
+        tombCache(st.schema.name) = (ver, s)
+        s
+    }
+  }
 
   def createTable(schemaJson: String): TableSchema = {
     val schema = SchemaJson.read(schemaJson)
@@ -68,9 +94,70 @@ class GraftDb(val spark: SparkSession, val root: String,
     * JSON in, JSON out (rendering is capped — see `render`); use
     * `queryDataFrame` as the primary surface for large results. */
   def query(requestJson: String): String = {
+    val req = JsonMethods.parse(requestJson)
+    val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
+    if (serve) serveQuery(req) match {
+      case Some(resp) => return resp
+      case None => // no index / stale index: fall through to the job path
+    }
     val (out, facetDfs, facets, unbounded, cleanup) = queryPlan(requestJson)
     try render(out, facetDfs, facets, unbounded)
     finally cleanup()
+  }
+
+  /** `"serve":true` — the reference's in-process low-latency search
+    * (vec_search_executor.cpp:833-935): answered from the driver-resident
+    * IVF serving cache, NO Spark job on the warm path. Contract differs
+    * from the job path deliberately:
+    *  - returns `(__row_id, @distance)` pairs only (bodies are a /data/get
+    *    by id away — the standard serving-tier split);
+    *  - answers FROM THE INDEX: rows newer than the indexed watermark are
+    *    invisible until the next rebuild/append (staleness window = the
+    *    maintenance cadence); tombstoned rows are masked via a
+    *    snapshot-version-keyed driver-side set.
+    * Returns None (-> job path) when there is no index, the index predates
+    * a purge, or the query is not a dense vector. */
+  private def serveQuery(req: JValue): Option[String] = {
+    val table = str(req \ "table")
+    val st = store(table)
+    val queryField = (req \ "queryField") match {
+      case JString(s) => s
+      case _ =>
+        val vfs = st.schema.vectorFields
+        require(vfs.size == 1, "queryField required when table has multiple vector fields")
+        vfs.head.name
+    }
+    val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
+    val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
+    val dense: Array[Float] = (req \ "queryVector") match {
+      case JArray(vals) => vals.map(num(_).toFloat).toArray
+      case _ => (req \ "query") match {
+        case JString(text) =>
+          val ix = st.schema.indices.find(_.tgt == queryField).getOrElse(
+            return None)
+          graft.embed.AutoEmbed.serviceFor(ix.model,
+            st.schema.field(queryField).dimensions).embedBatch(Seq(text)).head
+        case _ => return None
+      }
+    }
+    if (!Files.exists(Paths.get(s"$root/$table/ivf_$queryField/ivf_meta.json")))
+      return None
+    val idx = index(st, queryField)
+    if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
+    val tombs = tombstoneSet(st)
+    val hits = idx.servePoint(queryField, dense,
+      math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
+      exclude = tombs.contains)
+    val sb = new java.lang.StringBuilder("{\"result\":[")
+    var i = 0
+    while (i < hits.length) {
+      if (i > 0) sb.append(',')
+      sb.append("{\"__row_id\":").append(hits(i)._1)
+        .append(",\"@distance\":").append(hits(i)._2).append('}')
+      i += 1
+    }
+    sb.append("],\"served\":true}")
+    Some(sb.toString)
   }
 
   /** DataFrame-returning query: the result stays distributed (nothing is
@@ -181,7 +268,7 @@ class GraftDb(val spark: SparkSession, val root: String,
       // no index: exact search (brute-force-below-threshold semantics)
       return exact()
     }
-    val idx = new graft.index.IvfIndex(spark, path, rowId, st.schema.field(queryField).metric)
+    val idx = index(st, queryField)
     val tail = live.filter(col(rowId) > idx.indexedWatermark())
     // filter may reference any table column and @distance (post-filter mode)
     val searchedSchema = org.apache.spark.sql.types.StructType(

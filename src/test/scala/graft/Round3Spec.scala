@@ -148,6 +148,54 @@ class Round3Spec extends SparkSpec {
     assert(!masked.map(_._1).contains(excluded))
   }
 
+  test("serve:true JSON query answers from the index, masks deletes, survives 32 threads") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r3_serve_api"))
+    db.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("S")
+    val rows = (0 until 600).map(i => Row(i, Seq(i.toFloat, 0f, 0f, 0f)))
+    st.insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), st.schema.structType))
+    // no index yet: serve falls back to the job path (full rows rendered)
+    val q = """{"table":"S","queryVector":[0,0,0,0],"limit":3,"serve":true}"""
+    assert(!db.query(q).contains("\"served\""))
+    assert(db.rebuildIndex("S", "Vec"))
+    val served = db.query(q)
+    assert(served.contains("\"served\":true"), served)
+    val ids = (JsonMethods.parse(served) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "__row_id") match { case JInt(i) => i.toInt; case _ => fail("no id") })
+    assert(ids == List(1, 2, 3)) // __row_id is 1-based insertion order
+    // a delete is masked immediately (tombstone set, no rebuild needed)
+    db.delete("""{"table":"S","primaryKeys":[0]}""")
+    val afterDel = db.query(q)
+    val ids2 = (JsonMethods.parse(afterDel) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "__row_id") match { case JInt(i) => i.toInt; case _ => fail("no id") })
+    assert(ids2 == List(2, 3, 4), afterDel)
+    // the reference's 32-thread concurrency harness, against serving
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = (0 until 32).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            var i = 0
+            while (i < 50) {
+              val r = db.query(
+                s"""{"table":"S","queryVector":[${t % 7},0,0,0],"limit":5,"serve":true}""")
+              if (!r.contains("\"served\":true")) errs.incrementAndGet()
+              i += 1
+            }
+          } catch { case _: Throwable => errs.incrementAndGet() }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(errs.get() == 0, s"${errs.get()} serving failures under concurrency")
+  }
+
   test("oversized inline WAL payload is rejected with a payloadPath pointer") {
     val big = "x" * (graft.streaming.WalStream.MaxInlinePayloadBytes + 1)
     val e = intercept[IllegalArgumentException] {
