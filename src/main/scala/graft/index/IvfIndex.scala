@@ -265,20 +265,29 @@ class IvfIndex(
     * Invalidated when the index meta changes (rebuild/append). */
   /** (ids, row-major doubles, per-row |x|^2): doubles avoid a float->double
     * conversion per element in the hot loop, and the precomputed norms turn
-    * Euclidean scoring into `|x|^2 - 2 x.q` — one multiply-add per element. */
+    * Euclidean scoring into `|x|^2 - 2 x.q` — one multiply-add per element.
+    * LinkedHashMap in access order = LRU, bounded by `maxServeRows`
+    * (vectors resident cost dim x 8 bytes each; an unbounded cache on a
+    * 100 TB index would OOM the driver the first time a scatter of cold
+    * probes lands). */
   @transient private var serveCache =
-    scala.collection.mutable.Map[Int, (Array[Long], Array[Double], Array[Double])]()
+    new java.util.LinkedHashMap[Int, (Array[Long], Array[Double], Array[Double])](
+      64, 0.75f, true)
+  @transient private var serveRowsResident = 0L
   @transient private var serveStamp: (Long, Long, Long) = null
   @transient private var serveStampCheckedAt = 0L
+
+  /** Serving cache budget in resident vectors (default 4M: ~2 GiB at
+    * dim=64). Settable before serving starts. */
+  @volatile var maxServeRows: Long = 4L * 1024 * 1024
 
   /** How stale the serving cache may be before re-reading ivf_meta.json:
     * parsing the meta file per query would dominate serving latency
     * (~ms), so freshness is re-checked at most every 250 ms. */
   val ServeFreshnessMs = 250L
 
-  /** Resident vector count (cache sizing: rows x dim x 4 bytes). */
-  def servingResidentRows(): Long =
-    synchronized { serveCache.valuesIterator.map(_._1.length.toLong).sum }
+  /** Resident vector count (cache sizing: rows x dim x 8 bytes). */
+  def servingResidentRows(): Long = synchronized { serveRowsResident }
 
   /** Low-latency top-K answered on the DRIVER: centroid argmin -> probe
     * the nProbe nearest clusters from the resident cache -> bounded-heap
@@ -295,7 +304,7 @@ class IvfIndex(
     if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
       serveStampCheckedAt = now
       val s = meta()
-      if (s != serveStamp) { serveStamp = s; serveCache.clear() }
+      if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
     }
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     val probed = centroids()
@@ -303,7 +312,7 @@ class IvfIndex(
       .sortBy { case (_, d) => d }
       .take(nProbe)
       .map(_._1)
-    val missing = probed.filterNot(serveCache.contains)
+    val missing = probed.filterNot(serveCache.containsKey(_))
     if (missing.nonEmpty) {
       // one pruned job per COLD cluster set; partition pruning keeps the
       // read to exactly these cluster directories
@@ -330,7 +339,20 @@ class IvfIndex(
           norms(i) = nrm
           i += 1
         }
-        serveCache(cid) = (ids, flat, norms)
+        serveCache.put(cid, (ids, flat, norms))
+        serveRowsResident += ids.length
+      }
+    }
+    // evict least-recently-probed clusters beyond the budget (never the
+    // clusters of THIS query — they were just accessed/inserted)
+    if (serveRowsResident > maxServeRows) {
+      val it = serveCache.entrySet().iterator()
+      while (serveRowsResident > maxServeRows && it.hasNext) {
+        val e = it.next()
+        if (!probed.contains(e.getKey)) {
+          serveRowsResident -= e.getValue._1.length
+          it.remove()
+        }
       }
     }
     // bounded max-heap over (distance, id): evict the WORST (largest
@@ -352,7 +374,7 @@ class IvfIndex(
     val l2Metric = metric == MetricType.Euclidean
     val cosMetric = metric == MetricType.Cosine
     probed.foreach { cid =>
-      val (ids, flat, norms) = serveCache(cid)
+      val (ids, flat, norms) = serveCache.get(cid)
       var i = 0
       var off = 0
       while (i < ids.length) {

@@ -146,6 +146,14 @@ class Round3Spec extends SparkSpec {
     val excluded = served.head._1
     val masked = idx.servePoint("v", q, 10, nProbe = 8, exclude = _ == excluded)
     assert(!masked.map(_._1).contains(excluded))
+    // LRU budget: all 8 clusters are resident (2000 rows); shrinking the
+    // budget evicts least-recently-probed clusters on the next query
+    assert(idx.servingResidentRows() == 2000)
+    idx.maxServeRows = 600
+    val s2 = idx.servePoint("v", Array.fill(8)(0.9f), 5, nProbe = 1)
+    assert(s2.nonEmpty)
+    assert(idx.servingResidentRows() < 2000,
+      s"no eviction happened: resident ${idx.servingResidentRows()}")
   }
 
   test("serve:true JSON query answers from the index, masks deletes, survives 32 threads") {
