@@ -239,16 +239,28 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     // batch order: input row order within the batch (the reference's cursor).
     val ordered = prepared.withColumn(BatchOrd, monotonically_increasing_id())
 
+    // scale-aware partitioning: a 5k-row control-plane batch must not pay
+    // a 32-way shuffle per stage, and a 100 TB bulk load must not be
+    // capped at the session's shuffle.partitions — partition count tracks
+    // batch size (row ids stay identical for any partition count: ranges
+    // are ordered by BatchOrd and zipWithIndex numbers them in order).
+    // One cheap narrow count over the cached batch buys it.
+    val nBatch = ordered.count()
+    val parts = partitionsFor(nBatch)
+
     val (toWrite, dupSkipped, tombstoneOld) = pkField match {
       case None => (ordered, 0L, None)
       case Some(pk) =>
         val pkCol = col(pk.name)
         // in-batch dedup: first-wins for insert, last-wins for upsert
-        // (table_segment_mvp.cpp:652-737)
+        // (table_segment_mvp.cpp:652-737). Pre-partitioning on the PK at
+        // the scale-aware width satisfies the window's required
+        // distribution, so the window adds no second shuffle.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pkCol)
           .orderBy(if (upsert) col(BatchOrd).desc else col(BatchOrd).asc)
-        val flagged = ordered.withColumn("__rn", row_number().over(w))
+        val flagged = ordered.repartition(parts, pkCol)
+          .withColumn("__rn", row_number().over(w))
         val deduped = flagged.filter(col("__rn") === 1).drop("__rn")
         // one job for (batch total, in-batch survivors) — two counts would
         // be two full passes over the cached batch
@@ -283,7 +295,7 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     // disjoint ordered ranges, then zipWithIndex hands out contiguous ids
     // distributedly.
     val sorted = toWrite
-      .repartitionByRange(col(BatchOrd))
+      .repartitionByRange(parts, col(BatchOrd))
       .sortWithinPartitions(col(BatchOrd))
     val innerSchema = sorted.schema
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -457,6 +469,15 @@ object TableStore {
     * cross-process writer creates its dirs before committing the manifest
     * that references them. */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
+  /** Target rows per partition for ingest shuffles/writes. */
+  val IngestRowsPerPartition: Long = 500000L
+
+  /** Partition count tracking batch size: 1 partition per
+    * IngestRowsPerPartition rows, clamped to [1, 20000]. */
+  def partitionsFor(nRows: Long): Int =
+    math.max(1L, math.min(20000L,
+      (nRows + IngestRowsPerPartition - 1) / IngestRowsPerPartition)).toInt
 
   /** `filter(arr, fn)` built-in wrapper (named to avoid DataFrame.filter clash). */
   private[store] def filter_exprs(arr: Column, f: Column => Column): Column =
