@@ -85,6 +85,14 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(fc == 200)
     assert(docsOf(fb) == Seq("Berlin", "London"))
 
+    // serve:true over HTTP: table is below the index threshold here, so
+    // the server transparently falls back to the job path (full rows)
+    val (vc, vb) = post("/api/default/data/query",
+      """{"table":"MyTable","queryVector":[0.35,0.55,0.47,0.94],
+        |"limit":2,"serve":true}""".stripMargin)
+    assert(vc == 200, vb)
+    assert(docsOf(vb) == Seq("Moscow", "Berlin"))
+
     val (pc, pb) = post("/api/default/data/insertprepare",
       """{"table":"MyTable","primaryKeys":[1,2,3,9,10]}""")
     assert(pc == 200, pb)

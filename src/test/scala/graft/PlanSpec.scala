@@ -49,6 +49,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: []"))
   }
 
+  test("pl_pack_sharded windows are partitioned (no single-partition global window)") {
+    val p = explain("pl_pack_sharded")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("lang")),
+      s"window without a partition key found:\n${windows.mkString("\n")}")
+  }
+
   test("q3 join keeps a broadcast side (small dimension table)") {
     val p = explain("q3_join_topk")
     assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"), p)
