@@ -45,7 +45,8 @@ object GraftFunctions {
     "sparse_dot" -> binary(SparseDot),
     "sparse_cosine_distance" -> binary(SparseCosineDistance),
     "sparse_l2sqr_distance" -> binary(SparseL2Sqr),
-    "sparse_l2_normalize" -> unary(SparseL2Normalize))
+    "sparse_l2_normalize" -> unary(SparseL2Normalize),
+    "quantize_vec" -> unary(QuantizeVec))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -119,7 +119,13 @@ class IvfIndex(
       if (metric == MetricType.Cosine)
         newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
       else newRows
-    val assigned = IvfIndex.withQuantized(prepared, vecCol)
+    // match the existing layout's schema: a pre-quantization layout keeps
+    // appending without the code columns (mixed file schemas would break
+    // the non-merged parquet read)
+    val staged =
+      if (clustered().columns.contains("__qcode")) IvfIndex.withQuantized(prepared, vecCol)
+      else prepared
+    val assigned = staged
       .withColumn("cluster",
         org.apache.spark.sql.graftbridge.CatalystBridge.column(
           graft.functions.NearestCentroid(
