@@ -91,20 +91,21 @@ object AnnBench {
     // probed clusters are resident after the first touch). Loop the query
     // set enough times to measure past timer resolution.
     idx.servePoint("embedding", queries.head, 10, nProbe = 8) // warm (loads clusters)
-    val serveRounds = math.max(1, (20000 / math.max(1, queries.length)).toInt)
+    // time-boxed: whole passes over the query set until ~10 s elapsed
+    // (fixed iteration counts are wildly off across dims/sizes)
     val t2 = System.nanoTime()
-    var r = 0
+    val serveDeadline = t2 + 10L * 1000 * 1000 * 1000
+    var serveQueries = 0L
     var served: Array[(Long, Double)] = null
-    while (r < serveRounds) {
+    while (serveQueries == 0L || System.nanoTime() < serveDeadline) {
       var qi = 0
       while (qi < queries.length) {
         served = idx.servePoint("embedding", queries(qi), 10, nProbe = 8)
         qi += 1
       }
-      r += 1
+      serveQueries += queries.length
     }
     val serveSec = (System.nanoTime() - t2) / 1e9
-    val serveQueries = serveRounds.toLong * queries.length
     val serveRecall = exact.zip(queries.map(q =>
       idx.servePoint("embedding", q, 10, nProbe = 8).map(_._1).toSeq)).map {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size

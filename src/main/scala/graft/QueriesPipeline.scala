@@ -284,6 +284,36 @@ object QueriesPipeline {
         .select(col("event_id"), col("user_id"), col("last_signup"))
         .orderBy(col("event_id"))
     }),
+    // non-equi interval join done scalably: purchases matched into the
+    // 10-minute promo window after ANY signup (cross-user, so there is no
+    // equi key) via bin-explode + equi-join — never a BNLJ/cartesian
+    "ev_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 600L * 1000000000L // 10 min in ns
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("w_start"),
+          (col("ts") + win).as("w_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"))
+      Pipelines.rangeJoinBinned(purchases, "ts", intervals, "w_start", "w_end", win)
+        .select(col("purchase_id"), col("signup_id"))
+        .orderBy(col("purchase_id"), col("signup_id"))
+    }),
+    // sketch accuracy as a deterministic verdict row: HLL++ distinct and
+    // approximate percentile within 5% of exact (both sketches are
+    // deterministic for fixed input) — DuckDB cannot mirror Spark's sketch
+    // internals, but it can assert the CONTRACT
+    "q10_sketches" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).cast("double"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).cast("double"),
+        expr("percentile(l_extendedprice, 0.5)"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").cast("double")).head()
+      val dOk = math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) <= 0.05
+      val pOk = math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) <= 0.05
+      Seq(((if (dOk) 1L else 0L), (if (pOk) 1L else 0L))).toDF("distinct_ok", "p50_ok")
+    }),
     "js_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -652,6 +682,15 @@ object QueriesPipeline {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
         |  FROM events WHERE event_type IN ('signup', 'purchase'))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "ev_range_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id
+        |FROM events p, events s
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND epoch_ns(p.ts) >= epoch_ns(s.ts)
+        |  AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 600000000000
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+    "q10_sketches" ->
+      "SELECT CAST(1 AS BIGINT) AS distinct_ok, CAST(1 AS BIGINT) AS p50_ok",
     "js_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

@@ -305,69 +305,69 @@ class IvfIndex(
     * masks known-dead ids; callers needing read-your-writes semantics use
     * `search()` (the job path). */
   def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
-      exclude: Long => Boolean = _ => false): Array[(Long, Double)] = synchronized {
-    val now = System.currentTimeMillis
-    if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
-      serveStampCheckedAt = now
-      val s = meta()
-      if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
-    }
+      exclude: Long => Boolean = _ => false): Array[(Long, Double)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
-    val probed = centroids()
-      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-      .sortBy { case (_, d) => d }
-      .take(nProbe)
-      .map(_._1)
-    val missing = probed.filterNot(serveCache.containsKey(_))
-    if (missing.nonEmpty) {
-      // one pruned job per COLD cluster set; partition pruning keeps the
-      // read to exactly these cluster directories
-      val rows = clustered()
-        .filter(col("cluster").isin(missing.toSeq: _*))
-        .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
-        .collect()
-      val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
-      missing.foreach { cid =>
-        val cr = rows.filter(_.getInt(0) == cid)
-        val ids = new Array[Long](cr.length)
-        val flat = new Array[Double](cr.length * dim)
-        val norms = new Array[Double](cr.length)
-        var i = 0
-        while (i < cr.length) {
-          ids(i) = cr(i).getLong(1)
-          val v = cr(i).getAs[scala.collection.Seq[Float]](2)
-          var j = 0
-          var nrm = 0.0
-          while (j < dim) {
-            val x = v(j).toDouble
-            flat(i * dim + j) = x; nrm += x * x; j += 1
+    // cache bookkeeping under the lock; scoring OUTSIDE it (the captured
+    // arrays are immutable — eviction only unlinks map entries), so
+    // concurrent serving threads score in parallel (the reference's
+    // 16-executor pool, executor_pool.hpp:10-46)
+    val clusters: Array[(Array[Long], Array[Double], Array[Double])] = synchronized {
+      val now = System.currentTimeMillis
+      if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
+        serveStampCheckedAt = now
+        val s = meta()
+        if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
+      }
+      val probed = centroids()
+        .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+        .sortBy { case (_, d) => d }
+        .take(nProbe)
+        .map(_._1)
+      val missing = probed.filterNot(serveCache.containsKey(_))
+      if (missing.nonEmpty) {
+        // one pruned job per COLD cluster set; partition pruning keeps the
+        // read to exactly these cluster directories
+        val rows = clustered()
+          .filter(col("cluster").isin(missing.toSeq: _*))
+          .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
+          .collect()
+        val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
+        missing.foreach { cid =>
+          val cr = rows.filter(_.getInt(0) == cid)
+          val ids = new Array[Long](cr.length)
+          val flat = new Array[Double](cr.length * dim)
+          val norms = new Array[Double](cr.length)
+          var i = 0
+          while (i < cr.length) {
+            ids(i) = cr(i).getLong(1)
+            val v = cr(i).getAs[scala.collection.Seq[Float]](2)
+            var j = 0
+            var nrm = 0.0
+            while (j < dim) {
+              val x = v(j).toDouble
+              flat(i * dim + j) = x; nrm += x * x; j += 1
+            }
+            norms(i) = nrm
+            i += 1
           }
-          norms(i) = nrm
-          i += 1
-        }
-        serveCache.put(cid, (ids, flat, norms))
-        serveRowsResident += ids.length
-      }
-    }
-    // evict least-recently-probed clusters beyond the budget (never the
-    // clusters of THIS query — they were just accessed/inserted)
-    if (serveRowsResident > maxServeRows) {
-      val it = serveCache.entrySet().iterator()
-      while (serveRowsResident > maxServeRows && it.hasNext) {
-        val e = it.next()
-        if (!probed.contains(e.getKey)) {
-          serveRowsResident -= e.getValue._1.length
-          it.remove()
+          serveCache.put(cid, (ids, flat, norms))
+          serveRowsResident += ids.length
         }
       }
+      // evict least-recently-probed clusters beyond the budget (never the
+      // clusters of THIS query — they were just accessed/inserted)
+      if (serveRowsResident > maxServeRows) {
+        val it = serveCache.entrySet().iterator()
+        while (serveRowsResident > maxServeRows && it.hasNext) {
+          val e = it.next()
+          if (!probed.contains(e.getKey)) {
+            serveRowsResident -= e.getValue._1.length
+            it.remove()
+          }
+        }
+      }
+      probed.map(serveCache.get(_))
     }
-    // bounded max-heap over (distance, id): evict the WORST (largest
-    // distance, then largest id) — yields ascending (distance, id) output
-    val heap = new java.util.PriorityQueue[(Long, Double)](k,
-      (a: (Long, Double), b: (Long, Double)) => {
-        val c = java.lang.Double.compare(b._2, a._2)
-        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
-      })
     val dim = q.length
     val qd = new Array[Double](dim)
     var qi = 0
@@ -375,35 +375,36 @@ class IvfIndex(
     while (qi < dim) {
       qd(qi) = q(qi).toDouble; qNorm += qd(qi) * qd(qi); qi += 1
     }
-    // metric specialized OUTSIDE the row loop; every metric reduces to one
-    // fused dot per row (Euclidean via |x|^2 - 2 x.q + |q|^2)
-    val l2Metric = metric == MetricType.Euclidean
-    val cosMetric = metric == MetricType.Cosine
-    probed.foreach { cid =>
-      val (ids, flat, norms) = serveCache.get(cid)
-      var i = 0
-      var off = 0
-      while (i < ids.length) {
-        if (!exclude(ids(i))) {
-          var dot = 0.0
-          var j = 0
-          while (j < dim) { dot += flat(off + j) * qd(j); j += 1 }
-          val d =
-            if (l2Metric) norms(i) - 2.0 * dot + qNorm
-            else if (cosMetric) 1.0 - dot
-            else -dot
-          if (heap.size < k) heap.add((ids(i), d))
-          else {
-            val worst = heap.peek()
-            if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
-              heap.poll(); heap.add((ids(i), d))
-            }
-          }
-        }
-        i += 1
-        off += dim
+    // score probed clusters in parallel (flop-bound at high dims: a
+    // 960-dim probe is ~30M multiply-adds — one thread per cluster
+    // recovers the core count the job path gets from Spark), then merge
+    // the per-cluster top-k lists — same (distance, id) order as a single
+    // heap over everything
+    val locals: Array[Array[(Long, Double)]] =
+      if (clusters.length <= 1)
+        clusters.map(c => IvfIndex.scoreCluster(c, qd, qNorm, k, metric, exclude))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.sequence(clusters.toSeq.map(c =>
+          Future(IvfIndex.scoreCluster(c, qd, qNorm, k, metric, exclude)))),
+          Duration.Inf).toArray
       }
-    }
+    val heap = new java.util.PriorityQueue[(Long, Double)](k,
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    locals.foreach(_.foreach { cand =>
+      if (heap.size < k) heap.add(cand)
+      else {
+        val worst = heap.peek()
+        if (cand._2 < worst._2 || (cand._2 == worst._2 && cand._1 < worst._1)) {
+          heap.poll(); heap.add(cand)
+        }
+      }
+    })
     val out = new Array[(Long, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
@@ -606,6 +607,50 @@ object IvfIndex {
       case MetricType.Cosine => lit(1.0) - dot_product(vec, lit(q))
       case MetricType.DotProduct => negative_dot(vec, lit(q))
     }
+
+  /** Bounded top-k of one resident cluster: every metric reduces to one
+    * fused dot per row (Euclidean via |x|^2 - 2 x.q + |q|^2); returns the
+    * local best ascending by (distance, id). */
+  private[index] def scoreCluster(
+      cluster: (Array[Long], Array[Double], Array[Double]),
+      qd: Array[Double], qNorm: Double, k: Int, metric: MetricType.Value,
+      exclude: Long => Boolean): Array[(Long, Double)] = {
+    val (ids, flat, norms) = cluster
+    val dim = qd.length
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += flat(off + j) * qd(j); j += 1 }
+        val d =
+          if (l2Metric) norms(i) - 2.0 * dot + qNorm
+          else if (cosMetric) 1.0 - dot
+          else -dot
+        if (heap.size < k) heap.add((ids(i), d))
+        else {
+          val worst = heap.peek()
+          if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+            heap.poll(); heap.add((ids(i), d))
+          }
+        }
+      }
+      i += 1
+      off += dim
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var n = out.length - 1
+    while (n >= 0) { out(n) = heap.poll(); n -= 1 }
+    out
+  }
 
   def dist(metric: MetricType.Value, a: Array[Float], b: Array[Float]): Double = {
     var l2 = 0.0; var dot = 0.0

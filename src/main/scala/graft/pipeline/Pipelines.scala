@@ -63,6 +63,27 @@ object Pipelines {
       .drop("__cum")
   }
 
+  /** Interval (range) join WITHOUT an equi key, scalably: each interval
+    * explodes to the time bins it covers (<= len/binWidth + 1 bins), each
+    * point lands in exactly one bin, and the join becomes a plain shuffle
+    * equi-join on the bin plus a residual containment filter. The naive
+    * formulation `points.join(intervals, ts BETWEEN start AND end)` has no
+    * equi conjunct, so Spark plans a BroadcastNestedLoopJoin — quadratic
+    * at scale. Pick binWidth >= the typical interval length (each interval
+    * then covers <= 2 bins); bins use exact int64 division (double math
+    * would lose precision on epoch-nano timestamps).
+    * Column names must not collide between the two sides. */
+  def rangeJoinBinned(points: DataFrame, pointTsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binWidth"), expr(s"$endCol div $binWidth"))))
+    val pts = points.withColumn("__bin", expr(s"$pointTsCol div $binWidth"))
+    pts.join(binned, Seq("__bin"))
+      .filter(col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
   def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {

@@ -136,6 +136,26 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(byLang("fr") / 1000.0 - 0.1) < 0.05, byLang)
   }
 
+  test("rangeJoinBinned == naive containment join, incl. intervals spanning bins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // epoch-nano-scale values to catch double-precision bin math
+    val base = 1700000000000000000L
+    val points = (0 until 300).map(i => (i.toLong, base + rnd.nextInt(1000000) * 1000000L))
+      .toDF("pid", "pts")
+    val intervals = (0 until 50).map { i =>
+      val s = base + rnd.nextInt(900000) * 1000000L
+      (i.toLong, s, s + (rnd.nextInt(3) + 1) * 77000000000L) // 77-231s: spans bins
+    }.toDF("iid", "istart", "iend")
+    val got = graft.pipeline.Pipelines
+      .rangeJoinBinned(points, "pts", intervals, "istart", "iend", 60000000000L)
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("pts") >= col("istart") && col("pts") <= col("iend"))
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && naive.nonEmpty, s"got ${got.size} vs naive ${naive.size}")
+  }
+
   test("packBySize: batches respect the greedy running-sum rule") {
     import spark.implicits._
     val df = Seq((1L, 40L), (2L, 50L), (3L, 30L), (4L, 100L), (5L, 10L))
