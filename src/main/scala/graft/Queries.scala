@@ -326,6 +326,111 @@ object Queries {
         o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
           .except(pri)).distinct()
         .orderBy(col("o_custkey"))
+    }),
+
+    // A4: default projection = every NON-vector field, in schema order
+    // (table_mvp.cpp:462-594 — vectors are returned only when asked for),
+    // routed through QueryEngine.get's pagination path.
+    "a4_project_all" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn(graft.store.TableStore.RowId, col("vec_id"))
+      val schema = graft.types.TableSchema("embeddings", Seq(
+        graft.types.FieldSchema("vec_id", graft.types.FieldType.BigInt, primaryKey = true),
+        graft.types.FieldSchema("embedding", graft.types.FieldType.VectorFloat, dimensions = 64),
+        graft.types.FieldSchema("label", graft.types.FieldType.Int4)))
+      graft.query.QueryEngine.get(emb, schema,
+        graft.query.QueryEngine.GetRequest(filter = "label >= 3", skip = 10, limit = 25))
+    }),
+
+    // G6: global aggregate — a facet with ZERO group expressions aggregates
+    // the whole result set into one row (db_server.cpp:395-397), through the
+    // same facet executor as the grouped path.
+    "g6_global_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "view")
+      graft.query.QueryEngine.facet(ev,
+          graft.query.QueryEngine.Facet(Nil,
+            Seq("COUNT(*)", "SUM(value)", "AVG(value)", "MIN(value)", "MAX(value)")))
+        .toDF("n", "sum_v", "avg_v", "min_v", "max_v")
+        .select(col("n"), round(col("sum_v"), 2).as("sum_v"),
+          round(col("avg_v"), 4).as("avg_v"), round(col("min_v"), 4).as("min_v"),
+          round(col("max_v"), 4).as("max_v"))
+    }),
+
+    // V7: below MinimalIndexSize (512) the rebuild scheduler declines to
+    // build and search brute-forces (MinimalGraphSize config.hpp:22 +
+    // BruteforceThreshold vec_search_executor.hpp:28) — the oracle checks
+    // BOTH the no-index decision and the exact fallback result.
+    "v7_bruteforce_small" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 400)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_small_${math.abs(dir.hashCode)}"
+      val (idx, built) = graft.index.IvfIndex.rebuildVerbose(
+        s, emb, "embedding", "vec_id", path, graft.types.MetricType.Euclidean)
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val res = idx match {
+        case Some(i) => i.search("embedding", q, 10, nProbe = Int.MaxValue)
+        case None => emb
+          .withColumn("@distance", l2sqr_distance(col("embedding"), lit(q)))
+          .orderBy(col("@distance").asc, col("vec_id").asc).limit(10)
+      }
+      res.select(col("vec_id"))
+        .withColumn("used_index", lit(idx.isDefined || built))
+    }),
+
+    // R4: fresh rows above the indexed watermark are searched EXACTLY and
+    // unioned before the cut (graph-over-prefix + brute-force-tail,
+    // vec_search_executor.cpp:885-904): index the low half only, full-probe
+    // + tail == brute force over the whole table, which the oracle checks.
+    "r4_fresh_tail" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_tail_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb.filter(col("vec_id") <= cut),
+        "embedding", "vec_id", path, graft.types.MetricType.Euclidean,
+        nClusters = 8, maxIter = 3)
+      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8,
+          freshTail = Some(emb.filter(col("vec_id") > cut)))
+        .select(col("vec_id"))
+    }),
+
+    // V10: multi-vector-field dispatch — the request names WHICH vector
+    // field to search (web_controller.hpp:700-719 queryField resolution);
+    // here the second field is the element-reversed embedding, which the
+    // oracle reproduces with list_reverse.
+    "v10_multi_field" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("embedding_rev", reverse(col("embedding")))
+        .withColumn(graft.store.TableStore.RowId, col("vec_id"))
+      val schema = graft.types.TableSchema("emb2", Seq(
+        graft.types.FieldSchema("vec_id", graft.types.FieldType.BigInt, primaryKey = true),
+        graft.types.FieldSchema("embedding", graft.types.FieldType.VectorFloat, dimensions = 64),
+        graft.types.FieldSchema("embedding_rev", graft.types.FieldType.VectorFloat, dimensions = 64),
+        graft.types.FieldSchema("label", graft.types.FieldType.Int4)))
+      graft.query.QueryEngine.search(emb, schema,
+        graft.query.QueryEngine.SearchRequest("embedding_rev",
+          graft.query.QueryEngine.DenseQuery(SparkEntry.queryVectorOf(s, dir)),
+          limit = 10, outputFields = Seq("vec_id", "label")))
+    }),
+
+    // P11: unsupported-operator parity — the reference's expression language
+    // REJECTS these (expr.cpp:64-69 ALL/ANY/BETWEEN/EXISTS/SOME; bitwise
+    // ops; IN is string-only, expr_evaluator.cpp): each case must throw,
+    // emitted as driver-checkable verdict rows.
+    "p11_parity_errors" -> ((s, dir) => {
+      import s.implicits._
+      val schema = t(s, dir, "lineitem").schema
+      val cases = Seq(
+        "l_orderkey BETWEEN 1 AND 10",
+        "EXISTS l_orderkey",
+        "l_orderkey = ALL 1",
+        "l_orderkey = ANY 1",
+        "l_orderkey = SOME 1",
+        "l_orderkey & 3 = 1",
+        "l_orderkey | 3 = 1",
+        "l_quantity IN (1, 2)")
+      cases.zipWithIndex.map { case (f, i) =>
+        val rejected = scala.util.Try(FilterTranslator.translate(f, schema)).isFailure
+        (i.toLong, f, rejected)
+      }.toDF("case_id", "filter_expr", "rejected").orderBy("case_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -459,6 +564,35 @@ object Queries {
         |  max(ascii(upper(substr(o_orderstatus, 1, 1)))) AS max_status,
         |  round(sum(sqrt(abs(o_totalprice))), 4) AS sum_sqrt_price
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "a4_project_all" ->
+      """SELECT vec_id, label FROM embeddings WHERE label >= 3
+        |ORDER BY vec_id LIMIT 25 OFFSET 10""".stripMargin,
+    "g6_global_agg" ->
+      """SELECT count(*) AS n, round(sum(value), 2) AS sum_v,
+        |  round(avg(value), 4) AS avg_v, round(min(value), 4) AS min_v,
+        |  round(max(value), 4) AS max_v
+        |FROM events WHERE event_type = 'view'""".stripMargin,
+    "v7_bruteforce_small" ->
+      s"""SELECT vec_id, FALSE AS used_index FROM embeddings WHERE vec_id < 400
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "r4_fresh_tail" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v10_multi_field" ->
+      s"""SELECT vec_id, label FROM embeddings
+         |ORDER BY ${sqlL2sqr("list_reverse(embedding)", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "p11_parity_errors" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'l_orderkey BETWEEN 1 AND 10', TRUE),
+        |  (CAST(1 AS BIGINT), 'EXISTS l_orderkey', TRUE),
+        |  (CAST(2 AS BIGINT), 'l_orderkey = ALL 1', TRUE),
+        |  (CAST(3 AS BIGINT), 'l_orderkey = ANY 1', TRUE),
+        |  (CAST(4 AS BIGINT), 'l_orderkey = SOME 1', TRUE),
+        |  (CAST(5 AS BIGINT), 'l_orderkey & 3 = 1', TRUE),
+        |  (CAST(6 AS BIGINT), 'l_orderkey | 3 = 1', TRUE),
+        |  (CAST(7 AS BIGINT), 'l_quantity IN (1, 2)', TRUE))
+        |  t(case_id, filter_expr, rejected)
+        |ORDER BY case_id""".stripMargin,
     "so_set_ops" ->
       """SELECT DISTINCT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000

@@ -29,17 +29,33 @@ object QueriesStore {
     FieldSchema("source", FieldType.Str),
     FieldSchema("n_chars", FieldType.BigInt)))
 
-  /** Fresh store + the documents batch in doc_id order. */
-  private def freshStore(s: SparkSession, dir: String, tag: String): (TableStore, DataFrame) = {
+  /** Deleted-then-recreated scratch root, unique per (tag, sf dir). */
+  private def cleanRoot(tag: String, dir: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_gate_${tag}_${math.abs(dir.hashCode)}"
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
-    val st = TableStore.create(s, root, docSchema)
+    root
+  }
+
+  /** Fresh store + the documents batch in doc_id order. */
+  private def freshStore(s: SparkSession, dir: String, tag: String): (TableStore, DataFrame) = {
+    val st = TableStore.create(s, cleanRoot(tag, dir), docSchema)
     val docs = s.read.parquet(s"$dir/documents.parquet").orderBy("doc_id")
     (st, docs)
   }
+
+  /** D5's constant insert batch: embeddings of CONSTANT texts are computable
+    * at oracle-construction time (DeterministicEmbedder is pure), so the
+    * auto-embedded store content gets a full VALUES-literal hash oracle. */
+  private val D5Texts = Seq(
+    "distributed shuffle hash join",
+    "broadcast nested loop",
+    "catalyst optimizer rule",
+    "tungsten codegen stage",
+    "parquet footer pruning")
+  private val D5Dim = 8
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -138,6 +154,67 @@ object QueriesStore {
       st.insert(docs)
       st.delete(Nil, "doc_id < 10")
       Seq(st.count()).toDF("total_records")
+    }),
+
+    // D5: auto-embedding at ingest — the schema carries an EmbeddingIndex
+    // (src text -> tgt vector via model name, table_segment_mvp.cpp:746-762)
+    // and insert fills the vector column itself; the oracle holds the exact
+    // expected embeddings as literals (the embedder is pure).
+    "d5_auto_embed" -> ((s, dir) => {
+      import s.implicits._
+      val sch = TableSchema("docs_e", Seq(
+        FieldSchema("doc_id", FieldType.BigInt, primaryKey = true),
+        FieldSchema("text", FieldType.Str),
+        FieldSchema("embedding", FieldType.VectorFloat, dimensions = D5Dim)),
+        Seq(EmbeddingIndex("auto_emb", "text", "embedding", "fake/offline")))
+      val st = TableStore.create(s, cleanRoot("d5e", dir), sch)
+      st.insert(D5Texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      st.read().select(col("doc_id"), col("embedding")).orderBy("doc_id")
+    }),
+
+    // S4: catalog save/load — create a database + table through a catalog,
+    // then open a SECOND catalog instance on the same root (a restart):
+    // catalog.json resolves the database, the table's schema.json + manifest
+    // resolve the data (basic_meta_impl.cpp:35-98 LoadDB + persisted meta).
+    "s4_catalog_reload" -> ((s, dir) => {
+      val root = cleanRoot("cat", dir)
+      val cat = new graft.api.GraftCatalog(s, root)
+      val db = cat.load("covdb")
+      db.createTable(graft.store.SchemaJson.write(docSchema))
+      db.store("documents").insert(
+        s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 100)
+          .orderBy("doc_id"))
+      val reopened = new graft.api.GraftCatalog(s, root)
+      reopened.db("covdb").store("documents").read()
+        .select(col("doc_id"), col("lang"), col("n_chars")).orderBy("doc_id")
+    }),
+
+    // S5/D6: WAL-first ingestion — entries appended to the log (bulk insert
+    // BY REFERENCE, delete by filter, inline upsert), then replayed through
+    // the real Structured Streaming path (readStream -> foreachBatch ->
+    // store DML in gid order, consumed-gid watermark); the oracle reproduces
+    // the final table state (write_ahead_log.hpp:30-142 semantics).
+    "s5_wal_replay" -> ((s, dir) => {
+      val (st, docs) = freshStore(s, dir, "wal")
+      val base = cleanRoot("walside", dir)
+      val walDir = s"$base/wal"
+      val pay = s"$base/payload"
+      docs.select(to_json(struct(docs.columns.map(col): _*)).as("value"))
+        .write.mode("overwrite").text(pay)
+      graft.streaming.WalStream.append(walDir, 1, "INSERT", payloadPath = pay)
+      graft.streaming.WalStream.append(walDir, 2, "DELETE", filter = "n_chars < 200")
+      val up = (0 until 5).map(i =>
+        s"""{"doc_id":$i,"text":"wal upsert $i","lang":"xx","source":"wal","n_chars":${100 + i}}""")
+        .mkString("\n")
+      graft.streaming.WalStream.append(walDir, 3, "UPSERT", payload = up)
+      val q = s.readStream.schema(graft.streaming.WalStream.entrySchema).json(walDir)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(graft.streaming.WalStream.applyBatch(st) _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      st.read().select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -188,5 +265,32 @@ object QueriesStore {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s7_statistics" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_records
-        |FROM documents WHERE doc_id >= 10""".stripMargin)
+        |FROM documents WHERE doc_id >= 10""".stripMargin,
+    "d5_auto_embed" -> {
+      // the embedder is pure: compute the exact floats the insert will store
+      // (toDouble.toString round-trips each float32 exactly; the DOUBLE ->
+      // FLOAT cast on the DuckDB side lands back on the same float32). The
+      // `e0` suffix forces a DOUBLE literal — a bare 17-digit decimal parses
+      // as DECIMAL(18,17) in DuckDB, whose float cast rounds differently.
+      val embs = new graft.embed.DeterministicEmbedder("fake/offline", D5Dim)
+        .embedBatch(D5Texts)
+      val rows = embs.zipWithIndex.map { case (e, i) =>
+        s"(CAST($i AS BIGINT), CAST(${e.map(_.toDouble.toString + "e0").mkString("[", ", ", "]")} AS FLOAT[]))"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) t(doc_id, embedding)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "s4_catalog_reload" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+    "s5_wal_replay" ->
+      """SELECT doc_id, text, lang, n_chars FROM (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE NOT (n_chars < 200) AND doc_id NOT IN (0, 1, 2, 3, 4)
+        |  UNION ALL
+        |  SELECT range AS doc_id, 'wal upsert ' || CAST(range AS VARCHAR),
+        |    'xx', CAST(100 + range AS BIGINT)
+        |  FROM range(0, 5))
+        |ORDER BY doc_id""".stripMargin)
 }
