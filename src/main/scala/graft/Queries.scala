@@ -411,6 +411,29 @@ object Queries {
           limit = 10, outputFields = Seq("vec_id", "label")))
     }),
 
+    // R3: rebuild-scheduler skip semantics (table_mvp.cpp:94-203, invoked
+    // every 60 s): a second rebuild over an UNCHANGED table is skipped
+    // (count AND max-id match); growing the table past the watermark forces
+    // a real rebuild.
+    "r3_rebuild_skip" -> ((s, dir) => {
+      import s.implicits._
+      // double the table so it clears MinimalIndexSize (512) at every SF
+      // (v7_bruteforce_small covers the below-threshold branch)
+      val base = t(s, dir, "embeddings")
+      val emb = base.unionByName(base.withColumn("vec_id", col("vec_id") + 1000000L))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_r3skip_${math.abs(dir.hashCode)}"
+      // stale meta from a previous run would make the FIRST rebuild skip
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/ivf_meta.json"))
+      def rebuild(df: DataFrame) = graft.index.IvfIndex.rebuildVerbose(
+        s, df, "embedding", "vec_id", path, graft.types.MetricType.Euclidean,
+        nClusters = 8)._2
+      val b1 = rebuild(emb)
+      val b2 = rebuild(emb) // unchanged -> skipped
+      val b3 = rebuild(emb.unionByName( // one fresh row past the watermark
+        base.filter(col("vec_id") === 0).withColumn("vec_id", lit(2000000L))))
+      Seq((0L, b1), (1L, b2), (2L, b3)).toDF("step", "rebuilt").orderBy("step")
+    }),
+
     // P11: unsupported-operator parity — the reference's expression language
     // REJECTS these (expr.cpp:64-69 ALL/ANY/BETWEEN/EXISTS/SOME; bitwise
     // ops; IN is string-only, expr_evaluator.cpp): each case must throw,
@@ -581,6 +604,13 @@ object Queries {
     "v10_multi_field" ->
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY ${sqlL2sqr("list_reverse(embedding)", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "r3_rebuild_skip" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), TRUE),
+        |  (CAST(1 AS BIGINT), FALSE),
+        |  (CAST(2 AS BIGINT), TRUE))
+        |  t(step, rebuilt)
+        |ORDER BY step""".stripMargin,
     "p11_parity_errors" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), 'l_orderkey BETWEEN 1 AND 10', TRUE),

@@ -190,6 +190,28 @@ object QueriesStore {
         .select(col("doc_id"), col("lang"), col("n_chars")).orderBy("doc_id")
     }),
 
+    // G8: the rendered facet JSON envelope itself — query a CONSTANT table
+    // through the JSON front door (result rows + a global facet), emit the
+    // raw response string; the oracle pins the exact bytes the renderer
+    // must produce (web_controller JSON response shape; aggregation.hpp
+    // output keys are the aggregate expressions verbatim).
+    "g8_facet_json" -> ((s, dir) => {
+      import s.implicits._
+      val db = new graft.api.GraftDb(s, cleanRoot("g8", dir))
+      db.createTable(
+        """{"name":"t8","fields":[
+          |  {"name":"doc_id","dataType":"BIGINT","primaryKey":true},
+          |  {"name":"lang","dataType":"STRING"},
+          |  {"name":"score","dataType":"BIGINT"}]}""".stripMargin)
+      db.store("t8").insert(
+        Seq((0L, "en", 3L), (1L, "de", 1L), (2L, "en", 5L), (3L, "fr", 2L), (4L, "de", 4L))
+          .toDF("doc_id", "lang", "score"))
+      val json = db.get(
+        """{"table":"t8","filter":"score >= 2",
+          |  "facets":[{"group":[],"aggregate":["COUNT(*)","SUM(score)"]}]}""".stripMargin)
+      Seq(json).toDF("facet_json")
+    }),
+
     // S5/D6: WAL-first ingestion — entries appended to the log (bulk insert
     // BY REFERENCE, delete by filter, inline upsert), then replayed through
     // the real Structured Streaming path (readStream -> foreachBatch ->
@@ -281,6 +303,11 @@ object QueriesStore {
          |  $rows) t(doc_id, embedding)
          |ORDER BY doc_id""".stripMargin
     },
+    "g8_facet_json" ->
+      ("""SELECT '{"result":[{"doc_id":0,"lang":"en","score":3},""" +
+        """{"doc_id":2,"lang":"en","score":5},{"doc_id":3,"lang":"fr","score":2},""" +
+        """{"doc_id":4,"lang":"de","score":4}],""" +
+        """"facets":[[{"COUNT(*)":4,"SUM(score)":14}]]}' AS facet_json"""),
     "s4_catalog_reload" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
