@@ -417,9 +417,10 @@ object Queries {
     // a real rebuild.
     "r3_rebuild_skip" -> ((s, dir) => {
       import s.implicits._
-      // double the table so it clears MinimalIndexSize (512) at every SF
-      // (v7_bruteforce_small covers the below-threshold branch)
-      val base = t(s, dir, "embeddings")
+      // 600 rows at every SF: clears MinimalIndexSize (512) while keeping
+      // the two builds control-plane sized (v7_bruteforce_small covers the
+      // below-threshold branch)
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 300)
       val emb = base.unionByName(base.withColumn("vec_id", col("vec_id") + 1000000L))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_r3skip_${math.abs(dir.hashCode)}"
       // stale meta from a previous run would make the FIRST rebuild skip

@@ -305,13 +305,18 @@ object QueriesPipeline {
     // internals, but it can assert the CONTRACT
     "q10_sketches" -> ((s, dir) => {
       import s.implicits._
-      val r = t(s, dir, "lineitem").agg(
-        countDistinct(col("l_orderkey")).cast("double"),
+      // exact distinct runs as its own HashAggregate job: a DISTINCT
+      // aggregate mixed into the same agg() as the sketch aggregates
+      // (TypedImperativeAggregate) forces an Expand + single-partition
+      // SortAggregate over 2x the rows — 43 s vs ~3 s at sf0.1
+      val li = t(s, dir, "lineitem")
+      val exactD = li.select(col("l_orderkey")).distinct().count().toDouble
+      val r = li.agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).cast("double"),
         expr("percentile(l_extendedprice, 0.5)"),
         expr("percentile_approx(l_extendedprice, 0.5, 1000)").cast("double")).head()
-      val dOk = math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) <= 0.05
-      val pOk = math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) <= 0.05
+      val dOk = math.abs(r.getDouble(0) - exactD) / exactD <= 0.05
+      val pOk = math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) <= 0.05
       Seq(((if (dOk) 1L else 0L), (if (pOk) 1L else 0L))).toDF("distinct_ok", "p50_ok")
     }),
     "js_json_extract" -> ((s, dir) => {

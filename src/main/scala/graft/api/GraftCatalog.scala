@@ -22,8 +22,9 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
 
   private val catalogPath = Paths.get(s"$rootDir/catalog.json")
   private val dbs = scala.collection.concurrent.TrieMap[String, GraftDb]()
+  private val quotas = scala.collection.concurrent.TrieMap[String, (Int, Long)]()
 
-  // reload previously-loaded databases on open
+  // reload previously-loaded databases (and their quotas) on open
   if (Files.exists(catalogPath)) {
     val o = JsonMethods.parse(new String(Files.readAllBytes(catalogPath)))
     (o \ "databases") match {
@@ -33,15 +34,38 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
       }
       case _ =>
     }
+    (o \ "quotas") match {
+      case JObject(fields) => fields.foreach { case (name, q) =>
+        val mt = (q \ "maxTables") match {
+          case JInt(i) => i.toInt; case _ => Int.MaxValue
+        }
+        val mr = (q \ "maxRowsPerTable") match {
+          case JInt(i) => i.toLong; case _ => Long.MaxValue
+        }
+        quotas(name) = (mt, mr)
+        dbs.get(name).foreach(applyQuota(name, _))
+      }
+      case _ =>
+    }
   }
+
+  private def applyQuota(name: String, db: GraftDb): Unit =
+    quotas.get(name).foreach { case (mt, mr) =>
+      db.quotaMaxTables = mt
+      db.quotaMaxRowsPerTable = mr
+    }
 
   private def persist(): Unit = synchronized {
     Files.createDirectories(Paths.get(rootDir))
     val entries = dbs.toSeq.sortBy(_._1)
       .map { case (n, db) => s"""${jstr(n)}:${jstr(db.root)}""" }
       .mkString(",")
+    val qs = quotas.toSeq.sortBy(_._1)
+      .map { case (n, (mt, mr)) =>
+        s"""${jstr(n)}:{"maxTables":$mt,"maxRowsPerTable":$mr}""" }
+      .mkString(",")
     val tmp = Files.createTempFile(Paths.get(rootDir), ".catalog", ".tmp")
-    Files.write(tmp, s"""{"databases":{$entries}}""".getBytes)
+    Files.write(tmp, s"""{"databases":{$entries},"quotas":{$qs}}""".getBytes)
     Files.move(tmp, catalogPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -63,8 +87,19 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
     if (path != null && db.root != path)
       throw new IllegalArgumentException(
         s"database $name is already loaded from ${db.root}; requested $path")
+    applyQuota(name, db)
     persist()
     db
+  }
+
+  /** Per-database admission quotas (our multi-tenant extension; see
+    * GraftDb.quotaMaxTables): persisted with the catalog, applied to the
+    * loaded instance immediately and re-applied on reload. */
+  def setQuota(name: String, maxTables: Int = Int.MaxValue,
+      maxRowsPerTable: Long = Long.MaxValue): Unit = {
+    quotas(name) = (maxTables, maxRowsPerTable)
+    dbs.get(name).foreach(applyQuota(name, _))
+    persist()
   }
 
   /** Register an already-open GraftDb under a name (in-process only use —

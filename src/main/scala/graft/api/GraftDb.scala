@@ -19,6 +19,15 @@ import scala.jdk.CollectionConverters._
 class GraftDb(val spark: SparkSession, val root: String,
     val maxRenderRows: Int = 100000) {
 
+  /** Per-database admission quotas (our extension — the reference's
+    * multi-DB catalog has none, but a multi-tenant deployment needs them):
+    * table count is enforced at createTable, the rows-per-table bound at
+    * the JSON insert surface (checked against live count + batch size, an
+    * UPPER bound — in-batch dedup may admit fewer). Set via
+    * GraftCatalog.setQuota, which persists them with the catalog. */
+  @volatile var quotaMaxTables: Int = Int.MaxValue
+  @volatile var quotaMaxRowsPerTable: Long = Long.MaxValue
+
   private def tablePath(name: String) = s"$root/$name"
   private val stores = scala.collection.concurrent.TrieMap[String, TableStore]()
   // one IvfIndex instance per (table, field): the instance owns the
@@ -52,6 +61,9 @@ class GraftDb(val spark: SparkSession, val root: String,
     val schema = SchemaJson.read(schemaJson)
     require(!Files.exists(Paths.get(tablePath(schema.name))),
       s"table ${schema.name} already exists")
+    if (listTables().size >= quotaMaxTables)
+      throw new IllegalStateException(
+        s"table quota exceeded: database allows $quotaMaxTables tables")
     stores(schema.name) = TableStore.create(spark, tablePath(schema.name), schema)
     schema
   }
@@ -84,6 +96,10 @@ class GraftDb(val spark: SparkSession, val root: String,
       case _ => throw new IllegalArgumentException("data must be an array")
     }
     val st = store(table)
+    if (quotaMaxRowsPerTable != Long.MaxValue &&
+        st.count() + data.size > quotaMaxRowsPerTable)
+      throw new IllegalStateException(
+        s"row quota exceeded: table $table allows $quotaMaxRowsPerTable rows")
     val ds = spark.createDataset(data.asJava)(org.apache.spark.sql.Encoders.STRING)
     val df = spark.read.schema(st.schema.structType).json(ds)
     val res = st.insert(df, upsert)
