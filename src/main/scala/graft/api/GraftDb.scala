@@ -39,6 +39,57 @@ class GraftDb(val spark: SparkSession, val root: String,
     indexes.getOrElseUpdate((st.schema.name, field),
       new graft.index.IvfIndex(spark, s"$root/${st.schema.name}/ivf_$field",
         graft.store.TableStore.RowId, st.schema.field(field).metric))
+  /** Serving fresh-tail cap: rows above the indexed watermark held
+    * resident on the driver for serving. A bigger tail means the
+    * maintenance rebuild is overdue — serving then falls back to the job
+    * path rather than pin unbounded fresh data. */
+  @volatile var maxServeTailRows: Int = 100000
+
+  // fresh-tail rows in servePoint's resident layout, re-collected only
+  // when the snapshot version or index watermark moves (one pruned job per
+  // commit, then every serve is pure JVM compute)
+  private val tailCache = scala.collection.concurrent.TrieMap[
+    (String, String),
+    (Long, Long, Option[(Array[Long], Array[Double], Array[Double])])]()
+
+  /** Left(()) = tail over cap (caller falls back to the job path);
+    * Right(None) = no fresh rows; Right(Some(cluster)) = packed tail. */
+  private def freshTailCluster(st: TableStore, idx: graft.index.IvfIndex,
+      field: String)
+      : Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] = {
+    import org.apache.spark.sql.functions.col
+    val ver = st.snapshot().map(_.version).getOrElse(-1L)
+    val wm = idx.indexedWatermark()
+    tailCache.get((st.schema.name, field)) match {
+      case Some((v, w, t)) if v == ver && w == wm =>
+        // the cap applies to resident entries too (it can be lowered live)
+        if (t.exists(_._1.length > maxServeTailRows)) Left(()) else Right(t)
+      case _ =>
+        val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
+        if (storeWm <= wm) {
+          tailCache((st.schema.name, field)) = (ver, wm, None)
+          Right(None)
+        } else {
+          val rows = st.read()
+            .filter(col(TableStore.RowId) > wm)
+            .select(col(TableStore.RowId), col(field))
+            .limit(maxServeTailRows + 1)
+            .collect()
+          if (rows.length > maxServeTailRows) Left(())
+          else {
+            val packed =
+              if (rows.isEmpty) None
+              else Some(graft.index.IvfIndex.packRows(
+                rows.map(r => (r.getLong(0),
+                  r.getAs[scala.collection.Seq[Float]](1).toArray)),
+                st.schema.field(field).dimensions))
+            tailCache((st.schema.name, field)) = (ver, wm, packed)
+            Right(packed)
+          }
+        }
+    }
+  }
+
   // tombstone ids as a driver Set, re-collected only when the snapshot
   // version moves (tombstones are control-plane sized; serving must not
   // run a Spark job per query to learn them)
@@ -127,12 +178,19 @@ class GraftDb(val spark: SparkSession, val root: String,
     * from the job path deliberately:
     *  - returns `(__row_id, @distance)` pairs only (bodies are a /data/get
     *    by id away — the standard serving-tier split);
-    *  - answers FROM THE INDEX: rows newer than the indexed watermark are
-    *    invisible until the next rebuild/append (staleness window = the
-    *    maintenance cadence); tombstoned rows are masked via a
-    *    snapshot-version-keyed driver-side set.
+    *  - rows above the indexed watermark are served from a driver-resident
+    *    fresh-tail cache, scored exactly and merged with the probed
+    *    clusters (the reference's graph-over-prefix + brute-force-tail,
+    *    vec_search_executor.cpp:885-904); the tail is re-collected when
+    *    the snapshot version moves (one pruned job per commit, then warm)
+    *    and capped at `maxServeTailRows` — a bigger tail means the
+    *    maintenance rebuild is overdue and the query falls back to the
+    *    job path rather than pinning unbounded fresh data on the driver;
+    *  - tombstoned rows are masked via a snapshot-version-keyed
+    *    driver-side set.
     * Returns None (-> job path) when there is no index, the index predates
-    * a purge, or the query is not a dense vector. */
+    * a purge, the fresh tail exceeds the cap, or the query is not a dense
+    * vector. */
   private def serveQuery(req: JValue): Option[String] = {
     val table = str(req \ "table")
     val st = store(table)
@@ -161,9 +219,13 @@ class GraftDb(val spark: SparkSession, val root: String,
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
     val tombs = tombstoneSet(st)
+    val tail = freshTailCluster(st, idx, queryField) match {
+      case Right(t) => t
+      case Left(_) => return None // tail over cap -> job path
+    }
     val hits = idx.servePoint(queryField, dense,
       math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
-      exclude = tombs.contains)
+      exclude = tombs.contains, freshTail = tail)
     val sb = new java.lang.StringBuilder("{\"result\":[")
     var i = 0
     while (i < hits.length) {

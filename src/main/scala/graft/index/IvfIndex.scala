@@ -300,12 +300,15 @@ class IvfIndex(
     * top-K with the engine's (distance, id) tie-break. Returns
     * (id, distance) pairs, best first.
     *
-    * Serving answers FROM THE INDEX: rows newer than the indexed
-    * watermark and un-purged tombstones are not consulted — `exclude`
-    * masks known-dead ids; callers needing read-your-writes semantics use
-    * `search()` (the job path). */
+    * Serving answers FROM THE INDEX plus an optional caller-supplied
+    * `freshTail` (rows above the indexed watermark, packed via
+    * `IvfIndex.packRows`) — the in-process analog of the reference's
+    * graph-over-prefix + brute-force-tail merge
+    * (vec_search_executor.cpp:885-904). `exclude` masks known-dead ids. */
   def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
-      exclude: Long => Boolean = _ => false): Array[(Long, Double)] = {
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Array[(Long, Double)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     // cache bookkeeping under the lock; scoring OUTSIDE it (the captured
     // arrays are immutable — eviction only unlinks map entries), so
@@ -375,19 +378,23 @@ class IvfIndex(
     while (qi < dim) {
       qd(qi) = q(qi).toDouble; qNorm += qd(qi) * qd(qi); qi += 1
     }
+    val scoreSets = freshTail match {
+      case Some(t) => clusters :+ t
+      case None => clusters
+    }
     // score probed clusters in parallel (flop-bound at high dims: a
     // 960-dim probe is ~30M multiply-adds — one thread per cluster
     // recovers the core count the job path gets from Spark), then merge
     // the per-cluster top-k lists — same (distance, id) order as a single
     // heap over everything
     val locals: Array[Array[(Long, Double)]] =
-      if (clusters.length <= 1)
-        clusters.map(c => IvfIndex.scoreCluster(c, qd, qNorm, k, metric, exclude))
+      if (scoreSets.length <= 1)
+        scoreSets.map(c => IvfIndex.scoreCluster(c, qd, qNorm, k, metric, exclude))
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
-        Await.result(Future.sequence(clusters.toSeq.map(c =>
+        Await.result(Future.sequence(scoreSets.toSeq.map(c =>
           Future(IvfIndex.scoreCluster(c, qd, qNorm, k, metric, exclude)))),
           Duration.Inf).toArray
       }
@@ -607,6 +614,31 @@ object IvfIndex {
       case MetricType.Cosine => lit(1.0) - dot_product(vec, lit(q))
       case MetricType.DotProduct => negative_dot(vec, lit(q))
     }
+
+  /** Pack (id, vector) rows into the resident scoring layout
+    * (ids, row-major doubles, per-row |x|^2) used by `servePoint` — for
+    * caller-supplied fresh tails. */
+  def packRows(rows: Array[(Long, Array[Float])], dim: Int)
+      : (Array[Long], Array[Double], Array[Double]) = {
+    val ids = new Array[Long](rows.length)
+    val flat = new Array[Double](rows.length * dim)
+    val norms = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i)._1
+      val v = rows(i)._2
+      var j = 0
+      var nrm = 0.0
+      val m = if (v.length < dim) v.length else dim
+      while (j < m) {
+        val x = v(j).toDouble
+        flat(i * dim + j) = x; nrm += x * x; j += 1
+      }
+      norms(i) = nrm
+      i += 1
+    }
+    (ids, flat, norms)
+  }
 
   /** Bounded top-k of one resident cluster: every metric reduces to one
     * fused dot per row (Euclidean via |x|^2 - 2 x.q + |q|^2); returns the

@@ -233,4 +233,42 @@ class Round3Spec extends SparkSpec {
     val ok = graft.pipeline.Dedup.duplicateClusters(chain, maxIter = 10, driverThreshold = 0)
     assert(ok.select(col("cluster")).distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
+
+  test("serve:true merges fresh rows above the indexed watermark; warm tail runs no jobs") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r3_serve_tail"))
+    db.createTable(
+      """{"name":"FT","fields":[
+        |{"name":"ID","dataType":"INT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("FT")
+    val rows = (0 until 600).map(i => Row(i, Seq(i.toFloat + 10f, 0f, 0f, 0f)))
+    st.insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), st.schema.structType))
+    assert(db.rebuildIndex("FT", "Vec"))
+    val q = """{"table":"FT","queryVector":[0,0,0,0],"limit":3,"serve":true}"""
+    // nearest indexed rows are ids 0,1,2 (__row_id 1,2,3)
+    val before = (JsonMethods.parse(db.query(q)) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "__row_id") match { case JInt(i) => i.toInt; case _ => fail("no id") })
+    assert(before == List(1, 2, 3))
+    // insert fresh rows AT the query point — above the indexed watermark
+    db.insert("""{"table":"FT","data":[
+      {"ID":9000,"Vec":[0,0,0,0]},{"ID":9001,"Vec":[1,0,0,0]}]}""")
+    val served = db.query(q)
+    assert(served.contains("\"served\":true"), served)
+    val after = (JsonMethods.parse(served) \ "result").asInstanceOf[JArray].arr
+      .map(r => (r \ "__row_id") match { case JInt(i) => i.toInt; case _ => fail("no id") })
+    assert(after == List(601, 602, 1), served) // fresh rows win, then id 0
+    // warm path: the tail is resident — serving again runs zero Spark jobs
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    db.query(q)
+    assert(tracker.getJobIdsForGroup(null).length == jobsBefore,
+      "warm fresh-tail serve ran a Spark job")
+    // an oversized tail falls back to the job path instead of pinning it
+    db.maxServeTailRows = 1
+    assert(!db.query(q).contains("\"served\""))
+    db.maxServeTailRows = 100000
+    assert(db.query(q).contains("\"served\":true"))
+  }
 }
