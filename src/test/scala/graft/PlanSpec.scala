@@ -81,4 +81,19 @@ class PlanSpec extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("props"), s"unpruned scan: $read")
   }
+
+  test("a4 default projection prunes the vector column from the scan") {
+    val p = explain("a4_project_all")
+    // default projection = non-vector fields only; column pruning must
+    // keep the 64-float embedding out of the parquet read entirely
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    val schema = read.substring(read.indexOf("ReadSchema:"))
+    assert(!schema.contains("embedding"),
+      s"vector column read for a non-vector projection: $schema")
+  }
+
+  test("v10 second-field search is still a TakeOrderedAndProject top-K") {
+    val p = explain("v10_multi_field")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
