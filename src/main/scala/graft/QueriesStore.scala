@@ -159,7 +159,9 @@ object QueriesStore {
     // D5: auto-embedding at ingest — the schema carries an EmbeddingIndex
     // (src text -> tgt vector via model name, table_segment_mvp.cpp:746-762)
     // and insert fills the vector column itself; the oracle holds the exact
-    // expected embeddings as literals (the embedder is pure).
+    // expected embeddings as literals (the embedder is pure). The vector is
+    // exploded to (doc_id, dim_idx, val) scalar rows so the driver's
+    // column-sorting hash comparator never sees an array cell.
     "d5_auto_embed" -> ((s, dir) => {
       import s.implicits._
       val sch = TableSchema("docs_e", Seq(
@@ -170,7 +172,10 @@ object QueriesStore {
       val st = TableStore.create(s, cleanRoot("d5e", dir), sch)
       st.insert(D5Texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text"))
-      st.read().select(col("doc_id"), col("embedding")).orderBy("doc_id")
+      st.read()
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_idx", "val")))
+        .select(col("doc_id"), col("dim_idx").cast("long").as("dim_idx"), col("val"))
+        .orderBy("doc_id", "dim_idx")
     }),
 
     // S4: catalog save/load — create a database + table through a catalog,
@@ -294,14 +299,17 @@ object QueriesStore {
       // FLOAT cast on the DuckDB side lands back on the same float32). The
       // `e0` suffix forces a DOUBLE literal — a bare 17-digit decimal parses
       // as DECIMAL(18,17) in DuckDB, whose float cast rounds differently.
+      // One scalar row per (doc_id, dim_idx) — arrays never reach the driver.
       val embs = new graft.embed.DeterministicEmbedder("fake/offline", D5Dim)
         .embedBatch(D5Texts)
-      val rows = embs.zipWithIndex.map { case (e, i) =>
-        s"(CAST($i AS BIGINT), CAST(${e.map(_.toDouble.toString + "e0").mkString("[", ", ", "]")} AS FLOAT[]))"
-      }.mkString(",\n  ")
+      val rows = (for {
+        (e, i) <- embs.zipWithIndex
+        (v, d) <- e.zipWithIndex
+      } yield s"(CAST($i AS BIGINT), CAST($d AS BIGINT), CAST(${v.toDouble.toString}e0 AS FLOAT))")
+        .mkString(",\n  ")
       s"""SELECT * FROM (VALUES
-         |  $rows) t(doc_id, embedding)
-         |ORDER BY doc_id""".stripMargin
+         |  $rows) t(doc_id, dim_idx, val)
+         |ORDER BY doc_id, dim_idx""".stripMargin
     },
     "g8_facet_json" ->
       ("""SELECT '{"result":[{"doc_id":0,"lang":"en","score":3},""" +
