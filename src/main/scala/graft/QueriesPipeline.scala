@@ -138,29 +138,29 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // sparse search at corpus scale: hashed-vocab tf vectors scored by the
-    // inverted-list plan (postings joined on the query's nonzero dims) —
-    // the batch-scale path for sparse vectors (V2/V5 sparse analog);
-    // integral tf values keep the dot products exact in both engines
+    // sparse search at corpus scale: hashed-vocab tf vectors scored from
+    // the PERSISTED inverted index (SparseIndex: postings bucketed by dim
+    // on disk, built once and skip-guarded by the count+watermark stamp) —
+    // the per-query work is a partition-pruned read of the query's dims,
+    // never a corpus re-explode (V2/V5 sparse analog); integral tf values
+    // keep the dot products exact in both engines
     "v2_sparse_inverted" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val posting = docs
+      def posting = docs
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .select(col("doc_id"),
           pmod(graft.functions.hash60(col("tok")), lit(1024)).cast("int").as("dim"))
         .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
-      // cache: read once for the query-vector lookup and once for the scan
-      val sparse = posting
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("v")))).as("ps"))
-        .select(col("doc_id"),
-          struct(transform(col("ps"), p => p.getField("dim")).as("indices"),
-            transform(col("ps"), p => p.getField("v")).as("values")).as("sv"))
-        .cache()
-      val q0 = sparse.filter(col("doc_id") === 0).select("sv").head().getStruct(0)
-      graft.query.SparseSearch.topKDot(sparse, "sv", "doc_id",
-          q0.getSeq[Int](0).toArray, q0.getSeq[Float](1).toArray, k = 20)
-        .select(col("id").as("doc_id"), col("dot").cast("long").as("dot"))
+      val stats = docs.agg(count(lit(1)), max(col("doc_id").cast("long"))).head()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_spidx_${math.abs(dir.hashCode)}"
+      val (idx, _) = graft.index.SparseIndex.rebuildFromPostingsVerbose(
+        s, posting, "doc_id", path, rowCount = stats.getLong(0),
+        maxId = stats.getLong(1), buckets = 16)
+      // query vector = doc 0's postings (a pruned read of the persisted
+      // index would also work; recomputing prunes to one doc via pushdown)
+      val q0 = posting.filter(col("doc_id") === 0).select("dim", "v").collect()
+      idx.topKDot(q0.map(_.getInt(0)), q0.map(_.getFloat(1)), k = 20)
+        .select(col("doc_id"), col("dot").cast("long").as("dot"))
     }),
 
     // canonical-doc selection: connected components over the LSH near-dup

@@ -302,10 +302,15 @@ object QueriesStore {
       // One scalar row per (doc_id, dim_idx) — arrays never reach the driver.
       val embs = new graft.embed.DeterministicEmbedder("fake/offline", D5Dim)
         .embedBatch(D5Texts)
+      // toPlainString: Double.toString can emit scientific notation
+      // ("1.0E-5"), which would concatenate into an invalid "…E-5e0"
+      // literal; the plain-decimal expansion of the exact double is always
+      // parseable and lands on the same float32 after the cast
       val rows = (for {
         (e, i) <- embs.zipWithIndex
         (v, d) <- e.zipWithIndex
-      } yield s"(CAST($i AS BIGINT), CAST($d AS BIGINT), CAST(${v.toDouble.toString}e0 AS FLOAT))")
+      } yield s"(CAST($i AS BIGINT), CAST($d AS BIGINT), " +
+        s"CAST(${new java.math.BigDecimal(v.toDouble).toPlainString}e0 AS FLOAT))")
         .mkString(",\n  ")
       s"""SELECT * FROM (VALUES
          |  $rows) t(doc_id, dim_idx, val)

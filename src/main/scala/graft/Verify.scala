@@ -19,7 +19,20 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional single-query focus for local iteration (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      // a typo'd name would otherwise silently verify nothing; and a
+      // focused run leaves the other queries' outputs STALE in outDir —
+      // say both out loud
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: unknown query name(s) in SPARK_GRAFT_VERIFY_ONLY: " +
+            unknown.toSeq.sorted.mkString(","))
+      System.err.println(
+        s"[verify] WARNING: focused run (${names.size} selected) — $outDir is " +
+          "a PARTIAL dump; other query outputs there are stale")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries

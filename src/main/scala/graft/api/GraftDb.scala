@@ -39,6 +39,15 @@ class GraftDb(val spark: SparkSession, val root: String,
     indexes.getOrElseUpdate((st.schema.name, field),
       new graft.index.IvfIndex(spark, s"$root/${st.schema.name}/ivf_$field",
         graft.store.TableStore.RowId, st.schema.field(field).metric))
+  // sparse fields get the inverted-posting index instead (same
+  // one-instance-per-(table, field) rule: the instance owns the meta-
+  // stamped posting/norms/serving caches)
+  private val sparseIndexes =
+    scala.collection.concurrent.TrieMap[(String, String), graft.index.SparseIndex]()
+  private def sparseIndex(st: TableStore, field: String): graft.index.SparseIndex =
+    sparseIndexes.getOrElseUpdate((st.schema.name, field),
+      new graft.index.SparseIndex(spark, s"$root/${st.schema.name}/spidx_$field",
+        graft.store.TableStore.RowId))
   /** Serving fresh-tail cap: rows above the indexed watermark held
     * resident on the driver for serving. A bigger tail means the
     * maintenance rebuild is overdue — serving then falls back to the job
@@ -90,19 +99,32 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Serving tombstone cap, the symmetric twin of `maxServeTailRows`: the
+    * driver-resident delete mask is bounded, and a delete-heavy table
+    * falls back to the job path (distributed anti-join) instead of
+    * pinning millions of ids on the driver. A tail this large also means
+    * the purge-compaction is overdue. */
+  @volatile var maxServeTombstones: Int = 1000000
+
   // tombstone ids as a driver Set, re-collected only when the snapshot
   // version moves (tombstones are control-plane sized; serving must not
-  // run a Spark job per query to learn them)
+  // run a Spark job per query to learn them). None = over the cap.
   private val tombCache =
-    scala.collection.concurrent.TrieMap[String, (Long, Set[Long])]()
-  private def tombstoneSet(st: TableStore): Set[Long] = {
+    scala.collection.concurrent.TrieMap[String, (Long, Option[Set[Long]])]()
+  private def tombstoneSet(st: TableStore): Option[Set[Long]] = {
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     tombCache.get(st.schema.name) match {
-      case Some((v, s)) if v == ver => s
+      // the cap applies to cached sets too (it can be lowered live)
+      case Some((v, s)) if v == ver =>
+        if (s.exists(_.size > maxServeTombstones)) None else s
       case _ =>
-        val s = st.tombstoneIds()
-          .map(_.collect().map(_.getLong(0)).toSet)
-          .getOrElse(Set.empty[Long])
+        val s = st.tombstoneIds() match {
+          case None => Some(Set.empty[Long])
+          case Some(df) =>
+            val rows = df.limit(maxServeTombstones + 1).collect()
+            if (rows.length > maxServeTombstones) None
+            else Some(rows.map(_.getLong(0)).toSet)
+        }
         tombCache(st.schema.name) = (ver, s)
         s
     }
@@ -121,6 +143,12 @@ class GraftDb(val spark: SparkSession, val root: String,
 
   def dropTable(name: String): Unit = {
     stores.remove(name)
+    // evict every per-table cache: a re-created same-name table must not
+    // see a stale index instance pointing at the deleted path
+    indexes.keySet.filter(_._1 == name).foreach(indexes.remove)
+    sparseIndexes.keySet.filter(_._1 == name).foreach(sparseIndexes.remove)
+    tailCache.keySet.filter(_._1 == name).foreach(tailCache.remove)
+    tombCache.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -218,7 +246,10 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
-    val tombs = tombstoneSet(st)
+    val tombs = tombstoneSet(st) match {
+      case Some(t) => t
+      case None => return None // tombstone mask over cap -> job path
+    }
     val tail = freshTailCluster(st, idx, queryField) match {
       case Right(t) => t
       case Left(_) => return None // tail over cap -> job path
@@ -301,16 +332,24 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Build (or refresh) the IVF index for a vector field
-    * (reference: /api/rebuild, db_server.hpp:133-142). Returns true iff a
-    * build actually ran — false when the table is below the brute-force
-    * threshold OR the index is already current (skip-as-unchanged). */
+  /** Build (or refresh) the index for a vector field
+    * (reference: /api/rebuild, db_server.hpp:133-142; sparse fields are
+    * rebuilt through the same entry — db_server.cpp `RebuildSparseVector`).
+    * Dense fields get the IVF clustered layout, sparse fields the
+    * inverted-posting index. Returns true iff a build actually ran —
+    * false when the table is below the brute-force threshold OR the index
+    * is already current (skip-as-unchanged). */
   def rebuildIndex(table: String, field: String): Boolean = {
     val st = store(table)
     val f = st.schema.field(field)
-    graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
-      graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric,
-      purgeGen = st.purgeGen())._2
+    if (graft.types.FieldType.isSparse(f.fieldType))
+      graft.index.SparseIndex.rebuildVerbose(spark, st.read(), field,
+        graft.store.TableStore.RowId, s"$root/$table/spidx_$field",
+        purgeGen = st.purgeGen())._2
+    else
+      graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
+        graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric,
+        purgeGen = st.purgeGen())._2
   }
 
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout
@@ -339,9 +378,37 @@ class GraftDb(val spark: SparkSession, val root: String,
         else withDist
       filtered.orderBy(col("@distance").asc, col(rowId).asc).limit(limit)
     }
-    // sparse fields have no IVF layout (dense centroids) — exact search is
-    // the sparse path; SparseSearch.topKDot is the batch-scale alternative
-    if (qv.isInstanceOf[SparseQuery]) return exact()
+    // sparse fields search the persisted inverted-posting index when one
+    // exists: a partition-pruned read of the query's dims + a norms-
+    // universe join for exact distance parity, unioned with the fresh
+    // tail's postings (rebuild-while-querying, db_server.cpp
+    // `InsertAndQuerySparseVectorDuringRebuild`). Attribute filters fall
+    // back to the exact scan: the posting candidates carry no attribute
+    // columns, and a post-cut filter could under-fill the limit.
+    qv match {
+      case SparseQuery(qIdx, qVal) =>
+        val spMeta = s"$root/${st.schema.name}/spidx_$queryField/sp_meta.json"
+        if (filter.nonEmpty ||
+            !java.nio.file.Files.exists(java.nio.file.Paths.get(spMeta)))
+          return exact()
+        val idx = sparseIndex(st, queryField)
+        val stale = idx.indexedPurgeGen() < st.purgeGen()
+        val tombs = if (stale) None else st.tombstoneIds()
+        val liveIds = if (stale) Some(live.select(col(rowId))) else None
+        val tailRows = live.filter(col(rowId) > idx.indexedWatermark())
+        val cut = idx.topKDistance(st.schema.field(queryField).metric,
+          qIdx, qVal, limit,
+          tailPostings = Some(graft.index.SparseIndex.postingsOf(
+            tailRows, queryField, rowId)),
+          tailNorms = Some(graft.index.SparseIndex.normsOfColumn(
+            tailRows, queryField, rowId)),
+          excludeIds = tombs, restrictIds = liveIds)
+        // join the k winners back for their full rows (broadcast: <= limit)
+        return live.join(
+            org.apache.spark.sql.functions.broadcast(cut), Seq(rowId))
+          .orderBy(col("@distance").asc, col(rowId).asc)
+      case _ => ()
+    }
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json"))) {
       // no index: exact search (brute-force-below-threshold semantics)
       return exact()

@@ -1,7 +1,5 @@
 package graft.api
 
-import graft.types.FieldType
-
 case class MaintenanceReport(indexesRebuilt: Int, manifestsExpired: Int,
     walFilesExpired: Int)
 
@@ -32,8 +30,9 @@ class Maintenance(
     var walFiles = 0
     db.listTables().foreach { t =>
       val st = db.store(t)
+      // dense fields -> IVF layout; sparse fields -> inverted-posting
+      // index (rebuildIndex dispatches on the field type)
       st.schema.vectorFields
-        .filterNot(f => FieldType.isSparse(f.fieldType))
         .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
       manifests += st.expireVersions(retentionMs, now)
       st.vacuum()

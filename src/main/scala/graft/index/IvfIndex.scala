@@ -305,71 +305,97 @@ class IvfIndex(
     * `IvfIndex.packRows`) — the in-process analog of the reference's
     * graph-over-prefix + brute-force-tail merge
     * (vec_search_executor.cpp:885-904). `exclude` masks known-dead ids. */
+  /** One pruned job collecting + packing the rows of `missing` clusters —
+    * runs OUTSIDE the instance lock (see servePoint); overridable so tests
+    * can model a slow cold load. */
+  protected def loadClusters(vecCol: String, missing: Array[Int])
+      : Map[Int, (Array[Long], Array[Double], Array[Double])] = {
+    val rows = clustered()
+      .filter(col("cluster").isin(missing.toSeq: _*))
+      .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
+      .collect()
+    val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
+    missing.map { cid =>
+      val cr = rows.filter(_.getInt(0) == cid)
+      val ids = new Array[Long](cr.length)
+      val flat = new Array[Double](cr.length * dim)
+      val norms = new Array[Double](cr.length)
+      var i = 0
+      while (i < cr.length) {
+        ids(i) = cr(i).getLong(1)
+        val v = cr(i).getAs[scala.collection.Seq[Float]](2)
+        var j = 0
+        var nrm = 0.0
+        while (j < dim) {
+          val x = v(j).toDouble
+          flat(i * dim + j) = x; nrm += x * x; j += 1
+        }
+        norms(i) = nrm
+        i += 1
+      }
+      cid -> ((ids, flat, norms))
+    }.toMap
+  }
+
   def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
       : Array[(Long, Double)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
-    // cache bookkeeping under the lock; scoring OUTSIDE it (the captured
-    // arrays are immutable — eviction only unlinks map entries), so
-    // concurrent serving threads score in parallel (the reference's
-    // 16-executor pool, executor_pool.hpp:10-46)
-    val clusters: Array[(Array[Long], Array[Double], Array[Double])] = synchronized {
-      val now = System.currentTimeMillis
-      if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
-        serveStampCheckedAt = now
-        val s = meta()
-        if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
+    // ONLY cache bookkeeping runs under the lock. The cold-cluster load is
+    // a real Spark job (hundreds of ms) and runs between the lock windows —
+    // holding the lock across it would convoy every concurrent warm query
+    // behind one cold one (the reference serializes nothing across queries:
+    // 16-way executor pool, executor_pool.hpp:10-46). Duplicate concurrent
+    // loads of the same cluster are allowed; last writer wins. Scoring is
+    // also outside the lock (the captured arrays are immutable — eviction
+    // only unlinks map entries).
+    var clusters: Array[(Array[Long], Array[Double], Array[Double])] = null
+    var probed: Array[Int] = null
+    var attempts = 0
+    while (clusters == null) {
+      attempts += 1
+      require(attempts <= 8, "serving cache thrashing: raise maxServeRows above the probed set")
+      val missing: Array[Int] = synchronized {
+        val now = System.currentTimeMillis
+        if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
+          serveStampCheckedAt = now
+          val s = meta()
+          if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
+        }
+        probed = centroids()
+          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+          .sortBy { case (_, d) => d }
+          .take(nProbe)
+          .map(_._1)
+        probed.filterNot(serveCache.containsKey(_))
       }
-      val probed = centroids()
-        .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-        .sortBy { case (_, d) => d }
-        .take(nProbe)
-        .map(_._1)
-      val missing = probed.filterNot(serveCache.containsKey(_))
-      if (missing.nonEmpty) {
-        // one pruned job per COLD cluster set; partition pruning keeps the
-        // read to exactly these cluster directories
-        val rows = clustered()
-          .filter(col("cluster").isin(missing.toSeq: _*))
-          .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
-          .collect()
-        val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
-        missing.foreach { cid =>
-          val cr = rows.filter(_.getInt(0) == cid)
-          val ids = new Array[Long](cr.length)
-          val flat = new Array[Double](cr.length * dim)
-          val norms = new Array[Double](cr.length)
-          var i = 0
-          while (i < cr.length) {
-            ids(i) = cr(i).getLong(1)
-            val v = cr(i).getAs[scala.collection.Seq[Float]](2)
-            var j = 0
-            var nrm = 0.0
-            while (j < dim) {
-              val x = v(j).toDouble
-              flat(i * dim + j) = x; nrm += x * x; j += 1
+      val loaded =
+        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
+        else loadClusters(vecCol, missing) // the Spark job — lock NOT held
+      synchronized {
+        loaded.foreach { case (cid, cluster) =>
+          val prev = serveCache.put(cid, cluster)
+          if (prev != null) serveRowsResident -= prev._1.length
+          serveRowsResident += cluster._1.length
+        }
+        // evict least-recently-probed clusters beyond the budget (never
+        // the clusters of THIS query — just accessed/inserted)
+        if (serveRowsResident > maxServeRows) {
+          val it = serveCache.entrySet().iterator()
+          while (serveRowsResident > maxServeRows && it.hasNext) {
+            val e = it.next()
+            if (!probed.contains(e.getKey)) {
+              serveRowsResident -= e.getValue._1.length
+              it.remove()
             }
-            norms(i) = nrm
-            i += 1
-          }
-          serveCache.put(cid, (ids, flat, norms))
-          serveRowsResident += ids.length
-        }
-      }
-      // evict least-recently-probed clusters beyond the budget (never the
-      // clusters of THIS query — they were just accessed/inserted)
-      if (serveRowsResident > maxServeRows) {
-        val it = serveCache.entrySet().iterator()
-        while (serveRowsResident > maxServeRows && it.hasNext) {
-          val e = it.next()
-          if (!probed.contains(e.getKey)) {
-            serveRowsResident -= e.getValue._1.length
-            it.remove()
           }
         }
+        val got = probed.map(serveCache.get(_))
+        // a meta refresh between the lock windows may have cleared entries
+        // this thread loaded — rare; retry re-lists and re-loads
+        if (!got.contains(null)) clusters = got
       }
-      probed.map(serveCache.get(_))
     }
     val dim = q.length
     val qd = new Array[Double](dim)

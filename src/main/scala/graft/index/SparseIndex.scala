@@ -1,0 +1,465 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.types.MetricType
+
+/** Persisted sparse inverted index: the batch-scale lifecycle for sparse
+  * vector fields (reference: sparse fields are first-class indexable fields
+  * with rebuild-while-querying semantics — engine/test/engine/db/
+  * db_server.cpp `RebuildSparseVector`, `InsertAndQuerySparseVectorDuring
+  * Rebuild`; scoring kernels engine/db/vector.cpp:7-100).
+  *
+  * The reference scores a sparse query by merging every row's
+  * (indices, values) pairs — O(n · nnz) per query. The shared-nothing
+  * analog of its index is the MATERIALIZED posting table: one (id, dim, v)
+  * row per nonzero, persisted under `path/postings` partitioned by
+  * `dim_bkt = dim % buckets` and sorted by `dim` within each bucket. A
+  * query touching d dims prunes the scan to d partition directories at the
+  * parquet-footer level, and the dim sort lets row-group stats skip
+  * everything but the queried dims inside them — per-query cost is
+  * |postings of the query's dims|, independent of corpus size. This is the
+  * piece `SparseSearch.topKDot` (the per-query plan) deliberately leaves
+  * out: without it every search re-explodes the full corpus, a full scan
+  * at 100 TB.
+  *
+  * Lifecycle mirrors IvfIndex exactly:
+  *  - `sp_meta.json` stamps (watermark, count, purge, buckets); every
+  *    access re-reads the tiny stamp, so a rebuild or append in ANY
+  *    process invalidates this one's caches;
+  *  - rows above the watermark are the fresh tail: callers union their
+  *    postings (exploded per query — the tail is bounded by rebuild
+  *    cadence) so searches see writes between rebuilds;
+  *  - `rebuildVerbose` skips when count AND watermark AND purge match the
+  *    stamp (same skip rule as the dense index, table_mvp.cpp:94-203).
+  *
+  * A side table `norms/` holds one (id, norm2) row per indexed row. It
+  * serves two jobs: (a) exact L2 — `|x - q|^2 = norm2 - 2·dot + |q|^2`
+  * needs each row's norm; (b) exact parity with the reference's
+  * brute-force for ALL metrics — a row sharing no dim with the query has
+  * dot 0 but still a finite distance, so the distance-mode search left-
+  * joins candidates against the norms universe rather than returning
+  * overlap-only rows. Retrieval mode (`topKDot`) keeps the classic
+  * overlap-only inverted-index contract.
+  */
+class SparseIndex(
+    val spark: SparkSession,
+    val path: String,
+    val idCol: String) {
+
+  def postingsPath = s"$path/postings"
+  def normsPath = s"$path/norms"
+  def metaPath = s"$path/sp_meta.json"
+
+  @transient private var cachedStamp: (Long, Long, Long, Long) = null
+  @transient private var postingsCache: DataFrame = null
+  @transient private var normsCache: DataFrame = null
+
+  private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
+
+  private def refreshIfStale(): Unit = {
+    val s = meta()
+    if (s != cachedStamp) {
+      cachedStamp = s; postingsCache = null; normsCache = null
+      synchronized { serveCache.clear(); servePostingsResident = 0L }
+    }
+  }
+
+  /** Max row id covered by the index (rows above it are the fresh tail). */
+  def indexedWatermark(): Long = meta()._1
+
+  /** Indexed row count at build time (rebuild-skip heuristic only). */
+  def indexedCount(): Long = meta()._2
+
+  /** Store purge generation at build time (see IvfIndex.indexedPurgeGen). */
+  def indexedPurgeGen(): Long = meta()._3
+
+  /** Partition-bucket count fixed at build time (query-side pruning must
+    * hash dims with the same modulus the layout was written with). */
+  def buckets(): Int = meta()._4.toInt
+
+  /** Posting table (id, dim, v), cached per meta stamp — re-reading per
+    * query would re-list every bucket directory. */
+  def postings(): DataFrame = synchronized {
+    refreshIfStale()
+    if (postingsCache == null) postingsCache = spark.read.parquet(postingsPath)
+    postingsCache
+  }
+
+  /** (id, norm2) universe of indexed rows, cached per meta stamp. */
+  def norms(): DataFrame = synchronized {
+    refreshIfStale()
+    if (normsCache == null) normsCache = spark.read.parquet(normsPath)
+    normsCache
+  }
+
+  /** Pruned postings of the query's dims: partition pruning on `dim_bkt`
+    * (directory level) + a pushed `dim` filter (row-group level). */
+  private def prunedPostings(qIdx: Array[Int]): DataFrame = {
+    val b = buckets()
+    val qBuckets = qIdx.map(d => math.floorMod(d, b)).distinct.toSeq
+    postings()
+      .filter(col("dim_bkt").isin(qBuckets: _*))
+      .filter(col("dim").isin(qIdx.toSeq: _*))
+  }
+
+  /** Incremental maintenance (the micro-batch path): explode postings of
+    * rows ABOVE the current watermark and append them to the layout —
+    * no rebuild, same contract as IvfIndex.append. `newPostings` is
+    * (idCol, dim, v) for the new rows only; `newRows`/`newMaxId` come from
+    * the caller's batch stats. */
+  def append(newPostings: DataFrame, newRows: Long, newMaxId: Long): Unit = {
+    if (newRows <= 0) return
+    val b = buckets()
+    SparseIndex.writePostings(newPostings, idCol, b, postingsPath, SaveMode.Append)
+    SparseIndex.normsOf(newPostings, idCol)
+      .write.mode(SaveMode.Append).parquet(normsPath)
+    val (wm, cnt, purge, _) = meta()
+    SparseIndex.writeMeta(metaPath, math.max(wm, newMaxId), cnt + newRows, purge, b)
+  }
+
+  /** Retrieval-mode top-K: highest dot product first, ties by id — the
+    * classic inverted-index contract (only rows sharing >= 1 dim with the
+    * query can appear). One pruned scan + broadcast dim join + partial-
+    * aggregated groupBy(id) + TakeOrderedAndProject.
+    *
+    *  - `tailPostings`: (idCol, dim, v) of rows above the watermark,
+    *    unioned before scoring (rebuild-while-querying freshness);
+    *  - `excludeIds`: tombstoned ids, broadcast anti-join;
+    *  - `restrictIds`: live ids semi-join (post-compact correctness, same
+    *    contract as IvfIndex.search). */
+  def topKDot(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      tailPostings: Option[DataFrame] = None,
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val q = qIdx.zip(qVal).toSeq.toDF("dim", "qval")
+    val base = prunedPostings(qIdx).select(col(idCol), col("dim"), col("v"))
+    val withTail = tailPostings match {
+      case Some(t) => base.unionByName(t.select(col(idCol), col("dim"), col("v")))
+      case None => base
+    }
+    val masked = SparseIndex.mask(withTail, idCol, excludeIds, restrictIds)
+    // double-cast BEFORE the multiply: a float x float product rounds to
+    // float, while the row-major merge scan (SparseVec.merge) multiplies
+    // in double — near-tied rows would order differently between paths
+    masked
+      .join(broadcast(q), "dim")
+      .groupBy(col(idCol))
+      .agg(sum(col("v").cast("double") * col("qval").cast("double")).as("dot"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact distance-mode top-K, `(idCol, @distance)` ascending: matches the
+    * reference's brute-force result for every metric, including rows that
+    * share NO dim with the query (dot 0, finite distance). Candidates are
+    * the pruned-overlap aggregate LEFT-joined from the norms universe —
+    * the norms scan is one slim (id, norm2) pass, ~1% of the posting
+    * bytes, and the join is an equi-join on id. Retrieval workloads that
+    * only want overlapping docs should use `topKDot`. */
+  def topKDistance(metric: MetricType.Value, qIdx: Array[Int],
+      qVal: Array[Float], k: Int,
+      tailPostings: Option[DataFrame] = None,
+      tailNorms: Option[DataFrame] = None,
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val q = qIdx.zip(qVal).toSeq.toDF("dim", "qval")
+    var qNorm = 0.0
+    qVal.foreach(v => qNorm += v.toDouble * v.toDouble)
+    val base = prunedPostings(qIdx).select(col(idCol), col("dim"), col("v"))
+    val withTail = tailPostings match {
+      case Some(t) => base.unionByName(t.select(col(idCol), col("dim"), col("v")))
+      case None => base
+    }
+    val overlap = withTail
+      .join(broadcast(q), "dim")
+      .groupBy(col(idCol))
+      .agg(sum(col("v").cast("double") * col("qval").cast("double")).as("dot"))
+    val universe = tailNorms match {
+      case Some(t) => norms().unionByName(t.select(col(idCol), col("norm2")))
+      case None => norms()
+    }
+    val masked = SparseIndex.mask(universe, idCol, excludeIds, restrictIds)
+    val scored = masked
+      .join(overlap, Seq(idCol), "left")
+      .withColumn("__dot", coalesce(col("dot"), lit(0.0)))
+    val dist = metric match {
+      case MetricType.Euclidean => col("norm2") - lit(2.0) * col("__dot") + lit(qNorm)
+      case MetricType.Cosine => lit(1.0) - col("__dot")
+      case MetricType.DotProduct => -col("__dot")
+    }
+    scored
+      .withColumn("@distance", dist)
+      .select(col(idCol), col("@distance"))
+      .orderBy(col("@distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ---- driver-side serving (no Spark job on the warm path) ----
+
+  /** Per-dim driver-resident posting lists (ids, values): the sparse
+    * sibling of IvfIndex's per-cluster serving cache. A dim is loaded once
+    * (one pruned job), then every query probing it is pure JVM compute.
+    * LRU in access order, bounded by `maxServePostings` resident entries.
+    * The Spark job for cold dims runs OUTSIDE the instance lock —
+    * last-writer-wins on duplicate loads — so a cold query never stalls
+    * concurrent warm queries. */
+  @transient private var serveCache =
+    new java.util.LinkedHashMap[Int, (Array[Long], Array[Double])](64, 0.75f, true)
+  @transient private var servePostingsResident = 0L
+
+  /** Serving cache budget in resident postings (id+value = 16 bytes each;
+    * default 16M ≈ 256 MiB). */
+  @volatile var maxServePostings: Long = 16L * 1024 * 1024
+
+  def servingResidentPostings(): Long = synchronized { servePostingsResident }
+
+  /** One pruned job collecting the posting lists of `missing` dims —
+    * overridable so tests can model a slow cold load. */
+  protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double])] = {
+    val rows = prunedPostings(missing)
+      .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"))
+      .collect()
+    val byDim = rows.groupBy(_.getInt(0))
+    missing.map { d =>
+      val rs = byDim.getOrElse(d, Array.empty)
+      d -> (rs.map(_.getLong(1)), rs.map(_.getDouble(2)))
+    }.toMap
+  }
+
+  /** Low-latency top-K dot product answered on the DRIVER: probe the
+    * query's dims from the resident posting cache, accumulate per-id
+    * partial products in an open hash map, cut with a bounded heap.
+    * Ordering matches `topKDot` (dot desc, id asc). `exclude` masks
+    * known-dead ids; `tail` appends fresh postings packed as
+    * (ids, values) per dim. */
+  def servePointDot(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      exclude: Long => Boolean = _ => false,
+      tail: Map[Int, (Array[Long], Array[Double])] = Map.empty)
+      : Array[(Long, Double)] = {
+    var attempts = 0
+    var lists: Array[(Array[Long], Array[Double])] = null
+    while (lists == null) {
+      attempts += 1
+      require(attempts <= 8, "sparse serve cache thrashing: raise maxServePostings")
+      val missing = synchronized {
+        refreshIfStale()
+        qIdx.filterNot(serveCache.containsKey(_))
+      }
+      val loaded =
+        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double])]
+        else loadDimPostings(missing) // outside the lock: a real Spark job
+      synchronized {
+        loaded.foreach { case (d, lst) =>
+          val prev = serveCache.put(d, lst)
+          if (prev != null) servePostingsResident -= prev._1.length
+          servePostingsResident += lst._1.length
+        }
+        if (servePostingsResident > maxServePostings) {
+          val keep = qIdx.toSet
+          val it = serveCache.entrySet().iterator()
+          while (servePostingsResident > maxServePostings && it.hasNext) {
+            val e = it.next()
+            if (!keep.contains(e.getKey)) {
+              servePostingsResident -= e.getValue._1.length
+              it.remove()
+            }
+          }
+        }
+        val got = qIdx.map(serveCache.get(_))
+        if (!got.contains(null)) lists = got
+        // else: the stamp moved between load and install — loop reloads
+      }
+    }
+    val acc = new java.util.HashMap[java.lang.Long, Double](1024)
+    var di = 0
+    while (di < qIdx.length) {
+      val w = qVal(di).toDouble
+      def add(ids: Array[Long], vs: Array[Double]): Unit = {
+        var i = 0
+        while (i < ids.length) {
+          if (!exclude(ids(i))) {
+            val key = java.lang.Long.valueOf(ids(i))
+            val cur = acc.get(key)
+            acc.put(key, (if (cur == null) 0.0 else cur.doubleValue) + vs(i) * w)
+          }
+          i += 1
+        }
+      }
+      val lst = lists(di)
+      add(lst._1, lst._2)
+      tail.get(qIdx(di)).foreach { case (ids, vs) => add(ids, vs) }
+      di += 1
+    }
+    // bounded heap: keep the k LARGEST dots (ties -> smaller id wins)
+    val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cand = (e.getKey.longValue, e.getValue.doubleValue)
+      if (heap.size < k) heap.add(cand)
+      else {
+        val worst = heap.peek()
+        if (cand._2 > worst._2 || (cand._2 == worst._2 && cand._1 < worst._1)) {
+          heap.poll(); heap.add(cand)
+        }
+      }
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+    out
+  }
+}
+
+object SparseIndex {
+
+  /** Default dim-bucket count: enough directories that a query's dims
+    * prune most of the layout, few enough that small corpora don't
+    * shatter into tiny files. */
+  val DefaultBuckets = 64
+
+  /** Same hand-parsed stamp discipline as IvfIndex.readMeta (the stamp is
+    * re-read on every access). Fields: watermark, count, purge, buckets. */
+  private[index] def readMeta(metaPath: String): (Long, Long, Long, Long) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    def long(k: String): Long = {
+      val key = "\"" + k + "\":"
+      val at = s.indexOf(key)
+      if (at < 0) return 0L
+      var i = at + key.length
+      var end = i
+      while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+      if (end == i) 0L else s.substring(i, end).toLong
+    }
+    (long("watermark"), long("count"), long("purge"), long("buckets"))
+  }
+
+  private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
+      purge: Long, buckets: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets}""".getBytes)
+
+  private def mask(df: DataFrame, idCol: String,
+      excludeIds: Option[DataFrame], restrictIds: Option[DataFrame]): DataFrame =
+    restrictIds match {
+      case Some(live) => df.join(live, Seq(idCol), "left_semi")
+      case None => excludeIds match {
+        case Some(tombs) => df.join(broadcast(tombs), Seq(idCol), "left_anti")
+        case None => df
+      }
+    }
+
+  /** (id, norm2) from a posting relation — one groupBy, computed in the
+    * same build job. */
+  private[index] def normsOf(postings: DataFrame, idCol: String): DataFrame =
+    postings.groupBy(col(idCol))
+      .agg(sum(col("v").cast("double") * col("v").cast("double")).as("norm2"))
+
+  /** Write the bucketed layout: repartition ON the partition column (one
+    * writer per bucket — same small-files rule as IvfIndex.build), sorted
+    * by dim inside each bucket so parquet row-group stats prune the
+    * non-queried dims of a probed bucket. */
+  private[index] def writePostings(postings: DataFrame, idCol: String,
+      buckets: Int, dest: String, mode: SaveMode): Unit =
+    postings
+      .select(col(idCol), col("dim").cast("int").as("dim"),
+        col("v").cast("float").as("v"))
+      .withColumn("dim_bkt", pmod(col("dim"), lit(buckets)))
+      .repartition(col("dim_bkt"))
+      .sortWithinPartitions(col("dim"), col(idCol))
+      .write.mode(mode).partitionBy("dim_bkt").parquet(dest)
+
+  /** Explode a sparse struct column into its (id, dim, v) postings —
+    * delegates to the query-plan helper so build and per-query tails share
+    * one definition. */
+  def postingsOf(df: DataFrame, sparseCol: String, idCol: String): DataFrame =
+    graft.query.SparseSearch.postings(df, sparseCol, idCol)
+      .withColumnRenamed("id", idCol)
+
+  /** Build from a posting relation (idCol, dim, v). One pass writes the
+    * bucketed postings, one groupBy writes the norms universe. When
+    * `norms` is not supplied it is derived from the postings — rows with
+    * ZERO nonzeros are then absent from the universe; table-based `build`
+    * passes the complete universe instead. */
+  def buildFromPostings(spark: SparkSession, postings: DataFrame, idCol: String,
+      path: String, buckets: Int = DefaultBuckets,
+      watermark: Option[Long] = None, rowCount: Option[Long] = None,
+      purgeGen: Long = 0L, norms: Option[DataFrame] = None): SparseIndex = {
+    val cached = postings.cache()
+    try {
+      val (wm, cnt) = (watermark, rowCount) match {
+        case (Some(w), Some(c)) => (w, c)
+        case _ =>
+          val r = cached.agg(max(col(idCol).cast("long")),
+            countDistinct(col(idCol))).head()
+          (watermark.getOrElse(if (r.isNullAt(0)) 0L else r.getLong(0)),
+            rowCount.getOrElse(r.getLong(1)))
+      }
+      writePostings(cached, idCol, buckets, s"$path/postings", SaveMode.Overwrite)
+      norms.getOrElse(normsOf(cached, idCol))
+        .select(col(idCol), col("norm2").cast("double").as("norm2"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/norms")
+      writeMeta(s"$path/sp_meta.json", wm, cnt, purgeGen, buckets)
+      new SparseIndex(spark, path, idCol)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Skip-aware build from a posting relation: the caller supplies the
+    * TABLE's (count, maxId) stats so unchanged data skips the rebuild —
+    * same stamp rule as the table variant. Returns (index, built?). */
+  def rebuildFromPostingsVerbose(spark: SparkSession, postings: => DataFrame,
+      idCol: String, path: String, rowCount: Long, maxId: Long,
+      buckets: Int = DefaultBuckets, purgeGen: Long = 0L,
+      norms: Option[DataFrame] = None): (SparseIndex, Boolean) = {
+    val metaPath = java.nio.file.Paths.get(s"$path/sp_meta.json")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val (wm, cnt, pg, _) = readMeta(s"$path/sp_meta.json")
+      if (cnt == rowCount && wm == maxId && pg == purgeGen)
+        return (new SparseIndex(spark, path, idCol), false)
+    }
+    (buildFromPostings(spark, postings, idCol, path, buckets,
+      watermark = Some(maxId), rowCount = Some(rowCount),
+      purgeGen = purgeGen, norms = norms), true)
+  }
+
+  /** (id, norm2) straight from the sparse struct column — includes rows
+    * with zero nonzeros (norm 0), which postings-derived norms cannot. */
+  def normsOfColumn(df: DataFrame, sparseCol: String, idCol: String): DataFrame =
+    df.filter(col(sparseCol).isNotNull)
+      .select(col(idCol),
+        aggregate(col(sparseCol).getField("values"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm2"))
+
+  /** Build from a table with a sparse struct column. */
+  def build(spark: SparkSession, df: DataFrame, sparseCol: String,
+      idCol: String, path: String, buckets: Int = DefaultBuckets,
+      purgeGen: Long = 0L): SparseIndex = {
+    val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    buildFromPostings(spark, postingsOf(df, sparseCol, idCol), idCol, path,
+      buckets, watermark = Some(if (stats.isNullAt(1)) 0L else stats.getLong(1)),
+      rowCount = Some(stats.getLong(0)), purgeGen = purgeGen,
+      norms = Some(normsOfColumn(df, sparseCol, idCol)))
+  }
+
+  /** Rebuild-scheduler semantics, identical to IvfIndex.rebuildVerbose:
+    * skip when count AND watermark AND purge generation all match the
+    * stamp. Returns (index, built?). */
+  def rebuildVerbose(spark: SparkSession, df: DataFrame, sparseCol: String,
+      idCol: String, path: String, buckets: Int = DefaultBuckets,
+      purgeGen: Long = 0L): (SparseIndex, Boolean) = {
+    val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    val n = stats.getLong(0)
+    val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    rebuildFromPostingsVerbose(spark, postingsOf(df, sparseCol, idCol), idCol,
+      path, rowCount = n, maxId = maxId, buckets = buckets, purgeGen = purgeGen,
+      norms = Some(normsOfColumn(df, sparseCol, idCol)))
+  }
+}

@@ -365,16 +365,23 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   def insertPrepare(pks: Seq[Any]): (Long, Array[Int]) = {
     val pk = pkField.getOrElse(
       throw new IllegalArgumentException("insertPrepare requires a primary key"))
-    val existing: Set[Any] =
-      if (!hasData) Set.empty
-      else read().select(col(pk.name)).filter(col(pk.name).isin(pks: _*))
-        .collect().map(_.get(0)).toSet
+    // ONE job serves both outputs: total live count + the subset of the
+    // probed PKs that exist (collect_set over a guarded projection —
+    // bounded by |pks|, never by table size)
+    val (total, existing: Set[Any]) =
+      if (!hasData) (0L, Set.empty[Any])
+      else {
+        val r = read().agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          collect_set(when(col(pk.name).isin(pks: _*), col(pk.name)))).head()
+        (r.getLong(0), r.getSeq[Any](1).toSet)
+      }
     val words = new Array[Int]((pks.size + 31) / 32)
     java.util.Arrays.fill(words, -1)
     pks.zipWithIndex.foreach { case (p, i) =>
       if (existing.contains(p)) words(i / 32) &= ~(1 << (i % 32))
     }
-    (if (hasData) read().count() else 0L, words)
+    (total, words)
   }
 
   /** Fold tombstones into a single compacted batch (Delta OPTIMIZE
