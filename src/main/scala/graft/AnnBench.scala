@@ -24,6 +24,15 @@ object AnnBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SPARSE_N > 0: sparse inverted-index bench instead (job
+    // and serve mode vs the raw explode-scan plan)
+    val sparseN = sys.env.getOrElse("SPARK_GRAFT_SPARSE_N", "0").toLong
+    if (sparseN > 0) {
+      sparseBench(spark, sparseN)
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_ANN_N > 0: benchmark on a deterministic synthetic table of
     // that many 64-dim vectors (written to parquet, read UNCACHED by both
     // paths) — shows the exact/ANN crossover beyond the tiny testdata sizes.
@@ -116,5 +125,86 @@ object AnnBench {
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Sparse inverted-index bench: synthetic corpus of `n` rows with 32
+    * nonzeros over a 65536-dim hashed vocab. Compares the raw explode-scan
+    * plan (SparseSearch.topKDot — what every query paid before the
+    * persisted index), the index job path (partition-pruned read of the
+    * query's dims), and driver serving (per-dim resident posting cache,
+    * no Spark job warm). Recall measured vs the raw scan (1.0 expected up
+    * to float-vs-double dot rounding). */
+  private def sparseBench(spark: SparkSession, n: Long): Unit = {
+    import graft.index.SparseIndex
+    val vocab = 65536
+    val nnz = 32
+    val k = 10
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sparse_synth_$n"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      spark.range(n)
+        .select(col("id"),
+          sort_array(array_distinct(transform(sequence(lit(0), lit(nnz - 1)),
+            j => pmod(xxhash64(col("id") * nnz + j), lit(vocab)).cast("int"))))
+            .as("dims"))
+        .select(col("id"),
+          struct(col("dims").as("indices"),
+            transform(col("dims"),
+              d => (pmod(xxhash64(d), lit(1000)) / lit(1000.0) + 0.5).cast("float"))
+              .as("values")).as("sv"))
+        .repartition(32).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val queries = df.filter(col("id") < 20).orderBy("id").select("sv").collect()
+      .map { r =>
+        val sv = r.getStruct(0)
+        (sv.getSeq[Int](0).toArray, sv.getSeq[Float](1).toArray)
+      }
+
+    def scanTopK(q: (Array[Int], Array[Float])): Seq[Long] =
+      graft.query.SparseSearch.topKDot(df, "sv", "id", q._1, q._2, k)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    scanTopK(queries.head) // warm up
+    val t0 = System.nanoTime()
+    val exact = queries.map(scanTopK)
+    val scanSec = (System.nanoTime() - t0) / 1e9
+
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_spbench_$n"
+    val tb = System.nanoTime()
+    val idx = SparseIndex.build(spark, df, "sv", "id", idxPath, buckets = 64)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+
+    def jobTopK(q: (Array[Int], Array[Float])): Seq[Long] =
+      idx.topKDot(q._1, q._2, k).select("id").collect().map(_.getLong(0)).toSeq
+    jobTopK(queries.head)
+    val t1 = System.nanoTime()
+    val job = queries.map(jobTopK)
+    val jobSec = (System.nanoTime() - t1) / 1e9
+    val jobRecall = exact.zip(job).map { case (e, a) =>
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
+    idx.servePointDot(queries.head._1, queries.head._2, k) // warm (loads dims)
+    queries.foreach(q => idx.servePointDot(q._1, q._2, k))
+    val t2 = System.nanoTime()
+    val serveDeadline = t2 + 10L * 1000 * 1000 * 1000
+    var serveQueries = 0L
+    while (serveQueries == 0L || System.nanoTime() < serveDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointDot(queries(qi)._1, queries(qi)._2, k)
+        qi += 1
+      }
+      serveQueries += queries.length
+    }
+    val serveSec = (System.nanoTime() - t2) / 1e9
+    val serveRecall = exact.zip(queries.map(q =>
+      idx.servePointDot(q._1, q._2, k).map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
+    println(f"""{"metric":"sparse_vs_scan","n":$n,"queries":${queries.length},""" +
+      f""""scan_qps":${queries.length / scanSec}%.2f,"job_qps":${queries.length / jobSec}%.2f,""" +
+      f""""serve_qps":${serveQueries / serveSec}%.2f,"build_sec":$buildSec%.2f,""" +
+      f""""job_recall_at_10":$jobRecall%.4f,"serve_recall_at_10":$serveRecall%.4f,""" +
+      f""""resident_postings":${idx.servingResidentPostings()}}""")
   }
 }

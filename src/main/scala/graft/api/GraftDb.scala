@@ -99,6 +99,68 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
   }
 
+  // sparse fresh-tail rows exploded into per-dim posting slices for
+  // servePointDot, re-collected only when the snapshot version or index
+  // watermark moves — the sparse twin of `tailCache`
+  private val sparseTailCache = scala.collection.concurrent.TrieMap[
+    (String, String),
+    (Long, Long, Option[Map[Int, (Array[Long], Array[Double])]])]()
+
+  /** Left(()) = tail over cap (job path); Right(map) = per-dim postings of
+    * rows above the sparse index watermark (empty map = no fresh rows). */
+  private def sparseFreshTail(st: TableStore, idx: graft.index.SparseIndex,
+      field: String)
+      : Either[Unit, Map[Int, (Array[Long], Array[Double])]] = {
+    import org.apache.spark.sql.functions.col
+    val ver = st.snapshot().map(_.version).getOrElse(-1L)
+    val wm = idx.indexedWatermark()
+    sparseTailCache.get((st.schema.name, field)) match {
+      case Some((v, w, t)) if v == ver && w == wm =>
+        t.toRight(())
+      case _ =>
+        val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
+        if (storeWm <= wm) {
+          sparseTailCache((st.schema.name, field)) = (ver, wm, Some(Map.empty))
+          Right(Map.empty)
+        } else {
+          val rows = st.read()
+            .filter(col(TableStore.RowId) > wm)
+            .select(col(TableStore.RowId), col(field))
+            .limit(maxServeTailRows + 1)
+            .collect()
+          if (rows.length > maxServeTailRows) {
+            sparseTailCache((st.schema.name, field)) = (ver, wm, None)
+            Left(())
+          } else {
+            val byDim = scala.collection.mutable.Map[
+              Int, (scala.collection.mutable.ArrayBuffer[Long],
+                scala.collection.mutable.ArrayBuffer[Double])]()
+            rows.foreach { r =>
+              if (!r.isNullAt(1)) {
+                val id = r.getLong(0)
+                val sv = r.getStruct(1)
+                val dims = sv.getSeq[Int](0)
+                val vals = sv.getSeq[Float](1)
+                var i = 0
+                while (i < dims.length) {
+                  val (ids, vs) = byDim.getOrElseUpdate(dims(i),
+                    (scala.collection.mutable.ArrayBuffer[Long](),
+                      scala.collection.mutable.ArrayBuffer[Double]()))
+                  ids += id; vs += vals(i).toDouble
+                  i += 1
+                }
+              }
+            }
+            val packed = byDim.map { case (d, (ids, vs)) =>
+              d -> ((ids.toArray, vs.toArray))
+            }.toMap
+            sparseTailCache((st.schema.name, field)) = (ver, wm, Some(packed))
+            Right(packed)
+          }
+        }
+    }
+  }
+
   /** Serving tombstone cap, the symmetric twin of `maxServeTailRows`: the
     * driver-resident delete mask is bounded, and a delete-heavy table
     * falls back to the job path (distributed anti-join) instead of
@@ -148,6 +210,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     indexes.keySet.filter(_._1 == name).foreach(indexes.remove)
     sparseIndexes.keySet.filter(_._1 == name).foreach(sparseIndexes.remove)
     tailCache.keySet.filter(_._1 == name).foreach(tailCache.remove)
+    sparseTailCache.keySet.filter(_._1 == name).foreach(sparseTailCache.remove)
     tombCache.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
@@ -231,6 +294,10 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
+    (req \ "queryVector") match {
+      case o: JObject => return serveSparse(st, queryField, o, limit)
+      case _ => ()
+    }
     val dense: Array[Float] = (req \ "queryVector") match {
       case JArray(vals) => vals.map(num(_).toFloat).toArray
       case _ => (req \ "query") match {
@@ -263,6 +330,48 @@ class GraftDb(val spark: SparkSession, val root: String,
       if (i > 0) sb.append(',')
       sb.append("{\"__row_id\":").append(hits(i)._1)
         .append(",\"@distance\":").append(hits(i)._2).append('}')
+      i += 1
+    }
+    sb.append("],\"served\":true}")
+    Some(sb.toString)
+  }
+
+  /** `"serve":true` for a SPARSE query: answered from the driver-resident
+    * per-dim posting cache (SparseIndex.servePointDot) in RETRIEVAL mode —
+    * only rows sharing >= 1 dim with the query are candidates, ranked by
+    * dot product (the classic inverted-index serving contract). Distances
+    * in the response are the metric form of the dot (cosine: 1 - dot;
+    * dot-product: -dot). Euclidean falls back to the job path: its
+    * distance needs every row's norm, which serving does not keep
+    * resident. Fresh tail + tombstone masks mirror the dense serve path. */
+  private def serveSparse(st: TableStore, queryField: String,
+      o: JObject, limit: Int): Option[String] = {
+    val f = st.schema.field(queryField)
+    if (f.metric == MetricType.Euclidean) return None
+    if (!Files.exists(Paths.get(
+        s"$root/${st.schema.name}/spidx_$queryField/sp_meta.json")))
+      return None
+    val idx = sparseIndex(st, queryField)
+    if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
+    val tombs = tombstoneSet(st) match {
+      case Some(t) => t
+      case None => return None // tombstone mask over cap -> job path
+    }
+    val tail = sparseFreshTail(st, idx, queryField) match {
+      case Right(t) => t
+      case Left(_) => return None // tail over cap -> job path
+    }
+    val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
+    val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
+    val hits = idx.servePointDot(qIdx, qVal, math.min(limit, maxRenderRows),
+      exclude = tombs.contains, tail = tail)
+    val sb = new java.lang.StringBuilder("{\"result\":[")
+    var i = 0
+    while (i < hits.length) {
+      if (i > 0) sb.append(',')
+      val dist = if (f.metric == MetricType.Cosine) 1.0 - hits(i)._2 else -hits(i)._2
+      sb.append("{\"__row_id\":").append(hits(i)._1)
+        .append(",\"@distance\":").append(dist).append('}')
       i += 1
     }
     sb.append("],\"served\":true}")

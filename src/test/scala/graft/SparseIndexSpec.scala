@@ -215,4 +215,42 @@ class SparseIndexSpec extends SparkSpec {
     val after = annIds()
     assert(!after.contains(victim) && after == exactIds())
   }
+
+  test("GraftDb sparse serve: driver-resident postings, fresh tail, delete mask") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spserve"))
+    db.createTable(
+      """{"name":"SpServe","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"COSINE"}]}""".stripMargin)
+    val st = db.store("SpServe")
+    st.insert(corpus(200, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpServe", "SV"))
+    def idOf(): Map[Long, Long] = st.read()
+      .select(graft.store.TableStore.RowId, "ID").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def serveIds(): Seq[Long] = {
+      val resp = db.query(
+        s"""{"table":"SpServe","queryField":"SV","limit":5,"serve":true,
+          |"queryVector":{"indices":[${qIdx.mkString(",")}],
+          |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      assert(resp.contains("\"served\":true"), resp)
+      val m = idOf()
+      "\"__row_id\":(\\d+)".r.findAllMatchIn(resp).map(r => m(r.group(1).toLong)).toSeq
+    }
+    def jobIds(): Seq[Long] = db.queryDataFrame(
+      s"""{"table":"SpServe","queryField":"SV","limit":5,"ann":true,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(serveIds() == jobIds())
+    // mid-stream insert above the watermark: served from the fresh tail
+    st.insert(corpus(230, "ID").filter(col("ID") > 200).withColumnRenamed("sv", "SV"))
+    assert(serveIds() == jobIds())
+    // delete: the serving mask drops the row without a rebuild
+    val victim = serveIds().head
+    db.delete(s"""{"table":"SpServe","primaryKeys":[$victim]}""")
+    val after = serveIds()
+    assert(!after.contains(victim) && after == jobIds())
+  }
 }
