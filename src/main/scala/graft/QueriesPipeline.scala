@@ -163,6 +163,32 @@ object QueriesPipeline {
         .select(col("doc_id"), col("dot").cast("long").as("dot"))
     }),
 
+    // rebuild-while-querying lifecycle, driver-checked: the index covers
+    // only the first half of the corpus (its watermark), the second half
+    // arrives as the FRESH TAIL unioned per query — the result must equal
+    // the full-corpus scan exactly (reference semantics:
+    // InsertAndQuerySparseVectorDuringRebuild, db_server.cpp)
+    "v2_sparse_tail" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def posting(src: DataFrame) = src
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(graft.functions.hash60(col("tok")), lit(1024)).cast("int").as("dim"))
+        .groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).cast("float").as("v"))
+      val cutoff = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) / 2
+      val base = docs.filter(col("doc_id") <= cutoff)
+      val bStats = base.agg(count(lit(1)), max(col("doc_id").cast("long"))).head()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_spidx_tl_${math.abs(dir.hashCode)}"
+      val (idx, _) = graft.index.SparseIndex.rebuildFromPostingsVerbose(
+        s, posting(base), "doc_id", path, rowCount = bStats.getLong(0),
+        maxId = bStats.getLong(1), buckets = 16)
+      val tail = posting(docs.filter(col("doc_id") > idx.indexedWatermark()))
+      val q0 = posting(docs).filter(col("doc_id") === 0).select("dim", "v").collect()
+      idx.topKDot(q0.map(_.getInt(0)), q0.map(_.getFloat(1)), k = 20,
+          tailPostings = Some(tail))
+        .select(col("doc_id"), col("dot").cast("long").as("dot"))
+    }),
+
     // canonical-doc selection: connected components over the LSH near-dup
     // pairs, min-id label per component (what a dedup pipeline keeps)
     "dd_dup_clusters" -> ((s, dir) => {
@@ -473,6 +499,18 @@ object QueriesPipeline {
          |FROM cand c JOIN bench b ON c.h = b.h
          |GROUP BY c.doc_id, c.n_shingles ORDER BY c.doc_id""".stripMargin,
     "v2_sparse_inverted" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $sqlToks toks FROM documents),
+         |posting AS (
+         |  SELECT doc_id, ${sqlHash60("t.tok")} % 1024 AS dim, count(*) AS v
+         |  FROM tok, unnest(toks) AS t(tok) GROUP BY 1, 2),
+         |q AS (SELECT dim, v AS qval FROM posting WHERE doc_id = 0)
+         |SELECT p.doc_id, CAST(sum(p.v * q.qval) AS BIGINT) AS dot
+         |FROM posting p JOIN q ON p.dim = q.dim
+         |GROUP BY p.doc_id
+         |ORDER BY dot DESC, p.doc_id ASC LIMIT 20""".stripMargin,
+    // index-over-prefix + fresh-tail union must equal the FULL corpus scan
+    "v2_sparse_tail" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),
          |posting AS (
