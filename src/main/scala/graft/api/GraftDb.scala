@@ -99,18 +99,22 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
   }
 
-  // sparse fresh-tail rows exploded into per-dim posting slices for
-  // servePointDot, re-collected only when the snapshot version or index
-  // watermark moves — the sparse twin of `tailCache`
+  // sparse fresh-tail rows exploded into per-dim posting slices (ids,
+  // values, norms) for servePointDot/Euclid, plus the (id, norm2) of every
+  // tail row for Euclidean non-overlap fills; re-collected only when the
+  // snapshot version or index watermark moves — the sparse twin of
+  // `tailCache`
+  private type SparseTail =
+    (Map[Int, (Array[Long], Array[Double], Array[Double])], Array[(Long, Double)])
   private val sparseTailCache = scala.collection.concurrent.TrieMap[
-    (String, String),
-    (Long, Long, Option[Map[Int, (Array[Long], Array[Double])]])]()
+    (String, String), (Long, Long, Option[SparseTail])]()
+  private val emptySparseTail: SparseTail = (Map.empty, Array.empty)
 
-  /** Left(()) = tail over cap (job path); Right(map) = per-dim postings of
-    * rows above the sparse index watermark (empty map = no fresh rows). */
+  /** Left(()) = tail over cap (job path); Right((map, norms)) = per-dim
+    * postings + per-row norms of rows above the sparse index watermark
+    * (empty = no fresh rows). */
   private def sparseFreshTail(st: TableStore, idx: graft.index.SparseIndex,
-      field: String)
-      : Either[Unit, Map[Int, (Array[Long], Array[Double])]] = {
+      field: String): Either[Unit, SparseTail] = {
     import org.apache.spark.sql.functions.col
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     val wm = idx.indexedWatermark()
@@ -120,8 +124,8 @@ class GraftDb(val spark: SparkSession, val root: String,
       case _ =>
         val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
         if (storeWm <= wm) {
-          sparseTailCache((st.schema.name, field)) = (ver, wm, Some(Map.empty))
-          Right(Map.empty)
+          sparseTailCache((st.schema.name, field)) = (ver, wm, Some(emptySparseTail))
+          Right(emptySparseTail)
         } else {
           val rows = st.read()
             .filter(col(TableStore.RowId) > wm)
@@ -134,26 +138,37 @@ class GraftDb(val spark: SparkSession, val root: String,
           } else {
             val byDim = scala.collection.mutable.Map[
               Int, (scala.collection.mutable.ArrayBuffer[Long],
+                scala.collection.mutable.ArrayBuffer[Double],
                 scala.collection.mutable.ArrayBuffer[Double])]()
+            val rowNorms = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
             rows.foreach { r =>
               if (!r.isNullAt(1)) {
                 val id = r.getLong(0)
                 val sv = r.getStruct(1)
                 val dims = sv.getSeq[Int](0)
                 val vals = sv.getSeq[Float](1)
+                var n2 = 0.0
                 var i = 0
+                while (i < vals.length) {
+                  n2 += vals(i).toDouble * vals(i).toDouble; i += 1
+                }
+                rowNorms += ((id, n2))
+                i = 0
                 while (i < dims.length) {
-                  val (ids, vs) = byDim.getOrElseUpdate(dims(i),
+                  val (ids, vs, ns) = byDim.getOrElseUpdate(dims(i),
                     (scala.collection.mutable.ArrayBuffer[Long](),
+                      scala.collection.mutable.ArrayBuffer[Double](),
                       scala.collection.mutable.ArrayBuffer[Double]()))
-                  ids += id; vs += vals(i).toDouble
+                  ids += id; vs += vals(i).toDouble; ns += n2
                   i += 1
                 }
               }
             }
-            val packed = byDim.map { case (d, (ids, vs)) =>
-              d -> ((ids.toArray, vs.toArray))
-            }.toMap
+            val packed: SparseTail = (
+              byDim.map { case (d, (ids, vs, ns)) =>
+                d -> ((ids.toArray, vs.toArray, ns.toArray))
+              }.toMap,
+              rowNorms.toArray)
             sparseTailCache((st.schema.name, field)) = (ver, wm, Some(packed))
             Right(packed)
           }
@@ -337,17 +352,19 @@ class GraftDb(val spark: SparkSession, val root: String,
   }
 
   /** `"serve":true` for a SPARSE query: answered from the driver-resident
-    * per-dim posting cache (SparseIndex.servePointDot) in RETRIEVAL mode —
-    * only rows sharing >= 1 dim with the query are candidates, ranked by
-    * dot product (the classic inverted-index serving contract). Distances
-    * in the response are the metric form of the dot (cosine: 1 - dot;
-    * dot-product: -dot). Euclidean falls back to the job path: its
-    * distance needs every row's norm, which serving does not keep
-    * resident. Fresh tail + tombstone masks mirror the dense serve path. */
+    * per-dim posting cache. Cosine/DotProduct serve in RETRIEVAL mode
+    * (SparseIndex.servePointDot) — only rows sharing >= 1 dim with the
+    * query are candidates, ranked by dot product (the classic inverted-
+    * index serving contract); distances are the metric form of the dot
+    * (cosine: 1 - dot; dot-product: -dot). Euclidean serves EXACTLY
+    * (SparseIndex.servePointEuclid): overlap candidates score off posting-
+    * resident norms, non-overlap candidates fill from the resident
+    * min-norm list, and when exactness cannot be proven the query falls
+    * back to the job path. Fresh tail + tombstone masks mirror the dense
+    * serve path. */
   private def serveSparse(st: TableStore, queryField: String,
       o: JObject, limit: Int): Option[String] = {
     val f = st.schema.field(queryField)
-    if (f.metric == MetricType.Euclidean) return None
     if (!Files.exists(Paths.get(
         s"$root/${st.schema.name}/spidx_$queryField/sp_meta.json")))
       return None
@@ -357,21 +374,30 @@ class GraftDb(val spark: SparkSession, val root: String,
       case Some(t) => t
       case None => return None // tombstone mask over cap -> job path
     }
-    val tail = sparseFreshTail(st, idx, queryField) match {
+    val (tail, tailNorms) = sparseFreshTail(st, idx, queryField) match {
       case Right(t) => t
       case Left(_) => return None // tail over cap -> job path
     }
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
-    val hits = idx.servePointDot(qIdx, qVal, math.min(limit, maxRenderRows),
-      exclude = tombs.contains, tail = tail)
+    val k = math.min(limit, maxRenderRows)
+    val hits: Array[(Long, Double)] =
+      if (f.metric == MetricType.Euclidean)
+        idx.servePointEuclid(qIdx, qVal, k, exclude = tombs.contains,
+          tail = tail, tailNorms = tailNorms) match {
+          case Some(h) => h
+          case None => return None // exactness unprovable -> job path
+        }
+      else idx.servePointDot(qIdx, qVal, k, exclude = tombs.contains,
+        tail = tail).map { case (id, dot) =>
+          (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
+        }
     val sb = new java.lang.StringBuilder("{\"result\":[")
     var i = 0
     while (i < hits.length) {
       if (i > 0) sb.append(',')
-      val dist = if (f.metric == MetricType.Cosine) 1.0 - hits(i)._2 else -hits(i)._2
       sb.append("{\"__row_id\":").append(hits(i)._1)
-        .append(",\"@distance\":").append(dist).append('}')
+        .append(",\"@distance\":").append(hits(i)._2).append('}')
       i += 1
     }
     sb.append("],\"served\":true}")

@@ -61,7 +61,9 @@ class SparseIndex(
     val s = meta()
     if (s != cachedStamp) {
       cachedStamp = s; postingsCache = null; normsCache = null
-      synchronized { serveCache.clear(); servePostingsResident = 0L }
+      synchronized {
+        serveCache.clear(); servePostingsResident = 0L; minNormCache = null
+      }
     }
   }
 
@@ -199,48 +201,47 @@ class SparseIndex(
 
   // ---- driver-side serving (no Spark job on the warm path) ----
 
-  /** Per-dim driver-resident posting lists (ids, values): the sparse
-    * sibling of IvfIndex's per-cluster serving cache. A dim is loaded once
-    * (one pruned job), then every query probing it is pure JVM compute.
-    * LRU in access order, bounded by `maxServePostings` resident entries.
-    * The Spark job for cold dims runs OUTSIDE the instance lock —
+  /** Per-dim driver-resident posting lists (ids, values, row norms): the
+    * sparse sibling of IvfIndex's per-cluster serving cache. A dim is
+    * loaded once (one pruned job), then every query probing it is pure JVM
+    * compute. LRU in access order, bounded by `maxServePostings` resident
+    * entries. The Spark job for cold dims runs OUTSIDE the instance lock —
     * last-writer-wins on duplicate loads — so a cold query never stalls
-    * concurrent warm queries. */
+    * concurrent warm queries. The norm array rides along so Euclidean
+    * serving can score overlap candidates without a second lookup. */
   @transient private var serveCache =
-    new java.util.LinkedHashMap[Int, (Array[Long], Array[Double])](64, 0.75f, true)
+    new java.util.LinkedHashMap[Int, (Array[Long], Array[Double], Array[Double])](64, 0.75f, true)
   @transient private var servePostingsResident = 0L
 
-  /** Serving cache budget in resident postings (id+value = 16 bytes each;
-    * default 16M ≈ 256 MiB). */
+  /** Serving cache budget in resident postings (id+value+norm = 24 bytes
+    * each; default 16M ≈ 384 MiB). */
   @volatile var maxServePostings: Long = 16L * 1024 * 1024
 
   def servingResidentPostings(): Long = synchronized { servePostingsResident }
 
   /** One pruned job collecting the posting lists of `missing` dims —
-    * overridable so tests can model a slow cold load. */
-  protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double])] = {
+    * overridable so tests can model a slow cold load. Layouts written
+    * before norms rode in the postings surface norm 0 (Euclidean serving
+    * then declines via the exactness check; dot serving is unaffected). */
+  protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double], Array[Double])] = {
+    val hasNorm = postings().columns.contains("norm2")
     val rows = prunedPostings(missing)
-      .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"))
+      .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"),
+        (if (hasNorm) col("norm2") else lit(0.0)).cast("double"))
       .collect()
     val byDim = rows.groupBy(_.getInt(0))
     missing.map { d =>
       val rs = byDim.getOrElse(d, Array.empty)
-      d -> (rs.map(_.getLong(1)), rs.map(_.getDouble(2)))
+      d -> ((rs.map(_.getLong(1)), rs.map(_.getDouble(2)), rs.map(_.getDouble(3))))
     }.toMap
   }
 
-  /** Low-latency top-K dot product answered on the DRIVER: probe the
-    * query's dims from the resident posting cache, accumulate per-id
-    * partial products in an open hash map, cut with a bounded heap.
-    * Ordering matches `topKDot` (dot desc, id asc). `exclude` masks
-    * known-dead ids; `tail` appends fresh postings packed as
-    * (ids, values) per dim. */
-  def servePointDot(qIdx: Array[Int], qVal: Array[Float], k: Int,
-      exclude: Long => Boolean = _ => false,
-      tail: Map[Int, (Array[Long], Array[Double])] = Map.empty)
-      : Array[(Long, Double)] = {
+  /** Resolve the query dims' posting lists from the resident cache, loading
+    * cold dims with one pruned job OUTSIDE the lock (shared by the dot and
+    * Euclidean serve paths). */
+  private def residentLists(qIdx: Array[Int]): Array[(Array[Long], Array[Double], Array[Double])] = {
     var attempts = 0
-    var lists: Array[(Array[Long], Array[Double])] = null
+    var lists: Array[(Array[Long], Array[Double], Array[Double])] = null
     while (lists == null) {
       attempts += 1
       require(attempts <= 8, "sparse serve cache thrashing: raise maxServePostings")
@@ -249,7 +250,7 @@ class SparseIndex(
         qIdx.filterNot(serveCache.containsKey(_))
       }
       val loaded =
-        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double])]
+        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
         else loadDimPostings(missing) // outside the lock: a real Spark job
       synchronized {
         loaded.foreach { case (d, lst) =>
@@ -273,7 +274,26 @@ class SparseIndex(
         // else: the stamp moved between load and install — loop reloads
       }
     }
-    val acc = new java.util.HashMap[java.lang.Long, Double](1024)
+    lists
+  }
+
+  /** Bounded top-k heap over (id, dist): keep the k SMALLEST distances,
+    * ties broken by smaller id. Returns entries ascending. */
+  private def smallestK(k: Int): SparseIndex.BoundedTopK =
+    new SparseIndex.BoundedTopK(k)
+
+  /** Low-latency top-K dot product answered on the DRIVER: probe the
+    * query's dims from the resident posting cache, accumulate per-id
+    * partial products in an open hash map, cut with a bounded heap.
+    * Ordering matches `topKDot` (dot desc, id asc). `exclude` masks
+    * known-dead ids; `tail` appends fresh postings packed as
+    * (ids, values, norms) per dim. */
+  def servePointDot(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      exclude: Long => Boolean = _ => false,
+      tail: Map[Int, (Array[Long], Array[Double], Array[Double])] = Map.empty)
+      : Array[(Long, Double)] = {
+    val lists = residentLists(qIdx)
+    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double](1024)
     var di = 0
     while (di < qIdx.length) {
       val w = qVal(di).toDouble
@@ -290,7 +310,7 @@ class SparseIndex(
       }
       val lst = lists(di)
       add(lst._1, lst._2)
-      tail.get(qIdx(di)).foreach { case (ids, vs) => add(ids, vs) }
+      tail.get(qIdx(di)).foreach { case (ids, vs, _) => add(ids, vs) }
       di += 1
     }
     // bounded heap: keep the k LARGEST dots (ties -> smaller id wins)
@@ -316,6 +336,118 @@ class SparseIndex(
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
     out
   }
+
+  // smallest-norm rows of the indexed universe, resident per meta stamp:
+  // for Euclidean a non-overlap row's distance is EXACTLY norm2 + |q|²,
+  // so the globally smallest-norm rows are the only non-overlap rows that
+  // can enter a top-k — keeping the first `maxServeMinNorm` of them
+  // resident makes driver-side Euclidean serving EXACT whenever the k-th
+  // result beats the truncation bound (checked per query; over the bound
+  // the caller falls back to the job path)
+  // (list, truncated?) — truncated is judged against the cap AT LOAD TIME,
+  // so raising maxServeMinNorm later doesn't mislabel a short list complete
+  @transient private var minNormCache: (Array[(Long, Double)], Boolean) = null
+
+  /** Resident min-norm list size (16 bytes/entry; also the effective upper
+    * bound on k for exact Euclidean serving of non-overlap fills). */
+  @volatile var maxServeMinNorm: Int = 4096
+
+  private def residentMinNorms(): (Array[(Long, Double)], Boolean) = {
+    synchronized {
+      refreshIfStale()
+      if (minNormCache != null) return minNormCache
+    }
+    // one slim job outside the lock (same discipline as the posting load)
+    val cap = maxServeMinNorm
+    val loaded = norms()
+      .orderBy(col("norm2").asc, col(idCol).asc)
+      .limit(cap)
+      .select(col(idCol).cast("long"), col("norm2").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    synchronized {
+      if (minNormCache == null) minNormCache = (loaded, loaded.length >= cap)
+      minNormCache
+    }
+  }
+
+  /** EXACT driver-side Euclidean top-K (ascending squared L2, ties by id),
+    * or None when exactness cannot be proven from resident state (caller
+    * falls back to the job path).
+    *
+    * Overlap candidates are scored exactly from the posting cache
+    * (`|x-q|² = norm2 − 2·dot + |q|²`); non-overlap candidates (dot 0)
+    * can only beat them with a small norm, so they are filled from the
+    * resident min-norm list in (norm2, id) order with early exit. The
+    * result is exact iff the list was not truncated, or the k-th distance
+    * strictly beats `maxListedNorm + |q|²` (any unlisted row is at least
+    * that far). `tail` carries fresh postings; `tailNorms` the (id, norm2)
+    * of ALL fresh rows — both bounded by the caller's tail cap. */
+  def servePointEuclid(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      exclude: Long => Boolean = _ => false,
+      tail: Map[Int, (Array[Long], Array[Double], Array[Double])] = Map.empty,
+      tailNorms: Array[(Long, Double)] = Array.empty)
+      : Option[Array[(Long, Double)]] = {
+    val lists = residentLists(qIdx)
+    var qNorm = 0.0
+    qVal.foreach(v => qNorm += v.toDouble * v.toDouble)
+    // per-id (dot, norm2) accumulation over the probed posting lists
+    val acc = new java.util.HashMap[java.lang.Long, Array[Double]](1024)
+    var di = 0
+    while (di < qIdx.length) {
+      val w = qVal(di).toDouble
+      def add(ids: Array[Long], vs: Array[Double], ns: Array[Double]): Unit = {
+        var i = 0
+        while (i < ids.length) {
+          if (!exclude(ids(i))) {
+            val key = java.lang.Long.valueOf(ids(i))
+            var cell = acc.get(key)
+            if (cell == null) { cell = Array(0.0, ns(i)); acc.put(key, cell) }
+            cell(0) += vs(i) * w
+          }
+          i += 1
+        }
+      }
+      val lst = lists(di)
+      add(lst._1, lst._2, lst._3)
+      tail.get(qIdx(di)).foreach { case (ids, vs, ns) => add(ids, vs, ns) }
+      di += 1
+    }
+    val heap = smallestK(k)
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cell = e.getValue
+      heap.offer(e.getKey.longValue, cell(1) - 2.0 * cell(0) + qNorm)
+    }
+    // non-overlap fills: resident min-norm list (sorted), then tail norms
+    val (mins, truncated) = residentMinNorms()
+    var mi = 0
+    var break = false
+    while (mi < mins.length && !break) {
+      val (id, n2) = mins(mi)
+      val dist = n2 + qNorm
+      if (heap.full && !heap.beatsWorst(id, dist)) break = true // sorted: no later entry can enter
+      else if (!exclude(id) && !acc.containsKey(java.lang.Long.valueOf(id)))
+        heap.offer(id, dist)
+      mi += 1
+    }
+    tailNorms.foreach { case (id, n2) =>
+      if (!exclude(id) && !acc.containsKey(java.lang.Long.valueOf(id)))
+        heap.offer(id, n2 + qNorm)
+    }
+    val out = heap.drain()
+    // exactness: a row absent from both acc and the min-norm list has
+    // norm2 >= the largest listed norm, hence dist >= that bound
+    if (truncated) {
+      val bound = mins.last._2 + qNorm
+      if (out.length < k || out.last._2 >= bound) return None
+    } else if (out.length < k && indexedCount() + tailNorms.length > out.length) {
+      // fewer results than live candidates (heavy exclusion) — not provable
+      return None
+    }
+    Some(out)
+  }
 }
 
 object SparseIndex {
@@ -324,6 +456,33 @@ object SparseIndex {
     * prune most of the layout, few enough that small corpora don't
     * shatter into tiny files. */
   val DefaultBuckets = 64
+
+  /** Bounded min-k heap over (id, dist): keeps the k smallest distances,
+    * ties by smaller id; drains ascending. (java PriorityQueue with the
+    * WORST retained candidate at the head.) */
+  private[index] final class BoundedTopK(k: Int) {
+    private val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2) // larger dist = worse = head
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    def full: Boolean = heap.size >= k
+    /** Would (id, dist) displace the current worst? (heap must be full) */
+    def beatsWorst(id: Long, dist: Double): Boolean = {
+      val w = heap.peek()
+      dist < w._2 || (dist == w._2 && id < w._1)
+    }
+    def offer(id: Long, dist: Double): Unit = {
+      if (heap.size < k) heap.add((id, dist))
+      else if (beatsWorst(id, dist)) { heap.poll(); heap.add((id, dist)); () }
+    }
+    def drain(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](heap.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+      out
+    }
+  }
 
   /** Same hand-parsed stamp discipline as IvfIndex.readMeta (the stamp is
     * re-read on every access). Fields: watermark, count, purge, buckets. */
@@ -366,16 +525,24 @@ object SparseIndex {
   /** Write the bucketed layout: repartition ON the partition column (one
     * writer per bucket — same small-files rule as IvfIndex.build), sorted
     * by dim inside each bucket so parquet row-group stats prune the
-    * non-queried dims of a probed bucket. */
+    * non-queried dims of a probed bucket. Each posting carries its row's
+    * norm2 (a window over id — one extra build-time shuffle) so Euclidean
+    * SERVING scores overlap candidates straight off the pruned read;
+    * dot/distance queries never select the column, so column pruning keeps
+    * it off their scans. */
   private[index] def writePostings(postings: DataFrame, idCol: String,
-      buckets: Int, dest: String, mode: SaveMode): Unit =
+      buckets: Int, dest: String, mode: SaveMode): Unit = {
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     postings
       .select(col(idCol), col("dim").cast("int").as("dim"),
         col("v").cast("float").as("v"))
+      .withColumn("norm2",
+        sum(col("v").cast("double") * col("v").cast("double")).over(byId))
       .withColumn("dim_bkt", pmod(col("dim"), lit(buckets)))
       .repartition(col("dim_bkt"))
       .sortWithinPartitions(col("dim"), col(idCol))
       .write.mode(mode).partitionBy("dim_bkt").parquet(dest)
+  }
 
   /** Explode a sparse struct column into its (id, dim, v) postings —
     * delegates to the query-plan helper so build and per-query tails share

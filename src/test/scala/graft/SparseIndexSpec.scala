@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions._
@@ -180,6 +180,57 @@ class SparseIndexSpec extends SparkSpec {
     }
   }
 
+  test("servePointEuclid is exact incl. zero-overlap rows; warm path runs no Spark job") {
+    val df = corpus(200)
+    val idx = SparseIndex.build(spark, df, "sv", "id", tmpDir("spidx_seuclid"), buckets = 8)
+    def exact(k: Int, pred: Column = lit(true)): Seq[Long] =
+      df.filter(pred).withColumn("d", sparse_l2sqr_distance(col("sv"), qc))
+        .orderBy(col("d").asc, col("id").asc)
+        .limit(k).select("id").collect().map(_.getLong(0)).toSeq
+    // k large enough that zero-overlap rows (dot 0, small norm) must fill in
+    val served = idx.servePointEuclid(qIdx, qVal, 60)
+    assert(served.isDefined, "untruncated min-norm list must serve exactly")
+    assert(served.get.map(_._1).toSeq == exact(60))
+    // distances match the expression-computed squared L2
+    val exactDist = df.withColumn("d", sparse_l2sqr_distance(col("sv"), qc))
+      .orderBy(col("d").asc, col("id").asc).limit(60)
+      .select("d").collect().map(_.getDouble(0)).toSeq
+    served.get.map(_._2).toSeq.zip(exactDist).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    // warm re-serve: no job may start
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val expectedWarm = exact(60)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(idx.servePointEuclid(qIdx, qVal, 60).get.map(_._1).toSeq == expectedWarm)
+      Thread.sleep(300)
+      assert(jobs == 0, s"warm sparse Euclid serve ran $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // tombstone mask
+    val dead = exact(5).head
+    val masked = idx.servePointEuclid(qIdx, qVal, 20, exclude = _ == dead)
+    assert(masked.get.map(_._1).toSeq == exact(20, col("id") =!= dead))
+  }
+
+  test("servePointEuclid declines when the truncated min-norm list cannot prove exactness") {
+    val df = corpus(200)
+    val idx = SparseIndex.build(spark, df, "sv", "id", tmpDir("spidx_strunc"), buckets = 8)
+    idx.maxServeMinNorm = 2 // truncated far below the non-overlap fills k needs
+    assert(idx.servePointEuclid(qIdx, qVal, 100).isEmpty,
+      "k beyond the provable bound must fall back to the job path")
+    idx.maxServeMinNorm = 4096
+    // the stale-stamp refresh does not apply (stamp unchanged), so clear by
+    // re-instantiating: a fresh instance re-reads the full list and serves
+    val idx2 = new SparseIndex(spark, idx.path, "id")
+    val served = idx2.servePointEuclid(qIdx, qVal, 100)
+    assert(served.isDefined && served.get.length == 100)
+  }
+
   test("GraftDb end-to-end: sparse rebuild + ANN query + mid-stream insert + delete") {
     val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spidx"))
     db.createTable(
@@ -250,6 +301,47 @@ class SparseIndexSpec extends SparkSpec {
     // delete: the serving mask drops the row without a rebuild
     val victim = serveIds().head
     db.delete(s"""{"table":"SpServe","primaryKeys":[$victim]}""")
+    val after = serveIds()
+    assert(!after.contains(victim) && after == jobIds())
+  }
+
+  test("GraftDb sparse serve EUCLIDEAN: exact driver-side answers with tail + delete mask") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_speuclid"))
+    db.createTable(
+      """{"name":"SpEuclid","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("SpEuclid")
+    st.insert(corpus(200, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpEuclid", "SV"))
+    def idOf(): Map[Long, Long] = st.read()
+      .select(graft.store.TableStore.RowId, "ID").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k past the overlap set so zero-overlap rows must fill from the
+    // resident min-norm list
+    def serveIds(): Seq[Long] = {
+      val resp = db.query(
+        s"""{"table":"SpEuclid","queryField":"SV","limit":60,"serve":true,
+          |"queryVector":{"indices":[${qIdx.mkString(",")}],
+          |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      assert(resp.contains("\"served\":true"), resp)
+      val m = idOf()
+      "\"__row_id\":(\\d+)".r.findAllMatchIn(resp).map(r => m(r.group(1).toLong)).toSeq
+    }
+    def jobIds(): Seq[Long] = db.queryDataFrame(
+      s"""{"table":"SpEuclid","queryField":"SV","limit":60,"ann":true,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(serveIds() == jobIds())
+    // mid-stream insert above the watermark: non-overlap tail rows must be
+    // candidates via the tail-norms path, overlap tail rows via postings
+    st.insert(corpus(230, "ID").filter(col("ID") > 200).withColumnRenamed("sv", "SV"))
+    assert(serveIds() == jobIds())
+    // delete: serving mask drops the row, fills stay exact
+    val victim = serveIds().head
+    db.delete(s"""{"table":"SpEuclid","primaryKeys":[$victim]}""")
     val after = serveIds()
     assert(!after.contains(victim) && after == jobIds())
   }
