@@ -260,7 +260,56 @@ class GraftDb(val spark: SparkSession, val root: String,
     val ds = spark.createDataset(data.asJava)(org.apache.spark.sql.Encoders.STRING)
     val df = spark.read.schema(st.schema.structType).json(ds)
     val res = st.insert(df, upsert)
+    if (autoAppendIndexes && res.inserted > 0) appendIndexes(st)
     s"""{"inserted":${res.inserted},"skipped":${res.skipped}}"""
+  }
+
+  /** Incremental index maintenance at ingest (the micro-batch path): after
+    * a committed insert, bring every EXISTING index of the table up to the
+    * store watermark by appending ALL rows above its indexed watermark —
+    * not just this batch, so batches written while no append ran (direct
+    * TableStore writers, WAL replay) are healed too. The reference updates
+    * its in-memory indexes inside every insert (table_mvp.cpp insert →
+    * index add); here appended rows leave the serving fresh tail and enter
+    * the persisted layout, keeping the tail bounded by ingest cadence
+    * instead of rebuild cadence. Scheduled rebuilds still re-cluster /
+    * re-bucket to undo drift. Set false to batch drift into rebuilds. */
+  @volatile var autoAppendIndexes: Boolean = true
+
+  private def appendIndexes(st: TableStore): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val rowId = graft.store.TableStore.RowId
+    val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
+    st.schema.vectorFields.foreach { f =>
+      if (graft.types.FieldType.isSparse(f.fieldType)) {
+        if (Files.exists(Paths.get(
+            s"$root/${st.schema.name}/spidx_${f.name}/sp_meta.json"))) {
+          val idx = sparseIndex(st, f.name)
+          val wm = idx.indexedWatermark()
+          if (storeWm > wm) {
+            val newRows = st.read().filter(col(rowId) > wm).cache()
+            try {
+              val stats = newRows.agg(count(lit(1)), max(col(rowId))).head()
+              val n = stats.getLong(0)
+              if (n > 0)
+                idx.append(
+                  graft.index.SparseIndex.postingsOf(newRows, f.name, rowId),
+                  n, stats.getLong(1),
+                  norms = Some(graft.index.SparseIndex.normsOfColumn(
+                    newRows, f.name, rowId)))
+            } finally { newRows.unpersist(); () }
+          }
+        }
+      } else {
+        if (Files.exists(Paths.get(
+            s"$root/${st.schema.name}/ivf_${f.name}/ivf_meta.json"))) {
+          val idx = index(st, f.name)
+          val wm = idx.indexedWatermark()
+          if (storeWm > wm)
+            idx.append(st.read().filter(col(rowId) > wm), f.name)
+        }
+      }
+    }
   }
 
   /** POST /data/query analog: vector top-K with filter/projection/facets.

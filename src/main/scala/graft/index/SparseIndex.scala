@@ -110,11 +110,15 @@ class SparseIndex(
     * no rebuild, same contract as IvfIndex.append. `newPostings` is
     * (idCol, dim, v) for the new rows only; `newRows`/`newMaxId` come from
     * the caller's batch stats. */
-  def append(newPostings: DataFrame, newRows: Long, newMaxId: Long): Unit = {
+  def append(newPostings: DataFrame, newRows: Long, newMaxId: Long,
+      norms: Option[DataFrame] = None): Unit = {
     if (newRows <= 0) return
     val b = buckets()
     SparseIndex.writePostings(newPostings, idCol, b, postingsPath, SaveMode.Append)
-    SparseIndex.normsOf(newPostings, idCol)
+    // posting-derived norms miss zero-nnz rows; callers with the source
+    // rows pass normsOfColumn for the complete universe
+    norms.getOrElse(SparseIndex.normsOf(newPostings, idCol))
+      .select(col(idCol), col("norm2").cast("double").as("norm2"))
       .write.mode(SaveMode.Append).parquet(normsPath)
     val (wm, cnt, purge, _) = meta()
     SparseIndex.writeMeta(metaPath, math.max(wm, newMaxId), cnt + newRows, purge, b)

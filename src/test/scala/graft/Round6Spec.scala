@@ -143,6 +143,40 @@ class Round6Spec extends SparkSpec {
       .map(_.group(1).toLong).forall(_ <= 600)) // fresh row ids restart at 1
   }
 
+  test("JSON insert auto-appends to an existing dense index (fresh tail stays empty)") {
+    val db = denseDbFixture("autoapp")
+    val st = db.store("T")
+    val idx = graft.index.IvfIndex // type only for clarity; instance via meta below
+    val metaPath = s"${db.root}/T/ivf_V/ivf_meta.json"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(metaPath)))
+    def idxWm(): Long = {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(metaPath)))
+      "\"watermark\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    }
+    val wmBefore = idxWm()
+    assert(wmBefore == 600L)
+    // JSON-surface insert of rows ADJACENT to the query point: they land in
+    // the store AND the index layout, and must dominate the probed top-k
+    val data = (601 to 650).map(i =>
+      s"""{"ID":$i,"V":[${0.5 + (i - 600) * 1e-4},0.5,0.5,0.5]}""")
+      .mkString("[", ",", "]")
+    db.insert(s"""{"table":"T","data":$data}""")
+    assert(idxWm() == 650L,
+      "insert must append rows above the watermark to the existing index")
+    assert(st.snapshot().get.watermark == 650L)
+    // appended rows are searchable through the index path (no fresh tail)
+    val ids = db.queryDataFrame(
+      s"""{"table":"T","queryVector":$qJson,"limit":10,"ann":true}""")
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(ids.forall(_ > 600L),
+      s"appended near-query rows must win the ANN top-k, got $ids")
+    // disabled: the next insert leaves the index watermark put
+    db.autoAppendIndexes = false
+    db.insert(s"""{"table":"T","data":[{"ID":651,"V":[0.1,0.2,0.3,0.4]}]}""")
+    assert(idxWm() == 650L && st.snapshot().get.watermark == 651L)
+  }
+
   test("insertPrepare runs exactly ONE job/action") {
     import spark.implicits._
     val schema = graft.types.TableSchema("Prep", Seq(

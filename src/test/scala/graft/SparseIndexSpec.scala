@@ -305,6 +305,41 @@ class SparseIndexSpec extends SparkSpec {
     assert(!after.contains(victim) && after == jobIds())
   }
 
+  test("JSON insert auto-appends to an existing sparse index, searches stay exact") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spautoapp"))
+    db.createTable(
+      """{"name":"SpApp","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("SpApp")
+    st.insert(corpus(200, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpApp", "SV"))
+    val idx = new SparseIndex(spark, s"${db.root}/SpApp/spidx_SV", graft.store.TableStore.RowId)
+    assert(idx.indexedWatermark() == 200L)
+    // JSON insert with sparse structs: appended to the persisted layout
+    val data = (201 to 230).map { i =>
+      val dims = Seq(i % 11, 11 + (i % 13), 30 + (i % 17))
+      val vals = Seq(i % 5 + 1.0, i % 3 + 0.5, 1.0)
+      s"""{"ID":$i,"SV":{"indices":[${dims.mkString(",")}],"values":[${vals.mkString(",")}]}}"""
+    }.mkString("[", ",", "]")
+    db.insert(s"""{"table":"SpApp","data":$data}""")
+    assert(idx.indexedWatermark() == 230L && idx.indexedCount() == 230L,
+      "sparse postings above the watermark must be appended at insert")
+    // index-path search over appended rows == exact scan (no tail involved)
+    val ann = db.queryDataFrame(
+      s"""{"table":"SpApp","queryField":"SV","limit":12,"ann":true,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    val exact = db.queryDataFrame(
+      s"""{"table":"SpApp","queryField":"SV","limit":12,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(ann == exact)
+  }
+
   test("GraftDb sparse serve EUCLIDEAN: exact driver-side answers with tail + delete mask") {
     val db = new graft.api.GraftDb(spark, tmpDir("graftdb_speuclid"))
     db.createTable(
