@@ -152,8 +152,9 @@ class GraftHttpServer(val catalog: GraftCatalog, port: Int) {
         catalog.list().foreach { d =>
           val db = catalog.db(d)
           db.listTables().foreach { t =>
+            // rebuildIndex dispatches on the field type: dense fields get
+            // the IVF layout, sparse fields the inverted-posting index
             db.store(t).schema.vectorFields
-              .filterNot(f => graft.types.FieldType.isSparse(f.fieldType))
               .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
           }
         }
