@@ -402,6 +402,18 @@ object QueriesPipeline {
           Multimodal.withBinaryPayload(t(s, dir, "documents"), "text"))
         .select(col("doc_id"), col("n_bytes"), col("first_byte"), col("checksum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Real media decode, end-to-end on executors: synthesize a PNG per doc
+    // (dims a pure function of doc_id), decode it back through ImageIO, and
+    // report the MEASURED dims/bands — the oracle recomputes them
+    // arithmetically, so any decode failure or dimension drift hash-fails.
+    "mm_decode" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.synthesizeImages(
+            t(s, dir, "documents").filter(col("doc_id") < 400)))
+        .select(col("doc_id"), col("width"), col("height"), col("n_channels"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -763,5 +775,9 @@ object QueriesPipeline {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
         |  CAST(list_sum(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1)))) % 997 AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 7 AS INT) AS height, CAST(3 AS INT) AS n_channels
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
 }

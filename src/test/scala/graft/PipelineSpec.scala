@@ -87,6 +87,51 @@ class PipelineSpec extends SparkSpec {
     assert(feats(0L)._3 == 16 + (43 % 64) && feats(0L)._4 == 16 + ((43 / 64) % 64))
   }
 
+  test("real PNG decode: synthesized image round-trips through ImageIO with true dims") {
+    val png = Multimodal.syntheticPng(23, 11, seed = 42L)
+    // PNG magic bytes prove a real encode, not a stub
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val meta = Multimodal.decode(png)
+    assert(meta.width == 23 && meta.height == 11 && meta.nChannels == 3)
+    // distributed: synthesize + decode over executors, dims match arithmetic
+    val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeImages(docs.select(col("doc_id"))))
+      .select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(feats(id) == (((8 + id % 16).toInt, (8 + id % 7).toInt)), s"doc $id")
+    }
+  }
+
+  test("real WAV decode: header duration and channels") {
+    // write a 0.25 s stereo 8 kHz WAV through the JDK encoder
+    val frames = 2000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.decode(bos.toByteArray)
+    assert(meta.nChannels == 2 && meta.durationMs == 250L)
+  }
+
+  test("real image resize: dims change, content stays decodable") {
+    val png = Multimodal.syntheticPng(32, 16, seed = 7L)
+    val small = Multimodal.resizeImage(png, 8, 8)
+    assert(small.isDefined)
+    val meta = Multimodal.decodeImage(small.get).get
+    assert(meta.width == 8 && meta.height == 8)
+    // non-image payloads refuse instead of throwing
+    assert(Multimodal.resizeImage("not an image".getBytes, 8, 8).isEmpty)
+  }
+
+  test("decode falls back to the stub for bytes no JDK codec accepts") {
+    val bytes = "plain text payload".getBytes
+    assert(Multimodal.decode(bytes) == Multimodal.decodeStub(bytes))
+  }
+
   test("frame sampling explodes payload chunks") {
     val frames = Multimodal.sampleFrames(
         Multimodal.withBinaryPayload(docs.filter(col("doc_id") === 0L), "text"),
