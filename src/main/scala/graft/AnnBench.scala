@@ -201,10 +201,37 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // exact Euclidean serving: overlap candidates off posting-resident
+    // norms + resident min-norm fills (recall vs the job-path distance
+    // search must be 1.0 — the serve path proves exactness per query)
+    def jobEuclid(q: (Array[Int], Array[Float])): Seq[Long] =
+      idx.topKDistance(MetricType.Euclidean, q._1, q._2, k)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val exactE = queries.map(jobEuclid)
+    idx.servePointEuclid(queries.head._1, queries.head._2, k) // warm
+    val t3 = System.nanoTime()
+    val euclidDeadline = t3 + 5L * 1000 * 1000 * 1000
+    var euclidQueries = 0L
+    while (euclidQueries == 0L || System.nanoTime() < euclidDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointEuclid(queries(qi)._1, queries(qi)._2, k)
+        qi += 1
+      }
+      euclidQueries += queries.length
+    }
+    val euclidSec = (System.nanoTime() - t3) / 1e9
+    val euclidRecall = exactE.zip(queries.map(q =>
+      idx.servePointEuclid(q._1, q._2, k).map(_.map(_._1).toSeq).getOrElse(Nil))).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exactE.length
+
     println(f"""{"metric":"sparse_vs_scan","n":$n,"queries":${queries.length},""" +
       f""""scan_qps":${queries.length / scanSec}%.2f,"job_qps":${queries.length / jobSec}%.2f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"build_sec":$buildSec%.2f,""" +
       f""""job_recall_at_10":$jobRecall%.4f,"serve_recall_at_10":$serveRecall%.4f,""" +
+      f""""euclid_serve_qps":${euclidQueries / euclidSec}%.2f,""" +
+      f""""euclid_serve_recall_at_10":$euclidRecall%.4f,""" +
       f""""resident_postings":${idx.servingResidentPostings()}}""")
   }
 }

@@ -236,6 +236,9 @@ class Round3Spec extends SparkSpec {
 
   test("serve:true merges fresh rows above the indexed watermark; warm tail runs no jobs") {
     val db = new graft.api.GraftDb(spark, tmpDir("r3_serve_tail"))
+    // ingest-time append would empty the fresh tail this test exercises;
+    // keep rows above the watermark (the direct-TableStore-writer shape)
+    db.autoAppendIndexes = false
     db.createTable(
       """{"name":"FT","fields":[
         |{"name":"ID","dataType":"INT","primaryKey":true},
