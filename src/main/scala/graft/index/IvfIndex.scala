@@ -139,7 +139,8 @@ class IvfIndex(
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cluster").parquet(dataPath)
       val (wm, cnt, purge) = meta()
-      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge)
+      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge,
+        base = IvfIndex.readBase(metaPath))
       // the meta stamp changed — refreshIfStale() re-lists on next access,
       // here and in any other JVM sharing this index path
     }
@@ -452,6 +453,13 @@ object IvfIndex {
     * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
   val MinimalIndexSize = 512
 
+  /** Drift bound for ingest-time appends: once appended rows exceed this
+    * fraction of the last full build's count, the scheduler rebuilds even
+    * though count/watermark track the table (appends never re-fit
+    * centroids and land one small file batch each — both must be undone
+    * eventually). */
+  val MaxAppendFraction = 0.5
+
   /** Hand-parsed (the file is `{"watermark":N,"count":N,"purge":N}`):
     * meta() runs on EVERY index access as the freshness stamp, including
     * the driver-side serving path, so it must cost microseconds — a JSON
@@ -471,10 +479,25 @@ object IvfIndex {
     (long("watermark"), long("count"), long("purge"))
   }
 
+  /** Row count at the last FULL build (appends preserve it): the rebuild
+    * scheduler bounds drift with `count - base`. Metas written before the
+    * stamp existed report base == count (drift 0 until the next build). */
+  private[index] def readBase(metaPath: String): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    val key = "\"base\":"
+    val at = s.indexOf(key)
+    if (at < 0) return readMeta(metaPath)._2
+    var i = at + key.length
+    var end = i
+    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+    if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
+  }
+
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
-      purge: Long): Unit =
+      purge: Long, base: Long = -1L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge}""".getBytes)
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base}}""".getBytes)
 
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
     * every 60s): skip when the table is too small or unchanged since the
@@ -495,7 +518,8 @@ object IvfIndex {
     * may carry rows a compact() has since removed without a tombstone). */
   def rebuildVerbose(spark: SparkSession, df: DataFrame, vecCol: String,
       idCol: String, path: String, metric: MetricType.Value,
-      nClusters: Int = 64, purgeGen: Long = 0L): (Option[IvfIndex], Boolean) = {
+      nClusters: Int = 64, purgeGen: Long = 0L,
+      maxAppendFraction: Double = MaxAppendFraction): (Option[IvfIndex], Boolean) = {
     val stats = df.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
     val n = stats.getLong(0)
     if (n < MinimalIndexSize) return (None, false)
@@ -503,7 +527,14 @@ object IvfIndex {
     val metaPath = java.nio.file.Paths.get(s"$path/ivf_meta.json")
     if (java.nio.file.Files.exists(metaPath)) {
       val (wm, cnt, pg) = readMeta(s"$path/ivf_meta.json")
-      if (cnt == n && wm == maxId && pg == purgeGen) // unchanged -> skip rebuild
+      // unchanged -> skip, UNLESS ingest-time appends have grown the layout
+      // past the drift bound since the last full build: appended rows join
+      // existing centroids (never re-fit) and each append lands small
+      // files, so a rebuild must eventually re-cluster + compact even
+      // though count/watermark track the table perfectly
+      val base = readBase(s"$path/ivf_meta.json")
+      val withinDrift = cnt - base <= maxAppendFraction * base
+      if (cnt == n && wm == maxId && pg == purgeGen && withinDrift)
         return (Some(new IvfIndex(spark, path, idCol, metric)), false)
     }
     // maxIter 5: recall comes from probing multiple clusters, not from a

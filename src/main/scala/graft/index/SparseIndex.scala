@@ -121,7 +121,8 @@ class SparseIndex(
       .select(col(idCol), col("norm2").cast("double").as("norm2"))
       .write.mode(SaveMode.Append).parquet(normsPath)
     val (wm, cnt, purge, _) = meta()
-    SparseIndex.writeMeta(metaPath, math.max(wm, newMaxId), cnt + newRows, purge, b)
+    SparseIndex.writeMeta(metaPath, math.max(wm, newMaxId), cnt + newRows, purge, b,
+      base = SparseIndex.readBase(metaPath))
   }
 
   /** Retrieval-mode top-K: highest dot product first, ties by id — the
@@ -488,6 +489,11 @@ object SparseIndex {
     }
   }
 
+  /** Drift bound for ingest-time appends (see IvfIndex.MaxAppendFraction —
+    * here buckets never drift, but each append lands one small file per
+    * touched bucket; the rebuild compacts them). */
+  val MaxAppendFraction = 0.5
+
   /** Same hand-parsed stamp discipline as IvfIndex.readMeta (the stamp is
     * re-read on every access). Fields: watermark, count, purge, buckets. */
   private[index] def readMeta(metaPath: String): (Long, Long, Long, Long) = {
@@ -505,10 +511,24 @@ object SparseIndex {
     (long("watermark"), long("count"), long("purge"), long("buckets"))
   }
 
+  /** Row count at the last FULL build (appends preserve it); metas written
+    * before the stamp existed report base == count. */
+  private[index] def readBase(metaPath: String): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    val key = "\"base\":"
+    val at = s.indexOf(key)
+    if (at < 0) return readMeta(metaPath)._2
+    var i = at + key.length
+    var end = i
+    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+    if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
+  }
+
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
-      purge: Long, buckets: Long): Unit =
+      purge: Long, buckets: Long, base: Long = -1L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets}""".getBytes)
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets,"base":${if (base < 0) count else base}}""".getBytes)
 
   private def mask(df: DataFrame, idCol: String,
       excludeIds: Option[DataFrame], restrictIds: Option[DataFrame]): DataFrame =
@@ -589,11 +609,17 @@ object SparseIndex {
   def rebuildFromPostingsVerbose(spark: SparkSession, postings: => DataFrame,
       idCol: String, path: String, rowCount: Long, maxId: Long,
       buckets: Int = DefaultBuckets, purgeGen: Long = 0L,
-      norms: Option[DataFrame] = None): (SparseIndex, Boolean) = {
+      norms: Option[DataFrame] = None,
+      maxAppendFraction: Double = MaxAppendFraction): (SparseIndex, Boolean) = {
     val metaPath = java.nio.file.Paths.get(s"$path/sp_meta.json")
     if (java.nio.file.Files.exists(metaPath)) {
       val (wm, cnt, pg, _) = readMeta(s"$path/sp_meta.json")
-      if (cnt == rowCount && wm == maxId && pg == purgeGen)
+      // skip-as-unchanged, unless ingest-time appends have accumulated
+      // past the drift bound since the last full build (each append lands
+      // one small file per touched bucket — the rebuild compacts them)
+      val base = readBase(s"$path/sp_meta.json")
+      val withinDrift = cnt - base <= maxAppendFraction * base
+      if (cnt == rowCount && wm == maxId && pg == purgeGen && withinDrift)
         return (new SparseIndex(spark, path, idCol), false)
     }
     (buildFromPostings(spark, postings, idCol, path, buckets,

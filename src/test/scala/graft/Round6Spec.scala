@@ -177,6 +177,23 @@ class Round6Spec extends SparkSpec {
     assert(idxWm() == 650L && st.snapshot().get.watermark == 651L)
   }
 
+  test("dense appends past the drift bound force the scheduled rebuild") {
+    val db = denseDbFixture("drift")
+    val st = db.store("T")
+    def insertBatch(from: Int, until: Int): Unit = {
+      val data = (from until until).map(i =>
+        s"""{"ID":$i,"V":[${(i % 83) / 83.0f},0.5,0.5,0.5]}""").mkString("[", ",", "]")
+      db.insert(s"""{"table":"T","data":$data}""")
+    }
+    // +10%: auto-append keeps meta in sync, the scheduler skips
+    insertBatch(601, 661)
+    assert(!db.rebuildIndex("T", "V"), "10% appended drift must skip")
+    // +60% total since the full build: the drift bound forces a rebuild
+    insertBatch(661, 961)
+    assert(db.rebuildIndex("T", "V"), "60% appended drift must rebuild")
+    assert(!db.rebuildIndex("T", "V"), "fresh build -> skip again")
+  }
+
   test("insertPrepare runs exactly ONE job/action") {
     import spark.implicits._
     val schema = graft.types.TableSchema("Prep", Seq(

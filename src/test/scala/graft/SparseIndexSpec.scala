@@ -94,6 +94,27 @@ class SparseIndexSpec extends SparkSpec {
     assert(built4, "purge generation moved -> rebuild")
   }
 
+  test("appends past the drift bound force the scheduled rebuild (small-file compaction)") {
+    val path = tmpDir("spidx_drift")
+    val full = corpus(160)
+    val base = full.filter(col("id") <= 100)
+    val idx = SparseIndex.build(spark, base, "sv", "id", path, buckets = 8)
+    // 10% append: meta tracks the table, scheduler skips
+    idx.append(SparseIndex.postingsOf(
+      full.filter(col("id") > 100 && col("id") <= 110), "sv", "id"), 10, 110L)
+    val (_, built1) = SparseIndex.rebuildVerbose(spark,
+      full.filter(col("id") <= 110), "sv", "id", path, buckets = 8)
+    assert(!built1, "10% appended drift must still skip")
+    // 60% appended since the last FULL build: drift bound trips
+    idx.append(SparseIndex.postingsOf(
+      full.filter(col("id") > 110), "sv", "id"), 50, 160L)
+    val (_, built2) = SparseIndex.rebuildVerbose(spark, full, "sv", "id", path, buckets = 8)
+    assert(built2, "60% appended drift must force the rebuild")
+    // the rebuild reset the base: unchanged table skips again
+    val (_, built3) = SparseIndex.rebuildVerbose(spark, full, "sv", "id", path, buckets = 8)
+    assert(!built3)
+  }
+
   test("append above the watermark is searchable without a rebuild") {
     val path = tmpDir("spidx_app")
     val base = corpus(150).filter(col("id") <= 100)
