@@ -276,10 +276,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     * re-bucket to undo drift. Set false to batch drift into rebuilds. */
   @volatile var autoAppendIndexes: Boolean = true
 
-  private def appendIndexes(st: TableStore): Unit = {
+  /** Catch up the table's existing indexes by name (the maintenance /
+    * WAL-replay entry; JSON inserts call the TableStore variant inline).
+    * Returns how many indexes actually appended rows. */
+  def appendIndexes(table: String): Int = appendIndexes(store(table))
+
+  private def appendIndexes(st: TableStore): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val rowId = graft.store.TableStore.RowId
     val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
+    var appended = 0
     st.schema.vectorFields.foreach { f =>
       if (graft.types.FieldType.isSparse(f.fieldType)) {
         if (Files.exists(Paths.get(
@@ -291,12 +297,14 @@ class GraftDb(val spark: SparkSession, val root: String,
             try {
               val stats = newRows.agg(count(lit(1)), max(col(rowId))).head()
               val n = stats.getLong(0)
-              if (n > 0)
+              if (n > 0) {
                 idx.append(
                   graft.index.SparseIndex.postingsOf(newRows, f.name, rowId),
                   n, stats.getLong(1),
                   norms = Some(graft.index.SparseIndex.normsOfColumn(
                     newRows, f.name, rowId)))
+                appended += 1
+              }
             } finally { newRows.unpersist(); () }
           }
         }
@@ -305,11 +313,13 @@ class GraftDb(val spark: SparkSession, val root: String,
             s"$root/${st.schema.name}/ivf_${f.name}/ivf_meta.json"))) {
           val idx = index(st, f.name)
           val wm = idx.indexedWatermark()
-          if (storeWm > wm)
-            idx.append(st.read().filter(col(rowId) > wm), f.name)
+          if (storeWm > wm &&
+              idx.append(st.read().filter(col(rowId) > wm), f.name) > 0)
+            appended += 1
         }
       }
     }
+    appended
   }
 
   /** POST /data/query analog: vector top-K with filter/projection/facets.

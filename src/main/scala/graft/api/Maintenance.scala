@@ -1,14 +1,17 @@
 package graft.api
 
 case class MaintenanceReport(indexesRebuilt: Int, manifestsExpired: Int,
-    walFilesExpired: Int)
+    walFilesExpired: Int, indexesAppended: Int = 0)
 
 /** Background maintenance, the Spark analog of the reference's rebuild
   * thread + WAL janitor (reference: db_server.hpp:21,133-142 — rebuild
   * every 60 s; write_ahead_log.hpp:27-28,86-89 — WAL rotation/retention):
   *
-  *  - re-run `rebuildIfNeeded` for every dense vector field of every
-  *    table (skips unchanged tables via the index watermark+count check);
+  *  - append-first index catch-up (`GraftDb.appendIndexes`, O(new rows)),
+  *    then `rebuildIfNeeded` per vector field — which skips unless it's a
+  *    first build, a purge mismatch, or appends passed the drift bound
+  *    (then the full rebuild also re-fits centroids / compacts appended
+  *    micro-batch files);
   *  - expire snapshot manifests beyond the retention window and vacuum
   *    the batch dirs only they referenced;
   *  - expire fully-consumed WAL files beyond the retention window.
@@ -26,10 +29,19 @@ class Maintenance(
 
   def tick(now: Long = System.currentTimeMillis): MaintenanceReport = {
     var rebuilt = 0
+    var appended = 0
     var manifests = 0
     var walFiles = 0
     db.listTables().foreach { t =>
       val st = db.store(t)
+      // append-first: catch existing indexes up to the store watermark —
+      // O(new rows), covering batches from direct TableStore writers and
+      // WAL replay. The rebuild pass after it then usually SKIPS (meta in
+      // sync) and only runs a full O(table) build on first build, purge
+      // mismatch, or when appends exceed the drift bound
+      // (IvfIndex.MaxAppendFraction) — which also compacts the appended
+      // micro-batch files.
+      appended += db.appendIndexes(t)
       // dense fields -> IVF layout; sparse fields -> inverted-posting
       // index (rebuildIndex dispatches on the field type)
       st.schema.vectorFields
@@ -40,7 +52,7 @@ class Maintenance(
         walFiles += graft.streaming.WalStream.expire(dir, st, retentionMs, now)
       }
     }
-    MaintenanceReport(rebuilt, manifests, walFiles)
+    MaintenanceReport(rebuilt, manifests, walFiles, appended)
   }
 
   @volatile private var running = false

@@ -38,15 +38,27 @@ class MaintenanceSpec extends SparkSpec {
     val r2 = maint.tick(now = System.currentTimeMillis + 10)
     assert(r2.indexesRebuilt == 0, r2)
 
-    // new rows move the watermark -> stale -> rebuilt
+    // new rows move the watermark -> appended incrementally (O(new rows)),
+    // NOT a full rebuild: 50/600 is inside the drift bound
     st.insert(rows(600, 650))
     val r3 = maint.tick(now = System.currentTimeMillis + 20)
-    assert(r3.indexesRebuilt == 1, r3)
+    assert(r3.indexesRebuilt == 0 && r3.indexesAppended == 1, r3)
     assert(ivfMeta(metaPath).contains("\"watermark\":650"))
+
+    // appends past the drift bound (400/600 > 50% since the full build):
+    // the tick appends the tail AND the rebuild pass compacts/re-fits
+    st.insert(rows(650, 1000))
+    val r4 = maint.tick(now = System.currentTimeMillis + 30)
+    assert(r4.indexesAppended == 1 && r4.indexesRebuilt == 1, r4)
+    assert(ivfMeta(metaPath).contains("\"watermark\":1000"))
+
+    // fresh build -> next tick is a pure no-op
+    val r5 = maint.tick(now = System.currentTimeMillis + 40)
+    assert(r5.indexesRebuilt == 0 && r5.indexesAppended == 0, r5)
 
     // retention 0 (with a future `now`) prunes all but the latest manifest
     assert(st.versions().size == 1)
-    assert(st.count() == 650)
+    assert(st.count() == 1000)
   }
 
   test("manifest expiry + vacuum reclaim dirs only old versions referenced") {
