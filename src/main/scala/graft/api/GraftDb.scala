@@ -227,6 +227,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     tailCache.keySet.filter(_._1 == name).foreach(tailCache.remove)
     sparseTailCache.keySet.filter(_._1 == name).foreach(sparseTailCache.remove)
     tombCache.remove(name)
+    appendLocks.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -281,7 +282,20 @@ class GraftDb(val spark: SparkSession, val root: String,
     * Returns how many indexes actually appended rows. */
   def appendIndexes(table: String): Int = appendIndexes(store(table))
 
-  private def appendIndexes(st: TableStore): Int = {
+  // per-table append serialization: index appends are read-watermark-then-
+  // write, so two concurrent inserts (or an insert racing a maintenance
+  // tick) could both see the old watermark and append the same rows TWICE
+  // — duplicated postings double-count dots. The store's own writes are
+  // serialized by its writeLock; this is the index-side twin.
+  private val appendLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
+
+  private def appendIndexes(st: TableStore): Int =
+    appendLocks.getOrElseUpdate(st.schema.name, new Object).synchronized {
+      appendIndexesLocked(st)
+    }
+
+  private def appendIndexesLocked(st: TableStore): Int = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val rowId = graft.store.TableStore.RowId
     val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)

@@ -96,4 +96,20 @@ class PlanSpec extends SparkSpec {
     val p = explain("v10_multi_field")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
+    val p = explain("v2_sparse_inverted")
+    // the pruned posting scan must carry a PartitionFilters entry on the
+    // bucket column — that's the directory-level prune that makes
+    // per-query cost |postings of the queried dims|, not corpus size
+    val scan = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("dim_bkt")).getOrElse("")
+    assert(scan.nonEmpty,
+      s"no partition filter on dim_bkt in:\n${p.linesIterator.toSeq.takeRight(40).mkString("\n")}")
+    // and the norm2 column stays out of the dot-product scan (only the
+    // Euclidean SERVING path reads it)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("norm2")),
+      s"norm2 read by a query that doesn't need it:\n${reads.mkString("\n")}")
+  }
 }

@@ -361,6 +361,56 @@ class SparseIndexSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("concurrent JSON inserts never double-append postings") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spconc"))
+    db.createTable(
+      """{"name":"SpConc","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("SpConc")
+    st.insert(corpus(100, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpConc", "SV"))
+    // 4 writers x 3 batches of 10 rows each, disjoint ID ranges — every
+    // insert triggers an appendIndexes catch-up; without per-table append
+    // serialization two of them can see the same watermark and append the
+    // same rows twice
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        (0 until 3).foreach { b =>
+          val base = 100 + w * 30 + b * 10
+          val data = (base + 1 to base + 10).map { i =>
+            val dims = Seq(i % 11, 11 + (i % 13), 30 + (i % 17))
+            val vals = Seq(i % 5 + 1.0, i % 3 + 0.5, 1.0)
+            s"""{"ID":$i,"SV":{"indices":[${dims.mkString(",")}],"values":[${vals.mkString(",")}]}}"""
+          }.mkString("[", ",", "]")
+          db.insert(s"""{"table":"SpConc","data":$data}""")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val idx = new SparseIndex(spark, s"${db.root}/SpConc/spidx_SV",
+      graft.store.TableStore.RowId)
+    assert(idx.indexedWatermark() == 220L && idx.indexedCount() == 220L)
+    // layout-level: every (id, dim) posting appears exactly once
+    val p = idx.postings()
+    assert(p.count() ==
+      p.select(graft.store.TableStore.RowId, "dim").distinct().count(),
+      "duplicated postings: concurrent appends raced")
+    // answer-level: index path == exact scan after the concurrent writes
+    val ann = db.queryDataFrame(
+      s"""{"table":"SpConc","queryField":"SV","limit":15,"ann":true,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    val exact = db.queryDataFrame(
+      s"""{"table":"SpConc","queryField":"SV","limit":15,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(ann == exact)
+  }
+
   test("GraftDb sparse serve EUCLIDEAN: exact driver-side answers with tail + delete mask") {
     val db = new graft.api.GraftDb(spark, tmpDir("graftdb_speuclid"))
     db.createTable(
