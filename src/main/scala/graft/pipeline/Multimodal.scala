@@ -64,9 +64,28 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Total decode: real image, else real audio, else the stub. */
+  /** Magic-byte sniff (PNG/JPEG/GIF/BMP): gate the ImageIO reader probe —
+    * spinning up reader discovery per row on a corpus of NON-media
+    * payloads would dominate the extraction cost. */
+  def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
+    ((b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte) ||            // PNG
+    ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||         // JPEG
+    (b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) || // GIF
+    (b(0) == 'B'.toByte && b(1) == 'M'.toByte))                 // BMP
+
+  /** Magic-byte sniff (RIFF/WAVE, FORM/AIFF, .snd AU). */
+  def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte) ||
+    (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) ||
+    (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte))
+
+  /** Total decode: real image / real audio when the magic bytes say so
+    * (then the real parse still falls back to the stub on a lying header),
+    * stub otherwise — non-media payloads never pay a codec probe. */
   def decode(bytes: Array[Byte]): MediaMeta =
-    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
+    if (looksLikeImage(bytes)) decodeImage(bytes).getOrElse(decodeStub(bytes))
+    else if (looksLikeAudio(bytes)) decodeAudio(bytes).getOrElse(decodeStub(bytes))
+    else decodeStub(bytes)
 
   /** Deterministic synthetic PNG (really encoded — tests and benchmarks
     * exercise the full encode→decode loop through ImageIO). */
