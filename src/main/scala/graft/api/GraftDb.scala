@@ -68,7 +68,10 @@ class GraftDb(val spark: SparkSession, val root: String,
       : Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] = {
     import org.apache.spark.sql.functions.col
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
-    val wm = idx.indexedWatermark()
+    // the SERVING pin, not the index watermark: ingest-time appends move
+    // the index watermark without flushing warm resident clusters, so the
+    // tail must cover everything above the snapshot those clusters hold
+    val wm = idx.servingWatermark()
     tailCache.get((st.schema.name, field)) match {
       case Some((v, w, t)) if v == ver && w == wm =>
         // the cap applies to resident entries too (it can be lowered live)
@@ -117,7 +120,8 @@ class GraftDb(val spark: SparkSession, val root: String,
       field: String): Either[Unit, SparseTail] = {
     import org.apache.spark.sql.functions.col
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
-    val wm = idx.indexedWatermark()
+    // the SERVING pin, not the index watermark (see freshTailCluster)
+    val wm = idx.servingWatermark()
     sparseTailCache.get((st.schema.name, field)) match {
       case Some((v, w, t)) if v == ver && w == wm =>
         t.toRight(())
@@ -407,7 +411,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val tail = freshTailCluster(st, idx, queryField) match {
       case Right(t) => t
-      case Left(_) => return None // tail over cap -> job path
+      case Left(_) =>
+        // the tail outgrew its cap: rebase the serving snapshot (re-pin at
+        // the current watermark — appended rows moved into the layout) and
+        // retry once; a still-oversized tail means the INDEX is behind the
+        // store (rebuild overdue) -> job path
+        idx.rebaseServing()
+        freshTailCluster(st, idx, queryField) match {
+          case Right(t) => t
+          case Left(_) => return None
+        }
     }
     val hits = idx.servePoint(queryField, dense,
       math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
@@ -449,7 +462,13 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val (tail, tailNorms) = sparseFreshTail(st, idx, queryField) match {
       case Right(t) => t
-      case Left(_) => return None // tail over cap -> job path
+      case Left(_) =>
+        // over-cap tail: rebase the pin and retry once (see serveQuery)
+        idx.rebaseServing()
+        sparseFreshTail(st, idx, queryField) match {
+          case Right(t) => t
+          case Left(_) => return None
+        }
     }
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray

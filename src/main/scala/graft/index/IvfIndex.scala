@@ -63,12 +63,22 @@ class IvfIndex(
     * Without this a second JVM would serve a stale clustered layout until
     * it reopened the index. */
   @transient private var cachedStamp: (Long, Long, Long) = null
+  @transient private var centroidKey: (Long, Long) = null
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
 
   private def refreshIfStale(): Unit = {
     val s = meta()
-    if (s != cachedStamp) { cachedStamp = s; centroidCache = null; clusteredCache = null }
+    if (s != cachedStamp) {
+      cachedStamp = s
+      // the clustered relation gains files on APPEND -> re-list on any
+      // stamp move; centroids only change on a FULL build (gen) or purge —
+      // flushing them per append would run listing+collect jobs on the
+      // warm serving path for data that did not change
+      clusteredCache = null
+      val key = (IvfIndex.readGen(metaPath), s._3)
+      if (key != centroidKey) { centroidKey = key; centroidCache = null }
+    }
   }
 
   /** Centroids on the driver (nClusters × dim floats — tiny; reloaded only
@@ -140,7 +150,7 @@ class IvfIndex(
         .partitionBy("cluster").parquet(dataPath)
       val (wm, cnt, purge) = meta()
       IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge,
-        base = IvfIndex.readBase(metaPath))
+        base = IvfIndex.readBase(metaPath), gen = IvfIndex.readGen(metaPath))
       // the meta stamp changed — refreshIfStale() re-lists on next access,
       // here and in any other JVM sharing this index path
     }
@@ -283,6 +293,45 @@ class IvfIndex(
   @transient private var serveRowsResident = 0L
   @transient private var serveStamp: (Long, Long, Long) = null
   @transient private var serveStampCheckedAt = 0L
+  // serving is pinned to a SNAPSHOT: resident clusters hold rows with
+  // id <= serveWatermark, and the caller unions rows above it as the fresh
+  // tail. Ingest-time appends move the meta watermark but NOT (gen, purge)
+  // — the resident clusters stay warm and stay correct, because the
+  // appended rows are above the pin and ride in on the tail. Only a full
+  // rebuild (gen bump) or a purge invalidates residency; when the tail
+  // outgrows its cap the caller rebases (clear + re-pin at the current
+  // watermark) instead of falling cold on every batch.
+  @transient private var serveKey: (Long, Long) = null
+  @volatile protected var serveWatermark = 0L
+
+  /** Must be called under the instance lock: refresh the serving snapshot
+    * key, clearing residency ONLY on a build-generation or purge change. */
+  private def ensureServeFresh(): Unit = {
+    val now = System.currentTimeMillis
+    if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
+      serveStampCheckedAt = now
+      val s = meta()
+      if (s != serveStamp) {
+        serveStamp = s
+        val key = (IvfIndex.readGen(metaPath), s._3)
+        if (key != serveKey) {
+          serveKey = key
+          serveCache.clear(); serveRowsResident = 0L
+          serveWatermark = s._1
+        }
+      }
+    }
+  }
+
+  /** The serving snapshot pin: callers collect rows ABOVE this as the
+    * fresh tail (NOT `indexedWatermark`, which appends keep moving). */
+  def servingWatermark(): Long = synchronized { ensureServeFresh(); serveWatermark }
+
+  /** Drop residency and re-pin at the current watermark — the caller's
+    * move when the fresh tail outgrows its cap. */
+  def rebaseServing(): Unit = synchronized {
+    serveStamp = null; serveKey = null; serveStampCheckedAt = 0L
+  }
 
   /** Serving cache budget in resident vectors (default 4M: ~2 GiB at
     * dim=64). Settable before serving starts. */
@@ -313,6 +362,9 @@ class IvfIndex(
       : Map[Int, (Array[Long], Array[Double], Array[Double])] = {
     val rows = clustered()
       .filter(col("cluster").isin(missing.toSeq: _*))
+      // pin to the serving snapshot: rows appended after the pin are the
+      // caller's fresh tail, never double-counted from the layout
+      .filter(col(idCol).cast("long") <= serveWatermark)
       .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
       .collect()
     val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
@@ -357,13 +409,10 @@ class IvfIndex(
     while (clusters == null) {
       attempts += 1
       require(attempts <= 8, "serving cache thrashing: raise maxServeRows above the probed set")
+      var w0AtProbe = 0L
       val missing: Array[Int] = synchronized {
-        val now = System.currentTimeMillis
-        if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
-          serveStampCheckedAt = now
-          val s = meta()
-          if (s != serveStamp) { serveStamp = s; serveCache.clear(); serveRowsResident = 0L }
-        }
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
         probed = centroids()
           .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
           .sortBy { case (_, d) => d }
@@ -375,7 +424,10 @@ class IvfIndex(
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
         else loadClusters(vecCol, missing) // the Spark job — lock NOT held
       synchronized {
-        loaded.foreach { case (cid, cluster) =>
+        ensureServeFresh()
+        // a rebase between the lock windows re-pinned the snapshot: the
+        // loaded arrays cover the OLD pin — drop them and retry
+        if (serveWatermark == w0AtProbe) loaded.foreach { case (cid, cluster) =>
           val prev = serveCache.put(cid, cluster)
           if (prev != null) serveRowsResident -= prev._1.length
           serveRowsResident += cluster._1.length
@@ -494,10 +546,25 @@ object IvfIndex {
     if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
   }
 
+  /** Build generation: bumped by every FULL build, preserved by appends —
+    * the serving tier keys residency on it (appends must not flush warm
+    * clusters; rebuilds must). Metas without the stamp read 0. */
+  private[index] def readGen(metaPath: String): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    val key = "\"gen\":"
+    val at = s.indexOf(key)
+    if (at < 0) return 0L
+    var i = at + key.length
+    var end = i
+    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+    if (end == i) 0L else s.substring(i, end).toLong
+  }
+
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
-      purge: Long, base: Long = -1L): Unit =
+      purge: Long, base: Long = -1L, gen: Long = 0L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base}}""".getBytes)
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base},"gen":$gen}""".getBytes)
 
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
     * every 60s): skip when the table is too small or unchanged since the
@@ -638,7 +705,13 @@ object IvfIndex {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen)
+    // a FULL build bumps the generation: serving residency must flush
+    // (cluster membership changed), unlike appends which preserve it
+    val prevGen =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json")))
+        readGen(s"$path/ivf_meta.json")
+      else 0L
+    writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen, gen = prevGen + 1)
     prepared.unpersist()
     new IvfIndex(spark, path, idCol, metric)
   }

@@ -57,15 +57,35 @@ class SparseIndex(
 
   private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
 
+  // serving snapshot pin (see IvfIndex: resident posting lists hold rows
+  // with id <= serveWatermark; appends move the meta watermark but not
+  // (gen, purge), so residency survives ingest — appended rows ride in on
+  // the caller's fresh tail. Only a rebuild/purge flushes; the caller
+  // rebases when the tail outgrows its cap.)
+  @transient private var serveKey: (Long, Long) = null
+  @volatile protected var serveWatermark = 0L
+
+  /** Callers must hold the instance lock (all current call sites do). */
   private def refreshIfStale(): Unit = {
     val s = meta()
     if (s != cachedStamp) {
       cachedStamp = s; postingsCache = null; normsCache = null
-      synchronized {
+      val key = (SparseIndex.readGen(metaPath), s._3)
+      if (key != serveKey) {
+        serveKey = key
         serveCache.clear(); servePostingsResident = 0L; minNormCache = null
+        serveWatermark = s._1
       }
     }
   }
+
+  /** The serving snapshot pin: callers collect rows ABOVE this as the
+    * fresh tail (NOT `indexedWatermark`, which appends keep moving). */
+  def servingWatermark(): Long = synchronized { refreshIfStale(); serveWatermark }
+
+  /** Drop residency and re-pin at the current watermark — the caller's
+    * move when the fresh tail outgrows its cap. */
+  def rebaseServing(): Unit = synchronized { cachedStamp = null; serveKey = null }
 
   /** Max row id covered by the index (rows above it are the fresh tail). */
   def indexedWatermark(): Long = meta()._1
@@ -122,7 +142,7 @@ class SparseIndex(
       .write.mode(SaveMode.Append).parquet(normsPath)
     val (wm, cnt, purge, _) = meta()
     SparseIndex.writeMeta(metaPath, math.max(wm, newMaxId), cnt + newRows, purge, b,
-      base = SparseIndex.readBase(metaPath))
+      base = SparseIndex.readBase(metaPath), gen = SparseIndex.readGen(metaPath))
   }
 
   /** Retrieval-mode top-K: highest dot product first, ties by id — the
@@ -231,6 +251,9 @@ class SparseIndex(
   protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double], Array[Double])] = {
     val hasNorm = postings().columns.contains("norm2")
     val rows = prunedPostings(missing)
+      // pin to the serving snapshot: postings appended after the pin are
+      // the caller's fresh tail, never double-counted from the layout
+      .filter(col(idCol).cast("long") <= serveWatermark)
       .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"),
         (if (hasNorm) col("norm2") else lit(0.0)).cast("double"))
       .collect()
@@ -250,15 +273,20 @@ class SparseIndex(
     while (lists == null) {
       attempts += 1
       require(attempts <= 8, "sparse serve cache thrashing: raise maxServePostings")
+      var w0AtProbe = 0L
       val missing = synchronized {
         refreshIfStale()
+        w0AtProbe = serveWatermark
         qIdx.filterNot(serveCache.containsKey(_))
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
         else loadDimPostings(missing) // outside the lock: a real Spark job
       synchronized {
-        loaded.foreach { case (d, lst) =>
+        refreshIfStale()
+        // a rebase between the lock windows re-pinned the snapshot: the
+        // loaded lists cover the OLD pin — drop them and retry
+        if (serveWatermark == w0AtProbe) loaded.foreach { case (d, lst) =>
           val prev = serveCache.put(d, lst)
           if (prev != null) servePostingsResident -= prev._1.length
           servePostingsResident += lst._1.length
@@ -362,9 +390,11 @@ class SparseIndex(
       refreshIfStale()
       if (minNormCache != null) return minNormCache
     }
-    // one slim job outside the lock (same discipline as the posting load)
+    // one slim job outside the lock (same discipline as the posting load);
+    // pinned to the serving snapshot — fresh rows' norms arrive as tailNorms
     val cap = maxServeMinNorm
     val loaded = norms()
+      .filter(col(idCol).cast("long") <= serveWatermark)
       .orderBy(col("norm2").asc, col(idCol).asc)
       .limit(cap)
       .select(col(idCol).cast("long"), col("norm2").cast("double"))
@@ -525,10 +555,24 @@ object SparseIndex {
     if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
   }
 
+  /** Build generation: bumped by full builds, preserved by appends (the
+    * serving-residency key — see IvfIndex.readGen). */
+  private[index] def readGen(metaPath: String): Long = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    val key = "\"gen\":"
+    val at = s.indexOf(key)
+    if (at < 0) return 0L
+    var i = at + key.length
+    var end = i
+    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
+    if (end == i) 0L else s.substring(i, end).toLong
+  }
+
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
-      purge: Long, buckets: Long, base: Long = -1L): Unit =
+      purge: Long, buckets: Long, base: Long = -1L, gen: Long = 0L): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets,"base":${if (base < 0) count else base}}""".getBytes)
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets,"base":${if (base < 0) count else base},"gen":$gen}""".getBytes)
 
   private def mask(df: DataFrame, idCol: String,
       excludeIds: Option[DataFrame], restrictIds: Option[DataFrame]): DataFrame =
@@ -598,7 +642,14 @@ object SparseIndex {
       norms.getOrElse(normsOf(cached, idCol))
         .select(col(idCol), col("norm2").cast("double").as("norm2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/norms")
-      writeMeta(s"$path/sp_meta.json", wm, cnt, purgeGen, buckets)
+      // a FULL build bumps the generation (serving residency flushes);
+      // appends preserve it
+      val metaFile = s"$path/sp_meta.json"
+      val prevGen =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaFile)))
+          readGen(metaFile)
+        else 0L
+      writeMeta(metaFile, wm, cnt, purgeGen, buckets, gen = prevGen + 1)
       new SparseIndex(spark, path, idCol)
     } finally { cached.unpersist(); () }
   }

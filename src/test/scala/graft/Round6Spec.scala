@@ -177,6 +177,55 @@ class Round6Spec extends SparkSpec {
     assert(idxWm() == 650L && st.snapshot().get.watermark == 651L)
   }
 
+  test("serving stays WARM across ingest-time appends (snapshot-pinned residency)") {
+    val db = denseDbFixture("warmserve")
+    val q = """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":3,"serve":true}"""
+    // warm the probed clusters
+    assert(db.query(q).contains("\"served\":true"))
+    // ingest a row AT the query point: auto-append moves the index
+    // watermark; the serve cache must NOT flush (gen unchanged) — the new
+    // row arrives via the fresh tail above the serving pin
+    db.insert("""{"table":"T","data":[{"ID":9000,"V":[0.5,0.5,0.5,0.5]}]}""")
+    var jobs = 0
+    val stageDetails = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        js.stageInfos.foreach(si => stageDetails.add(si.details))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val served = db.query(q)
+      assert(served.contains("\"served\":true"), served)
+      // the fresh row is the exact query point: distance 0, rank 1
+      val top = "\"__row_id\":(\\d+)".r.findFirstMatchIn(served).get.group(1).toLong
+      assert(top == 601L, s"appended row must serve from the tail: $served")
+      Thread.sleep(300)
+      // ONLY the tail re-collect may run (CollectLimit scale-up can split
+      // it into a few jobs) — no cluster reload, no centroid re-read (the
+      // regression this test pins: append used to flush all residency)
+      val offenders = stageDetails.toArray(Array.empty[String])
+        .filter(d => d.contains("loadClusters") || d.contains("centroids"))
+      assert(offenders.isEmpty,
+        s"append flushed serving residency:\n${offenders.mkString("\n").take(800)}")
+      jobs = 0
+      val again = db.query(q)
+      assert(again.contains("\"served\":true"))
+      Thread.sleep(300)
+      assert(jobs == 0, s"fully warm serve ran $jobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a FULL rebuild (gen bump) must flush and re-pin: force via drift
+    val data = (9001 to 9500).map(i =>
+      s"""{"ID":$i,"V":[${(i % 83) / 83.0f},0.1,0.1,0.1]}""").mkString("[", ",", "]")
+    db.insert(s"""{"table":"T","data":$data}""")
+    assert(db.rebuildIndex("T", "V"), "drift bound must force the rebuild")
+    val after = db.query(q)
+    assert(after.contains("\"served\":true"))
+    assert("\"__row_id\":(\\d+)".r.findFirstMatchIn(after).get.group(1).toLong == 601L,
+      s"post-rebuild serve lost the row: $after")
+  }
+
   test("dense appends past the drift bound force the scheduled rebuild") {
     val db = denseDbFixture("drift")
     val st = db.store("T")

@@ -361,6 +361,58 @@ class SparseIndexSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("sparse serving stays WARM across ingest-time appends (snapshot-pinned residency)") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spwarm"))
+    db.createTable(
+      """{"name":"SpWarm","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("SpWarm")
+    st.insert(corpus(200, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpWarm", "SV"))
+    val q = s"""{"table":"SpWarm","queryField":"SV","limit":10,"serve":true,
+      |"queryVector":{"indices":[${qIdx.mkString(",")}],
+      |"values":[${qVal.mkString(",")}]}}""".stripMargin
+    assert(db.query(q).contains("\"served\":true")) // warm the probed dims
+    // JSON insert (auto-append): posting residency must survive — the new
+    // rows ride in on the fresh tail above the serving pin
+    val fresh = (201 to 205).map { i =>
+      // exact overlap with the query dims, huge values -> smallest L2 dist
+      s"""{"ID":$i,"SV":{"indices":[${qIdx.mkString(",")}],"values":[${qVal.mkString(",")}]}}"""
+    }.mkString("[", ",", "]")
+    db.insert(s"""{"table":"SpWarm","data":$fresh}""")
+    var jobs = 0
+    val stageDetails = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        js.stageInfos.foreach(si => stageDetails.add(si.details))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val served = db.query(q)
+      assert(served.contains("\"served\":true"), served)
+      // the 5 fresh rows equal the query vector: distance 0, top ranks
+      val ids = "\"__row_id\":(\\d+)".r.findAllMatchIn(served)
+        .map(_.group(1).toLong).toSeq
+      assert(ids.take(5) == Seq(201L, 202L, 203L, 204L, 205L),
+        s"fresh rows must serve from the tail: $served")
+      Thread.sleep(300)
+      // ONLY the tail re-collect may run (CollectLimit scale-up can split
+      // it) — no posting-list reload, no min-norm re-read
+      val offenders = stageDetails.toArray(Array.empty[String])
+        .filter(d => d.contains("loadDimPostings") || d.contains("residentMinNorms"))
+      assert(offenders.isEmpty,
+        s"append flushed sparse serving residency:\n${offenders.mkString("\n").take(800)}")
+      jobs = 0
+      assert(db.query(q).contains("\"served\":true"))
+      Thread.sleep(300)
+      assert(jobs == 0, s"fully warm sparse serve ran $jobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("concurrent JSON inserts never double-append postings") {
     val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spconc"))
     db.createTable(
