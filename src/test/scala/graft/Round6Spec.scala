@@ -243,6 +243,37 @@ class Round6Spec extends SparkSpec {
     assert(!db.rebuildIndex("T", "V"), "fresh build -> skip again")
   }
 
+  test("WAL replay -> maintenance append -> serving continuity (end-to-end)") {
+    val db = denseDbFixture("walserve")
+    val st = db.store("T")
+    val q = """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":3,"serve":true}"""
+    assert(db.query(q).contains("\"served\":true")) // warm residency
+    // rows arrive through the WAL, replayed by structured streaming into
+    // the TableStore DIRECTLY (no GraftDb.insert, so no inline append)
+    val walDir = tmpDir("walserve_wal")
+    graft.streaming.WalStream.append(walDir, 1, "INSERT",
+      payload = """{"ID":9000,"V":[0.5,0.5,0.5,0.5]}""")
+    val sq = graft.streaming.WalStream.start(spark, walDir, st, tmpDir("walserve_ckpt"))
+    try sq.processAllAvailable() finally sq.stop()
+    assert(st.count() == 601)
+    // the replayed row reaches serving immediately via the fresh tail...
+    val viaTail = db.query(q)
+    assert("\"__row_id\":(\\d+)".r.findFirstMatchIn(viaTail).get.group(1).toLong == 601L,
+      s"replayed row must serve from the tail: $viaTail")
+    // ...and the next maintenance tick APPENDS it into the index layout
+    // (no full rebuild) — the reference's WAL-then-index-add ordering
+    val r = new graft.api.Maintenance(db, retentionMs = Long.MaxValue).tick()
+    assert(r.indexesAppended == 1 && r.indexesRebuilt == 0, r)
+    val metaPath = s"${db.root}/T/ivf_V/ivf_meta.json"
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath))).contains("\"watermark\":601"))
+    // serving stays correct after the append moved the watermark
+    val after = db.query(q)
+    assert(after.contains("\"served\":true"))
+    assert("\"__row_id\":(\\d+)".r.findFirstMatchIn(after).get.group(1).toLong == 601L,
+      s"post-append serve lost the replayed row: $after")
+  }
+
   test("insertPrepare runs exactly ONE job/action") {
     import spark.implicits._
     val schema = graft.types.TableSchema("Prep", Seq(
