@@ -51,4 +51,13 @@ class PythonBindingsSpec extends SparkSpec {
       assert(out.contains("concurrent_smoke OK"), out)
     }
   }
+
+  test("python index_smoke: rebuild + ann + serve + ingest-append through the binding") {
+    assume(python3.isDefined, "no python interpreter on PATH")
+    withServer { port =>
+      val (code, out) = runScript("index_smoke.py", port)
+      assert(code == 0, s"index_smoke.py failed:\n$out")
+      assert(out.contains("index_smoke OK"), out)
+    }
+  }
 }
