@@ -221,10 +221,14 @@ object AnnBench {
       euclidQueries += queries.length
     }
     val euclidSec = (System.nanoTime() - t3) / 1e9
-    val euclidRecall = exactE.zip(queries.map(q =>
-      idx.servePointEuclid(q._1, q._2, k).map(_.map(_._1).toSeq).getOrElse(Nil))).map {
-      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
-    }.sum / exactE.length
+    // recall over SERVED queries only; a decline (None) honors the
+    // exact-or-decline contract and is counted separately, not as recall 0
+    val euclidServed = queries.map(q => idx.servePointEuclid(q._1, q._2, k))
+    val euclidDeclined = euclidServed.count(_.isEmpty)
+    val euclidPairs = exactE.zip(euclidServed).collect {
+      case (e, Some(a)) => e.toSet.intersect(a.map(_._1).toSet).size.toDouble / e.size
+    }
+    val euclidRecall = if (euclidPairs.isEmpty) 0.0 else euclidPairs.sum / euclidPairs.length
 
     println(f"""{"metric":"sparse_vs_scan","n":$n,"queries":${queries.length},""" +
       f""""scan_qps":${queries.length / scanSec}%.2f,"job_qps":${queries.length / jobSec}%.2f,""" +
@@ -232,6 +236,7 @@ object AnnBench {
       f""""job_recall_at_10":$jobRecall%.4f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""euclid_serve_qps":${euclidQueries / euclidSec}%.2f,""" +
       f""""euclid_serve_recall_at_10":$euclidRecall%.4f,""" +
+      f""""euclid_serve_declined":$euclidDeclined,""" +
       f""""resident_postings":${idx.servingResidentPostings()}}""")
   }
 }

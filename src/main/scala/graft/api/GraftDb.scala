@@ -55,11 +55,13 @@ class GraftDb(val spark: SparkSession, val root: String,
   @volatile var maxServeTailRows: Int = 100000
 
   // fresh-tail rows in servePoint's resident layout, re-collected only
-  // when the snapshot version or index watermark moves (one pruned job per
-  // commit, then every serve is pure JVM compute)
+  // when the snapshot version or serving pin moves (one pruned job per
+  // commit, then every serve is pure JVM compute). Left(()) — the
+  // over-cap verdict — is cached too: in the rebuild-overdue regime every
+  // query would otherwise re-run the 100k-row probe collect.
   private val tailCache = scala.collection.concurrent.TrieMap[
     (String, String),
-    (Long, Long, Option[(Array[Long], Array[Double], Array[Double])])]()
+    (Long, Long, Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]])]()
 
   /** Left(()) = tail over cap (caller falls back to the job path);
     * Right(None) = no fresh rows; Right(Some(cluster)) = packed tail. */
@@ -75,11 +77,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     tailCache.get((st.schema.name, field)) match {
       case Some((v, w, t)) if v == ver && w == wm =>
         // the cap applies to resident entries too (it can be lowered live)
-        if (t.exists(_._1.length > maxServeTailRows)) Left(()) else Right(t)
+        if (t.exists(_.exists(_._1.length > maxServeTailRows))) Left(()) else t
       case _ =>
         val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
         if (storeWm <= wm) {
-          tailCache((st.schema.name, field)) = (ver, wm, None)
+          tailCache((st.schema.name, field)) = (ver, wm, Right(None))
           Right(None)
         } else {
           val rows = st.read()
@@ -87,17 +89,15 @@ class GraftDb(val spark: SparkSession, val root: String,
             .select(col(TableStore.RowId), col(field))
             .limit(maxServeTailRows + 1)
             .collect()
-          if (rows.length > maxServeTailRows) Left(())
-          else {
-            val packed =
-              if (rows.isEmpty) None
-              else Some(graft.index.IvfIndex.packRows(
-                rows.map(r => (r.getLong(0),
-                  r.getAs[scala.collection.Seq[Float]](1).toArray)),
-                st.schema.field(field).dimensions))
-            tailCache((st.schema.name, field)) = (ver, wm, packed)
-            Right(packed)
-          }
+          val result: Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] =
+            if (rows.length > maxServeTailRows) Left(())
+            else if (rows.isEmpty) Right(None)
+            else Right(Some(graft.index.IvfIndex.packRows(
+              rows.map(r => (r.getLong(0),
+                r.getAs[scala.collection.Seq[Float]](1).toArray)),
+              st.schema.field(field).dimensions)))
+          tailCache((st.schema.name, field)) = (ver, wm, result)
+          result
         }
     }
   }
@@ -311,19 +311,26 @@ class GraftDb(val spark: SparkSession, val root: String,
           val idx = sparseIndex(st, f.name)
           val wm = idx.indexedWatermark()
           if (storeWm > wm) {
-            val newRows = st.read().filter(col(rowId) > wm).cache()
-            try {
-              val stats = newRows.agg(count(lit(1)), max(col(rowId))).head()
-              val n = stats.getLong(0)
-              if (n > 0) {
-                idx.append(
-                  graft.index.SparseIndex.postingsOf(newRows, f.name, rowId),
-                  n, stats.getLong(1),
-                  norms = Some(graft.index.SparseIndex.normsOfColumn(
-                    newRows, f.name, rowId)))
-                appended += 1
-              }
-            } finally { newRows.unpersist(); () }
+            if (idx.needsOrphanHeal()) {
+              // a crashed append left rows above the meta watermark:
+              // re-appending them would double-count — rebuild instead
+              // (the overwrite heals the layout)
+              rebuildIndex(st.schema.name, f.name); ()
+            } else {
+              val newRows = st.read().filter(col(rowId) > wm).cache()
+              try {
+                val stats = newRows.agg(count(lit(1)), max(col(rowId))).head()
+                val n = stats.getLong(0)
+                if (n > 0) {
+                  idx.append(
+                    graft.index.SparseIndex.postingsOf(newRows, f.name, rowId),
+                    n, stats.getLong(1),
+                    norms = Some(graft.index.SparseIndex.normsOfColumn(
+                      newRows, f.name, rowId)))
+                  appended += 1
+                }
+              } finally { newRows.unpersist(); () }
+            }
           }
         }
       } else {
@@ -331,9 +338,11 @@ class GraftDb(val spark: SparkSession, val root: String,
             s"$root/${st.schema.name}/ivf_${f.name}/ivf_meta.json"))) {
           val idx = index(st, f.name)
           val wm = idx.indexedWatermark()
-          if (storeWm > wm &&
-              idx.append(st.read().filter(col(rowId) > wm), f.name) > 0)
-            appended += 1
+          if (storeWm > wm) {
+            if (idx.needsOrphanHeal()) { rebuildIndex(st.schema.name, f.name); () }
+            else if (idx.append(st.read().filter(col(rowId) > wm), f.name) > 0)
+              appended += 1
+          }
         }
       }
     }
@@ -409,32 +418,40 @@ class GraftDb(val spark: SparkSession, val root: String,
       case Some(t) => t
       case None => return None // tombstone mask over cap -> job path
     }
-    val tail = freshTailCluster(st, idx, queryField) match {
-      case Right(t) => t
-      case Left(_) =>
-        // the tail outgrew its cap: rebase the serving snapshot (re-pin at
-        // the current watermark — appended rows moved into the layout) and
-        // retry once; a still-oversized tail means the INDEX is behind the
-        // store (rebuild overdue) -> job path
-        idx.rebaseServing()
-        freshTailCluster(st, idx, queryField) match {
-          case Right(t) => t
-          case Left(_) => return None
-        }
+    // the tail and the resident clusters must cover DISJOINT id ranges
+    // around one pin: re-check the pin after scoring (a rebuild landing
+    // mid-query re-pins residency while the collected tail still covers
+    // rows above the OLD pin — rows in between would be double-counted)
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val pin = idx.servingWatermark()
+      freshTailCluster(st, idx, queryField) match {
+        case Left(_) =>
+          // over-cap tail: a rebase only helps when appends moved the
+          // index past the pin (re-pinning shrinks the tail); otherwise
+          // the INDEX is behind the store (rebuild overdue) -> job path
+          if (idx.indexedWatermark() > pin) idx.rebaseServing()
+          else return None
+        case Right(tail) =>
+          val hits = idx.servePoint(queryField, dense,
+            math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
+            exclude = tombs.contains, freshTail = tail)
+          if (idx.servingWatermark() == pin) {
+            val sb = new java.lang.StringBuilder("{\"result\":[")
+            var i = 0
+            while (i < hits.length) {
+              if (i > 0) sb.append(',')
+              sb.append("{\"__row_id\":").append(hits(i)._1)
+                .append(",\"@distance\":").append(hits(i)._2).append('}')
+              i += 1
+            }
+            sb.append("],\"served\":true}")
+            return Some(sb.toString)
+          } // pin moved mid-serve (rebuild/rebase landed): retry
+      }
     }
-    val hits = idx.servePoint(queryField, dense,
-      math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
-      exclude = tombs.contains, freshTail = tail)
-    val sb = new java.lang.StringBuilder("{\"result\":[")
-    var i = 0
-    while (i < hits.length) {
-      if (i > 0) sb.append(',')
-      sb.append("{\"__row_id\":").append(hits(i)._1)
-        .append(",\"@distance\":").append(hits(i)._2).append('}')
-      i += 1
-    }
-    sb.append("],\"served\":true}")
-    Some(sb.toString)
+    None // pin churn (rebuilds racing every attempt): job path answers exactly
   }
 
   /** `"serve":true` for a SPARSE query: answered from the driver-resident
@@ -460,40 +477,46 @@ class GraftDb(val spark: SparkSession, val root: String,
       case Some(t) => t
       case None => return None // tombstone mask over cap -> job path
     }
-    val (tail, tailNorms) = sparseFreshTail(st, idx, queryField) match {
-      case Right(t) => t
-      case Left(_) =>
-        // over-cap tail: rebase the pin and retry once (see serveQuery)
-        idx.rebaseServing()
-        sparseFreshTail(st, idx, queryField) match {
-          case Right(t) => t
-          case Left(_) => return None
-        }
-    }
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
     val k = math.min(limit, maxRenderRows)
-    val hits: Array[(Long, Double)] =
-      if (f.metric == MetricType.Euclidean)
-        idx.servePointEuclid(qIdx, qVal, k, exclude = tombs.contains,
-          tail = tail, tailNorms = tailNorms) match {
-          case Some(h) => h
-          case None => return None // exactness unprovable -> job path
-        }
-      else idx.servePointDot(qIdx, qVal, k, exclude = tombs.contains,
-        tail = tail).map { case (id, dot) =>
-          (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
-        }
-    val sb = new java.lang.StringBuilder("{\"result\":[")
-    var i = 0
-    while (i < hits.length) {
-      if (i > 0) sb.append(',')
-      sb.append("{\"__row_id\":").append(hits(i)._1)
-        .append(",\"@distance\":").append(hits(i)._2).append('}')
-      i += 1
+    // pin-coherence loop: tail and resident postings must share one pin
+    // (see serveQuery for the double-count hazard this closes)
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val pin = idx.servingWatermark()
+      sparseFreshTail(st, idx, queryField) match {
+        case Left(_) =>
+          if (idx.indexedWatermark() > pin) idx.rebaseServing()
+          else return None // index behind the store: rebuild overdue
+        case Right((tail, tailNorms)) =>
+          val hits: Array[(Long, Double)] =
+            if (f.metric == MetricType.Euclidean)
+              idx.servePointEuclid(qIdx, qVal, k, exclude = tombs.contains,
+                tail = tail, tailNorms = tailNorms) match {
+                case Some(h) => h
+                case None => return None // exactness unprovable -> job path
+              }
+            else idx.servePointDot(qIdx, qVal, k, exclude = tombs.contains,
+              tail = tail).map { case (id, dot) =>
+                (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
+              }
+          if (idx.servingWatermark() == pin) {
+            val sb = new java.lang.StringBuilder("{\"result\":[")
+            var i = 0
+            while (i < hits.length) {
+              if (i > 0) sb.append(',')
+              sb.append("{\"__row_id\":").append(hits(i)._1)
+                .append(",\"@distance\":").append(hits(i)._2).append('}')
+              i += 1
+            }
+            sb.append("],\"served\":true}")
+            return Some(sb.toString)
+          } // pin moved mid-serve: retry
+      }
     }
-    sb.append("],\"served\":true}")
-    Some(sb.toString)
+    None // pin churn: job path answers exactly
   }
 
   /** DataFrame-returning query: the result stays distributed (nothing is

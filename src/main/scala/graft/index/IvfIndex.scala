@@ -122,6 +122,23 @@ class IvfIndex(
     * append them to the clustered layout (no full rebuild — the micro-batch
     * path; centroid drift is bounded until the next scheduled rebuild).
     * `newRows` carries the full row (all columns incl. idCol + vecCol). */
+  // once-per-instance crash-redo probe (see needsOrphanHeal)
+  @transient private var orphanChecked = false
+
+  /** One-time (per instance) crash-redo probe: a writer that died between
+    * appending clustered rows and committing the meta left orphan rows
+    * ABOVE the meta watermark — a watermark-driven catch-up would append
+    * them again (duplicate candidates). True = the caller must full-
+    * rebuild instead of appending. One limit-1 job per JVM per index. */
+  def needsOrphanHeal(): Boolean = {
+    synchronized {
+      if (orphanChecked) return false
+      orphanChecked = true
+    }
+    val wm = indexedWatermark()
+    !clustered().filter(col(idCol).cast("long") > wm).isEmpty
+  }
+
   def append(newRows: DataFrame, vecCol: String): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val cents = centroids().sortBy(_._1).map(_._2)
@@ -410,9 +427,11 @@ class IvfIndex(
       attempts += 1
       require(attempts <= 8, "serving cache thrashing: raise maxServeRows above the probed set")
       var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
       val missing: Array[Int] = synchronized {
         ensureServeFresh()
         w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
         probed = centroids()
           .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
           .sortBy { case (_, d) => d }
@@ -425,13 +444,15 @@ class IvfIndex(
         else loadClusters(vecCol, missing) // the Spark job — lock NOT held
       synchronized {
         ensureServeFresh()
-        // a rebase between the lock windows re-pinned the snapshot: the
-        // loaded arrays cover the OLD pin — drop them and retry
-        if (serveWatermark == w0AtProbe) loaded.foreach { case (cid, cluster) =>
-          val prev = serveCache.put(cid, cluster)
-          if (prev != null) serveRowsResident -= prev._1.length
-          serveRowsResident += cluster._1.length
-        }
+        // a rebase OR a rebuild/purge between the lock windows invalidated
+        // what we loaded (a purge rebuild can even leave the watermark
+        // unchanged, so the key check is load-bearing): drop and retry
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = serveCache.put(cid, cluster)
+            if (prev != null) serveRowsResident -= prev._1.length
+            serveRowsResident += cluster._1.length
+          }
         // evict least-recently-probed clusters beyond the budget (never
         // the clusters of THIS query — just accessed/inserted)
         if (serveRowsResident > maxServeRows) {
@@ -519,47 +540,21 @@ object IvfIndex {
   private[index] def readMeta(metaPath: String): (Long, Long, Long) = {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
-    def long(k: String): Long = {
-      val key = "\"" + k + "\":"
-      val at = s.indexOf(key)
-      if (at < 0) return 0L
-      var i = at + key.length
-      var end = i
-      while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-      if (end == i) 0L else s.substring(i, end).toLong
-    }
-    (long("watermark"), long("count"), long("purge"))
+    (MetaJson.longField(s, "watermark", 0L), MetaJson.longField(s, "count", 0L),
+      MetaJson.longField(s, "purge", 0L))
   }
 
   /** Row count at the last FULL build (appends preserve it): the rebuild
     * scheduler bounds drift with `count - base`. Metas written before the
     * stamp existed report base == count (drift 0 until the next build). */
-  private[index] def readBase(metaPath: String): Long = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath)))
-    val key = "\"base\":"
-    val at = s.indexOf(key)
-    if (at < 0) return readMeta(metaPath)._2
-    var i = at + key.length
-    var end = i
-    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-    if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
-  }
+  private[index] def readBase(metaPath: String): Long =
+    MetaJson.readLongField(metaPath, "base", readMeta(metaPath)._2)
 
   /** Build generation: bumped by every FULL build, preserved by appends —
     * the serving tier keys residency on it (appends must not flush warm
     * clusters; rebuilds must). Metas without the stamp read 0. */
-  private[index] def readGen(metaPath: String): Long = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath)))
-    val key = "\"gen\":"
-    val at = s.indexOf(key)
-    if (at < 0) return 0L
-    var i = at + key.length
-    var end = i
-    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-    if (end == i) 0L else s.substring(i, end).toLong
-  }
+  private[index] def readGen(metaPath: String): Long =
+    MetaJson.readLongField(metaPath, "gen", 0L)
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
       purge: Long, base: Long = -1L, gen: Long = 0L): Unit =

@@ -130,6 +130,24 @@ class SparseIndex(
     * no rebuild, same contract as IvfIndex.append. `newPostings` is
     * (idCol, dim, v) for the new rows only; `newRows`/`newMaxId` come from
     * the caller's batch stats. */
+  // once-per-instance crash-redo probe (see needsOrphanHeal)
+  @transient private var orphanChecked = false
+
+  /** One-time (per instance) crash-redo probe: a writer that died between
+    * appending postings and committing the meta left orphan rows ABOVE
+    * the meta watermark — the watermark-driven catch-up would re-append
+    * them, permanently double-counting dots. True = the caller must full-
+    * rebuild instead of appending (the rebuild overwrites the layout).
+    * One pruned limit-1 job per JVM per index; clean layouts pay it once. */
+  def needsOrphanHeal(): Boolean = {
+    synchronized {
+      if (orphanChecked) return false
+      orphanChecked = true
+    }
+    val wm = indexedWatermark()
+    !postings().filter(col(idCol).cast("long") > wm).isEmpty
+  }
+
   def append(newPostings: DataFrame, newRows: Long, newMaxId: Long,
       norms: Option[DataFrame] = None): Unit = {
     if (newRows <= 0) return
@@ -245,9 +263,11 @@ class SparseIndex(
   def servingResidentPostings(): Long = synchronized { servePostingsResident }
 
   /** One pruned job collecting the posting lists of `missing` dims —
-    * overridable so tests can model a slow cold load. Layouts written
-    * before norms rode in the postings surface norm 0 (Euclidean serving
-    * then declines via the exactness check; dot serving is unaffected). */
+    * overridable so tests can model a slow cold load. Rows from layouts
+    * (or mixed files) written before norms rode in the postings carry the
+    * sentinel norm -1: dot serving ignores norms entirely, and Euclidean
+    * serving DECLINES to the job path when it meets one — never a null
+    * crash, never a silently wrong distance. */
   protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double], Array[Double])] = {
     val hasNorm = postings().columns.contains("norm2")
     val rows = prunedPostings(missing)
@@ -255,7 +275,7 @@ class SparseIndex(
       // the caller's fresh tail, never double-counted from the layout
       .filter(col(idCol).cast("long") <= serveWatermark)
       .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"),
-        (if (hasNorm) col("norm2") else lit(0.0)).cast("double"))
+        (if (hasNorm) coalesce(col("norm2"), lit(-1.0)) else lit(-1.0)).cast("double"))
       .collect()
     val byDim = rows.groupBy(_.getInt(0))
     missing.map { d =>
@@ -274,9 +294,11 @@ class SparseIndex(
       attempts += 1
       require(attempts <= 8, "sparse serve cache thrashing: raise maxServePostings")
       var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
       val missing = synchronized {
         refreshIfStale()
         w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
         qIdx.filterNot(serveCache.containsKey(_))
       }
       val loaded =
@@ -284,13 +306,15 @@ class SparseIndex(
         else loadDimPostings(missing) // outside the lock: a real Spark job
       synchronized {
         refreshIfStale()
-        // a rebase between the lock windows re-pinned the snapshot: the
-        // loaded lists cover the OLD pin — drop them and retry
-        if (serveWatermark == w0AtProbe) loaded.foreach { case (d, lst) =>
-          val prev = serveCache.put(d, lst)
-          if (prev != null) servePostingsResident -= prev._1.length
-          servePostingsResident += lst._1.length
-        }
+        // a rebase OR a rebuild/purge between the lock windows invalidated
+        // what we loaded (a purge rebuild can leave the watermark
+        // unchanged, so the key check is load-bearing): drop and retry
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (d, lst) =>
+            val prev = serveCache.put(d, lst)
+            if (prev != null) servePostingsResident -= prev._1.length
+            servePostingsResident += lst._1.length
+          }
         if (servePostingsResident > maxServePostings) {
           val keep = qIdx.toSet
           val it = serveCache.entrySet().iterator()
@@ -386,24 +410,41 @@ class SparseIndex(
   @volatile var maxServeMinNorm: Int = 4096
 
   private def residentMinNorms(): (Array[(Long, Double)], Boolean) = {
-    synchronized {
-      refreshIfStale()
-      if (minNormCache != null) return minNormCache
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 8, "min-norm list churning: rebuilds racing every load")
+      var w0 = 0L
+      var key: (Long, Long) = null
+      synchronized {
+        refreshIfStale()
+        if (minNormCache != null) return minNormCache
+        w0 = serveWatermark
+        key = serveKey
+      }
+      // one slim job outside the lock (same discipline as the posting
+      // load); pinned to the serving snapshot captured above — fresh rows'
+      // norms arrive as tailNorms
+      val cap = maxServeMinNorm
+      val loaded = norms()
+        .filter(col(idCol).cast("long") <= w0)
+        .orderBy(col("norm2").asc, col(idCol).asc)
+        .limit(cap)
+        .select(col(idCol).cast("long"), col("norm2").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      synchronized {
+        refreshIfStale()
+        // same revalidation as residentLists: a rebuild/rebase between the
+        // windows makes this list cover the wrong snapshot — retry, do not
+        // install (an installed stale list would back "exact" answers)
+        if (serveKey == key && serveWatermark == w0) {
+          if (minNormCache == null) minNormCache = (loaded, loaded.length >= cap)
+          return minNormCache
+        }
+      }
     }
-    // one slim job outside the lock (same discipline as the posting load);
-    // pinned to the serving snapshot — fresh rows' norms arrive as tailNorms
-    val cap = maxServeMinNorm
-    val loaded = norms()
-      .filter(col(idCol).cast("long") <= serveWatermark)
-      .orderBy(col("norm2").asc, col(idCol).asc)
-      .limit(cap)
-      .select(col(idCol).cast("long"), col("norm2").cast("double"))
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
-    synchronized {
-      if (minNormCache == null) minNormCache = (loaded, loaded.length >= cap)
-      minNormCache
-    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** EXACT driver-side Euclidean top-K (ascending squared L2, ties by id),
@@ -428,6 +469,7 @@ class SparseIndex(
     qVal.foreach(v => qNorm += v.toDouble * v.toDouble)
     // per-id (dot, norm2) accumulation over the probed posting lists
     val acc = new java.util.HashMap[java.lang.Long, Array[Double]](1024)
+    var missingNorms = false
     var di = 0
     while (di < qIdx.length) {
       val w = qVal(di).toDouble
@@ -435,6 +477,7 @@ class SparseIndex(
         var i = 0
         while (i < ids.length) {
           if (!exclude(ids(i))) {
+            if (ns(i) < 0) missingNorms = true // pre-norm2 layout row
             val key = java.lang.Long.valueOf(ids(i))
             var cell = acc.get(key)
             if (cell == null) { cell = Array(0.0, ns(i)); acc.put(key, cell) }
@@ -448,6 +491,10 @@ class SparseIndex(
       tail.get(qIdx(di)).foreach { case (ids, vs, ns) => add(ids, vs, ns) }
       di += 1
     }
+    // rows written before norms rode in the postings cannot be scored
+    // exactly from resident state: decline (exact-or-decline contract)
+    // until the next full rebuild writes the norm-bearing layout
+    if (missingNorms) return None
     val heap = smallestK(k)
     val it = acc.entrySet().iterator()
     while (it.hasNext) {
@@ -477,10 +524,11 @@ class SparseIndex(
     if (truncated) {
       val bound = mins.last._2 + qNorm
       if (out.length < k || out.last._2 >= bound) return None
-    } else if (out.length < k && indexedCount() + tailNorms.length > out.length) {
-      // fewer results than live candidates (heavy exclusion) — not provable
-      return None
     }
+    // untruncated: the min-norm list IS the complete norms universe at the
+    // pin and tailNorms covers everything above it (disjoint id ranges),
+    // and the early exit only fires with a full heap — an under-filled
+    // heap means there are fewer than k live candidates, which is exact
     Some(out)
   }
 }
@@ -529,45 +577,19 @@ object SparseIndex {
   private[index] def readMeta(metaPath: String): (Long, Long, Long, Long) = {
     val s = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
-    def long(k: String): Long = {
-      val key = "\"" + k + "\":"
-      val at = s.indexOf(key)
-      if (at < 0) return 0L
-      var i = at + key.length
-      var end = i
-      while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-      if (end == i) 0L else s.substring(i, end).toLong
-    }
-    (long("watermark"), long("count"), long("purge"), long("buckets"))
+    (MetaJson.longField(s, "watermark", 0L), MetaJson.longField(s, "count", 0L),
+      MetaJson.longField(s, "purge", 0L), MetaJson.longField(s, "buckets", 0L))
   }
 
   /** Row count at the last FULL build (appends preserve it); metas written
     * before the stamp existed report base == count. */
-  private[index] def readBase(metaPath: String): Long = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath)))
-    val key = "\"base\":"
-    val at = s.indexOf(key)
-    if (at < 0) return readMeta(metaPath)._2
-    var i = at + key.length
-    var end = i
-    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-    if (end == i) readMeta(metaPath)._2 else s.substring(i, end).toLong
-  }
+  private[index] def readBase(metaPath: String): Long =
+    MetaJson.readLongField(metaPath, "base", readMeta(metaPath)._2)
 
   /** Build generation: bumped by full builds, preserved by appends (the
     * serving-residency key — see IvfIndex.readGen). */
-  private[index] def readGen(metaPath: String): Long = {
-    val s = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath)))
-    val key = "\"gen\":"
-    val at = s.indexOf(key)
-    if (at < 0) return 0L
-    var i = at + key.length
-    var end = i
-    while (end < s.length && (s.charAt(end) == '-' || Character.isDigit(s.charAt(end)))) end += 1
-    if (end == i) 0L else s.substring(i, end).toLong
-  }
+  private[index] def readGen(metaPath: String): Long =
+    MetaJson.readLongField(metaPath, "gen", 0L)
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
       purge: Long, buckets: Long, base: Long = -1L, gen: Long = 0L): Unit =

@@ -252,6 +252,89 @@ class SparseIndexSpec extends SparkSpec {
     assert(served.isDefined && served.get.length == 100)
   }
 
+  test("servePointEuclid with k beyond the live universe returns the complete exact ordering") {
+    val df = corpus(50)
+    val idx = SparseIndex.build(spark, df, "sv", "id", tmpDir("spidx_kbig"), buckets = 4)
+    val served = idx.servePointEuclid(qIdx, qVal, 100)
+    assert(served.isDefined, "untruncated universe + under-filled heap IS exact")
+    val exact = df.withColumn("d", sparse_l2sqr_distance(col("sv"), qc))
+      .orderBy(col("d").asc, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(served.get.map(_._1).toSeq == exact && served.get.length == 50)
+  }
+
+  test("pre-norm2 posting layouts: dot serves, Euclidean declines (never wrong)") {
+    val df = corpus(120)
+    val path = tmpDir("spidx_newfmt")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 4)
+    // emulate a layout written before norms rode in the postings
+    val old = tmpDir("spidx_oldfmt")
+    spark.read.parquet(s"$path/postings").drop("norm2")
+      .write.partitionBy("dim_bkt").parquet(s"$old/postings")
+    spark.read.parquet(s"$path/norms").write.parquet(s"$old/norms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$path/sp_meta.json"),
+      java.nio.file.Paths.get(s"$old/sp_meta.json"))
+    val idxOld = new SparseIndex(spark, old, "id")
+    assert(idxOld.servePointDot(qIdx, qVal, 10).toSeq == exactTopKDot(df, 10),
+      "dot serving never needed norms")
+    assert(idxOld.servePointEuclid(qIdx, qVal, 10).isEmpty,
+      "missing norms must DECLINE, not serve wrong distances")
+    // the job path still answers exactly off the norms side table
+    val exact = df.withColumn("d", sparse_l2sqr_distance(col("sv"), qc))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(idxOld.topKDistance(MetricType.Euclidean, qIdx, qVal, 10)
+      .collect().map(_.getLong(0)).toSeq == exact)
+  }
+
+  test("a crashed append (postings without meta) heals via rebuild, not re-append") {
+    val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spheal"))
+    db.createTable(
+      """{"name":"SpHeal","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("SpHeal")
+    st.insert(corpus(100, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("SpHeal", "SV"))
+    val metaPath = java.nio.file.Paths.get(s"${db.root}/SpHeal/spidx_SV/sp_meta.json")
+    val metaBefore = java.nio.file.Files.readAllBytes(metaPath)
+    // a real insert appends postings AND commits the meta...
+    val batch = (101 to 110).map { i =>
+      val dims = Seq(i % 11, 11 + (i % 13), 30 + (i % 17))
+      s"""{"ID":$i,"SV":{"indices":[${dims.mkString(",")}],"values":[1.0,1.0,1.0]}}"""
+    }.mkString("[", ",", "]")
+    db.insert(s"""{"table":"SpHeal","data":$batch}""")
+    // ...then "crash before the meta commit": restore the old stamp, so
+    // the appended postings are orphans above the meta watermark
+    java.nio.file.Files.write(metaPath, metaBefore)
+    // a NEW process (fresh GraftDb -> fresh index instance) catches up:
+    // the orphan probe must trigger a REBUILD, not a duplicate re-append
+    val db2 = new graft.api.GraftDb(spark, db.root)
+    db2.insert("""{"table":"SpHeal","data":[
+      {"ID":111,"SV":{"indices":[1,12,31],"values":[1.0,1.0,1.0]}}]}""")
+    val idx = new SparseIndex(spark, s"${db.root}/SpHeal/spidx_SV",
+      graft.store.TableStore.RowId)
+    val p = idx.postings()
+    assert(p.count() ==
+      p.select(graft.store.TableStore.RowId, "dim").distinct().count(),
+      "crashed-append redo duplicated postings")
+    assert(idx.indexedWatermark() == 111L && idx.indexedCount() == 111L)
+    // answers equal the exact scan
+    val ann = db2.queryDataFrame(
+      s"""{"table":"SpHeal","queryField":"SV","limit":12,"ann":true,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    val exact = db2.queryDataFrame(
+      s"""{"table":"SpHeal","queryField":"SV","limit":12,
+        |"queryVector":{"indices":[${qIdx.mkString(",")}],
+        |"values":[${qVal.mkString(",")}]}}""".stripMargin)
+      .select("ID").collect().map(_.getLong(0)).toSeq
+    assert(ann == exact)
+  }
+
   test("GraftDb end-to-end: sparse rebuild + ANN query + mid-stream insert + delete") {
     val db = new graft.api.GraftDb(spark, tmpDir("graftdb_spidx"))
     db.createTable(
