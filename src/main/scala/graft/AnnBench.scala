@@ -99,6 +99,8 @@ object AnnBench {
     // driver-side serving path: same probes, no Spark job per query (the
     // probed clusters are resident after the first touch). Loop the query
     // set enough times to measure past timer resolution.
+    // bench corpora are chosen to fit residency: declines here are a bug
+    idx.maxServeRows = Long.MaxValue
     idx.servePoint("embedding", queries.head, 10, nProbe = 8) // warm (loads clusters)
     // time-boxed: whole passes over the query set until ~10 s elapsed
     // (fixed iteration counts are wildly off across dims/sizes)
@@ -109,14 +111,14 @@ object AnnBench {
     while (serveQueries == 0L || System.nanoTime() < serveDeadline) {
       var qi = 0
       while (qi < queries.length) {
-        served = idx.servePoint("embedding", queries(qi), 10, nProbe = 8)
+        served = idx.servePoint("embedding", queries(qi), 10, nProbe = 8).get
         qi += 1
       }
       serveQueries += queries.length
     }
     val serveSec = (System.nanoTime() - t2) / 1e9
     val serveRecall = exact.zip(queries.map(q =>
-      idx.servePoint("embedding", q, 10, nProbe = 8).map(_._1).toSeq)).map {
+      idx.servePoint("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)).map {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
@@ -182,6 +184,7 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    idx.maxServePostings = Long.MaxValue // bench corpus is sized to fit
     idx.servePointDot(queries.head._1, queries.head._2, k) // warm (loads dims)
     queries.foreach(q => idx.servePointDot(q._1, q._2, k))
     val t2 = System.nanoTime()
@@ -197,7 +200,7 @@ object AnnBench {
     }
     val serveSec = (System.nanoTime() - t2) / 1e9
     val serveRecall = exact.zip(queries.map(q =>
-      idx.servePointDot(q._1, q._2, k).map(_._1).toSeq)).map {
+      idx.servePointDot(q._1, q._2, k).get.map(_._1).toSeq)).map {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 

@@ -436,7 +436,12 @@ class GraftDb(val spark: SparkSession, val root: String,
         case Right(tail) =>
           val hits = idx.servePoint(queryField, dense,
             math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
-            exclude = tombs.contains, freshTail = tail)
+            exclude = tombs.contains, freshTail = tail) match {
+            case Some(h) => h
+            // probed clusters exceed the resident budget (cardinality
+            // pre-check declined before any collect) -> job path
+            case None => return None
+          }
           if (idx.servingWatermark() == pin) {
             val sb = new java.lang.StringBuilder("{\"result\":[")
             var i = 0
@@ -499,8 +504,13 @@ class GraftDb(val spark: SparkSession, val root: String,
                 case None => return None // exactness unprovable -> job path
               }
             else idx.servePointDot(qIdx, qVal, k, exclude = tombs.contains,
-              tail = tail).map { case (id, dot) =>
-                (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
+              tail = tail) match {
+                case Some(h) => h.map { case (id, dot) =>
+                  (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
+                }
+                // probe set over the resident budget (cardinality
+                // pre-check declined before any collect) -> job path
+                case None => return None
               }
           if (idx.servingWatermark() == pin) {
             val sb = new java.lang.StringBuilder("{\"result\":[")
@@ -760,9 +770,42 @@ class GraftDb(val spark: SparkSession, val root: String,
     s"""{"deleted":${res.deleted}}"""
   }
 
-  /** GET /statistics analog. */
-  def statistics(table: String): String =
-    s"""{"table":"$table","totalRecords":${store(table).count()}}"""
+  /** GET /statistics analog. Tables with built indexes also report the
+    * index cardinality stats backing the serving guard (per-cluster rows /
+    * per-dim postings, summarized): the observability face of the numbers
+    * `servePoint`/`servePointDot` check before any cold collect. */
+  def statistics(table: String): String = {
+    val st = store(table)
+    val idxStats = st.schema.vectorFields.flatMap { f =>
+      if (graft.types.FieldType.isSparse(f.fieldType)) {
+        if (!Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) None
+        else sparseIndex(st, f.name).dimStats().map { m =>
+          val total = m.values.sum
+          val mx = if (m.isEmpty) 0L else m.values.max
+          s"""{"field":"${f.name}","type":"sparse","dims":${m.size},""" +
+            s""""postings":$total,"maxDimPostings":$mx}"""
+        }
+      } else {
+        if (!Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) None
+        else index(st, f.name).clusterStats().map { m =>
+          val total = m.values.sum
+          val mx = if (m.isEmpty) 0L else m.values.max
+          s"""{"field":"${f.name}","type":"ivf","clusters":${m.size},""" +
+            s""""rows":$total,"maxClusterRows":$mx}"""
+        }
+      }
+    }
+    val suffix =
+      if (idxStats.isEmpty) "" else s""","indexes":[${idxStats.mkString(",")}]"""
+    s"""{"table":"$table","totalRecords":${st.count()}$suffix}"""
+  }
+
+  /** Index handles for tests and operational tooling (serving budgets are
+    * live-settable fields on the instances). */
+  private[graft] def denseIndexFor(table: String, field: String): graft.index.IvfIndex =
+    index(store(table), field)
+  private[graft] def sparseIndexFor(table: String, field: String): graft.index.SparseIndex =
+    sparseIndex(store(table), field)
 
   // ---- helpers ----
   private def pkTyped(st: TableStore, i: BigInt): Any = st.pkField.map(_.sparkType) match {

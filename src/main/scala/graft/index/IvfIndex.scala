@@ -53,6 +53,7 @@ class IvfIndex(
 
   def centroidsPath = s"$path/centroids"
   def dataPath = s"$path/clustered"
+  def statsPath = s"$path/cluster_stats"
   def metaPath = s"$path/ivf_meta.json"
 
   /** Caches are keyed on the meta content (watermark, count, purge): a
@@ -66,6 +67,7 @@ class IvfIndex(
   @transient private var centroidKey: (Long, Long) = null
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
+  @transient private var clusterStatsCache: Option[Map[Int, Long]] = null
 
   private def refreshIfStale(): Unit = {
     val s = meta()
@@ -76,6 +78,7 @@ class IvfIndex(
       // flushing them per append would run listing+collect jobs on the
       // warm serving path for data that did not change
       clusteredCache = null
+      clusterStatsCache = null // appends change per-cluster counts
       val key = (IvfIndex.readGen(metaPath), s._3)
       if (key != centroidKey) { centroidKey = key; centroidCache = null }
     }
@@ -103,6 +106,48 @@ class IvfIndex(
   }
 
   private def meta(): (Long, Long, Long) = IvfIndex.readMeta(metaPath)
+
+  /** Per-cluster row counts persisted at build/append time
+    * (`cluster_stats/`, append-mode deltas summed at read), driver-resident
+    * per meta stamp. The serving cardinality guard checks the probe set
+    * against these BEFORE collecting a cold cluster — a degenerate k-means
+    * cluster holding most of the corpus must decline to the job path, not
+    * collect itself onto the driver. None = layout predates the stats file
+    * (or a rebuild races the read); callers fall back to a count probe. */
+  def clusterStats(): Option[Map[Int, Long]] = {
+    var stampAt: (Long, Long, Long) = null
+    synchronized {
+      refreshIfStale()
+      if (clusterStatsCache != null) return clusterStatsCache
+      stampAt = cachedStamp
+    }
+    // the stats read is a (small) Spark job — run it OUTSIDE the lock so
+    // one cold stats load never convoys concurrent warm serves
+    val loaded: Option[Map[Int, Long]] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) None
+      else scala.util.Try {
+        spark.read.parquet(statsPath)
+          .groupBy(col("cluster")).agg(sum(col("cnt")).as("cnt"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }.toOption
+    synchronized {
+      refreshIfStale()
+      if (cachedStamp == stampAt && clusterStatsCache == null) clusterStatsCache = loaded
+      if (clusterStatsCache != null) clusterStatsCache else loaded
+    }
+  }
+
+  /** Old-layout fallback for the serving cardinality guard: one pruned
+    * COUNT over the probed clusters (reads only footers of the probed
+    * partition directories; output is |clusters| rows). */
+  private def probeClusterCounts(clusters: Array[Int]): Map[Int, Long] =
+    clustered()
+      .filter(col("cluster").isin(clusters.toSeq: _*))
+      .filter(col(idCol).cast("long") <= serveWatermark)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** Max row id covered by the index (rows with id > this are the fresh
     * tail, searched exactly). */
@@ -165,6 +210,13 @@ class IvfIndex(
       assigned.repartition(c("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cluster").parquet(dataPath)
+      // per-cluster count delta for the serving cardinality guard
+      // (append-only; the next full build compacts the deltas away)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)))
+        assigned.groupBy(c("cluster").cast("int").as("cluster"))
+          .agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(statsPath)
       val (wm, cnt, purge) = meta()
       IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge,
         base = IvfIndex.readBase(metaPath), gen = IvfIndex.readGen(metaPath))
@@ -407,10 +459,14 @@ class IvfIndex(
     }.toMap
   }
 
+  /** None = the probed clusters exceed the resident budget (cardinality
+    * pre-check against persisted per-cluster counts, BEFORE any collect)
+    * or the cache is thrashing under racing rebuilds — the caller answers
+    * on the job path instead. */
   def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
-      : Array[(Long, Double)] = {
+      : Option[Array[(Long, Double)]] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     // ONLY cache bookkeeping runs under the lock. The cold-cluster load is
     // a real Spark job (hundreds of ms) and runs between the lock windows —
@@ -425,7 +481,7 @@ class IvfIndex(
     var attempts = 0
     while (clusters == null) {
       attempts += 1
-      require(attempts <= 8, "serving cache thrashing: raise maxServeRows above the probed set")
+      if (attempts > 8) return None // thrash: degrade to the job path
       var w0AtProbe = 0L
       var keyAtProbe: (Long, Long) = null
       val missing: Array[Int] = synchronized {
@@ -438,6 +494,18 @@ class IvfIndex(
           .take(nProbe)
           .map(_._1)
         probed.filterNot(serveCache.containsKey(_))
+      }
+      if (missing.nonEmpty) {
+        // cardinality pre-check BEFORE the collect: a degenerate cluster
+        // larger than the budget never reaches the driver. Feasibility is
+        // judged on the probe set alone (eviction keeps only these).
+        val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+        val projected = missing.map(counts.getOrElse(_, 0L)).sum
+        val retained = synchronized {
+          probed.filter(serveCache.containsKey(_))
+            .map(serveCache.get(_)._1.length.toLong).sum
+        }
+        if (projected + retained > maxServeRows) return None
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
@@ -515,7 +583,7 @@ class IvfIndex(
     val out = new Array[(Long, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
-    out
+    Some(out)
   }
 }
 
@@ -697,6 +765,13 @@ object IvfIndex {
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
+    // per-cluster row counts for the serving cardinality guard: counted
+    // off the written layout's footers (partition column + parquet row
+    // counts — no vector bytes are read)
+    spark.read.parquet(s"$path/clustered")
+      .groupBy(col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")

@@ -49,11 +49,13 @@ class SparseIndex(
 
   def postingsPath = s"$path/postings"
   def normsPath = s"$path/norms"
+  def statsPath = s"$path/dim_stats"
   def metaPath = s"$path/sp_meta.json"
 
   @transient private var cachedStamp: (Long, Long, Long, Long) = null
   @transient private var postingsCache: DataFrame = null
   @transient private var normsCache: DataFrame = null
+  @transient private var dimStatsCache: Option[Map[Int, Long]] = null
 
   private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
 
@@ -70,6 +72,7 @@ class SparseIndex(
     val s = meta()
     if (s != cachedStamp) {
       cachedStamp = s; postingsCache = null; normsCache = null
+      dimStatsCache = null
       val key = (SparseIndex.readGen(metaPath), s._3)
       if (key != serveKey) {
         serveKey = key
@@ -115,6 +118,49 @@ class SparseIndex(
     normsCache
   }
 
+  /** Per-dim posting counts persisted at build/append time (`dim_stats/`,
+    * append-mode deltas summed at read), driver-resident per meta stamp.
+    * This is the cardinality pre-check that gates serving cold loads: a
+    * stop-word-grade hot dim must DECLINE to the job path BEFORE its full
+    * posting list is collected to the driver — at 100 TB an unguarded
+    * collect of one hot dim is a driver OOM. None = the layout predates
+    * the stats file (or a rebuild is racing the read); callers fall back
+    * to a pruned count probe. */
+  def dimStats(): Option[Map[Int, Long]] = {
+    var stampAt: (Long, Long, Long, Long) = null
+    synchronized {
+      refreshIfStale()
+      if (dimStatsCache != null) return dimStatsCache
+      stampAt = cachedStamp
+    }
+    // the stats read is a (small) Spark job — run it OUTSIDE the lock so
+    // one cold stats load never convoys concurrent warm serves
+    val loaded: Option[Map[Int, Long]] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) None
+      else scala.util.Try {
+        spark.read.parquet(statsPath)
+          .groupBy(col("dim")).agg(sum(col("cnt")).as("cnt"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }.toOption
+    synchronized {
+      refreshIfStale()
+      if (cachedStamp == stampAt && dimStatsCache == null) dimStatsCache = loaded
+      if (dimStatsCache != null) dimStatsCache else loaded
+    }
+  }
+
+  /** Old-layout fallback for the serving cardinality guard: one pruned
+    * COUNT job over the probe set (output is |dims| rows — tiny), pinned
+    * to the serving snapshot. Costs one extra job per cold load, which
+    * layouts carrying `dim_stats/` never pay. */
+  private def probeDimCounts(dims: Array[Int]): Map[Int, Long] =
+    prunedPostings(dims)
+      .filter(col(idCol).cast("long") <= serveWatermark)
+      .groupBy(col("dim")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   /** Pruned postings of the query's dims: partition pruning on `dim_bkt`
     * (directory level) + a pushed `dim` filter (row-group level). */
   private def prunedPostings(qIdx: Array[Int]): DataFrame = {
@@ -153,6 +199,10 @@ class SparseIndex(
     if (newRows <= 0) return
     val b = buckets()
     SparseIndex.writePostings(newPostings, idCol, b, postingsPath, SaveMode.Append)
+    // per-dim count delta for the serving cardinality guard (append-only:
+    // readers sum the deltas; the next full build compacts them away)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)))
+      SparseIndex.writeDimStats(newPostings, statsPath, SaveMode.Append)
     // posting-derived norms miss zero-nnz rows; callers with the source
     // rows pass normsOfColumn for the complete universe
     norms.getOrElse(SparseIndex.normsOf(newPostings, idCol))
@@ -286,13 +336,18 @@ class SparseIndex(
 
   /** Resolve the query dims' posting lists from the resident cache, loading
     * cold dims with one pruned job OUTSIDE the lock (shared by the dot and
-    * Euclidean serve paths). */
-  private def residentLists(qIdx: Array[Int]): Array[(Array[Long], Array[Double], Array[Double])] = {
+    * Euclidean serve paths). None = the probe set cannot fit the resident
+    * budget (or the cache is thrashing under racing rebuilds) — the caller
+    * DECLINES to the job path, per the exact-or-decline serving contract.
+    * The capacity check runs BEFORE the collect, against persisted per-dim
+    * counts (or a pruned count probe on pre-stats layouts): a hot dim's
+    * posting list larger than `maxServePostings` never reaches the driver. */
+  private def residentLists(qIdx: Array[Int]): Option[Array[(Array[Long], Array[Double], Array[Double])]] = {
     var attempts = 0
     var lists: Array[(Array[Long], Array[Double], Array[Double])] = null
     while (lists == null) {
       attempts += 1
-      require(attempts <= 8, "sparse serve cache thrashing: raise maxServePostings")
+      if (attempts > 8) return None // thrash: degrade to the job path
       var w0AtProbe = 0L
       var keyAtProbe: (Long, Long) = null
       val missing = synchronized {
@@ -300,6 +355,19 @@ class SparseIndex(
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
         qIdx.filterNot(serveCache.containsKey(_))
+      }
+      if (missing.nonEmpty) {
+        // cardinality pre-check: what would THIS query need resident? The
+        // eviction pass can drop everything except the query's own dims, so
+        // the feasibility bound is the query's dims alone. Persisted stats
+        // count the whole layout (>= the pinned subset: conservative).
+        val counts = dimStats().getOrElse(probeDimCounts(missing))
+        val projected = missing.map(counts.getOrElse(_, 0L)).sum
+        val retained = synchronized {
+          qIdx.filter(serveCache.containsKey(_))
+            .map(serveCache.get(_)._1.length.toLong).sum
+        }
+        if (projected + retained > maxServePostings) return None
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
@@ -331,7 +399,7 @@ class SparseIndex(
         // else: the stamp moved between load and install — loop reloads
       }
     }
-    lists
+    Some(lists)
   }
 
   /** Bounded top-k heap over (id, dist): keep the k SMALLEST distances,
@@ -344,12 +412,16 @@ class SparseIndex(
     * partial products in an open hash map, cut with a bounded heap.
     * Ordering matches `topKDot` (dot desc, id asc). `exclude` masks
     * known-dead ids; `tail` appends fresh postings packed as
-    * (ids, values, norms) per dim. */
+    * (ids, values, norms) per dim. None = the probe set exceeds the
+    * resident budget (cardinality pre-check) — caller uses the job path. */
   def servePointDot(qIdx: Array[Int], qVal: Array[Float], k: Int,
       exclude: Long => Boolean = _ => false,
       tail: Map[Int, (Array[Long], Array[Double], Array[Double])] = Map.empty)
-      : Array[(Long, Double)] = {
-    val lists = residentLists(qIdx)
+      : Option[Array[(Long, Double)]] = {
+    val lists = residentLists(qIdx) match {
+      case Some(l) => l
+      case None => return None
+    }
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double](1024)
     var di = 0
     while (di < qIdx.length) {
@@ -391,7 +463,7 @@ class SparseIndex(
     val out = new Array[(Long, Double)](heap.size)
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
-    out
+    Some(out)
   }
 
   // smallest-norm rows of the indexed universe, resident per meta stamp:
@@ -409,16 +481,17 @@ class SparseIndex(
     * bound on k for exact Euclidean serving of non-overlap fills). */
   @volatile var maxServeMinNorm: Int = 4096
 
-  private def residentMinNorms(): (Array[(Long, Double)], Boolean) = {
+  /** None = rebuilds are racing every load attempt — caller declines to
+    * the job path instead of throwing mid-serve. */
+  private def residentMinNorms(): Option[(Array[(Long, Double)], Boolean)] = {
     var attempts = 0
-    while (true) {
+    while (attempts < 8) {
       attempts += 1
-      require(attempts <= 8, "min-norm list churning: rebuilds racing every load")
       var w0 = 0L
       var key: (Long, Long) = null
       synchronized {
         refreshIfStale()
-        if (minNormCache != null) return minNormCache
+        if (minNormCache != null) return Some(minNormCache)
         w0 = serveWatermark
         key = serveKey
       }
@@ -440,11 +513,11 @@ class SparseIndex(
         // install (an installed stale list would back "exact" answers)
         if (serveKey == key && serveWatermark == w0) {
           if (minNormCache == null) minNormCache = (loaded, loaded.length >= cap)
-          return minNormCache
+          return Some(minNormCache)
         }
       }
     }
-    throw new IllegalStateException("unreachable")
+    None // churn: rebuilds raced every attempt
   }
 
   /** EXACT driver-side Euclidean top-K (ascending squared L2, ties by id),
@@ -464,7 +537,10 @@ class SparseIndex(
       tail: Map[Int, (Array[Long], Array[Double], Array[Double])] = Map.empty,
       tailNorms: Array[(Long, Double)] = Array.empty)
       : Option[Array[(Long, Double)]] = {
-    val lists = residentLists(qIdx)
+    val lists = residentLists(qIdx) match {
+      case Some(l) => l
+      case None => return None // probe set over the resident budget
+    }
     var qNorm = 0.0
     qVal.foreach(v => qNorm += v.toDouble * v.toDouble)
     // per-id (dot, norm2) accumulation over the probed posting lists
@@ -503,7 +579,10 @@ class SparseIndex(
       heap.offer(e.getKey.longValue, cell(1) - 2.0 * cell(0) + qNorm)
     }
     // non-overlap fills: resident min-norm list (sorted), then tail norms
-    val (mins, truncated) = residentMinNorms()
+    val (mins, truncated) = residentMinNorms() match {
+      case Some(mn) => mn
+      case None => return None // rebuild churn: job path answers exactly
+    }
     var mi = 0
     var break = false
     while (mi < mins.length && !break) {
@@ -606,6 +685,14 @@ object SparseIndex {
       }
     }
 
+  /** (dim, cnt) posting counts — one slim groupBy; the file is dims-sized
+    * (a few MB even at vocab scale), so one writer keeps it compact. */
+  private[index] def writeDimStats(postings: DataFrame, dest: String,
+      mode: SaveMode): Unit =
+    postings.groupBy(col("dim").cast("int").as("dim"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode(mode).parquet(dest)
+
   /** (id, norm2) from a posting relation — one groupBy, computed in the
     * same build job. */
   private[index] def normsOf(postings: DataFrame, idCol: String): DataFrame =
@@ -661,6 +748,9 @@ object SparseIndex {
             rowCount.getOrElse(r.getLong(1)))
       }
       writePostings(cached, idCol, buckets, s"$path/postings", SaveMode.Overwrite)
+      // per-dim posting counts: the serving cardinality guard reads these
+      // BEFORE collecting a cold dim (one extra groupBy in the build job)
+      writeDimStats(cached, s"$path/dim_stats", SaveMode.Overwrite)
       norms.getOrElse(normsOf(cached, idCol))
         .select(col(idCol), col("norm2").cast("double").as("norm2"))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/norms")

@@ -129,6 +129,37 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       == JArray(Nil))
   }
 
+  test("statistics exposes index cardinality stats (per-dim posting counts) over HTTP") {
+    val (cc, cb) = post("/api/default/schema/tables",
+      """{"name":"SpStats","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    assert(cc == 200, cb)
+    // every row carries dim 0 (the hot dim the serving guard watches)
+    val data = (1 to 20).map(i =>
+      s"""{"ID":$i,"SV":{"indices":[0,${10 + i % 5}],"values":[1.0,0.5]}}""")
+      .mkString("[", ",", "]")
+    val (ic, ib) = post("/api/default/data/insert",
+      s"""{"table":"SpStats","data":$data}""")
+    assert(ic == 200, ib)
+    val (rc, rb) = post("/api/rebuild", "{}")
+    assert(rc == 200, rb)
+    val (stc, stb) = get("/api/default/statistics")
+    assert(stc == 200)
+    val stats = (JsonMethods.parse(stb) \ "result").asInstanceOf[JArray].arr
+    val spStats = stats.find(s => (s \ "table") == JString("SpStats"))
+      .getOrElse(fail(s"no SpStats entry: $stb"))
+    val idxStats = (spStats \ "indexes").asInstanceOf[JArray].arr
+    assert(idxStats.exists(s => (s \ "field") == JString("SV") &&
+      (s \ "type") == JString("sparse") &&
+      (s \ "dims") == JInt(6) &&             // dim 0 + dims 10..14
+      (s \ "postings") == JInt(40) &&        // 2 nonzeros x 20 rows
+      (s \ "maxDimPostings") == JInt(20)),   // the hot dim
+      stb)
+    delete("/api/default/schema/tables/SpStats")
+  }
+
   test("multi-database endpoints: load, isolated tables, unload, drop") {
     val (lc, lb) = post("/api/load", """{"name":"second"}""")
     assert(lc == 200, lb)

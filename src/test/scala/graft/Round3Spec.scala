@@ -132,7 +132,7 @@ class Round3Spec extends SparkSpec {
     val q = Array.fill(8)(0.5f)
     val viaJob = idx.search("v", q, 10, nProbe = 8)
       .select(col("id")).collect().map(_.getLong(0)).toSeq
-    val served = idx.servePoint("v", q, 10, nProbe = 8)
+    val served = idx.servePoint("v", q, 10, nProbe = 8).get
     assert(served.map(_._1).toSeq == viaJob)
     assert(served.map(_._2).toSeq == served.map(_._2).toSeq.sorted) // ascending distance
     // warm path runs no Spark job
@@ -144,13 +144,13 @@ class Round3Spec extends SparkSpec {
     assert(after == before, s"warm servePoint ran ${after - before} Spark job(s)")
     // exclusion mask drops a served id
     val excluded = served.head._1
-    val masked = idx.servePoint("v", q, 10, nProbe = 8, exclude = _ == excluded)
+    val masked = idx.servePoint("v", q, 10, nProbe = 8, exclude = _ == excluded).get
     assert(!masked.map(_._1).contains(excluded))
     // LRU budget: all 8 clusters are resident (2000 rows); shrinking the
     // budget evicts least-recently-probed clusters on the next query
     assert(idx.servingResidentRows() == 2000)
     idx.maxServeRows = 600
-    val s2 = idx.servePoint("v", Array.fill(8)(0.9f), 5, nProbe = 1)
+    val s2 = idx.servePoint("v", Array.fill(8)(0.9f), 5, nProbe = 1).get
     assert(s2.nonEmpty)
     assert(idx.servingResidentRows() < 2000,
       s"no eviction happened: resident ${idx.servingResidentRows()}")

@@ -45,16 +45,16 @@ class Round6Spec extends SparkSpec {
     }
     val qWarm = Array(0f, 0f, 0f, 0f)
     val qCold = Array(0f, 0f, 10f, 0f)
-    val warmExpected = idx.servePoint("vec", qWarm, 5, 1).toSeq // warms blob-0 cluster
+    val warmExpected = idx.servePoint("vec", qWarm, 5, 1).get.toSeq // warms blob-0 cluster
     assert(warmExpected.nonEmpty)
     slow.set(true)
-    val cold = Future(idx.servePoint("vec", qCold, 5, 1))
+    val cold = Future(idx.servePoint("vec", qCold, 5, 1).get)
     assert(inLoad.await(30, java.util.concurrent.TimeUnit.SECONDS),
       "cold load never started")
     // the cold thread is now sleeping INSIDE loadClusters; before the fix
     // it held the instance lock there and this warm call would stall ~2.5s
     val t0 = System.nanoTime()
-    val warm = idx.servePoint("vec", qWarm, 5, 1).toSeq
+    val warm = idx.servePoint("vec", qWarm, 5, 1).get.toSeq
     val warmMs = (System.nanoTime() - t0) / 1e6
     assert(warm == warmExpected)
     assert(warmMs < slowMs / 2,

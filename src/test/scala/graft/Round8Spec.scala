@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+import graft.index.{IvfIndex, SparseIndex}
+import graft.types.MetricType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Round 8: serving cold loads are gated by a CARDINALITY PRE-CHECK —
+  * per-dim / per-cluster counts persisted at build time are consulted
+  * BEFORE any posting list or cluster is collected to the driver, and an
+  * over-budget probe set DECLINES to the job path (reference behavior
+  * being preserved: serving answers exactly or not at all; the analog of
+  * the brute-force fallback below MinimalGraphSize, config.hpp:22). A
+  * stop-word-grade dim or a degenerate k-means cluster at 100 TB must
+  * never OOM the driver through one unbounded collect. */
+class Round8Spec extends SparkSpec {
+
+  private def svSchema(idName: String) = StructType(Seq(
+    StructField(idName, LongType, nullable = false),
+    StructField("sv", SparseVec.sqlType, nullable = true)))
+
+  /** Corpus with one STOP-WORD dim: dim 0 appears in EVERY row; dims
+    * 10..59 are light (n/50 rows each). */
+  private def hotCorpus(n: Int, idName: String = "id"): DataFrame = {
+    val rows = (1 to n).map { i =>
+      Row(i.toLong, Row(
+        Seq(0, 10 + (i % 50)),
+        Seq(1.0f + (i % 7), (i % 5 + 0.5).toFloat)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), svSchema(idName))
+  }
+
+  private def dotTopK(df: DataFrame, qIdx: Array[Int], qVal: Array[Float],
+      k: Int): Seq[(Long, Double)] = {
+    val qc = struct(lit(qIdx).as("indices"), lit(qVal).as("values"))
+    df.withColumn("dot", sparse_dot(col("sv"), qc))
+      .filter(col("dot") > 0)
+      .orderBy(col("dot").desc, col("id").asc)
+      .limit(k).select("id", "dot").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("sparse serving declines a hot dim BEFORE collecting it; job path answers identically") {
+    val df = hotCorpus(600)
+    val path = tmpDir("sp_guard")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val loadedDims = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val idx = new SparseIndex(spark, path, "id") {
+      override protected def loadDimPostings(missing: Array[Int]) = {
+        missing.foreach(loadedDims.add(_))
+        super.loadDimPostings(missing)
+      }
+    }
+    idx.maxServePostings = 100 // dim 0 alone holds 600 postings
+    // dot serving declines (None), and the decline happens BEFORE any
+    // posting collect — the hot dim never reaches loadDimPostings
+    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty,
+      "hot-dim probe must decline to the job path")
+    assert(!loadedDims.contains(0),
+      s"dim 0 was collected despite the guard: $loadedDims")
+    // Euclidean serving shares the guard
+    assert(idx.servePointEuclid(Array(0, 15), Array(1f, 1f), 10).isEmpty)
+    assert(!loadedDims.contains(0))
+    // the job path answers the same query exactly (this is where the
+    // declined query lands)
+    val viaJob = idx.topKDot(Array(0, 15), Array(1f, 1f), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaJob == dotTopK(df, Array(0, 15), Array(1f, 1f), 10))
+    // a light-dim query still serves, exactly
+    val served = idx.servePointDot(Array(15, 20), Array(1f, 1f), 10)
+    assert(served.isDefined, "light dims fit the budget and must serve")
+    assert(served.get.toSeq == dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
+  }
+
+  test("sparse guard works without dim_stats (pre-stats layout): count probe declines, never collects") {
+    val df = hotCorpus(600)
+    val path = tmpDir("sp_guard_old")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    // emulate a layout written before the stats file existed
+    val statsDir = java.nio.file.Paths.get(s"$path/dim_stats")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(statsDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val loadedDims = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val idx = new SparseIndex(spark, path, "id") {
+      override protected def loadDimPostings(missing: Array[Int]) = {
+        missing.foreach(loadedDims.add(_))
+        super.loadDimPostings(missing)
+      }
+    }
+    assert(idx.dimStats().isEmpty, "stats file deleted: dimStats must be None")
+    idx.maxServePostings = 100
+    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty,
+      "pre-stats layout must still decline via the count probe")
+    assert(!loadedDims.contains(0),
+      s"dim 0 was collected despite the probe guard: $loadedDims")
+    // light dims still serve off the probe-guarded path
+    assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).get.toSeq ==
+      dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
+  }
+
+  test("dim_stats track appends: counts match the layout after incremental maintenance") {
+    val df = hotCorpus(200)
+    val path = tmpDir("sp_stats_append")
+    val idx = SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val more = hotCorpus(260).filter(col("id") > 200)
+    idx.append(SparseIndex.postingsOf(more, "sv", "id"), newRows = 60,
+      newMaxId = 260, norms = Some(SparseIndex.normsOfColumn(more, "sv", "id")))
+    val stats = idx.dimStats().get
+    val actual = idx.postings().groupBy(col("dim")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats == actual,
+      s"stats drifted from the layout after append: $stats vs $actual")
+    assert(stats(0) == 260L) // the hot dim counts every row, old + appended
+  }
+
+  /** Two blobs, one heavy (all rows but `light`) and one light — k-means
+    * with 2 clusters separates them, leaving a degenerate hot cluster. */
+  private def skewedVectors(n: Int, light: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val base = if (i < light) 10f else 0f
+      Row(i.toLong, Seq(base + (i % 13) * 0.01f, base, base, base))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  test("IVF serving declines a degenerate hot cluster BEFORE collecting it") {
+    val df = skewedVectors(2000, light = 200)
+    val path = tmpDir("ivf_guard")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val loadedClusters = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean) {
+      override protected def loadClusters(vecCol: String, missing: Array[Int]) = {
+        missing.foreach(loadedClusters.add(_))
+        super.loadClusters(vecCol, missing)
+      }
+    }
+    idx.maxServeRows = 500 // hot cluster holds 1800 rows
+    // probing near the heavy blob must decline, and the decline happens
+    // BEFORE the 1800-row cluster is collected
+    val declined = idx.servePoint("vec", Array(0f, 0f, 0f, 0f), 10, nProbe = 1)
+    assert(declined.isEmpty, "degenerate-cluster probe must decline to the job path")
+    assert(loadedClusters.isEmpty,
+      s"hot cluster was collected despite the guard: $loadedClusters")
+    // the light blob's cluster fits and serves, matching the job path
+    val served = idx.servePoint("vec", Array(10f, 10f, 10f, 10f), 10, nProbe = 1)
+    assert(served.isDefined, "light cluster fits the budget and must serve")
+    val viaJob = idx.search("vec", Array(10f, 10f, 10f, 10f), 10, nProbe = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(served.get.map(_._1).toSeq == viaJob)
+    // stats agree with the layout
+    val stats = idx.clusterStats().get
+    assert(stats.values.sum == 2000L && stats.values.max >= 1800L, stats.toString)
+  }
+
+  test("serve:true falls back to the job path on an over-budget probe, result identical") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r8_db"))
+    db.createTable(
+      """{"name":"Hot","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    val st = db.store("Hot")
+    st.insert(hotCorpus(600, "ID").withColumnRenamed("sv", "SV"))
+    assert(db.rebuildIndex("Hot", "SV"))
+    db.sparseIndexFor("Hot", "SV").maxServePostings = 100
+    val hotQ =
+      """{"table":"Hot","queryVector":{"indices":[0,15],"values":[1,1]},
+        |"limit":5,"serve":true}""".stripMargin
+    val resp = db.query(hotQ)
+    assert(!resp.contains("\"served\""),
+      s"over-budget probe must NOT serve: $resp")
+    // identical to the explicit job path (same query, serve off)
+    assert(resp == db.query(hotQ.replace("\"serve\":true", "\"serve\":false")), resp)
+    // a light query on the same table still serves
+    val lightQ =
+      """{"table":"Hot","queryVector":{"indices":[15,20],"values":[1,1]},
+        |"limit":5,"serve":true}""".stripMargin
+    assert(db.query(lightQ).contains("\"served\":true"))
+  }
+
+  test("statistics() exposes the index cardinality stats behind the guard") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r8_stats_db"))
+    db.createTable(
+      """{"name":"St","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    val st = db.store("St")
+    st.insert(hotCorpus(120, "ID").withColumnRenamed("sv", "SV"))
+    // before any index: the legacy shape, no indexes key
+    assert(db.statistics("St") == """{"table":"St","totalRecords":120}""")
+    assert(db.rebuildIndex("St", "SV"))
+    val parsed = JsonMethods.parse(db.statistics("St"))
+    assert((parsed \ "totalRecords") == JInt(120))
+    val idxStats = (parsed \ "indexes").asInstanceOf[JArray].arr
+    assert(idxStats.exists(s => (s \ "field") == JString("SV") &&
+      (s \ "type") == JString("sparse") &&
+      (s \ "maxDimPostings") == JInt(120) && // the hot dim
+      (s \ "postings") == JInt(240)), db.statistics("St"))
+  }
+}

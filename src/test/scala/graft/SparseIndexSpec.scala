@@ -169,7 +169,7 @@ class SparseIndexSpec extends SparkSpec {
     val df = corpus(200)
     val idx = SparseIndex.build(spark, df, "sv", "id", tmpDir("spidx_serve"), buckets = 8)
     val expected = exactTopKDot(df, 10)
-    val served = idx.servePointDot(qIdx, qVal, 10).toSeq
+    val served = idx.servePointDot(qIdx, qVal, 10).get.toSeq
     assert(served == expected)
     // warm re-serve: no job may start
     var jobs = 0
@@ -179,26 +179,42 @@ class SparseIndexSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val warm = idx.servePointDot(qIdx, qVal, 10).toSeq
+      val warm = idx.servePointDot(qIdx, qVal, 10).get.toSeq
       assert(warm == expected)
       Thread.sleep(300)
       assert(jobs == 0, s"warm sparse serve ran $jobs Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
     // exclusion mask + fresh tail merge on the serve path
     val dead = expected.head._1
-    val servedMasked = idx.servePointDot(qIdx, qVal, 10, exclude = _ == dead).toSeq
+    val servedMasked = idx.servePointDot(qIdx, qVal, 10, exclude = _ == dead).get.toSeq
     assert(servedMasked == exactTopKDot(df.filter(col("id") =!= dead), 10))
   }
 
   test("serving cache budget evicts LRU dims but answers stay exact") {
     val df = corpus(200)
     val idx = SparseIndex.build(spark, df, "sv", "id", tmpDir("spidx_lru"), buckets = 8)
-    idx.maxServePostings = 40 // tiny: forces eviction between probes
+    // fits ONE query's probe set (~46 postings) but not two: alternating
+    // queries must evict each other's dims, answers staying exact
+    idx.maxServePostings = 64
     val expected = exactTopKDot(df, 10)
     (1 to 3).foreach { _ =>
-      assert(idx.servePointDot(qIdx, qVal, 10).toSeq == expected)
-      assert(idx.servingResidentPostings() <= 40 + 64) // probed dims stay resident
+      assert(idx.servePointDot(qIdx, qVal, 10).get.toSeq == expected)
+      assert(idx.servingResidentPostings() <= 64)
     }
+    val q2Idx = Array(5, 20, 40)
+    val q2Val = Array(1.0f, 1.0f, 1.0f)
+    val expected2 = df
+      .withColumn("dot", sparse_dot(col("sv"),
+        struct(lit(q2Idx).as("indices"), lit(q2Val).as("values"))))
+      .filter(col("dot") > 0)
+      .orderBy(col("dot").desc, col("id").asc)
+      .limit(10).select("id", "dot").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx.servePointDot(q2Idx, q2Val, 10).get.toSeq == expected2)
+    assert(idx.servingResidentPostings() <= 64,
+      s"eviction must hold the budget: ${idx.servingResidentPostings()}")
+    // the evicted first query reloads cold and still answers exactly
+    assert(idx.servePointDot(qIdx, qVal, 10).get.toSeq == expected)
   }
 
   test("servePointEuclid is exact incl. zero-overlap rows; warm path runs no Spark job") {
@@ -276,7 +292,7 @@ class SparseIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$path/sp_meta.json"),
       java.nio.file.Paths.get(s"$old/sp_meta.json"))
     val idxOld = new SparseIndex(spark, old, "id")
-    assert(idxOld.servePointDot(qIdx, qVal, 10).toSeq == exactTopKDot(df, 10),
+    assert(idxOld.servePointDot(qIdx, qVal, 10).get.toSeq == exactTopKDot(df, 10),
       "dot serving never needed norms")
     assert(idxOld.servePointEuclid(qIdx, qVal, 10).isEmpty,
       "missing norms must DECLINE, not serve wrong distances")
