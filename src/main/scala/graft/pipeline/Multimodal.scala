@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Decoding is REAL for the formats the stock JDK ships codecs for:
   * `ImageIO` (PNG/JPEG/GIF/BMP — width/height/bands) and
-  * `javax.sound.sampled` (WAV/AU/AIFF — channels/duration). Payloads no
-  * JDK codec accepts fall back to `decodeStub`'s deterministic fake
+  * `javax.sound.sampled` (WAV/AU/AIFF — channels/duration). Formats we
+  * RECOGNIZE but the stock JDK cannot decode (webp, mp3, mp4 video) get a
+  * TYPED rejection (`unsupported:<fmt>`, -1 sentinel dims) — a real codec
+  * slots in behind the `decodeTyped` seam via JNI/javacpp, executor-side.
+  * Unrecognized payloads fall back to `decodeStub`'s deterministic fake
   * metadata, keeping the extraction total (a poison payload must not kill
-  * a 100 TB job). Exotic codecs (video, webp, mp3) would slot in behind
-  * the same `decode` seam via JNI/javacpp.
+  * a 100 TB job).
   *
   * Scale notes: binary payloads stay columnar in parquet; feature extraction
   * and image resize are narrow mapPartitions (no shuffle); never collect
@@ -79,13 +81,74 @@ object Multimodal {
     (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte) ||
     (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte))
 
+  /** Magic-byte format classification, including formats we RECOGNIZE but
+    * the stock JDK cannot decode (webp, mp3, mp4/mov video): those must
+    * surface as typed rejections, never as the stub's fake dimensions.
+    * WebP is sniffed BEFORE the RIFF-audio family (it shares the RIFF
+    * container magic). */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 12 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'E'.toByte && b(10) == 'B'.toByte && b(11) == 'P'.toByte)
+      "webp"
+    else if (b.length >= 3 &&
+        b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte)
+      "mp3" // ID3v2-tagged stream
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+      "mp3" // bare MPEG audio sync frame
+    else if (b.length >= 8 &&
+        b(4) == 'f'.toByte && b(5) == 't'.toByte && b(6) == 'y'.toByte && b(7) == 'p'.toByte)
+      "mp4" // ISO BMFF (mp4/mov/m4a) ftyp box
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte) "png"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 4 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte) "gif"
+    else if (b.length >= 4 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+    else if (b.length >= 4 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte)
+      "wav"
+    else if (b.length >= 4 &&
+        b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte && b(3) == 'M'.toByte)
+      "aiff"
+    else if (b.length >= 4 &&
+        b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte && b(3) == 'd'.toByte)
+      "au"
+    else "unknown"
+
+  /** Sentinel meta for typed rejections: all dimensions -1, never the
+    * stub's deterministic fakes — downstream filters can tell "we could
+    * not decode this KNOWN format" from "opaque payload". */
+  val UnsupportedMeta: MediaMeta = MediaMeta(-1, -1, -1, -1L)
+
+  /** Typed total decode: (status, meta) where status is
+    *  - `ok:<fmt>`          — real JDK decode succeeded;
+    *  - `unsupported:<fmt>` — format recognized, no JDK codec (webp, mp3,
+    *                          mp4); meta is the -1 sentinel. The real
+    *                          decoder slots in behind this seam via
+    *                          JNI/javacpp, executor-side;
+    *  - `badheader:<fmt>`   — magic bytes said decodable but the parse
+    *                          failed (lying/truncated header); stub meta
+    *                          keeps the extraction total;
+    *  - `stub`              — unrecognized payload, deterministic stub. */
+  def decodeTyped(bytes: Array[Byte]): (String, MediaMeta) = sniffFormat(bytes) match {
+    case f @ ("png" | "jpeg" | "gif" | "bmp") =>
+      decodeImage(bytes) match {
+        case Some(m) => (s"ok:$f", m)
+        case None => (s"badheader:$f", decodeStub(bytes))
+      }
+    case f @ ("wav" | "aiff" | "au") =>
+      decodeAudio(bytes) match {
+        case Some(m) => (s"ok:$f", m)
+        case None => (s"badheader:$f", decodeStub(bytes))
+      }
+    case f @ ("webp" | "mp3" | "mp4") => (s"unsupported:$f", UnsupportedMeta)
+    case _ => ("stub", decodeStub(bytes))
+  }
+
   /** Total decode: real image / real audio when the magic bytes say so
     * (then the real parse still falls back to the stub on a lying header),
-    * stub otherwise — non-media payloads never pay a codec probe. */
-  def decode(bytes: Array[Byte]): MediaMeta =
-    if (looksLikeImage(bytes)) decodeImage(bytes).getOrElse(decodeStub(bytes))
-    else if (looksLikeAudio(bytes)) decodeAudio(bytes).getOrElse(decodeStub(bytes))
-    else decodeStub(bytes)
+    * typed -1 sentinel for recognized-but-undecodable formats, stub
+    * otherwise — non-media payloads never pay a codec probe. */
+  def decode(bytes: Array[Byte]): MediaMeta = decodeTyped(bytes)._2
 
   /** Deterministic synthetic PNG (really encoded — tests and benchmarks
     * exercise the full encode→decode loop through ImageIO). */
@@ -144,10 +207,13 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_channels", IntegerType, nullable = false),
-    StructField("duration_ms", LongType, nullable = false)))
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("media_status", StringType, nullable = false)))
 
   /** Batched per-partition feature extraction over the binary column:
-    * REAL decode (JDK image/audio codecs, stub fallback) per payload.
+    * REAL decode (JDK image/audio codecs, typed rejection for recognized-
+    * but-undecodable formats, stub fallback) per payload. `media_status`
+    * carries the decode verdict (`ok:png`, `unsupported:webp`, ...).
     * Narrow transform: each partition is processed independently. */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
@@ -155,13 +221,14 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val meta = decode(bytes)
+        val (status, meta) = decodeTyped(bytes)
         var checksum = 0L
         var i = 0
         while (i < bytes.length) { checksum = (checksum + (bytes(i) & 0xff)) % 997; i += 1 }
         Row(id, bytes.length.toLong,
           if (bytes.length > 0) bytes(0) & 0xff else -1,
-          checksum, meta.width, meta.height, meta.nChannels, meta.durationMs)
+          checksum, meta.width, meta.height, meta.nChannels, meta.durationMs,
+          status)
       }
     }
     spark.createDataFrame(rows, featureSchema)

@@ -117,6 +117,54 @@ class PipelineSpec extends SparkSpec {
     assert(meta.nChannels == 2 && meta.durationMs == 250L)
   }
 
+  test("typed rejection: recognized-but-undecodable formats surface unsupported:<fmt>, never fake dims") {
+    def bytes(parts: Any*): Array[Byte] = parts.flatMap {
+      case s: String => s.getBytes("ISO-8859-1").toSeq
+      case i: Int => Seq(i.toByte)
+      case b: Byte => Seq(b)
+    }.toArray
+    val webp = bytes("RIFF", 0x24, 0, 0, 0, "WEBPVP8 ") ++ new Array[Byte](24)
+    val mp3Id3 = bytes("ID3", 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](32)
+    val mp3Sync = bytes(0xff, 0xfb, 0x90, 0x64) ++ new Array[Byte](32)
+    val mp4 = bytes(0, 0, 0, 0x20, "ftypisom") ++ new Array[Byte](24)
+    for ((payload, fmt) <- Seq(webp -> "webp", mp3Id3 -> "mp3",
+        mp3Sync -> "mp3", mp4 -> "mp4")) {
+      val (status, meta) = Multimodal.decodeTyped(payload)
+      assert(status == s"unsupported:$fmt", s"$fmt sniffed as $status")
+      assert(meta == Multimodal.UnsupportedMeta,
+        s"$fmt must carry the -1 sentinel, not stub dims: $meta")
+    }
+    // decodable formats still classify ok:<fmt>
+    val (pngStatus, pngMeta) = Multimodal.decodeTyped(Multimodal.syntheticPng(9, 5, 1L))
+    assert(pngStatus == "ok:png" && pngMeta.width == 9)
+    // a RIFF container that is neither WEBP nor parseable audio is a
+    // typed bad header (stub meta keeps the extraction total)
+    val lyingRiff = bytes("RIFF", 8, 0, 0, 0, "JUNK") ++ new Array[Byte](8)
+    val (riffStatus, _) = Multimodal.decodeTyped(lyingRiff)
+    assert(riffStatus == "badheader:wav", riffStatus)
+    // unrecognized payloads stay on the deterministic stub
+    assert(Multimodal.decodeTyped("plain text".getBytes)._1 == "stub")
+    // the verdict rides the distributed extraction as media_status
+    val rows = Seq(1L -> webp, 2L -> mp3Id3, 3L -> mp4,
+      4L -> Multimodal.syntheticPng(9, 5, 2L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, p) =>
+        org.apache.spark.sql.Row(id, p)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val statuses = Multimodal.extractFeatures(df)
+      .select("doc_id", "media_status", "width").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(statuses(1L) == (("unsupported:webp", -1)))
+    assert(statuses(2L) == (("unsupported:mp3", -1)))
+    assert(statuses(3L) == (("unsupported:mp4", -1)))
+    assert(statuses(4L) == (("ok:png", 9)))
+  }
+
   test("real image resize: dims change, content stays decodable") {
     val png = Multimodal.syntheticPng(32, 16, seed = 7L)
     val small = Multimodal.resizeImage(png, 8, 8)
