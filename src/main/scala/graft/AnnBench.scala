@@ -96,6 +96,24 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // int8-rerank JOB mode: the candidate cut reads ONLY the persisted
+    // codes+scales of the probed clusters (a quarter of the vector bytes;
+    // the float column never reaches that scan), then reranks candK rows
+    // on the floats — at memory-exceeding scale this is the job path that
+    // must beat the exact scan (the float IVF scan pays full vector bytes
+    // for the probed clusters and loses its pruning edge to the page
+    // cache at in-memory sizes).
+    def quantTopK(q: Array[Float], k: Int): Seq[Long] =
+      idx.searchQuantized("embedding", q, k, nProbe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    quantTopK(queries.head, 10)
+    val tq = System.nanoTime()
+    val quant = queries.map(q => quantTopK(q, 10))
+    val quantSec = (System.nanoTime() - tq) / 1e9
+    val quantRecall = exact.zip(quant).map { case (e, a) =>
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // driver-side serving path: same probes, no Spark job per query (the
     // probed clusters are resident after the first touch). Loop the query
     // set enough times to measure past timer resolution.
@@ -124,6 +142,7 @@ object AnnBench {
 
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
+      f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
@@ -233,6 +252,50 @@ object AnnBench {
     }
     val euclidRecall = if (euclidPairs.isEmpty) 0.0 else euclidPairs.sum / euclidPairs.length
 
+    // serving under CONCURRENT INGEST: a writer thread appends a 500-row
+    // batch roughly every 700 ms while the serve loop runs. Appended rows
+    // use dims DISJOINT from every query's dims (vocab..vocab+nnz), so the
+    // exact answers must not change — any drift is a wrong answer. The
+    // snapshot pin keeps resident posting lists valid across appends
+    // (appends move the watermark, not the (gen, purge) residency key), so
+    // qps should hold within ~20% of the quiescent figure.
+    val stopIngest = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appendCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      var nextId = n
+      while (!stopIngest.get()) {
+        val batch = spark.range(nextId, nextId + 500)
+          .select(col("id"),
+            explode(transform(sequence(lit(0), lit(nnz - 1)),
+              j => (lit(vocab) + pmod(xxhash64(col("id") * nnz + j), lit(nnz)))
+                .cast("int"))).as("dim"))
+          .withColumn("v", lit(1.0f))
+        idx.append(batch, newRows = 500, newMaxId = nextId + 500 - 1)
+        nextId += 500
+        appendCount.incrementAndGet()
+        Thread.sleep(700)
+      }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val t4 = System.nanoTime()
+    val ingestDeadline = t4 + 10L * 1000 * 1000 * 1000
+    var ingestQueries = 0L
+    var wrong = 0L
+    while (ingestQueries == 0L || System.nanoTime() < ingestDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        val got = idx.servePointDot(queries(qi)._1, queries(qi)._2, k)
+          .map(_.map(_._1).toSeq).getOrElse(Nil)
+        if (got != exact(qi)) wrong += 1
+        qi += 1
+      }
+      ingestQueries += queries.length
+    }
+    val ingestSec = (System.nanoTime() - t4) / 1e9
+    stopIngest.set(true)
+    writer.join(30000)
+
     println(f"""{"metric":"sparse_vs_scan","n":$n,"queries":${queries.length},""" +
       f""""scan_qps":${queries.length / scanSec}%.2f,"job_qps":${queries.length / jobSec}%.2f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"build_sec":$buildSec%.2f,""" +
@@ -240,6 +303,8 @@ object AnnBench {
       f""""euclid_serve_qps":${euclidQueries / euclidSec}%.2f,""" +
       f""""euclid_serve_recall_at_10":$euclidRecall%.4f,""" +
       f""""euclid_serve_declined":$euclidDeclined,""" +
+      f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
+      f""""ingest_appends":${appendCount.get()},"ingest_wrong":$wrong,""" +
       f""""resident_postings":${idx.servingResidentPostings()}}""")
   }
 }

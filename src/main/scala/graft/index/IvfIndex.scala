@@ -626,8 +626,8 @@ object IvfIndex {
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
       purge: Long, base: Long = -1L, gen: Long = 0L): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base},"gen":$gen}""".getBytes)
+    MetaJson.writeAtomic(metaPath,
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base},"gen":$gen}""")
 
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
     * every 60s): skip when the table is too small or unchanged since the

@@ -672,8 +672,8 @@ object SparseIndex {
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
       purge: Long, buckets: Long, base: Long = -1L, gen: Long = 0L): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(metaPath),
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets,"base":${if (base < 0) count else base},"gen":$gen}""".getBytes)
+    MetaJson.writeAtomic(metaPath,
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"buckets":$buckets,"base":${if (base < 0) count else base},"gen":$gen}""")
 
   private def mask(df: DataFrame, idCol: String,
       excludeIds: Option[DataFrame], restrictIds: Option[DataFrame]): DataFrame =
