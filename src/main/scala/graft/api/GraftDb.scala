@@ -779,10 +779,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     val idxStats = st.schema.vectorFields.flatMap { f =>
       if (graft.types.FieldType.isSparse(f.fieldType)) {
         if (!Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) None
-        else sparseIndex(st, f.name).dimStats().map { m =>
-          val total = m.values.sum
-          val mx = if (m.isEmpty) 0L else m.values.max
-          s"""{"field":"${f.name}","type":"sparse","dims":${m.size},""" +
+        else sparseIndex(st, f.name).dimStatsSummary().map { case (dims, total, mx) =>
+          s"""{"field":"${f.name}","type":"sparse","dims":$dims,""" +
             s""""postings":$total,"maxDimPostings":$mx}"""
         }
       } else {

@@ -55,7 +55,7 @@ class SparseIndex(
   @transient private var cachedStamp: (Long, Long, Long, Long) = null
   @transient private var postingsCache: DataFrame = null
   @transient private var normsCache: DataFrame = null
-  @transient private var dimStatsCache: Option[Map[Int, Long]] = null
+  @transient private var dimStatsCache: Option[(Map[Int, Long], Long)] = null
 
   private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
 
@@ -118,15 +118,25 @@ class SparseIndex(
     normsCache
   }
 
+  /** Resident stats budget: only the heaviest `maxResidentDimStats` dims
+    * are held exactly on the driver — at open-vocab scale (tens of
+    * millions of distinct dims) the stats map itself must stay bounded or
+    * the guard would recreate the OOM it exists to prevent. Any ABSENT
+    * dim's count is bounded above by the returned cutoff (the smallest
+    * retained count): exact for the hot dims that matter, conservative
+    * for the light tail. */
+  @volatile var maxResidentDimStats: Int = 1 << 20
+
   /** Per-dim posting counts persisted at build/append time (`dim_stats/`,
-    * append-mode deltas summed at read), driver-resident per meta stamp.
-    * This is the cardinality pre-check that gates serving cold loads: a
-    * stop-word-grade hot dim must DECLINE to the job path BEFORE its full
-    * posting list is collected to the driver — at 100 TB an unguarded
-    * collect of one hot dim is a driver OOM. None = the layout predates
-    * the stats file (or a rebuild is racing the read); callers fall back
-    * to a pruned count probe. */
-  def dimStats(): Option[Map[Int, Long]] = {
+    * append-mode deltas summed at read), driver-resident per meta stamp:
+    * (heaviest-dims map, absent-dim upper bound). This is the cardinality
+    * pre-check that gates serving cold loads: a stop-word-grade hot dim
+    * must DECLINE to the job path BEFORE its full posting list is
+    * collected to the driver — at 100 TB an unguarded collect of one hot
+    * dim is a driver OOM. None = the layout predates the stats file (or a
+    * rebuild is racing the read); callers fall back to a pruned count
+    * probe. */
+  def dimStatsResident(): Option[(Map[Int, Long], Long)] = {
     var stampAt: (Long, Long, Long, Long) = null
     synchronized {
       refreshIfStale()
@@ -135,13 +145,19 @@ class SparseIndex(
     }
     // the stats read is a (small) Spark job — run it OUTSIDE the lock so
     // one cold stats load never convoys concurrent warm serves
-    val loaded: Option[Map[Int, Long]] =
+    val cap = maxResidentDimStats
+    val loaded: Option[(Map[Int, Long], Long)] =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) None
       else scala.util.Try {
-        spark.read.parquet(statsPath)
+        val rows = spark.read.parquet(statsPath)
           .groupBy(col("dim")).agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("dim").asc)
+          .limit(cap)
           .collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // truncated -> every absent dim holds at most the smallest
+        // retained count; untruncated -> absent means zero postings
+        val cutoff = if (rows.length >= cap && rows.nonEmpty) rows.last.getLong(1) else 0L
+        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap, cutoff)
       }.toOption
     synchronized {
       refreshIfStale()
@@ -149,6 +165,18 @@ class SparseIndex(
       if (dimStatsCache != null) dimStatsCache else loaded
     }
   }
+
+  /** Aggregate view of the persisted stats for observability
+    * (`statistics()` / HTTP): (distinct dims, total postings, max per-dim
+    * postings) — one slim agg job, nothing vocab-sized on the driver. */
+  def dimStatsSummary(): Option[(Long, Long, Long)] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) None
+    else scala.util.Try {
+      val r = spark.read.parquet(statsPath)
+        .groupBy(col("dim")).agg(sum(col("cnt")).as("cnt"))
+        .agg(count(lit(1)), sum(col("cnt")), max(col("cnt"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toOption
 
   /** Old-layout fallback for the serving cardinality guard: one pruned
     * COUNT job over the probe set (output is |dims| rows — tiny), pinned
@@ -360,9 +388,12 @@ class SparseIndex(
         // cardinality pre-check: what would THIS query need resident? The
         // eviction pass can drop everything except the query's own dims, so
         // the feasibility bound is the query's dims alone. Persisted stats
-        // count the whole layout (>= the pinned subset: conservative).
-        val counts = dimStats().getOrElse(probeDimCounts(missing))
-        val projected = missing.map(counts.getOrElse(_, 0L)).sum
+        // count the whole layout (>= the pinned subset: conservative);
+        // dims absent from the bounded resident map are charged the
+        // truncation cutoff (an upper bound on their true count).
+        val (counts, cutoff) = dimStatsResident()
+          .getOrElse((probeDimCounts(missing), 0L))
+        val projected = missing.map(counts.getOrElse(_, cutoff)).sum
         val retained = synchronized {
           qIdx.filter(serveCache.containsKey(_))
             .map(serveCache.get(_)._1.length.toLong).sum

@@ -92,7 +92,7 @@ class Round8Spec extends SparkSpec {
         super.loadDimPostings(missing)
       }
     }
-    assert(idx.dimStats().isEmpty, "stats file deleted: dimStats must be None")
+    assert(idx.dimStatsResident().isEmpty, "stats file deleted: dimStats must be None")
     idx.maxServePostings = 100
     assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty,
       "pre-stats layout must still decline via the count probe")
@@ -110,12 +110,29 @@ class Round8Spec extends SparkSpec {
     val more = hotCorpus(260).filter(col("id") > 200)
     idx.append(SparseIndex.postingsOf(more, "sv", "id"), newRows = 60,
       newMaxId = 260, norms = Some(SparseIndex.normsOfColumn(more, "sv", "id")))
-    val stats = idx.dimStats().get
+    val (stats, cutoff) = idx.dimStatsResident().get
     val actual = idx.postings().groupBy(col("dim")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(stats == actual,
+    assert(stats == actual && cutoff == 0L,
       s"stats drifted from the layout after append: $stats vs $actual")
     assert(stats(0) == 260L) // the hot dim counts every row, old + appended
+  }
+
+  test("bounded resident stats: absent dims are charged the truncation cutoff, hot dims exact") {
+    val df = hotCorpus(600)
+    val path = tmpDir("sp_stats_bounded")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val idx = new SparseIndex(spark, path, "id")
+    idx.maxResidentDimStats = 2 // way below the 51 distinct dims
+    val (m, cutoff) = idx.dimStatsResident().get
+    assert(m.size == 2 && m(0) == 600L, m.toString) // the hot dim is retained exactly
+    assert(cutoff == 12L, s"cutoff must be the smallest retained count: $cutoff")
+    idx.maxServePostings = 100
+    // absent light dims are charged the cutoff (2 x 12 = 24 <= 100): serves
+    assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).get.toSeq ==
+      dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
+    // the retained hot dim still declines
+    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty)
   }
 
   /** Two blobs, one heavy (all rows but `light`) and one light — k-means
