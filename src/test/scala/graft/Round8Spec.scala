@@ -204,6 +204,33 @@ class Round8Spec extends SparkSpec {
     assert(db.query(lightQ).contains("\"served\":true"))
   }
 
+  test("dense serve:true falls back to the job path on an over-budget probe, result identical") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r8_dense_db"))
+    db.createTable(
+      """{"name":"DHot","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("DHot")
+    val schema = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("Vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = (1 to 600).map(i => Row(i.toLong, Seq(i * 0.01f, 0f, 0f, 0f)))
+    st.insert(spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema))
+    assert(db.rebuildIndex("DHot", "Vec"))
+    val q = """{"table":"DHot","queryVector":[0,0,0,0],"limit":5,"serve":true}"""
+    assert(db.query(q).contains("\"served\":true")) // budget default: serves
+    // budget below any cluster: the next COLD probe declines -> job path
+    // (the guard gates cold loads; rebase flushes the warm residency the
+    // first serve installed)
+    val idx = db.denseIndexFor("DHot", "Vec")
+    idx.maxServeRows = 10
+    idx.rebaseServing()
+    val resp = db.query(q)
+    assert(!resp.contains("\"served\""), s"over-budget probe must NOT serve: $resp")
+    assert(resp == db.query(q.replace("\"serve\":true", "\"serve\":false")), resp)
+  }
+
   test("statistics() exposes the index cardinality stats behind the guard") {
     val db = new graft.api.GraftDb(spark, tmpDir("r8_stats_db"))
     db.createTable(
