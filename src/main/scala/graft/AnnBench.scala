@@ -140,10 +140,56 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // serving under CONCURRENT INGEST (dense twin of the sparse row): a
+    // writer thread appends 500-row batches (assigned to the existing
+    // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
+    // the served answers must stay byte-identical to the quiescent ones —
+    // and residency must stay warm (qps within ~20% of quiescent).
+    val quiescent = queries.map(q =>
+      idx.servePoint("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)
+    val dim = queries.head.length
+    val stopIngest = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appendsN = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = new Thread(() => {
+      var nextId = n
+      while (!stopIngest.get()) {
+        val batch = spark.range(nextId, nextId + 500)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(dim)),
+              i => (lit(50.0) + pmod(xxhash64(col("id") * dim + i), lit(100)) / 100.0)
+                .cast("float")).as("embedding"))
+        idx.append(batch, "embedding")
+        nextId += 500
+        appendsN.incrementAndGet()
+        Thread.sleep(700)
+      }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val t3 = System.nanoTime()
+    val ingestDeadline = t3 + 10L * 1000 * 1000 * 1000
+    var ingestQueries = 0L
+    var ingestWrong = 0L
+    while (ingestQueries == 0L || System.nanoTime() < ingestDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        val got = idx.servePoint("embedding", queries(qi), 10, nProbe = 8)
+          .map(_.map(_._1).toSeq).getOrElse(Nil)
+        if (got != quiescent(qi)) ingestWrong += 1
+        qi += 1
+      }
+      ingestQueries += queries.length
+    }
+    val ingestSec = (System.nanoTime() - t3) / 1e9
+    stopIngest.set(true)
+    writer.join(30000)
+
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
+      f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
+      f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }
