@@ -414,6 +414,38 @@ object QueriesPipeline {
             t(s, dir, "documents").filter(col("doc_id") < 400)))
         .select(col("doc_id"), col("width"), col("height"), col("n_channels"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Typed media classification, end-to-end on executors: each doc gets a
+    // payload whose FORMAT is a pure function of doc_id (real PNG; webp /
+    // mp3 / mp4 headers the JDK cannot decode; plain text), and the
+    // extraction's media_status verdict must match the oracle's CASE
+    // arithmetic — a decodable format misrouted to the stub, or an
+    // unsupported one faked through it, hash-fails.
+    "mm_status" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id").cast(LongType))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val rows = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = (id % 5) match {
+          case 0 => Multimodal.syntheticPng((8 + id % 16).toInt, (8 + id % 7).toInt, id)
+          case 1 => "RIFF    WEBPVP8 ".getBytes("ISO-8859-1") ++
+            new Array[Byte](16)
+          case 2 => "ID3 ".getBytes("ISO-8859-1") ++ new Array[Byte](16)
+          case 3 => Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes("ISO-8859-1") ++
+            new Array[Byte](16)
+          case _ => s"plain text $id".getBytes("UTF-8")
+        }
+        Row(id, payload)
+      }
+      Multimodal.extractFeatures(s.createDataFrame(rows, schema))
+        .select(col("doc_id"), col("media_status"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -779,5 +811,12 @@ object QueriesPipeline {
     "mm_decode" ->
       """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
         |  CAST(8 + doc_id % 7 AS INT) AS height, CAST(3 AS INT) AS n_channels
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+    "mm_status" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'ok:png' WHEN 1 THEN 'unsupported:webp'
+        |    WHEN 2 THEN 'unsupported:mp3' WHEN 3 THEN 'unsupported:mp4'
+        |    ELSE 'stub' END AS media_status
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
 }
