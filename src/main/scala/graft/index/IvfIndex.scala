@@ -63,14 +63,29 @@ class IvfIndex(
     * replica reloads the saved index on rebuild, table_mvp.cpp:143-170).
     * Without this a second JVM would serve a stale clustered layout until
     * it reopened the index. */
-  @transient private var cachedStamp: (Long, Long, Long) = null
+  // the freshness stamp INCLUDES the build generation: a rebuild of
+  // byte-identical data (count/watermark/purge unchanged, gen bumped)
+  // still replaces the layout files, so a live instance must re-list —
+  // a gen-less stamp left caches pointing at deleted parquet paths
+  @transient private var cachedStamp: (Long, Long, Long, Long) = null
   @transient private var centroidKey: (Long, Long) = null
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
   @transient private var clusterStatsCache: Option[Map[Int, Long]] = null
 
+  /** One file read covering all four stamp fields (meta() + readGen would
+    * read the file twice per access on the serving hot path). */
+  private def stamp(): (Long, Long, Long, Long) = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    (MetaJson.longField(raw, "watermark", 0L),
+      MetaJson.longField(raw, "count", 0L),
+      MetaJson.longField(raw, "purge", 0L),
+      MetaJson.longField(raw, "gen", 0L))
+  }
+
   private def refreshIfStale(): Unit = {
-    val s = meta()
+    val s = stamp()
     if (s != cachedStamp) {
       cachedStamp = s
       // the clustered relation gains files on APPEND -> re-list on any
@@ -79,7 +94,7 @@ class IvfIndex(
       // warm serving path for data that did not change
       clusteredCache = null
       clusterStatsCache = null // appends change per-cluster counts
-      val key = (IvfIndex.readGen(metaPath), s._3)
+      val key = (s._4, s._3) // (gen, purge)
       if (key != centroidKey) { centroidKey = key; centroidCache = null }
     }
   }
@@ -115,7 +130,7 @@ class IvfIndex(
     * collect itself onto the driver. None = layout predates the stats file
     * (or a rebuild races the read); callers fall back to a count probe. */
   def clusterStats(): Option[Map[Int, Long]] = {
-    var stampAt: (Long, Long, Long) = null
+    var stampAt: (Long, Long, Long, Long) = null
     synchronized {
       refreshIfStale()
       if (clusterStatsCache != null) return clusterStatsCache
@@ -360,7 +375,7 @@ class IvfIndex(
     new java.util.LinkedHashMap[Int, (Array[Long], Array[Double], Array[Double])](
       64, 0.75f, true)
   @transient private var serveRowsResident = 0L
-  @transient private var serveStamp: (Long, Long, Long) = null
+  @transient private var serveStamp: (Long, Long, Long, Long) = null
   @transient private var serveStampCheckedAt = 0L
   // serving is pinned to a SNAPSHOT: resident clusters hold rows with
   // id <= serveWatermark, and the caller unions rows above it as the fresh
@@ -379,10 +394,10 @@ class IvfIndex(
     val now = System.currentTimeMillis
     if (now - serveStampCheckedAt > ServeFreshnessMs || serveStamp == null) {
       serveStampCheckedAt = now
-      val s = meta()
+      val s = stamp()
       if (s != serveStamp) {
         serveStamp = s
-        val key = (IvfIndex.readGen(metaPath), s._3)
+        val key = (s._4, s._3) // (gen, purge)
         if (key != serveKey) {
           serveKey = key
           serveCache.clear(); serveRowsResident = 0L

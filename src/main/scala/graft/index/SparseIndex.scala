@@ -52,12 +52,28 @@ class SparseIndex(
   def statsPath = s"$path/dim_stats"
   def metaPath = s"$path/sp_meta.json"
 
-  @transient private var cachedStamp: (Long, Long, Long, Long) = null
+  // the freshness stamp INCLUDES the build generation: a rebuild of
+  // byte-identical data (count/watermark/purge unchanged, gen bumped)
+  // still replaces the layout files, so a live instance must re-list —
+  // a gen-less stamp left caches pointing at deleted parquet paths
+  @transient private var cachedStamp: (Long, Long, Long, Long, Long) = null
   @transient private var postingsCache: DataFrame = null
   @transient private var normsCache: DataFrame = null
   @transient private var dimStatsCache: Option[(Map[Int, Long], Long)] = null
 
   private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
+
+  /** One file read covering all five stamp fields (meta() + readGen would
+    * read the file twice per access on the serving hot path). */
+  private def stamp(): (Long, Long, Long, Long, Long) = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    (MetaJson.longField(raw, "watermark", 0L),
+      MetaJson.longField(raw, "count", 0L),
+      MetaJson.longField(raw, "purge", 0L),
+      MetaJson.longField(raw, "buckets", 0L),
+      MetaJson.longField(raw, "gen", 0L))
+  }
 
   // serving snapshot pin (see IvfIndex: resident posting lists hold rows
   // with id <= serveWatermark; appends move the meta watermark but not
@@ -69,11 +85,11 @@ class SparseIndex(
 
   /** Callers must hold the instance lock (all current call sites do). */
   private def refreshIfStale(): Unit = {
-    val s = meta()
+    val s = stamp()
     if (s != cachedStamp) {
       cachedStamp = s; postingsCache = null; normsCache = null
       dimStatsCache = null
-      val key = (SparseIndex.readGen(metaPath), s._3)
+      val key = (s._5, s._3) // (gen, purge) — the serving residency key
       if (key != serveKey) {
         serveKey = key
         serveCache.clear(); servePostingsResident = 0L; minNormCache = null
@@ -137,7 +153,7 @@ class SparseIndex(
     * rebuild is racing the read); callers fall back to a pruned count
     * probe. */
   def dimStatsResident(): Option[(Map[Int, Long], Long)] = {
-    var stampAt: (Long, Long, Long, Long) = null
+    var stampAt: (Long, Long, Long, Long, Long) = null
     synchronized {
       refreshIfStale()
       if (dimStatsCache != null) return dimStatsCache

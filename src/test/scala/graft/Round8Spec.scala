@@ -204,6 +204,60 @@ class Round8Spec extends SparkSpec {
     assert(db.query(lightQ).contains("\"served\":true"))
   }
 
+  /** Bump the "gen" stamp in a meta JSON file — what a full rebuild in
+    * another process looks like to this one. */
+  private def bumpGen(metaFile: String): Unit = {
+    val p = java.nio.file.Paths.get(metaFile)
+    val s0 = new String(java.nio.file.Files.readAllBytes(p))
+    val gen = """"gen":(\d+)""".r.findFirstMatchIn(s0).get.group(1).toLong
+    java.nio.file.Files.write(p,
+      s0.replaceAll(""""gen":\d+""", s""""gen":${gen + 1}""").getBytes)
+  }
+
+  test("sparse serving under perpetual rebuild churn declines instead of throwing") {
+    val df = hotCorpus(200)
+    val path = tmpDir("sp_thrash")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val churn = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val idx = new SparseIndex(spark, path, "id") {
+      override protected def loadDimPostings(missing: Array[Int]) = {
+        // a full rebuild lands between the lock windows, EVERY attempt
+        if (churn.get()) bumpGen(s"$path/sp_meta.json")
+        super.loadDimPostings(missing)
+      }
+    }
+    assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).isEmpty,
+      "perpetual churn must degrade to the job path, not throw")
+    churn.set(false) // rebuilds stop: the same query serves again
+    assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).get.toSeq ==
+      dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
+  }
+
+  test("IVF serving under perpetual rebuild churn declines instead of throwing") {
+    val df = skewedVectors(1000, light = 500)
+    val path = tmpDir("ivf_thrash")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 3)
+    val churn = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean) {
+      override protected def loadClusters(vecCol: String, missing: Array[Int]) = {
+        if (churn.get()) {
+          bumpGen(s"$path/ivf_meta.json")
+          // dense serving re-reads the stamp at most every 250 ms
+          // (ServeFreshnessMs): outlast the gate so the install window
+          // SEES the rebuild, every attempt
+          Thread.sleep(ServeFreshnessMs + 60)
+        }
+        super.loadClusters(vecCol, missing)
+      }
+    }
+    assert(idx.servePoint("vec", Array(0f, 0f, 0f, 0f), 5, nProbe = 1).isEmpty,
+      "perpetual churn must degrade to the job path, not throw")
+    churn.set(false)
+    val served = idx.servePoint("vec", Array(0f, 0f, 0f, 0f), 5, nProbe = 1)
+    assert(served.isDefined && served.get.nonEmpty)
+  }
+
   test("dense serve:true falls back to the job path on an over-budget probe, result identical") {
     val db = new graft.api.GraftDb(spark, tmpDir("r8_dense_db"))
     db.createTable(
