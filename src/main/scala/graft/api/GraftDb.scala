@@ -779,17 +779,25 @@ class GraftDb(val spark: SparkSession, val root: String,
     val idxStats = st.schema.vectorFields.flatMap { f =>
       if (graft.types.FieldType.isSparse(f.fieldType)) {
         if (!Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) None
-        else sparseIndex(st, f.name).dimStatsSummary().map { case (dims, total, mx) =>
-          s"""{"field":"${f.name}","type":"sparse","dims":$dims,""" +
-            s""""postings":$total,"maxDimPostings":$mx}"""
+        else {
+          val idx = sparseIndex(st, f.name)
+          idx.dimStatsSummary().map { case (dims, total, mx) =>
+            s"""{"field":"${f.name}","type":"sparse","dims":$dims,""" +
+              s""""postings":$total,"maxDimPostings":$mx,""" +
+              s""""serveDeclines":${idx.serveDeclineCount()}}"""
+          }
         }
       } else {
         if (!Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) None
-        else index(st, f.name).clusterStats().map { m =>
-          val total = m.values.sum
-          val mx = if (m.isEmpty) 0L else m.values.max
-          s"""{"field":"${f.name}","type":"ivf","clusters":${m.size},""" +
-            s""""rows":$total,"maxClusterRows":$mx}"""
+        else {
+          val idx = index(st, f.name)
+          idx.clusterStats().map { m =>
+            val total = m.values.sum
+            val mx = if (m.isEmpty) 0L else m.values.max
+            s"""{"field":"${f.name}","type":"ivf","clusters":${m.size},""" +
+              s""""rows":$total,"maxClusterRows":$mx,""" +
+              s""""serveDeclines":${idx.serveDeclineCount()}}"""
+          }
         }
       }
     }

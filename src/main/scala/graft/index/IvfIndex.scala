@@ -429,6 +429,12 @@ class IvfIndex(
   /** Resident vector count (cache sizing: rows x dim x 8 bytes). */
   def servingResidentRows(): Long = synchronized { serveRowsResident }
 
+  // serve declines (budget or thrash) — the operational signal that
+  // queries are falling off the serve path onto the job path
+  private val declines = new java.util.concurrent.atomic.AtomicLong(0L)
+  def serveDeclineCount(): Long = declines.get()
+  private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
+
   /** Low-latency top-K answered on the DRIVER: centroid argmin -> probe
     * the nProbe nearest clusters from the resident cache -> bounded-heap
     * top-K with the engine's (distance, id) tie-break. Returns
@@ -496,7 +502,7 @@ class IvfIndex(
     var attempts = 0
     while (clusters == null) {
       attempts += 1
-      if (attempts > 8) return None // thrash: degrade to the job path
+      if (attempts > 8) return decline // thrash: degrade to the job path
       var w0AtProbe = 0L
       var keyAtProbe: (Long, Long) = null
       val missing: Array[Int] = synchronized {
@@ -520,7 +526,7 @@ class IvfIndex(
           probed.filter(serveCache.containsKey(_))
             .map(serveCache.get(_)._1.length.toLong).sum
         }
-        if (projected + retained > maxServeRows) return None
+        if (projected + retained > maxServeRows) return decline
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]

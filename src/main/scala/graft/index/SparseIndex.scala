@@ -356,6 +356,13 @@ class SparseIndex(
 
   def servingResidentPostings(): Long = synchronized { servePostingsResident }
 
+  // serve declines (budget, thrash, or unprovable exactness) — the
+  // operational signal that queries are falling off the serve path onto
+  // the job path (time to raise budgets, rebuild, or shard)
+  private val declines = new java.util.concurrent.atomic.AtomicLong(0L)
+  def serveDeclineCount(): Long = declines.get()
+  private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
+
   /** One pruned job collecting the posting lists of `missing` dims —
     * overridable so tests can model a slow cold load. Rows from layouts
     * (or mixed files) written before norms rode in the postings carry the
@@ -391,7 +398,7 @@ class SparseIndex(
     var lists: Array[(Array[Long], Array[Double], Array[Double])] = null
     while (lists == null) {
       attempts += 1
-      if (attempts > 8) return None // thrash: degrade to the job path
+      if (attempts > 8) return decline // thrash: degrade to the job path
       var w0AtProbe = 0L
       var keyAtProbe: (Long, Long) = null
       val missing = synchronized {
@@ -414,7 +421,7 @@ class SparseIndex(
           qIdx.filter(serveCache.containsKey(_))
             .map(serveCache.get(_)._1.length.toLong).sum
         }
-        if (projected + retained > maxServePostings) return None
+        if (projected + retained > maxServePostings) return decline
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
@@ -467,7 +474,7 @@ class SparseIndex(
       : Option[Array[(Long, Double)]] = {
     val lists = residentLists(qIdx) match {
       case Some(l) => l
-      case None => return None
+      case None => return None // residentLists counted the decline
     }
     val acc = new java.util.HashMap[java.lang.Long, java.lang.Double](1024)
     var di = 0
@@ -586,7 +593,7 @@ class SparseIndex(
       : Option[Array[(Long, Double)]] = {
     val lists = residentLists(qIdx) match {
       case Some(l) => l
-      case None => return None // probe set over the resident budget
+      case None => return None // residentLists counted the decline
     }
     var qNorm = 0.0
     qVal.foreach(v => qNorm += v.toDouble * v.toDouble)
@@ -617,7 +624,7 @@ class SparseIndex(
     // rows written before norms rode in the postings cannot be scored
     // exactly from resident state: decline (exact-or-decline contract)
     // until the next full rebuild writes the norm-bearing layout
-    if (missingNorms) return None
+    if (missingNorms) return decline
     val heap = smallestK(k)
     val it = acc.entrySet().iterator()
     while (it.hasNext) {
@@ -628,7 +635,7 @@ class SparseIndex(
     // non-overlap fills: resident min-norm list (sorted), then tail norms
     val (mins, truncated) = residentMinNorms() match {
       case Some(mn) => mn
-      case None => return None // rebuild churn: job path answers exactly
+      case None => return decline // rebuild churn: job path answers exactly
     }
     var mi = 0
     var break = false
@@ -649,7 +656,7 @@ class SparseIndex(
     // norm2 >= the largest listed norm, hence dist >= that bound
     if (truncated) {
       val bound = mins.last._2 + qNorm
-      if (out.length < k || out.last._2 >= bound) return None
+      if (out.length < k || out.last._2 >= bound) return decline
     }
     // untruncated: the min-norm list IS the complete norms universe at the
     // pin and tailNorms covers everything above it (disjoint id ranges),

@@ -202,6 +202,9 @@ class Round8Spec extends SparkSpec {
       """{"table":"Hot","queryVector":{"indices":[15,20],"values":[1,1]},
         |"limit":5,"serve":true}""".stripMargin
     assert(db.query(lightQ).contains("\"served\":true"))
+    // the decline is visible operationally
+    assert(db.sparseIndexFor("Hot", "SV").serveDeclineCount() >= 1L)
+    assert(db.statistics("Hot").contains("\"serveDeclines\":"), db.statistics("Hot"))
   }
 
   /** Bump the "gen" stamp in a meta JSON file — what a full rebuild in
