@@ -119,6 +119,7 @@ object AnnBench {
     // set enough times to measure past timer resolution.
     // bench corpora are chosen to fit residency: declines here are a bug
     idx.maxServeRows = Long.MaxValue
+    idx.maxServeBytes = Long.MaxValue // 500k x 960 doubles ~ 3.7 GiB resident
     idx.servePoint("embedding", queries.head, 10, nProbe = 8) // warm (loads clusters)
     // time-boxed: whole passes over the query set until ~10 s elapsed
     // (fixed iteration counts are wildly off across dims/sizes)

@@ -421,6 +421,17 @@ class IvfIndex(
     * dim=64). Settable before serving starts. */
   @volatile var maxServeRows: Long = 4L * 1024 * 1024
 
+  /** Serving cache budget in resident BYTES: a row costs 8*dim + 24
+    * (doubles + id + norm), so a dimension-blind row cap under-guards
+    * high-dim indexes — 4M rows at dim=960 is ~30 GiB of driver heap,
+    * exactly the OOM the guard exists to prevent. The effective row cap
+    * is min(maxServeRows, maxServeBytes / rowBytes(dim)). Default 2 GiB
+    * (= the 4M-row default at dim 64). */
+  @volatile var maxServeBytes: Long = 2L * 1024 * 1024 * 1024
+
+  private def effectiveMaxRows(dim: Int): Long =
+    math.min(maxServeRows, maxServeBytes / (8L * dim + 24L))
+
   /** How stale the serving cache may be before re-reading ivf_meta.json:
     * parsing the meta file per query would dominate serving latency
     * (~ms), so freshness is re-checked at most every 250 ms. */
@@ -526,7 +537,7 @@ class IvfIndex(
           probed.filter(serveCache.containsKey(_))
             .map(serveCache.get(_)._1.length.toLong).sum
         }
-        if (projected + retained > maxServeRows) return decline
+        if (projected + retained > effectiveMaxRows(q.length)) return decline
       }
       val loaded =
         if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
@@ -544,9 +555,10 @@ class IvfIndex(
           }
         // evict least-recently-probed clusters beyond the budget (never
         // the clusters of THIS query — just accessed/inserted)
-        if (serveRowsResident > maxServeRows) {
+        val rowCap = effectiveMaxRows(q.length)
+        if (serveRowsResident > rowCap) {
           val it = serveCache.entrySet().iterator()
-          while (serveRowsResident > maxServeRows && it.hasNext) {
+          while (serveRowsResident > rowCap && it.hasNext) {
             val e = it.next()
             if (!probed.contains(e.getKey)) {
               serveRowsResident -= e.getValue._1.length

@@ -261,6 +261,22 @@ class Round8Spec extends SparkSpec {
     assert(served.isDefined && served.get.nonEmpty)
   }
 
+  test("byte budget guards high-dim serving even when the row cap would admit the probe") {
+    val df = skewedVectors(2000, light = 200)
+    val path = tmpDir("ivf_bytes")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    // row cap stays huge; byte cap admits only ~20 rows at dim=4
+    // (8*4 + 24 = 56 bytes/row) — the 1800-row cluster must decline
+    idx.maxServeBytes = 56L * 20
+    assert(idx.servePoint("vec", Array(0f, 0f, 0f, 0f), 5, nProbe = 1).isEmpty,
+      "a dimension-blind row cap must not admit an over-byte probe")
+    // raising the byte budget serves again
+    idx.maxServeBytes = 2L * 1024 * 1024 * 1024
+    assert(idx.servePoint("vec", Array(0f, 0f, 0f, 0f), 5, nProbe = 1).isDefined)
+  }
+
   test("dense serve:true falls back to the job path on an over-budget probe, result identical") {
     val db = new graft.api.GraftDb(spark, tmpDir("r8_dense_db"))
     db.createTable(
