@@ -54,6 +54,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     * path rather than pin unbounded fresh data. */
   @volatile var maxServeTailRows: Int = 100000
 
+  /** Fresh-tail BYTE cap (dense fields): a packed tail row costs
+    * 8*dim + 24 bytes, so the row cap alone over-collects at high dims
+    * (100k rows at dim=960 is ~770 MB of driver heap). The effective cap
+    * is min(maxServeTailRows, maxServeTailBytes / rowBytes(dim)) —
+    * 256 MiB keeps the row cap binding up to dim ~330. */
+  @volatile var maxServeTailBytes: Long = 256L * 1024 * 1024
+
+  private def tailRowCap(dim: Int): Int =
+    math.min(maxServeTailRows.toLong, maxServeTailBytes / (8L * dim + 24L)).toInt
+
   // fresh-tail rows in servePoint's resident layout, re-collected only
   // when the snapshot version or serving pin moves (one pruned job per
   // commit, then every serve is pure JVM compute). Left(()) — the
@@ -74,10 +84,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     // the index watermark without flushing warm resident clusters, so the
     // tail must cover everything above the snapshot those clusters hold
     val wm = idx.servingWatermark()
+    val cap = tailRowCap(st.schema.field(field).dimensions)
     tailCache.get((st.schema.name, field)) match {
       case Some((v, w, t)) if v == ver && w == wm =>
         // the cap applies to resident entries too (it can be lowered live)
-        if (t.exists(_.exists(_._1.length > maxServeTailRows))) Left(()) else t
+        if (t.exists(_.exists(_._1.length > cap))) Left(()) else t
       case _ =>
         val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
         if (storeWm <= wm) {
@@ -87,10 +98,10 @@ class GraftDb(val spark: SparkSession, val root: String,
           val rows = st.read()
             .filter(col(TableStore.RowId) > wm)
             .select(col(TableStore.RowId), col(field))
-            .limit(maxServeTailRows + 1)
+            .limit(cap + 1)
             .collect()
           val result: Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] =
-            if (rows.length > maxServeTailRows) Left(())
+            if (rows.length > cap) Left(())
             else if (rows.isEmpty) Right(None)
             else Right(Some(graft.index.IvfIndex.packRows(
               rows.map(r => (r.getLong(0),

@@ -261,6 +261,33 @@ class Round8Spec extends SparkSpec {
     assert(served.isDefined && served.get.nonEmpty)
   }
 
+  test("fresh-tail byte cap: an over-byte tail falls back to the job path, result identical") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r8_tail_db"))
+    db.autoAppendIndexes = false // keep fresh rows in the tail
+    db.createTable(
+      """{"name":"Tl","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("Tl")
+    val schema = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("Vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    st.insert(spark.createDataFrame(spark.sparkContext.parallelize(
+      (1 to 600).map(i => Row(i.toLong, Seq(1f + (i % 50) * 0.1f, 0f, 0f, 0f))), 4), schema))
+    assert(db.rebuildIndex("Tl", "Vec"))
+    // 40 fresh rows above the watermark, the best one at the origin
+    st.insert(spark.createDataFrame(spark.sparkContext.parallelize(
+      (601 to 640).map(i => Row(i.toLong, Seq(0f, 0f, 0f, 0f))), 2), schema))
+    val q = """{"table":"Tl","queryVector":[0,0,0,0],"limit":3,"serve":true}"""
+    assert(db.query(q).contains("\"served\":true")) // tail fits: serves
+    // byte cap below the 40-row tail (56 bytes/row at dim=4): job path
+    db.maxServeTailBytes = 56L * 10
+    val resp = db.query(q)
+    assert(!resp.contains("\"served\""), s"over-byte tail must NOT serve: $resp")
+    assert(resp == db.query(q.replace("\"serve\":true", "\"serve\":false")), resp)
+  }
+
   test("byte budget guards high-dim serving even when the row cap would admit the probe") {
     val df = skewedVectors(2000, light = 200)
     val path = tmpDir("ivf_bytes")
