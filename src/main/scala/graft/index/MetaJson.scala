@@ -24,8 +24,11 @@ private[index] object MetaJson {
     * never partial. */
   def writeAtomic(metaPath: String, content: String): Unit = {
     val target = java.nio.file.Paths.get(metaPath)
+    // unique across processes AND threads: a colliding tmp name would let
+    // two writers interleave write/move on the same staging file
     val tmp = target.resolveSibling(
-      s"${target.getFileName}.${Thread.currentThread().getId}.tmp")
+      s"${target.getFileName}.${java.lang.ProcessHandle.current().pid()}" +
+        s".${Thread.currentThread().getId}.${System.nanoTime()}.tmp")
     java.nio.file.Files.write(tmp, content.getBytes)
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
