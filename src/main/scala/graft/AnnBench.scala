@@ -120,7 +120,11 @@ object AnnBench {
     // bench corpora are chosen to fit residency: declines here are a bug
     idx.maxServeRows = Long.MaxValue
     idx.maxServeBytes = Long.MaxValue // 500k x 960 doubles ~ 3.7 GiB resident
-    idx.servePoint("embedding", queries.head, 10, nProbe = 8) // warm (loads clusters)
+    // warm EVERY query's probed clusters (matches the sparse bench): the
+    // timed loop measures the warm serving tier — at 1M x 960 a single
+    // cold load collects ~240 MB, and leaving 19 of them inside the timed
+    // window reports cold-load latency as if it were serve throughput
+    queries.foreach(q => idx.servePoint("embedding", q, 10, nProbe = 8))
     // time-boxed: whole passes over the query set until ~10 s elapsed
     // (fixed iteration counts are wildly off across dims/sizes)
     val t2 = System.nanoTime()
