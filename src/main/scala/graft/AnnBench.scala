@@ -124,7 +124,9 @@ object AnnBench {
     // timed loop measures the warm serving tier — at 1M x 960 a single
     // cold load collects ~240 MB, and leaving 19 of them inside the timed
     // window reports cold-load latency as if it were serve throughput
+    val tw = System.nanoTime()
     queries.foreach(q => idx.servePoint("embedding", q, 10, nProbe = 8))
+    val coldSec = (System.nanoTime() - tw) / 1e9
     // time-boxed: whole passes over the query set until ~10 s elapsed
     // (fixed iteration counts are wildly off across dims/sizes)
     val t2 = System.nanoTime()
@@ -193,6 +195,7 @@ object AnnBench {
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
+      f""""serve_coldload_sec":$coldSec%.2f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")

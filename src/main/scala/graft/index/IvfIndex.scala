@@ -461,31 +461,56 @@ class IvfIndex(
     * can model a slow cold load. */
   protected def loadClusters(vecCol: String, missing: Array[Int])
       : Map[Int, (Array[Long], Array[Double], Array[Double])] = {
-    val rows = clustered()
+    // pack EXECUTOR-SIDE into primitive arrays: collecting Rows of boxed
+    // float sequences pays ~10x in serialization + driver GC at high dims
+    // (a 960-dim cold load was ~240 MB of Row objects); primitive arrays
+    // also carry the norms, computed where the data already is
+    val chunks = clustered()
       .filter(col("cluster").isin(missing.toSeq: _*))
       // pin to the serving snapshot: rows appended after the pin are the
       // caller's fresh tail, never double-counted from the layout
       .filter(col(idCol).cast("long") <= serveWatermark)
       .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
-      .collect()
-    val dim = if (rows.isEmpty) 0 else rows(0).getAs[scala.collection.Seq[Float]](2).length
-    missing.map { cid =>
-      val cr = rows.filter(_.getInt(0) == cid)
-      val ids = new Array[Long](cr.length)
-      val flat = new Array[Double](cr.length * dim)
-      val norms = new Array[Double](cr.length)
-      var i = 0
-      while (i < cr.length) {
-        ids(i) = cr(i).getLong(1)
-        val v = cr(i).getAs[scala.collection.Seq[Float]](2)
-        var j = 0
-        var nrm = 0.0
-        while (j < dim) {
-          val x = v(j).toDouble
-          flat(i * dim + j) = x; nrm += x * x; j += 1
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[Int,
+          (scala.collection.mutable.ArrayBuffer[Long],
+            scala.collection.mutable.ArrayBuffer[Double],
+            scala.collection.mutable.ArrayBuffer[Double])]()
+        it.foreach { r =>
+          val (ids, flat, norms) = acc.getOrElseUpdate(r.getInt(0),
+            (scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Double](),
+              scala.collection.mutable.ArrayBuffer[Double]()))
+          ids += r.getLong(1)
+          val v = r.getAs[scala.collection.Seq[Float]](2)
+          var j = 0
+          var nrm = 0.0
+          while (j < v.length) {
+            val x = v(j).toDouble
+            flat += x; nrm += x * x; j += 1
+          }
+          norms += nrm
         }
-        norms(i) = nrm
-        i += 1
+        acc.iterator.map { case (cid, (ids, flat, norms)) =>
+          (cid, ids.toArray, flat.toArray, norms.toArray)
+        }
+      }.collect()
+    // merge per-partition chunks per cluster (row order is irrelevant:
+    // scoring visits every resident row; ties break on value, not order)
+    missing.map { cid =>
+      val cs = chunks.filter(_._1 == cid)
+      val n = cs.map(_._2.length).sum
+      val fl = cs.map(_._3.length).sum
+      val ids = new Array[Long](n)
+      val flat = new Array[Double](fl)
+      val norms = new Array[Double](n)
+      var io = 0
+      var fo = 0
+      cs.foreach { case (_, cids, cflat, cnorms) =>
+        System.arraycopy(cids, 0, ids, io, cids.length)
+        System.arraycopy(cnorms, 0, norms, io, cnorms.length)
+        System.arraycopy(cflat, 0, flat, fo, cflat.length)
+        io += cids.length; fo += cflat.length
       }
       cid -> ((ids, flat, norms))
     }.toMap

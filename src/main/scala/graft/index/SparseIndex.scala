@@ -371,17 +371,45 @@ class SparseIndex(
     * crash, never a silently wrong distance. */
   protected def loadDimPostings(missing: Array[Int]): Map[Int, (Array[Long], Array[Double], Array[Double])] = {
     val hasNorm = postings().columns.contains("norm2")
-    val rows = prunedPostings(missing)
+    // pack EXECUTOR-SIDE into primitive arrays: a posting Row is ~100 B of
+    // object overhead around 28 B of data, so collecting Rows pays ~4x in
+    // serialization + driver GC on big posting lists
+    val chunks = prunedPostings(missing)
       // pin to the serving snapshot: postings appended after the pin are
       // the caller's fresh tail, never double-counted from the layout
       .filter(col(idCol).cast("long") <= serveWatermark)
       .select(col("dim"), col(idCol).cast("long"), col("v").cast("double"),
         (if (hasNorm) coalesce(col("norm2"), lit(-1.0)) else lit(-1.0)).cast("double"))
-      .collect()
-    val byDim = rows.groupBy(_.getInt(0))
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[Int,
+          (scala.collection.mutable.ArrayBuffer[Long],
+            scala.collection.mutable.ArrayBuffer[Double],
+            scala.collection.mutable.ArrayBuffer[Double])]()
+        it.foreach { r =>
+          val (ids, vs, ns) = acc.getOrElseUpdate(r.getInt(0),
+            (scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Double](),
+              scala.collection.mutable.ArrayBuffer[Double]()))
+          ids += r.getLong(1); vs += r.getDouble(2); ns += r.getDouble(3)
+        }
+        acc.iterator.map { case (d, (ids, vs, ns)) =>
+          (d, ids.toArray, vs.toArray, ns.toArray)
+        }
+      }.collect()
     missing.map { d =>
-      val rs = byDim.getOrElse(d, Array.empty)
-      d -> ((rs.map(_.getLong(1)), rs.map(_.getDouble(2)), rs.map(_.getDouble(3))))
+      val cs = chunks.filter(_._1 == d)
+      val n = cs.map(_._2.length).sum
+      val ids = new Array[Long](n)
+      val vs = new Array[Double](n)
+      val ns = new Array[Double](n)
+      var off = 0
+      cs.foreach { case (_, cids, cvs, cns) =>
+        System.arraycopy(cids, 0, ids, off, cids.length)
+        System.arraycopy(cvs, 0, vs, off, cvs.length)
+        System.arraycopy(cns, 0, ns, off, cns.length)
+        off += cids.length
+      }
+      d -> ((ids, vs, ns))
     }.toMap
   }
 
