@@ -446,6 +446,37 @@ object QueriesPipeline {
       Multimodal.extractFeatures(s.createDataFrame(rows, schema))
         .select(col("doc_id"), col("media_status"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WebP header-metadata decode, end-to-end on executors: per-doc VP8L
+    // (lossless) containers whose packed 14-bit dims are a pure function
+    // of doc_id; the pure-JVM header parser must recover them exactly —
+    // the oracle recomputes the dims arithmetically (the webp analog of
+    // mm_decode's PNG round-trip).
+    "mm_webp" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id").cast(LongType))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val rows = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 64).toInt
+        val h = 1 + (id % 31).toInt
+        val v = (w - 1) | ((h - 1) << 14)
+        val payload = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+          "WEBP".getBytes("ISO-8859-1") ++ "VP8L".getBytes("ISO-8859-1") ++
+          Array[Byte](0, 0, 0, 0, 0x2f,
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte) ++
+          new Array[Byte](16)
+        Row(id, payload)
+      }
+      Multimodal.extractFeatures(s.createDataFrame(rows, schema))
+        .select(col("doc_id"), col("media_status"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -818,5 +849,10 @@ object QueriesPipeline {
         |    WHEN 0 THEN 'ok:png' WHEN 1 THEN 'unsupported:webp'
         |    WHEN 2 THEN 'unsupported:mp3' WHEN 3 THEN 'unsupported:mp4'
         |    ELSE 'stub' END AS media_status
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+    "mm_webp" ->
+      """SELECT doc_id, 'ok:webp' AS media_status,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 31 AS INT) AS height
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
 }

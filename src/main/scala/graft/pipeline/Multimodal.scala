@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   *
   * Decoding is REAL for the formats the stock JDK ships codecs for:
   * `ImageIO` (PNG/JPEG/GIF/BMP — width/height/bands) and
-  * `javax.sound.sampled` (WAV/AU/AIFF — channels/duration). Formats we
-  * RECOGNIZE but the stock JDK cannot decode (webp, mp3, mp4 video) get a
-  * TYPED rejection (`unsupported:<fmt>`, -1 sentinel dims) — a real codec
-  * slots in behind the `decodeTyped` seam via JNI/javacpp, executor-side.
-  * Unrecognized payloads fall back to `decodeStub`'s deterministic fake
-  * metadata, keeping the extraction total (a poison payload must not kill
-  * a 100 TB job).
+  * `javax.sound.sampled` (WAV/AU/AIFF — channels/duration). Formats the
+  * JDK ships no codec for (webp, mp3, mp4 video) get a pure-JVM HEADER
+  * parse — dims/channels/duration live in the container header and need
+  * no pixel/sample codec (`decodeWebP`/`decodeMp3`/`decodeMp4`); a failed
+  * header parse is a TYPED rejection (`unsupported:<fmt>`, -1 sentinel
+  * dims), and full pixel/sample decode for them slots in behind the
+  * `decodeTyped` seam via JNI/javacpp, executor-side. Unrecognized
+  * payloads fall back to `decodeStub`'s deterministic fake metadata,
+  * keeping the extraction total (a poison payload must not kill a 100 TB
+  * job).
   *
   * Scale notes: binary payloads stay columnar in parquet; feature extraction
   * and image resize are narrow mapPartitions (no shuffle); never collect
@@ -119,15 +122,119 @@ object Multimodal {
     * not decode this KNOWN format" from "opaque payload". */
   val UnsupportedMeta: MediaMeta = MediaMeta(-1, -1, -1, -1L)
 
+  // ---- pure-JVM header-metadata parsers (no codec needed) ----
+  // MediaMeta is METADATA (dims/channels/duration), and for webp/mp3/mp4
+  // that lives in the container header — parseable without any pixel or
+  // sample codec. Full decode (pixels, samples, frames) still sits behind
+  // the JNI/javacpp seam; a failed header parse falls back to the typed
+  // rejection, never the stub.
+
+  /** WebP dims from the container header: VP8 (lossy) frame tag, VP8L
+    * (lossless) 14-bit packed dims, VP8X (extended) 24-bit canvas. */
+  def decodeWebP(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 30) return None
+    def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u24(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    new String(b, 12, 4, "ISO-8859-1") match {
+      case "VP8 " => // lossy: 3-byte frame tag, then 9d 01 2a sync, dims u16le
+        if ((b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a)
+          Some(MediaMeta(u16(26) & 0x3fff, u16(28) & 0x3fff, 3, 0L))
+        else None
+      case "VP8L" => // lossless: 0x2f signature, then width-1/height-1 as 14-bit LE fields
+        if ((b(20) & 0xff) != 0x2f) None
+        else {
+          val v = (b(21) & 0xff) | ((b(22) & 0xff) << 8) |
+            ((b(23) & 0xff) << 16) | ((b(24) & 0xff) << 24)
+          Some(MediaMeta((v & 0x3fff) + 1, ((v >> 14) & 0x3fff) + 1, 4, 0L))
+        }
+      case "VP8X" => // extended: canvas dims as 24-bit LE minus one
+        Some(MediaMeta(u24(24) + 1, u24(27) + 1, 4, 0L))
+      case _ => None
+    }
+  }
+
+  /** MP3 channels + CBR duration estimate from the first MPEG-1 Layer III
+    * frame header (after an optional ID3v2 tag). VBR streams get the
+    * first-frame bitrate extrapolated — a documented estimate, still real
+    * header data, never fake dims. */
+  def decodeMp3(b: Array[Byte]): Option[MediaMeta] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte) {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + size
+    }
+    if (off < 0 || off + 4 > b.length) return None
+    val h1 = b(off + 1) & 0xff; val h2 = b(off + 2) & 0xff; val h3 = b(off + 3) & 0xff
+    if ((b(off) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0) return None
+    if ((h1 & 0x18) != 0x18 || (h1 & 0x06) != 0x02) return None // MPEG-1 Layer III only
+    val bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    val rates = Array(44100, 48000, 32000, 0)
+    val br = bitrates((h2 >> 4) & 0xf)
+    if (br == 0 || rates((h2 >> 2) & 3) == 0) return None
+    val channels = if (((h3 >> 6) & 3) == 3) 1 else 2
+    Some(MediaMeta(0, 0, channels, (b.length - off).toLong * 8 / br))
+  }
+
+  /** MP4/ISO-BMFF duration (moov/mvhd) + first video track dims
+    * (trak/tkhd, 16.16 fixed point), via a bounds-checked box walk. */
+  def decodeMp4(b: Array[Byte]): Option[MediaMeta] = {
+    def u32(i: Int): Long = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
+    // first box named `name` scanning [start, end): (contentStart, boxEnd)
+    def findBox(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(off)
+        if (size < 8 || off + size > end) return None
+        if (cc(off + 4) == name) return Some((off + 8, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    try {
+      val (moovS, moovE) = findBox(0, b.length, "moov").getOrElse(return None)
+      val (mvhdS, _) = findBox(moovS, moovE, "mvhd").getOrElse(return None)
+      val ver = b(mvhdS) & 0xff
+      val (timescale, duration) =
+        if (ver == 1) (u32(mvhdS + 20), (u32(mvhdS + 24) << 32) | u32(mvhdS + 28))
+        else (u32(mvhdS + 12), u32(mvhdS + 16))
+      if (timescale == 0) return None
+      var w = 0; var h = 0
+      var from = moovS
+      var more = true
+      while (more && w == 0) {
+        findBox(from, moovE, "trak") match {
+          case Some((tS, tE)) =>
+            findBox(tS, tE, "tkhd").foreach { case (kS, kE) =>
+              val base = if ((b(kS) & 0xff) == 1) kS + 88 else kS + 76
+              if (base + 8 <= kE) {
+                val tw = (u32(base) >> 16).toInt
+                val th = (u32(base + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            }
+            from = tE // siblings are contiguous: next scan starts at this box's end
+          case None => more = false
+        }
+      }
+      Some(MediaMeta(w, h, if (w > 0) 3 else 0, duration * 1000 / timescale))
+    } catch { case _: Exception => None }
+  }
+
   /** Typed total decode: (status, meta) where status is
-    *  - `ok:<fmt>`          — real JDK decode succeeded;
-    *  - `unsupported:<fmt>` — format recognized, no JDK codec (webp, mp3,
-    *                          mp4); meta is the -1 sentinel. The real
-    *                          decoder slots in behind this seam via
-    *                          JNI/javacpp, executor-side;
-    *  - `badheader:<fmt>`   — magic bytes said decodable but the parse
-    *                          failed (lying/truncated header); stub meta
-    *                          keeps the extraction total;
+    *  - `ok:<fmt>`          — real decode succeeded (JDK codec for
+    *                          images/audio; pure-JVM header-metadata
+    *                          parse for webp/mp3/mp4);
+    *  - `unsupported:<fmt>` — format recognized but its header would not
+    *                          parse; meta is the -1 sentinel. Full
+    *                          pixel/sample decode for these formats slots
+    *                          in behind this seam via JNI/javacpp,
+    *                          executor-side;
+    *  - `badheader:<fmt>`   — magic bytes said JDK-decodable but the
+    *                          parse failed (lying/truncated header); stub
+    *                          meta keeps the extraction total;
     *  - `stub`              — unrecognized payload, deterministic stub. */
   def decodeTyped(bytes: Array[Byte]): (String, MediaMeta) = sniffFormat(bytes) match {
     case f @ ("png" | "jpeg" | "gif" | "bmp") =>
@@ -140,7 +247,15 @@ object Multimodal {
         case Some(m) => (s"ok:$f", m)
         case None => (s"badheader:$f", decodeStub(bytes))
       }
-    case f @ ("webp" | "mp3" | "mp4") => (s"unsupported:$f", UnsupportedMeta)
+    case f @ ("webp" | "mp3" | "mp4") =>
+      (f match {
+        case "webp" => decodeWebP(bytes)
+        case "mp3" => decodeMp3(bytes)
+        case _ => decodeMp4(bytes)
+      }) match {
+        case Some(m) => (s"ok:$f", m)
+        case None => (s"unsupported:$f", UnsupportedMeta)
+      }
     case _ => ("stub", decodeStub(bytes))
   }
 

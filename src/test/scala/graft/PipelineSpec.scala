@@ -125,15 +125,18 @@ class PipelineSpec extends SparkSpec {
     }.toArray
     val webp = bytes("RIFF", 0x24, 0, 0, 0, "WEBPVP8 ") ++ new Array[Byte](24)
     val mp3Id3 = bytes("ID3", 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](32)
-    val mp3Sync = bytes(0xff, 0xfb, 0x90, 0x64) ++ new Array[Byte](32)
     val mp4 = bytes(0, 0, 0, 0x20, "ftypisom") ++ new Array[Byte](24)
-    for ((payload, fmt) <- Seq(webp -> "webp", mp3Id3 -> "mp3",
-        mp3Sync -> "mp3", mp4 -> "mp4")) {
+    for ((payload, fmt) <- Seq(webp -> "webp", mp3Id3 -> "mp3", mp4 -> "mp4")) {
       val (status, meta) = Multimodal.decodeTyped(payload)
       assert(status == s"unsupported:$fmt", s"$fmt sniffed as $status")
       assert(meta == Multimodal.UnsupportedMeta,
         s"$fmt must carry the -1 sentinel, not stub dims: $meta")
     }
+    // a VALID bare MPEG-1 Layer III frame header parses for real:
+    // 128 kbps CBR, joint stereo -> 2 channels; 36 bytes * 8 / 128 = 2 ms
+    val mp3Sync = bytes(0xff, 0xfb, 0x90, 0x64) ++ new Array[Byte](32)
+    assert(Multimodal.decodeTyped(mp3Sync) ==
+      (("ok:mp3", Multimodal.MediaMeta(0, 0, 2, 2L))))
     // decodable formats still classify ok:<fmt>
     val (pngStatus, pngMeta) = Multimodal.decodeTyped(Multimodal.syntheticPng(9, 5, 1L))
     assert(pngStatus == "ok:png" && pngMeta.width == 9)
@@ -163,6 +166,46 @@ class PipelineSpec extends SparkSpec {
     assert(statuses(2L) == (("unsupported:mp3", -1)))
     assert(statuses(3L) == (("unsupported:mp4", -1)))
     assert(statuses(4L) == (("ok:png", 9)))
+  }
+
+  test("pure-JVM header parsers: webp (all 3 variants) and mp4 extract real metadata") {
+    import Multimodal.MediaMeta
+    def riff(fourcc: String, chunk: Array[Byte]): Array[Byte] =
+      ("RIFF".getBytes("ISO-8859-1") :+ 0.toByte :+ 0.toByte :+ 0.toByte :+ 0.toByte) ++
+        "WEBP".getBytes("ISO-8859-1") ++ fourcc.getBytes("ISO-8859-1") ++
+        Array[Byte](0, 0, 0, 0) ++ chunk ++ new Array[Byte](16)
+    // VP8 lossy: 3-byte frame tag, 9d 01 2a sync, then u16le dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      0x40, 0x01, 0xf0.toByte, 0x00)) // 320 x 240
+    assert(Multimodal.decodeWebP(vp8).contains(MediaMeta(320, 240, 3, 0L)))
+    // VP8L lossless: 0x2f signature, (w-1) | (h-1)<<14 packed LE
+    val v = (23 - 1) | ((11 - 1) << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+    assert(Multimodal.decodeWebP(vp8l).contains(MediaMeta(23, 11, 4, 0L)))
+    // VP8X extended: 4 flag bytes, then u24le canvas dims minus one
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      99, 0, 0, 49, 0, 0)) // 100 x 50
+    assert(Multimodal.decodeWebP(vp8x).contains(MediaMeta(100, 50, 4, 0L)))
+    // the distributed path reports ok:webp with the parsed dims
+    assert(Multimodal.decodeTyped(vp8l) == (("ok:webp", MediaMeta(23, 11, 4, 0L))))
+
+    // minimal mp4: ftyp + moov{ mvhd v0 (timescale 1000, duration 2500) +
+    // trak{ tkhd v0 (width 640, height 360 as 16.16 fixed) } }
+    val bb = java.nio.ByteBuffer.allocate(152) // big-endian by default
+    bb.putInt(16); bb.put("ftypisom".getBytes("ISO-8859-1")); bb.putInt(0)
+    bb.putInt(136); bb.put("moov".getBytes("ISO-8859-1"))
+    bb.putInt(28); bb.put("mvhd".getBytes("ISO-8859-1"))
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // ver/flags, ctime, mtime
+    bb.putInt(1000); bb.putInt(2500) // timescale, duration
+    bb.putInt(100); bb.put("trak".getBytes("ISO-8859-1"))
+    bb.putInt(92); bb.put("tkhd".getBytes("ISO-8859-1"))
+    (0 until 19).foreach(_ => bb.putInt(0)) // v0 header through the matrix
+    bb.putInt(640 << 16); bb.putInt(360 << 16)
+    val mp4 = bb.array()
+    assert(Multimodal.decodeMp4(mp4).contains(MediaMeta(640, 360, 3, 2500L)))
+    assert(Multimodal.decodeTyped(mp4) == (("ok:mp4", MediaMeta(640, 360, 3, 2500L))))
   }
 
   test("real image resize: dims change, content stays decodable") {
