@@ -477,6 +477,41 @@ object QueriesPipeline {
       Multimodal.extractFeatures(s.createDataFrame(rows, schema))
         .select(col("doc_id"), col("media_status"), col("width"), col("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MP4 header-metadata decode: per-doc ISO-BMFF containers (ftyp +
+    // moov{mvhd, trak{tkhd}}) whose duration and track dims are pure
+    // functions of doc_id; the box-walking parser must recover them, the
+    // oracle recomputes them arithmetically.
+    "mm_mp4" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id").cast(LongType))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val rows = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        val w = 100 + (id % 50).toInt
+        val h = 50 + (id % 25).toInt
+        val durMs = 1000 + (id % 977).toInt
+        val bb = java.nio.ByteBuffer.allocate(152)
+        bb.putInt(16); bb.put("ftypisom".getBytes("ISO-8859-1")); bb.putInt(0)
+        bb.putInt(136); bb.put("moov".getBytes("ISO-8859-1"))
+        bb.putInt(28); bb.put("mvhd".getBytes("ISO-8859-1"))
+        bb.putInt(0); bb.putInt(0); bb.putInt(0) // ver/flags, ctime, mtime
+        bb.putInt(1000); bb.putInt(durMs) // timescale 1000 -> duration IS ms
+        bb.putInt(100); bb.put("trak".getBytes("ISO-8859-1"))
+        bb.putInt(92); bb.put("tkhd".getBytes("ISO-8859-1"))
+        (0 until 19).foreach(_ => bb.putInt(0)) // v0 header through the matrix
+        bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+        Row(id, bb.array())
+      }
+      Multimodal.extractFeatures(s.createDataFrame(rows, schema))
+        .select(col("doc_id"), col("media_status"), col("width"),
+          col("height"), col("duration_ms"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -854,5 +889,11 @@ object QueriesPipeline {
       """SELECT doc_id, 'ok:webp' AS media_status,
         |  CAST(1 + doc_id % 64 AS INT) AS width,
         |  CAST(1 + doc_id % 31 AS INT) AS height
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+    "mm_mp4" ->
+      """SELECT doc_id, 'ok:mp4' AS media_status,
+        |  CAST(100 + doc_id % 50 AS INT) AS width,
+        |  CAST(50 + doc_id % 25 AS INT) AS height,
+        |  CAST(1000 + doc_id % 977 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
 }
