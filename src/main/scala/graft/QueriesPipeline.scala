@@ -512,6 +512,32 @@ object QueriesPipeline {
         .select(col("doc_id"), col("media_status"), col("width"),
           col("height"), col("duration_ms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MP3 header-metadata decode: per-doc CBR streams (one valid MPEG-1
+    // Layer III 128 kbps joint-stereo frame header + doc_id-sized padding);
+    // channels and the CBR duration estimate (bytes*8/bitrate) must match
+    // the oracle's arithmetic.
+    "mm_mp3" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id").cast(LongType))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val rows = docs.rdd.map { r =>
+        val id = r.getLong(0)
+        // 0xff 0xfb 0x90 0x64 = MPEG-1 Layer III, 128 kbps, 44.1 kHz,
+        // joint stereo; payload length = 4 + id % 1000
+        val payload = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x64) ++
+          new Array[Byte]((id % 1000).toInt)
+        Row(id, payload)
+      }
+      Multimodal.extractFeatures(s.createDataFrame(rows, schema))
+        .select(col("doc_id"), col("media_status"), col("n_channels"),
+          col("duration_ms"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -895,5 +921,10 @@ object QueriesPipeline {
         |  CAST(100 + doc_id % 50 AS INT) AS width,
         |  CAST(50 + doc_id % 25 AS INT) AS height,
         |  CAST(1000 + doc_id % 977 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+    "mm_mp3" ->
+      """SELECT doc_id, 'ok:mp3' AS media_status,
+        |  CAST(2 AS INT) AS n_channels,
+        |  CAST((4 + doc_id % 1000) * 8 // 128 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
 }
