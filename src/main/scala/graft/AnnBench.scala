@@ -258,8 +258,9 @@ object AnnBench {
     }.sum / exact.length
 
     idx.maxServePostings = Long.MaxValue // bench corpus is sized to fit
-    idx.servePointDot(queries.head._1, queries.head._2, k) // warm (loads dims)
-    queries.foreach(q => idx.servePointDot(q._1, q._2, k))
+    val tws = System.nanoTime()
+    queries.foreach(q => idx.servePointDot(q._1, q._2, k)) // warm (loads dims)
+    val sparseColdSec = (System.nanoTime() - tws) / 1e9
     val t2 = System.nanoTime()
     val serveDeadline = t2 + 10L * 1000 * 1000 * 1000
     var serveQueries = 0L
@@ -357,6 +358,7 @@ object AnnBench {
       f""""euclid_serve_qps":${euclidQueries / euclidSec}%.2f,""" +
       f""""euclid_serve_recall_at_10":$euclidRecall%.4f,""" +
       f""""euclid_serve_declined":$euclidDeclined,""" +
+      f""""serve_coldload_sec":$sparseColdSec%.2f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendCount.get()},"ingest_wrong":$wrong,""" +
       f""""resident_postings":${idx.servingResidentPostings()}}""")
