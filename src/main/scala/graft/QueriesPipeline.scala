@@ -434,9 +434,9 @@ object QueriesPipeline {
         val id = r.getLong(0)
         val payload: Array[Byte] = (id % 5) match {
           case 0 => Multimodal.syntheticPng((8 + id % 16).toInt, (8 + id % 7).toInt, id)
-          case 1 => "RIFF    WEBPVP8 ".getBytes("ISO-8859-1") ++
+          case 1 => "RIFF\u0000\u0000\u0000\u0000WEBPVP8 ".getBytes("ISO-8859-1") ++
             new Array[Byte](16)
-          case 2 => "ID3 ".getBytes("ISO-8859-1") ++ new Array[Byte](16)
+          case 2 => "ID3\u0004\u0000".getBytes("ISO-8859-1") ++ new Array[Byte](16)
           case 3 => Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes("ISO-8859-1") ++
             new Array[Byte](16)
           case _ => s"plain text $id".getBytes("UTF-8")

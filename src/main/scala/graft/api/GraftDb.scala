@@ -242,6 +242,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     tailCache.keySet.filter(_._1 == name).foreach(tailCache.remove)
     sparseTailCache.keySet.filter(_._1 == name).foreach(sparseTailCache.remove)
     tombCache.remove(name)
+    statsFragCache.keySet.filter(_._1 == name).foreach(statsFragCache.remove)
     appendLocks.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
@@ -785,6 +786,14 @@ class GraftDb(val spark: SparkSession, val root: String,
     * index cardinality stats backing the serving guard (per-cluster rows /
     * per-dim postings, summarized): the observability face of the numbers
     * `servePoint`/`servePointDot` check before any cold collect. */
+  // per-index cardinality fragment for statistics(), keyed on the index
+  // freshness stamp: a polling monitor must read pure JVM state on repeat
+  // calls, not run a Spark aggregation job per indexed field per call.
+  // serveDeclines is deliberately NOT in the fragment — it moves without
+  // the stamp moving, so it is appended live on every call.
+  private val statsFragCache =
+    scala.collection.concurrent.TrieMap[(String, String), (Any, String)]()
+
   def statistics(table: String): String = {
     val st = store(table)
     val idxStats = st.schema.vectorFields.flatMap { f =>
@@ -792,23 +801,36 @@ class GraftDb(val spark: SparkSession, val root: String,
         if (!Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) None
         else {
           val idx = sparseIndex(st, f.name)
-          idx.dimStatsSummary().map { case (dims, total, mx) =>
-            s"""{"field":"${f.name}","type":"sparse","dims":$dims,""" +
-              s""""postings":$total,"maxDimPostings":$mx,""" +
-              s""""serveDeclines":${idx.serveDeclineCount()}}"""
+          val stamp = idx.freshnessStamp()
+          val card = statsFragCache.get((table, f.name)) match {
+            case Some((s, c)) if s == stamp => c
+            case _ =>
+              // pre-stats layouts (summary None) still report the index —
+              // they are exactly the ones paying cold-load count probes and
+              // most likely to decline, so hiding them would blind the
+              // operator to the serving tier that needs attention most
+              val c = idx.dimStatsSummary().map { case (dims, total, mx) =>
+                s""""dims":$dims,"postings":$total,"maxDimPostings":$mx,"""
+              }.getOrElse("")
+              statsFragCache((table, f.name)) = (stamp, c)
+              c
           }
+          Some(s"""{"field":"${f.name}","type":"sparse",$card""" +
+            s""""serveDeclines":${idx.serveDeclineCount()}}""")
         }
       } else {
         if (!Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) None
         else {
           val idx = index(st, f.name)
-          idx.clusterStats().map { m =>
+          // clusterStats() is already stamp-cached on the instance: warm
+          // calls are map reads, no job
+          val card = idx.clusterStats().map { m =>
             val total = m.values.sum
             val mx = if (m.isEmpty) 0L else m.values.max
-            s"""{"field":"${f.name}","type":"ivf","clusters":${m.size},""" +
-              s""""rows":$total,"maxClusterRows":$mx,""" +
-              s""""serveDeclines":${idx.serveDeclineCount()}}"""
-          }
+            s""""clusters":${m.size},"rows":$total,"maxClusterRows":$mx,"""
+          }.getOrElse("")
+          Some(s"""{"field":"${f.name}","type":"ivf",$card""" +
+            s""""serveDeclines":${idx.serveDeclineCount()}}""")
         }
       }
     }

@@ -411,6 +411,11 @@ class IvfIndex(
     * fresh tail (NOT `indexedWatermark`, which appends keep moving). */
   def servingWatermark(): Long = synchronized { ensureServeFresh(); serveWatermark }
 
+  /** The full freshness stamp (watermark, count, purge, gen) as an opaque
+    * cache key: one tiny file read, no Spark job — callers key their own
+    * derived caches (e.g. statistics() summaries) on it. */
+  private[graft] def freshnessStamp(): Any = stamp()
+
   /** Drop residency and re-pin at the current watermark — the caller's
     * move when the fresh tail outgrows its cap. */
   def rebaseServing(): Unit = synchronized {
@@ -552,22 +557,34 @@ class IvfIndex(
           .map(_._1)
         probed.filterNot(serveCache.containsKey(_))
       }
-      if (missing.nonEmpty) {
-        // cardinality pre-check BEFORE the collect: a degenerate cluster
-        // larger than the budget never reaches the driver. Feasibility is
-        // judged on the probe set alone (eviction keeps only these).
-        val counts = clusterStats().getOrElse(probeClusterCounts(missing))
-        val projected = missing.map(counts.getOrElse(_, 0L)).sum
-        val retained = synchronized {
-          probed.filter(serveCache.containsKey(_))
-            .map(serveCache.get(_)._1.length.toLong).sum
+      // probe + load are guarded: a rebuild overwriting clustered/ between
+      // the stamp read and the collect throws FileNotFound out of the job —
+      // treated as one failed attempt (the retry re-reads the stamp and
+      // re-lists), never an exception out of servePoint; persistent churn
+      // declines via the attempt bound
+      var loaded: Map[Int, (Array[Long], Array[Double], Array[Double])] = null
+      try {
+        if (missing.nonEmpty) {
+          // cardinality pre-check BEFORE the collect: a degenerate cluster
+          // larger than the budget never reaches the driver. Feasibility is
+          // judged on the probe set alone (eviction keeps only these).
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            probed.filter(serveCache.containsKey(_))
+              .map(serveCache.get(_)._1.length.toLong).sum
+          }
+          if (projected + retained > effectiveMaxRows(q.length)) return decline
         }
-        if (projected + retained > effectiveMaxRows(q.length)) return decline
-      }
-      val loaded =
-        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
-        else loadClusters(vecCol, missing) // the Spark job — lock NOT held
-      synchronized {
+        loaded =
+          if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
+          else loadClusters(vecCol, missing) // the Spark job — lock NOT held
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        // force a stamp re-read past the 250 ms rate limit: the failure
+        // usually IS a stamp move this instance hasn't observed yet
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
         ensureServeFresh()
         // a rebase OR a rebuild/purge between the lock windows invalidated
         // what we loaded (a purge rebuild can even leave the watermark

@@ -29,10 +29,52 @@ private[index] object MetaJson {
     val tmp = target.resolveSibling(
       s"${target.getFileName}.${java.lang.ProcessHandle.current().pid()}" +
         s".${Thread.currentThread().getId}.${System.nanoTime()}.tmp")
-    java.nio.file.Files.write(tmp, content.getBytes)
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      // force the bytes to disk BEFORE the rename: a power loss between
+      // move and flush could otherwise surface an empty/old stamp after
+      // the directory entry already points at the new file
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(content.getBytes))
+        ch.force(true)
+      } finally ch.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // a writer that dies between write and move must not strand staging
+      // files next to the meta (they accumulate across crashed runs)
+      java.nio.file.Files.deleteIfExists(tmp); ()
+    }
+    sweepOrphanTmp(target)
+  }
+
+  // best-effort removal of stale *.tmp siblings left by writers that died
+  // mid-write in OTHER processes; only files older than a minute are swept
+  // so a concurrent writer's in-flight staging file is never yanked away
+  private def sweepOrphanTmp(target: java.nio.file.Path): Unit = {
+    val dir = target.getParent
+    if (dir == null || !java.nio.file.Files.isDirectory(dir)) return
+    val prefix = s"${target.getFileName}."
+    val cutoff = System.currentTimeMillis - 60000L
+    scala.util.Try {
+      val stream = java.nio.file.Files.list(dir)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith(prefix) && name.endsWith(".tmp") &&
+              scala.util.Try(java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+                .getOrElse(false))
+            java.nio.file.Files.deleteIfExists(p)
+        }
+      } finally stream.close()
+    }
+    ()
   }
 
   /** Read one long field out of already-loaded meta content. */

@@ -102,6 +102,11 @@ class SparseIndex(
     * fresh tail (NOT `indexedWatermark`, which appends keep moving). */
   def servingWatermark(): Long = synchronized { refreshIfStale(); serveWatermark }
 
+  /** The full freshness stamp (watermark, count, purge, buckets, gen) as an
+    * opaque cache key: one tiny file read, no Spark job — callers key their
+    * own derived caches (e.g. statistics() summaries) on it. */
+  private[graft] def freshnessStamp(): Any = stamp()
+
   /** Drop residency and re-pin at the current watermark — the caller's
     * move when the fresh tail outgrows its cap. */
   def rebaseServing(): Unit = synchronized { cachedStamp = null; serveKey = null }
@@ -435,26 +440,39 @@ class SparseIndex(
         keyAtProbe = serveKey
         qIdx.filterNot(serveCache.containsKey(_))
       }
-      if (missing.nonEmpty) {
-        // cardinality pre-check: what would THIS query need resident? The
-        // eviction pass can drop everything except the query's own dims, so
-        // the feasibility bound is the query's dims alone. Persisted stats
-        // count the whole layout (>= the pinned subset: conservative);
-        // dims absent from the bounded resident map are charged the
-        // truncation cutoff (an upper bound on their true count).
-        val (counts, cutoff) = dimStatsResident()
-          .getOrElse((probeDimCounts(missing), 0L))
-        val projected = missing.map(counts.getOrElse(_, cutoff)).sum
-        val retained = synchronized {
-          qIdx.filter(serveCache.containsKey(_))
-            .map(serveCache.get(_)._1.length.toLong).sum
+      // probe + load are guarded: a full rebuild overwriting postings/
+      // between the stamp read and the collect surfaces as a
+      // FileNotFoundException from the job — that is one failed attempt
+      // (the next pass re-reads the stamp and re-lists), NOT an exception
+      // out of servePointDot; persistent churn declines via the attempt
+      // bound, honoring the decline-instead-of-throw serving contract
+      var loaded: Map[Int, (Array[Long], Array[Double], Array[Double])] = null
+      try {
+        if (missing.nonEmpty) {
+          // cardinality pre-check: what would THIS query need resident? The
+          // eviction pass can drop everything except the query's own dims, so
+          // the feasibility bound is the query's dims alone. Persisted stats
+          // count the whole layout (>= the pinned subset: conservative);
+          // dims absent from the bounded resident map are charged the
+          // truncation cutoff (an upper bound on their true count).
+          val (counts, cutoff) = dimStatsResident()
+            .getOrElse((probeDimCounts(missing), 0L))
+          val projected = missing.map(counts.getOrElse(_, cutoff)).sum
+          val retained = synchronized {
+            qIdx.filter(serveCache.containsKey(_))
+              .map(serveCache.get(_)._1.length.toLong).sum
+          }
+          if (projected + retained > maxServePostings) return decline
         }
-        if (projected + retained > maxServePostings) return decline
-      }
-      val loaded =
-        if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
-        else loadDimPostings(missing) // outside the lock: a real Spark job
-      synchronized {
+        loaded =
+          if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
+          else loadDimPostings(missing) // outside the lock: a real Spark job
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        // the racing rebuild that broke the load also moved the stamp;
+        // invalidate cached relations so the retry re-lists fresh paths
+        synchronized { refreshIfStale() }
+      } else synchronized {
         refreshIfStale()
         // a rebase OR a rebuild/purge between the lock windows invalidated
         // what we loaded (a purge rebuild can leave the watermark
@@ -579,16 +597,20 @@ class SparseIndex(
       }
       // one slim job outside the lock (same discipline as the posting
       // load); pinned to the serving snapshot captured above — fresh rows'
-      // norms arrive as tailNorms
+      // norms arrive as tailNorms. Try-guarded: a rebuild overwriting
+      // norms/ mid-collect is one failed attempt, not a thrown serve.
       val cap = maxServeMinNorm
-      val loaded = norms()
-        .filter(col(idCol).cast("long") <= w0)
-        .orderBy(col("norm2").asc, col(idCol).asc)
-        .limit(cap)
-        .select(col(idCol).cast("long"), col("norm2").cast("double"))
-        .collect()
-        .map(r => (r.getLong(0), r.getDouble(1)))
-      synchronized {
+      val loaded = scala.util.Try {
+        norms()
+          .filter(col(idCol).cast("long") <= w0)
+          .orderBy(col("norm2").asc, col(idCol).asc)
+          .limit(cap)
+          .select(col(idCol).cast("long"), col("norm2").cast("double"))
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+      }.getOrElse(null)
+      if (loaded == null) synchronized { refreshIfStale() }
+      else synchronized {
         refreshIfStale()
         // same revalidation as residentLists: a rebuild/rebase between the
         // windows makes this list cover the wrong snapshot — retry, do not
