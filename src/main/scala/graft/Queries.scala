@@ -174,7 +174,8 @@ object Queries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_full_${math.abs(dir.hashCode)}"
       val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
         graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
-      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8)
+      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10,
+          nProbe = idx.centroids().length) // full probe even if skew-split added clusters
         .select(col("vec_id"))
     }),
 
@@ -200,10 +201,11 @@ object Queries {
           .select(col("vec_id")).collect().map(_.getLong(0)).toSet
         ivfIds.intersect(exactIds).size / 10.0
       }
+      val nAll = idx.centroids().length // full probe stays exact post-split
       var nProbe = 4
       var recall = recallAt(nProbe)
-      while (recall < 0.9 && nProbe < 8) {
-        nProbe = math.min(8, nProbe * 2)
+      while (recall < 0.9 && nProbe < nAll) {
+        nProbe = math.min(nAll, nProbe * 2)
         recall = recallAt(nProbe)
       }
       import s.implicits._
@@ -229,7 +231,8 @@ object Queries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfq_${math.abs(dir.hashCode)}"
       val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
         graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
-      idx.searchQuantized("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8)
+      idx.searchQuantized("embedding", SparkEntry.queryVectorOf(s, dir), k = 10,
+        nProbe = idx.centroids().length)
         .select(col("vec_id"))
     }),
     // P10: @distance usable in the filter (post-filter mode)
@@ -395,7 +398,8 @@ object Queries {
       val idx = graft.index.IvfIndex.build(s, emb.filter(col("vec_id") <= cut),
         "embedding", "vec_id", path, graft.types.MetricType.Euclidean,
         nClusters = 8, maxIter = 3)
-      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10, nProbe = 8,
+      idx.search("embedding", SparkEntry.queryVectorOf(s, dir), k = 10,
+          nProbe = idx.centroids().length,
           freshTail = Some(emb.filter(col("vec_id") > cut)))
         .select(col("vec_id"))
     }),

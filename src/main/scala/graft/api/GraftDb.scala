@@ -839,6 +839,52 @@ class GraftDb(val spark: SparkSession, val root: String,
     s"""{"table":"$table","totalRecords":${st.count()}$suffix}"""
   }
 
+  /** Decline-feedback heal (called from Maintenance.tick): serve declines
+    * are the operational signal that queries are falling off the serve
+    * path onto the ~1 qps job path. For a DENSE index the usual cause is
+    * a degenerate k-means cluster bigger than the serving budget — split
+    * it locally (IvfIndex.splitOversized) against a budget-derived bound.
+    * For a SPARSE index a decline burst usually means appended small
+    * files, a pre-stats/pre-norms layout, or probe-guarded cold loads — a
+    * FORCED full rebuild (bypassing skip-as-unchanged) refreshes layout,
+    * stats and norms in one pass. Counters reset after the heal: declines
+    * are a per-generation signal. Returns how many indexes were healed. */
+  private[graft] def healServingDeclines(table: String,
+      minDeclines: Long = 1L): Int = {
+    val st = store(table)
+    var healed = 0
+    st.schema.vectorFields.foreach { f =>
+      if (graft.types.FieldType.isSparse(f.fieldType)) {
+        if (Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) {
+          val idx = sparseIndex(st, f.name)
+          if (idx.serveDeclineCount() >= minDeclines) {
+            graft.index.SparseIndex.build(spark, st.read(), f.name,
+              graft.store.TableStore.RowId, s"$root/$table/spidx_${f.name}",
+              buckets = math.max(1, idx.buckets()), purgeGen = st.purgeGen())
+            idx.resetServeDeclineCount()
+            healed += 1
+          }
+        }
+      } else {
+        if (Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) {
+          val idx = index(st, f.name)
+          if (idx.serveDeclineCount() >= minDeclines) {
+            // half the probe-set budget per cluster (and splitOversized
+            // itself targets half ITS bound per sub-cluster): a healed
+            // layout serves multi-probe queries, not just single-probe
+            val bound = math.max(1L, idx.serveBudgetRows(f.dimensions) / 2)
+            if (graft.index.IvfIndex.splitOversized(spark,
+                s"$root/$table/ivf_${f.name}", f.name,
+                graft.store.TableStore.RowId, f.metric, maxRows = bound) > 0)
+              healed += 1
+            idx.resetServeDeclineCount()
+          }
+        }
+      }
+    }
+    healed
+  }
+
   /** Index handles for tests and operational tooling (serving budgets are
     * live-settable fields on the instances). */
   private[graft] def denseIndexFor(table: String, field: String): graft.index.IvfIndex =

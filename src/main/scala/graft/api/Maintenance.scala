@@ -1,7 +1,7 @@
 package graft.api
 
 case class MaintenanceReport(indexesRebuilt: Int, manifestsExpired: Int,
-    walFilesExpired: Int, indexesAppended: Int = 0)
+    walFilesExpired: Int, indexesAppended: Int = 0, indexesHealed: Int = 0)
 
 /** Background maintenance, the Spark analog of the reference's rebuild
   * thread + WAL janitor (reference: db_server.hpp:21,133-142 — rebuild
@@ -25,13 +25,15 @@ class Maintenance(
     db: GraftDb,
     rebuildIntervalMs: Long = 60000L,
     retentionMs: Long = 7L * 24 * 3600 * 1000,
-    walDirs: Map[String, String] = Map.empty) {
+    walDirs: Map[String, String] = Map.empty,
+    declineHealThreshold: Long = 1L) {
 
   def tick(now: Long = System.currentTimeMillis): MaintenanceReport = {
     var rebuilt = 0
     var appended = 0
     var manifests = 0
     var walFiles = 0
+    var healed = 0
     db.listTables().foreach { t =>
       val st = db.store(t)
       // append-first: catch existing indexes up to the store watermark —
@@ -46,13 +48,20 @@ class Maintenance(
       // index (rebuildIndex dispatches on the field type)
       st.schema.vectorFields
         .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+      // decline feedback: serve declines accumulated since the last heal
+      // mean queries are falling off the serve path — split oversized IVF
+      // clusters / force-refresh sparse layouts, then reset the counters
+      // (they are a per-generation signal). This is the loop that turns
+      // the serving guard's "decline, don't OOM" verdicts into layout
+      // repairs instead of a permanent job-path floor.
+      healed += db.healServingDeclines(t, declineHealThreshold)
       manifests += st.expireVersions(retentionMs, now)
       st.vacuum()
       walDirs.get(t).foreach { dir =>
         walFiles += graft.streaming.WalStream.expire(dir, st, retentionMs, now)
       }
     }
-    MaintenanceReport(rebuilt, manifests, walFiles, appended)
+    MaintenanceReport(rebuilt, manifests, walFiles, appended, healed)
   }
 
   @volatile private var running = false

@@ -449,7 +449,15 @@ class IvfIndex(
   // queries are falling off the serve path onto the job path
   private val declines = new java.util.concurrent.atomic.AtomicLong(0L)
   def serveDeclineCount(): Long = declines.get()
+  /** Maintenance resets the counter after acting on it (heal/rebuild):
+    * declines are a per-generation signal, not a lifetime total. */
+  private[graft] def resetServeDeclineCount(): Unit = declines.set(0L)
   private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
+
+  /** Serving residency budget in ROWS at the given dimensionality (the
+    * binding of the row cap and the byte cap) — the skew-split threshold
+    * Maintenance passes to `IvfIndex.splitOversized` when declines rise. */
+  def serveBudgetRows(dim: Int): Long = effectiveMaxRows(dim)
 
   /** Low-latency top-K answered on the DRIVER: centroid argmin -> probe
     * the nProbe nearest clusters from the resident cache -> bounded-heap
@@ -858,7 +866,187 @@ object IvfIndex {
       else 0L
     writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen, gen = prevGen + 1)
     prepared.unpersist()
+    // organic-skew guard at build time: a cluster past 4x the mean row
+    // count (k-means collapsed a dense region into one cell) is re-split
+    // locally before anyone serves from it
+    splitOversized(spark, path, vecCol, idCol, metric,
+      maxRows = math.max(4L * n / math.max(1, nClusters), MinimalIndexSize.toLong))
     new IvfIndex(spark, path, idCol, metric)
+  }
+
+  /** Split every cluster whose row count exceeds `maxRows` into locally
+    * re-fitted sub-clusters (the Spark analog of the reference's periodic
+    * neighborhood redistribution at rebuild, table_mvp.cpp:94-203): the
+    * serving cardinality guard declines any probe whose resident rows
+    * exceed the budget, so a degenerate k-means cluster holding most of
+    * the corpus permanently falls off the serve path onto the ~1 qps job
+    * path. The fix is LOCAL — re-fit k-means over just the oversized
+    * cluster's rows (bounded sample, driver-local Lloyd: the fit needs no
+    * distributed iteration at cluster scale), assign only those rows to
+    * fresh sub-cluster ids, and retire the old id. One pruned read + one
+    * partition-scoped write per oversized cluster; the rest of the layout
+    * is untouched. Bumps the build generation so serving residency and
+    * cross-process caches flush (cluster membership changed).
+    *
+    * Crash window: a writer dying between the staged write and the old-dir
+    * delete leaves rows duplicated across old+new partitions until the
+    * next split/rebuild redoes the (idempotent) pass — same redo contract
+    * as needsOrphanHeal. Returns the number of clusters split. */
+  def splitOversized(spark: SparkSession, path: String, vecCol: String,
+      idCol: String, metric: MetricType.Value, maxRows: Long,
+      maxIter: Int = 5): Int = {
+    import spark.implicits._
+    val metaFile = s"$path/ivf_meta.json"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(metaFile))) return 0
+    val dataPath = s"$path/clustered"
+    val statsPath = s"$path/cluster_stats"
+    val centsPath = s"$path/centroids"
+    // counts from the persisted stats when present (appends land deltas:
+    // sum), else one footer-count pass over the layout
+    val counts: Map[Int, Long] =
+      (if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)))
+        spark.read.parquet(statsPath)
+          .groupBy(col("cluster")).agg(sum(col("cnt")).as("cnt"))
+      else spark.read.parquet(dataPath)
+        .groupBy(col("cluster").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("cnt")))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oversized = counts.filter(_._2 > maxRows).toSeq.sortBy(_._1)
+    if (oversized.isEmpty) return 0
+    val cents = scala.collection.mutable.LinkedHashMap[Int, Array[Float]]()
+    spark.read.parquet(centsPath).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+      .sortBy(_._1).foreach { case (id, c) => cents(id) = c }
+    var nextId = cents.keys.max + 1
+    var split = 0
+    oversized.foreach { case (cid, cnt) =>
+      // target HALF the bound per sub-cluster: headroom for later appends
+      // before the same cluster trips the guard again
+      val subK = math.min(256L,
+        math.max(2L, (2 * cnt + maxRows - 1) / math.max(1L, maxRows))).toInt
+      // the oversized cluster is ONE partition directory: read it alone
+      // (no partition column in the frame), fit on a bounded deterministic
+      // sample, assign with the shared argmin expression
+      val clusterDir = s"$dataPath/cluster=$cid"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(clusterDir))) {
+        val rows = spark.read.parquet(clusterDir)
+        val sampleN = math.min(16384L, math.max(128L * subK, 4096L))
+        val frac = math.min(1.0, sampleN.toDouble * 1.2 / math.max(1L, cnt))
+        val sampled = (if (frac >= 1.0) rows else rows.sample(withReplacement = false, frac, seed = 42L))
+          .select(col(vecCol)).limit(sampleN.toInt).collect()
+          .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+        if (sampled.length >= 2) {
+          val subCents = localLloyd(sampled, subK, metric, maxIter)
+          val ids = Array.tabulate(subCents.length)(nextId + _)
+          nextId += subCents.length
+          // stage the reassigned rows OUTSIDE the layout (writing into a
+          // path while reading it is illegal), then move the partition
+          // dirs into place and retire the old one — dir renames, no copy
+          val staged = s"$path/split_stage"
+          deleteRecursively(staged)
+          rows
+            .withColumn("__sub", nearestClusterCol(metric, col(vecCol), subCents))
+            .withColumn("cluster", element_at(lit(ids), col("__sub") + 1))
+            .drop("__sub")
+            .repartition(col("cluster"))
+            .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(staged)
+          ids.foreach { id =>
+            val src = java.nio.file.Paths.get(s"$staged/cluster=$id")
+            if (java.nio.file.Files.exists(src)) {
+              deleteRecursively(s"$dataPath/cluster=$id") // crashed-redo leftovers
+              java.nio.file.Files.move(src,
+                java.nio.file.Paths.get(s"$dataPath/cluster=$id"))
+            }
+          }
+          deleteRecursively(clusterDir)
+          deleteRecursively(staged)
+          cents.remove(cid)
+          subCents.zip(ids).foreach { case (c, id) => cents(id) = c }
+          split += 1
+        }
+      }
+    }
+    if (split == 0) return 0
+    // rewrite the (tiny) centroid table, recount stats off the new layout
+    // footers, then bump the generation: every live instance — this
+    // process or another JVM — must flush residency and re-list
+    cents.toSeq.map { case (id, c) => (id, c.toSeq) }.toDF("cluster", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(centsPath)
+    spark.read.parquet(dataPath)
+      .groupBy(col("cluster").cast("int").as("cluster"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath)
+    val (wm, cnt0, purge) = readMeta(metaFile)
+    writeMeta(metaFile, wm, cnt0, purge, base = readBase(metaFile),
+      gen = readGen(metaFile) + 1)
+    split
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Driver-local Lloyd over a bounded sample: the split fit runs at
+    * single-cluster scale, where a distributed iteration per Lloyd step
+    * would be all overhead. Deterministic stride-spread seeds. */
+  private def localLloyd(sample: Array[Array[Float]], k: Int,
+      metric: MetricType.Value, maxIter: Int): Array[Array[Float]] = {
+    val n = sample.length
+    val kk = math.min(k, n)
+    val dim = sample(0).length
+    var cents = Array.tabulate(kk)(i => sample(((i.toLong * n) / kk).toInt).clone())
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = dist(metric, sample(i), cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      i = 0
+      while (i < n) {
+        val s = sums(assign(i))
+        val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        cnts(assign(i)) += 1
+        i += 1
+      }
+      moved = false
+      val next = new Array[Array[Float]](kk)
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) == 0) next(c) = cents(c)
+        else {
+          val a = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { a(j) = (sums(c)(j) / cnts(c)).toFloat; j += 1 }
+          next(c) = a
+        }
+        if (dist(MetricType.Euclidean, next(c), cents(c)) > 1e-12) moved = true
+        c += 1
+      }
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** Int8 codes stored NEXT TO the float vectors in the clustered layout

@@ -366,6 +366,9 @@ class SparseIndex(
   // the job path (time to raise budgets, rebuild, or shard)
   private val declines = new java.util.concurrent.atomic.AtomicLong(0L)
   def serveDeclineCount(): Long = declines.get()
+  /** Maintenance resets the counter after acting on it (rebuild): declines
+    * are a per-generation signal, not a lifetime total. */
+  private[graft] def resetServeDeclineCount(): Unit = declines.set(0L)
   private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
 
   /** One pruned job collecting the posting lists of `missing` dims —

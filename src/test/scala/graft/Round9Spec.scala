@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.index.{IvfIndex, SparseIndex}
+import graft.types.MetricType
+
+/** Round 9: the serving tier's remaining ceilings. A degenerate k-means
+  * cluster used to DECLINE forever (safe, but a permanent ~1 qps job-path
+  * floor for those probes); now maintenance SPLITS it locally against the
+  * serving budget (IvfIndex.splitOversized) and the declined probes serve.
+  * Decline counters feed that loop (Maintenance.tick -> healServingDeclines)
+  * and reset per generation. */
+class Round9Spec extends SparkSpec {
+
+  /** Two blobs, one heavy (all rows but `light`) and one light — k-means
+    * with 2 clusters separates them, leaving a degenerate hot cluster
+    * (same fixture as Round8Spec). */
+  private def skewedVectors(n: Int, light: Int, idName: String = "id"): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val base = if (i < light) 10f else 0f
+      Row(i.toLong, Seq(base + (i % 13) * 0.01f, base, base, base))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField(idName, LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  private def fullProbeIds(idx: IvfIndex, q: Array[Float], k: Int): Seq[Long] =
+    idx.search("vec", q, k, nProbe = idx.centroids().length)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+
+  test("splitOversized preserves layout contents exactly: full-probe search unchanged, no row lost or duplicated") {
+    val df = skewedVectors(2000, light = 200)
+    val path = tmpDir("r9_split_layout")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val idx0 = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    val before = fullProbeIds(idx0, Array(0f, 0f, 0f, 0f), 20)
+    val genBefore = idx0.freshnessStamp().asInstanceOf[(Long, Long, Long, Long)]._4
+    // 1800-row hot cluster vs bound 300: one cluster must split
+    assert(IvfIndex.splitOversized(spark, path, "vec", "id",
+      MetricType.Euclidean, maxRows = 300) == 1)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    assert(idx.centroids().length > 2, s"split must add centroids: ${idx.centroids().length}")
+    val stats = idx.clusterStats().get
+    assert(stats.values.sum == 2000L, s"rows lost/duplicated by the split: $stats")
+    // the generation bumped: live instances (any process) flush residency
+    val genAfter = idx.freshnessStamp().asInstanceOf[(Long, Long, Long, Long)]._4
+    assert(genAfter == genBefore + 1)
+    // full-probe search is EXACT search: byte-identical before/after
+    assert(fullProbeIds(idx, Array(0f, 0f, 0f, 0f), 20) == before)
+    // repeated passes converge: every cluster ends under the bound (the
+    // fixture has ~138 rows per distinct value, so cells can get there)
+    var guard = 0
+    while (IvfIndex.splitOversized(spark, path, "vec", "id",
+        MetricType.Euclidean, maxRows = 300) > 0 && guard < 5) guard += 1
+    val idx2 = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    val stats2 = idx2.clusterStats().get
+    assert(stats2.values.sum == 2000L, stats2.toString)
+    assert(stats2.values.max <= 300L, s"split did not converge: $stats2")
+    assert(fullProbeIds(idx2, Array(0f, 0f, 0f, 0f), 20) == before)
+  }
+
+  test("maintenance heals a declined degenerate cluster: the probe serves after the tick, job-path-equal") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r9_heal_db"))
+    db.createTable(
+      """{"name":"Skew","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Vec","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val st = db.store("Skew")
+    st.insert(skewedVectors(2000, light = 200, idName = "ID")
+      .withColumnRenamed("vec", "Vec"))
+    assert(db.rebuildIndex("Skew", "Vec"))
+    val idx = db.denseIndexFor("Skew", "Vec")
+    // build-time auto-split already capped clusters at ~4x the mean, so
+    // push the serving budget BELOW the surviving cluster sizes to
+    // manufacture the decline regime maintenance must heal from
+    idx.maxServeRows = 50
+    idx.rebaseServing()
+    val q = Array(0f, 0f, 0f, 0f)
+    // the degenerate cluster declines (cardinality guard, before any load)
+    assert(idx.servePoint("Vec", q, 10, nProbe = 1).isEmpty,
+      "degenerate-cluster probe must decline before the heal")
+    assert(idx.serveDeclineCount() >= 1L)
+    // the maintenance tick sees the decline burst and splits the cluster
+    // against the serving budget; the counter resets (per-generation)
+    val report = new graft.api.Maintenance(db).tick()
+    assert(report.indexesHealed == 1, report.toString)
+    assert(idx.serveDeclineCount() == 0L)
+    // the SAME probe now serves — and matches the job path over the same
+    // probe set exactly (the healed layout's nearest cluster fits)
+    val served = idx.servePoint("Vec", q, 10, nProbe = 1)
+    assert(served.isDefined, "healed layout must serve without declining")
+    val viaJob = idx.search("Vec", q, 10, nProbe = 1)
+      .select(col(graft.store.TableStore.RowId)).collect().map(_.getLong(0)).toSeq
+    assert(served.get.map(_._1).toSeq == viaJob)
+    // a second tick with no declines is a no-op (no thrash-healing)
+    assert(new graft.api.Maintenance(db).tick().indexesHealed == 0)
+  }
+
+  test("sparse decline burst forces a layout refresh through the same loop") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r9_sp_heal_db"))
+    db.createTable(
+      """{"name":"SpH","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    val st = db.store("SpH")
+    val rows = (1 to 300).map { i =>
+      Row(i.toLong, Row(Seq(10 + (i % 50)), Seq((i % 5 + 0.5).toFloat)))
+    }
+    st.insert(spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = true)))))
+    assert(db.rebuildIndex("SpH", "SV"))
+    val idx = db.sparseIndexFor("SpH", "SV")
+    def gen(): Long =
+      idx.freshnessStamp().asInstanceOf[(Long, Long, Long, Long, Long)]._5
+    val genBefore = gen()
+    // manufacture a decline burst (budget below any posting list)
+    idx.maxServePostings = 0
+    assert(idx.servePointDot(Array(15), Array(1f), 5).isEmpty)
+    assert(idx.serveDeclineCount() >= 1L)
+    idx.maxServePostings = 16L * 1024 * 1024
+    val report = new graft.api.Maintenance(db).tick()
+    assert(report.indexesHealed == 1, report.toString)
+    assert(idx.serveDeclineCount() == 0L)
+    // the forced rebuild bumped the generation (fresh layout, fresh stats)
+    assert(gen() == genBefore + 1)
+    // and the index still answers exactly
+    val served = idx.servePointDot(Array(15), Array(1f), 5)
+    assert(served.isDefined && served.get.nonEmpty)
+  }
+}
