@@ -351,6 +351,54 @@ object AnnBench {
     stopIngest.set(true)
     writer.join(30000)
 
+    // WAND hot-dim serving: add a STOP-WORD dim (present in every row)
+    // with a two-level magnitude profile — 1000 rare high-impact postings
+    // (2.0) over a uniform 0.05 floor — and serve queries touching it
+    // EXACTLY from an impact-ordered prefix under a budget that makes
+    // full residency impossible (the dim holds n postings, the budget
+    // 1M). This is the classic max-score regime: the persisted magnitude
+    // bound proves the 0.05 tail cannot reach a top-10 owned by 2.0s, so
+    // the serve is provably exact without ever collecting the full list.
+    import graft.index.SparseIndex
+    val hotDim = vocab + nnz + 64 // disjoint from corpus and ingest dims
+    val wandPath = s"${System.getProperty("java.io.tmpdir")}/graft_spwand_$n"
+    val hotPostings = spark.range(n).select(col("id"), lit(hotDim).as("dim"),
+      when(pmod(col("id"), lit(2000)) === 0, lit(2.0f))
+        .otherwise(lit(0.05f)).as("v"))
+    val tw0 = System.nanoTime()
+    val widx = SparseIndex.buildFromPostings(spark,
+      SparseIndex.postingsOf(df, "sv", "id").unionByName(hotPostings), "id",
+      wandPath, buckets = 64, watermark = Some(n - 1), rowCount = Some(n))
+    val wandBuildSec = (System.nanoTime() - tw0) / 1e9
+    // budget strictly below the stop-word dim's n postings: the bench must
+    // exercise the PREFIX regime at every corpus size, not full residency
+    widx.maxServePostings = math.min(1L << 20, n / 2)
+    val wandQueries = queries.map(q => Array(hotDim, q._1.head))
+    def wandJob(q: Array[Int]): Seq[Long] =
+      widx.topKDot(q, q.map(_ => 1.0f), k).select("id").collect()
+        .map(_.getLong(0)).toSeq
+    val wandExact = wandQueries.map(wandJob)
+    wandQueries.foreach(q => widx.servePointDot(q, q.map(_ => 1.0f), k)) // warm
+    val declBefore = widx.serveDeclineCount()
+    val tw1 = System.nanoTime()
+    val wandDeadline = tw1 + 5L * 1000 * 1000 * 1000
+    var wandServed = 0L
+    while (wandServed == 0L || System.nanoTime() < wandDeadline) {
+      var qi = 0
+      while (qi < wandQueries.length) {
+        widx.servePointDot(wandQueries(qi), wandQueries(qi).map(_ => 1.0f), k)
+        qi += 1
+      }
+      wandServed += wandQueries.length
+    }
+    val wandSec = (System.nanoTime() - tw1) / 1e9
+    val wandDeclined = widx.serveDeclineCount() - declBefore
+    val wandAnswers = wandQueries.map(q =>
+      widx.servePointDot(q, q.map(_ => 1.0f), k))
+    val wandRecall = wandExact.zip(wandAnswers).collect {
+      case (e, Some(a)) => e.toSet.intersect(a.map(_._1).toSet).size.toDouble / e.size
+    }.sum / math.max(1, wandAnswers.count(_.isDefined))
+
     println(f"""{"metric":"sparse_vs_scan","n":$n,"queries":${queries.length},""" +
       f""""scan_qps":${queries.length / scanSec}%.2f,"job_qps":${queries.length / jobSec}%.2f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"build_sec":$buildSec%.2f,""" +
@@ -361,6 +409,9 @@ object AnnBench {
       f""""serve_coldload_sec":$sparseColdSec%.2f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendCount.get()},"ingest_wrong":$wrong,""" +
+      f""""wand_serve_qps":${wandServed / wandSec}%.2f,""" +
+      f""""wand_recall_at_10":$wandRecall%.4f,"wand_declined":$wandDeclined,""" +
+      f""""wand_build_sec":$wandBuildSec%.2f,""" +
       f""""resident_postings":${idx.servingResidentPostings()}}""")
   }
 }

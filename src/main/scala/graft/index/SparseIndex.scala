@@ -60,6 +60,11 @@ class SparseIndex(
   @transient private var postingsCache: DataFrame = null
   @transient private var normsCache: DataFrame = null
   @transient private var dimStatsCache: Option[(Map[Int, Long], Long)] = null
+  // per-dim max |v| loaded in the SAME job as the counts (WAND bounds):
+  // (heaviest-dims map, bound for dims outside the map). Layouts whose
+  // stats predate the maxv column report Double.MaxValue — the WAND proof
+  // then never succeeds and hot dims decline exactly as before.
+  @transient private var dimMaxAbsCache: Option[(Map[Int, Double], Double)] = null
 
   private def meta(): (Long, Long, Long, Long) = SparseIndex.readMeta(metaPath)
 
@@ -88,11 +93,12 @@ class SparseIndex(
     val s = stamp()
     if (s != cachedStamp) {
       cachedStamp = s; postingsCache = null; normsCache = null
-      dimStatsCache = null
+      dimStatsCache = null; dimMaxAbsCache = null
       val key = (s._5, s._3) // (gen, purge) — the serving residency key
       if (key != serveKey) {
         serveKey = key
         serveCache.clear(); servePostingsResident = 0L; minNormCache = null
+        hotCache.clear()
         serveWatermark = s._1
       }
     }
@@ -165,26 +171,55 @@ class SparseIndex(
       stampAt = cachedStamp
     }
     // the stats read is a (small) Spark job — run it OUTSIDE the lock so
-    // one cold stats load never convoys concurrent warm serves
+    // one cold stats load never convoys concurrent warm serves. The same
+    // pass also loads the per-dim max |v| bounds (WAND serving).
     val cap = maxResidentDimStats
-    val loaded: Option[(Map[Int, Long], Long)] =
+    val loaded: Option[((Map[Int, Long], Long), (Map[Int, Double], Double))] =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) None
       else scala.util.Try {
-        val rows = spark.read.parquet(statsPath)
-          .groupBy(col("dim")).agg(sum(col("cnt")).as("cnt"))
+        val df = spark.read.parquet(statsPath)
+        val hasMax = df.columns.contains("maxv")
+        val rows = df
+          .groupBy(col("dim"))
+          .agg(sum(col("cnt")).as("cnt"),
+            (if (hasMax) max(col("maxv")) else lit(Double.MaxValue)).as("maxv"))
           .orderBy(col("cnt").desc, col("dim").asc)
           .limit(cap)
           .collect()
         // truncated -> every absent dim holds at most the smallest
         // retained count; untruncated -> absent means zero postings
         val cutoff = if (rows.length >= cap && rows.nonEmpty) rows.last.getLong(1) else 0L
-        (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap, cutoff)
+        val counts = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val maxes = rows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+        // magnitude bound for dims outside the retained map: counts order
+        // says nothing about magnitudes, so a truncated map needs the
+        // GLOBAL max (one extra slim agg over the dims-sized stats file)
+        val globalMax: Double =
+          if (!hasMax) Double.MaxValue
+          else if (rows.length >= cap) {
+            val r = df.agg(max(col("maxv"))).head()
+            if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+          } else if (maxes.isEmpty) 0.0
+          else maxes.values.max
+        ((counts, cutoff), (maxes, globalMax))
       }.toOption
     synchronized {
       refreshIfStale()
-      if (cachedStamp == stampAt && dimStatsCache == null) dimStatsCache = loaded
-      if (dimStatsCache != null) dimStatsCache else loaded
+      if (cachedStamp == stampAt && dimStatsCache == null) {
+        dimStatsCache = loaded.map(_._1)
+        dimMaxAbsCache = loaded.map(_._2)
+      }
+      if (dimStatsCache != null) dimStatsCache else loaded.map(_._1)
     }
+  }
+
+  /** Per-dim max |v| bounds backing the WAND exactness proof (loaded by
+    * the same job as `dimStatsResident`): (per-dim map, bound for absent
+    * dims). None = no stats layout (or racing rebuild) — the WAND path
+    * then has no bound and declines hot dims. */
+  private def dimMaxAbsResident(): Option[(Map[Int, Double], Double)] = {
+    dimStatsResident()
+    synchronized { if (dimMaxAbsCache != null) dimMaxAbsCache else None }
   }
 
   /** Aggregate view of the persisted stats for observability
@@ -249,9 +284,15 @@ class SparseIndex(
     val b = buckets()
     SparseIndex.writePostings(newPostings, idCol, b, postingsPath, SaveMode.Append)
     // per-dim count delta for the serving cardinality guard (append-only:
-    // readers sum the deltas; the next full build compacts them away)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)))
-      SparseIndex.writeDimStats(newPostings, statsPath, SaveMode.Append)
+    // readers sum the deltas; the next full build compacts them away).
+    // Deltas must match the existing files' schema: a pre-maxv layout
+    // keeps appending two columns until the next full build upgrades it.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) {
+      val hasMax = scala.util.Try(
+        spark.read.parquet(statsPath).columns.contains("maxv")).getOrElse(false)
+      SparseIndex.writeDimStats(newPostings, statsPath, SaveMode.Append,
+        withMax = hasMax)
+    }
     // posting-derived norms miss zero-nnz rows; callers with the source
     // rows pass normsOfColumn for the complete universe
     norms.getOrElse(SparseIndex.normsOf(newPostings, idCol))
@@ -370,6 +411,96 @@ class SparseIndex(
     * are a per-generation signal, not a lifetime total. */
   private[graft] def resetServeDeclineCount(): Unit = declines.set(0L)
   private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
+
+  // ---- WAND / max-score hot-dim serving state ----
+
+  /** Impact-ordered resident PREFIX of a hot dim's posting list: the top
+    * `maxServeHotPrefix` postings by |v| (ties by smaller id), plus the
+    * magnitude bound on every EXCLUDED posting (0 when the prefix is in
+    * fact the whole list). `sortedIds` backs the per-row certainty test
+    * (binary search: is this row's posting for the hot dim resident?). */
+  private final case class HotPrefix(ids: Array[Long], vs: Array[Double],
+      sortedIds: Array[Long], tailBound: Double)
+
+  // LRU over hot-dim prefixes, bounded by maxResidentHotDims entries of
+  // at most maxServeHotPrefix postings each (24 B/posting: ~25 MiB at the
+  // defaults) — deliberately OUTSIDE the maxServePostings budget, which
+  // gates FULL lists; flushed with the rest of serving residency on any
+  // (gen, purge) change
+  @transient private var hotCache =
+    new java.util.LinkedHashMap[Int, HotPrefix](16, 0.75f, true)
+
+  /** Resident prefix length for a budget-exceeding dim: the top-P postings
+    * by |v|. Bigger = more queries prove exactness; the cost is one
+    * ordered pruned scan per cold hot-dim load and P×24 bytes resident. */
+  @volatile var maxServeHotPrefix: Int = 4096
+
+  /** How many distinct hot dims may hold prefixes at once (LRU beyond). */
+  @volatile var maxResidentHotDims: Int = 256
+
+  /** One impact-ordered pruned job for a cold hot dim: top `cap` postings
+    * by |v| plus the bound on the first excluded one. None = the load
+    * raced a rebuild (caller retries, then declines). */
+  private def loadHotPrefix(d: Int, prefixCap: Int): Option[HotPrefix] = {
+    val cap = math.max(1, prefixCap)
+    scala.util.Try {
+      val rows = prunedPostings(Array(d))
+        .filter(col(idCol).cast("long") <= serveWatermark)
+        .select(col(idCol).cast("long"), col("v").cast("double"))
+        .orderBy(abs(col("v")).desc, col(idCol).asc)
+        .limit(cap + 1)
+        .collect()
+      val take = math.min(rows.length, cap)
+      val ids = new Array[Long](take)
+      val vs = new Array[Double](take)
+      var i = 0
+      while (i < take) { ids(i) = rows(i).getLong(0); vs(i) = rows(i).getDouble(1); i += 1 }
+      val tail = if (rows.length <= cap) 0.0 else math.abs(rows(cap).getDouble(1))
+      val sorted = ids.clone()
+      java.util.Arrays.sort(sorted)
+      HotPrefix(ids, vs, sorted, tail)
+    }.toOption
+  }
+
+  /** Resolve prefixes for the query's hot dims from the LRU (loading cold
+    * ones outside the lock, same stamp-revalidated install discipline as
+    * residentLists). None = rebuild churn raced every attempt. */
+  private def resolveHotPrefixes(hotDims: Array[Int],
+      prefixCap: Int): Option[Map[Int, HotPrefix]] = {
+    if (hotDims.isEmpty) return Some(Map.empty)
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      var keyAtProbe: (Long, Long) = null
+      var w0 = 0L
+      val missing = synchronized {
+        refreshIfStale()
+        keyAtProbe = serveKey
+        w0 = serveWatermark
+        hotDims.filterNot(hotCache.containsKey(_))
+      }
+      val loaded: Array[(Int, HotPrefix)] =
+        if (missing.isEmpty) Array.empty
+        else {
+          val ps = missing.map(d => d -> loadHotPrefix(d, prefixCap)) // jobs, no lock
+          if (ps.exists(_._2.isEmpty)) null // racing rebuild: retry
+          else ps.map { case (d, p) => d -> p.get }
+        }
+      if (loaded != null) synchronized {
+        refreshIfStale()
+        if (serveKey == keyAtProbe && serveWatermark == w0) {
+          loaded.foreach { case (d, p) => hotCache.put(d, p) }
+          val it = hotCache.entrySet().iterator()
+          while (hotCache.size > maxResidentHotDims && it.hasNext) {
+            if (!hotDims.contains(it.next().getKey)) it.remove()
+          }
+          val got = hotDims.map(hotCache.get(_))
+          if (!got.contains(null)) return Some(hotDims.zip(got).toMap)
+        }
+      } else synchronized { refreshIfStale() }
+    }
+    None
+  }
 
   /** One pruned job collecting the posting lists of `missing` dims —
     * overridable so tests can model a slow cold load. Rows from layouts
@@ -521,6 +652,56 @@ class SparseIndex(
       exclude: Long => Boolean = _ => false,
       tail: Map[Int, (Array[Long], Array[Double], Array[Double])] = Map.empty)
       : Option[Array[(Long, Double)]] = {
+    val (hotDims, prefixCap) = planWand(qIdx) match {
+      case Some(p) => p
+      case None => return decline // stats unreadable under rebuild churn
+    }
+    if (hotDims.isEmpty) servePointDotFull(qIdx, qVal, k, exclude, tail)
+    else servePointDotWand(qIdx, qVal, k, exclude, tail, hotDims, prefixCap)
+  }
+
+  /** Partition the query's dims: which must serve from an impact-ordered
+    * PREFIX because their full posting list cannot fit the remaining
+    * residency budget? Cheapest-first greedy, so light dims never lose
+    * their full residency to a stop-word dim. Returns (hot dims, prefix
+    * cap) — the cap splits whatever budget the full lists left across the
+    * hot dims, bounded by `maxServeHotPrefix`, so the TOTAL resident
+    * postings stay inside `maxServePostings` even on the WAND path. Empty
+    * hot = the classic full-residency path applies. None = the
+    * stats/probe read itself failed under rebuild churn. */
+  private def planWand(qIdx: Array[Int]): Option[(Array[Int], Int)] = {
+    val missing = synchronized {
+      refreshIfStale()
+      qIdx.filterNot(serveCache.containsKey(_))
+    }
+    if (missing.isEmpty) return Some((Array.empty, 0))
+    scala.util.Try(dimStatsResident().getOrElse((probeDimCounts(missing), 0L)))
+      .toOption.map { case (counts, cutoff) =>
+        val retained = synchronized {
+          qIdx.filter(serveCache.containsKey(_))
+            .map(serveCache.get(_)._1.length.toLong).sum
+        }
+        var budget = maxServePostings - retained
+        val hot = scala.collection.mutable.ArrayBuffer[Int]()
+        missing.map(d => d -> counts.getOrElse(d, cutoff))
+          .sortBy { case (d, c) => (c, d) }
+          .foreach { case (d, c) =>
+            if (c <= budget) budget -= c else hot += d
+          }
+        val cap =
+          if (hot.isEmpty) 0
+          else math.min(maxServeHotPrefix.toLong,
+            math.max(1L, budget / hot.length)).toInt
+        (hot.toArray, cap)
+      }
+  }
+
+  /** The classic full-residency serve: every query dim's complete posting
+    * list is (or can become) driver-resident. */
+  private def servePointDotFull(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      exclude: Long => Boolean,
+      tail: Map[Int, (Array[Long], Array[Double], Array[Double])])
+      : Option[Array[(Long, Double)]] = {
     val lists = residentLists(qIdx) match {
       case Some(l) => l
       case None => return None // residentLists counted the decline
@@ -567,6 +748,153 @@ class SparseIndex(
     var i = out.length - 1
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
     Some(out)
+  }
+
+  /** Max-score/WAND-family serving for a query touching HOT dims (posting
+    * lists too big for the residency budget — the stop-word regime).
+    * Light dims score from their FULL resident lists; each hot dim scores
+    * from an impact-ordered resident PREFIX (top `maxServeHotPrefix`
+    * postings by |v|) plus a magnitude bound on its excluded tail, backed
+    * by the per-dim max |v| persisted in `dim_stats`. After scoring, the
+    * bounds prove — per query — whether any non-resident posting could
+    * have changed the top-k:
+    *
+    *  - a row with NO resident posting scores at most
+    *    `B_out = Σ_hot |q_d|·tailBound_d`;
+    *  - a scored row absent from some hot prefix may gain at most
+    *    `Σ |q_d|·tailBound_d` over those dims (its `slack`) — rows with
+    *    slack 0 have EXACT dots;
+    *  - fresh rows (id > serving pin) are complete via the caller's tail.
+    *
+    * Serve iff the k-th certain dot STRICTLY beats both ceilings (a tie is
+    * unresolvable without the tail postings); otherwise decline to the job
+    * path — the same exact-or-decline contract servePointEuclid's
+    * min-norm bound implements for L2. Upper-bound pruning is the classic
+    * WAND/max-score family (public knowledge), re-expressed for
+    * prefix-residency serving. */
+  private def servePointDotWand(qIdx: Array[Int], qVal: Array[Float], k: Int,
+      exclude: Long => Boolean,
+      tail: Map[Int, (Array[Long], Array[Double], Array[Double])],
+      hotDims: Array[Int], prefixCap: Int): Option[Array[(Long, Double)]] = {
+    // the proof requires PERSISTED magnitude bounds: a layout whose
+    // dim_stats predate the maxv column (or has none at all) has no
+    // certified ceiling on unseen postings — decline exactly as before
+    // the WAND path existed. The maintenance heal loop's forced rebuild
+    // upgrades such layouts to WAND-capable stats.
+    val (persistedMax, absentMax) = dimMaxAbsResident() match {
+      case Some(b) => b
+      case None => return decline
+    }
+    val hotBounds = hotDims.map(d => persistedMax.getOrElse(d, absentMax))
+    if (hotBounds.exists(_ == Double.MaxValue)) return decline
+    val hotSet = hotDims.toSet
+    val fullDims = qIdx.filterNot(hotSet.contains)
+    val fullMap: Map[Int, (Array[Long], Array[Double], Array[Double])] =
+      if (fullDims.isEmpty) Map.empty
+      else residentLists(fullDims) match {
+        case Some(ls) => fullDims.zip(ls).toMap
+        case None => return None // residentLists counted the decline
+      }
+    val loadedPrefixes = resolveHotPrefixes(hotDims, prefixCap) match {
+      case Some(p) => p
+      case None => return decline // churn raced every prefix load
+    }
+    // tighten each prefix's tail bound with the persisted per-dim max |v|
+    // (both are valid ceilings on excluded postings; take the smaller)
+    val prefixes: Map[Int, HotPrefix] = hotDims.zipWithIndex.map { case (d, hi) =>
+      val p = loadedPrefixes(d)
+      d -> (if (hotBounds(hi) < p.tailBound) p.copy(tailBound = hotBounds(hi)) else p)
+    }.toMap
+    val pin = serveWatermark
+    // per-hot-dim |q| aligned with hotDims, and the no-resident-posting
+    // score ceiling
+    val hotAbsW = new Array[Double](hotDims.length)
+    var bOut = 0.0
+    var qi = 0
+    while (qi < qIdx.length) {
+      val hi = hotDims.indexOf(qIdx(qi))
+      if (hi >= 0) {
+        hotAbsW(hi) = math.abs(qVal(qi).toDouble)
+        bOut += hotAbsW(hi) * prefixes(qIdx(qi)).tailBound
+      }
+      qi += 1
+    }
+    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double](1024)
+    def add(ids: Array[Long], vs: Array[Double], w: Double): Unit = {
+      var i = 0
+      while (i < ids.length) {
+        if (!exclude(ids(i))) {
+          val key = java.lang.Long.valueOf(ids(i))
+          val cur = acc.get(key)
+          acc.put(key, (if (cur == null) 0.0 else cur.doubleValue) + vs(i) * w)
+        }
+        i += 1
+      }
+    }
+    var di = 0
+    while (di < qIdx.length) {
+      val d = qIdx(di)
+      val w = qVal(di).toDouble
+      if (hotSet.contains(d)) { val p = prefixes(d); add(p.ids, p.vs, w) }
+      else { val l = fullMap(d); add(l._1, l._2, w) }
+      tail.get(d).foreach { case (ids, vs, _) => add(ids, vs, w) }
+      di += 1
+    }
+    // bounded heap over CERTAIN rows (slack 0: every hot dim either holds
+    // the row in its prefix or has no excluded tail); uncertain rows
+    // contribute only their ceiling
+    val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    var maxUncertainUpper = Double.NegativeInfinity
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val id = e.getKey.longValue
+      val dot = e.getValue.doubleValue
+      var slack = 0.0
+      if (id <= pin) {
+        var hi = 0
+        while (hi < hotDims.length) {
+          val p = prefixes(hotDims(hi))
+          if (p.tailBound > 0.0 &&
+              java.util.Arrays.binarySearch(p.sortedIds, id) < 0)
+            slack += hotAbsW(hi) * p.tailBound
+          hi += 1
+        }
+      }
+      if (slack == 0.0) {
+        val cand = (id, dot)
+        if (heap.size < k) heap.add(cand)
+        else {
+          val worst = heap.peek()
+          if (cand._2 > worst._2 || (cand._2 == worst._2 && cand._1 < worst._1)) {
+            heap.poll(); heap.add(cand)
+          }
+        }
+      } else {
+        val up = dot + slack
+        if (up > maxUncertainUpper) maxUncertainUpper = up
+      }
+    }
+    def drain(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](heap.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+      out
+    }
+    if (heap.size < k) {
+      // fewer than k certain candidates is exact ONLY when nothing was
+      // uncertain at all (then the candidate set truly is this small)
+      if (maxUncertainUpper == Double.NegativeInfinity && bOut == 0.0) Some(drain())
+      else decline
+    } else {
+      val theta = heap.peek()._2 // k-th best certain dot
+      if (theta > maxUncertainUpper && theta > bOut) Some(drain())
+      else decline
+    }
   }
 
   // smallest-norm rows of the indexed universe, resident per meta stamp:
@@ -792,13 +1120,20 @@ object SparseIndex {
       }
     }
 
-  /** (dim, cnt) posting counts — one slim groupBy; the file is dims-sized
-    * (a few MB even at vocab scale), so one writer keeps it compact. */
+  /** (dim, cnt, maxv) posting stats — one slim groupBy; the file is
+    * dims-sized (a few MB even at vocab scale), so one writer keeps it
+    * compact. `maxv` (max |v| per dim) is the WAND serving bound; appends
+    * into a pre-maxv layout keep the old two-column shape so the
+    * non-merged parquet read stays schema-consistent (`withMax = false`). */
   private[index] def writeDimStats(postings: DataFrame, dest: String,
-      mode: SaveMode): Unit =
-    postings.groupBy(col("dim").cast("int").as("dim"))
-      .agg(count(lit(1)).as("cnt"))
+      mode: SaveMode, withMax: Boolean = true): Unit = {
+    val grouped = postings.groupBy(col("dim").cast("int").as("dim"))
+    (if (withMax)
+      grouped.agg(count(lit(1)).as("cnt"),
+        max(abs(col("v").cast("double"))).as("maxv"))
+    else grouped.agg(count(lit(1)).as("cnt")))
       .coalesce(1).write.mode(mode).parquet(dest)
+  }
 
   /** (id, norm2) from a posting relation — one groupBy, computed in the
     * same build job. */

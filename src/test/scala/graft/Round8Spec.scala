@@ -56,21 +56,25 @@ class Round8Spec extends SparkSpec {
       }
     }
     idx.maxServePostings = 100 // dim 0 alone holds 600 postings
-    // dot serving declines (None), and the decline happens BEFORE any
-    // posting collect — the hot dim never reaches loadDimPostings
-    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty,
-      "hot-dim probe must decline to the job path")
+    // round 9: dot serving now answers the hot dim EXACTLY via the WAND
+    // prefix path — the FULL hot list is still never collected (the
+    // impact-ordered prefix fits the remaining budget, and the persisted
+    // magnitude bound proves the excluded tail cannot reach the top-k)
+    val servedHot = idx.servePointDot(Array(0, 15), Array(1f, 1f), 10)
+    assert(servedHot.isDefined, "WAND-capable layout must serve the hot dim")
     assert(!loadedDims.contains(0),
-      s"dim 0 was collected despite the guard: $loadedDims")
-    // Euclidean serving shares the guard
+      s"dim 0's full list was collected despite the guard: $loadedDims")
+    assert(servedHot.get.toSeq == dotTopK(df, Array(0, 15), Array(1f, 1f), 10))
+    // Euclidean serving has no WAND analog: still declines, still never
+    // collects the hot dim
     assert(idx.servePointEuclid(Array(0, 15), Array(1f, 1f), 10).isEmpty)
     assert(!loadedDims.contains(0))
     // the job path answers the same query exactly (this is where the
-    // declined query lands)
+    // declined Euclidean query lands)
     val viaJob = idx.topKDot(Array(0, 15), Array(1f, 1f), 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaJob == dotTopK(df, Array(0, 15), Array(1f, 1f), 10))
-    // a light-dim query still serves, exactly
+    // a light-dim query still serves off full residency, exactly
     val served = idx.servePointDot(Array(15, 20), Array(1f, 1f), 10)
     assert(served.isDefined, "light dims fit the budget and must serve")
     assert(served.get.toSeq == dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
@@ -131,7 +135,9 @@ class Round8Spec extends SparkSpec {
     // absent light dims are charged the cutoff (2 x 12 = 24 <= 100): serves
     assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).get.toSeq ==
       dotTopK(df, Array(15, 20), Array(1f, 1f), 10))
-    // the retained hot dim still declines
+    // the retained hot dim still declines once the WAND prefix is too
+    // short to prove anything (tail bound ties the k-th certain score)
+    idx.maxServeHotPrefix = 2
     assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty)
   }
 
@@ -189,6 +195,9 @@ class Round8Spec extends SparkSpec {
     st.insert(hotCorpus(600, "ID").withColumnRenamed("sv", "SV"))
     assert(db.rebuildIndex("Hot", "SV"))
     db.sparseIndexFor("Hot", "SV").maxServePostings = 100
+    // force the decline regime (a WAND prefix this short proves nothing):
+    // this test exercises the serve->job fallback plumbing, not WAND
+    db.sparseIndexFor("Hot", "SV").maxServeHotPrefix = 2
     val hotQ =
       """{"table":"Hot","queryVector":{"indices":[0,15],"values":[1,1]},
         |"limit":5,"serve":true}""".stripMargin

@@ -102,6 +102,108 @@ class Round9Spec extends SparkSpec {
     assert(new graft.api.Maintenance(db).tick().indexesHealed == 0)
   }
 
+  // ---- WAND / max-score hot-dim serving ----
+
+  private def svSchema(idName: String) = StructType(Seq(
+    StructField(idName, LongType, nullable = false),
+    StructField("sv", graft.functions.SparseVec.sqlType, nullable = true)))
+
+  /** Corpus with one STOP-WORD dim: dim 0 appears in EVERY row (the
+    * Round8Spec fixture); dims 10..59 are light. */
+  private def hotCorpus(n: Int, idName: String = "id"): DataFrame = {
+    val rows = (1 to n).map { i =>
+      Row(i.toLong, Row(
+        Seq(0, 10 + (i % 50)),
+        Seq(1.0f + (i % 7), (i % 5 + 0.5).toFloat)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), svSchema(idName))
+  }
+
+  private def dotTopK(df: DataFrame, qIdx: Array[Int], qVal: Array[Float],
+      k: Int): Seq[(Long, Double)] = {
+    val qc = struct(lit(qIdx).as("indices"), lit(qVal).as("values"))
+    df.withColumn("dot", graft.functions.sparse_dot(col("sv"), qc))
+      .filter(col("dot") > 0)
+      .orderBy(col("dot").desc, col("id").asc)
+      .limit(k).select("id", "dot").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("WAND: a stop-word dim serves EXACTLY from an impact-ordered prefix, hash-equal to topKDot") {
+    val df = hotCorpus(600)
+    val path = tmpDir("r9_wand")
+    SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val loadedDims = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val idx = new SparseIndex(spark, path, "id") {
+      override protected def loadDimPostings(missing: Array[Int]) = {
+        missing.foreach(loadedDims.add(_))
+        super.loadDimPostings(missing)
+      }
+    }
+    idx.maxServePostings = 300 // dim 0 holds 600 postings: hot
+    idx.maxServeHotPrefix = 200
+    // mixed light+hot query: prefix (200 of 600, |v| desc) + tail bound 5
+    // vs k-th certain score 7 -> provably exact, FULL list never collected
+    val served = idx.servePointDot(Array(0, 15), Array(1f, 1f), 10)
+    assert(served.isDefined, "prefix + magnitude bound must prove exactness here")
+    assert(!loadedDims.contains(0),
+      s"the hot dim's full list must never be collected: $loadedDims")
+    assert(served.get.toSeq == dotTopK(df, Array(0, 15), Array(1f, 1f), 10))
+    // single-hot-dim retrieval (the classic stop-word lookup)
+    assert(idx.servePointDot(Array(0), Array(1f), 10).get.toSeq ==
+      dotTopK(df, Array(0), Array(1f), 10))
+    // the job path agrees (the contract WAND must match)
+    assert(idx.topKDot(Array(0, 15), Array(1f, 1f), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      dotTopK(df, Array(0, 15), Array(1f, 1f), 10))
+    // an UNPROVABLE case declines: a prefix this short leaves the tail
+    // bound tying the k-th certain score — exact-or-decline holds
+    val declinesBefore = idx.serveDeclineCount()
+    idx.maxServeHotPrefix = 20
+    idx.rebaseServing() // flush the cached 200-posting prefix
+    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty)
+    assert(idx.serveDeclineCount() > declinesBefore)
+  }
+
+  test("WAND requires the persisted magnitude stats: a pre-maxv layout declines") {
+    val df = hotCorpus(400)
+    val path = tmpDir("r9_wand_premax")
+    val built = SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    // rewrite dim_stats WITHOUT the maxv column (a layout from before the
+    // column existed)
+    val stats = spark.read.parquet(s"$path/dim_stats").select("dim", "cnt").collect()
+    val statsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(stats.toSeq, 1),
+      StructType(Seq(StructField("dim", IntegerType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+    statsDf.coalesce(1).write.mode("overwrite").parquet(s"$path/dim_stats")
+    val idx = new SparseIndex(spark, path, "id")
+    idx.maxServePostings = 100
+    assert(idx.servePointDot(Array(0, 15), Array(1f, 1f), 10).isEmpty,
+      "no certified magnitude bound -> no WAND proof -> decline")
+    // light dims still serve off full residency
+    assert(idx.servePointDot(Array(15, 20), Array(1f, 1f), 10).isDefined)
+    assert(built.indexedCount() == 400L)
+  }
+
+  test("dim_stats persists per-dim max |v| and appends keep it consistent") {
+    val df = hotCorpus(200)
+    val path = tmpDir("r9_maxv")
+    val idx = SparseIndex.build(spark, df, "sv", "id", path, buckets = 8)
+    val more = hotCorpus(260).filter(col("id") > 200)
+    idx.append(SparseIndex.postingsOf(more, "sv", "id"), newRows = 60,
+      newMaxId = 260, norms = Some(SparseIndex.normsOfColumn(more, "sv", "id")))
+    val fromStats = spark.read.parquet(s"$path/dim_stats")
+      .groupBy(col("dim")).agg(max(col("maxv")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val actual = idx.postings()
+      .groupBy(col("dim")).agg(max(abs(col("v").cast("double"))).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(fromStats == actual,
+      s"persisted magnitude bounds drifted from the layout: $fromStats vs $actual")
+    assert(fromStats(0) == 7.0)
+  }
+
   test("sparse decline burst forces a layout refresh through the same loop") {
     val db = new graft.api.GraftDb(spark, tmpDir("r9_sp_heal_db"))
     db.createTable(
