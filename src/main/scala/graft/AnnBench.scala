@@ -147,6 +147,31 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // QUANTIZED serving residency: same probe skeleton, resident tier
+    // holds 16-bit codes + per-row scales (2·dim+48 B/row vs 8·dim+24 —
+    // ~4x more rows per byte, and each scoring pass reads a quarter of
+    // the memory per row; dense serving at dim 960 is RAM-bandwidth-
+    // bound, so density IS throughput). Recall vs the exact oracle must
+    // hold at 1.0 — 16-bit dequantization error is ~range/131070 per
+    // component, orders below real inter-point distance gaps.
+    queries.foreach(q => idx.servePointQuantized("embedding", q, 10, nProbe = 8))
+    val t2q = System.nanoTime()
+    val qserveDeadline = t2q + 10L * 1000 * 1000 * 1000
+    var qserveQueries = 0L
+    while (qserveQueries == 0L || System.nanoTime() < qserveDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointQuantized("embedding", queries(qi), 10, nProbe = 8).get
+        qi += 1
+      }
+      qserveQueries += queries.length
+    }
+    val qserveSec = (System.nanoTime() - t2q) / 1e9
+    val qserveRecall = exact.zip(queries.map(q =>
+      idx.servePointQuantized("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -196,6 +221,8 @@ object AnnBench {
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""serve_coldload_sec":$coldSec%.2f,""" +
+      f""""qserve_qps":${qserveQueries / qserveSec}%.2f,"qserve_recall_at_10":$qserveRecall%.4f,""" +
+      f""""qserve_resident_rows":${idx.servingResidentQuantRows()},""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")

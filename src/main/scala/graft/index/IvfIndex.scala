@@ -401,6 +401,7 @@ class IvfIndex(
         if (key != serveKey) {
           serveKey = key
           serveCache.clear(); serveRowsResident = 0L
+          quantCache.clear(); quantRowsResident = 0L
           serveWatermark = s._1
         }
       }
@@ -527,6 +528,289 @@ class IvfIndex(
       }
       cid -> ((ids, flat, norms))
     }.toMap
+  }
+
+  // ---- quantized serving residency (16-bit codes packed at load) ----
+
+  /** One resident cluster in QUANTIZED form: per-row 16-bit codes
+    * (x̂_i = b + a·c_i) plus the per-row scale (a, b) and code moments
+    * (s1 = Σc_i, s2 = Σc_i²), so every metric reduces to ONE fused pass
+    * over the short[] codes:
+    *   L2  = a²s2 + 2ab·s1 − 2a·Σc_i q_i + Σ(b−q_i)²
+    *   dot = b·Σq + a·Σc_i q_i
+    * Residency is 2·dim + 48 bytes per row vs 8·dim + 24 for the exact
+    * double-packed cache — ~4× more rows per byte at high dims, and the
+    * scoring loop reads a quarter of the memory per row (serving is RAM-
+    * bandwidth-bound at dim 960, so density is throughput). 16-bit
+    * dequantization error is ~(range/65535)/2 per component — ranking is
+    * approximate in principle (this is the ANN serving tier, like the
+    * reference's graph search); `servePoint` remains the exact tier. */
+  protected final case class QuantCluster(ids: Array[Long], codes: Array[Short],
+      scaleA: Array[Double], scaleB: Array[Double],
+      s1: Array[Long], s2: Array[Long])
+
+  @transient private var quantCache =
+    new java.util.LinkedHashMap[Int, QuantCluster](64, 0.75f, true)
+  @transient private var quantRowsResident = 0L
+
+  private def effectiveMaxQuantRows(dim: Int): Long =
+    math.min(maxServeRows, maxServeBytes / (2L * dim + 48L))
+
+  /** Rows resident in the quantized serving cache. */
+  def servingResidentQuantRows(): Long = synchronized { quantRowsResident }
+
+  /** One pruned job collecting `missing` clusters and packing them to
+    * 16-bit codes EXECUTOR-SIDE (the load reads the same float bytes a
+    * float-resident load would — the 4× win is in driver RAM and in every
+    * subsequent scoring pass, not in load IO). */
+  protected def loadQuantClusters(vecCol: String, missing: Array[Int])
+      : Map[Int, QuantCluster] = {
+    val chunks = clustered()
+      .filter(col("cluster").isin(missing.toSeq: _*))
+      .filter(col(idCol).cast("long") <= serveWatermark)
+      .select(col("cluster"), col(idCol).cast("long"), col(vecCol))
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[Int,
+          (scala.collection.mutable.ArrayBuffer[Long],   // ids
+            scala.collection.mutable.ArrayBuffer[Short], // codes
+            scala.collection.mutable.ArrayBuffer[Double], // a
+            scala.collection.mutable.ArrayBuffer[Double], // b
+            scala.collection.mutable.ArrayBuffer[Long],   // s1
+            scala.collection.mutable.ArrayBuffer[Long])]() // s2
+        it.foreach { r =>
+          val cell = acc.getOrElseUpdate(r.getInt(0),
+            (scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Short](),
+              scala.collection.mutable.ArrayBuffer[Double](),
+              scala.collection.mutable.ArrayBuffer[Double](),
+              scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Long]()))
+          cell._1 += r.getLong(1)
+          val v = r.getAs[scala.collection.Seq[Float]](2)
+          var mn = Double.MaxValue
+          var mx = -Double.MaxValue
+          var j = 0
+          while (j < v.length) {
+            val x = v(j).toDouble
+            if (x < mn) mn = x
+            if (x > mx) mx = x
+            j += 1
+          }
+          val a = if (mx > mn) (mx - mn) / 65535.0 else 0.0
+          val inv = if (a > 0) 1.0 / a else 0.0
+          var cs1 = 0L
+          var cs2 = 0L
+          j = 0
+          while (j < v.length) {
+            val c0 = math.round((v(j).toDouble - mn) * inv)
+            val c = if (c0 < 0L) 0L else if (c0 > 65535L) 65535L else c0
+            cell._2 += (c - 32768L).toShort // stored biased into Short range
+            cs1 += c
+            cs2 += c * c
+            j += 1
+          }
+          cell._3 += a; cell._4 += mn; cell._5 += cs1; cell._6 += cs2
+        }
+        acc.iterator.map { case (cid, (ids, codes, as, bs, s1s, s2s)) =>
+          (cid, ids.toArray, codes.toArray, as.toArray, bs.toArray,
+            s1s.toArray, s2s.toArray)
+        }
+      }.collect()
+    missing.map { cid =>
+      val cs = chunks.filter(_._1 == cid)
+      val n = cs.map(_._2.length).sum
+      val fl = cs.map(_._3.length).sum
+      val ids = new Array[Long](n)
+      val codes = new Array[Short](fl)
+      val as = new Array[Double](n)
+      val bs = new Array[Double](n)
+      val s1 = new Array[Long](n)
+      val s2 = new Array[Long](n)
+      var io = 0
+      var fo = 0
+      cs.foreach { case (_, cids, ccodes, cas, cbs, cs1, cs2) =>
+        System.arraycopy(cids, 0, ids, io, cids.length)
+        System.arraycopy(cas, 0, as, io, cas.length)
+        System.arraycopy(cbs, 0, bs, io, cbs.length)
+        System.arraycopy(cs1, 0, s1, io, cs1.length)
+        System.arraycopy(cs2, 0, s2, io, cs2.length)
+        System.arraycopy(ccodes, 0, codes, fo, ccodes.length)
+        io += cids.length
+        fo += ccodes.length
+      }
+      cid -> QuantCluster(ids, codes, as, bs, s1, s2)
+    }.toMap
+  }
+
+  /** Quantized-residency top-K: the same probe/guard/retry skeleton as
+    * `servePoint`, scoring from the 16-bit resident cache. Approximate by
+    * construction (see QuantCluster); the fresh tail is scored EXACTLY
+    * from its float payload and merged. None = over budget or thrash —
+    * the caller answers on the job path. */
+  def servePointQuantized(vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Option[Array[(Long, Double)]] = {
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    var clusters: Array[QuantCluster] = null
+    var probed: Array[Int] = null
+    var attempts = 0
+    while (clusters == null) {
+      attempts += 1
+      if (attempts > 8) return decline
+      var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
+      val missing: Array[Int] = synchronized {
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
+        probed = centroids()
+          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+          .sortBy { case (_, d) => d }
+          .take(nProbe)
+          .map(_._1)
+        probed.filterNot(quantCache.containsKey(_))
+      }
+      var loaded: Map[Int, QuantCluster] = null
+      try {
+        if (missing.nonEmpty) {
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            probed.filter(quantCache.containsKey(_))
+              .map(quantCache.get(_).ids.length.toLong).sum
+          }
+          if (projected + retained > effectiveMaxQuantRows(q.length)) return decline
+        }
+        loaded =
+          if (missing.isEmpty) Map.empty
+          else loadQuantClusters(vecCol, missing)
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
+        ensureServeFresh()
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = quantCache.put(cid, cluster)
+            if (prev != null) quantRowsResident -= prev.ids.length
+            quantRowsResident += cluster.ids.length
+          }
+        val rowCap = effectiveMaxQuantRows(q.length)
+        if (quantRowsResident > rowCap) {
+          val it = quantCache.entrySet().iterator()
+          while (quantRowsResident > rowCap && it.hasNext) {
+            val e = it.next()
+            if (!probed.contains(e.getKey)) {
+              quantRowsResident -= e.getValue.ids.length
+              it.remove()
+            }
+          }
+        }
+        val got = probed.map(quantCache.get(_))
+        if (!got.contains(null)) clusters = got
+      }
+    }
+    val dim = q.length
+    val qd = new Array[Double](dim)
+    var qs = 0.0
+    var qss = 0.0
+    var qi = 0
+    while (qi < dim) {
+      qd(qi) = q(qi).toDouble; qs += qd(qi); qss += qd(qi) * qd(qi); qi += 1
+    }
+    val locals: Array[Array[(Long, Double)]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      if (clusters.length <= 1)
+        clusters.map(c => scoreQuantCluster(c, qd, qs, qss, k, exclude))
+      else Await.result(Future.sequence(clusters.toSeq.map(c =>
+        Future(scoreQuantCluster(c, qd, qs, qss, k, exclude)))),
+        Duration.Inf).toArray
+    }
+    // exact-scored fresh tail rides in through the shared float kernel
+    val tailLocal: Array[Array[(Long, Double)]] = freshTail match {
+      case Some(t) =>
+        var qNorm = 0.0
+        var i = 0
+        while (i < dim) { qNorm += qd(i) * qd(i); i += 1 }
+        Array(IvfIndex.scoreCluster(t, qd, qNorm, k, metric, exclude))
+      case None => Array.empty
+    }
+    val heap = new java.util.PriorityQueue[(Long, Double)](k,
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    (locals ++ tailLocal).foreach(_.foreach { cand =>
+      if (heap.size < k) heap.add(cand)
+      else {
+        val worst = heap.peek()
+        if (cand._2 < worst._2 || (cand._2 == worst._2 && cand._1 < worst._1)) {
+          heap.poll(); heap.add(cand)
+        }
+      }
+    })
+    val out = new Array[(Long, Double)](heap.size)
+    var oi = out.length - 1
+    while (oi >= 0) { out(oi) = heap.poll(); oi -= 1 }
+    Some(out)
+  }
+
+  /** Bounded top-k of one quantized resident cluster: scores dequantized
+    * rows WITHOUT materializing them — one fused Σ c_j·q_j over the
+    * short[] codes per row, then closed forms from the stored moments:
+    *   dot = b·Σq + a·(Σ c_j q_j)
+    *   |x̂|² = dim·b² + 2ab·s1 + a²·s2
+    *   L2  = |x̂|² − 2·dot + |q|²
+    * Codes are stored biased into Short range (c − 32768), so the short
+    * dot is corrected by +32768·Σq once per row, not per element. */
+  private def scoreQuantCluster(cluster: QuantCluster, qd: Array[Double],
+      qs: Double, qss: Double, k: Int, exclude: Long => Boolean)
+      : Array[(Long, Double)] = {
+    val dim = qd.length
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
+      (a: (Long, Double), b: (Long, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    val ids = cluster.ids
+    val codes = cluster.codes
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        var sdot = 0.0
+        var j = 0
+        while (j < dim) { sdot += codes(off + j) * qd(j); j += 1 }
+        val cdot = sdot + 32768.0 * qs
+        val a = cluster.scaleA(i)
+        val b = cluster.scaleB(i)
+        val dot = b * qs + a * cdot
+        val d =
+          if (l2Metric)
+            dim * b * b + 2.0 * a * b * cluster.s1(i) +
+              a * a * cluster.s2(i) - 2.0 * dot + qss
+          else if (cosMetric) 1.0 - dot
+          else -dot
+        if (heap.size < k) heap.add((ids(i), d))
+        else {
+          val worst = heap.peek()
+          if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+            heap.poll(); heap.add((ids(i), d))
+          }
+        }
+      }
+      i += 1
+      off += dim
+    }
+    val out = new Array[(Long, Double)](heap.size)
+    var n = out.length - 1
+    while (n >= 0) { out(n) = heap.poll(); n -= 1 }
+    out
   }
 
   /** None = the probed clusters exceed the resident budget (cardinality

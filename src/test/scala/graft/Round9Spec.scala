@@ -204,6 +204,102 @@ class Round9Spec extends SparkSpec {
     assert(fromStats(0) == 7.0)
   }
 
+  // ---- quantized serving residency ----
+
+  /** Two well-separated blobs with per-row varied components at `dim`
+    * dims — wide enough that the 16-bit row cost (2·dim+48) is a fraction
+    * of the float row cost (8·dim+24). */
+  private def wideVectors(n: Int, dim: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      Row(i.toLong, Seq.tabulate(dim)(j => base + ((i * 31 + j) % 17) * 0.1f))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  test("servePointQuantized matches the exact float tier's top-k (L2 + dot), tail merged exactly") {
+    val dim = 64
+    val df = wideVectors(900, dim)
+    for (metric <- Seq(MetricType.Euclidean, MetricType.DotProduct)) {
+      val path = tmpDir(s"r9_quant_$metric")
+      IvfIndex.build(spark, df, "vec", "id", path, metric, nClusters = 2, maxIter = 5)
+      val idx = new IvfIndex(spark, path, "id", metric)
+      val q = Array.tabulate(dim)(j => 0.05f * (j % 3))
+      val np = idx.centroids().length
+      val exact = idx.servePoint("vec", q, 15, nProbe = np).get
+      val quant = idx.servePointQuantized("vec", q, 15, nProbe = np).get
+      assert(quant.map(_._1).toSeq == exact.map(_._1).toSeq,
+        s"$metric: quantized ranking diverged from exact")
+      assert(idx.servingResidentQuantRows() == 900L)
+      // 16-bit reconstruction error stays orders below the score scale
+      exact.zip(quant).foreach { case ((_, de), (_, dq)) =>
+        assert(math.abs(de - dq) < 1e-3, s"$metric: |$de - $dq|")
+      }
+      // exclusions apply to the quantized pass too
+      val excluded = exact.head._1
+      val q2 = idx.servePointQuantized("vec", q, 15, nProbe = np,
+        exclude = _ == excluded).get
+      assert(!q2.map(_._1).contains(excluded))
+      // a fresh tail rides in through the EXACT float kernel and merges
+      // (per metric: L2 wants a vector AT the query, dot wants a big one)
+      val tailVec =
+        if (metric == MetricType.DotProduct) Array.fill(dim)(100f) else q.clone()
+      val tailRows = Array((100000L, tailVec))
+      val tail = Some(IvfIndex.packRows(tailRows, dim))
+      val withTail = idx.servePointQuantized("vec", q, 5, nProbe = np,
+        freshTail = tail).get
+      assert(withTail.map(_._1).contains(100000L),
+        s"$metric: near-query tail row must surface: ${withTail.toSeq}")
+    }
+  }
+
+  test("quantized residency serves inside a byte budget that makes the float tier decline") {
+    val dim = 64
+    val df = wideVectors(900, dim)
+    val path = tmpDir("r9_quant_budget")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    // 900 rows cost 900·(8·64+24) = 482 KB as floats, 900·(2·64+48) =
+    // 158 KB as 16-bit codes. A budget of exactly the quantized footprint
+    // must decline the float tier (cardinality guard, before any collect)
+    // and fully serve the quantized tier.
+    idx.maxServeBytes = 900L * (2 * dim + 48)
+    val q = Array.tabulate(dim)(j => 0.05f * (j % 3))
+    val np = idx.centroids().length
+    assert(idx.servePoint("vec", q, 10, nProbe = np).isEmpty,
+      "float tier must decline: probed rows exceed the byte budget")
+    val quant = idx.servePointQuantized("vec", q, 10, nProbe = np)
+    assert(quant.isDefined, "quantized tier must serve at ~4x the density")
+    // and the answer is the true top-k (full-probe == exact search)
+    val viaJob = idx.search("vec", q, 10, nProbe = np)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(quant.get.map(_._1).toSeq == viaJob)
+  }
+
+  test("a generation bump flushes the quantized residency with the float cache") {
+    val df = skewedVectors(2000, light = 200)
+    val path = tmpDir("r9_quant_flush")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    val q = Array(0f, 0f, 0f, 0f)
+    val np0 = idx.centroids().length
+    val before = idx.servePointQuantized("vec", q, 10, nProbe = np0).get
+    assert(idx.servingResidentQuantRows() == 2000L)
+    // splitOversized bumps the generation: residency must fall cold and
+    // reload the NEW layout (same rows, more clusters), same answer
+    assert(IvfIndex.splitOversized(spark, path, "vec", "id",
+      MetricType.Euclidean, maxRows = 300) == 1)
+    idx.rebaseServing()
+    val after = idx.servePointQuantized("vec", q, 10,
+      nProbe = idx.centroids().length).get
+    assert(after.map(_._1).toSeq == before.map(_._1).toSeq)
+  }
+
   test("sparse decline burst forces a layout refresh through the same loop") {
     val db = new graft.api.GraftDb(spark, tmpDir("r9_sp_heal_db"))
     db.createTable(
