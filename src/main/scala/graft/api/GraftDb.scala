@@ -73,12 +73,74 @@ class GraftDb(val spark: SparkSession, val root: String,
     (String, String),
     (Long, Long, Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]])]()
 
+  /** ONE driver probe per snapshot move: the fresh-tail rows (above the
+    * serving pin) and the tombstone ids used to travel in two separate
+    * per-commit jobs — under continuous ingest that doubled the serving
+    * floor's job count. Row ids are append-sequential, so the tail
+    * cardinality is bounded by `storeWm - wm` and the over-cap verdict
+    * costs NO job at all (the same before-any-collect discipline as the
+    * index cardinality guards). In the in-cap case both stale legs ride
+    * one kind-tagged, shuffle-free RDD union collect — a plan `limit`
+    * here would re-split the action into several jobs under AQE. A
+    * still-fresh tombCache entry skips its leg; an in-cap probe leaves
+    * tombCache fresh for the current version, so the serve paths'
+    * tombstoneSet read right after is a pure cache hit. Returns Left(())
+    * when the tail is over `tailCap`; tail rows come back as
+    * (kind=0, id, fieldValue). */
+  private def servingProbe(st: TableStore, field: String, wm: Long,
+      tailCap: Int): Either[Unit, Array[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ver = st.snapshot().map(_.version).getOrElse(-1L)
+    val tombFresh = tombCache.get(st.schema.name).exists(_._1 == ver)
+    val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
+    if (storeWm - wm > tailCap) return Left(()) // over cap, zero jobs
+    // rawRead, NOT read(): the serve kernels mask tombstoned ids via
+    // `exclude` (tail rows included), and the live-rows anti-join would
+    // cost a broadcast-exchange job per probe
+    val read = st.rawRead()
+    val tailLeg =
+      if (storeWm <= wm) None
+      else Some(read
+        .filter(col(TableStore.RowId) > wm)
+        .select(lit(0).as("__pk"), col(TableStore.RowId).as("__pid"),
+          col(field).as("__pv"))
+        .rdd)
+    val tombCap = maxServeTombstones
+    val tombLeg =
+      if (tombFresh) None
+      else st.tombstoneIds() match {
+        case None =>
+          tombCache(st.schema.name) = (ver, Some(Set.empty[Long]))
+          None
+        case Some(df) =>
+          // per-partition cap: tombstone files are control-plane sized,
+          // and the total cap is re-checked on the collected rows
+          Some(df.select(lit(1).as("__pk"),
+            col(df.columns.head).cast("long").as("__pid"),
+            lit(null).cast(read.schema(field).dataType).as("__pv"))
+            .rdd.mapPartitions(_.take(tombCap + 1)))
+      }
+    val rows: Array[org.apache.spark.sql.Row] = (tailLeg, tombLeg) match {
+      case (None, None) => Array.empty
+      case (Some(a), None) => a.collect()
+      case (None, Some(b)) => b.collect()
+      case (Some(a), Some(b)) => a.union(b).collect()
+    }
+    if (tombLeg.isDefined) {
+      val tombRows = rows.filter(_.getInt(0) == 1)
+      tombCache(st.schema.name) = (ver,
+        if (tombRows.length > tombCap) None
+        else Some(tombRows.map(_.getLong(1)).toSet))
+    }
+    val tailRows = rows.filter(_.getInt(0) == 0)
+    if (tailRows.length > tailCap) Left(()) else Right(tailRows)
+  }
+
   /** Left(()) = tail over cap (caller falls back to the job path);
     * Right(None) = no fresh rows; Right(Some(cluster)) = packed tail. */
   private def freshTailCluster(st: TableStore, idx: graft.index.IvfIndex,
       field: String)
       : Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] = {
-    import org.apache.spark.sql.functions.col
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     // the SERVING pin, not the index watermark: ingest-time appends move
     // the index watermark without flushing warm resident clusters, so the
@@ -90,26 +152,17 @@ class GraftDb(val spark: SparkSession, val root: String,
         // the cap applies to resident entries too (it can be lowered live)
         if (t.exists(_.exists(_._1.length > cap))) Left(()) else t
       case _ =>
-        val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
-        if (storeWm <= wm) {
-          tailCache((st.schema.name, field)) = (ver, wm, Right(None))
-          Right(None)
-        } else {
-          val rows = st.read()
-            .filter(col(TableStore.RowId) > wm)
-            .select(col(TableStore.RowId), col(field))
-            .limit(cap + 1)
-            .collect()
-          val result: Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] =
-            if (rows.length > cap) Left(())
-            else if (rows.isEmpty) Right(None)
-            else Right(Some(graft.index.IvfIndex.packRows(
-              rows.map(r => (r.getLong(0),
-                r.getAs[scala.collection.Seq[Float]](1).toArray)),
+        val result: Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] =
+          servingProbe(st, field, wm, cap) match {
+            case Left(_) => Left(())
+            case Right(rows) if rows.isEmpty => Right(None)
+            case Right(rows) => Right(Some(graft.index.IvfIndex.packRows(
+              rows.map(r => (r.getLong(1),
+                r.getAs[scala.collection.Seq[Float]](2).toArray)),
               st.schema.field(field).dimensions)))
-          tailCache((st.schema.name, field)) = (ver, wm, result)
-          result
-        }
+          }
+        tailCache((st.schema.name, field)) = (ver, wm, result)
+        result
     }
   }
 
@@ -129,7 +182,6 @@ class GraftDb(val spark: SparkSession, val root: String,
     * (empty = no fresh rows). */
   private def sparseFreshTail(st: TableStore, idx: graft.index.SparseIndex,
       field: String): Either[Unit, SparseTail] = {
-    import org.apache.spark.sql.functions.col
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     // the SERVING pin, not the index watermark (see freshTailCluster)
     val wm = idx.servingWatermark()
@@ -137,29 +189,24 @@ class GraftDb(val spark: SparkSession, val root: String,
       case Some((v, w, t)) if v == ver && w == wm =>
         t.toRight(())
       case _ =>
-        val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
-        if (storeWm <= wm) {
-          sparseTailCache((st.schema.name, field)) = (ver, wm, Some(emptySparseTail))
-          Right(emptySparseTail)
-        } else {
-          val rows = st.read()
-            .filter(col(TableStore.RowId) > wm)
-            .select(col(TableStore.RowId), col(field))
-            .limit(maxServeTailRows + 1)
-            .collect()
-          if (rows.length > maxServeTailRows) {
+        // one kind-tagged union job refreshes the tombstone cache too
+        servingProbe(st, field, wm, maxServeTailRows) match {
+          case Left(_) =>
             sparseTailCache((st.schema.name, field)) = (ver, wm, None)
             Left(())
-          } else {
+          case Right(rows) if rows.isEmpty =>
+            sparseTailCache((st.schema.name, field)) = (ver, wm, Some(emptySparseTail))
+            Right(emptySparseTail)
+          case Right(rows) => {
             val byDim = scala.collection.mutable.Map[
               Int, (scala.collection.mutable.ArrayBuffer[Long],
                 scala.collection.mutable.ArrayBuffer[Double],
                 scala.collection.mutable.ArrayBuffer[Double])]()
             val rowNorms = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
             rows.foreach { r =>
-              if (!r.isNullAt(1)) {
-                val id = r.getLong(0)
-                val sv = r.getStruct(1)
+              if (!r.isNullAt(2)) {
+                val id = r.getLong(1)
+                val sv = r.getStruct(2)
                 val dims = sv.getSeq[Int](0)
                 val vals = sv.getSeq[Float](1)
                 var n2 = 0.0
@@ -426,10 +473,6 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
-    val tombs = tombstoneSet(st) match {
-      case Some(t) => t
-      case None => return None // tombstone mask over cap -> job path
-    }
     // the tail and the resident clusters must cover DISJOINT id ranges
     // around one pin: re-check the pin after scoring (a rebuild landing
     // mid-query re-pins residency while the collected tail still covers
@@ -446,6 +489,12 @@ class GraftDb(val spark: SparkSession, val root: String,
           if (idx.indexedWatermark() > pin) idx.rebaseServing()
           else return None
         case Right(tail) =>
+          // pure cache hit: the tail probe above refreshed the tombstone
+          // cache for this version inside its own (single) job
+          val tombs = tombstoneSet(st) match {
+            case Some(t) => t
+            case None => return None // tombstone mask over cap -> job path
+          }
           val hits = idx.servePoint(queryField, dense,
             math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
             exclude = tombs.contains, freshTail = tail) match {
@@ -490,10 +539,6 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = sparseIndex(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
-    val tombs = tombstoneSet(st) match {
-      case Some(t) => t
-      case None => return None // tombstone mask over cap -> job path
-    }
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
     val k = math.min(limit, maxRenderRows)
@@ -508,6 +553,12 @@ class GraftDb(val spark: SparkSession, val root: String,
           if (idx.indexedWatermark() > pin) idx.rebaseServing()
           else return None // index behind the store: rebuild overdue
         case Right((tail, tailNorms)) =>
+          // pure cache hit: the tail probe above refreshed the tombstone
+          // cache for this version inside its own (single) job
+          val tombs = tombstoneSet(st) match {
+            case Some(t) => t
+            case None => return None // tombstone mask over cap -> job path
+          }
           val hits: Array[(Long, Double)] =
             if (f.metric == MetricType.Euclidean)
               idx.servePointEuclid(qIdx, qVal, k, exclude = tombs.contains,

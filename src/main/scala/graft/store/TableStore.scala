@@ -146,11 +146,17 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   /** Time travel: live rows as of a past version. */
   def readVersion(version: Long): DataFrame = readSnapshot(Some(readManifest(version)))
 
+  // tombstone batches are written as a single __row_id column (delete and
+  // upsert paths both select(RowId)); reading them with the schema stated
+  // skips the per-read parquet footer-inference job
+  private val tombSchema = StructType(Seq(StructField(RowId, LongType)))
+
   private def readSnapshot(s: Option[Snapshot]): DataFrame = s match {
     case Some(sn) if sn.data.nonEmpty =>
       val raw = rawRead(s)
       if (sn.tombs.isEmpty) raw
-      else raw.join(broadcast(spark.read.parquet(sn.tombs: _*)), Seq(RowId), "left_anti")
+      else raw.join(broadcast(spark.read.schema(tombSchema).parquet(sn.tombs: _*)),
+        Seq(RowId), "left_anti")
     case _ => emptyDf
   }
 
@@ -463,7 +469,8 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   /** Tombstoned row ids of the latest snapshot (None when there are none).
     * Tiny relative to data — callers broadcast it in anti-joins. */
   def tombstoneIds(): Option[DataFrame] = snapshot() match {
-    case Some(sn) if sn.tombs.nonEmpty => Some(spark.read.parquet(sn.tombs: _*))
+    case Some(sn) if sn.tombs.nonEmpty =>
+      Some(spark.read.schema(tombSchema).parquet(sn.tombs: _*))
     case _ => None
   }
 }

@@ -300,6 +300,67 @@ class Round9Spec extends SparkSpec {
     assert(after.map(_._1).toSeq == before.map(_._1).toSeq)
   }
 
+  // ---- coalesced per-commit serving probes ----
+
+  test("one snapshot move costs ONE serving probe job (fresh tail + tombstones coalesced)") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r9_probe_db"))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (1 to 600).map { i =>
+      Row(i.toLong, Seq((i % 83) / 83.0f, (i % 47) / 47.0f,
+        (i % 29) / 29.0f, (i % 13) / 13.0f))
+    }
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    // live tombstones so the probe's tombstone leg carries real rows
+    db.delete("""{"table":"T","primaryKeys":[5,6]}""")
+    val q = """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":3,"serve":true}"""
+    assert(db.query(q).contains("\"served\":true")) // warm residency+tail+tombs
+    // ONE snapshot move: an insert (auto-appended above the serving pin)
+    db.insert("""{"table":"T","data":[{"ID":9000,"V":[0.5,0.5,0.5,0.5]}]}""")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val details = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        details.add(js.stageInfos.map(_.details.linesIterator.take(3).mkString(" | "))
+          .mkString("<<", " >> ", ">>"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val served = db.query(q)
+      assert(served.contains("\"served\":true"), served)
+      // the appended exact-match row serves from the tail of that one probe
+      val top = "\"__row_id\":(\\d+)".r.findFirstMatchIn(served).get.group(1).toLong
+      assert(top == 601L, s"appended row must serve from the tail: $served")
+      Thread.sleep(300)
+      assert(jobs.get() == 1,
+        s"a version move must cost exactly ONE probe job (tail+tombs), ran ${jobs.get()}:\n" +
+          details.toArray(Array.empty[String]).mkString("\n").take(2000))
+      // fully warm serve stays job-free
+      jobs.set(0)
+      assert(db.query(q).contains("\"served\":true"))
+      Thread.sleep(300)
+      assert(jobs.get() == 0, s"fully warm serve ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the tombstone mask refreshed through the coalesced probe still bites:
+    // deleted pks never serve
+    val nearDeleted = db.query(
+      """{"table":"T","queryVector":[0.06,0.1,0.17,0.38],"limit":600,"serve":true}""")
+    assert(nearDeleted.contains("\"served\":true"))
+    val servedIds = "\"__row_id\":(\\d+)".r.findAllMatchIn(nearDeleted)
+      .map(_.group(1).toLong).toSet
+    assert(!servedIds.contains(5L) && !servedIds.contains(6L),
+      "tombstoned rows leaked through the coalesced probe")
+  }
+
   test("sparse decline burst forces a layout refresh through the same loop") {
     val db = new graft.api.GraftDb(spark, tmpDir("r9_sp_heal_db"))
     db.createTable(
