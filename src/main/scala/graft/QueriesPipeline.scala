@@ -55,6 +55,9 @@ object QueriesPipeline {
     s"CASE WHEN len(hs) = 0 THEN 0 ELSE ${bits.mkString(" + ")} END"
   }
 
+  // memory-sink names must be unique per run within a session
+  private val evStreamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------- dedup family ----------
@@ -276,6 +279,35 @@ object QueriesPipeline {
         .withColumn("hour_bucket", expr("ts div 3600000000000"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }),
+    // the SAME hourly aggregation executed BY THE STREAMING ENGINE: an
+    // AvailableNow run of EventStream.hourlyAggregate (watermarked
+    // stateful agg) into a memory sink, hash-compared against the batch
+    // oracle. Complete output mode, deliberately: append mode would hold
+    // back every window the final watermark has not passed (the last
+    // partial hour never emits), so only complete mode can equal the
+    // batch answer on a bounded input.
+    "ev_hour_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      // the streaming file source lists a DIRECTORY; the testdata tables
+      // are single parquet files — stream through a symlinked temp dir
+      val streamDir = java.nio.file.Files.createTempDirectory("ev_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = s.readStream.schema(schema)
+        .parquet(streamDir.toString)
+      val sink = s"ev_hour_stream_sink_${evStreamRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.hourlyAggregate(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
+          col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
     }),
     "ev_sessions" -> ((s, dir) => {
@@ -832,6 +864,11 @@ object QueriesPipeline {
          |ORDER BY qid, rank""".stripMargin
     },
     "ev_hour_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    // the streaming twin must land on the exact same batch answer
+    "ev_hour_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
