@@ -454,6 +454,12 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
+    // "quantized":true = OPT-IN approximate serving off the 16-bit
+    // resident tier (~4x the rows per residency byte; 16-bit ranking
+    // error, see IvfIndex.QuantCluster). Never a silent fallback: the
+    // default serve tier stays exact-or-decline, and a quantized answer
+    // is marked as such in the response envelope.
+    val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
     (req \ "queryVector") match {
       case o: JObject => return serveSparse(st, queryField, o, limit)
       case _ => ()
@@ -495,9 +501,14 @@ class GraftDb(val spark: SparkSession, val root: String,
             case Some(t) => t
             case None => return None // tombstone mask over cap -> job path
           }
-          val hits = idx.servePoint(queryField, dense,
-            math.min(limit, maxRenderRows), math.min(nProbe, idx.centroids().length),
-            exclude = tombs.contains, freshTail = tail) match {
+          val k = math.min(limit, maxRenderRows)
+          val np = math.min(nProbe, idx.centroids().length)
+          val served =
+            if (quantized) idx.servePointQuantized(queryField, dense, k, np,
+              exclude = tombs.contains, freshTail = tail)
+            else idx.servePoint(queryField, dense, k, np,
+              exclude = tombs.contains, freshTail = tail)
+          val hits = served match {
             case Some(h) => h
             // probed clusters exceed the resident budget (cardinality
             // pre-check declined before any collect) -> job path
@@ -512,7 +523,9 @@ class GraftDb(val spark: SparkSession, val root: String,
                 .append(",\"@distance\":").append(hits(i)._2).append('}')
               i += 1
             }
-            sb.append("],\"served\":true}")
+            sb.append("],\"served\":true")
+            if (quantized) sb.append(",\"quantized\":true")
+            sb.append('}')
             return Some(sb.toString)
           } // pin moved mid-serve (rebuild/rebase landed): retry
       }

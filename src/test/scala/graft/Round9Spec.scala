@@ -300,6 +300,41 @@ class Round9Spec extends SparkSpec {
     assert(after.map(_._1).toSeq == before.map(_._1).toSeq)
   }
 
+  test("\"quantized\":true serves off the 16-bit tier through the query API, marked in the envelope") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r9_quant_api"))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (1 to 600).map { i =>
+      Row(i.toLong, Seq((i % 83) / 83.0f, (i % 47) / 47.0f,
+        (i % 29) / 29.0f, (i % 13) / 13.0f))
+    }
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    val exact = db.query(
+      """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":5,"serve":true}""")
+    assert(exact.contains("\"served\":true") && !exact.contains("\"quantized\""))
+    val quant = db.query(
+      """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":5,"serve":true,"quantized":true}""")
+    assert(quant.contains("\"served\":true") && quant.contains("\"quantized\":true"), quant)
+    // 16-bit ranking error is far below this fixture's distance gaps:
+    // the id sets must agree (the opt-in buys residency, not wrong answers)
+    def ids(s: String) = "\"__row_id\":(\\d+)".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(ids(quant) == ids(exact))
+    // the appended fresh row still rides the exact tail into a quantized serve
+    db.insert("""{"table":"T","data":[{"ID":9000,"V":[0.5,0.5,0.5,0.5]}]}""")
+    val afterAppend = db.query(
+      """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":5,"serve":true,"quantized":true}""")
+    assert(afterAppend.contains("\"quantized\":true"))
+    assert(ids(afterAppend).head == "601",
+      s"appended row must lead the quantized serve: $afterAppend")
+  }
+
   // ---- coalesced per-commit serving probes ----
 
   test("one snapshot move costs ONE serving probe job (fresh tail + tombstones coalesced)") {
