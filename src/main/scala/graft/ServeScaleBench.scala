@@ -92,8 +92,15 @@ object ServeScaleBench {
       Seq("go") ++ (0 until n).flatMap(i => Seq(s"ready$i", s"result$i")) foreach { f =>
         java.nio.file.Files.deleteIfExists(benchDir.resolve(f))
       }
+      // each worker's scoring pool gets its FAIR SHARE of the cores:
+      // servePoint fans clusters onto ExecutionContext.global, which
+      // defaults to all machine cores per JVM — N workers would stack
+      // N*cores scoring threads and thrash the box sublinear
+      val share = math.max(2, Runtime.getRuntime.availableProcessors / n)
       val procs = (0 until n).map { wid =>
         val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+          s"-Dscala.concurrent.context.numThreads=$share",
+          s"-Dscala.concurrent.context.maxThreads=$share",
           "-cp", System.getProperty("java.class.path"),
           "graft.ServeScaleWorker", idxPath, wid.toString, n.toString,
           durSec.toString)

@@ -894,6 +894,8 @@ class GraftDb(val spark: SparkSession, val root: String,
             s""""clusters":${m.size},"rows":$total,"maxClusterRows":$mx,"""
           }.getOrElse("")
           Some(s"""{"field":"${f.name}","type":"ivf",$card""" +
+            s""""residentRows":${idx.servingResidentRows()},""" +
+            s""""residentQuantRows":${idx.servingResidentQuantRows()},""" +
             s""""serveDeclines":${idx.serveDeclineCount()}}""")
         }
       }
