@@ -148,12 +148,13 @@ object AnnBench {
     }.sum / exact.length
 
     // QUANTIZED serving residency: same probe skeleton, resident tier
-    // holds 16-bit codes + per-row scales (2·dim+48 B/row vs 8·dim+24 —
+    // holds 16-bit codes + per-row scales (2·dim+56 B/row vs 8·dim+24 —
     // ~4x more rows per byte, and each scoring pass reads a quarter of
     // the memory per row; dense serving at dim 960 is RAM-bandwidth-
-    // bound, so density IS throughput). Recall vs the exact oracle must
-    // hold at 1.0 — 16-bit dequantization error is ~range/131070 per
-    // component, orders below real inter-point distance gaps.
+    // bound, so density IS throughput). Recall vs the exact oracle is
+    // GUARANTEED 1.0: the id set is interval-certified against per-row
+    // quantization error bounds, and boundary-ambiguous queries rerank
+    // the band on floats (qserve_reranks counts those one-job serves).
     queries.foreach(q => idx.servePointQuantized("embedding", q, 10, nProbe = 8))
     val t2q = System.nanoTime()
     val qserveDeadline = t2q + 10L * 1000 * 1000 * 1000
@@ -223,6 +224,7 @@ object AnnBench {
       f""""serve_coldload_sec":$coldSec%.2f,""" +
       f""""qserve_qps":${qserveQueries / qserveSec}%.2f,"qserve_recall_at_10":$qserveRecall%.4f,""" +
       f""""qserve_resident_rows":${idx.servingResidentQuantRows()},""" +
+      f""""qserve_reranks":${idx.quantRerankCount()},""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")

@@ -454,11 +454,13 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
-    // "quantized":true = OPT-IN approximate serving off the 16-bit
-    // resident tier (~4x the rows per residency byte; 16-bit ranking
-    // error, see IvfIndex.QuantCluster). Never a silent fallback: the
-    // default serve tier stays exact-or-decline, and a quantized answer
-    // is marked as such in the response envelope.
+    // "quantized":true = OPT-IN serving off the 16-bit resident tier
+    // (~4x the rows per residency byte). The returned id set is EXACT —
+    // interval-certified against per-row quantization error bounds, with
+    // the rare boundary-ambiguous band float-reranked in one pruned job
+    // (surfaced as "reranked":n) — but the distances are quantized on the
+    // certified path, so the answer is still marked in the envelope and
+    // the default serve tier stays the all-float one.
     val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
     (req \ "queryVector") match {
       case o: JObject => return serveSparse(st, queryField, o, limit)
@@ -504,11 +506,11 @@ class GraftDb(val spark: SparkSession, val root: String,
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
           val served =
-            if (quantized) idx.servePointQuantized(queryField, dense, k, np,
-              exclude = tombs.contains, freshTail = tail)
+            if (quantized) idx.servePointQuantizedDetail(queryField, dense,
+              k, np, exclude = tombs.contains, freshTail = tail)
             else idx.servePoint(queryField, dense, k, np,
-              exclude = tombs.contains, freshTail = tail)
-          val hits = served match {
+              exclude = tombs.contains, freshTail = tail).map((_, 0))
+          val (hits, reranked) = served match {
             case Some(h) => h
             // probed clusters exceed the resident budget (cardinality
             // pre-check declined before any collect) -> job path
@@ -524,7 +526,10 @@ class GraftDb(val spark: SparkSession, val root: String,
               i += 1
             }
             sb.append("],\"served\":true")
-            if (quantized) sb.append(",\"quantized\":true")
+            if (quantized) {
+              sb.append(",\"quantized\":true")
+              if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+            }
             sb.append('}')
             return Some(sb.toString)
           } // pin moved mid-serve (rebuild/rebase landed): retry

@@ -538,23 +538,32 @@ class IvfIndex(
     * over the short[] codes:
     *   L2  = a²s2 + 2ab·s1 − 2a·Σc_i q_i + Σ(b−q_i)²
     *   dot = b·Σq + a·Σc_i q_i
-    * Residency is 2·dim + 48 bytes per row vs 8·dim + 24 for the exact
+    * Residency is 2·dim + 56 bytes per row vs 8·dim + 24 for the exact
     * double-packed cache — ~4× more rows per byte at high dims, and the
     * scoring loop reads a quarter of the memory per row (serving is RAM-
-    * bandwidth-bound at dim 960, so density is throughput). 16-bit
-    * dequantization error is ~(range/65535)/2 per component — ranking is
-    * approximate in principle (this is the ANN serving tier, like the
-    * reference's graph search); `servePoint` remains the exact tier. */
+    * bandwidth-bound at dim 960, so density is throughput).
+    *
+    * 16-bit dequantization error is ≤ a/2 per component (a = range/65535),
+    * which makes the SCORE error boundable per row from stored state:
+    *   |dot − dôt| ≤ (a/2)·‖q‖₁
+    *   |L2 − L̂2|  ≤ (a/2)·(2·Σ|x̂_i| + dim·a/2) + a·‖q‖₁
+    * (sabs = Σ|x̂_i| is packed per row for the L2 bound). The serve path
+    * uses these intervals to CERTIFY the exact top-k id set, and float-
+    * reranks only the boundary-ambiguous band (one pruned job, rare) when
+    * the intervals overlap the k-th boundary — so the quantized tier
+    * returns the exact id set or declines; only the reported distances
+    * stay approximate on the certified (non-reranked) path. `servePoint`
+    * remains the all-float exact tier. */
   protected final case class QuantCluster(ids: Array[Long], codes: Array[Short],
       scaleA: Array[Double], scaleB: Array[Double],
-      s1: Array[Long], s2: Array[Long])
+      s1: Array[Long], s2: Array[Long], sabs: Array[Double])
 
   @transient private var quantCache =
     new java.util.LinkedHashMap[Int, QuantCluster](64, 0.75f, true)
   @transient private var quantRowsResident = 0L
 
   private def effectiveMaxQuantRows(dim: Int): Long =
-    math.min(maxServeRows, maxServeBytes / (2L * dim + 48L))
+    math.min(maxServeRows, maxServeBytes / (2L * dim + 56L))
 
   /** Rows resident in the quantized serving cache. */
   def servingResidentQuantRows(): Long = synchronized { quantRowsResident }
@@ -576,7 +585,8 @@ class IvfIndex(
             scala.collection.mutable.ArrayBuffer[Double], // a
             scala.collection.mutable.ArrayBuffer[Double], // b
             scala.collection.mutable.ArrayBuffer[Long],   // s1
-            scala.collection.mutable.ArrayBuffer[Long])]() // s2
+            scala.collection.mutable.ArrayBuffer[Long],   // s2
+            scala.collection.mutable.ArrayBuffer[Double])]() // sabs
         it.foreach { r =>
           val cell = acc.getOrElseUpdate(r.getInt(0),
             (scala.collection.mutable.ArrayBuffer[Long](),
@@ -584,7 +594,8 @@ class IvfIndex(
               scala.collection.mutable.ArrayBuffer[Double](),
               scala.collection.mutable.ArrayBuffer[Double](),
               scala.collection.mutable.ArrayBuffer[Long](),
-              scala.collection.mutable.ArrayBuffer[Long]()))
+              scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Double]()))
           cell._1 += r.getLong(1)
           val v = r.getAs[scala.collection.Seq[Float]](2)
           var mn = Double.MaxValue
@@ -600,6 +611,7 @@ class IvfIndex(
           val inv = if (a > 0) 1.0 / a else 0.0
           var cs1 = 0L
           var cs2 = 0L
+          var csabs = 0.0
           j = 0
           while (j < v.length) {
             val c0 = math.round((v(j).toDouble - mn) * inv)
@@ -607,13 +619,15 @@ class IvfIndex(
             cell._2 += (c - 32768L).toShort // stored biased into Short range
             cs1 += c
             cs2 += c * c
+            csabs += math.abs(mn + a * c) // Σ|x̂| feeds the L2 error bound
             j += 1
           }
           cell._3 += a; cell._4 += mn; cell._5 += cs1; cell._6 += cs2
+          cell._7 += csabs
         }
-        acc.iterator.map { case (cid, (ids, codes, as, bs, s1s, s2s)) =>
+        acc.iterator.map { case (cid, (ids, codes, as, bs, s1s, s2s, sabss)) =>
           (cid, ids.toArray, codes.toArray, as.toArray, bs.toArray,
-            s1s.toArray, s2s.toArray)
+            s1s.toArray, s2s.toArray, sabss.toArray)
         }
       }.collect()
     missing.map { cid =>
@@ -626,31 +640,48 @@ class IvfIndex(
       val bs = new Array[Double](n)
       val s1 = new Array[Long](n)
       val s2 = new Array[Long](n)
+      val sabs = new Array[Double](n)
       var io = 0
       var fo = 0
-      cs.foreach { case (_, cids, ccodes, cas, cbs, cs1, cs2) =>
+      cs.foreach { case (_, cids, ccodes, cas, cbs, cs1, cs2, csabs) =>
         System.arraycopy(cids, 0, ids, io, cids.length)
         System.arraycopy(cas, 0, as, io, cas.length)
         System.arraycopy(cbs, 0, bs, io, cbs.length)
         System.arraycopy(cs1, 0, s1, io, cs1.length)
         System.arraycopy(cs2, 0, s2, io, cs2.length)
+        System.arraycopy(csabs, 0, sabs, io, csabs.length)
         System.arraycopy(ccodes, 0, codes, fo, ccodes.length)
         io += cids.length
         fo += ccodes.length
       }
-      cid -> QuantCluster(ids, codes, as, bs, s1, s2)
+      cid -> QuantCluster(ids, codes, as, bs, s1, s2, sabs)
     }.toMap
   }
 
+  @transient private val quantReranks =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Quantized serves that needed a float rerank of the top-k boundary's
+    * ambiguous band (one pruned job each; every other quantized serve is
+    * certified exact with zero jobs warm). */
+  def quantRerankCount(): Long = quantReranks.get()
+
   /** Quantized-residency top-K: the same probe/guard/retry skeleton as
-    * `servePoint`, scoring from the 16-bit resident cache. Approximate by
-    * construction (see QuantCluster); the fresh tail is scored EXACTLY
-    * from its float payload and merged. None = over budget or thrash —
-    * the caller answers on the job path. */
-  def servePointQuantized(vecCol: String, query: Array[Float], k: Int,
+    * `servePoint`, scoring from the 16-bit resident cache; the fresh tail
+    * is scored EXACTLY from its float payload and merged.
+    *
+    * The returned id SET is exact, never approximate: per-row score-error
+    * bounds (see QuantCluster) certify the top-k boundary; when intervals
+    * overlap it, the ambiguous band is reranked on floats via one job
+    * pruned to the probed cluster dirs + pushed-down ids (`_2` = rows
+    * reranked, 0 = certified without a job). Distances are quantized on
+    * the certified path, exact on the reranked path. None = over budget,
+    * thrash, or an uncertifiable boundary after band widening — the
+    * caller answers on the job path. */
+  def servePointQuantizedDetail(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
-      : Option[Array[(Long, Double)]] = {
+      : Option[(Array[(Long, Double)], Int)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     var clusters: Array[QuantCluster] = null
     var probed: Array[Int] = null
@@ -715,68 +746,141 @@ class IvfIndex(
     val qd = new Array[Double](dim)
     var qs = 0.0
     var qss = 0.0
+    var qabs = 0.0
     var qi = 0
     while (qi < dim) {
-      qd(qi) = q(qi).toDouble; qs += qd(qi); qss += qd(qi) * qd(qi); qi += 1
-    }
-    val locals: Array[Array[(Long, Double)]] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      if (clusters.length <= 1)
-        clusters.map(c => scoreQuantCluster(c, qd, qs, qss, k, exclude))
-      else Await.result(Future.sequence(clusters.toSeq.map(c =>
-        Future(scoreQuantCluster(c, qd, qs, qss, k, exclude)))),
-        Duration.Inf).toArray
+      qd(qi) = q(qi).toDouble
+      qs += qd(qi); qss += qd(qi) * qd(qi); qabs += math.abs(qd(qi))
+      qi += 1
     }
     // exact-scored fresh tail rides in through the shared float kernel
-    val tailLocal: Array[Array[(Long, Double)]] = freshTail match {
+    // (error bound 0 — its scores need no certification or rerank)
+    val tailLocal: Array[(Long, Double, Double)] = freshTail match {
       case Some(t) =>
-        var qNorm = 0.0
-        var i = 0
-        while (i < dim) { qNorm += qd(i) * qd(i); i += 1 }
-        Array(IvfIndex.scoreCluster(t, qd, qNorm, k, metric, exclude))
+        IvfIndex.scoreCluster(t, qd, qss, k, metric, exclude)
+          .map(c => (c._1, c._2, 0.0))
       case None => Array.empty
     }
-    val heap = new java.util.PriorityQueue[(Long, Double)](k,
-      (a: (Long, Double), b: (Long, Double)) => {
-        val c = java.lang.Double.compare(b._2, a._2)
-        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
-      })
-    (locals ++ tailLocal).foreach(_.foreach { cand =>
-      if (heap.size < k) heap.add(cand)
-      else {
-        val worst = heap.peek()
-        if (cand._2 < worst._2 || (cand._2 == worst._2 && cand._1 < worst._1)) {
-          heap.poll(); heap.add(cand)
+    def topK(cands: Array[(Long, Double, Double)]): Array[(Long, Double)] =
+      cands.sortWith((x, y) => x._2 < y._2 || (x._2 == y._2 && x._1 < y._1))
+        .take(k).map(c => (c._1, c._2))
+    // Certification: true score ∈ [s−e, s+e] per candidate. With `bound` =
+    // k-th smallest upper bound, at least k true scores are ≤ bound, so any
+    // row whose lower bound exceeds it is certainly out — including every
+    // row a per-cluster heap discarded (minDisc > bound). If exactly k
+    // candidates remain possible they ARE the exact set; otherwise the
+    // possible band gets float-reranked in one pruned job. A heap-discard
+    // violation widens the per-cluster band (in-RAM rescores — the rows
+    // are resident; the heap only bounds candidate memory) up to keeping
+    // every probed row, so certification itself never declines: only an
+    // absurd rerank band (the job path is the better plan there) does.
+    for (pad <- Seq(16, 256, Int.MaxValue - k)) {
+      val kPad = k + pad
+      val perCluster: Array[(Array[(Long, Double, Double)], Double)] = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        if (clusters.length <= 1)
+          clusters.map(c => scoreQuantCluster(c, qd, qs, qss, qabs, kPad, exclude))
+        else Await.result(Future.sequence(clusters.toSeq.map(c =>
+          Future(scoreQuantCluster(c, qd, qs, qss, qabs, kPad, exclude)))),
+          Duration.Inf).toArray
+      }
+      val all = perCluster.flatMap(_._1) ++ tailLocal
+      if (all.length <= k) return Some((topK(all), 0))
+      val ubs = all.map(c => c._2 + c._3).sorted
+      val bound = ubs(k - 1)
+      val minDisc = perCluster.foldLeft(Double.PositiveInfinity)(
+        (m, c) => math.min(m, c._2))
+      if (minDisc > bound) {
+        val possible = all.filter(c => c._2 - c._3 <= bound)
+        if (possible.length == k) return Some((topK(possible), 0))
+        val need = possible.collect { case (id, _, e) if e > 0.0 => id }
+        // a pathological band (near-tie mass) would push-down thousands
+        // of ids into one filter — the job path is the better plan there
+        if (need.length > 10000) return decline
+        return rerankExact(vecCol, need, probed, qd, qss) match {
+          case Some(m) =>
+            quantReranks.incrementAndGet()
+            val fixed = possible.map(c =>
+              (c._1, if (c._3 == 0.0) c._2 else m(c._1), 0.0))
+            Some((topK(fixed), need.length))
+          case None => decline // racing rebuild relocated a band id
         }
       }
-    })
-    val out = new Array[(Long, Double)](heap.size)
-    var oi = out.length - 1
-    while (oi >= 0) { out(oi) = heap.poll(); oi -= 1 }
-    Some(out)
+    }
+    decline // unreachable: the final all-rows pass discards nothing
   }
 
-  /** Bounded top-k of one quantized resident cluster: scores dequantized
-    * rows WITHOUT materializing them — one fused Σ c_j·q_j over the
-    * short[] codes per row, then closed forms from the stored moments:
+  /** Compatibility shape of `servePointQuantizedDetail` — hits only. */
+  def servePointQuantized(vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Option[Array[(Long, Double)]] =
+    servePointQuantizedDetail(vecCol, query, k, nProbe, exclude, freshTail)
+      .map(_._1)
+
+  /** Exact float scores for the boundary-ambiguous ids: ONE job, pruned
+    * to the probed cluster dirs with the id list pushed down. Scores use
+    * the same norm-form kernel as the float serve tier so merged
+    * orderings are consistent. None (→ decline) when a racing rebuild
+    * relocated any requested id out of the probed clusters. */
+  private def rerankExact(vecCol: String, ids: Array[Long],
+      probed: Array[Int], qd: Array[Double], qss: Double)
+      : Option[Map[Long, Double]] =
+    try {
+      if (ids.isEmpty) return Some(Map.empty)
+      val l2Metric = metric == MetricType.Euclidean
+      val cosMetric = metric == MetricType.Cosine
+      val rows = clustered()
+        .filter(col("cluster").isin(probed.toSeq: _*))
+        .filter(col(idCol).cast("long").isin(ids.toSeq: _*))
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+      val m = rows.iterator.map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](1)
+        var dot = 0.0
+        var nrm = 0.0
+        var j = 0
+        while (j < v.length) {
+          val x = v(j).toDouble
+          dot += x * qd(j); nrm += x * x; j += 1
+        }
+        val d =
+          if (l2Metric) nrm - 2.0 * dot + qss
+          else if (cosMetric) 1.0 - dot
+          else -dot
+        r.getLong(0) -> d
+      }.toMap
+      if (ids.forall(m.contains)) Some(m) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Bounded top-kPad of one quantized resident cluster: scores
+    * dequantized rows WITHOUT materializing them — one fused Σ c_j·q_j
+    * over the short[] codes per row, then closed forms from the stored
+    * moments:
     *   dot = b·Σq + a·(Σ c_j q_j)
     *   |x̂|² = dim·b² + 2ab·s1 + a²·s2
     *   L2  = |x̂|² − 2·dot + |q|²
     * Codes are stored biased into Short range (c − 32768), so the short
-    * dot is corrected by +32768·Σq once per row, not per element. */
+    * dot is corrected by +32768·Σq once per row, not per element.
+    *
+    * Returns (id, score, errorBound) candidates plus the minimum score
+    * LOWER bound over every row the heap discarded — the caller proves
+    * discarded rows can't reach the global top-k (QuantCluster doc has
+    * the bound derivations). */
   private def scoreQuantCluster(cluster: QuantCluster, qd: Array[Double],
-      qs: Double, qss: Double, k: Int, exclude: Long => Boolean)
-      : Array[(Long, Double)] = {
+      qs: Double, qss: Double, qabs: Double, kPad: Int,
+      exclude: Long => Boolean): (Array[(Long, Double, Double)], Double) = {
     val dim = qd.length
     val l2Metric = metric == MetricType.Euclidean
-    val cosMetric = metric == MetricType.Cosine
-    val heap = new java.util.PriorityQueue[(Long, Double)](math.max(1, k),
-      (a: (Long, Double), b: (Long, Double)) => {
+    val heap = new java.util.PriorityQueue[(Long, Double, Double)](
+      math.min(math.max(1, kPad), 1024), // grows; kPad may be "everything"
+      (a: (Long, Double, Double), b: (Long, Double, Double)) => {
         val c = java.lang.Double.compare(b._2, a._2)
         if (c != 0) c else java.lang.Long.compare(b._1, a._1)
       })
+    var minDisc = Double.PositiveInfinity
     val ids = cluster.ids
     val codes = cluster.codes
     var i = 0
@@ -794,23 +898,29 @@ class IvfIndex(
           if (l2Metric)
             dim * b * b + 2.0 * a * b * cluster.s1(i) +
               a * a * cluster.s2(i) - 2.0 * dot + qss
-          else if (cosMetric) 1.0 - dot
+          else if (metric == MetricType.Cosine) 1.0 - dot
           else -dot
-        if (heap.size < k) heap.add((ids(i), d))
+        val e =
+          if (l2Metric)
+            0.5 * a * (2.0 * cluster.sabs(i) + 0.5 * dim * a) + a * qabs
+          else 0.5 * a * qabs
+        if (heap.size < kPad) heap.add((ids(i), d, e))
         else {
           val worst = heap.peek()
           if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
-            heap.poll(); heap.add((ids(i), d))
-          }
+            val ev = heap.poll()
+            if (ev._2 - ev._3 < minDisc) minDisc = ev._2 - ev._3
+            heap.add((ids(i), d, e))
+          } else if (d - e < minDisc) minDisc = d - e
         }
       }
       i += 1
       off += dim
     }
-    val out = new Array[(Long, Double)](heap.size)
+    val out = new Array[(Long, Double, Double)](heap.size)
     var n = out.length - 1
     while (n >= 0) { out(n) = heap.poll(); n -= 1 }
-    out
+    (out, minDisc)
   }
 
   /** None = the probed clusters exceed the resident budget (cardinality

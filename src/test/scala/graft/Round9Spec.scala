@@ -207,7 +207,7 @@ class Round9Spec extends SparkSpec {
   // ---- quantized serving residency ----
 
   /** Two well-separated blobs with per-row varied components at `dim`
-    * dims — wide enough that the 16-bit row cost (2·dim+48) is a fraction
+    * dims — wide enough that the 16-bit row cost (2·dim+56) is a fraction
     * of the float row cost (8·dim+24). */
   private def wideVectors(n: Int, dim: Int): DataFrame = {
     val rows = (0 until n).map { i =>
@@ -263,11 +263,11 @@ class Round9Spec extends SparkSpec {
     IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
       nClusters = 2, maxIter = 5)
     val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
-    // 900 rows cost 900·(8·64+24) = 482 KB as floats, 900·(2·64+48) =
-    // 158 KB as 16-bit codes. A budget of exactly the quantized footprint
+    // 900 rows cost 900·(8·64+24) = 482 KB as floats, 900·(2·64+56) =
+    // 166 KB as 16-bit codes. A budget of exactly the quantized footprint
     // must decline the float tier (cardinality guard, before any collect)
     // and fully serve the quantized tier.
-    idx.maxServeBytes = 900L * (2 * dim + 48)
+    idx.maxServeBytes = 900L * (2 * dim + 56)
     val q = Array.tabulate(dim)(j => 0.05f * (j % 3))
     val np = idx.centroids().length
     assert(idx.servePoint("vec", q, 10, nProbe = np).isEmpty,
@@ -333,6 +333,106 @@ class Round9Spec extends SparkSpec {
     assert(afterAppend.contains("\"quantized\":true"))
     assert(ids(afterAppend).head == "601",
       s"appended row must lead the quantized serve: $afterAppend")
+  }
+
+  test("near-tie quantized boundary float-reranks in ONE pruned job: exact set and exact distances") {
+    // per-row range 120000 makes the 16-bit step a ≈ 1.8 — three orders
+    // above the 0.001 score gaps, so quantized ranking alone is garbage
+    // here and certification MUST refuse to answer without the rerank
+    val n = 400
+    val rows = (1 to n).map { i =>
+      Row(i.toLong, Seq(i * 0.001f, 60000f, -60000f, 0f))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val path = tmpDir("r9_quant_tie")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.DotProduct,
+      nClusters = 2, maxIter = 5)
+    val idx = new IvfIndex(spark, path, "id", MetricType.DotProduct)
+    val np = idx.centroids().length
+    val q = Array(1f, 0f, 0f, 0f)
+    val exact = idx.servePoint("vec", q, 10, nProbe = np).get
+    val before = idx.quantRerankCount()
+    idx.servePointQuantized("vec", q, 10, nProbe = np) // warm residency
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (hits, reranked) =
+      try {
+        val r = idx.servePointQuantizedDetail("vec", q, 10, nProbe = np).get
+        Thread.sleep(300)
+        assert(jobs.get() == 1,
+          s"warm near-tie serve must cost exactly ONE rerank job, ran ${jobs.get()}")
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(reranked > 0, "near-tie boundary must trigger the float rerank")
+    assert(idx.quantRerankCount() >= before + 2) // warm call reranked too
+    assert(hits.map(_._1).toSeq == exact.map(_._1).toSeq,
+      "reranked quantized serve must return the exact top-k ids")
+    // reranked distances come off floats through the same norm-form
+    // kernel as the exact tier — identical, not merely close
+    assert(hits.map(_._2).toSeq == exact.map(_._2).toSeq)
+  }
+
+  test("well-separated data certifies the quantized set without a rerank: zero jobs warm") {
+    // distinct rows on a line: score gaps at the k-boundary (~5e-2) dwarf
+    // the certified error bounds (~4e-6 there), so the interval proof
+    // closes without touching floats. (wideVectors has DUPLICATE rows —
+    // exact boundary ties legitimately require the rerank.)
+    val rows = (0 until 900).map(i => Row(i.toLong, Seq(i * 0.05f, 0f, 0f, 0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    val path = tmpDir("r9_quant_cert")
+    IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
+      nClusters = 2, maxIter = 5)
+    val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
+    val np = idx.centroids().length
+    val q = Array(0.01f, 0f, 0f, 0f)
+    idx.servePointQuantized("vec", q, 10, nProbe = np) // warm residency
+    val before = idx.quantRerankCount()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (hits, reranked) =
+        idx.servePointQuantizedDetail("vec", q, 10, nProbe = np).get
+      Thread.sleep(300)
+      assert(jobs.get() == 0, s"certified warm serve ran ${jobs.get()} job(s)")
+      assert(reranked == 0, "separated data must certify without a rerank")
+      assert(hits.map(_._1).toSeq ==
+        idx.servePoint("vec", q, 10, nProbe = np).get.map(_._1).toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(idx.quantRerankCount() == before)
+  }
+
+  test("quantized serve id set equals the exact tier across metrics and random queries") {
+    val dim = 32
+    val df = wideVectors(600, dim)
+    for (metric <- Seq(MetricType.Euclidean, MetricType.DotProduct, MetricType.Cosine)) {
+      val path = tmpDir(s"r9_quant_prop_$metric")
+      IvfIndex.build(spark, df, "vec", "id", path, metric, nClusters = 3, maxIter = 5)
+      val idx = new IvfIndex(spark, path, "id", metric)
+      val np = idx.centroids().length
+      val rnd = new scala.util.Random(42)
+      (0 until 25).foreach { _ =>
+        val q = Array.fill(dim)((rnd.nextFloat() - 0.3f) * 8f)
+        val e = idx.servePoint("vec", q, 12, nProbe = np).get.map(_._1).toSet
+        val qq = idx.servePointQuantized("vec", q, 12, nProbe = np).get.map(_._1).toSet
+        assert(qq == e, s"$metric: quantized id set diverged from exact")
+      }
+    }
   }
 
   // ---- coalesced per-commit serving probes ----
