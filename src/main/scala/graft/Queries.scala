@@ -73,6 +73,29 @@ object Queries {
         .limit(20)
     }),
 
+    // skew-safe physical variants, oracle-gated: the salted join and the
+    // two-stage aggregation must equal their plain logical forms exactly
+    // (SkewJoinSpec proves the salting mechanics on synthetic hot keys;
+    // these rows prove the operators against DuckDB on the real tables)
+    "sj_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.query.SkewJoin.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("s_nationkey").as("nationkey"), col("sum_qty"), col("cnt"))
+        .orderBy(col("nationkey"))
+    }),
+    "sj_two_stage_agg" -> ((s, dir) => {
+      graft.query.SkewJoin.twoStageSum(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", saltFactor = 32)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- §2.2 filter-expression language (P2-P8) ----
     "p2_filter_expr" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -487,6 +510,15 @@ object Queries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""".stripMargin,
+    "sj_salted_join" ->
+      """SELECT s_nationkey AS nationkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+    "sj_two_stage_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "p2_filter_expr" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  round(l_extendedprice, 2) AS price
