@@ -148,13 +148,14 @@ object AnnBench {
     }.sum / exact.length
 
     // QUANTIZED serving residency: same probe skeleton, resident tier
-    // holds 16-bit codes + per-row scales (2·dim+56 B/row vs 8·dim+24 —
-    // ~4x more rows per byte, and each scoring pass reads a quarter of
-    // the memory per row; dense serving at dim 960 is RAM-bandwidth-
-    // bound, so density IS throughput). Recall vs the exact oracle is
-    // GUARANTEED 1.0: the id set is interval-certified against per-row
-    // quantization error bounds, and boundary-ambiguous queries rerank
-    // the band on floats (qserve_reranks counts those one-job serves).
+    // holds 16-bit codes + per-row scales + exact norms (2·dim+48 B/row
+    // vs 8·dim+24 — ~4x more rows per byte, and each scoring pass reads
+    // a quarter of the memory per row; dense serving at dim 960 is RAM-
+    // bandwidth-bound, so density IS throughput). Two windows: the
+    // default throughput mode (empirically exact ranking, measured
+    // recall), then the CERTIFIED mode whose recall is 1.0 by
+    // construction — interval-certified id sets, boundary-ambiguous
+    // queries float-rerank one pruned job (qserve_reranks counts them).
     queries.foreach(q => idx.servePointQuantized("embedding", q, 10, nProbe = 8))
     val t2q = System.nanoTime()
     val qserveDeadline = t2q + 10L * 1000 * 1000 * 1000
@@ -170,6 +171,26 @@ object AnnBench {
     val qserveSec = (System.nanoTime() - t2q) / 1e9
     val qserveRecall = exact.zip(queries.map(q =>
       idx.servePointQuantized("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
+    // certified window: proven-exact id sets (recall 1.0 by construction)
+    val t2c = System.nanoTime()
+    val qcertDeadline = t2c + 10L * 1000 * 1000 * 1000
+    var qcertQueries = 0L
+    while (qcertQueries == 0L || System.nanoTime() < qcertDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointQuantizedDetail("embedding", queries(qi), 10,
+          nProbe = 8, certify = true).get
+        qi += 1
+      }
+      qcertQueries += queries.length
+    }
+    val qcertSec = (System.nanoTime() - t2c) / 1e9
+    val qcertRecall = exact.zip(queries.map(q =>
+      idx.servePointQuantizedDetail("embedding", q, 10, nProbe = 8,
+        certify = true).get._1.map(_._1).toSeq)).map {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
@@ -224,6 +245,8 @@ object AnnBench {
       f""""serve_coldload_sec":$coldSec%.2f,""" +
       f""""qserve_qps":${qserveQueries / qserveSec}%.2f,"qserve_recall_at_10":$qserveRecall%.4f,""" +
       f""""qserve_resident_rows":${idx.servingResidentQuantRows()},""" +
+      f""""qserve_cert_qps":${qcertQueries / qcertSec}%.2f,""" +
+      f""""qserve_cert_recall_at_10":$qcertRecall%.4f,""" +
       f""""qserve_reranks":${idx.quantRerankCount()},""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +

@@ -455,13 +455,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
     // "quantized":true = OPT-IN serving off the 16-bit resident tier
-    // (~4x the rows per residency byte). The returned id set is EXACT —
+    // (~4x the rows per residency byte; empirically exact ranking, the
+    // L2 norm term is packed exact, but no proof). Adding
+    // "certified":true upgrades it to a PROVEN-exact id set:
     // interval-certified against per-row quantization error bounds, with
-    // the rare boundary-ambiguous band float-reranked in one pruned job
-    // (surfaced as "reranked":n) — but the distances are quantized on the
-    // certified path, so the answer is still marked in the envelope and
-    // the default serve tier stays the all-float one.
+    // a boundary-ambiguous band float-reranked in one pruned job
+    // (surfaced as "reranked":n). Never a silent fallback: quantized
+    // answers are marked in the envelope and the default serve tier
+    // stays the all-float one.
     val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
+    val certified = (req \ "certified") match { case JBool(b) => b; case _ => false }
     (req \ "queryVector") match {
       case o: JObject => return serveSparse(st, queryField, o, limit)
       case _ => ()
@@ -507,7 +510,8 @@ class GraftDb(val spark: SparkSession, val root: String,
           val np = math.min(nProbe, idx.centroids().length)
           val served =
             if (quantized) idx.servePointQuantizedDetail(queryField, dense,
-              k, np, exclude = tombs.contains, freshTail = tail)
+              k, np, exclude = tombs.contains, freshTail = tail,
+              certify = certified)
             else idx.servePoint(queryField, dense, k, np,
               exclude = tombs.contains, freshTail = tail).map((_, 0))
           val (hits, reranked) = served match {
@@ -528,6 +532,7 @@ class GraftDb(val spark: SparkSession, val root: String,
             sb.append("],\"served\":true")
             if (quantized) {
               sb.append(",\"quantized\":true")
+              if (certified) sb.append(",\"certified\":true")
               if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
             }
             sb.append('}')

@@ -533,37 +533,37 @@ class IvfIndex(
   // ---- quantized serving residency (16-bit codes packed at load) ----
 
   /** One resident cluster in QUANTIZED form: per-row 16-bit codes
-    * (x̂_i = b + a·c_i) plus the per-row scale (a, b) and code moments
-    * (s1 = Σc_i, s2 = Σc_i²), so every metric reduces to ONE fused pass
-    * over the short[] codes:
-    *   L2  = a²s2 + 2ab·s1 − 2a·Σc_i q_i + Σ(b−q_i)²
+    * (x̂_i = b + a·c_i), the per-row scale (a, b), the EXACT float row
+    * norm (norm2 = Σx_i², packed once — the L2 score's norm term carries
+    * ZERO quantization error), and the exact residual norm
+    * (rerr2 = ‖x − x̂‖₂). Every metric reduces to ONE fused pass over the
+    * short[] codes:
     *   dot = b·Σq + a·Σc_i q_i
-    * Residency is 2·dim + 56 bytes per row vs 8·dim + 24 for the exact
+    *   L2  = norm2 − 2·dot + |q|²
+    * Residency is 2·dim + 48 bytes per row vs 8·dim + 24 for the exact
     * double-packed cache — ~4× more rows per byte at high dims, and the
     * scoring loop reads a quarter of the memory per row (serving is RAM-
     * bandwidth-bound at dim 960, so density is throughput).
     *
-    * 16-bit dequantization error is ≤ a/2 per component (a = range/65535),
-    * which makes the SCORE error boundable per row from stored state:
-    *   |dot − dôt| ≤ (a/2)·‖q‖₁
-    *   |L2 − L̂2|  ≤ (a/2)·(2·Σ|x̂_i| + dim·a/2) + a·‖q‖₁
-    * (sabs = Σ|x̂_i| is packed per row for the L2 bound). The serve path
-    * uses these intervals to CERTIFY the exact top-k id set, and float-
-    * reranks only the boundary-ambiguous band (one pruned job, rare) when
-    * the intervals overlap the k-th boundary — so the quantized tier
-    * returns the exact id set or declines; only the reported distances
-    * stay approximate on the certified (non-reranked) path. `servePoint`
-    * remains the all-float exact tier. */
+    * The only quantized quantity in ANY score is the dot term, and its
+    * error is boundable per row from stored state, two ways:
+    *   |dot − dôt| ≤ min( (a/2)·‖q‖₁ , ‖q‖₂·rerr2 )   (Cauchy–Schwarz)
+    * The CERTIFIED serve mode uses those intervals to prove the exact
+    * top-k id set, float-reranking only a boundary-ambiguous band (one
+    * pruned job) when an interval overlaps the k-th boundary. The default
+    * quantized mode skips certification for throughput — empirically
+    * exact, approximate in principle. `servePoint` remains the all-float
+    * exact tier. */
   protected final case class QuantCluster(ids: Array[Long], codes: Array[Short],
       scaleA: Array[Double], scaleB: Array[Double],
-      s1: Array[Long], s2: Array[Long], sabs: Array[Double])
+      norm2: Array[Double], rerr2: Array[Double])
 
   @transient private var quantCache =
     new java.util.LinkedHashMap[Int, QuantCluster](64, 0.75f, true)
   @transient private var quantRowsResident = 0L
 
   private def effectiveMaxQuantRows(dim: Int): Long =
-    math.min(maxServeRows, maxServeBytes / (2L * dim + 56L))
+    math.min(maxServeRows, maxServeBytes / (2L * dim + 48L))
 
   /** Rows resident in the quantized serving cache. */
   def servingResidentQuantRows(): Long = synchronized { quantRowsResident }
@@ -584,17 +584,15 @@ class IvfIndex(
             scala.collection.mutable.ArrayBuffer[Short], // codes
             scala.collection.mutable.ArrayBuffer[Double], // a
             scala.collection.mutable.ArrayBuffer[Double], // b
-            scala.collection.mutable.ArrayBuffer[Long],   // s1
-            scala.collection.mutable.ArrayBuffer[Long],   // s2
-            scala.collection.mutable.ArrayBuffer[Double])]() // sabs
+            scala.collection.mutable.ArrayBuffer[Double], // norm2
+            scala.collection.mutable.ArrayBuffer[Double])]() // rerr2
         it.foreach { r =>
           val cell = acc.getOrElseUpdate(r.getInt(0),
             (scala.collection.mutable.ArrayBuffer[Long](),
               scala.collection.mutable.ArrayBuffer[Short](),
               scala.collection.mutable.ArrayBuffer[Double](),
               scala.collection.mutable.ArrayBuffer[Double](),
-              scala.collection.mutable.ArrayBuffer[Long](),
-              scala.collection.mutable.ArrayBuffer[Long](),
+              scala.collection.mutable.ArrayBuffer[Double](),
               scala.collection.mutable.ArrayBuffer[Double]()))
           cell._1 += r.getLong(1)
           val v = r.getAs[scala.collection.Seq[Float]](2)
@@ -609,25 +607,25 @@ class IvfIndex(
           }
           val a = if (mx > mn) (mx - mn) / 65535.0 else 0.0
           val inv = if (a > 0) 1.0 / a else 0.0
-          var cs1 = 0L
-          var cs2 = 0L
-          var csabs = 0.0
+          var n2 = 0.0
+          var re2 = 0.0
           j = 0
           while (j < v.length) {
-            val c0 = math.round((v(j).toDouble - mn) * inv)
+            val x = v(j).toDouble
+            val c0 = math.round((x - mn) * inv)
             val c = if (c0 < 0L) 0L else if (c0 > 65535L) 65535L else c0
             cell._2 += (c - 32768L).toShort // stored biased into Short range
-            cs1 += c
-            cs2 += c * c
-            csabs += math.abs(mn + a * c) // Σ|x̂| feeds the L2 error bound
+            n2 += x * x
+            val r0 = x - (mn + a * c) // dequantization residual
+            re2 += r0 * r0
             j += 1
           }
-          cell._3 += a; cell._4 += mn; cell._5 += cs1; cell._6 += cs2
-          cell._7 += csabs
+          cell._3 += a; cell._4 += mn; cell._5 += n2
+          cell._6 += math.sqrt(re2)
         }
-        acc.iterator.map { case (cid, (ids, codes, as, bs, s1s, s2s, sabss)) =>
+        acc.iterator.map { case (cid, (ids, codes, as, bs, n2s, re2s)) =>
           (cid, ids.toArray, codes.toArray, as.toArray, bs.toArray,
-            s1s.toArray, s2s.toArray, sabss.toArray)
+            n2s.toArray, re2s.toArray)
         }
       }.collect()
     missing.map { cid =>
@@ -638,23 +636,21 @@ class IvfIndex(
       val codes = new Array[Short](fl)
       val as = new Array[Double](n)
       val bs = new Array[Double](n)
-      val s1 = new Array[Long](n)
-      val s2 = new Array[Long](n)
-      val sabs = new Array[Double](n)
+      val n2 = new Array[Double](n)
+      val re2 = new Array[Double](n)
       var io = 0
       var fo = 0
-      cs.foreach { case (_, cids, ccodes, cas, cbs, cs1, cs2, csabs) =>
+      cs.foreach { case (_, cids, ccodes, cas, cbs, cn2, cre2) =>
         System.arraycopy(cids, 0, ids, io, cids.length)
         System.arraycopy(cas, 0, as, io, cas.length)
         System.arraycopy(cbs, 0, bs, io, cbs.length)
-        System.arraycopy(cs1, 0, s1, io, cs1.length)
-        System.arraycopy(cs2, 0, s2, io, cs2.length)
-        System.arraycopy(csabs, 0, sabs, io, csabs.length)
+        System.arraycopy(cn2, 0, n2, io, cn2.length)
+        System.arraycopy(cre2, 0, re2, io, cre2.length)
         System.arraycopy(ccodes, 0, codes, fo, ccodes.length)
         io += cids.length
         fo += ccodes.length
       }
-      cid -> QuantCluster(ids, codes, as, bs, s1, s2, sabs)
+      cid -> QuantCluster(ids, codes, as, bs, n2, re2)
     }.toMap
   }
 
@@ -670,17 +666,25 @@ class IvfIndex(
     * `servePoint`, scoring from the 16-bit resident cache; the fresh tail
     * is scored EXACTLY from its float payload and merged.
     *
-    * The returned id SET is exact, never approximate: per-row score-error
-    * bounds (see QuantCluster) certify the top-k boundary; when intervals
-    * overlap it, the ambiguous band is reranked on floats via one job
-    * pruned to the probed cluster dirs + pushed-down ids (`_2` = rows
-    * reranked, 0 = certified without a job). Distances are quantized on
-    * the certified path, exact on the reranked path. None = over budget,
-    * thrash, or an uncertifiable boundary after band widening — the
+    * `certify = false` (the throughput mode): rank by quantized scores
+    * directly — zero jobs warm, empirically exact on real embedding
+    * geometry (the only quantized term is the dot; the L2 norm term is
+    * packed exact), but without a proof.
+    *
+    * `certify = true`: the returned id SET is exact, never approximate —
+    * per-row score-error bounds (see QuantCluster) certify the top-k
+    * boundary; when intervals overlap it, the ambiguous band is reranked
+    * on floats via one job pruned to the probed cluster dirs +
+    * pushed-down ids (`_2` = rows reranked, 0 = certified without a
+    * job). Distances are quantized on the certified path, exact on the
+    * reranked path.
+    *
+    * None = over budget, thrash, or a pathological rerank band — the
     * caller answers on the job path. */
   def servePointQuantizedDetail(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, exclude: Long => Boolean = _ => false,
-      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
       : Option[(Array[(Long, Double)], Int)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     var clusters: Array[QuantCluster] = null
@@ -764,6 +768,20 @@ class IvfIndex(
     def topK(cands: Array[(Long, Double, Double)]): Array[(Long, Double)] =
       cands.sortWith((x, y) => x._2 < y._2 || (x._2 == y._2 && x._1 < y._1))
         .take(k).map(c => (c._1, c._2))
+    if (!certify) {
+      // throughput mode: quantized ranking as-is, no interval proof
+      val locals: Array[Array[(Long, Double, Double)]] = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        if (clusters.length <= 1)
+          clusters.map(c => scoreQuantCluster(c, qd, qs, qss, qabs, k, exclude)._1)
+        else Await.result(Future.sequence(clusters.toSeq.map(c =>
+          Future(scoreQuantCluster(c, qd, qs, qss, qabs, k, exclude)._1))),
+          Duration.Inf).toArray
+      }
+      return Some((topK(locals.flatten ++ tailLocal), 0))
+    }
     // Certification: true score ∈ [s−e, s+e] per candidate. With `bound` =
     // k-th smallest upper bound, at least k true scores are ≤ bound, so any
     // row whose lower bound exceeds it is certainly out — including every
@@ -857,23 +875,23 @@ class IvfIndex(
 
   /** Bounded top-kPad of one quantized resident cluster: scores
     * dequantized rows WITHOUT materializing them — one fused Σ c_j·q_j
-    * over the short[] codes per row, then closed forms from the stored
-    * moments:
+    * over the short[] codes per row, then:
     *   dot = b·Σq + a·(Σ c_j q_j)
-    *   |x̂|² = dim·b² + 2ab·s1 + a²·s2
-    *   L2  = |x̂|² − 2·dot + |q|²
+    *   L2  = norm2 − 2·dot + |q|²      (norm2 packed EXACT)
     * Codes are stored biased into Short range (c − 32768), so the short
     * dot is corrected by +32768·Σq once per row, not per element.
     *
     * Returns (id, score, errorBound) candidates plus the minimum score
     * LOWER bound over every row the heap discarded — the caller proves
     * discarded rows can't reach the global top-k (QuantCluster doc has
-    * the bound derivations). */
+    * the bound derivations; the dot bound is the tighter of the L1 form
+    * and Cauchy–Schwarz against the packed residual norm). */
   private def scoreQuantCluster(cluster: QuantCluster, qd: Array[Double],
       qs: Double, qss: Double, qabs: Double, kPad: Int,
       exclude: Long => Boolean): (Array[(Long, Double, Double)], Double) = {
     val dim = qd.length
     val l2Metric = metric == MetricType.Euclidean
+    val qn2 = math.sqrt(qss)
     val heap = new java.util.PriorityQueue[(Long, Double, Double)](
       math.min(math.max(1, kPad), 1024), // grows; kPad may be "everything"
       (a: (Long, Double, Double), b: (Long, Double, Double)) => {
@@ -895,15 +913,11 @@ class IvfIndex(
         val b = cluster.scaleB(i)
         val dot = b * qs + a * cdot
         val d =
-          if (l2Metric)
-            dim * b * b + 2.0 * a * b * cluster.s1(i) +
-              a * a * cluster.s2(i) - 2.0 * dot + qss
+          if (l2Metric) cluster.norm2(i) - 2.0 * dot + qss
           else if (metric == MetricType.Cosine) 1.0 - dot
           else -dot
-        val e =
-          if (l2Metric)
-            0.5 * a * (2.0 * cluster.sabs(i) + 0.5 * dim * a) + a * qabs
-          else 0.5 * a * qabs
+        val eDot = math.min(0.5 * a * qabs, qn2 * cluster.rerr2(i))
+        val e = if (l2Metric) 2.0 * eDot else eDot
         if (heap.size < kPad) heap.add((ids(i), d, e))
         else {
           val worst = heap.peek()

@@ -207,7 +207,7 @@ class Round9Spec extends SparkSpec {
   // ---- quantized serving residency ----
 
   /** Two well-separated blobs with per-row varied components at `dim`
-    * dims — wide enough that the 16-bit row cost (2·dim+56) is a fraction
+    * dims — wide enough that the 16-bit row cost (2·dim+48) is a fraction
     * of the float row cost (8·dim+24). */
   private def wideVectors(n: Int, dim: Int): DataFrame = {
     val rows = (0 until n).map { i =>
@@ -263,11 +263,11 @@ class Round9Spec extends SparkSpec {
     IvfIndex.build(spark, df, "vec", "id", path, MetricType.Euclidean,
       nClusters = 2, maxIter = 5)
     val idx = new IvfIndex(spark, path, "id", MetricType.Euclidean)
-    // 900 rows cost 900·(8·64+24) = 482 KB as floats, 900·(2·64+56) =
-    // 166 KB as 16-bit codes. A budget of exactly the quantized footprint
+    // 900 rows cost 900·(8·64+24) = 482 KB as floats, 900·(2·64+48) =
+    // 158 KB as 16-bit codes. A budget of exactly the quantized footprint
     // must decline the float tier (cardinality guard, before any collect)
     // and fully serve the quantized tier.
-    idx.maxServeBytes = 900L * (2 * dim + 56)
+    idx.maxServeBytes = 900L * (2 * dim + 48)
     val q = Array.tabulate(dim)(j => 0.05f * (j % 3))
     val np = idx.centroids().length
     assert(idx.servePoint("vec", q, 10, nProbe = np).isEmpty,
@@ -326,6 +326,11 @@ class Round9Spec extends SparkSpec {
     // the id sets must agree (the opt-in buys residency, not wrong answers)
     def ids(s: String) = "\"__row_id\":(\\d+)".r.findAllMatchIn(s).map(_.group(1)).toSeq
     assert(ids(quant) == ids(exact))
+    // "certified":true upgrades to the interval-proven exact id set
+    val cert = db.query(
+      """{"table":"T","queryVector":[0.5,0.5,0.5,0.5],"limit":5,"serve":true,"quantized":true,"certified":true}""")
+    assert(cert.contains("\"quantized\":true") && cert.contains("\"certified\":true"), cert)
+    assert(ids(cert) == ids(exact))
     // the appended fresh row still rides the exact tail into a quantized serve
     db.insert("""{"table":"T","data":[{"ID":9000,"V":[0.5,0.5,0.5,0.5]}]}""")
     val afterAppend = db.query(
@@ -355,7 +360,8 @@ class Round9Spec extends SparkSpec {
     val q = Array(1f, 0f, 0f, 0f)
     val exact = idx.servePoint("vec", q, 10, nProbe = np).get
     val before = idx.quantRerankCount()
-    idx.servePointQuantized("vec", q, 10, nProbe = np) // warm residency
+    idx.servePointQuantizedDetail("vec", q, 10, nProbe = np,
+      certify = true) // warm residency (this one reranks too)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -365,7 +371,8 @@ class Round9Spec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val (hits, reranked) =
       try {
-        val r = idx.servePointQuantizedDetail("vec", q, 10, nProbe = np).get
+        val r = idx.servePointQuantizedDetail("vec", q, 10, nProbe = np,
+          certify = true).get
         Thread.sleep(300)
         assert(jobs.get() == 1,
           s"warm near-tie serve must cost exactly ONE rerank job, ran ${jobs.get()}")
@@ -407,7 +414,8 @@ class Round9Spec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       val (hits, reranked) =
-        idx.servePointQuantizedDetail("vec", q, 10, nProbe = np).get
+        idx.servePointQuantizedDetail("vec", q, 10, nProbe = np,
+          certify = true).get
       Thread.sleep(300)
       assert(jobs.get() == 0, s"certified warm serve ran ${jobs.get()} job(s)")
       assert(reranked == 0, "separated data must certify without a rerank")
@@ -429,8 +437,9 @@ class Round9Spec extends SparkSpec {
       (0 until 25).foreach { _ =>
         val q = Array.fill(dim)((rnd.nextFloat() - 0.3f) * 8f)
         val e = idx.servePoint("vec", q, 12, nProbe = np).get.map(_._1).toSet
-        val qq = idx.servePointQuantized("vec", q, 12, nProbe = np).get.map(_._1).toSet
-        assert(qq == e, s"$metric: quantized id set diverged from exact")
+        val qq = idx.servePointQuantizedDetail("vec", q, 12, nProbe = np,
+          certify = true).get._1.map(_._1).toSet
+        assert(qq == e, s"$metric: certified quantized id set diverged from exact")
       }
     }
   }
