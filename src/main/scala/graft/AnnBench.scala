@@ -114,6 +114,21 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // PQ-rerank JOB mode: the candidate cut reads only the m-byte PQ codes
+    // (~1/32 of the vector bytes at dim 960 — 8x less than the int8 scan),
+    // then reranks candK rows on the floats. The scan-byte floor for the
+    // job path at 100 TB.
+    def pqTopK(q: Array[Float], k: Int): Seq[Long] =
+      idx.searchPq("embedding", q, k, nProbe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    pqTopK(queries.head, 10)
+    val tp = System.nanoTime()
+    val pq = queries.map(q => pqTopK(q, 10))
+    val pqSec = (System.nanoTime() - tp) / 1e9
+    val pqRecall = exact.zip(pq).map { case (e, a) =>
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // driver-side serving path: same probes, no Spark job per query (the
     // probed clusters are resident after the first touch). Loop the query
     // set enough times to measure past timer resolution.
@@ -241,6 +256,7 @@ object AnnBench {
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
+      f""""pq_qps":${queries.length / pqSec}%.2f,"pq_recall_at_10":$pqRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""serve_coldload_sec":$coldSec%.2f,""" +
       f""""qserve_qps":${qserveQueries / qserveSec}%.2f,"qserve_recall_at_10":$qserveRecall%.4f,""" +

@@ -258,6 +258,21 @@ object Queries {
         nProbe = idx.centroids().length)
         .select(col("vec_id"))
     }),
+    // Persisted PQ tier: ADC candidate scan over the m-byte product-
+    // quantization codes (reads neither the float column nor the int8
+    // codes — ~1/32 of the vector bytes), reranked exact on the floats.
+    // Full probe + exact rerank => exactly the brute-force top-10, which
+    // the oracle value-checks (the PQ approximation only shapes the
+    // candidate set; the gate proves the candidates cover the answer).
+    "vq_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      idx.searchPq("embedding", SparkEntry.queryVectorOf(s, dir), k = 10,
+        nProbe = idx.centroids().length)
+        .select(col("vec_id"))
+    }),
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
       val withDist = t(s, dir, "embeddings")
@@ -559,6 +574,9 @@ object Queries {
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY ${sqlCosDist("embedding", V9Q)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_ivf_rerank" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vq_pq_rerank" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_int8_topk" -> {

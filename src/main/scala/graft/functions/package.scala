@@ -54,6 +54,12 @@ package object functions {
   /** Int8-quantize array<float> -> struct<qmin,qmax,codes:binary>. */
   def quantize_vec(c: Column): Column = col(QuantizeVec(ex(c)))
 
+  /** PQ encode/score over a graft.index.PqCodebook (see PqExpressions). */
+  def pq_encode(c: Column, cb: graft.index.PqCodebook): Column =
+    col(PqEncode(ex(c), cb.dim, cb.m, cb.ksub, cb.cents))
+  def pq_adc(c: Column, cb: graft.index.PqCodebook, lut: Array[Double]): Column =
+    col(PqAdc(ex(c), cb.m, cb.ksub, lut))
+
   /** Squared L2 of dequantized codes vs a full-precision query. */
   def quantized_l2(codes: Column, qmin: Column, qmax: Column, q: Array[Double]): Column =
     col(QuantizedL2(ex(codes), ex(qmin), ex(qmax), q))

@@ -55,6 +55,7 @@ class IvfIndex(
   def dataPath = s"$path/clustered"
   def statsPath = s"$path/cluster_stats"
   def metaPath = s"$path/ivf_meta.json"
+  def pqPath = s"$path/pq_codebook"
 
   /** Caches are keyed on the meta content (watermark, count, purge): a
     * rebuild or append — in THIS process or another JVM sharing the store —
@@ -72,6 +73,8 @@ class IvfIndex(
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
   @transient private var clusterStatsCache: Option[Map[Int, Long]] = null
+  @transient private var pqCbKey: (Long, Long) = null
+  @transient private var pqCbCache: Option[PqCodebook] = null
 
   /** One file read covering all four stamp fields (meta() + readGen would
     * read the file twice per access on the serving hot path). */
@@ -96,6 +99,7 @@ class IvfIndex(
       clusterStatsCache = null // appends change per-cluster counts
       val key = (s._4, s._3) // (gen, purge)
       if (key != centroidKey) { centroidKey = key; centroidCache = null }
+      if (key != pqCbKey) { pqCbKey = key; pqCbCache = null }
     }
   }
 
@@ -209,9 +213,23 @@ class IvfIndex(
     // match the existing layout's schema: a pre-quantization layout keeps
     // appending without the code columns (mixed file schemas would break
     // the non-merged parquet read)
-    val staged =
+    val staged0 =
       if (clustered().columns.contains("__qcode")) IvfIndex.withQuantized(prepared, vecCol)
       else prepared
+    // a PQ-tier layout keeps its code column consistent across appends
+    // (the codebook is FROZEN between rebuilds — appended rows are coded
+    // against the build-time centroids, standard IVF-PQ practice)
+    val staged =
+      if (clustered().columns.contains("__pqcode"))
+        pqCodebook() match {
+          case Some(cb) => staged0.withColumn("__pqcode",
+            graft.functions.pq_encode(c(vecCol), cb))
+          // codebook lost (broken layout): keep the SCHEMA consistent with
+          // empty codes — searchPq falls back to searchQuantized when the
+          // codebook is absent, so these bytes are never scored
+          case None => staged0.withColumn("__pqcode", lit(Array.emptyByteArray))
+        }
+      else staged0
     val assigned = staged
       .withColumn("cluster",
         org.apache.spark.sql.graftbridge.CatalystBridge.column(
@@ -340,6 +358,77 @@ class IvfIndex(
       .limit(candK)
       .select(col(idCol))
     // rerank candidates on the full vectors (candK rows — broadcast join)
+    val reranked = masked.join(broadcast(cand), Seq(idCol), "left_semi")
+    val searched = freshTail match {
+      case Some(tail) =>
+        reranked.unionByName(tail.withColumn("cluster", lit(-1)),
+          allowMissingColumns = true)
+      case None => reranked
+    }
+    val withDist = searched.withColumn("@distance",
+      IvfIndex.distColumn(metric, col(vecCol), q))
+    val filtered = preFilter.map(withDist.filter).getOrElse(withDist)
+    filtered
+      .orderBy(col("@distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ codebook for this layout, cached per (gen, purge) like the
+    * centroids (a few hundred KB; None = layout predates the PQ tier). */
+  def pqCodebook(): Option[PqCodebook] = synchronized {
+    refreshIfStale()
+    if (pqCbCache == null) pqCbCache = PqCodebook.load(spark, pqPath)
+    pqCbCache
+  }
+
+  /** PQ-scan-then-rerank top-K: the candidate pass reads ONLY the m-byte
+    * PQ codes of the probed clusters (~1/32 of the vector bytes at dim
+    * 960 — 8x less than even the int8 scan), cuts to `candK` by ADC
+    * distance, then reranks those candidates on the float column with the
+    * real metric. Same superset-then-exact contract as `searchQuantized`;
+    * PQ distortion is larger than int8's, so the default candidate
+    * multiplier is wider. Falls back to `searchQuantized` when the layout
+    * predates the PQ tier. */
+  def searchPq(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
+      candMult: Int = 16,
+      freshTail: Option[DataFrame] = None,
+      preFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None): DataFrame = {
+    val full = clustered()
+    val cb = pqCodebook()
+    if (!full.columns.contains("__pqcode") || cb.isEmpty)
+      return searchQuantized(vecCol, query, k, nProbe, math.max(candMult / 2, 8),
+        freshTail, preFilter, excludeIds, restrictIds)
+    val codebook = cb.get
+    val cents = centroids()
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    val probed = cents
+      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+      .sortBy { case (_, d) => d }
+      .take(nProbe)
+      .map(_._1)
+    val pruned = full.filter(col("cluster").isin(probed.toSeq: _*))
+    val masked = restrictIds match {
+      case Some(live) => pruned.join(live, Seq(idCol), "left_semi")
+      case None => excludeIds match {
+        case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
+        case None => pruned
+      }
+    }
+    val lut = metric match {
+      case MetricType.Euclidean => codebook.lutL2(q)
+      case _ => codebook.lutNegDot(q)
+    }
+    val candK = math.max(candMult * k, 128)
+    // candidate scan: id + m-byte codes only -> neither floats nor int8
+    // codes are read from parquet
+    val cand = masked
+      .select(col(idCol), col("__pqcode"))
+      .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
+      .orderBy(col("@pqdist").asc, col(idCol).asc)
+      .limit(candK)
+      .select(col(idCol))
     val reranked = masked.join(broadcast(cand), Seq(idCol), "left_semi")
     val searched = freshTail match {
       case Some(tail) =>
@@ -1085,6 +1174,10 @@ object IvfIndex {
     * vec_search_executor.hpp:28; one cost rule covers both at Spark scale). */
   val MinimalIndexSize = 512
 
+  /** PQ codebook training sample cap (driver-resident floats: 8192 rows at
+    * dim 960 is ~31 MB — bounded regardless of table size). */
+  val PqFitSampleRows = 8192
+
   /** Drift bound for ingest-time appends: once appended rows exceed this
     * fraction of the last full build's count, the scheduler rebuilds even
     * though count/watermark track the table (appends never re-fit
@@ -1245,6 +1338,16 @@ object IvfIndex {
       cents = next
       iter += 1
     }
+    // PQ codebook: per-subspace k-means on a hash-ordered (deterministic)
+    // slice of the SAME fit sample — a few thousand rows train 256
+    // centroids per dsub-dim subspace; the full data never reaches the
+    // driver (see PqCodebook doc for the tier's role)
+    val pqSample = fitDf
+      .orderBy(md5(col(idCol).cast("string")).asc).limit(PqFitSampleRows)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val pqCb = PqCodebook.fit(pqSample, dim, PqCodebook.chooseM(dim))
+    pqCb.save(spark, s"$path/pq_codebook")
     fitDf.unpersist()
 
     // assign-only full pass; write partitioned by cluster for scan pruning.
@@ -1253,6 +1356,7 @@ object IvfIndex {
     // files + writer churn was 70s of a 73s build at 500k rows)
     val bc = spark.sparkContext.broadcast(cents)
     withQuantized(prepared, vecCol)
+      .withColumn("__pqcode", pq_encode(col(vecCol), pqCb))
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
