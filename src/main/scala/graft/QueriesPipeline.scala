@@ -274,8 +274,8 @@ object QueriesPipeline {
 
     // ---------- event-stream analytics (batch mirror of the streaming ops) ----------
     "ev_hour_window" -> ((s, dir) => {
-      // ts is epoch-nanos (nanosAsLong); bucket with exact integer division
-      t(s, dir, "events")
+      // ts normalized to epoch-nanos; bucket with exact integer division
+      graft.EventTime.tsNanos(t(s, dir, "events"))
         .withColumn("hour_bucket", expr("ts div 3600000000000"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -314,7 +314,7 @@ object QueriesPipeline {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gapNs = 30L * 60 * 1000000000L
-      val sessioned = t(s, dir, "events")
+      val sessioned = graft.EventTime.tsNanos(t(s, dir, "events"))
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
@@ -346,7 +346,7 @@ object QueriesPipeline {
     // 10-minute promo window after ANY signup (cross-user, so there is no
     // equi key) via bin-explode + equi-join — never a BNLJ/cartesian
     "ev_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = graft.EventTime.tsNanos(t(s, dir, "events"))
       val win = 600L * 1000000000L // 10 min in ns
       val intervals = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("ts").as("w_start"),

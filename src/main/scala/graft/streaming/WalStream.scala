@@ -178,16 +178,14 @@ object EventStream {
 
   /** Tumbling-window counts/sums with a watermark for late data. */
   def hourlyAggregate(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // epoch-nanos -> timestamp
+    graft.EventTime.tsTimestamp(events)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.EventTime.tsTimestamp(events)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"))
@@ -203,8 +201,9 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("ts").cast("long"))
+    graft.EventTime.tsNanos(events)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
