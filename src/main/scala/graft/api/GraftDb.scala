@@ -465,6 +465,14 @@ class GraftDb(val spark: SparkSession, val root: String,
     // stays the all-float one.
     val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
     val certified = (req \ "certified") match { case JBool(b) => b; case _ => false }
+    // "pq":true = OPT-IN serving off the PQ resident tier (m-byte ADC
+    // codes; ~14x the rows per residency byte of the 16-bit tier at high
+    // dims, ~30x lighter cold loads — but a lossy ~32x compression, so
+    // rank flips on close pairs are expected). "certified":true combines:
+    // the id set is interval-proven exact off the persisted per-row
+    // reconstruction error, with the ambiguous band float-reranked.
+    // Pre-PQ layouts decline to the job path, never silently downgrade.
+    val pq = (req \ "pq") match { case JBool(b) => b; case _ => false }
     (req \ "queryVector") match {
       case o: JObject => return serveSparse(st, queryField, o, limit)
       case _ => ()
@@ -509,7 +517,10 @@ class GraftDb(val spark: SparkSession, val root: String,
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
           val served =
-            if (quantized) idx.servePointQuantizedDetail(queryField, dense,
+            if (pq) idx.servePointPqDetail(queryField, dense,
+              k, np, exclude = tombs.contains, freshTail = tail,
+              certify = certified)
+            else if (quantized) idx.servePointQuantizedDetail(queryField, dense,
               k, np, exclude = tombs.contains, freshTail = tail,
               certify = certified)
             else idx.servePoint(queryField, dense, k, np,
@@ -530,7 +541,11 @@ class GraftDb(val spark: SparkSession, val root: String,
               i += 1
             }
             sb.append("],\"served\":true")
-            if (quantized) {
+            if (pq) {
+              sb.append(",\"pq\":true")
+              if (certified) sb.append(",\"certified\":true")
+              if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+            } else if (quantized) {
               sb.append(",\"quantized\":true")
               if (certified) sb.append(",\"certified\":true")
               if (reranked > 0) sb.append(",\"reranked\":").append(reranked)

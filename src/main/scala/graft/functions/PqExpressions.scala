@@ -119,3 +119,64 @@ object PqAdc {
     acc
   }
 }
+
+/** Per-row PQ reconstruction error ‖x − x̂‖₂ from the float vector and its
+  * already-computed codes — the one extra number that makes the PQ tier
+  * PROVABLE: for L2, |d(q,x) − d(q,x̂)| ≤ ‖x−x̂‖ (triangle inequality); for
+  * dot/cosine, |q·x − q·x̂| ≤ ‖q‖₂·‖x−x̂‖ (Cauchy–Schwarz). Build persists
+  * it next to the codes; the quantized serving tier certifies top-k
+  * boundaries against it (IvfIndex.servePointPqDetail). Reading the codes
+  * instead of re-running the argmin keeps this pass at O(dim) per row —
+  * subexpression elimination already shares the PqEncode result in the
+  * build projection, and appends reuse the frozen codebook the same way. */
+case class PqRecErr(left: Expression, right: Expression, dim: Int, m: Int,
+    ksub: Int, cents: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "pq_rec_err"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private val dsub = dim / m
+  @transient private lazy val flat: Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var i = 0
+    while (i < cents.length) { out(i) = cents(i); i += 1 }
+    out
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqRecErr.err(v.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]],
+      flat, m, dsub, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"""${ev.value} = graft.functions.PqRecErr$$.MODULE$$
+         |  .err($v, $c, $flatRef, $m, $dsub, $ksub);""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+object PqRecErr {
+  def err(a: ArrayData, codes: Array[Byte], flat: Array[Double],
+      m: Int, dsub: Int, ksub: Int): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var sub = 0
+    val mEff = if (codes.length < m) codes.length else m
+    while (sub < mEff) {
+      val cOff = (sub * ksub + (codes(sub) & 0xff)) * dsub
+      val vOff = sub * dsub
+      var j = 0
+      while (j < dsub) {
+        val x = if (vOff + j < n) a.getFloat(vOff + j).toDouble else 0.0
+        val d = x - flat(cOff + j)
+        acc += d * d
+        j += 1
+      }
+      sub += 1
+    }
+    math.sqrt(acc)
+  }
+}

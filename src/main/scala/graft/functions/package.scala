@@ -59,6 +59,8 @@ package object functions {
     col(PqEncode(ex(c), cb.dim, cb.m, cb.ksub, cb.cents))
   def pq_adc(c: Column, cb: graft.index.PqCodebook, lut: Array[Double]): Column =
     col(PqAdc(ex(c), cb.m, cb.ksub, lut))
+  def pq_rec_err(vec: Column, codes: Column, cb: graft.index.PqCodebook): Column =
+    col(PqRecErr(ex(vec), ex(codes), cb.dim, cb.m, cb.ksub, cb.cents))
 
   /** Squared L2 of dequantized codes vs a full-precision query. */
   def quantized_l2(codes: Column, qmin: Column, qmax: Column, q: Array[Double]): Column =

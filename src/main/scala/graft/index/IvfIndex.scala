@@ -219,8 +219,9 @@ class IvfIndex(
     // a PQ-tier layout keeps its code column consistent across appends
     // (the codebook is FROZEN between rebuilds — appended rows are coded
     // against the build-time centroids, standard IVF-PQ practice)
-    val staged =
-      if (clustered().columns.contains("__pqcode"))
+    val layoutCols = clustered().columns
+    val staged1 =
+      if (layoutCols.contains("__pqcode"))
         pqCodebook() match {
           case Some(cb) => staged0.withColumn("__pqcode",
             graft.functions.pq_encode(c(vecCol), cb))
@@ -230,6 +231,17 @@ class IvfIndex(
           case None => staged0.withColumn("__pqcode", lit(Array.emptyByteArray))
         }
       else staged0
+    val staged =
+      if (layoutCols.contains("__pqerr"))
+        pqCodebook() match {
+          case Some(cb) => staged1.withColumn("__pqerr",
+            graft.functions.pq_rec_err(c(vecCol), c("__pqcode"), cb))
+          // no codebook → codes are empty → reconstruction is all-zero
+          // subspaces; a huge sentinel error keeps any (impossible) scorer
+          // honest rather than silently certifying garbage
+          case None => staged1.withColumn("__pqerr", lit(Double.MaxValue))
+        }
+      else staged1
     val assigned = staged
       .withColumn("cluster",
         org.apache.spark.sql.graftbridge.CatalystBridge.column(
@@ -491,6 +503,7 @@ class IvfIndex(
           serveKey = key
           serveCache.clear(); serveRowsResident = 0L
           quantCache.clear(); quantRowsResident = 0L
+          pqCache.clear(); pqRowsResident = 0L
           serveWatermark = s._1
         }
       }
@@ -854,45 +867,57 @@ class IvfIndex(
           .map(c => (c._1, c._2, 0.0))
       case None => Array.empty
     }
+    proofCut(kPad => parScore[QuantCluster](clusters,
+        c => scoreQuantCluster(c, qd, qs, qss, qabs, kPad, exclude)),
+      tailLocal, k, certify, vecCol, probed, qd, qss, quantReranks)
+  }
+
+  /** Score every probed cluster, concurrently when more than one — the
+    * in-process analog of the reference's executor pool
+    * (executor_pool.hpp:10-46); scoring reads immutable captured arrays. */
+  private def parScore[C](clusters: Array[C],
+      f: C => (Array[(Long, Double, Double)], Double))
+      : Array[(Array[(Long, Double, Double)], Double)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    if (clusters.length <= 1) clusters.map(f)
+    else Await.result(Future.sequence(clusters.toSeq.map(c => Future(f(c)))),
+      Duration.Inf).toArray
+  }
+
+  /** The shared cut for the code-resident serving tiers (16-bit min-max
+    * and PQ): the proof logic is tier-independent — only the scoring
+    * kernel behind `scoreAll(kPad)` differs (it returns per-cluster
+    * (candidates as (id, score, errBound), min discarded lower bound)).
+    *
+    * `certify = false`: rank by quantized scores as-is, zero jobs.
+    *
+    * `certify = true`: true score ∈ [s−e, s+e] per candidate. With
+    * `bound` = k-th smallest upper bound, at least k true scores are ≤
+    * bound, so any row whose lower bound exceeds it is certainly out —
+    * including every row a per-cluster heap discarded (minDisc > bound).
+    * If exactly k candidates remain possible they ARE the exact set;
+    * otherwise the possible band gets float-reranked in one pruned job. A
+    * heap-discard violation widens the per-cluster band (in-RAM rescores —
+    * the rows are resident; the heap only bounds candidate memory) up to
+    * keeping every probed row, so certification itself never declines:
+    * only an absurd rerank band (the job path is the better plan there)
+    * does. */
+  private def proofCut(
+      scoreAll: Int => Array[(Array[(Long, Double, Double)], Double)],
+      tailLocal: Array[(Long, Double, Double)], k: Int, certify: Boolean,
+      vecCol: String, probed: Array[Int], qd: Array[Double], qss: Double,
+      reranks: java.util.concurrent.atomic.AtomicLong)
+      : Option[(Array[(Long, Double)], Int)] = {
     def topK(cands: Array[(Long, Double, Double)]): Array[(Long, Double)] =
       cands.sortWith((x, y) => x._2 < y._2 || (x._2 == y._2 && x._1 < y._1))
         .take(k).map(c => (c._1, c._2))
-    if (!certify) {
-      // throughput mode: quantized ranking as-is, no interval proof
-      val locals: Array[Array[(Long, Double, Double)]] = {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        if (clusters.length <= 1)
-          clusters.map(c => scoreQuantCluster(c, qd, qs, qss, qabs, k, exclude)._1)
-        else Await.result(Future.sequence(clusters.toSeq.map(c =>
-          Future(scoreQuantCluster(c, qd, qs, qss, qabs, k, exclude)._1))),
-          Duration.Inf).toArray
-      }
-      return Some((topK(locals.flatten ++ tailLocal), 0))
-    }
-    // Certification: true score ∈ [s−e, s+e] per candidate. With `bound` =
-    // k-th smallest upper bound, at least k true scores are ≤ bound, so any
-    // row whose lower bound exceeds it is certainly out — including every
-    // row a per-cluster heap discarded (minDisc > bound). If exactly k
-    // candidates remain possible they ARE the exact set; otherwise the
-    // possible band gets float-reranked in one pruned job. A heap-discard
-    // violation widens the per-cluster band (in-RAM rescores — the rows
-    // are resident; the heap only bounds candidate memory) up to keeping
-    // every probed row, so certification itself never declines: only an
-    // absurd rerank band (the job path is the better plan there) does.
+    if (!certify)
+      return Some((topK(scoreAll(k).flatMap(_._1) ++ tailLocal), 0))
     for (pad <- Seq(16, 256, Int.MaxValue - k)) {
       val kPad = k + pad
-      val perCluster: Array[(Array[(Long, Double, Double)], Double)] = {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        if (clusters.length <= 1)
-          clusters.map(c => scoreQuantCluster(c, qd, qs, qss, qabs, kPad, exclude))
-        else Await.result(Future.sequence(clusters.toSeq.map(c =>
-          Future(scoreQuantCluster(c, qd, qs, qss, qabs, kPad, exclude)))),
-          Duration.Inf).toArray
-      }
+      val perCluster = scoreAll(kPad)
       val all = perCluster.flatMap(_._1) ++ tailLocal
       if (all.length <= k) return Some((topK(all), 0))
       val ubs = all.map(c => c._2 + c._3).sorted
@@ -908,7 +933,7 @@ class IvfIndex(
         if (need.length > 10000) return decline
         return rerankExact(vecCol, need, probed, qd, qss) match {
           case Some(m) =>
-            quantReranks.incrementAndGet()
+            reranks.incrementAndGet()
             val fixed = possible.map(c =>
               (c._1, if (c._3 == 0.0) c._2 else m(c._1), 0.0))
             Some((topK(fixed), need.length))
@@ -925,6 +950,267 @@ class IvfIndex(
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
       : Option[Array[(Long, Double)]] =
     servePointQuantizedDetail(vecCol, query, k, nProbe, exclude, freshTail)
+      .map(_._1)
+
+  // ---- PQ serving residency (m-byte ADC codes resident) ----
+
+  /** One resident cluster in PRODUCT-QUANTIZED form: row-major m-byte
+    * codes plus the persisted per-row reconstruction error ‖x − x̂‖₂
+    * (`__pqerr`, written at build/append). Residency is m + 24 bytes per
+    * row — at dim 960 (m = 120) that is ~14× the rows per byte of the
+    * 16-bit tier and ~66× the float tier, and a cold load moves m + 8
+    * payload bytes per row instead of 4·dim (the float column never
+    * leaves parquet). Scoring is m table lookups per row (ADC — see
+    * PqCodebook). Certification bounds from the stored error e:
+    *   L2:  adc = d(q,x̂)² exactly → |d(q,x)² − adc| ≤ 2·√adc·e + e²
+    *        (triangle inequality |d(q,x) − d(q,x̂)| ≤ e, squared)
+    *   dot: |q·x − q·x̂| ≤ ‖q‖₂·e (Cauchy–Schwarz; cosine: q unit). */
+  protected final case class PqServeCluster(ids: Array[Long],
+      codes: Array[Byte], err: Array[Double])
+
+  @transient private var pqCache =
+    new java.util.LinkedHashMap[Int, PqServeCluster](64, 0.75f, true)
+  @transient private var pqRowsResident = 0L
+
+  private def effectiveMaxPqRows(m: Int): Long =
+    math.min(maxServeRows, maxServeBytes / (m + 24L))
+
+  /** Rows resident in the PQ serving cache. */
+  def servingResidentPqRows(): Long = synchronized { pqRowsResident }
+
+  /** PQ serves that needed a float rerank of the boundary-ambiguous band. */
+  @transient private val pqReranks =
+    new java.util.concurrent.atomic.AtomicLong()
+  def pqRerankCount(): Long = pqReranks.get()
+
+  /** One pruned job collecting `missing` clusters' code + error columns. */
+  protected def loadPqClusters(missing: Array[Int], m: Int)
+      : Map[Int, PqServeCluster] = {
+    val chunks = clustered()
+      .filter(col("cluster").isin(missing.toSeq: _*))
+      .filter(col(idCol).cast("long") <= serveWatermark)
+      .select(col("cluster"), col(idCol).cast("long"), col("__pqcode"),
+        col("__pqerr"))
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[Int,
+          (scala.collection.mutable.ArrayBuffer[Long],
+            scala.collection.mutable.ArrayBuffer[Byte],
+            scala.collection.mutable.ArrayBuffer[Double])]()
+        var broken = false
+        it.foreach { r =>
+          val codes = r.getAs[Array[Byte]](2)
+          if (codes.length != m) broken = true
+          else {
+            val cell = acc.getOrElseUpdate(r.getInt(0),
+              (scala.collection.mutable.ArrayBuffer[Long](),
+                scala.collection.mutable.ArrayBuffer[Byte](),
+                scala.collection.mutable.ArrayBuffer[Double]()))
+            cell._1 += r.getLong(1)
+            cell._2 ++= codes
+            cell._3 += r.getDouble(3)
+          }
+        }
+        if (broken)
+          Iterator.single((-1, Array.empty[Long], Array.empty[Byte],
+            Array.empty[Double]))
+        else acc.iterator.map { case (cid, (ids, codes, errs)) =>
+          (cid, ids.toArray, codes.toArray, errs.toArray)
+        }
+      }.collect()
+    // code length disagreeing with the codebook = broken layout (codebook
+    // lost, then restored): refuse to rank garbage — the thrown error is a
+    // failed attempt in the serve skeleton, which declines to the job path
+    if (chunks.exists(_._1 == -1)) throw new IllegalStateException(
+      "PQ layout holds codes inconsistent with the codebook")
+    missing.map { cid =>
+      val cs = chunks.filter(_._1 == cid)
+      val n = cs.map(_._2.length).sum
+      val ids = new Array[Long](n)
+      val codes = new Array[Byte](n * m)
+      val errs = new Array[Double](n)
+      var io = 0
+      cs.foreach { case (_, cids, ccodes, cerrs) =>
+        System.arraycopy(cids, 0, ids, io, cids.length)
+        System.arraycopy(cerrs, 0, errs, io, cerrs.length)
+        System.arraycopy(ccodes, 0, codes, io * m, ccodes.length)
+        io += cids.length
+      }
+      cid -> PqServeCluster(ids, codes, errs)
+    }.toMap
+  }
+
+  /** Bounded top-kPad of one PQ-resident cluster: m lut lookups per row
+    * (see PqServeCluster for the bound math); same contract as
+    * scoreQuantCluster — candidates plus min discarded lower bound. */
+  private def scorePqCluster(cluster: PqServeCluster, lut: Array[Double],
+      m: Int, ksub: Int, errScale: Double, kPad: Int,
+      exclude: Long => Boolean): (Array[(Long, Double, Double)], Double) = {
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val heap = new java.util.PriorityQueue[(Long, Double, Double)](
+      math.min(math.max(1, kPad), 1024),
+      (a: (Long, Double, Double), b: (Long, Double, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      })
+    var minDisc = Double.PositiveInfinity
+    val ids = cluster.ids
+    val codes = cluster.codes
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        var adc = 0.0
+        var sub = 0
+        while (sub < m) {
+          adc += lut(sub * ksub + (codes(off + sub) & 0xff)); sub += 1
+        }
+        val er = cluster.err(i)
+        val d =
+          if (l2Metric) adc
+          else if (cosMetric) 1.0 + adc
+          else adc
+        val e =
+          if (l2Metric) 2.0 * math.sqrt(math.max(adc, 0.0)) * er + er * er
+          else errScale * er
+        if (heap.size < kPad) heap.add((ids(i), d, e))
+        else {
+          val worst = heap.peek()
+          if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+            val ev = heap.poll()
+            if (ev._2 - ev._3 < minDisc) minDisc = ev._2 - ev._3
+            heap.add((ids(i), d, e))
+          } else if (d - e < minDisc) minDisc = d - e
+        }
+      }
+      i += 1
+      off += m
+    }
+    val out = new Array[(Long, Double, Double)](heap.size)
+    var n = out.length - 1
+    while (n >= 0) { out(n) = heap.poll(); n -= 1 }
+    (out, minDisc)
+  }
+
+  /** PQ-residency top-K: the same probe/guard/retry skeleton as
+    * `servePoint`, scoring resident m-byte ADC codes; the fresh tail is
+    * scored EXACTLY from its float payload and merged.
+    *
+    * `certify = false` (throughput): rank by ADC scores directly — zero
+    * jobs warm, but PQ is a lossy ~32× compression, so unlike the 16-bit
+    * tier expect REAL rank flips on close pairs; this mode trades recall
+    * for the densest residency and is an explicit opt-in.
+    *
+    * `certify = true`: the returned id SET is exact (same proof shape as
+    * the 16-bit tier, off the persisted per-row reconstruction error) —
+    * boundary-ambiguous candidates are float-reranked in one pruned job.
+    * PQ intervals are wider than 16-bit ones, so expect a rerank job on
+    * most non-trivial serves: this mode is for proof, not throughput.
+    *
+    * None = pre-PQ/pre-__pqerr layout, dim mismatch, over budget, thrash,
+    * or a pathological rerank band — the caller answers on the job path. */
+  def servePointPqDetail(vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Option[(Array[(Long, Double)], Int)] = {
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => return decline // pre-PQ layout
+    }
+    if (!clustered().columns.contains("__pqerr")) return decline
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (q.length != cb.dim) return decline
+    val lut =
+      if (metric == MetricType.Euclidean) cb.lutL2(q) else cb.lutNegDot(q)
+    var clusters: Array[PqServeCluster] = null
+    var probed: Array[Int] = null
+    var attempts = 0
+    while (clusters == null) {
+      attempts += 1
+      if (attempts > 8) return decline
+      var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
+      val missing: Array[Int] = synchronized {
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
+        probed = centroids()
+          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+          .sortBy { case (_, d) => d }
+          .take(nProbe)
+          .map(_._1)
+        probed.filterNot(pqCache.containsKey(_))
+      }
+      var loaded: Map[Int, PqServeCluster] = null
+      try {
+        if (missing.nonEmpty) {
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            probed.filter(pqCache.containsKey(_))
+              .map(pqCache.get(_).ids.length.toLong).sum
+          }
+          if (projected + retained > effectiveMaxPqRows(cb.m)) return decline
+        }
+        loaded =
+          if (missing.isEmpty) Map.empty
+          else loadPqClusters(missing, cb.m)
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
+        ensureServeFresh()
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = pqCache.put(cid, cluster)
+            if (prev != null) pqRowsResident -= prev.ids.length
+            pqRowsResident += cluster.ids.length
+          }
+        val rowCap = effectiveMaxPqRows(cb.m)
+        if (pqRowsResident > rowCap) {
+          val it = pqCache.entrySet().iterator()
+          while (pqRowsResident > rowCap && it.hasNext) {
+            val e = it.next()
+            if (!probed.contains(e.getKey)) {
+              pqRowsResident -= e.getValue.ids.length
+              it.remove()
+            }
+          }
+        }
+        val got = probed.map(pqCache.get(_))
+        if (!got.contains(null)) clusters = got
+      }
+    }
+    val dim = q.length
+    val qd = new Array[Double](dim)
+    var qss = 0.0
+    var qi = 0
+    while (qi < dim) {
+      qd(qi) = q(qi).toDouble
+      qss += qd(qi) * qd(qi)
+      qi += 1
+    }
+    val errScale = math.sqrt(qss) // ‖q‖₂ (1.0 for cosine: q normalized)
+    // exact-scored fresh tail rides in through the shared float kernel
+    // (error bound 0 — its scores need no certification or rerank)
+    val tailLocal: Array[(Long, Double, Double)] = freshTail match {
+      case Some(t) =>
+        IvfIndex.scoreCluster(t, qd, qss, k, metric, exclude)
+          .map(c => (c._1, c._2, 0.0))
+      case None => Array.empty
+    }
+    proofCut(kPad => parScore[PqServeCluster](clusters,
+        c => scorePqCluster(c, lut, cb.m, cb.ksub, errScale, kPad, exclude)),
+      tailLocal, k, certify, vecCol, probed, qd, qss, pqReranks)
+  }
+
+  /** Compatibility shape of `servePointPqDetail` — hits only. */
+  def servePointPq(vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Option[Array[(Long, Double)]] =
+    servePointPqDetail(vecCol, query, k, nProbe, exclude, freshTail)
       .map(_._1)
 
   /** Exact float scores for the boundary-ambiguous ids: ONE job, pruned
@@ -1357,6 +1643,10 @@ object IvfIndex {
     val bc = spark.sparkContext.broadcast(cents)
     withQuantized(prepared, vecCol)
       .withColumn("__pqcode", pq_encode(col(vecCol), pqCb))
+      // ‖x − x̂‖₂ per row: the certification constant for the PQ serving
+      // tier (subexpression elimination shares the PqEncode result between
+      // the stored codes and this pass — O(dim), not a second argmin)
+      .withColumn("__pqerr", pq_rec_err(col(vecCol), col("__pqcode"), pqCb))
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
