@@ -209,6 +209,51 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // PQ serving residency: m-byte ADC codes resident (~14x the rows per
+    // byte of the 16-bit tier at dim 960; cold loads move m+8 payload
+    // bytes per row instead of 4*dim). Throughput mode ranks by raw ADC
+    // (lossy ~32x compression — recall is MEASURED, rank flips on close
+    // pairs are expected and documented); the certified window returns
+    // proven-exact id sets off the persisted reconstruction-error bounds
+    // (recall 1.0 by construction, reranks counted).
+    val tpq0 = System.nanoTime()
+    queries.foreach(q => idx.servePointPq("embedding", q, 10, nProbe = 8))
+    val pqColdSec = (System.nanoTime() - tpq0) / 1e9
+    val t2p = System.nanoTime()
+    val pqServeDeadline = t2p + 10L * 1000 * 1000 * 1000
+    var pqServeQueries = 0L
+    while (pqServeQueries == 0L || System.nanoTime() < pqServeDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointPq("embedding", queries(qi), 10, nProbe = 8).get
+        qi += 1
+      }
+      pqServeQueries += queries.length
+    }
+    val pqServeSec = (System.nanoTime() - t2p) / 1e9
+    val pqServeRecall = exact.zip(queries.map(q =>
+      idx.servePointPq("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+    val t2pc = System.nanoTime()
+    val pqCertDeadline = t2pc + 10L * 1000 * 1000 * 1000
+    var pqCertQueries = 0L
+    while (pqCertQueries == 0L || System.nanoTime() < pqCertDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointPqDetail("embedding", queries(qi), 10,
+          nProbe = 8, certify = true).get
+        qi += 1
+      }
+      pqCertQueries += queries.length
+    }
+    val pqCertSec = (System.nanoTime() - t2pc) / 1e9
+    val pqCertRecall = exact.zip(queries.map(q =>
+      idx.servePointPqDetail("embedding", q, 10, nProbe = 8,
+        certify = true).get._1.map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -264,6 +309,13 @@ object AnnBench {
       f""""qserve_cert_qps":${qcertQueries / qcertSec}%.2f,""" +
       f""""qserve_cert_recall_at_10":$qcertRecall%.4f,""" +
       f""""qserve_reranks":${idx.quantRerankCount()},""" +
+      f""""pqserve_qps":${pqServeQueries / pqServeSec}%.2f,""" +
+      f""""pqserve_recall_at_10":$pqServeRecall%.4f,""" +
+      f""""pqserve_coldload_sec":$pqColdSec%.2f,""" +
+      f""""pqserve_resident_rows":${idx.servingResidentPqRows()},""" +
+      f""""pqserve_cert_qps":${pqCertQueries / pqCertSec}%.2f,""" +
+      f""""pqserve_cert_recall_at_10":$pqCertRecall%.4f,""" +
+      f""""pqserve_reranks":${idx.pqRerankCount()},""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")

@@ -273,6 +273,33 @@ object Queries {
         nProbe = idx.centroids().length)
         .select(col("vec_id"))
     }),
+    // DRIVER-SIDE SERVING, oracle-gated: certification is what makes the
+    // in-process answer driver-checkable — the certified id set is proven
+    // exact (interval bounds + boundary rerank), so it must equal the
+    // brute-force top-10 no matter which rows scored quantized. One gate
+    // per code-resident tier (16-bit min-max, m-byte PQ).
+    "vq_serve_cert" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsc_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      val hits = idx.servePointQuantizedDetail("embedding",
+        SparkEntry.queryVectorOf(s, dir), 10,
+        nProbe = idx.centroids().length, certify = true).get._1
+      hits.map(_._1).toSeq.toDF("vec_id")
+    }),
+    "vq_pq_serve_cert" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpsc_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      val hits = idx.servePointPqDetail("embedding",
+        SparkEntry.queryVectorOf(s, dir), 10,
+        nProbe = idx.centroids().length, certify = true).get._1
+      hits.map(_._1).toSeq.toDF("vec_id")
+    }),
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
       val withDist = t(s, dir, "embeddings")
@@ -577,6 +604,14 @@ object Queries {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_pq_rerank" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // certified serving: the proven id SET equals brute-force (driver
+    // compare sorts rows, so serve rank order need not be asserted)
+    "vq_serve_cert" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vq_pq_serve_cert" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_int8_topk" -> {

@@ -921,6 +921,9 @@ class GraftDb(val spark: SparkSession, val root: String,
           Some(s"""{"field":"${f.name}","type":"ivf",$card""" +
             s""""residentRows":${idx.servingResidentRows()},""" +
             s""""residentQuantRows":${idx.servingResidentQuantRows()},""" +
+            s""""residentPqRows":${idx.servingResidentPqRows()},""" +
+            s""""quantReranks":${idx.quantRerankCount()},""" +
+            s""""pqReranks":${idx.pqRerankCount()},""" +
             s""""serveDeclines":${idx.serveDeclineCount()}}""")
         }
       }
