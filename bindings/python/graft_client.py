@@ -132,13 +132,19 @@ class Client:
     def query(self, table_name, query_field=None, query_vector=None,
               query_text=None, response_fields=None, limit=10,
               filter="", with_distance=False, facets=None, ann=False,
-              serve=False, n_probe=None, unbounded=False):
+              serve=False, n_probe=None, unbounded=False,
+              quantized=False, pq=False, certified=False):
         """POST /api/{db}/data/query — vector top-K.
 
         ``query_vector`` is a dense list OR a sparse dict
         ``{"indices": [...], "values": [...]}``; ``query_text`` routes
         through the table's embedding index (search-by-content);
         ``ann``/``serve`` pick the index / driver-resident serving paths.
+        With ``serve``: ``quantized`` opts into the 16-bit code-resident
+        tier, ``pq`` into the m-byte product-quantization tier (lossy
+        ranking, marked in the response envelope), and ``certified``
+        upgrades either to a proven-exact id set (ambiguous boundary
+        float-reranked server-side, surfaced as ``reranked``).
         """
         body = {"table": table_name, "limit": limit}
         if query_field is not None:
@@ -159,6 +165,12 @@ class Client:
             body["ann"] = True
         if serve:
             body["serve"] = True
+        if quantized:
+            body["quantized"] = True
+        if pq:
+            body["pq"] = True
+        if certified:
+            body["certified"] = True
         if n_probe is not None:
             body["nProbe"] = n_probe
         if unbounded:

@@ -72,6 +72,19 @@ def main():
           and resp["result"][0]["@distance"] <= resp["result"][1]["@distance"],
           "served query: %s" % resp)
 
+    # code-resident serving tiers: 16-bit and PQ, both certified — the
+    # proven id set must agree with the exact serve's top hit, and the
+    # envelope must mark the tier (never a silent downgrade)
+    for tier_kw in ({"quantized": True}, {"pq": True}):
+        code, resp = graft.query(table_name="Vecs", query_vector=qv,
+                                 limit=3, serve=True, certified=True,
+                                 **tier_kw)
+        tier = list(tier_kw)[0]
+        check(code == 200 and resp.get("served") is True
+              and resp.get(tier) is True and resp.get("certified") is True
+              and len(resp["result"]) == 3,
+              "certified %s serve: %s" % (tier, resp))
+
     # insert AFTER the rebuild, exactly at the query point: ingest-time
     # append must make it the ANN top hit without another rebuild
     code, resp = graft.insert(table_name="Vecs",
