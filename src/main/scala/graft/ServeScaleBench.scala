@@ -40,6 +40,12 @@ object ServeScaleBench {
     val procCounts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROCS", "1,2,4")
       .split(",").map(_.trim.toInt).toSeq
     val durSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEC", "10").toInt
+    // "float" (default) serves the all-float exact tier; "pq" serves the
+    // m-byte ADC-resident tier — the shard-residency story at its densest
+    // (each worker's warm set is ~50x smaller in bytes, so process count
+    // scales before RAM does)
+    val tier = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "float")
+    require(tier == "float" || tier == "pq", s"unknown tier $tier")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -76,7 +82,8 @@ object ServeScaleBench {
     // the workers' correctness oracle (appends land above every pin, far
     // from the queries, so answers must stay byte-identical)
     val expected = queries.map(q =>
-      idx.servePoint(VecCol, q, 10, nProbe = 8).get.map(_._1).toSeq)
+      (if (tier == "pq") idx.servePointPq(VecCol, q, 10, nProbe = 8)
+       else idx.servePoint(VecCol, q, 10, nProbe = 8)).get.map(_._1).toSeq)
 
     val benchDir = java.nio.file.Paths.get(idxPath, ".scalebench")
     def writeLines(name: String, lines: Seq[String]): Unit = {
@@ -103,7 +110,7 @@ object ServeScaleBench {
           s"-Dscala.concurrent.context.maxThreads=$share",
           "-cp", System.getProperty("java.class.path"),
           "graft.ServeScaleWorker", idxPath, wid.toString, n.toString,
-          durSec.toString)
+          durSec.toString, tier)
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         pb.redirectOutput(java.io.File.createTempFile(s"scaleworker$wid", ".log"))
@@ -162,7 +169,7 @@ object ServeScaleBench {
       f""""$n":{"agg_qps":$qps%.2f,"wrong":$wrong,"leader_appends":$app}"""
     }.mkString(",")
     println(f"""{"metric":"serve_scaleout","rows":$rows,"dim":$dim,""" +
-      f""""queries":${queries.length},"duration_sec":$durSec,""" +
+      f""""tier":"$tier","queries":${queries.length},"duration_sec":$durSec,""" +
       s""""per_procs":{$body}}""")
     spark.stop()
   }
@@ -174,7 +181,7 @@ object ServeScaleBench {
   * expected ids. */
 object ServeScaleWorker {
   def main(args: Array[String]): Unit = {
-    val Array(idxPath, widS, nS, durS) = args
+    val Array(idxPath, widS, nS, durS, tier) = args
     val wid = widS.toInt
     val n = nS.toInt
     val durSec = durS.toInt
@@ -200,8 +207,11 @@ object ServeScaleWorker {
       val mine = queries.indices.filter(_ % n == wid).toArray
       // warm this shard's probed clusters BEFORE signaling ready: the
       // timed window measures the warm serving tier
-      mine.foreach(i =>
-        idx.servePoint(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8))
+      def serveOne(i: Int): Option[Array[(Long, Double)]] =
+        if (tier == "pq")
+          idx.servePointPq(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8)
+        else idx.servePoint(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8)
+      mine.foreach(serveOne)
       java.nio.file.Files.write(benchDir.resolve(s"ready$wid"), Array.empty[Byte])
       val deadline0 = System.currentTimeMillis + 180000
       while (!java.nio.file.Files.exists(benchDir.resolve("go")) &&
@@ -217,8 +227,7 @@ object ServeScaleWorker {
         var j = 0
         while (j < mine.length) {
           val i = mine(j)
-          val got = idx.servePoint(ServeScaleBench.VecCol, queries(i), 10,
-            nProbe = 8).map(_.map(_._1).toSeq).getOrElse(Nil)
+          val got = serveOne(i).map(_.map(_._1).toSeq).getOrElse(Nil)
           if (got != expected(i)) wrong += 1
           j += 1
         }

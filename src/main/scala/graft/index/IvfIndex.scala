@@ -395,12 +395,20 @@ class IvfIndex(
 
   /** PQ-scan-then-rerank top-K: the candidate pass reads ONLY the m-byte
     * PQ codes of the probed clusters (~1/32 of the vector bytes at dim
-    * 960 — 8x less than even the int8 scan), cuts to `candK` by ADC
-    * distance, then reranks those candidates on the float column with the
-    * real metric. Same superset-then-exact contract as `searchQuantized`;
-    * PQ distortion is larger than int8's, so the default candidate
-    * multiplier is wider. Falls back to `searchQuantized` when the layout
-    * predates the PQ tier. */
+    * 960 — 8x less than even the int8 scan), then reranks candidates on
+    * the float column with the real metric.
+    *
+    * On a layout carrying `__pqerr` the candidate cut is PROVEN: per-row
+    * true-distance intervals [adc − e, adc + e] (same bound math as the
+    * serving tier's certification) against the k-th smallest upper bound
+    * select a candidate set that provably covers the true top-k, however
+    * coarse the ADC geometry is — a fixed multiplier cut silently loses
+    * recall exactly when within-cluster spacing falls below quantization
+    * resolution (tight clusters at high dim), which is the one regime a
+    * compressed candidate scan gets used in anger. Costs one extra tiny
+    * job (the bound). `candMult` only drives the legacy fixed cut on
+    * pre-`__pqerr` layouts. Falls back to `searchQuantized` when the
+    * layout predates the PQ tier entirely. */
   def searchPq(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       candMult: Int = 16,
       freshTail: Option[DataFrame] = None,
@@ -432,15 +440,38 @@ class IvfIndex(
       case MetricType.Euclidean => codebook.lutL2(q)
       case _ => codebook.lutNegDot(q)
     }
-    val candK = math.max(candMult * k, 128)
-    // candidate scan: id + m-byte codes only -> neither floats nor int8
-    // codes are read from parquet
-    val cand = masked
-      .select(col(idCol), col("__pqcode"))
-      .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
-      .orderBy(col("@pqdist").asc, col(idCol).asc)
-      .limit(candK)
-      .select(col(idCol))
+    // candidate scan: id + m-byte codes (+ the 8-byte error) only ->
+    // neither floats nor int8 codes are read from parquet
+    val cand: DataFrame =
+      if (full.columns.contains("__pqerr")) {
+        var qss = 0.0
+        var qi = 0
+        while (qi < q.length) { qss += q(qi).toDouble * q(qi); qi += 1 }
+        val scored = masked
+          .select(col(idCol), col("__pqcode"), col("__pqerr"))
+          .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
+        val errHalf = metric match {
+          case MetricType.Euclidean =>
+            lit(2.0) * sqrt(greatest(col("@pqdist"), lit(0.0))) * col("__pqerr") +
+              col("__pqerr") * col("__pqerr")
+          case _ => lit(math.sqrt(qss)) * col("__pqerr") // ‖q‖₂ (1 for cosine)
+        }
+        val withUb = scored.withColumn("@pqub", col("@pqdist") + errHalf)
+        val boundRow = withUb.orderBy(col("@pqub").asc).limit(k)
+          .agg(max(col("@pqub"))).head()
+        if (boundRow.isNullAt(0)) withUb.select(col(idCol)) // empty probe set
+        else withUb
+          .filter(col("@pqdist") - errHalf <= lit(boundRow.getDouble(0)))
+          .select(col(idCol))
+      } else {
+        val candK = math.max(candMult * k, 128)
+        masked
+          .select(col(idCol), col("__pqcode"))
+          .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
+          .orderBy(col("@pqdist").asc, col(idCol).asc)
+          .limit(candK)
+          .select(col(idCol))
+      }
     val reranked = masked.join(broadcast(cand), Seq(idCol), "left_semi")
     val searched = freshTail match {
       case Some(tail) =>

@@ -147,6 +147,38 @@ class PqServeSpec extends SparkSpec {
     assert(reopened.servePointPq("embedding", q, 10, nProbe = 2).isEmpty)
   }
 
+  test("tight-cluster geometry: proven candidate cut keeps searchPq exact") {
+    // 3000 rows in ONE latent cluster with noise far below PQ resolution:
+    // ADC scores are near-identical across the cluster, so any fixed
+    // top-candK ADC cut selects near-randomly and loses the true top-10;
+    // the interval-proven cut must still return the exact answer.
+    import spark.implicits._
+    val dim = 64
+    val rows = (0 until 3000).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.tabulate(dim)(j =>
+        (math.sin(j * 0.7) * 10.0 + rnd.nextGaussian() * 0.001).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val path = tmpDir("pqtight") + "/idx"
+    val idx = IvfIndex.build(spark, df, "embedding", "vec_id", path,
+      MetricType.Euclidean, nClusters = 2, maxIter = 3)
+    val q = rows(42)._2.map(_.toFloat).toArray
+    val exact = df
+      .withColumn("d", graft.functions.l2sqr_distance(col("embedding"), lit(q)))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = idx.searchPq("embedding", q, 10, nProbe = idx.centroids().length)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact,
+      s"proven cut must survive sub-resolution spacing: $got vs $exact")
+    // and the certified serve tier agrees
+    val served = idx.servePointPqDetail("embedding", q, 10,
+      nProbe = idx.centroids().length, certify = true)
+    assert(served.isDefined && served.get._1.map(_._1).toSeq == exact)
+  }
+
   test("a rebuild (generation bump) flushes PQ residency; serving stays exact") {
     val path = tmpDir("pqgen") + "/idx"
     val base = emb.filter(col("vec_id") < 300)
