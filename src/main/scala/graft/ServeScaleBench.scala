@@ -68,7 +68,16 @@ object ServeScaleBench {
     val emb = spark.read.parquet(dataPath)
 
     val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_scale_idx_${rows}_$dim"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")))
+    // rebuild a cached layout that predates the columns this tier needs
+    // (the pq tier serves off __pqcode/__pqerr)
+    val stale = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")) &&
+      tier == "pq" && {
+        val cols = spark.read.parquet(s"$idxPath/clustered").columns
+        !(cols.contains("__pqcode") && cols.contains("__pqerr"))
+      }
+    if (stale ||
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")))
       IvfIndex.build(spark, emb, VecCol, IdCol, idxPath, MetricType.Euclidean,
         nClusters = 128, maxIter = 5)
     val idx = new IvfIndex(spark, idxPath, IdCol, MetricType.Euclidean)
