@@ -61,6 +61,21 @@ package object functions {
     col(PqAdc(ex(c), cb.m, cb.ksub, lut))
   def pq_rec_err(vec: Column, codes: Column, cb: graft.index.PqCodebook): Column =
     col(PqRecErr(ex(vec), ex(codes), cb.dim, cb.m, cb.ksub, cb.cents))
+  /** Residual-coded variants (IVFADC): centroids ride in as (sorted ids,
+    * row-major floats); see PqEncodeRes. */
+  def pq_encode_res(vec: Column, cluster: Column, cb: graft.index.PqCodebook,
+      cIds: Array[Int], cFlat: Array[Float]): Column =
+    col(PqEncodeRes(ex(vec), ex(cluster), cb.dim, cb.m, cb.ksub, cb.cents,
+      cIds, cFlat))
+  def pq_rec_err_res(vec: Column, codes: Column, cluster: Column,
+      cb: graft.index.PqCodebook, cIds: Array[Int], cFlat: Array[Float]): Column =
+    col(PqRecErrRes(ex(vec), ex(codes), ex(cluster), cb.dim, cb.m, cb.ksub,
+      cb.cents, cIds, cFlat))
+  def pq_adc_res(codes: Column, cluster: Column, cb: graft.index.PqCodebook,
+      cIds: Array[Int], luts: Array[Double], consts: Array[Double],
+      sharedLut: Boolean): Column =
+    col(PqAdcRes(ex(codes), ex(cluster), cb.m, cb.ksub, cIds, luts, consts,
+      sharedLut))
 
   /** Squared L2 of dequantized codes vs a full-precision query. */
   def quantized_l2(codes: Column, qmin: Column, qmax: Column, q: Array[Double]): Column =

@@ -75,6 +75,7 @@ class IvfIndex(
   @transient private var clusterStatsCache: Option[Map[Int, Long]] = null
   @transient private var pqCbKey: (Long, Long) = null
   @transient private var pqCbCache: Option[PqCodebook] = null
+  @transient private var pqResCache: java.lang.Boolean = null
 
   /** One file read covering all four stamp fields (meta() + readGen would
     * read the file twice per access on the serving hot path). */
@@ -99,7 +100,7 @@ class IvfIndex(
       clusterStatsCache = null // appends change per-cluster counts
       val key = (s._4, s._3) // (gen, purge)
       if (key != centroidKey) { centroidKey = key; centroidCache = null }
-      if (key != pqCbKey) { pqCbKey = key; pqCbCache = null }
+      if (key != pqCbKey) { pqCbKey = key; pqCbCache = null; pqResCache = null }
     }
   }
 
@@ -205,24 +206,56 @@ class IvfIndex(
 
   def append(newRows: DataFrame, vecCol: String): Long = {
     import org.apache.spark.sql.functions.{col => c}
-    val cents = centroids().sortBy(_._1).map(_._2)
+    val centPairs = centroids().sortBy(_._1)
+    val cents = centPairs.map(_._2)
+    val centIdByIdx = centPairs.map(_._1)
     val prepared =
       if (metric == MetricType.Cosine)
         newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
       else newRows
+    // cluster is assigned FIRST: residual PQ codes are relative to the
+    // assigned centroid, so the encode expressions need the cluster
+    // column. NearestCentroid yields the ARRAY INDEX — map it to the real
+    // cluster id (they diverge once splitOversized has retired/minted
+    // ids; writing the raw index would land rows in the wrong partition
+    // dirs and silently corrupt every subsequent pruned read).
+    val clustered0 = prepared
+      .withColumn("__ci",
+        org.apache.spark.sql.graftbridge.CatalystBridge.column(
+          graft.functions.NearestCentroid(
+            org.apache.spark.sql.graftbridge.CatalystBridge.expression(c(vecCol)),
+            cents, metric.toString)))
+      .withColumn("cluster", element_at(lit(centIdByIdx), c("__ci") + 1))
+      .drop("__ci")
     // match the existing layout's schema: a pre-quantization layout keeps
     // appending without the code columns (mixed file schemas would break
     // the non-merged parquet read)
     val staged0 =
-      if (clustered().columns.contains("__qcode")) IvfIndex.withQuantized(prepared, vecCol)
-      else prepared
+      if (clustered().columns.contains("__qcode")) IvfIndex.withQuantized(clustered0, vecCol)
+      else clustered0
     // a PQ-tier layout keeps its code column consistent across appends
-    // (the codebook is FROZEN between rebuilds — appended rows are coded
-    // against the build-time centroids, standard IVF-PQ practice)
+    // (codebook AND coding scheme are FROZEN between rebuilds — appended
+    // rows are coded against the build-time centroids + residual flag,
+    // standard IVF-PQ practice)
     val layoutCols = clustered().columns
+    val residual = pqResidualCoding()
+    val centIds = centroids().map(_._1).sorted
+    lazy val centFlat = {
+      val byId = centroids().toMap
+      val d = byId(centIds(0)).length
+      val f = new Array[Float](centIds.length * d)
+      var i = 0
+      while (i < centIds.length) {
+        System.arraycopy(byId(centIds(i)), 0, f, i * d, d); i += 1
+      }
+      f
+    }
     val staged1 =
       if (layoutCols.contains("__pqcode"))
         pqCodebook() match {
+          case Some(cb) if residual => staged0.withColumn("__pqcode",
+            graft.functions.pq_encode_res(c(vecCol), c("cluster"), cb,
+              centIds, centFlat))
           case Some(cb) => staged0.withColumn("__pqcode",
             graft.functions.pq_encode(c(vecCol), cb))
           // codebook lost (broken layout): keep the SCHEMA consistent with
@@ -234,6 +267,9 @@ class IvfIndex(
     val staged =
       if (layoutCols.contains("__pqerr"))
         pqCodebook() match {
+          case Some(cb) if residual => staged1.withColumn("__pqerr",
+            graft.functions.pq_rec_err_res(c(vecCol), c("__pqcode"),
+              c("cluster"), cb, centIds, centFlat))
           case Some(cb) => staged1.withColumn("__pqerr",
             graft.functions.pq_rec_err(c(vecCol), c("__pqcode"), cb))
           // no codebook → codes are empty → reconstruction is all-zero
@@ -242,13 +278,7 @@ class IvfIndex(
           case None => staged1.withColumn("__pqerr", lit(Double.MaxValue))
         }
       else staged1
-    val assigned = staged
-      .withColumn("cluster",
-        org.apache.spark.sql.graftbridge.CatalystBridge.column(
-          graft.functions.NearestCentroid(
-            org.apache.spark.sql.graftbridge.CatalystBridge.expression(c(vecCol)),
-            cents, metric.toString)))
-      .cache()
+    val assigned = staged.cache()
     val stats = assigned.agg(count(lit(1)), max(c(idCol).cast("long"))).head()
     val n = stats.getLong(0)
     if (n > 0) {
@@ -393,6 +423,60 @@ class IvfIndex(
     pqCbCache
   }
 
+  /** Whether this layout's PQ codes are RESIDUAL-coded (x − centroid,
+    * IVFADC) — marked by the `pq_residual` file written at build. Layouts
+    * built before residual coding read absolute. */
+  def pqResidualCoding(): Boolean = synchronized {
+    refreshIfStale()
+    if (pqResCache == null)
+      pqResCache = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/pq_residual"))
+    pqResCache.booleanValue()
+  }
+
+  /** Per-probed-cluster ADC tables for the layout's coding scheme:
+    * (sorted cluster ids, luts, per-cluster consts, sharedLut).
+    * Residual L2 scores against (q − centroid_c) — one table per probed
+    * cluster; residual dot/cosine share ONE lut with constant
+    * −q·centroid_c; absolute layouts share one lut with constant 0.
+    * sharedLut tells callers the luts array holds a single span. */
+  private def pqLutsFor(cb: PqCodebook, probed: Array[Int],
+      q: Array[Float]): (Array[Int], Array[Double], Array[Double], Boolean) = {
+    val sorted = probed.sorted
+    val span = cb.m * cb.ksub
+    val consts = new Array[Double](sorted.length)
+    if (!pqResidualCoding()) {
+      val lut = if (metric == MetricType.Euclidean) cb.lutL2(q) else cb.lutNegDot(q)
+      return (sorted, lut, consts, true)
+    }
+    val centMap = centroids().toMap
+    if (metric == MetricType.Euclidean) {
+      val luts = new Array[Double](sorted.length * span)
+      var i = 0
+      while (i < sorted.length) {
+        val c = centMap(sorted(i))
+        val qr = new Array[Float](q.length)
+        var j = 0
+        while (j < q.length) { qr(j) = q(j) - c(j); j += 1 }
+        System.arraycopy(cb.lutL2(qr), 0, luts, i * span, span)
+        i += 1
+      }
+      (sorted, luts, consts, false)
+    } else {
+      val lut = cb.lutNegDot(q)
+      var i = 0
+      while (i < sorted.length) {
+        val c = centMap(sorted(i))
+        var dot = 0.0
+        var j = 0
+        while (j < q.length) { dot += q(j).toDouble * c(j); j += 1 }
+        consts(i) = -dot
+        i += 1
+      }
+      (sorted, lut, consts, true)
+    }
+  }
+
   /** PQ-scan-then-rerank top-K: the candidate pass reads ONLY the m-byte
     * PQ codes of the probed clusters (~1/32 of the vector bytes at dim
     * 960 — 8x less than even the int8 scan), then reranks candidates on
@@ -436,10 +520,9 @@ class IvfIndex(
         case None => pruned
       }
     }
-    val lut = metric match {
-      case MetricType.Euclidean => codebook.lutL2(q)
-      case _ => codebook.lutNegDot(q)
-    }
+    val (lutIds, luts, consts, sharedLut) = pqLutsFor(codebook, probed, q)
+    def adcCol: Column = pq_adc_res(col("__pqcode"),
+      col("cluster").cast("int"), codebook, lutIds, luts, consts, sharedLut)
     // candidate scan: id + m-byte codes (+ the 8-byte error) only ->
     // neither floats nor int8 codes are read from parquet
     val cand: DataFrame =
@@ -448,8 +531,8 @@ class IvfIndex(
         var qi = 0
         while (qi < q.length) { qss += q(qi).toDouble * q(qi); qi += 1 }
         val scored = masked
-          .select(col(idCol), col("__pqcode"), col("__pqerr"))
-          .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
+          .select(col(idCol), col("cluster"), col("__pqcode"), col("__pqerr"))
+          .withColumn("@pqdist", adcCol)
         val errHalf = metric match {
           case MetricType.Euclidean =>
             lit(2.0) * sqrt(greatest(col("@pqdist"), lit(0.0))) * col("__pqerr") +
@@ -466,8 +549,8 @@ class IvfIndex(
       } else {
         val candK = math.max(candMult * k, 128)
         masked
-          .select(col(idCol), col("__pqcode"))
-          .withColumn("@pqdist", pq_adc(col("__pqcode"), codebook, lut))
+          .select(col(idCol), col("cluster"), col("__pqcode"))
+          .withColumn("@pqdist", adcCol)
           .orderBy(col("@pqdist").asc, col(idCol).asc)
           .limit(candK)
           .select(col(idCol))
@@ -1071,9 +1154,12 @@ class IvfIndex(
   }
 
   /** Bounded top-kPad of one PQ-resident cluster: m lut lookups per row
-    * (see PqServeCluster for the bound math); same contract as
+    * starting at `lutBase` (per-cluster table for residual L2) plus the
+    * per-cluster additive `constOff` (−q·centroid for residual dot; 0
+    * otherwise). See PqServeCluster for the bound math; same contract as
     * scoreQuantCluster — candidates plus min discarded lower bound. */
   private def scorePqCluster(cluster: PqServeCluster, lut: Array[Double],
+      lutBase: Int, constOff: Double,
       m: Int, ksub: Int, errScale: Double, kPad: Int,
       exclude: Long => Boolean): (Array[(Long, Double, Double)], Double) = {
     val l2Metric = metric == MetricType.Euclidean
@@ -1091,10 +1177,10 @@ class IvfIndex(
     var off = 0
     while (i < ids.length) {
       if (!exclude(ids(i))) {
-        var adc = 0.0
+        var adc = constOff
         var sub = 0
         while (sub < m) {
-          adc += lut(sub * ksub + (codes(off + sub) & 0xff)); sub += 1
+          adc += lut(lutBase + sub * ksub + (codes(off + sub) & 0xff)); sub += 1
         }
         val er = cluster.err(i)
         val d =
@@ -1152,8 +1238,6 @@ class IvfIndex(
     if (!clustered().columns.contains("__pqerr")) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     if (q.length != cb.dim) return decline
-    val lut =
-      if (metric == MetricType.Euclidean) cb.lutL2(q) else cb.lutNegDot(q)
     var clusters: Array[PqServeCluster] = null
     var probed: Array[Int] = null
     var attempts = 0
@@ -1231,8 +1315,16 @@ class IvfIndex(
           .map(c => (c._1, c._2, 0.0))
       case None => Array.empty
     }
-    proofCut(kPad => parScore[PqServeCluster](clusters,
-        c => scorePqCluster(c, lut, cb.m, cb.ksub, errScale, kPad, exclude)),
+    // per-probed-cluster ADC tables (residual L2: lut over q − centroid;
+    // residual dot/cos: shared lut + const −q·centroid; absolute: global)
+    val (lutIds, luts, consts, sharedLut) = pqLutsFor(cb, probed, q)
+    val span = cb.m * cb.ksub
+    proofCut(kPad => parScore[(PqServeCluster, Int)](clusters.zip(probed), {
+        case (cl, cid) =>
+          val ci = java.util.Arrays.binarySearch(lutIds, cid)
+          scorePqCluster(cl, luts, if (sharedLut) 0 else ci * span,
+            consts(ci), cb.m, cb.ksub, errScale, kPad, exclude)
+      }),
       tailLocal, k, certify, vecCol, probed, qd, qss, pqReranks)
   }
 
@@ -1655,16 +1747,35 @@ object IvfIndex {
       cents = next
       iter += 1
     }
-    // PQ codebook: per-subspace k-means on a hash-ordered (deterministic)
-    // slice of the SAME fit sample — a few thousand rows train 256
-    // centroids per dsub-dim subspace; the full data never reaches the
-    // driver (see PqCodebook doc for the tier's role)
+    // PQ codebook on RESIDUALS (x − assigned centroid — classic IVFADC):
+    // per-subspace k-means on a hash-ordered (deterministic) slice of the
+    // SAME fit sample. On clustered data the residual lives at the noise
+    // scale, so the same m bytes resolve neighbors a full-vector codebook
+    // blurs together (measured: 0.1 vs ~1.0 ADC recall@10 at 500k×960
+    // tight clusters). The `pq_residual` marker tells readers which
+    // scheme the codes use; pre-marker layouts decode absolutely.
+    val cIds = Array.tabulate(cents.length)(identity)
+    val centsFlat = {
+      val f = new Array[Float](cents.length * dim)
+      var i = 0
+      while (i < cents.length) {
+        System.arraycopy(cents(i), 0, f, i * dim, dim); i += 1
+      }
+      f
+    }
     val pqSample = fitDf
       .orderBy(md5(col(idCol).cast("string")).asc).limit(PqFitSampleRows)
-      .select(col(vecCol)).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      .withColumn("cluster", nearestClusterCol(metric, col(vecCol), cents))
+      .select(col(vecCol), col("cluster")).collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](0).toArray
+        val c = cents(r.getInt(1))
+        Array.tabulate(v.length)(j => if (j < c.length) v(j) - c(j) else v(j))
+      }
     val pqCb = PqCodebook.fit(pqSample, dim, PqCodebook.chooseM(dim))
     pqCb.save(spark, s"$path/pq_codebook")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/pq_residual"), Array.emptyByteArray)
     fitDf.unpersist()
 
     // assign-only full pass; write partitioned by cluster for scan pruning.
@@ -1673,12 +1784,15 @@ object IvfIndex {
     // files + writer churn was 70s of a 73s build at 500k rows)
     val bc = spark.sparkContext.broadcast(cents)
     withQuantized(prepared, vecCol)
-      .withColumn("__pqcode", pq_encode(col(vecCol), pqCb))
-      // ‖x − x̂‖₂ per row: the certification constant for the PQ serving
-      // tier (subexpression elimination shares the PqEncode result between
-      // the stored codes and this pass — O(dim), not a second argmin)
-      .withColumn("__pqerr", pq_rec_err(col(vecCol), col("__pqcode"), pqCb))
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
+      .withColumn("__pqcode",
+        pq_encode_res(col(vecCol), col("cluster"), pqCb, cIds, centsFlat))
+      // ‖x − x̂‖₂ per row: the certification constant for the PQ serving
+      // tier (subexpression elimination shares the PqEncodeRes result
+      // between the stored codes and this pass — O(dim), not a second
+      // argmin)
+      .withColumn("__pqerr", pq_rec_err_res(col(vecCol), col("__pqcode"),
+        col("cluster"), pqCb, cIds, centsFlat))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
     // per-cluster row counts for the serving cardinality guard: counted
@@ -1753,6 +1867,12 @@ object IvfIndex {
       .sortBy(_._1).foreach { case (id, c) => cents(id) = c }
     var nextId = cents.keys.max + 1
     var split = 0
+    // residual-coded layouts must RE-ENCODE moved rows: their codes are
+    // relative to the retiring centroid, and the sub-clusters get new ones
+    val resCb =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/pq_residual")))
+        PqCodebook.load(spark, s"$path/pq_codebook")
+      else None
     oversized.foreach { case (cid, cnt) =>
       // target HALF the bound per sub-cluster: headroom for later appends
       // before the same cluster trips the guard again
@@ -1778,10 +1898,32 @@ object IvfIndex {
           // dirs into place and retire the old one — dir renames, no copy
           val staged = s"$path/split_stage"
           deleteRecursively(staged)
-          rows
+          val reassigned = rows
             .withColumn("__sub", nearestClusterCol(metric, col(vecCol), subCents))
             .withColumn("cluster", element_at(lit(ids), col("__sub") + 1))
             .drop("__sub")
+          val recoded = resCb match {
+            case Some(cb) if rows.columns.contains("__pqcode") =>
+              // ids are minted ascending, so they are already sorted — the
+              // id→centroid arrays line up positionally
+              val subFlat = {
+                val d = subCents(0).length
+                val f = new Array[Float](subCents.length * d)
+                var i = 0
+                while (i < subCents.length) {
+                  System.arraycopy(subCents(i), 0, f, i * d, d); i += 1
+                }
+                f
+              }
+              val withCode = reassigned.withColumn("__pqcode",
+                pq_encode_res(col(vecCol), col("cluster"), cb, ids, subFlat))
+              if (rows.columns.contains("__pqerr"))
+                withCode.withColumn("__pqerr", pq_rec_err_res(col(vecCol),
+                  col("__pqcode"), col("cluster"), cb, ids, subFlat))
+              else withCode
+            case _ => reassigned
+          }
+          recoded
             .repartition(col("cluster"))
             .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(staged)
           ids.foreach { id =>

@@ -30,20 +30,25 @@ class PqServeSpec extends SparkSpec {
       MetricType.Euclidean, nClusters = 4, maxIter = 3)
     val cb = idx.pqCodebook().get
     assert(idx.clustered().columns.contains("__pqerr"))
-    val rows = idx.clustered().select("embedding", "__pqcode", "__pqerr")
+    assert(idx.pqResidualCoding(), "fresh builds are residual-coded")
+    val centById = idx.centroids().toMap
+    val rows = idx.clustered()
+      .select("embedding", "__pqcode", "__pqerr", "cluster")
       .limit(30).collect()
     rows.foreach { r =>
       val v = r.getAs[scala.collection.Seq[Float]](0).toArray
       val codes = r.getAs[Array[Byte]](1)
       val err = r.getDouble(2)
-      // ‖x − x̂‖₂ recomputed explicitly from the codebook
+      val cent = centById(r.getAs[Int](3))
+      // ‖x − x̂‖₂ recomputed explicitly: residual coding, x̂ = cent + r̂
       var acc = 0.0
       var sub = 0
       while (sub < cb.m) {
         val cOff = cb.centOffset(sub, codes(sub) & 0xff)
         var j = 0
         while (j < cb.dsub) {
-          val d = v(sub * cb.dsub + j).toDouble - cb.cents(cOff + j)
+          val d = (v(sub * cb.dsub + j).toDouble - cent(sub * cb.dsub + j)) -
+            cb.cents(cOff + j)
           acc += d * d
           j += 1
         }
@@ -77,9 +82,15 @@ class PqServeSpec extends SparkSpec {
       MetricType.Euclidean, nClusters = 2, maxIter = 3)
     val cb = idx.pqCodebook().get
     val q = queryVec(5L)
-    // driver-side ADC oracle over every row, same lut-sum arithmetic
-    val oracle = idx.clustered().select("vec_id", "__pqcode").collect()
-      .map(r => (r.getLong(0), cb.adcL2(r.getAs[Array[Byte]](1), q)))
+    // driver-side ADC oracle over every row, same lut-sum arithmetic —
+    // residual coding scores against (q − centroid(cluster))
+    val centById = idx.centroids().toMap
+    val oracle = idx.clustered().select("vec_id", "__pqcode", "cluster").collect()
+      .map { r =>
+        val cent = centById(r.getAs[Int](2))
+        val qr = Array.tabulate(q.length)(j => q(j) - cent(j))
+        (r.getLong(0), cb.adcL2(r.getAs[Array[Byte]](1), qr))
+      }
       .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
     val got = idx.servePointPq("embedding", q, 10,
       nProbe = idx.centroids().length)
@@ -174,6 +185,49 @@ class PqServeSpec extends SparkSpec {
     assert(got == exact,
       s"proven cut must survive sub-resolution spacing: $got vs $exact")
     // and the certified serve tier agrees
+    val served = idx.servePointPqDetail("embedding", q, 10,
+      nProbe = idx.centroids().length, certify = true)
+    assert(served.isDefined && served.get._1.map(_._1).toSeq == exact)
+  }
+
+  test("append after a split lands rows in the RIGHT cluster dirs; residual codes re-encode") {
+    val path = tmpDir("pqsplitapp") + "/idx"
+    val base = emb.filter(col("vec_id") < 400)
+    val idx = IvfIndex.build(spark, base, "embedding", "vec_id", path,
+      MetricType.Euclidean, nClusters = 3, maxIter = 3)
+    // force a split: after it, cluster ids are no longer 0..n-1, so a raw
+    // NearestCentroid INDEX written as the cluster id would corrupt every
+    // pruned read (the regression this test pins)
+    val n0 = base.count()
+    val splits = IvfIndex.splitOversized(spark, path, "embedding", "vec_id",
+      MetricType.Euclidean, maxRows = n0 / 3)
+    assert(splits > 0, "fixture must actually split")
+    val centPairs = idx.centroids()
+    assert(centPairs.map(_._1).max >= 3, "split must mint fresh ids")
+    idx.append(emb.filter(col("vec_id") >= 400 && col("vec_id") < 500), "embedding")
+    // every appended row must sit in the partition dir of its NEAREST
+    // live centroid (by id, not by array index)
+    val appended = idx.clustered()
+      .filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("cluster"), col("embedding")).collect()
+    assert(appended.length == 100)
+    appended.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](2).toArray
+      val best = centPairs.minBy { case (_, c) =>
+        IvfIndex.dist(MetricType.Euclidean, c, v)
+      }._1
+      assert(r.getAs[Int](1) == best,
+        s"row ${r.getLong(0)} in cluster ${r.getAs[Int](1)}, nearest is $best")
+    }
+    // split-moved rows and appended rows alike carry codes consistent
+    // with their CURRENT centroid: certified serve and the proven job cut
+    // stay exact over the whole table
+    val q = queryVec(42L)
+    val all = emb.filter(col("vec_id") < 500)
+    val exact = exactTopL2(all, q, 10)
+    val viaJob = idx.searchPq("embedding", q, 10, nProbe = idx.centroids().length)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaJob == exact, s"post-split+append searchPq: $viaJob vs $exact")
     val served = idx.servePointPqDetail("embedding", q, 10,
       nProbe = idx.centroids().length, certify = true)
     assert(served.isDefined && served.get._1.map(_._1).toSeq == exact)

@@ -94,12 +94,15 @@ class PqSpec extends SparkSpec {
     assert(after.count() == emb.count())
     assert(idx.pqCodebook().get.cents.sameElements(cbBefore.cents),
       "append must not refit the codebook")
-    // appended rows' persisted codes match driver-side encode
+    // appended rows' persisted codes match driver-side RESIDUAL encode
+    // (codes are relative to the assigned centroid — IVFADC)
     val row = after.filter(col("vec_id") === 450)
-      .select("embedding", "__pqcode").head()
+      .select("embedding", "__pqcode", "cluster").head()
     val vec = row.getAs[scala.collection.Seq[Float]](0).toArray
     val persisted = row.getAs[Array[Byte]](1)
-    assert(persisted.sameElements(cbBefore.encode(vec)))
+    val cent = idx.centroids().toMap.apply(row.getAs[Int](2))
+    val residual = Array.tabulate(vec.length)(j => vec(j) - cent(j))
+    assert(persisted.sameElements(cbBefore.encode(residual)))
 
     // post-append full-probe search stays exact over the whole table
     val exactAll = emb
