@@ -1079,8 +1079,14 @@ class IvfIndex(
     *   L2:  adc = d(q,x̂)² exactly → |d(q,x)² − adc| ≤ 2·√adc·e + e²
     *        (triangle inequality |d(q,x) − d(q,x̂)| ≤ e, squared)
     *   dot: |q·x − q·x̂| ≤ ‖q‖₂·e (Cauchy–Schwarz; cosine: q unit). */
+  /** `rowConst` is the query-independent residual-L2 term
+    * 2·centroid·r̂ + ‖r̂‖², precomputed once at load so EVERY query scores
+    * with ONE shared lut (−2q·cent) + per-cluster ‖q−centroid‖² + this
+    * per-row scalar — a per-cluster lut (the naive residual-L2 shape)
+    * thrashes the cache at dim 960 and halved throughput when measured.
+    * Zeros for absolute layouts and dot/cosine. */
   protected final case class PqServeCluster(ids: Array[Long],
-      codes: Array[Byte], err: Array[Double])
+      codes: Array[Byte], err: Array[Double], rowConst: Array[Double])
 
   @transient private var pqCache =
     new java.util.LinkedHashMap[Int, PqServeCluster](64, 0.75f, true)
@@ -1136,6 +1142,12 @@ class IvfIndex(
     // failed attempt in the serve skeleton, which declines to the job path
     if (chunks.exists(_._1 == -1)) throw new IllegalStateException(
       "PQ layout holds codes inconsistent with the codebook")
+    // residual L2: per-row query-independent constant 2c·r̂ + ‖r̂‖², via a
+    // per-cluster lut over the codebook (built once per cold load; m
+    // lookups per row) — the price of a SHARED per-query scoring lut
+    val residL2 = pqResidualCoding() && metric == MetricType.Euclidean
+    val cb = if (residL2) pqCodebook() else None
+    val centById = if (residL2) centroids().toMap else Map.empty[Int, Array[Float]]
     missing.map { cid =>
       val cs = chunks.filter(_._1 == cid)
       val n = cs.map(_._2.length).sum
@@ -1149,17 +1161,50 @@ class IvfIndex(
         System.arraycopy(ccodes, 0, codes, io * m, ccodes.length)
         io += cids.length
       }
-      cid -> PqServeCluster(ids, codes, errs)
+      val rowConst = new Array[Double](n)
+      cb.foreach { b =>
+        val c = centById(cid)
+        val span = b.m * b.ksub
+        // lut2[sub,code] = 2·c_sub·cent + ‖cent‖²
+        val lut2 = new Array[Double](span)
+        var sub = 0
+        while (sub < b.m) {
+          var cc = 0
+          while (cc < b.ksub) {
+            val off = b.centOffset(sub, cc)
+            var acc = 0.0
+            var j = 0
+            while (j < b.dsub) {
+              val e = b.cents(off + j).toDouble
+              val cv = if (sub * b.dsub + j < c.length) c(sub * b.dsub + j).toDouble else 0.0
+              acc += 2.0 * cv * e + e * e
+              j += 1
+            }
+            lut2(sub * b.ksub + cc) = acc
+            cc += 1
+          }
+          sub += 1
+        }
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var s = 0
+          while (s < m) { acc += lut2(s * b.ksub + (codes(i * m + s) & 0xff)); s += 1 }
+          rowConst(i) = acc
+          i += 1
+        }
+      }
+      cid -> PqServeCluster(ids, codes, errs, rowConst)
     }.toMap
   }
 
-  /** Bounded top-kPad of one PQ-resident cluster: m lut lookups per row
-    * starting at `lutBase` (per-cluster table for residual L2) plus the
-    * per-cluster additive `constOff` (−q·centroid for residual dot; 0
-    * otherwise). See PqServeCluster for the bound math; same contract as
-    * scoreQuantCluster — candidates plus min discarded lower bound. */
+  /** Bounded top-kPad of one PQ-resident cluster: m SHARED-lut lookups
+    * per row plus the per-cluster `constOff` (residual L2: ‖q−centroid‖²;
+    * residual dot/cos: −q·centroid) plus the per-row load-time constant
+    * (see PqServeCluster). Same contract as scoreQuantCluster —
+    * candidates plus min discarded lower bound. */
   private def scorePqCluster(cluster: PqServeCluster, lut: Array[Double],
-      lutBase: Int, constOff: Double,
+      constOff: Double,
       m: Int, ksub: Int, errScale: Double, kPad: Int,
       exclude: Long => Boolean): (Array[(Long, Double, Double)], Double) = {
     val l2Metric = metric == MetricType.Euclidean
@@ -1177,10 +1222,10 @@ class IvfIndex(
     var off = 0
     while (i < ids.length) {
       if (!exclude(ids(i))) {
-        var adc = constOff
+        var adc = constOff + cluster.rowConst(i)
         var sub = 0
         while (sub < m) {
-          adc += lut(lutBase + sub * ksub + (codes(off + sub) & 0xff)); sub += 1
+          adc += lut(sub * ksub + (codes(off + sub) & 0xff)); sub += 1
         }
         val er = cluster.err(i)
         val d =
@@ -1315,17 +1360,63 @@ class IvfIndex(
           .map(c => (c._1, c._2, 0.0))
       case None => Array.empty
     }
-    // per-probed-cluster ADC tables (residual L2: lut over q − centroid;
-    // residual dot/cos: shared lut + const −q·centroid; absolute: global)
-    val (lutIds, luts, consts, sharedLut) = pqLutsFor(cb, probed, q)
-    val span = cb.m * cb.ksub
+    // ONE shared scoring lut for every coding×metric case — residual L2
+    // decomposes as ‖q−c‖² + Σ(−2q·cent)[codes] + rowConst (load-time);
+    // residual dot/cos as −q·c + Σ(−q·cent)[codes]
+    val (lutIds, lut, consts) = pqServeLuts(cb, probed, q)
     proofCut(kPad => parScore[(PqServeCluster, Int)](clusters.zip(probed), {
         case (cl, cid) =>
           val ci = java.util.Arrays.binarySearch(lutIds, cid)
-          scorePqCluster(cl, luts, if (sharedLut) 0 else ci * span,
-            consts(ci), cb.m, cb.ksub, errScale, kPad, exclude)
+          scorePqCluster(cl, lut, consts(ci), cb.m, cb.ksub,
+            errScale, kPad, exclude)
       }),
       tailLocal, k, certify, vecCol, probed, qd, qss, pqReranks)
+  }
+
+  /** Serve-side ADC tables: (sorted probed ids, ONE shared lut,
+    * per-cluster consts) for the layout's coding scheme — see the
+    * decomposition note at the call site; rowConst carries the per-row
+    * remainder for residual L2. */
+  private def pqServeLuts(cb: PqCodebook, probed: Array[Int],
+      q: Array[Float]): (Array[Int], Array[Double], Array[Double]) = {
+    val sorted = probed.sorted
+    val consts = new Array[Double](sorted.length)
+    if (!pqResidualCoding()) {
+      val lut = if (metric == MetricType.Euclidean) cb.lutL2(q) else cb.lutNegDot(q)
+      return (sorted, lut, consts)
+    }
+    val centMap = centroids().toMap
+    if (metric == MetricType.Euclidean) {
+      val lut = cb.lutNegDot(q)
+      var t = 0
+      while (t < lut.length) { lut(t) = 2.0 * lut(t); t += 1 } // −2q·cent
+      var i = 0
+      while (i < sorted.length) {
+        val c = centMap(sorted(i))
+        var acc = 0.0
+        var j = 0
+        while (j < q.length) {
+          val d = q(j).toDouble - (if (j < c.length) c(j) else 0f)
+          acc += d * d
+          j += 1
+        }
+        consts(i) = acc // ‖q − centroid‖²
+        i += 1
+      }
+      (sorted, lut, consts)
+    } else {
+      val lut = cb.lutNegDot(q)
+      var i = 0
+      while (i < sorted.length) {
+        val c = centMap(sorted(i))
+        var dot = 0.0
+        var j = 0
+        while (j < q.length) { dot += q(j).toDouble * c(j); j += 1 }
+        consts(i) = -dot
+        i += 1
+      }
+      (sorted, lut, consts)
+    }
   }
 
   /** Compatibility shape of `servePointPqDetail` — hits only. */
