@@ -23,6 +23,33 @@ object QueriesPipeline {
   // 60-bit md5 hash of a string expression
   private def sqlHash60(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // the fixed keyword query shared by the BM25 / hybrid-fusion gates
+  private[graft] val Bm25Terms = Seq("vector", "join", "spark")
+
+  /** BM25 oracle CTE block ending in `bm25(doc_id, score)` — arithmetic
+    * op order mirrors Bm25.impactCol exactly (IEEE doubles are
+    * deterministic given identical inputs and op order; only ln() is
+    * libm-dependent, absorbed by the 4-decimal round). */
+  private def sqlBm25Ctes: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""btok AS (SELECT doc_id, $sqlToks toks FROM documents),
+       |bdl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl FROM btok),
+       |bstats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+       |                  avg(CAST(len(toks) AS DOUBLE)) avgdl FROM btok),
+       |bex AS (SELECT doc_id, unnest(toks) term FROM btok),
+       |btf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf FROM bex
+       |        WHERE term IN ($inList) GROUP BY doc_id, term),
+       |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM btf GROUP BY term),
+       |bscored AS (
+       |  SELECT btf.doc_id,
+       |    ln(1.0 + (s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) *
+       |      (btf.tf * (1.2 + 1.0)) /
+       |      (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / s.avgdl)) AS impact
+       |  FROM btf JOIN bdf USING (term) JOIN bdl USING (doc_id), bstats s),
+       |bm25 AS (SELECT doc_id, round(sum(impact), 4) AS score
+       |         FROM bscored GROUP BY doc_id)""".stripMargin
+  }
   private val P = 2147483647L
 
   // per-token 31-bit hashes, then polynomial 3-gram shingle combine —
@@ -247,6 +274,45 @@ object QueriesPipeline {
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---------- BM25 keyword retrieval + hybrid fusion ----------
+    // BM25 top-10 for a fixed 3-term query; the ordering (and the k-cut)
+    // is on the 4-decimal-rounded score with doc_id tie-break so the cut
+    // reproduces across engines. The same doc-side impact math also feeds
+    // the persisted sparse inverted index (Bm25.impactPostings ->
+    // SparseIndex -> WAND serving, proven equal in Bm25Spec); this gate
+    // value-checks the scoring itself.
+    "tx_bm25_topk" -> ((s, dir) => {
+      graft.pipeline.Bm25.scoreTopK(t(s, dir, "documents"), "text", "doc_id",
+        Bm25Terms, k = 10)
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the dense cosine
+    // ranking and the BM25 keyword ranking over the aligned doc/vec ids.
+    // Both sides cut to top-50 via TakeOrderedAndProject BEFORE the
+    // unpartitioned row_number ranks them — the global window only ever
+    // sees 50 rows regardless of corpus size.
+    "hy_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = lit(SparkEntry.queryVectorOf(s, dir))
+      val dense = t(s, dir, "embeddings")
+        .withColumn("d", cosine_distance(col("embedding"), qv))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(50)
+        .withColumn("drank",
+          row_number().over(Window.orderBy(col("d").asc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("drank"))
+      val text = graft.pipeline.Bm25.scoreTopK(
+          t(s, dir, "documents"), "text", "doc_id", Bm25Terms, k = 50)
+        .withColumn("trank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("trank"))
+      dense.join(text, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("id").asc)
+        .limit(10)
+        .select(col("id"), col("rrf"))
     }),
 
     // ---------- composed end-to-end corpus cleaning ----------
@@ -815,6 +881,34 @@ object QueriesPipeline {
          |  FROM scored)
          |SELECT doc_id, rank, word, round(score, 4) AS score
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "tx_bm25_topk" ->
+      s"""WITH $sqlBm25Ctes
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "hy_rrf_fusion" -> {
+      val dot = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      def norm(a: String) = s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH $sqlBm25Ctes,
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id,
+         |          1.0 - $dot / (${norm("e.embedding")} * ${norm("q.embedding")}) AS d
+         |        FROM embeddings e, qv q),
+         |d50 AS (SELECT vec_id, d FROM dsc ORDER BY d ASC, vec_id ASC LIMIT 50),
+         |dense AS (SELECT vec_id AS id,
+         |            row_number() OVER (ORDER BY d ASC, vec_id ASC) AS drank
+         |          FROM d50),
+         |t50 AS (SELECT doc_id, score FROM bm25
+         |        ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |txt AS (SELECT doc_id AS id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS trank
+         |        FROM t50),
+         |fused AS (
+         |  SELECT coalesce(dense.id, txt.id) AS id,
+         |    round(coalesce(1.0 / (60 + drank), 0.0) +
+         |          coalesce(1.0 / (60 + trank), 0.0), 6) AS rrf
+         |  FROM dense FULL OUTER JOIN txt ON dense.id = txt.id)
+         |SELECT id, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin
+    },
     "pl_clean_corpus" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 text retrieval, Spark-first.
+  *
+  * The reference has no keyword scoring (its only text operator is the
+  * LIKE filter, engine/db/expr/expr.cpp) — this is a beyond-reference
+  * pipeline operator: ranked keyword retrieval over the `documents`
+  * table, the text half of a hybrid (dense + keyword) curation query.
+  *
+  * Two formulations, same math (Robertson/Okapi BM25, the nonnegative
+  * "+1" idf of Lucene/public literature):
+  *
+  *   idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   impact(d,t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+  *   score(d,q)  = Σ_{t ∈ q} impact(d, t)
+  *
+  * 1. `scoreTopK` — ad-hoc: one pass over the corpus computing tf ONLY
+  *    for the query's terms (the `isin` filter lands under the explode,
+  *    so the shuffled relation is ≤ |q| rows per doc, not the corpus
+  *    posting table). Corpus stats (N, avgdl, df) ride along as 1-row /
+  *    |q|-row broadcasts — no driver action in the plan.
+  *
+  * 2. `impactPostings` — serving: the doc-side impact is a pure function
+  *    of (tf, dl, df, N), all build-time constants, so BM25 top-k over a
+  *    FROZEN corpus is exactly a sparse dot product between precomputed
+  *    impact postings and a one-hot query over the terms' dims. That
+  *    means the persisted inverted index (SparseIndex.buildFromPostings,
+  *    bucketed by dim) and the WAND impact-ordered serving tier apply
+  *    unchanged — keyword retrieval inherits the same guarded
+  *    driver-serving path as sparse-vector search. Terms are
+  *    feature-hashed to `dims` buckets (hash60 mod dims, the standard
+  *    hashing-trick vocabulary: at 2^22 dims a 1M-term vocabulary sees
+  *    ~0.01% pairwise collisions, which only ever MERGE two posting
+  *    lists — scores degrade gracefully, ids never go missing).
+  */
+object Bm25 {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+  val DefaultDims: Int = 1 << 22
+
+  /** Per-(doc, term) tf plus the doc length, restricted to `terms` if
+    * given (predicate under the explode → tiny shuffle). */
+  private def tfWithDl(df: DataFrame, textCol: String, idCol: String,
+      terms: Option[Seq[String]]): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val exploded = toks.select(col("id"), col("dl"),
+      explode(col("toks")).as("term"))
+    val filtered = terms match {
+      case Some(ts) => exploded.filter(col("term").isin(ts: _*))
+      case None => exploded
+    }
+    filtered.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Corpus stats as a 1-row frame: (n_docs, avgdl). Broadcast-joined
+    * into the scoring plan — no collect. */
+  private def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("avgdl"))
+
+  private def impactCol(k1: Double, b: Double) =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** Top-k docs for a bag of query terms: (id, score) with score rounded
+    * to 4 decimals; ordering (and the k-cut) on the ROUNDED score with id
+    * tie-break, so the cut is reproducible across engines.
+    * Plan shape: explode+filter → one partial-agged shuffle on (id, term),
+    * broadcast df/stats joins, groupBy(id) (≤|q| rows per id), then
+    * TakeOrderedAndProject. */
+  def scoreTopK(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val qTerms = terms.distinct
+    val tf = tfWithDl(df, textCol, idCol, Some(qTerms))
+    val dfPerTerm = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfPerTerm), "term")
+      .crossJoin(broadcast(corpusStats(df, textCol)))
+      .withColumn("impact", impactCol(k1, b))
+      .groupBy(col("id"))
+      .agg(round(sum(col("impact")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score"))
+  }
+
+  /** Precomputed doc-side BM25 impact postings (id, dim, v): feed to
+    * SparseIndex.buildFromPostings; colliding terms' impacts SUM into one
+    * dim (deterministic merge). Build cost: the corpus posting shuffle +
+    * one vocab-sized df agg — the same passes an inverted-index build
+    * already pays. */
+  def impactPostings(df: DataFrame, textCol: String, idCol: String,
+      dims: Int = DefaultDims,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val tf = tfWithDl(df, textCol, idCol, None)
+    val dfPerTerm = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfPerTerm, "term") // vocab-sized build-time join: shuffle, not broadcast
+      .crossJoin(broadcast(corpusStats(df, textCol)))
+      .withColumn("impact", impactCol(k1, b))
+      .withColumn("dim", pmod(graft.functions.hash60(col("term")), lit(dims.toLong)).cast("int"))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("impact")).cast("float").as("v"))
+  }
+
+  /** The query side of the impact formulation: distinct sorted dims with
+    * weight 1.0 each (a colliding pair of query terms keeps ONE dim —
+    * its posting list already carries both terms' summed impacts). */
+  def queryDims(terms: Seq[String], dims: Int = DefaultDims): Array[Int] =
+    terms.distinct
+      .map(t => math.floorMod(
+        graft.functions.Hash60.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+        dims.toLong).toInt)
+      .distinct.sorted.toArray
+}
