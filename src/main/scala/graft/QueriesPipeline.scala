@@ -306,7 +306,8 @@ object QueriesPipeline {
         .withColumn("trank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id").as("id"), col("trank"))
-      dense.join(text, Seq("id"), "full_outer")
+      // both sides are <=50 rows post-cut: broadcast dodges a shuffle pair
+      dense.join(broadcast(text), Seq("id"), "full_outer")
         .withColumn("rrf", round(
           coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)), 6))

@@ -65,6 +65,23 @@ object Bm25 {
     df.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("avgdl"))
 
+  /** ALL of scoreTopK's global stats in ONE corpus pass: a 1-row frame
+    * (n_docs, avgdl, df_0..df_{|q|-1}) with one conditional-sum aggregate
+    * per query term — the literal term list is known at plan time, so df
+    * needs no per-term shuffle, just |q| extra agg buffers. */
+  private def queryStats(df: DataFrame, textCol: String,
+      qTerms: Seq[String]): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val perDoc = df.select(
+      size(toks).cast("double").as("dl"),
+      array_intersect(array_distinct(toks), array(qTerms.map(lit): _*)).as("qt"))
+    val aggs = Seq(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) ++
+      qTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("qt"), t), 1.0)).as(s"df_$i") }
+    perDoc.agg(aggs.head, aggs.tail: _*)
+  }
+
   private def impactCol(k1: Double, b: Double) =
     log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       (col("tf") * lit(k1 + 1.0)) /
@@ -73,19 +90,22 @@ object Bm25 {
   /** Top-k docs for a bag of query terms: (id, score) with score rounded
     * to 4 decimals; ordering (and the k-cut) on the ROUNDED score with id
     * tie-break, so the cut is reproducible across engines.
-    * Plan shape: explode+filter → one partial-agged shuffle on (id, term),
-    * broadcast df/stats joins, groupBy(id) (≤|q| rows per id), then
+    * Exactly TWO corpus passes (the minimum — global stats must complete
+    * before scoring): pass 1 is `queryStats`' single 1-row aggregate,
+    * pass 2 is explode+filter → one partial-agged shuffle on (id, term)
+    * → broadcast-stats scoring → groupBy(id) (≤|q| rows per id) →
     * TakeOrderedAndProject. */
   def scoreTopK(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val qTerms = terms.distinct
     val tf = tfWithDl(df, textCol, idCol, Some(qTerms))
-    val dfPerTerm = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    // per-row df: pick this row's term's df_i off the broadcast stats row
+    val dfCol = coalesce(qTerms.zipWithIndex.map { case (t, i) =>
+      when(col("term") === lit(t), col(s"df_$i")) }: _*)
     val scored = tf
-      .join(broadcast(dfPerTerm), "term")
-      .crossJoin(broadcast(corpusStats(df, textCol)))
+      .crossJoin(broadcast(queryStats(df, textCol, qTerms)))
+      .withColumn("df", dfCol)
       .withColumn("impact", impactCol(k1, b))
       .groupBy(col("id"))
       .agg(round(sum(col("impact")), 4).as("score"))
