@@ -372,10 +372,18 @@ object QueriesPipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      // materialize the (tiny: hours x event types) sink, then free the
+      // per-run resources — repeated gate runs in one session must not
+      // accumulate complete-mode memory sinks and temp symlink dirs
+      val out = s.table(sink)
         .select(expr("unix_timestamp(window.start) div 3600").as("hour_bucket"),
           col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
     }),
     "ev_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window

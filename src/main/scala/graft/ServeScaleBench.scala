@@ -103,6 +103,12 @@ object ServeScaleBench {
     writeLines("queries.txt", queries.map(_.mkString(",")).toSeq)
     writeLines("expected.txt", expected.map(_.mkString(",")).toSeq)
 
+    // append ids advance MONOTONICALLY across rounds: a per-round restart
+    // at `rows` would re-append ids already in the layout — duplicates AT
+    // OR BELOW the followers' serving pins, breaking the very invariant
+    // this bench asserts (appends land above every pin)
+    var nextId = rows
+
     val perProcs = procCounts.map { n =>
       // fresh signal files per round
       Seq("go") ++ (0 until n).flatMap(i => Seq(s"ready$i", s"result$i")) foreach { f =>
@@ -136,7 +142,6 @@ object ServeScaleBench {
       // leader ingests THROUGHOUT the timed window
       val stopIngest = new java.util.concurrent.atomic.AtomicBoolean(false)
       val appends = new java.util.concurrent.atomic.AtomicInteger(0)
-      var nextId = rows + appends.get() * 500L
       val writer = new Thread(() => {
         while (!stopIngest.get()) {
           val batch = spark.range(nextId, nextId + 500)

@@ -290,6 +290,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     sparseTailCache.keySet.filter(_._1 == name).foreach(sparseTailCache.remove)
     tombCache.remove(name)
     statsFragCache.keySet.filter(_._1 == name).foreach(statsFragCache.remove)
+    healAttemptGen.keySet.filter(_._1 == name).foreach(healAttemptGen.remove)
     appendLocks.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
@@ -933,6 +934,15 @@ class GraftDb(val spark: SparkSession, val root: String,
     s"""{"table":"$table","totalRecords":${st.count()}$suffix}"""
   }
 
+  /** Generation at which a decline-heal was last ATTEMPTED, per
+    * (table, field). Declines that persist at an already-healed
+    * generation are un-healable by another rebuild (stop-word dims the
+    * WAND proof cannot certify, probes past the hard budget) — without
+    * this stamp one such probe per tick would schedule a full
+    * shuffle-heavy rebuild every minute, forever. */
+  private val healAttemptGen =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
   /** Decline-feedback heal (called from Maintenance.tick): serve declines
     * are the operational signal that queries are falling off the serve
     * path onto the ~1 qps job path. For a DENSE index the usual cause is
@@ -941,28 +951,42 @@ class GraftDb(val spark: SparkSession, val root: String,
     * For a SPARSE index a decline burst usually means appended small
     * files, a pre-stats/pre-norms layout, or probe-guarded cold loads — a
     * FORCED full rebuild (bypassing skip-as-unchanged) refreshes layout,
-    * stats and norms in one pass. Counters reset after the heal: declines
-    * are a per-generation signal. Returns how many indexes were healed. */
+    * stats and norms in one pass.
+    *
+    * Heals run AT MOST ONCE PER BUILD GENERATION: the attempt stamps the
+    * post-heal generation, and declines still accumulating at a stamped
+    * generation mean the heal did not fix them — they stay visible in
+    * `statistics()` (the counter is deliberately NOT reset) and no
+    * further rebuild is scheduled until something else bumps the
+    * generation. Returns how many indexes were healed. */
   private[graft] def healServingDeclines(table: String,
       minDeclines: Long = 1L): Int = {
     val st = store(table)
     var healed = 0
     st.schema.vectorFields.foreach { f =>
       if (graft.types.FieldType.isSparse(f.fieldType)) {
-        if (Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) {
+        val metaFile = s"$root/$table/spidx_${f.name}/sp_meta.json"
+        if (Files.exists(Paths.get(metaFile))) {
           val idx = sparseIndex(st, f.name)
-          if (idx.serveDeclineCount() >= minDeclines) {
+          if (idx.serveDeclineCount() >= minDeclines &&
+              !healAttemptGen.get((table, f.name))
+                .contains(graft.index.SparseIndex.readGen(metaFile))) {
             graft.index.SparseIndex.build(spark, st.read(), f.name,
               graft.store.TableStore.RowId, s"$root/$table/spidx_${f.name}",
               buckets = math.max(1, idx.buckets()), purgeGen = st.purgeGen())
+            healAttemptGen((table, f.name)) =
+              graft.index.SparseIndex.readGen(metaFile)
             idx.resetServeDeclineCount()
             healed += 1
           }
         }
       } else {
-        if (Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) {
+        val metaFile = s"$root/$table/ivf_${f.name}/ivf_meta.json"
+        if (Files.exists(Paths.get(metaFile))) {
           val idx = index(st, f.name)
-          if (idx.serveDeclineCount() >= minDeclines) {
+          if (idx.serveDeclineCount() >= minDeclines &&
+              !healAttemptGen.get((table, f.name))
+                .contains(graft.index.IvfIndex.readGen(metaFile))) {
             // half the probe-set budget per cluster (and splitOversized
             // itself targets half ITS bound per sub-cluster): a healed
             // layout serves multi-probe queries, not just single-probe
@@ -971,6 +995,8 @@ class GraftDb(val spark: SparkSession, val root: String,
                 s"$root/$table/ivf_${f.name}", f.name,
                 graft.store.TableStore.RowId, f.metric, maxRows = bound) > 0)
               healed += 1
+            healAttemptGen((table, f.name)) =
+              graft.index.IvfIndex.readGen(metaFile)
             idx.resetServeDeclineCount()
           }
         }

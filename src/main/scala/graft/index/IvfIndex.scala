@@ -362,10 +362,12 @@ class IvfIndex(
     * Caveats vs `search`: the metric for the candidate cut is L2 over the
     * dequantized codes — for Cosine/Dot the stored vectors are unit (or
     * treated as-is) and the rerank applies the real metric, so candidates
-    * only need to be a superset of the true top-k; `preFilter` is applied
-    * at rerank (a selective filter may under-fill — callers widen the
-    * probe, same contract as the exact path). Falls back to `search` when
-    * the layout predates the quantized columns. */
+    * only need to be a superset of the true top-k; `preFilter` is pushed
+    * BELOW the candidate cut (the cut runs over the filtered relation, so
+    * filtered semantics match the exact path — a selective filter widens
+    * the candidate scan's projection by the filter's columns, nothing
+    * more). Falls back to `search` when the layout predates the quantized
+    * columns. */
   def searchQuantized(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       candMult: Int = 8,
       freshTail: Option[DataFrame] = None,
@@ -390,9 +392,14 @@ class IvfIndex(
         case None => pruned
       }
     }
+    // preFilter BEFORE the cut: the candidate set must cover the top-k of
+    // the FILTERED relation, not the unfiltered one — otherwise a
+    // selective filter whose matches rank far by raw distance loses them
+    // before the rerank ever sees them
+    val candBase = preFilter.map(masked.filter).getOrElse(masked)
     val candK = math.max(candMult * k, 64)
     // candidate scan: id + codes + scales only -> parquet reads no floats
-    val cand = masked
+    val cand = candBase
       .select(col(idCol), col("__qcode"), col("__qmin"), col("__qmax"))
       .withColumn("@qdist",
         quantized_l2(col("__qcode"), col("__qmin"), col("__qmax"), q.map(_.toDouble)))
@@ -490,9 +497,10 @@ class IvfIndex(
     * recall exactly when within-cluster spacing falls below quantization
     * resolution (tight clusters at high dim), which is the one regime a
     * compressed candidate scan gets used in anger. Costs one extra tiny
-    * job (the bound). `candMult` only drives the legacy fixed cut on
-    * pre-`__pqerr` layouts. Falls back to `searchQuantized` when the
-    * layout predates the PQ tier entirely. */
+    * job (the bound). `preFilter` is pushed below the cut, so the proof
+    * covers the FILTERED top-k. `candMult` only drives the legacy fixed
+    * cut on pre-`__pqerr` layouts. Falls back to `searchQuantized` when
+    * the layout predates the PQ tier entirely. */
   def searchPq(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       candMult: Int = 16,
       freshTail: Option[DataFrame] = None,
@@ -523,6 +531,11 @@ class IvfIndex(
     val (lutIds, luts, consts, sharedLut) = pqLutsFor(codebook, probed, q)
     def adcCol: Column = pq_adc_res(col("__pqcode"),
       col("cluster").cast("int"), codebook, lutIds, luts, consts, sharedLut)
+    // preFilter BEFORE the proven cut: the interval proof covers the
+    // top-k of whatever relation the bound job ran over — prove against
+    // the FILTERED rows or a selective filter loses matches the
+    // unfiltered bound proved out
+    val candBase = preFilter.map(masked.filter).getOrElse(masked)
     // candidate scan: id + m-byte codes (+ the 8-byte error) only ->
     // neither floats nor int8 codes are read from parquet
     val cand: DataFrame =
@@ -530,7 +543,7 @@ class IvfIndex(
         var qss = 0.0
         var qi = 0
         while (qi < q.length) { qss += q(qi).toDouble * q(qi); qi += 1 }
-        val scored = masked
+        val scored = candBase
           .select(col(idCol), col("cluster"), col("__pqcode"), col("__pqerr"))
           .withColumn("@pqdist", adcCol)
         val errHalf = metric match {
@@ -548,7 +561,7 @@ class IvfIndex(
           .select(col(idCol))
       } else {
         val candK = math.max(candMult * k, 128)
-        masked
+        candBase
           .select(col(idCol), col("cluster"), col("__pqcode"))
           .withColumn("@pqdist", adcCol)
           .orderBy(col("@pqdist").asc, col(idCol).asc)
@@ -903,6 +916,11 @@ class IvfIndex(
       certify: Boolean = false)
       : Option[(Array[(Long, Double)], Int)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    // stored-dim guard (mirrors the PQ tier's cb.dim check): the packed
+    // codes stride by the STORED dim — scoring them at q.length would
+    // misread every row past the first, or walk off the array. A
+    // wrong-length query declines; it must never throw or mis-score.
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
     var clusters: Array[QuantCluster] = null
     var probed: Array[Int] = null
     var attempts = 0
@@ -1535,6 +1553,9 @@ class IvfIndex(
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
       : Option[Array[(Long, Double)]] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    // stored-dim guard: resident vectors are packed row-major at the
+    // stored dim — a wrong-length query declines rather than misreading.
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
     // ONLY cache bookkeeping runs under the lock. The cold-cluster load is
     // a real Spark job (hundreds of ms) and runs between the lock windows —
     // holding the lock across it would convoy every concurrent warm query
@@ -1705,7 +1726,7 @@ object IvfIndex {
   /** Build generation: bumped by every FULL build, preserved by appends —
     * the serving tier keys residency on it (appends must not flush warm
     * clusters; rebuilds must). Metas without the stamp read 0. */
-  private[index] def readGen(metaPath: String): Long =
+  private[graft] def readGen(metaPath: String): Long =
     MetaJson.readLongField(metaPath, "gen", 0L)
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,

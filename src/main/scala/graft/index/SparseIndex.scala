@@ -1102,7 +1102,7 @@ object SparseIndex {
 
   /** Build generation: bumped by full builds, preserved by appends (the
     * serving-residency key — see IvfIndex.readGen). */
-  private[index] def readGen(metaPath: String): Long =
+  private[graft] def readGen(metaPath: String): Long =
     MetaJson.readLongField(metaPath, "gen", 0L)
 
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,

@@ -99,6 +99,10 @@ object Bm25 {
       terms: Seq[String], k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val qTerms = terms.distinct
+    // an empty keyword query matches nothing (and zero-arg coalesce below
+    // would not even plan) — return an empty, correctly-typed result
+    if (qTerms.isEmpty)
+      return df.select(col(idCol), lit(0.0).as("score")).limit(0)
     val tf = tfWithDl(df, textCol, idCol, Some(qTerms))
     // per-row df: pick this row's term's df_i off the broadcast stats row
     val dfCol = coalesce(qTerms.zipWithIndex.map { case (t, i) =>

@@ -155,4 +155,45 @@ class PqSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == exact)
   }
+
+  test("preFilter lands below the proven cut: filtered top-k is exact") {
+    // regression: the __pqerr interval proof must run over the FILTERED
+    // relation — proving against the unfiltered top-k and filtering at
+    // rerank cuts away selective-filter matches that rank far by raw
+    // distance (same contract for the int8 candidate cut)
+    val path = tmpDir("pqfilter") + "/idx"
+    val idx = IvfIndex.build(spark, emb, "embedding", "vec_id", path,
+      MetricType.Euclidean, nClusters = 4, maxIter = 3)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toArray
+    val filt = col("label") === 7
+    val exact = emb.filter(filt)
+      .withColumn("d", graft.functions.l2sqr_distance(col("embedding"), lit(q)))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(exact.size == 5)
+    val gotPq = idx.searchPq("embedding", q, 5, nProbe = idx.centroids().length,
+        preFilter = Some(filt))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gotPq == exact, "searchPq filtered top-k must equal brute force")
+    val gotQuant = idx.searchQuantized("embedding", q, 5,
+        nProbe = idx.centroids().length, preFilter = Some(filt))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(gotQuant == exact, "searchQuantized filtered top-k must equal brute force")
+  }
+
+  test("wrong-dimension queries decline on every serving tier, never throw") {
+    val path = tmpDir("pqdim") + "/idx"
+    val idx = IvfIndex.build(spark, emb, "embedding", "vec_id", path,
+      MetricType.Euclidean, nClusters = 4, maxIter = 3)
+    val dim = idx.centroids().head._2.length
+    val declinesBefore = idx.serveDeclineCount()
+    for (badLen <- Seq(dim - 3, dim + 5)) {
+      val bad = Array.fill(badLen)(0.5f)
+      assert(idx.servePoint("embedding", bad, 5, nProbe = 2).isEmpty)
+      assert(idx.servePointQuantized("embedding", bad, 5, nProbe = 2).isEmpty)
+      assert(idx.servePointPq("embedding", bad, 5, nProbe = 2).isEmpty)
+    }
+    assert(idx.serveDeclineCount() > declinesBefore)
+  }
 }

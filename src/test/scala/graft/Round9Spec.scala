@@ -539,4 +539,47 @@ class Round9Spec extends SparkSpec {
     val served = idx.servePointDot(Array(15), Array(1f), 5)
     assert(served.isDefined && served.get.nonEmpty)
   }
+
+  test("un-healable declines rebuild AT MOST ONCE per generation (no perpetual heal loop)") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r9_heal_loop_db"))
+    db.createTable(
+      """{"name":"SpL","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":64,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    val st = db.store("SpL")
+    val rows = (1 to 200).map { i =>
+      Row(i.toLong, Row(Seq(10 + (i % 40)), Seq((i % 5 + 0.5).toFloat)))
+    }
+    st.insert(spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = true)))))
+    assert(db.rebuildIndex("SpL", "SV"))
+    val idx = db.sparseIndexFor("SpL", "SV")
+    def gen(): Long =
+      idx.freshnessStamp().asInstanceOf[(Long, Long, Long, Long, Long)]._5
+    val maint = new graft.api.Maintenance(db)
+    // a decline regime NO rebuild can fix: budget pinned to zero
+    idx.maxServePostings = 0
+    assert(idx.servePointDot(Array(15), Array(1f), 5).isEmpty)
+    assert(maint.tick().indexesHealed == 1, "first burst heals once")
+    val genAfterHeal = gen()
+    // declines persist at the healed generation -> ticks must STOP
+    // scheduling full rebuilds and leave the counter visible
+    assert(idx.servePointDot(Array(15), Array(1f), 5).isEmpty)
+    val declinesVisible = idx.serveDeclineCount()
+    assert(declinesVisible >= 1L)
+    (1 to 3).foreach { _ =>
+      assert(maint.tick().indexesHealed == 0, "no heal-loop at a healed gen")
+    }
+    assert(gen() == genAfterHeal, "no further gen churn from un-healable declines")
+    assert(idx.serveDeclineCount() >= declinesVisible,
+      "un-healed declines stay visible in statistics()")
+    // something ELSE bumping the generation re-arms exactly one heal
+    graft.index.SparseIndex.build(spark, st.read(), "SV",
+      graft.store.TableStore.RowId, s"${db.root}/SpL/spidx_SV",
+      buckets = math.max(1, idx.buckets()), purgeGen = st.purgeGen())
+    assert(maint.tick().indexesHealed == 1, "a new generation re-arms the heal")
+  }
 }
