@@ -704,14 +704,25 @@ class GraftDb(val spark: SparkSession, val root: String,
   def rebuildIndex(table: String, field: String): Boolean = {
     val st = store(table)
     val f = st.schema.field(field)
-    if (graft.types.FieldType.isSparse(f.fieldType))
-      graft.index.SparseIndex.rebuildVerbose(spark, st.read(), field,
-        graft.store.TableStore.RowId, s"$root/$table/spidx_$field",
-        purgeGen = st.purgeGen())._2
-    else
-      graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
-        graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric,
-        purgeGen = st.purgeGen())._2
+    val rebuilt =
+      if (graft.types.FieldType.isSparse(f.fieldType))
+        graft.index.SparseIndex.rebuildVerbose(spark, st.read(), field,
+          graft.store.TableStore.RowId, s"$root/$table/spidx_$field",
+          purgeGen = st.purgeGen())._2
+      else
+        graft.index.IvfIndex.rebuildVerbose(spark, st.read(), field,
+          graft.store.TableStore.RowId, s"$root/$table/ivf_$field", f.metric,
+          purgeGen = st.purgeGen())._2
+    // declines are a per-generation signal: a full rebuild starts a new
+    // generation, so counters accrued against the old layout are stale —
+    // without this, Maintenance.tick's heal pass would schedule a second
+    // redundant build right after the routine rebuild it just ran
+    if (rebuilt) {
+      if (graft.types.FieldType.isSparse(f.fieldType))
+        sparseIndexes.get((table, field)).foreach(_.resetServeDeclineCount())
+      else indexes.get((table, field)).foreach(_.resetServeDeclineCount())
+    }
+    rebuilt
   }
 
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout

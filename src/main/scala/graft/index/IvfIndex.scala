@@ -2082,6 +2082,14 @@ object IvfIndex {
   /** Driver-local Lloyd over a bounded sample: the split fit runs at
     * single-cluster scale, where a distributed iteration per Lloyd step
     * would be all overhead. Deterministic stride-spread seeds. */
+  /** Driver-local Lloyd over whole vectors (splitOversized's sub-fit).
+    * Deliberately separate from build()'s distributed Lloyd (a Spark job
+    * per iteration over a DataFrame sample) and PqCodebook.fit's strided
+    * per-subspace loop over flat arrays with tail-padding — the three
+    * differ in data layout and in pinned deterministic numerics
+    * (seeding, convergence epsilon), each covered by its own
+    * determinism test; a shared kernel would have to abstract all three
+    * layouts and re-pin the numerics for no algorithmic gain. */
   private def localLloyd(sample: Array[Array[Float]], k: Int,
       metric: MetricType.Value, maxIter: Int): Array[Array[Float]] = {
     val n = sample.length
