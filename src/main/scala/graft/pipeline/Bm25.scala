@@ -122,7 +122,14 @@ object Bm25 {
     * SparseIndex.buildFromPostings; colliding terms' impacts SUM into one
     * dim (deterministic merge). Build cost: the corpus posting shuffle +
     * one vocab-sized df agg — the same passes an inverted-index build
-    * already pays. */
+    * already pays.
+    *
+    * Append caveat (standard BM25 index maintenance): impacts bake in the
+    * BUILD-TIME global stats (df, avgdl, N). Appending docs through
+    * SparseIndex.append scores them against those frozen stats — idf goes
+    * stale gradually, exactly like every production inverted index, and
+    * the drift-bounded rebuild (SparseIndex.MaxAppendFraction) refreshes
+    * the stats before staleness can matter. */
   def impactPostings(df: DataFrame, textCol: String, idCol: String,
       dims: Int = DefaultDims,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
