@@ -306,11 +306,15 @@ object QueriesPipeline {
         .withColumn("trank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id").as("id"), col("trank"))
-      // both sides are <=50 rows post-cut: broadcast dodges a shuffle pair
-      dense.join(broadcast(text), Seq("id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + col("drank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("trank")), lit(0.0)), 6))
+      // RRF is a SUM of per-ranking contributions, so fuse by union +
+      // groupBy, not a full-outer join (Spark can't broadcast either side
+      // of a full outer, so a join here would shuffle; the union groupBy
+      // is one exchange over <=100 rows, and double addition of the two
+      // contributions is order-independent)
+      dense.select(col("id"), (lit(1.0) / (lit(60) + col("drank"))).as("c"))
+        .unionAll(text.select(col("id"), (lit(1.0) / (lit(60) + col("trank"))).as("c")))
+        .groupBy(col("id"))
+        .agg(round(sum(col("c")), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id").asc)
         .limit(10)
         .select(col("id"), col("rrf"))
