@@ -74,6 +74,23 @@ object AnnBench {
     val exact = queries.map(q => exactTopK(q, 10))
     val exactSec = (System.nanoTime() - t0) / 1e9
 
+    // batch exact: ALL queries in ONE pass (TopKMin partial aggregation) —
+    // the offline fan-out path; qps here is amortized corpus scans, so it
+    // grows with the batch width while exact_qps stays one-scan-per-query
+    val batchQs = queries.zipWithIndex.map { case (q, i) =>
+      graft.query.BatchSearch.BatchQuery(i.toLong, q) }
+    graft.query.BatchSearch.topK(emb, "embedding", "vec_id",
+      batchQs.take(2).toSeq, 10).collect() // warm
+    val tbt = System.nanoTime()
+    val batchGot = graft.query.BatchSearch.topK(
+        emb, "embedding", "vec_id", batchQs.toSeq, 10)
+      .orderBy(col("qid"), col("rank")).select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val batchSec = (System.nanoTime() - tbt) / 1e9
+    val batchRecall = exact.zipWithIndex.map { case (e, i) =>
+      e.toSet.intersect(batchGot(i.toLong).toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_annbench_${math.abs(sfDir.hashCode)}"
     val tb = System.nanoTime()
     val nClusters = sys.env.get("SPARK_GRAFT_ANN_CLUSTERS").map(_.toInt)
@@ -300,6 +317,7 @@ object AnnBench {
 
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
+      f""""batch_qps":${queries.length / batchSec}%.2f,"batch_recall_at_10":$batchRecall%.4f,""" +
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""pq_qps":${queries.length / pqSec}%.2f,"pq_recall_at_10":$pqRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +

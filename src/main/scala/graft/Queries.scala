@@ -161,6 +161,24 @@ object Queries {
         .select(col("vec_id"), col("label"))
     }),
 
+    // Batch exact top-k: 4 queries answered in ONE corpus pass via the
+    // bounded-heap aggregate (TopKMin partial aggregation — map-side heaps,
+    // shuffle carries only Q·k·tasks pairs). The oracle mirrors it as a
+    // per-query window rank; the engine plan never materializes that
+    // N·Q ranked relation.
+    "v11_batch_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => graft.query.BatchSearch.BatchQuery(
+          r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_.qid)
+      graft.query.BatchSearch.topK(emb, "embedding", "vec_id", qs.toSeq, k = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("id").as("vec_id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // V2: sparse-vector top-K through the sparse merge-join expressions
     // (testdata embeddings densely encoded as struct<indices,values>; the
     // oracle computes the same distance from the dense column)
@@ -593,6 +611,16 @@ object Queries {
     "v2_sparse_topk" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v11_batch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT q.qid, e.vec_id, ${sqlL2sqr("e.embedding", "q.qv")} AS d
+         |       FROM embeddings e CROSS JOIN q),
+         |rk AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rank
+         |       FROM sc)
+         |SELECT qid, rank, vec_id FROM rk WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "v5_ivf_fullprobe" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,

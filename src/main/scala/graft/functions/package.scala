@@ -31,6 +31,13 @@ package object functions {
   /** l2-normalize array<float> (ingest-side for COSINE fields). */
   def l2_normalize(a: Column): Column = col(L2Normalize(ex(a)))
 
+  /** Bounded top-k aggregate: the k smallest (dist, id) pairs as
+    * array<struct<d,id>> sorted (d asc, id asc) — partial-aggregating, so
+    * a groupBy over query ids batches many top-k searches into one pass. */
+  def topk_min(k: Int, dist: Column, id: Column): Column =
+    col(TopKMin(ex(dist.cast("double")), ex(id.cast("long")),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
   def sparse_dot(a: Column, b: Column): Column = col(SparseDot(ex(a), ex(b)))
   def sparse_negative_dot(a: Column, b: Column): Column = F.negate(sparse_dot(a, b))
   def sparse_cosine_distance(a: Column, b: Column): Column = col(SparseCosineDistance(ex(a), ex(b)))

@@ -18,9 +18,14 @@ class PlanSpec extends SparkSpec {
   // bounded theta-joins by design: exact verification baselines the
   // oracles need (dd_jaccard id<200 subset, dd_embed_cosine id<300
   // subset); r1_knn_join broadcasts a 20-row query side — a BNLJ with a
-  // tiny broadcast side IS the right exact-kNN plan
+  // tiny broadcast side IS the right exact-kNN plan; the BM25 queries
+  // crossJoin a broadcast ONE-ROW global-stats frame into the scoring
+  // pass (Bm25.queryStats: the no-driver-action alternative to
+  // collecting N/avgdl/df) — a 1-row broadcast BNLJ is a map-side
+  // constant attach, not a blowup
   private val intentionalThetaJoins =
-    Set("dd_jaccard_pairs", "dd_embed_cosine", "r1_knn_join")
+    Set("dd_jaccard_pairs", "dd_embed_cosine", "r1_knn_join",
+      "tx_bm25_topk", "hy_rrf_fusion")
 
   // store-DML queries execute real writes at construction; plan-shape for
   // their read side is covered by a1_store_scan_page's oracle. The two
