@@ -27,12 +27,21 @@ object QueriesPipeline {
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
   private[graft] val Bm25Terms = Seq("vector", "join", "spark")
 
+  // the fixed keyword-query BATCH shared by the batch-BM25 gate: overlapping
+  // term sets so the fan-out join genuinely shares per-(doc, term) impacts
+  private[graft] val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Bm25Terms,
+    1L -> Seq("hash", "merge", "join"),
+    2L -> Seq("stream", "window", "spark"))
+
   /** BM25 oracle CTE block ending in `bm25(doc_id, score)` — arithmetic
     * op order mirrors Bm25.impactCol exactly (IEEE doubles are
     * deterministic given identical inputs and op order; only ln() is
     * libm-dependent, absorbed by the 4-decimal round). */
-  private def sqlBm25Ctes: String = {
-    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private def sqlBm25Ctes: String = sqlBm25CtesFor(Bm25Terms)
+
+  private def sqlBm25CtesFor(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""btok AS (SELECT doc_id, $sqlToks toks FROM documents),
        |bdl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl FROM btok),
        |bstats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
@@ -42,7 +51,7 @@ object QueriesPipeline {
        |        WHERE term IN ($inList) GROUP BY doc_id, term),
        |bdf AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM btf GROUP BY term),
        |bscored AS (
-       |  SELECT btf.doc_id,
+       |  SELECT btf.doc_id, btf.term,
        |    ln(1.0 + (s.n_docs - bdf.df + 0.5) / (bdf.df + 0.5)) *
        |      (btf.tf * (1.2 + 1.0)) /
        |      (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / s.avgdl)) AS impact
@@ -286,6 +295,16 @@ object QueriesPipeline {
     "tx_bm25_topk" -> ((s, dir) => {
       graft.pipeline.Bm25.scoreTopK(t(s, dir, "documents"), "text", "doc_id",
         Bm25Terms, k = 10)
+    }),
+    // Batch BM25: three keyword queries with overlapping term sets in one
+    // pair of corpus passes (union-term stats + one scoring pass, then a
+    // broadcast (qid, term) fan-out and per-query bounded-heap cut).
+    "tx_bm25_batch" -> ((s, dir) => {
+      graft.pipeline.Bm25.scoreTopKBatch(t(s, dir, "documents"), "text",
+          "doc_id", Bm25BatchQueries, k = 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("rank"))
     }),
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the dense cosine
     // ranking and the BM25 keyword ranking over the aligned doc/vec ids.
@@ -898,6 +917,22 @@ object QueriesPipeline {
       s"""WITH $sqlBm25Ctes
          |SELECT doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "tx_bm25_batch" -> {
+      val allTerms = Bm25BatchQueries.flatMap { case (_, ts) => ts }.distinct
+      val qvals = Bm25BatchQueries.flatMap { case (qid, ts) =>
+        ts.map(t => s"(CAST($qid AS BIGINT), '$t')") }.mkString(", ")
+      s"""WITH ${sqlBm25CtesFor(allTerms)},
+         |qterms(qid, term) AS (VALUES $qvals),
+         |bq AS (SELECT q.qid, s.doc_id, round(sum(s.impact), 4) AS score
+         |       FROM bscored s JOIN qterms q USING (term)
+         |       GROUP BY q.qid, s.doc_id),
+         |brk AS (SELECT qid, doc_id, score,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, doc_id ASC) AS rank
+         |        FROM bq)
+         |SELECT qid, rank, doc_id, score FROM brk WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
     "hy_rrf_fusion" -> {
       val dot = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
       def norm(a: String) = s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"

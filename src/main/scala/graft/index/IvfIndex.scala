@@ -353,6 +353,67 @@ class IvfIndex(
       .limit(k)
   }
 
+  /** Batch ANN: Q queries against the layout in ONE pruned pass.
+    *
+    * Per-query results are IDENTICAL to `search(...)` at the same nProbe
+    * (same driver-side probe selection, same distance, same (d, id)
+    * tie-break) — proven by BatchIvfSpec. The scan reads only the UNION
+    * of all queries' probed cluster dirs, each row is scored only against
+    * the queries that probed its cluster (array_contains on the exploded
+    * query struct — stays inside codegen), and per-(query, task) bounded
+    * heaps partial-aggregate so the shuffle carries Q·k·tasks pairs.
+    * Fresh-tail rows (cluster = −1) are scored by every query, exactly as
+    * the single-query union does.
+    *
+    * At 100 TB this is the offline retrieval path: probing c of C
+    * clusters per query costs ~Q·c/C of one corpus scan amortized across
+    * the batch, vs Q full jobs of the sequential formulation. Returns
+    * (qid, rank, id, d) with rank 1..k by (d asc, id asc).
+    */
+  def searchBatch(vecCol: String, queries: Seq[(Long, Array[Float])], k: Int,
+      nProbe: Int,
+      freshTail: Option[DataFrame] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    require(queries.nonEmpty, "batch search needs at least one query")
+    val cents = centroids()
+    val qs = queries.map { case (qid, raw) =>
+      val q = if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+      val probes = cents
+        .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+        .sortBy { case (_, d) => d }
+        .take(nProbe)
+        .map(_._1)
+      (qid, q, probes)
+    }
+    val union = qs.flatMap { case (_, _, p) => p }.distinct
+    val pruned = clustered().filter(col("cluster").isin(union: _*))
+    val masked = excludeIds match {
+      case Some(tombs) => pruned.join(broadcast(tombs), Seq(idCol), "left_anti")
+      case None => pruned
+    }
+    val searched = freshTail match {
+      case Some(tail) =>
+        masked.unionByName(tail.withColumn("cluster", lit(-1)),
+          allowMissingColumns = true)
+      case None => masked
+    }
+    val qarr = array(qs.map { case (qid, q, probes) =>
+      struct(lit(qid).as("qid"), lit(q).as("qv"), lit(probes).as("probes"))
+    }: _*)
+    searched
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col("cluster"))
+      .select(col("id"), col("v"), col("cluster"), explode(qarr).as("q"))
+      .filter(col("cluster") === lit(-1) ||
+        array_contains(col("q.probes"), col("cluster")))
+      .withColumn("d", IvfIndex.distColumns(metric, col("v"), col("q.qv")))
+      .groupBy(col("q.qid").as("qid"))
+      .agg(graft.functions.topk_min(k, col("d"), col("id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("id"), col("hit.d").as("d"))
+  }
+
   /** Quantized-scan-then-rerank top-K: the candidate pass reads ONLY the
     * int8 codes + scales of the probed clusters (a quarter of the vector
     * bytes — the float column never reaches that scan), cuts to
@@ -2167,10 +2228,15 @@ object IvfIndex {
         cents, metric.toString))
 
   def distColumn(metric: MetricType.Value, vec: Column, q: Array[Float]): Column =
+    distColumns(metric, vec, lit(q))
+
+  /** Column-vs-column variant (batch search scores against an exploded
+    * query struct, not a literal). */
+  def distColumns(metric: MetricType.Value, vec: Column, q: Column): Column =
     metric match {
-      case MetricType.Euclidean => l2sqr_distance(vec, lit(q))
-      case MetricType.Cosine => lit(1.0) - dot_product(vec, lit(q))
-      case MetricType.DotProduct => negative_dot(vec, lit(q))
+      case MetricType.Euclidean => l2sqr_distance(vec, q)
+      case MetricType.Cosine => lit(1.0) - dot_product(vec, q)
+      case MetricType.DotProduct => negative_dot(vec, q)
     }
 
   /** Pack (id, vector) rows into the resident scoring layout

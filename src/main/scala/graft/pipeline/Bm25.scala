@@ -118,6 +118,52 @@ object Bm25 {
       .select(col("id").as(idCol), col("score"))
   }
 
+  /** Batch BM25: many keyword queries in ONE pair of corpus passes.
+    *
+    * Pass 1 computes the global stats for the UNION of all queries' terms
+    * (still a single 1-row aggregate — one conditional-sum buffer per
+    * distinct term); pass 2 scores per-(doc, term) impacts once, then a
+    * broadcast equi-join against the tiny (qid, term) relation fans each
+    * impact out to the queries that asked for that term, sums per
+    * (qid, doc), and cuts each query's top-k with the bounded-heap
+    * aggregate ([[graft.functions.topk_min]] on the NEGATED rounded score
+    * — partial aggregation, so the shuffle carries Q·k·tasks pairs).
+    * Contamination sweeps and eval-probe retrieval want exactly this
+    * shape: at 100 TB, Q sequential scoreTopK jobs = Q corpus scans; this
+    * is 2 scans total regardless of Q.
+    *
+    * Queries with no terms (or only unseen terms) return no rows, like
+    * `scoreTopK`. Returns (qid, rank, <idCol>, score), rank 1..k by
+    * (score desc, id asc) on the 4-decimal-rounded score.
+    */
+  def scoreTopKBatch(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val cleaned = queries.map { case (qid, ts) => (qid, ts.distinct) }
+    val allTerms = cleaned.flatMap { case (_, ts) => ts }.distinct
+    require(allTerms.nonEmpty, "batch keyword search needs at least one term")
+    val tf = tfWithDl(df, textCol, idCol, Some(allTerms))
+    val dfCol = coalesce(allTerms.zipWithIndex.map { case (t, i) =>
+      when(col("term") === lit(t), col(s"df_$i")) }: _*)
+    val scored = tf
+      .crossJoin(broadcast(queryStats(df, textCol, allTerms)))
+      .withColumn("df", dfCol)
+      .withColumn("impact", impactCol(k1, b))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(
+      cleaned.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("qid", "term"))
+    scored.join(qterms, "term")
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("impact")), 4).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.topk_min(k, -col("score"), col("id")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as(idCol), (-col("hit.d")).as("score"))
+  }
+
   /** Precomputed doc-side BM25 impact postings (id, dim, v): feed to
     * SparseIndex.buildFromPostings; colliding terms' impacts SUM into one
     * dim (deterministic merge). Build cost: the corpus posting shuffle +

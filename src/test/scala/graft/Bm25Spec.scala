@@ -92,6 +92,28 @@ class Bm25Spec extends SparkSpec {
       assert(math.abs(g - e) < 1e-9, s"serve-vs-job drift: $g vs $e") }
   }
 
+  test("scoreTopKBatch equals per-query scoreTopK for every query") {
+    val d = docs(140).cache()
+    val queries: Seq[(Long, Seq[String])] = Seq(
+      0L -> qTerms,
+      1L -> Seq("beta", "kappa"),
+      2L -> Seq("alpha", "beta", "nosuchterm"), // unseen term contributes 0
+      3L -> Seq("nosuchterm")) // fully unseen -> no rows
+    val batch = Bm25.scoreTopKBatch(d, "text", "doc_id", queries, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, ts) =>
+      val expected = Bm25.scoreTopK(d, "text", "doc_id", ts, 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.getOrElse(qid, Array.empty).sortBy(_._2)
+        .map(t => (t._3, t._4)).toSeq
+      assert(got == expected, s"query $qid batch != single")
+    }
+    assert(!batch.contains(3L), "all-unseen query must return no rows")
+    d.unpersist()
+  }
+
   test("colliding terms merge one posting list; ids never go missing") {
     val d = docs(100)
     // dims=2 forces every term into one of two posting lists
