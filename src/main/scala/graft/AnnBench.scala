@@ -113,6 +113,21 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // IVF batch: same probe cut as ann_qps but ALL queries in one pruned
+    // pass — the union of probed dirs is scanned once, each row scored
+    // only against queries that probed its cluster
+    idx.searchBatch("embedding", batchQs.take(2).map(q => (q.qid, q.vector)).toSeq,
+      10, nProbe = 8).collect() // warm
+    val tba = System.nanoTime()
+    val batchAnnGot = idx.searchBatch("embedding",
+        batchQs.map(q => (q.qid, q.vector)).toSeq, 10, nProbe = 8)
+      .orderBy(col("qid"), col("rank")).select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val batchAnnSec = (System.nanoTime() - tba) / 1e9
+    val batchAnnRecall = exact.zipWithIndex.map { case (e, i) =>
+      e.toSet.intersect(batchAnnGot(i.toLong).toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // int8-rerank JOB mode: the candidate cut reads ONLY the persisted
     // codes+scales of the probed clusters (a quarter of the vector bytes;
     // the float column never reaches that scan), then reranks candK rows
@@ -318,6 +333,8 @@ object AnnBench {
     println(f"""{"metric":"ann_vs_exact","n":$n,"queries":${queries.length},""" +
       f""""exact_qps":${queries.length / exactSec}%.2f,"ann_qps":${queries.length / annSec}%.2f,""" +
       f""""batch_qps":${queries.length / batchSec}%.2f,"batch_recall_at_10":$batchRecall%.4f,""" +
+      f""""batch_ann_qps":${queries.length / batchAnnSec}%.2f,""" +
+      f""""batch_ann_recall_at_10":$batchAnnRecall%.4f,""" +
       f""""quant_qps":${queries.length / quantSec}%.2f,"quant_recall_at_10":$quantRecall%.4f,""" +
       f""""pq_qps":${queries.length / pqSec}%.2f,"pq_recall_at_10":$pqRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
