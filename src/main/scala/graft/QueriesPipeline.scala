@@ -362,6 +362,26 @@ object QueriesPipeline {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Full kNN GRAPH (every row a query): bucketed join + bounded-heap
+    // aggregate — the scale path the broadcast r1_knn_join can't take
+    // (its query side must stay driver-small). Fixed first-16 "centroids"
+    // make the multi-probe assignment oracle-reproducible, same trick as
+    // dd_embed_bucketed.
+    "r1_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+      graft.pipeline.KnnGraph.bucketed(emb, "embedding", "vec_id", cents,
+          k = 5, probes = 2)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---------- event-stream analytics (batch mirror of the streaming ops) ----------
     "ev_hour_window" -> ((s, dir) => {
       // ts normalized to epoch-nanos; bucket with exact integer division
@@ -1002,6 +1022,28 @@ object QueriesPipeline {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $d ASC, n.vec_id ASC) AS rank
          |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
          |  WHERE q.vec_id < 20)
+         |SELECT qid, rank, nid FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+    "r1_knn_graph" -> {
+      val asgDist = "list_sum(list_transform(list_zip(x.nv, c.nv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      val d = "list_sum(list_transform(list_zip(q.qv, n.nv2), x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))**2))"
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |prox AS (
+         |  SELECT x.vec_id AS id, x.embedding AS v, c.vec_id AS cluster,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY $asgDist ASC, c.vec_id ASC) AS pr
+         |  FROM nrm x JOIN nrm c ON c.vec_id < 16),
+         |asgq AS (SELECT id AS qid, v AS qv, cluster FROM prox WHERE pr <= 2),
+         |asgn AS (SELECT id AS nid, v AS nv2, cluster FROM prox WHERE pr = 1),
+         |ranked AS (
+         |  SELECT q.qid, n.nid,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY $d ASC, n.nid ASC) AS rank
+         |  FROM asgq q JOIN asgn n ON q.cluster = n.cluster AND q.qid <> n.nid)
          |SELECT qid, rank, nid FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
