@@ -46,7 +46,13 @@ object GraftFunctions {
     "sparse_cosine_distance" -> binary(SparseCosineDistance),
     "sparse_l2sqr_distance" -> binary(SparseL2Sqr),
     "sparse_l2_normalize" -> unary(SparseL2Normalize),
-    "quantize_vec" -> unary(QuantizeVec))
+    "quantize_vec" -> unary(QuantizeVec),
+    // aggregate: topk_min(dist, id, k) -> array<struct<d,id>> (d asc, id asc)
+    "topk_min" -> {
+      case Seq(d, i, k) => TopKMin(d, i, k).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"expected 3 arguments, got ${args.size}")
+    })
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

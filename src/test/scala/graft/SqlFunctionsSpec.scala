@@ -37,4 +37,25 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
     assert(r.getSeq[Float](0) == Seq(0.6f, 0.8f))
   }
+
+  test("topk_min aggregate from SQL: batch top-k via GROUP BY") {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val rows = spark.sql(
+      """SELECT t.vec_id AS qid, hit.id AS nid
+        |FROM (
+        |  SELECT q.vec_id,
+        |    topk_min(l2sqr_distance(e.embedding, q.embedding),
+        |             CAST(e.vec_id AS BIGINT), 3) AS topk
+        |  FROM emb e JOIN (SELECT * FROM emb WHERE vec_id < 2) q
+        |  GROUP BY q.vec_id) t
+        |LATERAL VIEW explode(t.topk) AS hit
+        |ORDER BY qid, hit.d, hit.id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 6)
+    // each query's nearest id is itself (distance 0)
+    assert(rows.filter(_._1 == 0L).head._2 == 0L)
+    assert(rows.filter(_._1 == 1L).head._2 == 1L)
+  }
 }
