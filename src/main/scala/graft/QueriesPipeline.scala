@@ -147,6 +147,13 @@ object QueriesPipeline {
           Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
 
+    // temperature-flattened mixture sampling (alpha=0.5 -> sqrt weights,
+    // IEEE-exact so the oracle reproduces the thresholds bit-for-bit)
+    "pl_mixture_sample" -> ((s, dir) =>
+      Pipelines.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.3)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
     // token-budget sequence packing: greedy running-sum batches
     "pl_pack_batches" -> ((s, dir) => {
       val sized = t(s, dir, "documents")
@@ -748,6 +755,16 @@ object QueriesPipeline {
          |WHERE ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 <
          |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "pl_mixture_sample" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n) AS nn, sum(sqrt(n)) AS z FROM cnt),
+         |rates AS (
+         |  SELECT lang, round(least(1.0, 0.3 * tot.nn * sqrt(cnt.n) / tot.z / cnt.n), 6) AS rate
+         |  FROM cnt, tot)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE ${sqlHash60("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate * 1000
+         |ORDER BY d.doc_id""".stripMargin,
     "pl_pack_batches" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |sized AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),

@@ -27,6 +27,39 @@ object Pipelines {
     docs.filter(bucket < rate * 1000)
   }
 
+  /** Temperature-flattened source mixing (the multinomial sampling of
+    * XLM/mBERT-style pipelines, public literature): sample source s with
+    * probability ∝ n_s^alpha, scaled so the expected output is
+    * `targetFraction` of the corpus. alpha < 1 up-weights low-resource
+    * sources relative to their natural share; alpha = 1 is proportional
+    * (plain uniform sampling); per-source rates cap at 1.0 (a capped
+    * source contributes everything it has — the excess is NOT
+    * redistributed, by design: redistribution would couple every source's
+    * rate to the cap set and make rates data-order-sensitive).
+    *
+    * One tiny count aggregate (cardinality = #sources) fixes the rates
+    * driver-side; membership is then the same deterministic hash filter
+    * as [[stratifiedSample]] — no shuffle, no sort, reproducible across
+    * runs and engines. Rates are rounded to 6 decimals so a SQL oracle
+    * summing the normalizer in a different order lands on identical
+    * thresholds (alpha = 0.5 keeps the weight function inside IEEE-exact
+    * sqrt; other alphas go through libm pow and stay engine-internal). */
+  def mixtureSample(docs: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, targetFraction: Double): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .sortBy { case (k, _) => k }
+    val nTotal = counts.map { case (_, n) => n }.sum.toDouble
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val z = counts.map { case (_, n) => w(n) }.sum
+    val rates = counts.map { case (k, n) =>
+      k -> BigDecimal(math.min(1.0, targetFraction * nTotal * w(n) / z / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    stratifiedSample(docs, sourceCol, idCol, rates, defaultFraction = 0.0)
+  }
+
   /** Token-budget sequence packing: assign rows (ordered by `orderCol`) to
     * consecutive batches so each batch holds ~`budget` units of `sizeCol`
     * (a row straddling the boundary starts inside its batch — the greedy

@@ -256,6 +256,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(1) == "plain text with short 123 numbers")
   }
 
+  test("mixture sample flattens toward low-resource sources at alpha < 1") {
+    import spark.implicits._
+    // 3200 "en" vs 200 "sw": natural share 16:1
+    val df = (0L until 3400L).map(i =>
+      (i, if (i < 3200L) "en" else "sw")).toDF("id", "lang")
+    val out = Pipelines.mixtureSample(df, "lang", "id",
+      alpha = 0.5, targetFraction = 0.25)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byLang.values.sum.toDouble
+    assert(math.abs(total / 3400.0 - 0.25) < 0.05, byLang)
+    // sqrt weights: expected ratio sqrt(3200):sqrt(200) = 4:1, not 16:1 —
+    // the low-resource share must be well ABOVE its natural 1/17
+    val swShare = byLang.getOrElse("sw", 0L) / total
+    assert(swShare > 0.12 && swShare < 0.3, byLang)
+    // capped source keeps everything: tiny source at a huge target rate
+    val df2 = (0L until 1000L).map(i =>
+      (i, if (i < 990L) "en" else "rare")).toDF("id", "lang")
+    val out2 = Pipelines.mixtureSample(df2, "lang", "id",
+      alpha = 0.1, targetFraction = 0.9)
+    val rare = out2.filter($"lang" === "rare").count()
+    assert(rare == 10L, s"capped rare source must keep all rows, got $rare")
+    // deterministic
+    assert(out.collect().toSeq == Pipelines.mixtureSample(df, "lang", "id",
+      alpha = 0.5, targetFraction = 0.25).collect().toSeq)
+  }
+
   test("stratified sample hits the per-stratum rates deterministically") {
     import spark.implicits._
     val df = (0L until 4000L).map(i =>
