@@ -194,6 +194,26 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // BATCH serving: same resident tier, all queries per call — each
+    // resident row is read from RAM once per batch and scored against
+    // every query probing its cluster (dense serving at high dim is
+    // bandwidth-bound, so the shared sweep is the serving-side analog of
+    // the job-mode batch scan)
+    val batchServeQs = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    val t2b = System.nanoTime()
+    val bserveDeadline = t2b + 10L * 1000 * 1000 * 1000
+    var bserveQueries = 0L
+    var bserveGot: Array[(Long, Option[Array[(Long, Double)]])] = null
+    while (bserveQueries == 0L || System.nanoTime() < bserveDeadline) {
+      bserveGot = idx.servePointBatch("embedding", batchServeQs, 10, nProbe = 8)
+      bserveQueries += batchServeQs.length
+    }
+    val bserveSec = (System.nanoTime() - t2b) / 1e9
+    val bserveRecall = exact.zipWithIndex.map { case (e, i) =>
+      val a = bserveGot(i)._2.map(_.map(_._1).toSeq).getOrElse(Nil)
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // QUANTIZED serving residency: same probe skeleton, resident tier
     // holds 16-bit codes + per-row scales + exact norms (2·dim+48 B/row
     // vs 8·dim+24 — ~4x more rows per byte, and each scoring pass reads
@@ -339,6 +359,7 @@ object AnnBench {
       f""""pq_qps":${queries.length / pqSec}%.2f,"pq_recall_at_10":$pqRecall%.4f,""" +
       f""""serve_qps":${serveQueries / serveSec}%.2f,"serve_recall_at_10":$serveRecall%.4f,""" +
       f""""serve_coldload_sec":$coldSec%.2f,""" +
+      f""""bserve_qps":${bserveQueries / bserveSec}%.2f,"bserve_recall_at_10":$bserveRecall%.4f,""" +
       f""""qserve_qps":${qserveQueries / qserveSec}%.2f,"qserve_recall_at_10":$qserveRecall%.4f,""" +
       f""""qserve_resident_rows":${idx.servingResidentQuantRows()},""" +
       f""""qserve_cert_qps":${qcertQueries / qcertSec}%.2f,""" +

@@ -1747,6 +1747,149 @@ class IvfIndex(
     while (i >= 0) { out(i) = heap.poll(); i -= 1 }
     Some(out)
   }
+
+  /** Batch serving: Q queries answered from the float-resident tier with
+    * ONE stamp handshake, ONE union cold load, and a SHARED row sweep —
+    * each resident row is read from RAM once per batch and scored against
+    * every query probing its cluster (dense serving at high dim is RAM-
+    * bandwidth-bound, so the sweep amortizes the bytes the way the
+    * job-mode batch amortizes the scan).
+    *
+    * Per-query results are EXACTLY `servePoint`'s (same probes, same
+    * score math, same (d, id) tie-break, same exclude + fresh-tail
+    * handling — proven in ServeBatchSpec). If the UNION of all queries'
+    * probe sets exceeds the residency budget, the batch degrades to
+    * per-query `servePoint` calls, which serve or decline individually —
+    * a batch never declines queries that would have served alone.
+    *
+    * Returns one (qid, result) per input query, input order. */
+  def servePointBatch(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Array[(Long, Option[Array[(Long, Double)]])] = {
+    if (queries.isEmpty) return Array.empty
+    val qs: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    def fallback(): Array[(Long, Option[Array[(Long, Double)]])] =
+      queries.zipWithIndex.map { case ((qid, _), i) =>
+        (qid, servePoint(vecCol, qs(i), k, nProbe, exclude, freshTail))
+      }
+    val dim = qs(0).length
+    if (qs.exists(_.length != dim)) return fallback() // mixed dims: per-query guard
+    if (centroids().headOption.exists(_._2.length != dim)) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    // per-query probe sets + the union acquisition, same retry skeleton
+    // as servePoint (lock only around cache bookkeeping)
+    var clusters: Map[Int, (Array[Long], Array[Double], Array[Double])] = null
+    var probesPer: Array[Array[Int]] = null
+    var attempts = 0
+    while (clusters == null) {
+      attempts += 1
+      if (attempts > 8) return fallback() // churn: per-query path decides
+      var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
+      var union: Array[Int] = null
+      val missing: Array[Int] = synchronized {
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
+        val cents = centroids()
+        probesPer = qs.map { q =>
+          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }
+            .take(nProbe)
+            .map(_._1)
+        }
+        union = probesPer.flatten.distinct
+        union.filterNot(serveCache.containsKey(_))
+      }
+      var loaded: Map[Int, (Array[Long], Array[Double], Array[Double])] = null
+      try {
+        if (missing.nonEmpty) {
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            union.filter(serveCache.containsKey(_))
+              .map(serveCache.get(_)._1.length.toLong).sum
+          }
+          // union over budget: the BATCH can't be resident at once, but
+          // individual queries might — degrade, don't decline
+          if (projected + retained > effectiveMaxRows(dim)) return fallback()
+        }
+        loaded =
+          if (missing.isEmpty) Map.empty[Int, (Array[Long], Array[Double], Array[Double])]
+          else loadClusters(vecCol, missing)
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
+        ensureServeFresh()
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = serveCache.put(cid, cluster)
+            if (prev != null) serveRowsResident -= prev._1.length
+            serveRowsResident += cluster._1.length
+          }
+        val rowCap = effectiveMaxRows(dim)
+        if (serveRowsResident > rowCap) {
+          val it = serveCache.entrySet().iterator()
+          while (serveRowsResident > rowCap && it.hasNext) {
+            val e = it.next()
+            if (!union.contains(e.getKey)) {
+              serveRowsResident -= e.getValue._1.length
+              it.remove()
+            }
+          }
+        }
+        val got = union.map(cid => cid -> serveCache.get(cid))
+        if (!got.exists(_._2 == null)) clusters = got.toMap
+      }
+    }
+    val qds = qs.map { q =>
+      val a = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { a(i) = q(i).toDouble; i += 1 }
+      a
+    }
+    val qNorms = qds.map { a =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    // cluster -> indices of the queries probing it
+    val byCluster: Array[(Int, Array[Int])] = probesPer.zipWithIndex
+      .flatMap { case (ps, qi) => ps.map(c => (c, qi)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }.toArray
+    // shared sweep per cluster, clusters in parallel (same pool model as
+    // the single-query path); the tail is swept once for ALL queries
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val tasks = byCluster.map { case (cid, qIdxs) => () =>
+      IvfIndex.scoreClusterBatch(clusters(cid), qds, qNorms, qIdxs, k,
+        metric, exclude)
+    } ++ freshTail.map { t => () =>
+      IvfIndex.scoreClusterBatch(t, qds, qNorms, qds.indices.toArray, k,
+        metric, exclude)
+    }.toSeq
+    val locals: Array[Array[(Int, Array[(Long, Double)])]] =
+      if (tasks.length <= 1) tasks.map(_())
+      else Await.result(
+        Future.sequence(tasks.toSeq.map(t => Future(t()))), Duration.Inf).toArray
+    // per-query merge of its clusters' locals — identical order semantics
+    // to servePoint's final heap
+    val finals = Array.fill(qs.length)(new graft.functions.TopKHeap(k))
+    locals.foreach(_.foreach { case (qi, local) =>
+      local.foreach { case (id, d) => finals(qi).offer(d, id) }
+    })
+    queries.zipWithIndex.map { case ((qid, _), qi) =>
+      (qid, Some(finals(qi).sortedPairs.map { case (d, id) => (id, d) }))
+    }
+  }
 }
 
 object IvfIndex {
@@ -2306,6 +2449,45 @@ object IvfIndex {
     var n = out.length - 1
     while (n >= 0) { out(n) = heap.poll(); n -= 1 }
     out
+  }
+
+  /** Shared row sweep for batch serving: each row of `cluster` is read
+    * once and scored against every query in `qIdxs` — same score math and
+    * (d, id) tie-break as [[scoreCluster]], amortizing the row bytes over
+    * the batch (dense serving at high dim is RAM-bandwidth-bound).
+    * Returns (queryIdx, local top-k best-first) per query. */
+  private[index] def scoreClusterBatch(
+      cluster: (Array[Long], Array[Double], Array[Double]),
+      qds: Array[Array[Double]], qNorms: Array[Double], qIdxs: Array[Int],
+      k: Int, metric: MetricType.Value,
+      exclude: Long => Boolean): Array[(Int, Array[(Long, Double)])] = {
+    val (ids, flat, norms) = cluster
+    val dim = if (qds.isEmpty) 0 else qds(0).length
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val heaps = qIdxs.map(_ => new graft.functions.TopKHeap(k))
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        var qn = 0
+        while (qn < qIdxs.length) {
+          val qd = qds(qIdxs(qn))
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += flat(off + j) * qd(j); j += 1 }
+          val d =
+            if (l2Metric) norms(i) - 2.0 * dot + qNorms(qIdxs(qn))
+            else if (cosMetric) 1.0 - dot
+            else -dot
+          heaps(qn).offer(d, ids(i))
+          qn += 1
+        }
+      }
+      i += 1
+      off += dim
+    }
+    qIdxs.zip(heaps.map(_.sortedPairs.map { case (d, id) => (id, d) }))
   }
 
   def dist(metric: MetricType.Value, a: Array[Float], b: Array[Float]): Double = {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.IvfIndex
+import graft.types.MetricType
+
+/** servePointBatch: per-query equality with servePoint, shared cold load,
+  * and the degrade-not-decline contract when the union exceeds budget. */
+class ServeBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(23)
+  private lazy val corpus = (0L until 800L).map { i =>
+    val c = (i % 8).toInt
+    (i, Array.tabulate(16)(j => c * 3.0f + rng.nextFloat() * 0.4f + j * 0.01f))
+  }
+
+  private def freshIndex(name: String): IvfIndex =
+    IvfIndex.build(spark, corpus.toDF("vec_id", "embedding"), "embedding",
+      "vec_id", tmpDir(name), MetricType.Euclidean, nClusters = 8, maxIter = 4)
+
+  test("batch results equal per-query servePoint, warm and cold") {
+    val idx = freshIndex("sb_eq")
+    val queries = Seq(5, 150, 333, 512, 789).map(i => (i.toLong, corpus(i)._2)).toArray
+    // COLD: the batch acquires the union in one pass
+    val batch = idx.servePointBatch("embedding", queries, k = 7, nProbe = 3)
+    // then per-query (cache warm, same snapshot)
+    queries.zip(batch).foreach { case ((qid, q), (gotQid, got)) =>
+      assert(gotQid == qid)
+      val single = idx.servePoint("embedding", q, 7, nProbe = 3)
+      assert(single.isDefined && got.isDefined)
+      assert(got.get.toSeq == single.get.toSeq, s"query $qid batch != single")
+    }
+    // WARM batch again — still equal
+    val batch2 = idx.servePointBatch("embedding", queries, k = 7, nProbe = 3)
+    assert(batch2.map(_._2.get.toSeq).toSeq == batch.map(_._2.get.toSeq).toSeq)
+  }
+
+  test("exclude mask and fresh tail flow through the shared sweep") {
+    val idx = freshIndex("sb_tail")
+    val q = corpus(10)._2
+    val single = idx.servePoint("embedding", q, 5, nProbe = 8).get
+    val dead = single.head._1
+    val tail = IvfIndex.packRows(Array((9000L, q)), 16)
+    val batch = idx.servePointBatch("embedding", Array((0L, q)), 5, nProbe = 8,
+      exclude = _ == dead, freshTail = Some(tail))
+    val expected = idx.servePoint("embedding", q, 5, nProbe = 8,
+      exclude = _ == dead, freshTail = Some(tail)).get
+    assert(batch.head._2.get.toSeq == expected.toSeq)
+    assert(batch.head._2.get.map(_._1).contains(9000L), "tail row must surface")
+    assert(!batch.head._2.get.map(_._1).contains(dead), "excluded id returned")
+  }
+
+  test("union over budget degrades to per-query serves, not a batch decline") {
+    val idx = freshIndex("sb_budget")
+    // each cluster ~100 rows; budget fits ~1.5 clusters -> the 8-cluster
+    // union cannot be resident, single-cluster probes can
+    idx.maxServeRows = 150
+    val queries = (0 until 8).map(i => (i.toLong, corpus(i * 100 + 3)._2)).toArray
+    val batch = idx.servePointBatch("embedding", queries, k = 3, nProbe = 1)
+    queries.zip(batch).foreach { case ((qid, q), (_, got)) =>
+      val single = idx.servePoint("embedding", q, 3, nProbe = 1)
+      assert(got.isDefined == single.isDefined, s"query $qid serve/decline parity")
+      if (single.isDefined)
+        assert(got.get.toSeq == single.get.toSeq, s"query $qid diverged")
+    }
+  }
+
+  test("cold-batch job count does not scale with batch width; warm batch is job-free") {
+    // the batch contract: Q queries cost the SAME cold jobs as one query
+    // (centroid/stat construction + ONE union load), not Q loads
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def countJobs(f: => Unit): Int = {
+      jobs = 0
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(300); jobs }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val queries = Seq(5, 150, 333, 512).map(i => (i.toLong, corpus(i)._2)).toArray
+    val idxSingle = freshIndex("sb_jobs1")
+    val jSingle = countJobs {
+      assert(idxSingle.servePointBatch("embedding", queries.take(1),
+        k = 5, nProbe = 2).head._2.isDefined)
+    }
+    val idxBatch = freshIndex("sb_jobs4")
+    val jBatch = countJobs {
+      assert(idxBatch.servePointBatch("embedding", queries,
+        k = 5, nProbe = 2).forall(_._2.isDefined))
+    }
+    assert(jBatch <= jSingle + 1, // +1: the wider union may split its stats read
+      s"4-query cold batch ran $jBatch jobs vs $jSingle for 1 query — loads scale with Q")
+    val jWarm = countJobs {
+      idxBatch.servePointBatch("embedding", queries, k = 5, nProbe = 2)
+    }
+    assert(jWarm == 0, s"warm batch ran $jWarm jobs")
+  }
+}
