@@ -133,7 +133,8 @@ class Client:
               query_text=None, response_fields=None, limit=10,
               filter="", with_distance=False, facets=None, ann=False,
               serve=False, n_probe=None, unbounded=False,
-              quantized=False, pq=False, certified=False):
+              quantized=False, pq=False, certified=False,
+              query_vectors=None):
         """POST /api/{db}/data/query — vector top-K.
 
         ``query_vector`` is a dense list OR a sparse dict
@@ -151,6 +152,11 @@ class Client:
             body["queryField"] = query_field
         if query_vector is not None:
             body["queryVector"] = query_vector
+        if query_vectors is not None:
+            # batch retrieval: response is {"results": [<single resp>, ...]}
+            # in input order; with serve=True the server answers the batch
+            # from the resident tier in one shared sweep
+            body["queryVectors"] = query_vectors
         if query_text is not None:
             body["query"] = query_text
         if response_fields is not None:

@@ -93,6 +93,20 @@ def main():
             check(rows[0]["Doc"] == "Moscow",
                   "query %s nearest: %s" % (field, rows[0]))
 
+    # batch retrieval: results in input order, each entry a full single
+    # response; first vector IS Moscow's -> its nearest is Moscow
+    code, resp = graft.query(table_name="MyTable",
+                             query_field="EmbeddingEuclidean",
+                             response_fields=["ID", "Doc"],
+                             query_vectors=[qv, [0.2, 0.2, 0.2, 0.4]],
+                             limit=3, with_distance=True)
+    check(code == 200 and len(resp["results"]) == 2,
+          "batch query shape: %s" % resp)
+    check(resp["results"][0]["result"][0]["Doc"] == "Moscow",
+          "batch entry 0 nearest: %s" % resp["results"][0])
+    check(resp["results"][1]["result"][0]["Doc"] == "Shanghai",
+          "batch entry 1 nearest: %s" % resp["results"][1])
+
     # scan with filter + projection
     code, resp = graft.get(table_name="MyTable",
                            response_fields=["ID", "Doc"], filter="ID >= 4")

@@ -414,6 +414,10 @@ class GraftDb(val spark: SparkSession, val root: String,
     * `queryDataFrame` as the primary surface for large results. */
   def query(requestJson: String): String = {
     val req = JsonMethods.parse(requestJson)
+    (req \ "queryVectors") match {
+      case JArray(vs) if vs.nonEmpty => return batchQuery(req, vs)
+      case _ => ()
+    }
     val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
     if (serve) serveQuery(req) match {
       case Some(resp) => return resp
@@ -422,6 +426,109 @@ class GraftDb(val spark: SparkSession, val root: String,
     val (out, facetDfs, facets, unbounded, cleanup) = queryPlan(requestJson)
     try render(out, facetDfs, facets, unbounded)
     finally cleanup()
+  }
+
+  /** `"queryVectors": [[..],[..],...]` — batch retrieval (beyond-reference:
+    * the reference's batch story is "send N requests"). Response is
+    * `{"results":[<single-query response>, ...]}` in input order, each
+    * entry exactly what the single-query endpoint would have returned.
+    *
+    * With `"serve":true` on the default (all-float) tier the batch rides
+    * [[graft.index.IvfIndex.servePointBatch]]: one snapshot handshake, one
+    * union cold load, one shared row sweep. Queries the serve tier
+    * declines fall back to the job path INDIVIDUALLY — batch membership
+    * never changes any query's serve-or-decline outcome. The quantized/pq
+    * opt-in tiers and sparse queries run per query (their proof paths are
+    * per-query by construction). */
+  private def batchQuery(req: JValue, vs: List[JValue]): String = {
+    val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
+    val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
+    val pq = (req \ "pq") match { case JBool(b) => b; case _ => false }
+    val denseOk = vs.forall {
+      case JArray(xs) => xs.nonEmpty && xs.forall {
+        case JInt(_) | JDouble(_) | JDecimal(_) | JLong(_) => true; case _ => false
+      }
+      case _ => false
+    }
+    val servedUp: Array[Option[String]] =
+      if (serve && !quantized && !pq && denseOk)
+        serveBatch(req, vs.map { case JArray(xs) => xs.map(num(_).toFloat).toArray
+          case _ => Array.empty[Float] }.toArray)
+      else Array.fill(vs.length)(None)
+    val fields = req match { case JObject(fs) => fs; case _ => Nil }
+    val out = vs.zipWithIndex.map { case (v, i) =>
+      servedUp(i).getOrElse {
+        val single = JObject(
+          fields.filterNot { case (k, _) => k == "queryVectors" } :+
+            ("queryVector" -> v))
+        query(JsonMethods.compact(JsonMethods.render(single)))
+      }
+    }
+    s"""{"results":[${out.mkString(",")}]}"""
+  }
+
+  /** The serve-tier fast path for [[batchQuery]]: one pin/tail/tombstone
+    * handshake for the whole batch, then `servePointBatch`. Per-query
+    * `None` = that query falls to its single-query path (same outcome it
+    * would have had alone); all-`None` = the shared handshake itself
+    * declined (no index, over-cap tail, tombstone mask over cap). */
+  private def serveBatch(req: JValue, dense: Array[Array[Float]])
+      : Array[Option[String]] = {
+    val allNone: Array[Option[String]] = Array.fill(dense.length)(None)
+    val table = str(req \ "table")
+    val st = store(table)
+    val queryField = (req \ "queryField") match {
+      case JString(s) => s
+      case _ =>
+        val vfs = st.schema.vectorFields
+        require(vfs.size == 1, "queryField required when table has multiple vector fields")
+        vfs.head.name
+    }
+    if (!FieldType.isVector(st.schema.field(queryField).fieldType) ||
+        FieldType.isSparse(st.schema.field(queryField).fieldType)) return allNone
+    val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
+    val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
+    if (!Files.exists(Paths.get(s"$root/$table/ivf_$queryField/ivf_meta.json")))
+      return allNone
+    val idx = index(st, queryField)
+    if (idx.indexedPurgeGen() < st.purgeGen()) return allNone
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val pin = idx.servingWatermark()
+      freshTailCluster(st, idx, queryField) match {
+        case Left(_) =>
+          if (idx.indexedWatermark() > pin) idx.rebaseServing()
+          else return allNone
+        case Right(tail) =>
+          val tombs = tombstoneSet(st) match {
+            case Some(t) => t
+            case None => return allNone
+          }
+          val k = math.min(limit, maxRenderRows)
+          val np = math.min(nProbe, idx.centroids().length)
+          val got = idx.servePointBatch(queryField,
+            dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }, k, np,
+            exclude = tombs.contains, freshTail = tail)
+          if (idx.servingWatermark() == pin) {
+            return got.map { case (_, res) =>
+              res.map { hits =>
+                val sb = new java.lang.StringBuilder("{\"result\":[")
+                var i = 0
+                while (i < hits.length) {
+                  if (i > 0) sb.append(',')
+                  sb.append("{\"__row_id\":").append(hits(i)._1)
+                    .append(",\"@distance\":").append(hits(i)._2).append('}')
+                  i += 1
+                }
+                sb.append("],\"served\":true}")
+                sb.toString
+              }
+            }
+          } // pin moved mid-serve: retry
+      }
+    }
+    allNone
   }
 
   /** `"serve":true` — the reference's in-process low-latency search

@@ -98,4 +98,44 @@ class ServeBatchSpec extends SparkSpec {
     }
     assert(jWarm == 0, s"warm batch ran $jWarm jobs")
   }
+
+  // ---- the JSON API batch endpoint ----
+
+  private def apiDb(dir: String): graft.api.GraftDb = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val db = new graft.api.GraftDb(spark, tmpDir(dir))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (1 to 600).map { i =>
+      Row(i.toLong, Seq((i % 83) / 83.0f, (i % 47) / 47.0f,
+        (i % 29) / 29.0f, (i % 13) / 13.0f))
+    }
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    db
+  }
+
+  test("queryVectors batch endpoint: served entries equal single-query responses") {
+    val db = apiDb("sb_api")
+    val vecs = Seq("[0.5,0.5,0.5,0.5]", "[0.1,0.9,0.2,0.8]", "[0.9,0.1,0.9,0.1]")
+    val batch = db.query(
+      s"""{"table":"T","queryVectors":[${vecs.mkString(",")}],"limit":5,"serve":true}""")
+    assert(batch.startsWith("""{"results":["""), batch)
+    val singles = vecs.map(v => db.query(
+      s"""{"table":"T","queryVector":$v,"limit":5,"serve":true}"""))
+    singles.foreach(s0 => assert(s0.contains("\"served\":true"), s0))
+    assert(batch == s"""{"results":[${singles.mkString(",")}]}""")
+    // job path (no serve): entries equal the single-query job responses
+    val jb = db.query(
+      s"""{"table":"T","queryVectors":[${vecs.mkString(",")}],"limit":3}""")
+    val js = vecs.map(v => db.query(s"""{"table":"T","queryVector":$v,"limit":3}"""))
+    assert(jb == s"""{"results":[${js.mkString(",")}]}""")
+  }
 }
