@@ -134,7 +134,8 @@ class Client:
               filter="", with_distance=False, facets=None, ann=False,
               serve=False, n_probe=None, unbounded=False,
               quantized=False, pq=False, certified=False,
-              query_vectors=None):
+              query_vectors=None, keywords=None, text_field=None,
+              rrf_cut=None):
         """POST /api/{db}/data/query — vector top-K.
 
         ``query_vector`` is a dense list OR a sparse dict
@@ -157,6 +158,15 @@ class Client:
             # in input order; with serve=True the server answers the batch
             # from the resident tier in one shared sweep
             body["queryVectors"] = query_vectors
+        if keywords is not None:
+            # hybrid retrieval: RRF fusion (k=60) of the dense ranking and
+            # the BM25 keyword ranking over text_field's impact index;
+            # response rows are {"__row_id", "rrf"}
+            body["keywords"] = keywords
+        if text_field is not None:
+            body["textField"] = text_field
+        if rrf_cut is not None:
+            body["rrfCut"] = rrf_cut
         if query_text is not None:
             body["query"] = query_text
         if response_fields is not None:

@@ -414,6 +414,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     * `queryDataFrame` as the primary surface for large results. */
   def query(requestJson: String): String = {
     val req = JsonMethods.parse(requestJson)
+    (req \ "keywords") match {
+      case JArray(ks) if ks.nonEmpty =>
+        return hybridQuery(req, ks.map(str))
+      case _ => ()
+    }
     (req \ "queryVectors") match {
       case JArray(vs) if vs.nonEmpty => return batchQuery(req, vs)
       case _ => ()
@@ -465,6 +470,186 @@ class GraftDb(val spark: SparkSession, val root: String,
       }
     }
     s"""{"results":[${out.mkString(",")}]}"""
+  }
+
+  // ---- hybrid retrieval: dense vector + BM25 keywords, RRF-fused ----
+
+  private val bm25Indexes =
+    scala.collection.concurrent.TrieMap[(String, String), graft.index.SparseIndex]()
+  private def bm25Index(st: TableStore, textField: String): graft.index.SparseIndex =
+    bm25Indexes.getOrElseUpdate((st.schema.name, textField),
+      new graft.index.SparseIndex(spark,
+        s"$root/${st.schema.name}/bm25_$textField", TableStore.RowId))
+
+  /** Build (or skip-refresh) the BM25 impact index over a STRING field:
+    * doc-side Okapi impacts feature-hashed into sparse postings
+    * ([[graft.pipeline.Bm25.impactPostings]]), persisted through the SAME
+    * SparseIndex layout/lifecycle the sparse vector fields use — bucketed
+    * dim dirs, dim_stats + maxv (WAND serving), skip-as-unchanged stamps.
+    * Keyword retrieval is then exactly a sparse dot top-K with a one-hot
+    * query over the terms' dims. Impacts bake in build-time global stats
+    * (df/avgdl/N) — the standard frozen-index caveat; the rebuild cadence
+    * refreshes them. Returns whether a build actually ran. */
+  def rebuildBm25Index(table: String, textField: String): Boolean = {
+    val st = store(table)
+    require(st.schema.field(textField).fieldType == FieldType.Str,
+      s"$textField is not a STRING field")
+    val read = st.read()
+    val stats = read.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(TableStore.RowId).cast("long"))).head()
+    val rebuilt = graft.index.SparseIndex.rebuildFromPostingsVerbose(spark,
+      graft.pipeline.Bm25.impactPostings(read, textField, TableStore.RowId)
+        .withColumnRenamed("id", TableStore.RowId),
+      TableStore.RowId, s"$root/$table/bm25_$textField",
+      rowCount = stats.getLong(0),
+      maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      purgeGen = st.purgeGen())._2
+    if (rebuilt)
+      bm25Indexes.get((table, textField)).foreach(_.resetServeDeclineCount())
+    rebuilt
+  }
+
+  /** `"keywords": [...]` — hybrid retrieval (beyond-reference: the
+    * text half of a RAG curation query). Reciprocal-rank fusion (k=60)
+    * of the dense ranking over `queryField` and the BM25 keyword ranking
+    * over `textField`, both cut to `rrfCut` (default 50) before ranking.
+    * With `"serve":true` both sides try their driver-resident tiers
+    * (dense servePoint incl. fresh tail; BM25 sparse servePointDot over
+    * the impact index — WAND prefixes apply to stop-word terms) and fall
+    * back to their job paths individually. Keyword-side freshness is the
+    * impact index's snapshot (frozen-stats caveat above); tombstones are
+    * masked on both sides. Response rows are (__row_id, rrf). */
+  private def hybridQuery(req: JValue, terms: List[String]): String = {
+    val table = str(req \ "table")
+    val st = store(table)
+    val textField = str(req \ "textField")
+    val queryField = (req \ "queryField") match {
+      case JString(s) => s
+      case _ =>
+        val vfs = st.schema.vectorFields
+        require(vfs.size == 1, "queryField required when table has multiple vector fields")
+        vfs.head.name
+    }
+    val dense: Array[Float] = (req \ "queryVector") match {
+      case JArray(vals) => vals.map(num(_).toFloat).toArray
+      case _ => throw new IllegalArgumentException(
+        "hybrid query needs a dense queryVector alongside keywords")
+    }
+    val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
+    val cut = (req \ "rrfCut") match { case JInt(i) => i.toInt; case _ => 50 }
+    val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
+    val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
+    // over-cap tombstone mask: serving (which needs the driver-side set)
+    // declines to the job paths, which mask via the store (read() /
+    // excludeIds) instead
+    val tombsOpt: Option[Long => Boolean] = tombstoneSet(st).map(_.contains)
+
+    // dense side: (row_id asc-rank list), serve tier first when asked
+    val denseServed: Option[Array[Long]] =
+      if (!serve) None
+      else serveDenseHits(st, queryField, dense, cut, nProbe).map(_.map(_._1))
+    val denseIds: Array[Long] = denseServed.getOrElse {
+      val f = st.schema.field(queryField)
+      val d = QueryEngine.distanceColumn(f, QueryEngine.DenseQuery(dense))
+      st.read().withColumn(QueryEngine.DistanceCol, d)
+        .orderBy(org.apache.spark.sql.functions.col(QueryEngine.DistanceCol).asc,
+          org.apache.spark.sql.functions.col(TableStore.RowId).asc)
+        .limit(cut)
+        .select(TableStore.RowId)
+        .collect().map(_.getLong(0))
+    }
+
+    // keyword side off the impact index (serve tier, then pruned job)
+    val qd = graft.pipeline.Bm25.queryDims(terms)
+    val ones = qd.map(_ => 1.0f)
+    val bmIdx = bm25Index(st, textField)
+    val kwServed: Option[Array[Long]] =
+      if (!serve || tombsOpt.isEmpty) None
+      else scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
+          exclude = tombsOpt.get))
+        .toOption.flatten.map(_.map(_._1))
+    val kwIds: Array[Long] = kwServed.getOrElse {
+      bmIdx.topKDot(qd, ones, cut, excludeIds = st.tombstoneIds())
+        .collect().map(_.getLong(0))
+    }
+
+    // RRF k=60: ranks are positions in each side's cut
+    val rrf = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    def fold(ids: Array[Long]): Unit = {
+      var i = 0
+      while (i < ids.length) {
+        val key = java.lang.Long.valueOf(ids(i))
+        val cur = rrf.get(key)
+        rrf.put(key, (if (cur == null) 0.0 else cur.doubleValue) +
+          1.0 / (60.0 + (i + 1)))
+        i += 1
+      }
+    }
+    fold(denseIds); fold(kwIds)
+    val fused = {
+      import scala.jdk.CollectionConverters._
+      rrf.entrySet().asScala.toArray
+        .map(e => (e.getKey.longValue, e.getValue.doubleValue))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(math.min(limit, maxRenderRows))
+    }
+    val sb = new java.lang.StringBuilder("{\"result\":[")
+    var i = 0
+    while (i < fused.length) {
+      if (i > 0) sb.append(',')
+      sb.append("{\"__row_id\":").append(fused(i)._1)
+        .append(",\"rrf\":").append(math.rint(fused(i)._2 * 1e6) / 1e6)
+        .append('}')
+      i += 1
+    }
+    sb.append("],\"hybrid\":true")
+    if (denseServed.isDefined || kwServed.isDefined) {
+      sb.append(",\"served\":{\"dense\":").append(denseServed.isDefined)
+        .append(",\"keyword\":").append(kwServed.isDefined).append('}')
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** One dense serving handshake (pin + fresh tail + tombstones +
+    * servePoint + pin re-check) returning raw hits — the id-level core
+    * the hybrid path shares with `serveQuery`'s rendered envelope. */
+  private def serveDenseHits(st: TableStore, queryField: String,
+      dense: Array[Float], k: Int, nProbe: Int)
+      : Option[Array[(Long, Double)]] = {
+    val f = st.schema.field(queryField)
+    if (!FieldType.isVector(f.fieldType) || FieldType.isSparse(f.fieldType))
+      return None
+    if (!Files.exists(Paths.get(
+        s"$root/${st.schema.name}/ivf_$queryField/ivf_meta.json"))) return None
+    val idx = index(st, queryField)
+    if (idx.indexedPurgeGen() < st.purgeGen()) return None
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val pin = idx.servingWatermark()
+      freshTailCluster(st, idx, queryField) match {
+        case Left(_) =>
+          if (idx.indexedWatermark() > pin) idx.rebaseServing()
+          else return None
+        case Right(tail) =>
+          val tombs = tombstoneSet(st) match {
+            case Some(t) => t
+            case None => return None
+          }
+          val np = math.min(nProbe, idx.centroids().length)
+          idx.servePoint(queryField, dense, math.min(k, maxRenderRows), np,
+            exclude = tombs.contains, freshTail = tail) match {
+            case Some(hits) =>
+              if (idx.servingWatermark() == pin) return Some(hits)
+            // else: pin moved mid-serve — retry
+            case None => return None
+          }
+      }
+    }
+    None
   }
 
   /** The serve-tier fast path for [[batchQuery]]: one pin/tail/tombstone
