@@ -511,6 +511,22 @@ class GraftDb(val spark: SparkSession, val root: String,
     rebuilt
   }
 
+  /** Text fields with an on-disk BM25 impact index (discovered from the
+    * layout dirs, so maintenance finds indexes built by other processes
+    * or earlier sessions too). */
+  private[api] def bm25Fields(table: String): Seq[String] = {
+    val dir = Paths.get(s"$root/$table")
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("bm25_"))
+        .map(_.stripPrefix("bm25_")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** `"keywords": [...]` — hybrid retrieval (beyond-reference: the
     * text half of a RAG curation query). Reciprocal-rank fusion (k=60)
     * of the dense ranking over `queryField` and the BM25 keyword ranking

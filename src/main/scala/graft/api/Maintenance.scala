@@ -48,6 +48,12 @@ class Maintenance(
       // index (rebuildIndex dispatches on the field type)
       st.schema.vectorFields
         .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+      // BM25 impact indexes (discovered from their layout dirs) refresh on
+      // the same cadence — a rebuild re-derives the frozen global stats
+      // (df/avgdl/N) the impacts bake in, bounding the staleness the
+      // append caveat documents; unchanged tables skip via the stamp
+      db.bm25Fields(t)
+        .foreach { f => if (db.rebuildBm25Index(t, f)) rebuilt += 1 }
       // decline feedback: serve declines accumulated since the last heal
       // mean queries are falling off the serve path — split oversized IVF
       // clusters / force-refresh sparse layouts, then reset the counters

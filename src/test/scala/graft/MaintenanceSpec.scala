@@ -61,6 +61,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(st.count() == 1000)
   }
 
+  test("tick refreshes a stale BM25 impact index and skips an unchanged one") {
+    val root = tmpDir("maint_bm25")
+    val db = new GraftDb(spark, root)
+    db.createTable(
+      """{"name":"Docs","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Doc","dataType":"STRING"}]}""".stripMargin)
+    val st = db.store("Docs")
+    def rows(from: Long, until: Long) =
+      (from until until).map(i =>
+        (i, s"spark join ${if (i % 3 == 0) "vector" else "scan"} w$i"))
+        .toDF("ID", "Doc")
+    st.insert(rows(0, 50))
+    assert(db.rebuildBm25Index("Docs", "Doc")) // first build
+    val maint = new Maintenance(db, retentionMs = Long.MaxValue)
+    // unchanged -> the discovered index skips
+    assert(maint.tick().indexesRebuilt == 0)
+    // new docs -> the tick's discovered-bm25 pass rebuilds (fresh global
+    // stats: N moved from 50 to 80)
+    st.insert(rows(50, 80))
+    assert(maint.tick().indexesRebuilt == 1)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/Docs/bm25_Doc/sp_meta.json")))
+    assert(meta.contains("\"count\":80"), meta)
+  }
+
   test("manifest expiry + vacuum reclaim dirs only old versions referenced") {
     val root = tmpDir("maint_vac")
     val schema = graft.types.TableSchema("T", Seq(
