@@ -153,9 +153,12 @@ class GraftHttpServer(val catalog: GraftCatalog, port: Int) {
           val db = catalog.db(d)
           db.listTables().foreach { t =>
             // rebuildIndex dispatches on the field type: dense fields get
-            // the IVF layout, sparse fields the inverted-posting index
+            // the IVF layout, sparse fields the inverted-posting index;
+            // discovered BM25 impact indexes refresh on the same call
             db.store(t).schema.vectorFields
               .foreach { f => if (db.rebuildIndex(t, f.name)) rebuilt += 1 }
+            db.bm25Fields(t)
+              .foreach { f => if (db.rebuildBm25Index(t, f)) rebuilt += 1 }
           }
         }
         (200, status(200, s"Rebuild finished ($rebuilt indexes)."))
