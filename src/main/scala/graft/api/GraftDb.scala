@@ -578,6 +578,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
 
     // keyword side off the impact index (serve tier, then pruned job)
+    require(Files.exists(Paths.get(s"$root/$table/bm25_$textField/sp_meta.json")),
+      s"no BM25 index for $table.$textField — call rebuildBm25Index first")
     val qd = graft.pipeline.Bm25.queryDims(terms)
     val ones = qd.map(_ => 1.0f)
     val bmIdx = bm25Index(st, textField)
