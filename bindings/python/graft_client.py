@@ -226,6 +226,12 @@ class Client:
         """POST /api/rebuild — rebuild vector indexes of every loaded db."""
         return self._request("POST", "/api/rebuild")
 
+    def rebuild_bm25_index(self, table_name, field):
+        """POST /api/{db}/bm25/rebuild — create-or-refresh the BM25 impact
+        index over a STRING field (enables keyword/hybrid retrieval)."""
+        return self._request("POST", "/api/%s/bm25/rebuild" % self._db,
+                             {"table": table_name, "field": field})
+
     def statistics(self):
         return self._request("GET", "/api/%s/statistics" % self._db)
 
@@ -309,6 +315,10 @@ def delete(table_name, primary_keys=None, filter=""):
 
 def rebuild():
     return _client().rebuild()
+
+
+def rebuild_bm25_index(table_name, field):
+    return _client().rebuild_bm25_index(table_name, field)
 
 
 def statistics():

@@ -34,6 +34,7 @@ def main():
         table_name="Vecs",
         table_fields=[
             {"name": "ID", "dataType": "BIGINT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
             {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 4,
              "metricType": "EUCLIDEAN"},
         ],
@@ -41,8 +42,11 @@ def main():
     check(code == 200, "create_table: %s" % resp)
 
     # 600 rows clears the brute-force threshold (512)
-    records = [{"ID": i, "V": [(i % 83) / 83.0, (i % 47) / 47.0,
-                               (i % 29) / 29.0, (i % 13) / 13.0]}
+    words = ["spark", "vector", "join", "scan", "stream", "filter"]
+    records = [{"ID": i,
+                "Doc": "%s %s idx%d" % (words[i % 6], words[(i * 5) % 6], i),
+                "V": [(i % 83) / 83.0, (i % 47) / 47.0,
+                      (i % 29) / 29.0, (i % 13) / 13.0]}
                for i in range(600)]
     code, resp = graft.insert(table_name="Vecs", records=records)
     check(code == 200 and resp["result"]["inserted"] == 600, "bulk insert: %s" % resp)
@@ -88,7 +92,7 @@ def main():
     # insert AFTER the rebuild, exactly at the query point: ingest-time
     # append must make it the ANN top hit without another rebuild
     code, resp = graft.insert(table_name="Vecs",
-                              records=[{"ID": 9000, "V": qv}])
+                              records=[{"ID": 9000, "Doc": "fresh row", "V": qv}])
     check(code == 200 and resp["result"]["inserted"] == 1, "post-rebuild insert")
     code, resp = graft.query(table_name="Vecs", query_field="V",
                              query_vector=qv, limit=1,
@@ -100,6 +104,19 @@ def main():
     check(code == 200 and resp.get("served") is True
           and abs(resp["result"][0]["@distance"]) < 1e-9,
           "appended row must serve at distance 0: %s" % resp)
+
+    # hybrid retrieval: create the BM25 impact index over HTTP, then fuse
+    # keywords with the dense ranking (RRF); rows carry (__row_id, rrf)
+    code, resp = graft.rebuild_bm25_index("Vecs", "Doc")
+    check(code == 200, "bm25 rebuild: %s" % resp)
+    code, resp = graft.query(table_name="Vecs", query_field="V",
+                             text_field="Doc", query_vector=qv,
+                             keywords=["spark", "vector"], limit=5)
+    check(code == 200 and resp.get("hybrid") is True
+          and len(resp["result"]) == 5
+          and all("rrf" in r for r in resp["result"])
+          and resp["result"][0]["rrf"] >= resp["result"][-1]["rrf"],
+          "hybrid query: %s" % resp)
 
     graft.drop_db("idxdb")
     print("index_smoke OK")

@@ -147,6 +147,19 @@ class GraftHttpServer(val catalog: GraftCatalog, port: Int) {
         val db = catalog.db(d)
         val stats = db.listTables().map(db.statistics).mkString("[", ",", "]")
         (200, s"""{"statusCode":200,"message":"","result":$stats}""")
+      case ("POST", List("api", d, "bm25", "rebuild")) =>
+        // create-or-refresh the BM25 impact index over a STRING field;
+        // once it exists, /api/rebuild and the maintenance loop keep it
+        // fresh (discovered from its layout dir)
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val table = tableOf(body)
+        val field = (req \ "field") match {
+          case org.json4s.JString(s) => s
+          case _ => throw new IllegalArgumentException("missing field")
+        }
+        val built = catalog.db(d).rebuildBm25Index(table, field)
+        (200, status(200,
+          s"BM25 index on $table.$field ${if (built) "rebuilt" else "up to date"}."))
       case ("POST", List("api", "rebuild")) =>
         var rebuilt = 0
         catalog.list().foreach { d =>
