@@ -1772,9 +1772,12 @@ class IvfIndex(
     val qs: Array[Array[Float]] = queries.map { case (_, raw) =>
       if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
     }
+    // fall back with the RAW queries: servePoint normalizes cosine queries
+    // itself, and re-normalizing an already-normalized vector can move the
+    // last ulp — the degraded path must equal a direct servePoint call
     def fallback(): Array[(Long, Option[Array[(Long, Double)]])] =
-      queries.zipWithIndex.map { case ((qid, _), i) =>
-        (qid, servePoint(vecCol, qs(i), k, nProbe, exclude, freshTail))
+      queries.map { case (qid, raw) =>
+        (qid, servePoint(vecCol, raw, k, nProbe, exclude, freshTail))
       }
     val dim = qs(0).length
     if (qs.exists(_.length != dim)) return fallback() // mixed dims: per-query guard
