@@ -318,6 +318,65 @@ object Queries {
         nProbe = idx.centroids().length, certify = true).get._1
       hits.map(_._1).toSeq.toDF("vec_id")
     }),
+    // V4 × serving: a `"serve":true` request CARRYING A FILTER through the
+    // full GraftDb dispatch. The filter is a simple conjunct over a
+    // declared resident column, so the serve tier answers it EXACTLY
+    // (servePointFiltered evaluates the predicate in the sweep) — the gate
+    // asserts the envelope says served+filtered (a silent decline would
+    // still hash-equal via the job path and prove nothing), then
+    // value-checks the id set against the DuckDB filtered brute force.
+    // Full probe => the pruned sweep is exhaustive => exact.
+    "v4_serve_filtered" -> ((s, dir) => {
+      import org.json4s._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v4sf_${math.abs(dir.hashCode)}"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val db = new graft.api.GraftDb(s, root)
+      val emb = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      db.createTable(
+        s"""{"name":"emb","fields":[
+           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
+           |  {"name":"label","dataType":"BIGINT"},
+           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
+           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+      // pad past MinimalIndexSize with rows the filter ALWAYS rejects
+      // (label -1): they change the index, never the filtered answer
+      val pad = emb.limit(32)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("label", lit(-1L))
+      db.store("emb").insert(emb.unionByName(pad))
+      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val resp = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":10,"nProbe":9999,
+           |  "filter":"label >= 5","serve":true}""".stripMargin)
+      require(resp.contains("\"served\":true") &&
+        resp.contains("\"filtered\":true"),
+        s"filtered request did not ride the serve tier: $resp")
+      val ids: Seq[Long] =
+        (org.json4s.jackson.JsonMethods.parse(resp) \ "result") match {
+          case JArray(rows) => rows.map(r => (r \ "__row_id") match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case other => sys.error(s"bad __row_id: $other")
+          })
+          case other => sys.error(s"bad result: $other")
+        }
+      // map row ids -> vec_id (the driver compare sorts rows, so the gate
+      // checks the served ID SET; rank order is asserted in Round10Spec)
+      db.store("emb").read()
+        .filter(col(graft.store.TableStore.RowId).isin(ids: _*))
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
       val withDist = t(s, dir, "embeddings")
@@ -641,6 +700,11 @@ object Queries {
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_pq_serve_cert" ->
       s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // the pad rows (label -1) never pass the filter, so the oracle is the
+    // plain filtered brute force over the original corpus
+    "v4_serve_filtered" ->
+      s"""SELECT vec_id FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "vq_int8_topk" -> {
       val qd = s"(SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings WHERE vec_id = 0)"

@@ -40,9 +40,10 @@ object QueriesPipeline {
     * libm-dependent, absorbed by the 4-decimal round). */
   private def sqlBm25Ctes: String = sqlBm25CtesFor(Bm25Terms)
 
-  private def sqlBm25CtesFor(terms: Seq[String]): String = {
+  private def sqlBm25CtesFor(terms: Seq[String],
+      src: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""btok AS (SELECT doc_id, $sqlToks toks FROM documents),
+    s"""btok AS (SELECT doc_id, $sqlToks toks FROM $src),
        |bdl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) dl FROM btok),
        |bstats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
        |                  avg(CAST(len(toks) AS DOUBLE)) avgdl FROM btok),
@@ -337,6 +338,38 @@ object QueriesPipeline {
       // of a full outer, so a join here would shuffle; the union groupBy
       // is one exchange over <=100 rows, and double addition of the two
       // contributions is order-independent)
+      dense.select(col("id"), (lit(1.0) / (lit(60) + col("drank"))).as("c"))
+        .unionAll(text.select(col("id"), (lit(1.0) / (lit(60) + col("trank"))).as("c")))
+        .groupBy(col("id"))
+        .agg(round(sum(col("c")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id").asc)
+        .limit(10)
+        .select(col("id"), col("rrf"))
+    }),
+    // FILTERED hybrid retrieval: both sides rank over the FILTERED corpus
+    // before fusion (filter-then-rank, the same semantics the single-query
+    // path has). This gate pins the library composition with
+    // fresh-filtered BM25 stats; the API path (GraftDb.hybridQuery), which
+    // keeps the impact index's frozen full-corpus stats and restricts
+    // CANDIDATES to the filtered live ids instead, is behavior-tested in
+    // Round10Spec (a doc the filter excludes must vanish from the fusion).
+    "hy_rrf_filtered" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = lit(SparkEntry.queryVectorOf(s, dir))
+      val langEn = t(s, dir, "documents").filter(col("lang") === "en")
+      val dense = t(s, dir, "embeddings")
+        .join(langEn.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        .withColumn("d", cosine_distance(col("embedding"), qv))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(50)
+        .withColumn("drank",
+          row_number().over(Window.orderBy(col("d").asc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("drank"))
+      val text = graft.pipeline.Bm25.scoreTopK(
+          langEn, "text", "doc_id", Bm25Terms, k = 50)
+        .withColumn("trank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("trank"))
       dense.select(col("id"), (lit(1.0) / (lit(60) + col("drank"))).as("c"))
         .unionAll(text.select(col("id"), (lit(1.0) / (lit(60) + col("trank"))).as("c")))
         .groupBy(col("id"))
@@ -978,6 +1011,31 @@ object QueriesPipeline {
          |dsc AS (SELECT e.vec_id,
          |          1.0 - $dot / (${norm("e.embedding")} * ${norm("q.embedding")}) AS d
          |        FROM embeddings e, qv q),
+         |d50 AS (SELECT vec_id, d FROM dsc ORDER BY d ASC, vec_id ASC LIMIT 50),
+         |dense AS (SELECT vec_id AS id,
+         |            row_number() OVER (ORDER BY d ASC, vec_id ASC) AS drank
+         |          FROM d50),
+         |t50 AS (SELECT doc_id, score FROM bm25
+         |        ORDER BY score DESC, doc_id ASC LIMIT 50),
+         |txt AS (SELECT doc_id AS id,
+         |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS trank
+         |        FROM t50),
+         |fused AS (
+         |  SELECT coalesce(dense.id, txt.id) AS id,
+         |    round(coalesce(1.0 / (60 + drank), 0.0) +
+         |          coalesce(1.0 / (60 + trank), 0.0), 6) AS rrf
+         |  FROM dense FULL OUTER JOIN txt ON dense.id = txt.id)
+         |SELECT id, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin
+    },
+    "hy_rrf_filtered" -> {
+      val dot = "list_sum(list_transform(list_zip(e.embedding, q.embedding), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      def norm(a: String) = s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH fdocs AS (SELECT * FROM documents WHERE lang = 'en'),
+         |${sqlBm25CtesFor(Bm25Terms, "fdocs")},
+         |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |dsc AS (SELECT e.vec_id,
+         |          1.0 - $dot / (${norm("e.embedding")} * ${norm("q.embedding")}) AS d
+         |        FROM embeddings e JOIN fdocs f ON e.vec_id = f.doc_id, qv q),
          |d50 AS (SELECT vec_id, d FROM dsc ORDER BY d ASC, vec_id ASC LIMIT 50),
          |dense AS (SELECT vec_id AS id,
          |            row_number() OVER (ORDER BY d ASC, vec_id ASC) AS drank

@@ -557,6 +557,17 @@ class GraftDb(val spark: SparkSession, val root: String,
     val cut = (req \ "rrfCut") match { case JInt(i) => i.toInt; case _ => 50 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
     val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
+    require(!facetsPresent(req), "hybrid queries do not support facets")
+    // `filter` applies to BOTH sides: each ranks over the FILTERED
+    // universe before fusion (filter-then-rank — the same semantics the
+    // single-query path has, queryPlan's preFilter). Serving tiers hold
+    // no attribute columns on the keyword side, so a filtered hybrid
+    // always answers on the job paths.
+    val filterStr = filterStringOf(req)
+    val filterCol: Option[org.apache.spark.sql.Column] =
+      if (filterStr.isEmpty) None
+      else Some(graft.filter.FilterTranslator.translate(filterStr,
+        st.read().schema))
     // over-cap tombstone mask: serving (which needs the driver-side set)
     // declines to the job paths, which mask via the store (read() /
     // excludeIds) instead
@@ -564,12 +575,13 @@ class GraftDb(val spark: SparkSession, val root: String,
 
     // dense side: (row_id asc-rank list), serve tier first when asked
     val denseServed: Option[Array[Long]] =
-      if (!serve) None
+      if (!serve || filterCol.isDefined) None
       else serveDenseHits(st, queryField, dense, cut, nProbe).map(_.map(_._1))
     val denseIds: Array[Long] = denseServed.getOrElse {
       val f = st.schema.field(queryField)
       val d = QueryEngine.distanceColumn(f, QueryEngine.DenseQuery(dense))
-      st.read().withColumn(QueryEngine.DistanceCol, d)
+      val live = filterCol.map(st.read().filter).getOrElse(st.read())
+      live.withColumn(QueryEngine.DistanceCol, d)
         .orderBy(org.apache.spark.sql.functions.col(QueryEngine.DistanceCol).asc,
           org.apache.spark.sql.functions.col(TableStore.RowId).asc)
         .limit(cut)
@@ -583,13 +595,30 @@ class GraftDb(val spark: SparkSession, val root: String,
     val qd = graft.pipeline.Bm25.queryDims(terms)
     val ones = qd.map(_ => 1.0f)
     val bmIdx = bm25Index(st, textField)
+    // impact postings frozen before a compact() still contain the purged
+    // rows while tombstoneIds() no longer lists them — the anti-join mask
+    // can't cover removals any more. Skip the serve tier and restrict the
+    // job path's candidates to live ids (the same restrictIds contract
+    // annQuery uses) until the rebuild refreshes the index.
+    val bmStale = bmIdx.indexedPurgeGen() < st.purgeGen()
     val kwServed: Option[Array[Long]] =
-      if (!serve || tombsOpt.isEmpty) None
+      if (!serve || bmStale || filterCol.isDefined || tombsOpt.isEmpty) None
       else scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
           exclude = tombsOpt.get))
         .toOption.flatten.map(_.map(_._1))
     val kwIds: Array[Long] = kwServed.getOrElse {
-      bmIdx.topKDot(qd, ones, cut, excludeIds = st.tombstoneIds())
+      // filter → rank over the filtered live ids (st.read() already
+      // excludes tombstones, so the semi-join covers stale-purge masking
+      // too); stale alone → all live ids
+      val restrict: Option[DataFrame] =
+        if (filterCol.isDefined) Some(st.read().filter(filterCol.get).select(
+          org.apache.spark.sql.functions.col(TableStore.RowId)))
+        else if (bmStale) Some(st.read().select(
+          org.apache.spark.sql.functions.col(TableStore.RowId)))
+        else None
+      bmIdx.topKDot(qd, ones, cut,
+          excludeIds = if (restrict.isDefined) None else st.tombstoneIds(),
+          restrictIds = restrict)
         .collect().map(_.getLong(0))
     }
 
@@ -678,6 +707,10 @@ class GraftDb(val spark: SparkSession, val root: String,
   private def serveBatch(req: JValue, dense: Array[Array[Float]])
       : Array[Option[String]] = {
     val allNone: Array[Option[String]] = Array.fill(dense.length)(None)
+    // filtered/faceted batches decline the SHARED serve path: the
+    // per-query fallback re-enters query(), whose serve dispatch applies
+    // the filter exactly (resident conjuncts) or declines per query
+    if (filterStringOf(req).nonEmpty || facetsPresent(req)) return allNone
     val table = str(req \ "table")
     val st = store(table)
     val queryField = (req \ "queryField") match {
@@ -734,6 +767,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     allNone
   }
 
+  private def filterStringOf(req: JValue): String =
+    (req \ "filter") match { case JString(s) => s.trim; case _ => "" }
+  private def facetsPresent(req: JValue): Boolean =
+    (req \ "facets") match { case JArray(a) => a.nonEmpty; case _ => false }
+
   /** `"serve":true` — the reference's in-process low-latency search
     * (vec_search_executor.cpp:833-935): answered from the driver-resident
     * IVF serving cache, NO Spark job on the warm path. Contract differs
@@ -754,6 +792,14 @@ class GraftDb(val spark: SparkSession, val root: String,
     * a purge, the fresh tail exceeds the cap, or the query is not a dense
     * vector. */
   private def serveQuery(req: JValue): Option[String] = {
+    // filtered/faceted requests decline to the job path, which applies
+    // them exactly (the reference's single search path always evaluates
+    // the filter, vec_search_executor.cpp:905-928 — a serve tier that
+    // ignored it would return the UNFILTERED top-k unmarked). The one
+    // exception: a simple attribute conjunction over serve-resident
+    // scalar columns is evaluated exactly inside the sweep (see
+    // serveFilterOf); anything else — facets always — declines.
+    if (facetsPresent(req)) return None
     val table = str(req \ "table")
     val st = store(table)
     val queryField = (req \ "queryField") match {
@@ -784,8 +830,12 @@ class GraftDb(val spark: SparkSession, val root: String,
     // reconstruction error, with the ambiguous band float-reranked.
     // Pre-PQ layouts decline to the job path, never silently downgrade.
     val pq = (req \ "pq") match { case JBool(b) => b; case _ => false }
+    val filterStr = filterStringOf(req)
     (req \ "queryVector") match {
-      case o: JObject => return serveSparse(st, queryField, o, limit)
+      case o: JObject =>
+        // sparse postings carry no attribute columns: filtered → job path
+        return if (filterStr.nonEmpty) None
+        else serveSparse(st, queryField, o, limit)
       case _ => ()
     }
     val dense: Array[Float] = (req \ "queryVector") match {
@@ -803,6 +853,20 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
+    // filtered requests serve ONLY when the filter is a simple conjunction
+    // over declared resident scalar columns — evaluated exactly in the
+    // sweep (servePointFiltered); anything else declines so the job path
+    // answers with the full grammar, exactly. The code-resident tiers
+    // (quantized/pq) hold no scalar columns, so they always decline.
+    val conds: Seq[graft.filter.SimpleConjuncts.Cond] =
+      if (filterStr.isEmpty) Nil
+      else {
+        if (quantized || pq) return None
+        graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
+          case Some(cs) if cs.nonEmpty => cs
+          case _ => return None // outside the serve sub-grammar → job path
+        }
+      }
     // the tail and the resident clusters must cover DISJOINT id ranges
     // around one pin: re-check the pin after scoring (a rebuild landing
     // mid-query re-pins residency while the collected tail still covers
@@ -828,7 +892,15 @@ class GraftDb(val spark: SparkSession, val root: String,
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
           val served =
-            if (pq) idx.servePointPqDetail(queryField, dense,
+            if (conds.nonEmpty) {
+              // fresh-tail rows carry no scalar values: filtered serving
+              // requires an empty tail (the steady state right after each
+              // rebuild) — any tail declines to the job path, exact
+              if (tail.isDefined) return None
+              idx.servePointFiltered(queryField, dense, k, np, conds,
+                exclude = tombs.contains).map(h => (h, 0))
+            }
+            else if (pq) idx.servePointPqDetail(queryField, dense,
               k, np, exclude = tombs.contains, freshTail = tail,
               certify = certified)
             else if (quantized) idx.servePointQuantizedDetail(queryField, dense,
@@ -852,6 +924,7 @@ class GraftDb(val spark: SparkSession, val root: String,
               i += 1
             }
             sb.append("],\"served\":true")
+            if (conds.nonEmpty) sb.append(",\"filtered\":true")
             if (pq) {
               sb.append(",\"pq\":true")
               if (certified) sb.append(",\"certified\":true")
@@ -1033,6 +1106,23 @@ class GraftDb(val spark: SparkSession, val root: String,
       else indexes.get((table, field)).foreach(_.resetServeDeclineCount())
     }
     rebuilt
+  }
+
+  /** Declare the scalar columns held resident for ATTRIBUTE-FILTERED
+    * serving of `table.field` (`"serve":true` + a simple conjunction over
+    * these columns answers driver-side, exactly; filters touching any
+    * other column decline to the job path). Columns must be scalar —
+    * vectors and geo points never ride the scalar residency. */
+  def setServeFilterColumns(table: String, field: String,
+      cols: Seq[String]): Unit = {
+    val st = store(table)
+    cols.foreach { c =>
+      val f = st.schema.field(c) // throws on unknown column
+      require(!graft.types.FieldType.isVector(f.fieldType) &&
+        f.fieldType != graft.types.FieldType.GeoPoint,
+        s"$c is not a scalar column")
+    }
+    index(st, field).setServeFilterColumns(cols)
   }
 
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout

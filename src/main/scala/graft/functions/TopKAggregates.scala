@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -104,7 +104,13 @@ case class TopKMin(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap]
+  with org.apache.spark.sql.graftbridge.GraftImplicitCasts {
+
+  // SQL-surface safety: `topk_min(FLOAT, INT, k)` must not pass analysis
+  // and then ClassCastException in update() — the analyzer inserts casts.
+  override def graftInputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
 
   private lazy val kVal: Int = kExpr match {
     case Literal(v: Int, IntegerType) => v

@@ -456,8 +456,11 @@ class IvfIndex(
     // preFilter BEFORE the cut: the candidate set must cover the top-k of
     // the FILTERED relation, not the unfiltered one — otherwise a
     // selective filter whose matches rank far by raw distance loses them
-    // before the rerank ever sees them
-    val candBase = preFilter.map(masked.filter).getOrElse(masked)
+    // before the rerank ever sees them. A predicate referencing @distance
+    // cannot run here (the candidate relation has no such column) — it
+    // keeps the documented post-filter semantics below instead.
+    val pushable = preFilter.filterNot(IvfIndex.refsDistance)
+    val candBase = pushable.map(masked.filter).getOrElse(masked)
     val candK = math.max(candMult * k, 64)
     // candidate scan: id + codes + scales only -> parquet reads no floats
     val cand = candBase
@@ -595,8 +598,10 @@ class IvfIndex(
     // preFilter BEFORE the proven cut: the interval proof covers the
     // top-k of whatever relation the bound job ran over — prove against
     // the FILTERED rows or a selective filter loses matches the
-    // unfiltered bound proved out
-    val candBase = preFilter.map(masked.filter).getOrElse(masked)
+    // unfiltered bound proved out. @distance-referencing predicates stay
+    // post-distance (the candidate relation has no @distance column).
+    val pushable = preFilter.filterNot(IvfIndex.refsDistance)
+    val candBase = pushable.map(masked.filter).getOrElse(masked)
     // candidate scan: id + m-byte codes (+ the 8-byte error) only ->
     // neither floats nor int8 codes are read from parquet
     val cand: DataFrame =
@@ -692,6 +697,8 @@ class IvfIndex(
           serveCache.clear(); serveRowsResident = 0L
           quantCache.clear(); quantRowsResident = 0L
           pqCache.clear(); pqRowsResident = 0L
+          scalarCache.clear(); scalarRowsResident = 0L
+          passCache.clear()
           serveWatermark = s._1
         }
       }
@@ -1893,9 +1900,246 @@ class IvfIndex(
       (qid, Some(finals(qi).sortedPairs.map { case (d, id) => (id, d) }))
     }
   }
+
+  // ---- attribute-filtered serving: declared scalar columns resident ----
+
+  /** One resident cluster of DECLARED filter-column values. Row order is
+    * internal to this cluster (NOT aligned with the vector cache — the two
+    * load in separate jobs); evaluation produces an id SET, which the
+    * sweep masks by id, so alignment is never needed. Nulls fail every
+    * comparison (SQL three-valued logic collapses to false under a
+    * filter). */
+  protected sealed trait ScalarVals { def length: Int }
+  protected final case class LongVals(vs: Array[Long], nulls: Array[Boolean])
+    extends ScalarVals { def length: Int = vs.length }
+  protected final case class DblVals(vs: Array[Double], nulls: Array[Boolean])
+    extends ScalarVals { def length: Int = vs.length }
+  protected final case class StrVals(vs: Array[String])
+    extends ScalarVals { def length: Int = vs.length }
+  protected final case class BoolVals(vs: Array[Boolean], nulls: Array[Boolean])
+    extends ScalarVals { def length: Int = vs.length }
+  protected final case class ScalarCluster(ids: Array[Long],
+      cols: Map[String, ScalarVals])
+
+  @volatile private var filterColsDecl: Seq[String] = Nil
+  @transient private var scalarCache =
+    new java.util.LinkedHashMap[Int, ScalarCluster](64, 0.75f, true)
+  @transient private var scalarRowsResident = 0L
+  // evaluated passing-id sets, keyed by (conjunction, pin, probe set): the
+  // per-query cost of a REPEATED filter is one hash-set lookup per row in
+  // the sweep, not a re-evaluation over every resident scalar
+  @transient private val passCache =
+    new java.util.LinkedHashMap[(String, Long, Seq[Int]), java.util.HashSet[java.lang.Long]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Seq[Int]), java.util.HashSet[java.lang.Long]])
+          : Boolean = size() > 32
+    }
+
+  /** Declare the scalar columns held resident for attribute-filtered
+    * serving (flushes scalar residency; vector residency stays warm).
+    * Empty = filtered requests always decline to the job path. */
+  def setServeFilterColumns(cols: Seq[String]): Unit = synchronized {
+    filterColsDecl = cols.distinct
+    scalarCache.clear(); scalarRowsResident = 0L
+    passCache.clear()
+  }
+  def serveFilterColumns(): Seq[String] = filterColsDecl
+
+  /** Rows resident in the scalar (filter-column) serving cache. */
+  def servingResidentScalarRows(): Long = synchronized { scalarRowsResident }
+
+  /** One pruned job collecting `missing` clusters' declared filter columns.
+    * Scalar rows are a few dozen bytes each, so a driver-side pack of the
+    * collected Rows is fine (the executor-side packing the VECTOR loads
+    * need exists to avoid boxed float seqs — two orders of magnitude
+    * larger per row). */
+  protected def loadScalarClusters(missing: Array[Int]): Map[Int, ScalarCluster] = {
+    val colsDecl = filterColsDecl
+    val proj = Seq(col("cluster"), col(idCol).cast("long").as(idCol)) ++
+      colsDecl.map(col)
+    val df = clustered()
+      .filter(col("cluster").isin(missing.toSeq: _*))
+      .filter(col(idCol).cast("long") <= serveWatermark)
+      .select(proj: _*)
+    val types = df.schema.fields.drop(2).map(_.dataType)
+    val rows = df.collect()
+    missing.map { cid =>
+      val mine = rows.filter(_.getInt(0) == cid)
+      val n = mine.length
+      val ids = Array.tabulate(n)(j => mine(j).getLong(1))
+      val packed: Map[String, ScalarVals] = colsDecl.zipWithIndex.map {
+        case (c, ci) =>
+          val fi = 2 + ci
+          val vals: ScalarVals = types(ci) match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              val vs = new Array[Long](n); val nl = new Array[Boolean](n)
+              var j = 0
+              while (j < n) {
+                if (mine(j).isNullAt(fi)) nl(j) = true
+                else vs(j) = mine(j).get(fi).asInstanceOf[Number].longValue
+                j += 1
+              }
+              LongVals(vs, nl)
+            case FloatType | DoubleType =>
+              val vs = new Array[Double](n); val nl = new Array[Boolean](n)
+              var j = 0
+              while (j < n) {
+                if (mine(j).isNullAt(fi)) nl(j) = true
+                else vs(j) = mine(j).get(fi).asInstanceOf[Number].doubleValue
+                j += 1
+              }
+              DblVals(vs, nl)
+            case StringType =>
+              StrVals(Array.tabulate(n)(j =>
+                if (mine(j).isNullAt(fi)) null else mine(j).getString(fi)))
+            case BooleanType =>
+              val vs = new Array[Boolean](n); val nl = new Array[Boolean](n)
+              var j = 0
+              while (j < n) {
+                if (mine(j).isNullAt(fi)) nl(j) = true
+                else vs(j) = mine(j).getBoolean(fi)
+                j += 1
+              }
+              BoolVals(vs, nl)
+            case other => throw new IllegalStateException(
+              s"serve filter column $c has non-scalar type $other")
+          }
+          c -> vals
+      }.toMap
+      cid -> ScalarCluster(ids, packed)
+    }.toMap
+  }
+
+  /** Attribute-filtered low-latency top-K: the conjunction is evaluated
+    * EXACTLY over the declared columns' resident values for the probed
+    * clusters, producing a passing-id set the sweep masks by — semantics
+    * identical to the job path's filter-then-topk over the same probe set
+    * (the reference's single path evaluates the filter during the walk,
+    * vec_search_executor.cpp:905-928; ours stays exact because the sweep
+    * is exhaustive over probed clusters). Declines (→ job path, exact)
+    * when a condition references an undeclared column, the scalar load
+    * overruns the budget, or the cache thrashes. Fresh-tail rows carry no
+    * scalar values, so the CALLER must only use this with an empty tail. */
+  def servePointFiltered(vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false)
+      : Option[Array[(Long, Double)]] = {
+    import graft.filter.SimpleConjuncts._
+    if (conds.isEmpty) return servePoint(vecCol, query, k, nProbe, exclude, None)
+    val declared = filterColsDecl
+    if (!conds.forall(c => declared.contains(c.col))) return decline
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
+    // scalar residency acquisition: same probe/budget/retry skeleton as
+    // servePoint (lock only around cache bookkeeping; load outside)
+    var scalars: Array[ScalarCluster] = null
+    var probed: Array[Int] = null
+    var attempts = 0
+    while (scalars == null) {
+      attempts += 1
+      if (attempts > 8) return decline
+      var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
+      val missing: Array[Int] = synchronized {
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
+        probed = centroids()
+          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+          .sortBy { case (_, d) => d }
+          .take(nProbe)
+          .map(_._1)
+        probed.filterNot(scalarCache.containsKey(_))
+      }
+      var loaded: Map[Int, ScalarCluster] = null
+      try {
+        if (missing.nonEmpty) {
+          // the vector sweep gates the same probe set at the same row cap,
+          // and a scalar row is far lighter than its vector — one shared
+          // feasibility check covers both
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            probed.filter(scalarCache.containsKey(_))
+              .map(scalarCache.get(_).ids.length.toLong).sum
+          }
+          if (projected + retained > effectiveMaxRows(q.length)) return decline
+        }
+        loaded =
+          if (missing.isEmpty) Map.empty
+          else loadScalarClusters(missing)
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
+        ensureServeFresh()
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = scalarCache.put(cid, cluster)
+            if (prev != null) scalarRowsResident -= prev.ids.length
+            scalarRowsResident += cluster.ids.length
+          }
+        val rowCap = effectiveMaxRows(q.length)
+        if (scalarRowsResident > rowCap) {
+          val it = scalarCache.entrySet().iterator()
+          while (scalarRowsResident > rowCap && it.hasNext) {
+            val e = it.next()
+            if (!probed.contains(e.getKey)) {
+              scalarRowsResident -= e.getValue.ids.length
+              it.remove()
+            }
+          }
+        }
+        val got = probed.map(scalarCache.get(_))
+        if (!got.contains(null)) scalars = got
+      }
+    }
+    val cacheKey = (key(conds), serveWatermark, probed.sorted.toSeq)
+    val pass: java.util.HashSet[java.lang.Long] = {
+      val hit = synchronized { passCache.get(cacheKey) }
+      if (hit != null) hit
+      else {
+        val s = new java.util.HashSet[java.lang.Long](1 << 16)
+        scalars.foreach { sc =>
+          val n = sc.ids.length
+          var j = 0
+          while (j < n) {
+            var ok = true
+            var ci = 0
+            while (ok && ci < conds.length) {
+              val c = conds(ci)
+              ok = (sc.cols.getOrElse(c.col, null), c.value) match {
+                case (LongVals(vs, nl), l: NumLit) => !nl(j) && evalLong(c.op, vs(j), l)
+                case (DblVals(vs, nl), l: NumLit) => !nl(j) && evalDouble(c.op, vs(j), l)
+                case (StrVals(vs), l: StrLit) => evalString(c.op, vs(j), l)
+                case (BoolVals(vs, nl), l: BoolLit) => !nl(j) && evalBool(c.op, vs(j), l)
+                case _ => false // declared/typed drift: row fails, never throws
+              }
+              ci += 1
+            }
+            if (ok) s.add(sc.ids(j))
+            j += 1
+          }
+        }
+        synchronized { passCache.put(cacheKey, s) }
+        s
+      }
+    }
+    servePoint(vecCol, query, k, nProbe,
+      id => exclude(id) || !pass.contains(id), None)
+  }
 }
 
 object IvfIndex {
+
+  /** Whether a filter Column references the `@distance` virtual column
+    * (resolved or not). Such predicates can only run AFTER scoring — the
+    * candidate relations the quantized/PQ cuts filter carry no @distance
+    * column, so pushing one below the cut fails analysis. */
+  private[index] def refsDistance(c: Column): Boolean =
+    org.apache.spark.sql.graftbridge.CatalystBridge
+      .referencesAttribute(c, "@distance")
 
   /** Below this row count no index is built — search brute-forces
     * (reference: MinimalGraphSize config.hpp:22 + BruteforceThreshold

@@ -46,7 +46,12 @@ object Pipelines {
     * sqrt; other alphas go through libm pow and stay engine-internal). */
   def mixtureSample(docs: DataFrame, sourceCol: String, idCol: String,
       alpha: Double, targetFraction: Double): DataFrame = {
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    // NULL-source rows are EXCLUDED from the mixture (they can never be
+    // selected — stratifiedSample's equality comparison is null for them)
+    // so they must not inflate nTotal/the normalizer either, or every
+    // real source's rate silently undershoots targetFraction
+    val counts = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
       .sortBy { case (k, _) => k }
     val nTotal = counts.map { case (_, n) => n }.sum.toDouble

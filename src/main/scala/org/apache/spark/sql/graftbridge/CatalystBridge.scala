@@ -11,4 +11,47 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Whether the Column references attribute `name` anywhere. Spark 4
+    * Columns are ColumnNode trees (catalyst conversion is deferred, so a
+    * plain Expression walk sees one opaque ColumnNodeExpression leaf);
+    * nodes and catalyst expressions can wrap each other
+    * (ExpressionColumnNode / ColumnNodeExpression), so both are walked. */
+  def referencesAttribute(c: Column, name: String): Boolean = {
+    var found = false
+    def scanNode(n: org.apache.spark.sql.internal.ColumnNodeLike): Unit =
+      n.foreach {
+        case a: org.apache.spark.sql.internal.UnresolvedAttribute
+            if a.nameParts == Seq(name) => found = true
+        case e: org.apache.spark.sql.classic.ExpressionColumnNode =>
+          scanExpr(e.expression)
+        case _ => ()
+      }
+    def scanExpr(e: Expression): Unit = e.foreach {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.name == name => found = true
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name == name => found = true
+      // ColumnNodeExpression is private[classic]; the wrapped node is
+      // reached reflectively (cold path — only mixed node/expr trees)
+      case n if n.getClass.getName ==
+          "org.apache.spark.sql.classic.ColumnNodeExpression" =>
+        scanNode(n.getClass.getMethod("node").invoke(n)
+          .asInstanceOf[org.apache.spark.sql.internal.ColumnNode])
+      case _ => ()
+    }
+    scanNode(c.node)
+    found
+  }
+}
+
+/** Spark 4 also made `AbstractDataType` private[sql], so an expression
+  * outside this package cannot WRITE the `inputTypes` signature that
+  * `ImplicitCastInputTypes` requires. This trait pins the signature here
+  * and lets graft expressions declare plain `DataType`s. */
+trait GraftImplicitCasts
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  def graftInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    graftInputTypes
 }
