@@ -32,7 +32,8 @@ __all__ = [
     "Client", "connect", "load_db", "use_db", "unload_db", "drop_db",
     "create_table", "list_tables", "drop_table", "insert", "upsert",
     "insert_prepare", "query", "get", "delete", "rebuild", "statistics",
-    "state",
+    "state", "describe_table", "dump_db", "release_db", "set_leader",
+    "update_config", "load_csv", "rebuild_bm25_index",
 ]
 
 
@@ -235,6 +236,39 @@ class Client:
     def statistics(self):
         return self._request("GET", "/api/%s/statistics" % self._db)
 
+    def describe_table(self, table_name):
+        """GET /api/{db}/schema/tables/{t}/describe — schema in the catalog
+        JSON shape plus the on-disk index inventory."""
+        return self._request(
+            "GET", "/api/%s/schema/tables/%s/describe" % (self._db, table_name))
+
+    def dump_db(self, db_name, path):
+        """POST /api/dump — export the named db's current snapshot to path."""
+        return self._request("POST", "/api/dump",
+                             {"name": db_name, "path": path})
+
+    def release_db(self, db_name=None):
+        """POST /api/{db}/release — drop server-side in-memory residency;
+        files stay, the next query reopens cold."""
+        return self._request("POST", "/api/%s/release" % (db_name or self._db))
+
+    def set_leader(self, leader):
+        """POST /api/setleader — leader writes the catalog, followers don't."""
+        return self._request("POST", "/api/setleader", {"leader": bool(leader)})
+
+    def update_config(self, **kwargs):
+        """POST /api/config — reference knobs (IntraQueryThreads, PreFilter,
+        ...) plus graft-native serving caps (MaxServeRows/MaxServeBytes/
+        MaxServeTailRows, ServeFilterColumns={table,field,columns})."""
+        return self._request("POST", "/api/config", kwargs)
+
+    def load_csv(self, table_name, path, upsert=False):
+        """POST /api/{db}/data/load — header CSV into the table's scalar
+        columns through the normal DML path (PK dedup applies)."""
+        return self._request("POST", "/api/%s/data/load" % self._db,
+                             {"table": table_name, "path": path,
+                              "upsert": upsert})
+
 
 # ---- module-level surface bound to a default client ----
 
@@ -323,3 +357,27 @@ def rebuild_bm25_index(table_name, field):
 
 def statistics():
     return _client().statistics()
+
+
+def describe_table(table_name):
+    return _client().describe_table(table_name)
+
+
+def dump_db(db_name, path):
+    return _client().dump_db(db_name, path)
+
+
+def release_db(db_name=None):
+    return _client().release_db(db_name)
+
+
+def set_leader(leader):
+    return _client().set_leader(leader)
+
+
+def update_config(**kwargs):
+    return _client().update_config(**kwargs)
+
+
+def load_csv(table_name, path, upsert=False):
+    return _client().load_csv(table_name, path, upsert)

@@ -55,7 +55,14 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
       db.quotaMaxRowsPerTable = mr
     }
 
+  /** Leader flag (reference: api/setleader → db_server SetLeader; a
+    * follower never writes the shared catalog file,
+    * basic_meta_impl.cpp:199-202 — it reads what the leader persisted). */
+  @volatile var isLeader: Boolean = true
+  def setLeader(b: Boolean): Unit = { isLeader = b }
+
   private def persist(): Unit = synchronized {
+    if (!isLeader) return // followers read the leader's catalog, never write
     Files.createDirectories(Paths.get(rootDir))
     val entries = dbs.toSeq.sortBy(_._1)
       .map { case (n, db) => s"""${jstr(n)}:${jstr(db.root)}""" }
@@ -132,4 +139,21 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
     throw new IllegalArgumentException(s"database $name not loaded"))
 
   def list(): Seq[String] = dbs.keys.toSeq.sorted
+
+  /** Whether the name resolves (dump's 404-vs-500 distinction,
+    * db_server.cpp:85-88 DB_NOT_FOUND). */
+  def has(name: String): Boolean = dbs.contains(name)
+
+  /** POST /api/dump analog (db_server.cpp:82-103): export the named
+    * database's current snapshot to `path` (GraftDb.dump) plus a catalog
+    * entry file — skipped on a follower, mirroring the reference's
+    * SaveDBToFile leader guard. */
+  def dump(name: String, path: String): Unit = {
+    db(name).dump(path)
+    if (isLeader) {
+      Files.createDirectories(Paths.get(path))
+      Files.write(Paths.get(s"$path/catalog"),
+        s"""{"name":${jstr(name)},"path":${jstr(path)}}""".getBytes)
+    }
+  }
 }

@@ -1125,6 +1125,155 @@ class GraftDb(val spark: SparkSession, val root: String,
     index(st, field).setServeFilterColumns(cols)
   }
 
+  private def jsonStr(s: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(s)))
+
+  /** GET .../schema/tables/{t}/describe analog (web_controller.hpp:395-410
+    * — the reference's endpoint returns a stubbed SchemaInfoDto whose
+    * `result` field is commented out; ours fills it): the table's schema
+    * in the catalog's JSON shape (SchemaJson — the same field keys the
+    * reference's DumpDatabaseSchemaToJson writes) plus the on-disk index
+    * inventory with freshness stamps. */
+  def describeTable(table: String): String = {
+    val st = store(table)
+    val idxs = scala.collection.mutable.ArrayBuffer[String]()
+    st.schema.vectorFields.foreach { f =>
+      if (FieldType.isSparse(f.fieldType)) {
+        if (Files.exists(Paths.get(s"$root/$table/spidx_${f.name}/sp_meta.json"))) {
+          val ix = sparseIndex(st, f.name)
+          idxs += s"""{"field":${jsonStr(f.name)},"type":"sparse",""" +
+            s""""rows":${ix.indexedCount()},"watermark":${ix.indexedWatermark()}}"""
+        }
+      } else if (Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) {
+        val ix = index(st, f.name)
+        idxs += s"""{"field":${jsonStr(f.name)},"type":"ivf",""" +
+          s""""rows":${ix.indexedCount()},"watermark":${ix.indexedWatermark()},""" +
+          s""""clusters":${ix.centroids().length}}"""
+      }
+    }
+    bm25Fields(table).foreach { f =>
+      val ix = bm25Index(st, f)
+      idxs += s"""{"field":${jsonStr(f)},"type":"bm25",""" +
+        s""""rows":${ix.indexedCount()},"watermark":${ix.indexedWatermark()}}"""
+    }
+    s"""{"schema":${SchemaJson.write(st.schema)},""" +
+      s""""indexes":[${idxs.mkString(",")}]}"""
+  }
+
+  /** POST .../release analog (web_controller.hpp:166-181 → db_server.cpp
+    * ReleaseDB → table Release): drop every driver-resident cache — store
+    * handles, index instances (their serving residency goes with them),
+    * fresh-tail/tombstone caches — while the on-disk state stays. The next
+    * query reopens cold from the persisted layouts, exactly like the
+    * reference's release-then-reload. */
+  def release(): Unit = {
+    stores.clear()
+    indexes.clear()
+    sparseIndexes.clear()
+    bm25Indexes.clear()
+    tailCache.clear()
+    sparseTailCache.clear()
+    tombCache.clear()
+  }
+
+  /** POST /api/dump analog (web_controller.hpp:202-234 → db_server.cpp:82
+    * DumpDB → per-table Dump): export the CURRENT snapshot of every table
+    * to `path` — schema.json in the catalog shape plus one parquet copy of
+    * the live rows (tombstones folded, the same visible state a reader
+    * gets). One columnar write job per table; the export is a plain
+    * GraftDb root, so `new GraftDb(spark, path)` opens it. */
+  def dump(path: String): Unit = {
+    Files.createDirectories(Paths.get(path))
+    listTables().foreach { t =>
+      val st = store(t)
+      Files.createDirectories(Paths.get(s"$path/$t"))
+      Files.write(Paths.get(s"$path/$t/schema.json"),
+        SchemaJson.write(st.schema).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      st.read().write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/$t/dump")
+    }
+  }
+
+  /** POST .../data/load analog (web_controller.hpp:615-622 — the
+    * reference's own endpoint is a stub that only echoes; ours loads): CSV
+    * with a header row, parsed against the table's SCALAR columns (vector
+    * and geo columns cannot ride CSV) and inserted through the normal DML
+    * path (PK dedup, WAL-ordering, quotas all apply). Returns the insert
+    * response JSON. */
+  def loadCsv(table: String, path: String, upsert: Boolean = false): String = {
+    val st = store(table)
+    val scalarFields = st.schema.fields.filterNot(f =>
+      FieldType.isVector(f.fieldType) || f.fieldType == FieldType.GeoPoint)
+    val ddl = scalarFields.map(f =>
+      s"${f.name} ${f.sparkType.sql}").mkString(", ")
+    val df = spark.read.option("header", "true").schema(ddl).csv(path)
+    val res = st.insert(df, upsert = upsert)
+    s"""{"result":{"inserted":${res.inserted},"skipped":${res.skipped}}}"""
+  }
+
+  // ---- runtime config (web_controller.hpp:1004-1031 /api/config) ----
+
+  /** Recorded reference knobs: Spark owns intra-query parallelism and the
+    * rebuild pool, so these are validated + recorded for API parity (the
+    * ranges and error text mirror config.hpp:28-64) but do not reschedule
+    * anything. The knobs that DO act are the graft-native serving caps. */
+  @volatile var cfgIntraQueryThreads: Int = 4
+  @volatile var cfgConcurrentWorkersPerIndex: Int = 16
+  @volatile var cfgRebuildThreads: Int = 1
+  @volatile var cfgSearchQueueSize: Int = 500
+  @volatile var cfgPreFilter: Boolean = false
+
+  /** POST /api/config analog (config.hpp:66-88 updateConfig): reference
+    * keys validate against the reference's ranges; graft-native keys remap
+    * the live serving budgets — `MaxServeRows`/`MaxServeBytes` (per-index
+    * residency caps, applied to every open index and future ones via the
+    * next access), `MaxServeTailRows` (fresh-tail cap), and
+    * `ServeFilterColumns` `{table, field, columns}` (declares the
+    * attribute-filtered-serving residency over HTTP). Out-of-range values
+    * throw with the reference's message shape. */
+  def updateConfig(json: String): Unit = {
+    val o = JsonMethods.parse(json)
+    def intIn(key: String, lo: Int, hi: Int)(set: Int => Unit): Unit =
+      (o \ key) match {
+        case JInt(v) =>
+          if (v >= lo && v <= hi) set(v.toInt)
+          else throw new IllegalArgumentException(
+            s"Invalid value for $key, valid range: [$lo, $hi]")
+        case JNothing => ()
+        case other => throw new IllegalArgumentException(
+          s"Invalid value for $key: $other")
+      }
+    intIn("IntraQueryThreads", 1, 128)(cfgIntraQueryThreads = _)
+    intIn("ConcurrentWorkersPerIndex", 1, 128)(cfgConcurrentWorkersPerIndex = _)
+    intIn("RebuildThreads", 1, 128)(cfgRebuildThreads = _)
+    intIn("SearchQueueSize", 500, 10000000)(cfgSearchQueueSize = _)
+    (o \ "PreFilter") match {
+      case JBool(b) => cfgPreFilter = b
+      case JNothing => ()
+      case other => throw new IllegalArgumentException(s"Invalid value for PreFilter: $other")
+    }
+    intIn("MaxServeTailRows", 1, Int.MaxValue)(maxServeTailRows = _)
+    (o \ "MaxServeRows") match {
+      case JInt(v) => indexes.values.foreach(_.maxServeRows = v.toLong)
+      case _ => ()
+    }
+    (o \ "MaxServeBytes") match {
+      case JInt(v) => indexes.values.foreach(_.maxServeBytes = v.toLong)
+      case _ => ()
+    }
+    (o \ "ServeFilterColumns") match {
+      case JObject(_) =>
+        val t = str(o \ "ServeFilterColumns" \ "table")
+        val f = str(o \ "ServeFilterColumns" \ "field")
+        val cols = (o \ "ServeFilterColumns" \ "columns") match {
+          case JArray(a) => a.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        setServeFilterColumns(t, f, cols)
+      case _ => ()
+    }
+  }
+
   /** ANN query path: IVF-pruned scan over the cluster-partitioned layout
     * (the index carries full rows, so the filter pushes into the pruned
     * scan BEFORE the top-K cut — the reference evaluates filter nodes

@@ -116,6 +116,64 @@ class GraftHttpServer(val catalog: GraftCatalog, port: Int) {
       case ("GET", List("api", d, "schema", "tables", "show")) =>
         val names = catalog.db(d).listTables().map(jstr).mkString("[", ",", "]")
         (200, s"""{"statusCode":200,"message":"Get all tables successfully.","result":$names}""")
+      case ("GET", List("api", d, "schema", "tables", t, "describe")) =>
+        // web_controller.hpp:395-410 DescribeSchema (the reference returns
+        // a stubbed SchemaInfoDto; ours carries the schema + index state)
+        (200, withStatus(s"""{"result":${catalog.db(d).describeTable(t)}}""",
+          s"Get information of $t from $d successfully."))
+      case ("POST", List("api", d, "release")) =>
+        // web_controller.hpp:166-181 ReleaseDB: drop in-memory residency,
+        // keep the database loaded and its files intact
+        catalog.db(d).release()
+        (200, status(200, s"Release $d successfully."))
+      case ("POST", List("api", "dump")) =>
+        // web_controller.hpp:202-234 DumpDB: {"name","path"} → export the
+        // snapshot; unknown name → 404 (db_server.cpp:85-88 DB_NOT_FOUND)
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val name = (req \ "name") match {
+          case org.json4s.JString(s) => s
+          case _ => throw new IllegalArgumentException("missing database name")
+        }
+        val p = (req \ "path") match {
+          case org.json4s.JString(s) => s
+          case _ => throw new IllegalArgumentException("missing dump path")
+        }
+        if (!catalog.has(name)) (404, status(404, s"DB not found: $name"))
+        else { catalog.dump(name, p); (200, status(200, s"Dump $name successfully.")) }
+      case ("POST", List("api", "setleader")) =>
+        // web_controller.hpp:984-1002 SetLeader
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val leader = (req \ "leader") match {
+          case org.json4s.JBool(b) => b
+          case _ => throw new IllegalArgumentException("Invalid payload.")
+        }
+        catalog.setLeader(leader)
+        (200, status(200, s"Set leader as $leader successfully."))
+      case ("POST", List("api", "config")) =>
+        // web_controller.hpp:1004-1031 UpdateConfig: applied to every
+        // loaded database (the reference's config is global); validation
+        // errors are 500 like the reference's catch-all
+        try {
+          catalog.list().foreach(d => catalog.db(d).updateConfig(body))
+          (200, status(200, "Config updated successfully."))
+        } catch {
+          case e: Exception =>
+            (500, status(500, Option(e.getMessage).getOrElse(e.toString)))
+        }
+      case ("POST", List("api", d, "data", "load")) =>
+        // web_controller.hpp:615-622 LoadCSV (the reference's endpoint is
+        // an echo stub; ours loads through the normal DML path)
+        val req = org.json4s.jackson.JsonMethods.parse(body)
+        val table = tableOf(body)
+        val p = (req \ "path") match {
+          case org.json4s.JString(s) => s
+          case _ => throw new IllegalArgumentException("missing csv path")
+        }
+        val upsert = (req \ "upsert") match {
+          case org.json4s.JBool(b) => b; case _ => false
+        }
+        (200, withStatus(catalog.db(d).loadCsv(table, p, upsert),
+          s"Loading csv to $d."))
       case ("POST", List("api", d, "data", "insert")) =>
         val table = tableOf(body)
         (200, withStatus(s"""{"result":${catalog.db(d).insert(body)}}""",

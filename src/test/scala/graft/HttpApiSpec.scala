@@ -193,4 +193,143 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (_, body) = get("/api/nope")
     assert((JsonMethods.parse(body) \ "statusCode") == JInt(404))
   }
+
+  test("describe route: schema in catalog shape + index inventory (web_controller.hpp:395-410)") {
+    val (cc, cb) = post("/api/default/schema/tables",
+      """{"name":"Desc","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Tag","dataType":"STRING"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"COSINE"}]}""".stripMargin)
+    assert(cc == 200, cb)
+    val (dc, db2) = get("/api/default/schema/tables/Desc/describe")
+    assert(dc == 200, db2)
+    val j = JsonMethods.parse(db2)
+    assert((j \ "message") == JString("Get information of Desc from default successfully."), db2)
+    assert((j \ "result" \ "schema" \ "name") == JString("Desc"), db2)
+    val fields = (j \ "result" \ "schema" \ "fields").asInstanceOf[JArray].arr
+    assert(fields.exists(f => (f \ "name") == JString("V") &&
+      (f \ "dataType") == JString("VECTOR_FLOAT") &&
+      (f \ "dimensions") == JInt(4) &&
+      (f \ "metricType") == JString("COSINE")), db2)
+    // no index yet: empty inventory
+    assert((j \ "result" \ "indexes") == JArray(Nil), db2)
+    delete("/api/default/schema/tables/Desc")
+  }
+
+  test("dump + release + setleader + config routes (web_controller.hpp:166-234, 984-1031)") {
+    val (cc, _) = post("/api/default/schema/tables",
+      """{"name":"Dmp","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"N","dataType":"BIGINT"}]}""".stripMargin)
+    assert(cc == 200)
+    val data = (1 to 8).map(i => s"""{"ID":$i,"N":${i * 10}}""").mkString("[", ",", "]")
+    assert(post("/api/default/data/insert", s"""{"table":"Dmp","data":$data}""")._1 == 200)
+    post("/api/default/data/delete", """{"table":"Dmp","primaryKeys":[3]}""")
+    // dump: exports the LIVE snapshot (deleted row folded away)
+    val out = tmpDir("graft_dump_out")
+    val (duc, dub) = post("/api/dump", s"""{"name":"default","path":"$out"}""")
+    assert(duc == 200, dub)
+    val dumped = spark.read.parquet(s"$out/Dmp/dump")
+    assert(dumped.count() == 7)
+    assert(!dumped.select("ID").collect().map(_.getLong(0)).contains(3L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/Dmp/schema.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/catalog")))
+    // unknown db → 404 (db_server.cpp:85-88 DB_NOT_FOUND)
+    assert(post("/api/dump", s"""{"name":"ghost","path":"$out"}""")._1 == 404)
+    // release drops residency; data still answers afterwards (cold reopen)
+    assert(post("/api/default/release", "")._1 == 200)
+    val (gc, gb) = post("/api/default/data/get",
+      """{"table":"Dmp","filter":"N >= 50","response":["ID"]}""")
+    assert(gc == 200, gb)
+    assert((JsonMethods.parse(gb) \ "result").asInstanceOf[JArray].arr.length == 4, gb)
+    // setleader: follower dumps skip the catalog file, data still exports
+    assert(post("/api/setleader", """{"leader":false}""")._1 == 200)
+    val out2 = tmpDir("graft_dump_follower")
+    assert(post("/api/dump", s"""{"name":"default","path":"$out2"}""")._1 == 200)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out2/Dmp/dump")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out2/catalog")))
+    assert(post("/api/setleader", """{"leader":true}""")._1 == 200)
+    // config: valid keys apply, out-of-range is a 500 with the reference's
+    // message shape (config.hpp:28-64 ranges)
+    assert(post("/api/config", """{"IntraQueryThreads":8,"PreFilter":true}""")._1 == 200)
+    val (bc, bb) = post("/api/config", """{"IntraQueryThreads":1000}""")
+    assert(bc == 500, bb)
+    assert(bb.contains("valid range: [1, 128]"), bb)
+    delete("/api/default/schema/tables/Dmp")
+  }
+
+  test("CSV load route inserts through the normal DML path (dup-PK skip applies)") {
+    val (cc, _) = post("/api/default/schema/tables",
+      """{"name":"Csv","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Lang","dataType":"STRING"},
+        |{"name":"N","dataType":"BIGINT"}]}""".stripMargin)
+    assert(cc == 200)
+    val dir = tmpDir("graft_csv_http")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "ID,Lang,N\n1,en,10\n2,de,20\n3,fr,30\n2,xx,99\n".getBytes)
+    val (lc, lb) = post("/api/default/data/load",
+      s"""{"table":"Csv","path":"$dir/rows.csv"}""")
+    assert(lc == 200, lb)
+    assert((JsonMethods.parse(lb) \ "result" \ "inserted") == JInt(3), lb)
+    assert((JsonMethods.parse(lb) \ "result" \ "skipped") == JInt(1), lb)
+    val (gc, gb) = post("/api/default/data/get",
+      """{"table":"Csv","filter":"Lang = 'de'","response":["ID","N"]}""")
+    assert(gc == 200)
+    val rows = (JsonMethods.parse(gb) \ "result").asInstanceOf[JArray].arr
+    assert(rows.length == 1 && (rows.head \ "N") == JInt(20), gb)
+    delete("/api/default/schema/tables/Csv")
+  }
+
+  test("hybrid retrieval round-trips over HTTP, filter applied to both sides") {
+    val (cc, cb) = post("/api/default/schema/tables",
+      """{"name":"Hy","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Doc","dataType":"STRING"},
+        |{"name":"Grp","dataType":"BIGINT"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    assert(cc == 200, cb)
+    // ID 7: top doc on BOTH sides (query terms repeated, vector == query);
+    // its Grp=1 lets the filter knock it out
+    val rows = (1 to 30).map { i =>
+      val doc =
+        if (i == 7) "spark vector spark vector spark vector"
+        else s"scan plan state w$i"
+      val v = if (i == 7) "[0.9,0.1,0.9,0.1]"
+        else s"[0.${i % 10},0.${(i * 3) % 10},0.${(i * 7) % 10},0.${(i * 9) % 10}]"
+      s"""{"ID":$i,"Doc":"$doc","Grp":${i % 2},"V":$v}"""
+    }.mkString("[", ",", "]")
+    assert(post("/api/default/data/insert", s"""{"table":"Hy","data":$rows}""")._1 == 200)
+    assert(post("/api/default/bm25/rebuild", """{"table":"Hy","field":"Doc"}""")._1 == 200)
+    // row-id -> ID map straight off the server's store (in-process handle)
+    val m = {
+      import org.apache.spark.sql.functions.col
+      server.catalog.db("default").store("Hy").read()
+        .select(col(graft.store.TableStore.RowId), col("ID"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def fusedIds(resp: String): Seq[Long] =
+      (JsonMethods.parse(resp) \ "result").asInstanceOf[JArray].arr
+        .map(r => (r \ "__row_id") match {
+          case JInt(i) => m(i.toLong)
+          case JLong(l) => m(l)
+          case other => fail(s"bad __row_id: $other")
+        })
+    val (hc, hb) = post("/api/default/data/query",
+      """{"table":"Hy","keywords":["spark","vector"],"textField":"Doc",
+        |"queryField":"V","queryVector":[0.9,0.1,0.9,0.1],"limit":5}""".stripMargin)
+    assert(hc == 200, hb)
+    assert(fusedIds(hb).head == 7L, hb) // top on both sides fuses first
+    // filter Grp = 0 excludes ID 7 (Grp 1) from BOTH sides
+    val (fc2, fb2) = post("/api/default/data/query",
+      """{"table":"Hy","keywords":["spark","vector"],"textField":"Doc",
+        |"queryField":"V","queryVector":[0.9,0.1,0.9,0.1],"limit":5,
+        |"filter":"Grp = 0"}""".stripMargin)
+    assert(fc2 == 200, fb2)
+    val ids = fusedIds(fb2)
+    assert(ids.nonEmpty && !ids.contains(7L) && ids.forall(_ % 2 == 0), fb2)
+    delete("/api/default/schema/tables/Hy")
+  }
 }

@@ -60,4 +60,13 @@ class PythonBindingsSpec extends SparkSpec {
       assert(out.contains("index_smoke OK"), out)
     }
   }
+
+  test("python admin_smoke: describe + csv load + dump + release + leader + config") {
+    assume(python3.isDefined, "no python interpreter on PATH")
+    withServer { port =>
+      val (code, out) = runScript("admin_smoke.py", port)
+      assert(code == 0, s"admin_smoke.py failed:\n$out")
+      assert(out.contains("admin_smoke OK"), out)
+    }
+  }
 }
