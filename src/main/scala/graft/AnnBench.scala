@@ -38,22 +38,40 @@ object AnnBench {
     // paths) — shows the exact/ANN crossover beyond the tiny testdata sizes.
     val synthN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "0").toLong
     val synthDim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
+    // SPARK_GRAFT_ANN_GEOM: "clustered" (default — 256 tight latent
+    // centers; deliberately ADVERSARIAL for sub-resolution code tiers:
+    // within-cluster spacing falls below PQ quantization resolution) or
+    // "shell" (points near the unit sphere with smooth local structure —
+    // the realistic-embedding calibration row for the lossy PQ tier's
+    // published recall).
+    val geom = sys.env.getOrElse("SPARK_GRAFT_ANN_GEOM", "clustered")
     val emb =
       if (synthN > 0) {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_${synthN}_$synthDim"
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-          // clustered geometry (like real embeddings): 256 latent centers +
-          // small noise. Uniform random high-dim data has no neighborhood
-          // structure and defeats ANY pruning index.
-          spark.range(synthN)
+        // _v2: carries a scalar `label` column for the filtered-serving row
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_v2_${geom}_${synthN}_$synthDim"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+          val base = spark.range(synthN)
             .withColumn("c", pmod(xxhash64(col("id")), lit(256)))
-            .select(col("id").as("vec_id"),
+          val vec =
+            if (geom == "shell")
+              // uniform-cube direction normalized to the sphere, radius
+              // jittered ±2.5% — no sub-resolution clustering anywhere
+              transform(graft.functions.l2_normalize(
+                transform(sequence(lit(1), lit(synthDim)), i =>
+                  (pmod(xxhash64(col("id") * synthDim + i), lit(2000)) / 1000.0 - 1.0)
+                    .cast("float"))),
+                x => (x * (lit(1.0) + pmod(xxhash64(col("id") + 13), lit(100)) / 2000.0))
+                  .cast("float"))
+            else
               transform(sequence(lit(1), lit(synthDim)), i =>
                 ((pmod(xxhash64(col("c") * synthDim + i), lit(2000)) / 1000.0 - 1.0) +
                   (pmod(xxhash64(col("id") * synthDim + i), lit(2000)) / 10000.0 - 0.1))
                   .cast("float"))
-                .as("embedding"))
+          base.select(col("id").as("vec_id"),
+              pmod(xxhash64(col("id") + 7), lit(10)).as("label"),
+              vec.as("embedding"))
             .repartition(32).write.mode("overwrite").parquet(path)
+        }
         spark.read.parquet(path)
       } else spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     val n = emb.count()
@@ -127,6 +145,25 @@ object AnnBench {
     val batchAnnRecall = exact.zipWithIndex.map { case (e, i) =>
       e.toSet.intersect(batchAnnGot(i.toLong).toSet).size.toDouble / e.size
     }.sum / exact.length
+
+    // recall-targeted auto-probe (probeSetForRecall): the geometric probe
+    // bound at declared targets — 1.0 is proven exact (usually far fewer
+    // probes than a full scan), t < 1 proves recall >= t. qps is the job
+    // path; avg_probes shows how hard the bound prunes on this geometry.
+    val autoRows = Seq(1.0, 0.9, 0.5).map { t =>
+      val probesAvg = queries.map(q =>
+        idx.probeSetForRecall(q, 10, t).length).sum.toDouble / queries.length
+      idx.searchAuto("embedding", queries.head, 10, t).collect() // warm
+      val ta = System.nanoTime()
+      val got = queries.map(q => idx.searchAuto("embedding", q, 10, t)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+      val sec = (System.nanoTime() - ta) / 1e9
+      val rec = exact.zip(got).map { case (e, a) =>
+        e.toSet.intersect(a.toSet).size.toDouble / e.size
+      }.sum / exact.length
+      f"""{"target":$t%.2f,"avg_probes":$probesAvg%.1f,""" +
+        f""""qps":${queries.length / sec}%.2f,"recall_at_10":$rec%.4f}"""
+    }
 
     // int8-rerank JOB mode: the candidate cut reads ONLY the persisted
     // codes+scales of the probed clusters (a quarter of the vector bytes;
@@ -306,6 +343,72 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
+    // BATCH serving off the code-resident tiers: the same shared-sweep
+    // amortization the float batch shows, on 16-bit and m-byte rows — the
+    // sweep reads each row's codes once per batch, every query pays only
+    // its own arithmetic (lut lookups / fused dots)
+    val tqb = System.nanoTime()
+    val bqserveDeadline = tqb + 10L * 1000 * 1000 * 1000
+    var bqserveQueries = 0L
+    var bqGot: Array[(Long, Option[(Array[(Long, Double)], Int)])] = null
+    while (bqserveQueries == 0L || System.nanoTime() < bqserveDeadline) {
+      bqGot = idx.servePointQuantizedBatchDetail("embedding", batchServeQs,
+        10, nProbe = 8)
+      bqserveQueries += batchServeQs.length
+    }
+    val bqserveSec = (System.nanoTime() - tqb) / 1e9
+    val bqserveRecall = exact.zipWithIndex.map { case (e, i) =>
+      val a = bqGot(i)._2.map(_._1.map(_._1).toSeq).getOrElse(Nil)
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+    val tpb = System.nanoTime()
+    val bpqserveDeadline = tpb + 10L * 1000 * 1000 * 1000
+    var bpqserveQueries = 0L
+    var bpqGot: Array[(Long, Option[(Array[(Long, Double)], Int)])] = null
+    while (bpqserveQueries == 0L || System.nanoTime() < bpqserveDeadline) {
+      bpqGot = idx.servePointPqBatchDetail("embedding", batchServeQs,
+        10, nProbe = 8)
+      bpqserveQueries += batchServeQs.length
+    }
+    val bpqserveSec = (System.nanoTime() - tpb) / 1e9
+    val bpqserveRecall = exact.zipWithIndex.map { case (e, i) =>
+      val a = bpqGot(i)._2.map(_._1.map(_._1).toSeq).getOrElse(Nil)
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
+    // ATTRIBUTE-FILTERED serving: `label >= 5` evaluated exactly in the
+    // sweep off the resident scalar column (servePointFiltered); recall is
+    // measured against the FILTERED exact top-10. The first serve pays the
+    // scalar cold load + passing-set build; repeats hit the passing-set
+    // cache — both inside the timed window, like the other serve rows.
+    idx.setServeFilterColumns(Seq("label"))
+    val fconds = Seq(graft.filter.SimpleConjuncts.Cond("label", ">=",
+      graft.filter.SimpleConjuncts.NumLit(5.0, isInt = true)))
+    val exactFiltered = queries.map(q =>
+      emb.filter(col("label") >= 5)
+        .withColumn("d", l2sqr_distance(col("embedding"), lit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    queries.foreach(q =>
+      idx.servePointFiltered("embedding", q, 10, nProbe = 8, fconds))
+    val tf = System.nanoTime()
+    val fserveDeadline = tf + 10L * 1000 * 1000 * 1000
+    var fserveQueries = 0L
+    while (fserveQueries == 0L || System.nanoTime() < fserveDeadline) {
+      var qi = 0
+      while (qi < queries.length) {
+        idx.servePointFiltered("embedding", queries(qi), 10, nProbe = 8, fconds).get
+        qi += 1
+      }
+      fserveQueries += queries.length
+    }
+    val fserveSec = (System.nanoTime() - tf) / 1e9
+    val fserveRecall = exactFiltered.zip(queries.map(q =>
+      idx.servePointFiltered("embedding", q, 10, nProbe = 8, fconds)
+        .get.map(_._1).toSeq)).map {
+      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
+    }.sum / exactFiltered.length
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -372,8 +475,15 @@ object AnnBench {
       f""""pqserve_cert_qps":${pqCertQueries / pqCertSec}%.2f,""" +
       f""""pqserve_cert_recall_at_10":$pqCertRecall%.4f,""" +
       f""""pqserve_reranks":${idx.pqRerankCount()},""" +
+      f""""bqserve_qps":${bqserveQueries / bqserveSec}%.2f,""" +
+      f""""bqserve_recall_at_10":$bqserveRecall%.4f,""" +
+      f""""bpqserve_qps":${bpqserveQueries / bpqserveSec}%.2f,""" +
+      f""""bpqserve_recall_at_10":$bpqserveRecall%.4f,""" +
+      f""""fserve_qps":${fserveQueries / fserveSec}%.2f,""" +
+      f""""fserve_recall_at_10":$fserveRecall%.4f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
+      s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geom",""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -220,6 +220,20 @@ object Queries {
         .select(col("vec_id"))
     }),
 
+    // Recall-targeted auto-probe: probeSetForRecall's geometric bound at
+    // target 1.0 must reproduce the EXACT top-10 while choosing its own
+    // probe set (ball-pruning off persisted per-cluster radii) — the
+    // driver value-checks it against the brute-force oracle.
+    "v5_auto_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfauto_${math.abs(dir.hashCode)}"
+      val idx = graft.index.IvfIndex.build(s, emb, "embedding", "vec_id", path,
+        graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+      idx.searchAuto("embedding", SparkEntry.queryVectorOf(s, dir), k = 10,
+          recallTarget = 1.0)
+        .select(col("vec_id"))
+    }),
+
     // V5: IVF ANN search, emitted as a deterministic VERDICT row: the
     // probe-pruned cut starts at nProbe=4 of 8 clusters and WIDENS the
     // probe until recall@10 vs the in-query exact top-10 reaches 0.9 —
@@ -684,6 +698,9 @@ object Queries {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_ann_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_ok",
+    "v5_auto_probe" ->
+      s"""SELECT vec_id FROM embeddings
+         |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v9_search_by_content" ->
       s"""SELECT vec_id, label FROM embeddings
          |ORDER BY ${sqlCosDist("embedding", V9Q)} ASC, vec_id ASC LIMIT 10""".stripMargin,

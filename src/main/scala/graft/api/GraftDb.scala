@@ -438,13 +438,14 @@ class GraftDb(val spark: SparkSession, val root: String,
     * `{"results":[<single-query response>, ...]}` in input order, each
     * entry exactly what the single-query endpoint would have returned.
     *
-    * With `"serve":true` on the default (all-float) tier the batch rides
-    * [[graft.index.IvfIndex.servePointBatch]]: one snapshot handshake, one
-    * union cold load, one shared row sweep. Queries the serve tier
-    * declines fall back to the job path INDIVIDUALLY — batch membership
-    * never changes any query's serve-or-decline outcome. The quantized/pq
-    * opt-in tiers and sparse queries run per query (their proof paths are
-    * per-query by construction). */
+    * With `"serve":true` the batch rides the tier's shared sweep — float
+    * ([[graft.index.IvfIndex.servePointBatch]]), 16-bit
+    * (`servePointQuantizedBatchDetail`) or PQ (`servePointPqBatchDetail`):
+    * one snapshot handshake, one union cold load, one shared row sweep;
+    * certification (and its rare wider-pad retries) runs per query.
+    * Queries the serve tier declines fall back to the job path
+    * INDIVIDUALLY — batch membership never changes any query's
+    * serve-or-decline outcome. Sparse queries run per query. */
   private def batchQuery(req: JValue, vs: List[JValue]): String = {
     val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
     val quantized = (req \ "quantized") match { case JBool(b) => b; case _ => false }
@@ -456,9 +457,9 @@ class GraftDb(val spark: SparkSession, val root: String,
       case _ => false
     }
     val servedUp: Array[Option[String]] =
-      if (serve && !quantized && !pq && denseOk)
+      if (serve && denseOk)
         serveBatch(req, vs.map { case JArray(xs) => xs.map(num(_).toFloat).toArray
-          case _ => Array.empty[Float] }.toArray)
+          case _ => Array.empty[Float] }.toArray, quantized, pq)
       else Array.fill(vs.length)(None)
     val fields = req match { case JObject(fs) => fs; case _ => Nil }
     val out = vs.zipWithIndex.map { case (v, i) =>
@@ -704,7 +705,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     * `None` = that query falls to its single-query path (same outcome it
     * would have had alone); all-`None` = the shared handshake itself
     * declined (no index, over-cap tail, tombstone mask over cap). */
-  private def serveBatch(req: JValue, dense: Array[Array[Float]])
+  private def serveBatch(req: JValue, dense: Array[Array[Float]],
+      quantized: Boolean = false, pq: Boolean = false)
       : Array[Option[String]] = {
     val allNone: Array[Option[String]] = Array.fill(dense.length)(None)
     // filtered/faceted batches decline the SHARED serve path: the
@@ -743,12 +745,22 @@ class GraftDb(val spark: SparkSession, val root: String,
           }
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
-          val got = idx.servePointBatch(queryField,
-            dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }, k, np,
-            exclude = tombs.contains, freshTail = tail)
+          val certified = (req \ "certified") match {
+            case JBool(b) => b; case _ => false
+          }
+          val qs = dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+          val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+            if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
+              exclude = tombs.contains, freshTail = tail, certify = certified)
+            else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
+              qs, k, np, exclude = tombs.contains, freshTail = tail,
+              certify = certified)
+            else idx.servePointBatch(queryField, qs, k, np,
+              exclude = tombs.contains, freshTail = tail)
+              .map { case (qid, r) => (qid, r.map((_, 0))) }
           if (idx.servingWatermark() == pin) {
             return got.map { case (_, res) =>
-              res.map { hits =>
+              res.map { case (hits, reranked) =>
                 val sb = new java.lang.StringBuilder("{\"result\":[")
                 var i = 0
                 while (i < hits.length) {
@@ -757,7 +769,17 @@ class GraftDb(val spark: SparkSession, val root: String,
                     .append(",\"@distance\":").append(hits(i)._2).append('}')
                   i += 1
                 }
-                sb.append("],\"served\":true}")
+                sb.append("],\"served\":true")
+                if (pq) {
+                  sb.append(",\"pq\":true")
+                  if (certified) sb.append(",\"certified\":true")
+                  if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+                } else if (quantized) {
+                  sb.append(",\"quantized\":true")
+                  if (certified) sb.append(",\"certified\":true")
+                  if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+                }
+                sb.append('}')
                 sb.toString
               }
             }
@@ -1059,10 +1081,19 @@ class GraftDb(val spark: SparkSession, val root: String,
       }
     }
     val useAnn = (req \ "ann") match { case JBool(b) => b; case _ => false }
+    // "recallTarget": recall-targeted auto-probe (probeSetForRecall) —
+    // 1.0 = proven exact, t < 1 = proven recall@k >= t; only meaningful
+    // with "ann":true on a dense field
+    val recallTarget = (req \ "recallTarget") match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case _ => None
+    }
     val unbounded = (req \ "unbounded") match { case JBool(b) => b; case _ => false }
     val facets = if (skipFacets) Nil else parseFacets(req \ "facets")
     if (useAnn) {
-      val cut0 = queryAnnCut(st, queryField, qv, limit, filter)
+      val cut0 = queryAnnCut(st, queryField, qv, limit, filter, recallTarget)
       // facets aggregate the post-limit result, same as the exact path;
       // cache so each facet doesn't redo the pruned scan (small: <= limit
       // rows) — released by the cleanup thunk after rendering
@@ -1281,7 +1312,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     * newer than the index watermark; tombstones are anti-joined away
     * (vec_search_executor.cpp:885-928 analog). */
   private def queryAnnCut(st: graft.store.TableStore, queryField: String,
-      qv: QueryVector, limit: Int, filter: String): org.apache.spark.sql.DataFrame = {
+      qv: QueryVector, limit: Int, filter: String,
+      recallTarget: Option[Double] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val rowId = graft.store.TableStore.RowId
     val path = s"$root/${st.schema.name}/ivf_$queryField"
@@ -1353,6 +1385,22 @@ class GraftDb(val spark: SparkSession, val root: String,
     val stale = idx.indexedPurgeGen() < st.purgeGen()
     val tombs = if (stale) None else st.tombstoneIds()
     val liveIds = if (stale) Some(live.select(col(rowId))) else None
+    // recall-targeted auto-probe: geometric probe selection with the
+    // declared floor (target 1.0 proven exact). Needs the tombstone
+    // CARDINALITY for the cover slack (the driver-side capped set); an
+    // over-cap set, a purge-stale index, or an attribute filter (whose
+    // per-cluster selectivity the bound can't see) fall back to the
+    // fixed-probe widening path below.
+    if (recallTarget.isDefined && filter.isEmpty && !stale) {
+      tombstoneSet(st) match {
+        case Some(ts) =>
+          return idx.searchAuto(queryField, dense, limit,
+            recallTarget.get, freshTail = Some(tail), preFilter = None,
+            excludeIds = tombs, restrictIds = None, slack = ts.size.toLong)
+            .drop("cluster")
+        case None => ()
+      }
+    }
     val nClusters = idx.centroids().length
     var nProbe = math.min(8, nClusters)
     var cut = idx.search(queryField, dense, limit, nProbe,

@@ -54,6 +54,7 @@ class IvfIndex(
   def centroidsPath = s"$path/centroids"
   def dataPath = s"$path/clustered"
   def statsPath = s"$path/cluster_stats"
+  def radiiPath = s"$path/cluster_radii"
   def metaPath = s"$path/ivf_meta.json"
   def pqPath = s"$path/pq_codebook"
 
@@ -73,6 +74,7 @@ class IvfIndex(
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
   @transient private var clusterStatsCache: Option[Map[Int, Long]] = null
+  @transient private var clusterRadiiCache: Option[Map[Int, Double]] = null
   @transient private var pqCbKey: (Long, Long) = null
   @transient private var pqCbCache: Option[PqCodebook] = null
   @transient private var pqResCache: java.lang.Boolean = null
@@ -98,6 +100,7 @@ class IvfIndex(
       // warm serving path for data that did not change
       clusteredCache = null
       clusterStatsCache = null // appends change per-cluster counts
+      clusterRadiiCache = null // appends can widen per-cluster radii
       val key = (s._4, s._3) // (gen, purge)
       if (key != centroidKey) { centroidKey = key; centroidCache = null }
       if (key != pqCbKey) { pqCbKey = key; pqCbCache = null; pqResCache = null }
@@ -156,6 +159,84 @@ class IvfIndex(
       if (cachedStamp == stampAt && clusterStatsCache == null) clusterStatsCache = loaded
       if (clusterStatsCache != null) clusterStatsCache else loaded
     }
+  }
+
+  /** Per-cluster ball radii (max TRUE L2 distance of any member to its
+    * centroid), persisted at build/append as append-mode rows maxed at
+    * read — the geometric half of the recall-targeted probe selection
+    * (`probeSetForRecall`). None = layout predates radii (or a rebuild
+    * races the read); callers fall back to probing everything. */
+  def clusterRadii(): Option[Map[Int, Double]] = {
+    var stampAt: (Long, Long, Long, Long) = null
+    synchronized {
+      refreshIfStale()
+      if (clusterRadiiCache != null) return clusterRadiiCache
+      stampAt = cachedStamp
+    }
+    val loaded: Option[Map[Int, Double]] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) None
+      else scala.util.Try {
+        spark.read.parquet(radiiPath)
+          .groupBy(col("cluster")).agg(max(col("r")).as("r"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      }.toOption
+    synchronized {
+      refreshIfStale()
+      if (cachedStamp == stampAt && clusterRadiiCache == null) clusterRadiiCache = loaded
+      if (clusterRadiiCache != null) clusterRadiiCache else loaded
+    }
+  }
+
+  /** Probe set PROVING recall ≥ `target` at cut `k`, from centroid
+    * distances + persisted ball radii + row counts — the recall knob the
+    * reference exposes as a fixed nProbe, made geometric:
+    *
+    * With d_c = ‖q − centroid_c‖₂ and radius r_c, every row of c has true
+    * distance within [d_c − r_c, d_c + r_c] (triangle inequality). Take
+    * clusters by ascending UPPER bound until their counts cover
+    * ⌈target·k⌉ rows — the worst of those upper bounds, U, bounds the
+    * true ⌈target·k⌉-th best distance. Any cluster with d_c − r_c > U
+    * provably holds none of the top ⌈target·k⌉, so probing the rest
+    * returns AT LEAST the exact top-⌈target·k⌉ ⇒ recall@k ≥ target;
+    * target 1.0 is fully exact (the brute-force-threshold spirit of
+    * vec_search_executor.hpp:28, without the fixed threshold).
+    *
+    * Euclidean bounds directly; cosine rides the same L2 geometry (rows
+    * are stored normalized, and cosine top-k of unit vectors == L2
+    * top-k). Dot product has no triangle inequality → probe everything.
+    * Clusters with unknown radius/count are always probed and never
+    * tighten U (partial radii stay conservative). `slack` widens the
+    * cover target (callers add their tombstone count: masked rows might
+    * occupy the cover, pushing true answers past U otherwise). */
+  def probeSetForRecall(query: Array[Float], k: Int, target: Double = 1.0,
+      slack: Long = 0L): Array[Int] = {
+    val cents = centroids()
+    val all = cents.map(_._1)
+    if (metric == MetricType.DotProduct) return all
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    val radii = clusterRadii().getOrElse(return all)
+    val counts = clusterStats().getOrElse(return all)
+    val kGoal = math.max(1L, math.ceil(target * k).toLong) + slack
+    val ds = cents.map { case (cid, c) =>
+      (cid, math.sqrt(IvfIndex.dist(MetricType.Euclidean, c, q)))
+    }
+    val known = ds.filter { case (cid, _) =>
+      radii.contains(cid) && counts.contains(cid)
+    }
+    if (known.isEmpty) return all
+    val byUb = known.map { case (cid, d) => (cid, d + radii(cid), counts(cid)) }
+      .sortBy(_._2)
+    var cum = 0L
+    var u = Double.PositiveInfinity
+    var i = 0
+    while (i < byUb.length && cum < kGoal) {
+      cum += byUb(i)._3; u = byUb(i)._2; i += 1
+    }
+    if (cum < kGoal) return all // fewer certain rows than the cover needs
+    ds.filter { case (cid, d) =>
+      !radii.contains(cid) || !counts.contains(cid) || d - radii(cid) <= u
+    }.map(_._1)
   }
 
   /** Old-layout fallback for the serving cardinality guard: one pruned
@@ -292,6 +373,13 @@ class IvfIndex(
           .agg(count(lit(1)).as("cnt"))
           .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(statsPath)
+      // radius delta: appended rows can sit farther from the (frozen)
+      // centroid than any build row — the probe bound must widen with
+      // them. Only on layouts whose build wrote radii (see writeRadii).
+      if (metric != MetricType.DotProduct &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath)))
+        IvfIndex.writeRadii(spark, path, vecCol,
+          org.apache.spark.sql.SaveMode.Append, Some(assigned))
       val (wm, cnt, purge) = meta()
       IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge,
         base = IvfIndex.readBase(metaPath), gen = IvfIndex.readGen(metaPath))
@@ -329,6 +417,33 @@ class IvfIndex(
       .sortBy { case (_, d) => d }
       .take(nProbe)
       .map(_._1)
+    searchProbed(vecCol, q, k, probed, freshTail, preFilter, excludeIds,
+      restrictIds)
+  }
+
+  /** Recall-targeted ANN top-K: the probe set is picked geometrically by
+    * [[probeSetForRecall]] instead of a fixed nProbe — target 1.0 is
+    * PROVEN exact (and usually probes far fewer clusters than a full
+    * probe), target t < 1 proves recall@k ≥ t. Pass the tombstone count
+    * as `slack` when masking via `excludeIds`. */
+  def searchAuto(vecCol: String, query: Array[Float], k: Int,
+      recallTarget: Double = 1.0,
+      freshTail: Option[DataFrame] = None,
+      preFilter: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None,
+      restrictIds: Option[DataFrame] = None,
+      slack: Long = 0L): DataFrame = {
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    searchProbed(vecCol, q, k, probeSetForRecall(query, k, recallTarget, slack),
+      freshTail, preFilter, excludeIds, restrictIds)
+  }
+
+  private def searchProbed(vecCol: String, q: Array[Float], k: Int,
+      probed: Array[Int],
+      freshTail: Option[DataFrame],
+      preFilter: Option[Column],
+      excludeIds: Option[DataFrame],
+      restrictIds: Option[DataFrame]): DataFrame = {
     val distCol = IvfIndex.distColumn(metric, col(vecCol), q)
     // cluster IN (...) prunes parquet row groups via the partition column
     val pruned = clustered()
@@ -1084,6 +1199,17 @@ class IvfIndex(
     if (clusters.length <= 1) clusters.map(f)
     else Await.result(Future.sequence(clusters.toSeq.map(c => Future(f(c)))),
       Duration.Inf).toArray
+  }
+
+  /** Generic concurrent map over immutable captured state (the batch
+    * tiers' shared sweeps — same pool model as `parScore`). */
+  private def parMap[A, B](items: Array[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    if (items.length <= 1) items.toSeq.map(f)
+    else Await.result(Future.sequence(items.toSeq.map(c => Future(f(c)))),
+      Duration.Inf)
   }
 
   /** The shared cut for the code-resident serving tiers (16-bit min-max
@@ -2129,6 +2255,411 @@ class IvfIndex(
     servePoint(vecCol, query, k, nProbe,
       id => exclude(id) || !pass.contains(id), None)
   }
+
+  // ---- batch serving for the code-resident tiers (16-bit + PQ) ----
+
+  /** Generic probe/budget/retry residency acquisition (the skeleton the
+    * single-query paths hand-roll; those stay as-is — they are pinned by
+    * existing specs — and the BATCH tiers share this one). `probeUnion`
+    * runs under the instance lock and returns the union of the batch's
+    * probe sets; `load` runs OUTSIDE the lock (it is a Spark job). None =
+    * over budget or thrash — the caller degrades per query. */
+  private def acquireResident[C](
+      cache: java.util.LinkedHashMap[Int, C],
+      rowsOf: C => Long,
+      getResident: () => Long, setResident: Long => Unit,
+      rowCap: Long,
+      probeUnion: () => Array[Int],
+      load: Array[Int] => Map[Int, C]): Option[Map[Int, C]] = {
+    var out: Map[Int, C] = null
+    var attempts = 0
+    while (out == null) {
+      attempts += 1
+      if (attempts > 8) return None
+      var w0AtProbe = 0L
+      var keyAtProbe: (Long, Long) = null
+      var union: Array[Int] = null
+      val missing: Array[Int] = synchronized {
+        ensureServeFresh()
+        w0AtProbe = serveWatermark
+        keyAtProbe = serveKey
+        union = probeUnion()
+        union.filterNot(cache.containsKey(_))
+      }
+      var loaded: Map[Int, C] = null
+      try {
+        if (missing.nonEmpty) {
+          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
+          val projected = missing.map(counts.getOrElse(_, 0L)).sum
+          val retained = synchronized {
+            union.filter(cache.containsKey(_))
+              .map(c => rowsOf(cache.get(c))).sum
+          }
+          if (projected + retained > rowCap) return None
+        }
+        loaded = if (missing.isEmpty) Map.empty else load(missing)
+      } catch { case scala.util.control.NonFatal(_) => }
+      if (loaded == null) {
+        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
+      } else synchronized {
+        ensureServeFresh()
+        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
+          loaded.foreach { case (cid, cluster) =>
+            val prev = cache.put(cid, cluster)
+            if (prev != null) setResident(getResident() - rowsOf(prev))
+            setResident(getResident() + rowsOf(cluster))
+          }
+        if (getResident() > rowCap) {
+          val it = cache.entrySet().iterator()
+          while (getResident() > rowCap && it.hasNext) {
+            val e = it.next()
+            if (!union.contains(e.getKey)) {
+              setResident(getResident() - rowsOf(e.getValue))
+              it.remove()
+            }
+          }
+        }
+        val got = union.map(cid => cid -> cache.get(cid))
+        if (!got.exists(_._2 == null)) out = got.toMap
+      }
+    }
+    Some(out)
+  }
+
+  /** Shared sweep of ONE quantized cluster for every query probing it:
+    * each row's 2·dim code bytes are read from RAM once per batch (the
+    * tier is RAM-bandwidth-bound at high dims, same rationale as the
+    * float `scoreClusterBatch`); the per-query FLOPs are unchanged.
+    * Returns per query the same (candidates, minDiscarded) the
+    * single-query kernel produces. */
+  private def scoreQuantClusterBatch(cluster: QuantCluster,
+      qds: Array[Array[Double]], qs: Array[Double], qss: Array[Double],
+      qabs: Array[Double], qIdxs: Array[Int], kPad: Int,
+      exclude: Long => Boolean)
+      : Array[(Int, (Array[(Long, Double, Double)], Double))] = {
+    val dim = qds(qIdxs(0)).length
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val nq = qIdxs.length
+    val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Long, Double, Double)](
+      math.min(math.max(1, kPad), 1024),
+      (a: (Long, Double, Double), b: (Long, Double, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      }))
+    val minDisc = Array.fill(nq)(Double.PositiveInfinity)
+    val ids = cluster.ids
+    val codes = cluster.codes
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        val a = cluster.scaleA(i)
+        val b = cluster.scaleB(i)
+        var t = 0
+        while (t < nq) {
+          val qi = qIdxs(t)
+          val qd = qds(qi)
+          var sdot = 0.0
+          var j = 0
+          while (j < dim) { sdot += codes(off + j) * qd(j); j += 1 }
+          val cdot = sdot + 32768.0 * qs(qi)
+          val dot = b * qs(qi) + a * cdot
+          val d =
+            if (l2Metric) cluster.norm2(i) - 2.0 * dot + qss(qi)
+            else if (cosMetric) 1.0 - dot
+            else -dot
+          val eDot = math.min(0.5 * a * qabs(qi),
+            math.sqrt(qss(qi)) * cluster.rerr2(i))
+          val e = if (l2Metric) 2.0 * eDot else eDot
+          val heap = heaps(t)
+          if (heap.size < kPad) heap.add((ids(i), d, e))
+          else {
+            val worst = heap.peek()
+            if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+              val ev = heap.poll()
+              if (ev._2 - ev._3 < minDisc(t)) minDisc(t) = ev._2 - ev._3
+              heap.add((ids(i), d, e))
+            } else if (d - e < minDisc(t)) minDisc(t) = d - e
+          }
+          t += 1
+        }
+      }
+      i += 1
+      off += dim
+    }
+    qIdxs.zipWithIndex.map { case (qi, t) =>
+      val heap = heaps(t)
+      val out = new Array[(Long, Double, Double)](heap.size)
+      var n = out.length - 1
+      while (n >= 0) { out(n) = heap.poll(); n -= 1 }
+      (qi, (out, minDisc(t)))
+    }
+  }
+
+  /** Shared sweep of ONE PQ cluster for every query probing it: each
+    * row's m code bytes are read once per batch; each query pays its own
+    * m table lookups. `luts(qi)`/`consts(qi)` are that query's shared
+    * scoring lut and this CLUSTER's constant (resolved by the caller). */
+  private def scorePqClusterBatch(cluster: PqServeCluster,
+      luts: Array[Array[Double]], consts: Array[Double],
+      errScales: Array[Double], m: Int, ksub: Int,
+      qIdxs: Array[Int], kPad: Int, exclude: Long => Boolean)
+      : Array[(Int, (Array[(Long, Double, Double)], Double))] = {
+    val l2Metric = metric == MetricType.Euclidean
+    val cosMetric = metric == MetricType.Cosine
+    val nq = qIdxs.length
+    val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Long, Double, Double)](
+      math.min(math.max(1, kPad), 1024),
+      (a: (Long, Double, Double), b: (Long, Double, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+      }))
+    val minDisc = Array.fill(nq)(Double.PositiveInfinity)
+    val ids = cluster.ids
+    val codes = cluster.codes
+    var i = 0
+    var off = 0
+    while (i < ids.length) {
+      if (!exclude(ids(i))) {
+        val rowC = cluster.rowConst(i)
+        val er = cluster.err(i)
+        var t = 0
+        while (t < nq) {
+          val qi = qIdxs(t)
+          val lut = luts(qi)
+          var adc = consts(qi) + rowC
+          var sub = 0
+          while (sub < m) {
+            adc += lut(sub * ksub + (codes(off + sub) & 0xff)); sub += 1
+          }
+          val d =
+            if (l2Metric) adc
+            else if (cosMetric) 1.0 + adc
+            else adc
+          val e =
+            if (l2Metric) 2.0 * math.sqrt(math.max(adc, 0.0)) * er + er * er
+            else errScales(qi) * er
+          val heap = heaps(t)
+          if (heap.size < kPad) heap.add((ids(i), d, e))
+          else {
+            val worst = heap.peek()
+            if (d < worst._2 || (d == worst._2 && ids(i) < worst._1)) {
+              val ev = heap.poll()
+              if (ev._2 - ev._3 < minDisc(t)) minDisc(t) = ev._2 - ev._3
+              heap.add((ids(i), d, e))
+            } else if (d - e < minDisc(t)) minDisc(t) = d - e
+          }
+          t += 1
+        }
+      }
+      i += 1
+      off += m
+    }
+    qIdxs.zipWithIndex.map { case (qi, t) =>
+      val heap = heaps(t)
+      val out = new Array[(Long, Double, Double)](heap.size)
+      var n = out.length - 1
+      while (n >= 0) { out(n) = heap.poll(); n -= 1 }
+      (qi, (out, minDisc(t)))
+    }
+  }
+
+  /** Batch serving off the 16-bit quantized residency: one handshake, one
+    * union cold load, one SHARED row sweep; per-query results equal
+    * `servePointQuantizedDetail`'s (same probes, scores, bounds, proof —
+    * certification runs per query over its per-cluster candidates, and a
+    * proof retry at a wider pad re-sweeps that query alone). Per-query
+    * None = that query declines; union-over-budget / mixed dims degrade
+    * to per-query calls, never a batch-wide decline. */
+  def servePointQuantizedBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
+    if (queries.isEmpty) return Array.empty
+    def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+      queries.map { case (qid, raw) =>
+        (qid, servePointQuantizedDetail(vecCol, raw, k, nProbe, exclude,
+          freshTail, certify))
+      }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim)) return fallback()
+    if (centroids().headOption.exists(_._2.length != dim)) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    var probesPer: Array[Array[Int]] = null
+    val clusters = acquireResident[QuantCluster](
+      quantCache, _.ids.length.toLong,
+      () => quantRowsResident, v => quantRowsResident = v,
+      effectiveMaxQuantRows(dim),
+      () => {
+        val cents = centroids()
+        probesPer = qsArr.map { q =>
+          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+        }
+        probesPer.flatten.distinct
+      },
+      missing => loadQuantClusters(vecCol, missing)) match {
+      case Some(m) => m
+      case None => return fallback()
+    }
+    val qds = qsArr.map { q =>
+      val a = new Array[Double](dim); var i = 0
+      while (i < dim) { a(i) = q(i).toDouble; i += 1 }; a
+    }
+    val qsSum = new Array[Double](qds.length)
+    val qss = new Array[Double](qds.length)
+    val qabs = new Array[Double](qds.length)
+    for (qi <- qds.indices) {
+      var s = 0.0; var ss = 0.0; var ab = 0.0; var i = 0
+      while (i < dim) {
+        s += qds(qi)(i); ss += qds(qi)(i) * qds(qi)(i)
+        ab += math.abs(qds(qi)(i)); i += 1
+      }
+      qsSum(qi) = s; qss(qi) = ss; qabs(qi) = ab
+    }
+    // per-query exact tail triples via the shared float sweep
+    val tails: Array[Array[(Long, Double, Double)]] = freshTail match {
+      case Some(t) =>
+        val byQ = IvfIndex.scoreClusterBatch(t, qds, qss, qds.indices.toArray,
+          k, metric, exclude).toMap
+        qds.indices.toArray.map(qi =>
+          byQ.getOrElse(qi, Array.empty[(Long, Double)]).map(c => (c._1, c._2, 0.0)))
+      case None => qds.indices.toArray.map(_ => Array.empty[(Long, Double, Double)])
+    }
+    // shared sweep at the proof's FIRST pad; wider retry pads (rare —
+    // heap-discard violations only) re-sweep that query alone
+    val pad0 = if (certify) k + 16 else k
+    val byCluster: Array[(Int, Array[Int])] = probesPer.zipWithIndex
+      .flatMap { case (ps, qi) => ps.map(c => (c, qi)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }.toArray
+    val swept: Map[(Int, Int), (Array[(Long, Double, Double)], Double)] =
+      parMap(byCluster) { case (cid, qIdxs) =>
+        scoreQuantClusterBatch(clusters(cid), qds, qsSum, qss, qabs,
+          qIdxs, pad0, exclude).map { case (qi, r) => ((cid, qi), r) }
+      }.flatten.toMap
+    queries.zipWithIndex.map { case ((qid, _), qi) =>
+      val cut = proofCut(kPad =>
+        if (kPad == pad0)
+          probesPer(qi).map(cid => swept((cid, qi)))
+        else
+          probesPer(qi).map(cid => scoreQuantCluster(clusters(cid), qds(qi),
+            qsSum(qi), qss(qi), qabs(qi), kPad, exclude)),
+        tails(qi), k, certify, vecCol, probesPer(qi), qds(qi), qss(qi),
+        quantReranks)
+      (qid, cut)
+    }
+  }
+
+  /** Batch serving off the PQ residency: same shape as the quantized
+    * batch — the m-byte code rows are swept once for all queries probing
+    * their cluster; each query keeps its own shared-lut decomposition
+    * (the lut is per QUERY, the code read is per batch — exactly the
+    * amortization the tier doc promises). */
+  def servePointPqBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
+    if (queries.isEmpty) return Array.empty
+    def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+      queries.map { case (qid, raw) =>
+        (qid, servePointPqDetail(vecCol, raw, k, nProbe, exclude,
+          freshTail, certify))
+      }
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => queries.foreach(_ => decline)
+        return queries.map { case (qid, _) => (qid, None) }
+    }
+    if (!clustered().columns.contains("__pqerr")) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim) || dim != cb.dim) return fallback()
+    var probesPer: Array[Array[Int]] = null
+    val clusters = acquireResident[PqServeCluster](
+      pqCache, _.ids.length.toLong,
+      () => pqRowsResident, v => pqRowsResident = v,
+      effectiveMaxPqRows(cb.m),
+      () => {
+        val cents = centroids()
+        probesPer = qsArr.map { q =>
+          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+        }
+        probesPer.flatten.distinct
+      },
+      missing => loadPqClusters(missing, cb.m)) match {
+      case Some(m) => m
+      case None => return fallback()
+    }
+    val qds = qsArr.map { q =>
+      val a = new Array[Double](dim); var i = 0
+      while (i < dim) { a(i) = q(i).toDouble; i += 1 }; a
+    }
+    val qss = qds.map { a =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }; s
+    }
+    val errScales = qss.map(math.sqrt)
+    val tails: Array[Array[(Long, Double, Double)]] = freshTail match {
+      case Some(t) =>
+        val byQ = IvfIndex.scoreClusterBatch(t, qds, qss, qds.indices.toArray,
+          k, metric, exclude).toMap
+        qds.indices.toArray.map(qi =>
+          byQ.getOrElse(qi, Array.empty[(Long, Double)]).map(c => (c._1, c._2, 0.0)))
+      case None => qds.indices.toArray.map(_ => Array.empty[(Long, Double, Double)])
+    }
+    // per-query shared-lut decomposition over ITS probe set
+    val lutsPer = qsArr.indices.map(qi =>
+      pqServeLuts(cb, probesPer(qi), qsArr(qi))).toArray
+    val pad0 = if (certify) k + 16 else k
+    val byCluster: Array[(Int, Array[Int])] = probesPer.zipWithIndex
+      .flatMap { case (ps, qi) => ps.map(c => (c, qi)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }.toArray
+    def constOf(qi: Int, cid: Int): Double = {
+      val (lutIds, _, consts) = lutsPer(qi)
+      consts(java.util.Arrays.binarySearch(lutIds, cid))
+    }
+    val swept: Map[(Int, Int), (Array[(Long, Double, Double)], Double)] =
+      parMap(byCluster) { case (cid, qIdxs) =>
+        val luts = new Array[Array[Double]](qds.length)
+        val consts = new Array[Double](qds.length)
+        qIdxs.foreach { qi => luts(qi) = lutsPer(qi)._2; consts(qi) = constOf(qi, cid) }
+        scorePqClusterBatch(clusters(cid), luts, consts, errScales,
+          cb.m, cb.ksub, qIdxs, pad0, exclude)
+          .map { case (qi, r) => ((cid, qi), r) }
+      }.flatten.toMap
+    queries.zipWithIndex.map { case ((qid, _), qi) =>
+      val cut = proofCut(kPad =>
+        if (kPad == pad0)
+          probesPer(qi).map(cid => swept((cid, qi)))
+        else {
+          val (lutIds, lut, consts) = lutsPer(qi)
+          probesPer(qi).map { cid =>
+            scorePqCluster(clusters(cid), lut,
+              consts(java.util.Arrays.binarySearch(lutIds, cid)),
+              cb.m, cb.ksub, errScales(qi), kPad, exclude)
+          }
+        },
+        tails(qi), k, certify, vecCol, probesPer(qi), qds(qi), qss(qi),
+        pqReranks)
+      (qid, cut)
+    }
+  }
 }
 
 object IvfIndex {
@@ -2156,6 +2687,24 @@ object IvfIndex {
     * centroids and land one small file batch each — both must be undone
     * eventually). */
   val MaxAppendFraction = 0.5
+
+  /** Per-cluster max true L2 distance to the centroid, written to
+    * `cluster_radii` — `onlyRows` = an append batch's delta rows (Append
+    * mode; the reader maxes per cluster), None = the whole layout.
+    * Radii are only valid when EVERY row of a cluster is covered, so
+    * appends must skip layouts built before radii existed (a delta-only
+    * radius would UNDER-estimate and break the probe bound). */
+  private[index] def writeRadii(spark: SparkSession, path: String,
+      vecCol: String, mode: SaveMode, onlyRows: Option[DataFrame]): Unit = {
+    val centsDf = spark.read.parquet(s"$path/centroids")
+    val rows = onlyRows.getOrElse(spark.read.parquet(s"$path/clustered"))
+    rows.select(col("cluster").cast("int").as("cluster"), col(vecCol))
+      .join(broadcast(centsDf), Seq("cluster"))
+      .select(col("cluster"),
+        sqrt(graft.functions.l2sqr_distance(col(vecCol), col("centroid"))).as("r"))
+      .groupBy(col("cluster")).agg(max(col("r")).as("r"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/cluster_radii")
+  }
 
   /** Hand-parsed (the file is `{"watermark":N,"count":N,"purge":N}`):
     * meta() runs on EVERY index access as the freshness stamp, including
@@ -2368,6 +2917,11 @@ object IvfIndex {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // per-cluster ball radii for the recall-targeted probe bound
+    // (probeSetForRecall): one narrow pass over the fresh layout. Dot
+    // product has no triangle inequality — no radii, auto-probe declines.
+    if (metric != MetricType.DotProduct)
+      writeRadii(spark, path, vecCol, SaveMode.Overwrite, None)
     // a FULL build bumps the generation: serving residency must flush
     // (cluster membership changed), unlike appends which preserve it
     val prevGen =
@@ -2515,6 +3069,12 @@ object IvfIndex {
       .groupBy(col("cluster").cast("int").as("cluster"))
       .agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsPath)
+    // radii recount against the NEW centroid set (splits are rare
+    // maintenance events — one full narrow pass keeps every cluster's
+    // bound tight instead of tracking the moved rows incrementally)
+    if (metric != MetricType.DotProduct &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/cluster_radii")))
+      writeRadii(spark, path, vecCol, SaveMode.Overwrite, None)
     val (wm, cnt0, purge) = readMeta(metaFile)
     writeMeta(metaFile, wm, cnt0, purge, base = readBase(metaFile),
       gen = readGen(metaFile) + 1)

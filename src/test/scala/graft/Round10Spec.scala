@@ -312,6 +312,94 @@ class Round10Spec extends SparkSpec {
     assert(frac > 0.15 && frac < 0.25, s"realized fraction $frac")
   }
 
+  // ---- recall-targeted auto-probe (probeSetForRecall / searchAuto) ----
+
+  /** Clustered fixture where pruning genuinely bites: 8 well-separated
+    * blobs of 100 rows each (the probe bound should select ~1 blob). */
+  private def blobs(n: Int, idName: String = "id") = {
+    val rows = (0 until n).map { i =>
+      val c = i % 8
+      Row(i.toLong, Seq(c * 10.0f + (i % 13) * 0.01f, c * 10.0f,
+        (c % 3) * 10.0f, (i % 7) * 0.01f))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField(idName, LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  test("auto-probe target 1.0 is exact AND prunes (radii bound), across queries and appends") {
+    val df = blobs(800)
+    val path = tmpDir("r10_autoprobe")
+    val idx = graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 5)
+    val nAll = idx.centroids().length
+    assert(idx.clusterRadii().isDefined, "build must persist radii")
+    def exactIds(q: Array[Float]): Seq[Long] =
+      idx.search("vec", q, 10, nProbe = nAll)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+    var prunedOnce = false
+    for (ci <- 0 until 8) {
+      val q = Array(ci * 10.0f + 0.03f, ci * 10.0f, (ci % 3) * 10.0f, 0.02f)
+      val probes = idx.probeSetForRecall(q, 10, 1.0)
+      if (probes.length < nAll) prunedOnce = true
+      val auto = idx.searchAuto("vec", q, 10)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(auto == exactIds(q), s"blob $ci: auto-probe lost exactness")
+    }
+    assert(prunedOnce, "target 1.0 never pruned — the bound is vacuous on this fixture")
+    // appends widen radii: a far-out row joins cluster near blob 0; the
+    // bound must now probe enough to still find it exactly
+    val far = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9000L, Seq(5.0f, 5.0f, 5.0f, 0.0f))), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    assert(idx.append(far, "vec") == 1L)
+    val q2 = Array(5.0f, 5.0f, 5.0f, 0.0f)
+    val auto2 = idx.searchAuto("vec", q2, 10)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(auto2 == exactIds(q2), "post-append auto-probe lost exactness")
+    assert(auto2.contains(9000L))
+  }
+
+  test("auto-probe target < 1 proves the recall floor and probes fewer clusters") {
+    val df = blobs(800)
+    val path = tmpDir("r10_autoprobe_t")
+    val idx = graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 5)
+    val nAll = idx.centroids().length
+    // a query BETWEEN blobs so the true top-10 spans >= 2 clusters
+    val q = Array(5.0f, 5.0f, 5.0f, 0.0f)
+    val exact = idx.search("vec", q, 10, nProbe = nAll)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val pFull = idx.probeSetForRecall(q, 10, 1.0)
+    val pHalf = idx.probeSetForRecall(q, 10, 0.5)
+    assert(pHalf.length <= pFull.length)
+    val half = idx.searchAuto("vec", q, 10, recallTarget = 0.5)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val recall = exact.toSet.intersect(half.toSet).size / 10.0
+    assert(recall >= 0.5, s"declared floor violated: $recall")
+    // dot product: no triangle bound — auto-probe degenerates to all
+    val dotIdx = graft.index.IvfIndex.build(spark, df, "vec", "id",
+      tmpDir("r10_autoprobe_dot"), graft.types.MetricType.DotProduct,
+      nClusters = 8, maxIter = 3)
+    assert(dotIdx.probeSetForRecall(q, 10, 1.0).length ==
+      dotIdx.centroids().length)
+  }
+
+  test("recallTarget rides the query API's ann path (hash-equal to exact)") {
+    val db = fixtureDb("r10_autoprobe_api")
+    val m = rowIdToId(db)
+    val auto = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,"ann":true,
+         |"recallTarget":1.0,"response":["ID"]}""".stripMargin)
+    val exact = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,"response":["ID"]}""")
+    assert(resultIds(auto, "ID") == resultIds(exact, "ID"),
+      s"$auto vs $exact")
+  }
+
   // ---- sparse serve guard ----
 
   test("sparse serve declines filtered requests but serves unfiltered ones") {

@@ -122,6 +122,91 @@ class ServeBatchSpec extends SparkSpec {
     db
   }
 
+  // ---- code-resident tiers: the batch equals the single-query path ----
+
+  test("quantized batch equals per-query servePointQuantizedDetail (throughput + certified)") {
+    val idx = freshIndex("sb_q_eq")
+    val queries = Seq(5, 150, 333, 512, 789).map(i => (i.toLong, corpus(i)._2)).toArray
+    for (certify <- Seq(false, true)) {
+      val batch = idx.servePointQuantizedBatchDetail("embedding", queries,
+        k = 7, nProbe = 3, certify = certify)
+      queries.zip(batch).foreach { case ((qid, q), (gotQid, got)) =>
+        assert(gotQid == qid)
+        val single = idx.servePointQuantizedDetail("embedding", q, 7,
+          nProbe = 3, certify = certify)
+        assert(single.isDefined && got.isDefined, s"certify=$certify qid=$qid")
+        assert(got.get._1.toSeq == single.get._1.toSeq,
+          s"certify=$certify query $qid batch != single")
+      }
+    }
+    // certified mode returns the proven exact id set: equals the float tier
+    val certified = idx.servePointQuantizedBatchDetail("embedding", queries,
+      k = 7, nProbe = 8, certify = true)
+    queries.zip(certified).foreach { case ((_, q), (_, got)) =>
+      val exact = idx.servePoint("embedding", q, 7, nProbe = 8).get
+      assert(got.get._1.map(_._1).toSeq == exact.map(_._1).toSeq)
+    }
+  }
+
+  test("pq batch equals per-query servePointPqDetail; exclude + tail flow through") {
+    val idx = freshIndex("sb_pq_eq")
+    val queries = Seq(10, 200, 400, 700).map(i => (i.toLong, corpus(i)._2)).toArray
+    for (certify <- Seq(false, true)) {
+      val batch = idx.servePointPqBatchDetail("embedding", queries,
+        k = 5, nProbe = 4, certify = certify)
+      queries.zip(batch).foreach { case ((qid, q), (_, got)) =>
+        val single = idx.servePointPqDetail("embedding", q, 5,
+          nProbe = 4, certify = certify)
+        assert(single.isDefined && got.isDefined, s"certify=$certify qid=$qid")
+        assert(got.get._1.toSeq == single.get._1.toSeq,
+          s"certify=$certify query $qid batch != single")
+      }
+    }
+    // exclude + fresh tail, batch vs single
+    val q = corpus(10)._2
+    val dead = idx.servePointPqDetail("embedding", q, 5, nProbe = 8).get._1.head._1
+    val tail = IvfIndex.packRows(Array((9000L, q)), 16)
+    val batch = idx.servePointPqBatchDetail("embedding", Array((0L, q)), 5,
+      nProbe = 8, exclude = _ == dead, freshTail = Some(tail))
+    val single = idx.servePointPqDetail("embedding", q, 5, nProbe = 8,
+      exclude = _ == dead, freshTail = Some(tail)).get
+    assert(batch.head._2.get._1.toSeq == single._1.toSeq)
+    assert(batch.head._2.get._1.map(_._1).contains(9000L), "tail row must surface")
+  }
+
+  test("quantized/pq batch over-budget degrades to per-query serves") {
+    val idx = freshIndex("sb_q_budget")
+    idx.maxServeRows = 150
+    val queries = (0 until 8).map(i => (i.toLong, corpus(i * 100 + 3)._2)).toArray
+    val qb = idx.servePointQuantizedBatchDetail("embedding", queries, k = 3, nProbe = 1)
+    queries.zip(qb).foreach { case ((qid, q), (_, got)) =>
+      val single = idx.servePointQuantizedDetail("embedding", q, 3, nProbe = 1)
+      assert(got.isDefined == single.isDefined, s"qid $qid parity")
+      if (single.isDefined) assert(got.get._1.toSeq == single.get._1.toSeq)
+    }
+    val pb = idx.servePointPqBatchDetail("embedding", queries, k = 3, nProbe = 1)
+    queries.zip(pb).foreach { case ((qid, q), (_, got)) =>
+      val single = idx.servePointPqDetail("embedding", q, 3, nProbe = 1)
+      assert(got.isDefined == single.isDefined, s"qid $qid parity")
+      if (single.isDefined) assert(got.get._1.toSeq == single.get._1.toSeq)
+    }
+  }
+
+  test("queryVectors + quantized/pq over the JSON API equal the single-query envelopes") {
+    val db = apiDb("sb_api_q")
+    val vecs = Seq("[0.5,0.5,0.5,0.5]", "[0.1,0.9,0.2,0.8]", "[0.9,0.1,0.9,0.1]")
+    for (tier <- Seq("\"quantized\":true", "\"pq\":true")) {
+      val batch = db.query(
+        s"""{"table":"T","queryVectors":[${vecs.mkString(",")}],
+           |"limit":5,"serve":true,$tier}""".stripMargin)
+      val singles = vecs.map(v => db.query(
+        s"""{"table":"T","queryVector":$v,
+           |"limit":5,"serve":true,$tier}""".stripMargin))
+      singles.foreach(s0 => assert(s0.contains("\"served\":true"), s"$tier: $s0"))
+      assert(batch == s"""{"results":[${singles.mkString(",")}]}""", tier)
+    }
+  }
+
   test("queryVectors batch endpoint: served entries equal single-query responses") {
     val db = apiDb("sb_api")
     val vecs = Seq("[0.5,0.5,0.5,0.5]", "[0.1,0.9,0.2,0.8]", "[0.9,0.1,0.9,0.1]")
