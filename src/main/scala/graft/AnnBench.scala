@@ -38,17 +38,33 @@ object AnnBench {
     // paths) — shows the exact/ANN crossover beyond the tiny testdata sizes.
     val synthN = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "0").toLong
     val synthDim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "64").toInt
-    // SPARK_GRAFT_ANN_GEOM: "clustered" (default — 256 tight latent
-    // centers; deliberately ADVERSARIAL for sub-resolution code tiers:
-    // within-cluster spacing falls below PQ quantization resolution) or
-    // "shell" (points near the unit sphere with smooth local structure —
-    // the realistic-embedding calibration row for the lossy PQ tier's
-    // published recall).
+    // SPARK_GRAFT_ANN_GEOM:
+    //  - "clustered" (default): 256 TIGHT latent centers — deliberately
+    //    adversarial for sub-resolution code tiers (within-cluster
+    //    spacing below PQ quantization resolution);
+    //  - "spread": the same 256 centers with ~5x wider within-cluster
+    //    noise — still adversarial for PQ (isotropic full-dim noise
+    //    carries no structure ANY 120-byte code can keep: the r9
+    //    information-limit argument, measured 0.30 recall);
+    //  - "lowrank": 256 centers + residuals confined to an 8-dim latent
+    //    subspace (x = c + B·z, B a fixed random 960×8 map) — the
+    //    realistic-embedding shape (real encoders have low intrinsic
+    //    dimensionality), and the calibration row for the lossy PQ
+    //    tier's published recall;
+    //  - "shell": isotropic points near the unit sphere — at high dim
+    //    every pair is near-equidistant (no local structure), the regime
+    //    where ANY pruning/compression index degrades and certified
+    //    serving correctly DECLINES to the job path (the bench tolerates
+    //    and counts those declines).
     val geom = sys.env.getOrElse("SPARK_GRAFT_ANN_GEOM", "clustered")
+    val geomTag =
+      if (geom == "lowrank")
+        s"lowrank${sys.env.getOrElse("SPARK_GRAFT_ANN_RANK", "8")}"
+      else geom
     val emb =
       if (synthN > 0) {
         // _v2: carries a scalar `label` column for the filtered-serving row
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_v2_${geom}_${synthN}_$synthDim"
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_synth_v2_${geomTag}_${synthN}_$synthDim"
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
           val base = spark.range(synthN)
             .withColumn("c", pmod(xxhash64(col("id")), lit(256)))
@@ -62,6 +78,29 @@ object AnnBench {
                     .cast("float"))),
                 x => (x * (lit(1.0) + pmod(xxhash64(col("id") + 13), lit(100)) / 2000.0))
                   .cast("float"))
+            else if (geom == "spread")
+              // centers as "clustered", noise ±0.5 instead of ±0.1 —
+              // neighborhoods stay local without being sub-resolution
+              transform(sequence(lit(1), lit(synthDim)), i =>
+                ((pmod(xxhash64(col("c") * synthDim + i), lit(2000)) / 1000.0 - 1.0) +
+                  (pmod(xxhash64(col("id") * synthDim + i), lit(2000)) / 2000.0 - 0.5))
+                  .cast("float"))
+            else if (geom == "lowrank") {
+              // x = center_c + B·z: z a rank-dim per-row latent (±0.5), B
+              // a fixed pseudo-random 960×rank map — residual variance
+              // lives in a low-dim subspace like real encoder output, not
+              // isotropically across 960 dims. SPARK_GRAFT_ANN_RANK sets
+              // the intrinsic dimensionality (default 8).
+              val rank = sys.env.getOrElse("SPARK_GRAFT_ANN_RANK", "8").toInt
+              val zCols = (0 until rank).map(r =>
+                pmod(xxhash64(col("id") * 31 + r), lit(2000)) / 2000.0 - 0.5)
+              transform(sequence(lit(1), lit(synthDim)), i =>
+                ((pmod(xxhash64(col("c") * synthDim + i), lit(2000)) / 1000.0 - 1.0) +
+                  (0 until rank).map(r => zCols(r) *
+                    (pmod(xxhash64(i * 8191 + r), lit(2000)) / 1000.0 - 1.0) /
+                    math.sqrt(rank.toDouble)).reduce(_ + _))
+                  .cast("float"))
+            }
             else
               transform(sequence(lit(1), lit(synthDim)), i =>
                 ((pmod(xxhash64(col("c") * synthDim + i), lit(2000)) / 1000.0 - 1.0) +
@@ -278,25 +317,32 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
     }.sum / exact.length
 
-    // certified window: proven-exact id sets (recall 1.0 by construction)
+    // certified window: proven-exact id sets (recall 1.0 by construction).
+    // DECLINES are legitimate here (a pathological ambiguity band means
+    // the job path is the better plan — isotropic high-dim geometry):
+    // counted, recall measured over the answered queries (-1 = none).
     val t2c = System.nanoTime()
     val qcertDeadline = t2c + 10L * 1000 * 1000 * 1000
     var qcertQueries = 0L
+    var qcertDeclines = 0L
     while (qcertQueries == 0L || System.nanoTime() < qcertDeadline) {
       var qi = 0
       while (qi < queries.length) {
-        idx.servePointQuantizedDetail("embedding", queries(qi), 10,
-          nProbe = 8, certify = true).get
+        if (idx.servePointQuantizedDetail("embedding", queries(qi), 10,
+          nProbe = 8, certify = true).isEmpty) qcertDeclines += 1
         qi += 1
       }
       qcertQueries += queries.length
     }
     val qcertSec = (System.nanoTime() - t2c) / 1e9
-    val qcertRecall = exact.zip(queries.map(q =>
-      idx.servePointQuantizedDetail("embedding", q, 10, nProbe = 8,
-        certify = true).get._1.map(_._1).toSeq)).map {
-      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
-    }.sum / exact.length
+    val qcertRecall = {
+      val per = exact.zip(queries.map(q =>
+        idx.servePointQuantizedDetail("embedding", q, 10, nProbe = 8,
+          certify = true).map(_._1.map(_._1).toSeq))).collect {
+        case (e, Some(a)) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+      }
+      if (per.isEmpty) -1.0 else per.sum / per.length
+    }
 
     // PQ serving residency: m-byte ADC codes resident (~14x the rows per
     // byte of the 16-bit tier at dim 960; cold loads move m+8 payload
@@ -314,34 +360,42 @@ object AnnBench {
     while (pqServeQueries == 0L || System.nanoTime() < pqServeDeadline) {
       var qi = 0
       while (qi < queries.length) {
-        idx.servePointPq("embedding", queries(qi), 10, nProbe = 8).get
+        idx.servePointPq("embedding", queries(qi), 10, nProbe = 8)
         qi += 1
       }
       pqServeQueries += queries.length
     }
     val pqServeSec = (System.nanoTime() - t2p) / 1e9
-    val pqServeRecall = exact.zip(queries.map(q =>
-      idx.servePointPq("embedding", q, 10, nProbe = 8).get.map(_._1).toSeq)).map {
-      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
-    }.sum / exact.length
+    val pqServeRecall = {
+      val per = exact.zip(queries.map(q =>
+        idx.servePointPq("embedding", q, 10, nProbe = 8)
+          .map(_.map(_._1).toSeq))).collect {
+        case (e, Some(a)) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+      }
+      if (per.isEmpty) -1.0 else per.sum / per.length
+    }
     val t2pc = System.nanoTime()
     val pqCertDeadline = t2pc + 10L * 1000 * 1000 * 1000
     var pqCertQueries = 0L
+    var pqCertDeclines = 0L
     while (pqCertQueries == 0L || System.nanoTime() < pqCertDeadline) {
       var qi = 0
       while (qi < queries.length) {
-        idx.servePointPqDetail("embedding", queries(qi), 10,
-          nProbe = 8, certify = true).get
+        if (idx.servePointPqDetail("embedding", queries(qi), 10,
+          nProbe = 8, certify = true).isEmpty) pqCertDeclines += 1
         qi += 1
       }
       pqCertQueries += queries.length
     }
     val pqCertSec = (System.nanoTime() - t2pc) / 1e9
-    val pqCertRecall = exact.zip(queries.map(q =>
-      idx.servePointPqDetail("embedding", q, 10, nProbe = 8,
-        certify = true).get._1.map(_._1).toSeq)).map {
-      case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / e.size
-    }.sum / exact.length
+    val pqCertRecall = {
+      val per = exact.zip(queries.map(q =>
+        idx.servePointPqDetail("embedding", q, 10, nProbe = 8,
+          certify = true).map(_._1.map(_._1).toSeq))).collect {
+        case (e, Some(a)) => e.toSet.intersect(a.toSet).size.toDouble / e.size
+      }
+      if (per.isEmpty) -1.0 else per.sum / per.length
+    }
 
     // BATCH serving off the code-resident tiers: the same shared-sweep
     // amortization the float batch shows, on 16-bit and m-byte rows — the
@@ -467,6 +521,7 @@ object AnnBench {
       f""""qserve_resident_rows":${idx.servingResidentQuantRows()},""" +
       f""""qserve_cert_qps":${qcertQueries / qcertSec}%.2f,""" +
       f""""qserve_cert_recall_at_10":$qcertRecall%.4f,""" +
+      f""""qserve_cert_declines":$qcertDeclines,""" +
       f""""qserve_reranks":${idx.quantRerankCount()},""" +
       f""""pqserve_qps":${pqServeQueries / pqServeSec}%.2f,""" +
       f""""pqserve_recall_at_10":$pqServeRecall%.4f,""" +
@@ -474,6 +529,7 @@ object AnnBench {
       f""""pqserve_resident_rows":${idx.servingResidentPqRows()},""" +
       f""""pqserve_cert_qps":${pqCertQueries / pqCertSec}%.2f,""" +
       f""""pqserve_cert_recall_at_10":$pqCertRecall%.4f,""" +
+      f""""pqserve_cert_declines":$pqCertDeclines,""" +
       f""""pqserve_reranks":${idx.pqRerankCount()},""" +
       f""""bqserve_qps":${bqserveQueries / bqserveSec}%.2f,""" +
       f""""bqserve_recall_at_10":$bqserveRecall%.4f,""" +
@@ -483,7 +539,7 @@ object AnnBench {
       f""""fserve_recall_at_10":$fserveRecall%.4f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
-      s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geom",""" +
+      s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +
       f""""ivf_build_sec":$buildSec%.2f,"recall_at_10":$recall%.4f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -64,14 +64,24 @@ class GraftDb(val spark: SparkSession, val root: String,
   private def tailRowCap(dim: Int): Int =
     math.min(maxServeTailRows.toLong, maxServeTailBytes / (8L * dim + 24L)).toInt
 
+  /** Packed dense tail + a row-aligned scalar sidecar of the DECLARED
+    * serve-filter columns (empty when none are declared): filtered
+    * serving evaluates its conjunction on the sidecar driver-side, so the
+    * tail never forces a filtered request onto the job path. */
+  private final case class DenseTail(
+      packed: (Array[Long], Array[Double], Array[Double]),
+      scalars: Map[String, Array[AnyRef]])
+
   // fresh-tail rows in servePoint's resident layout, re-collected only
   // when the snapshot version or serving pin moves (one pruned job per
   // commit, then every serve is pure JVM compute). Left(()) — the
   // over-cap verdict — is cached too: in the rebuild-overdue regime every
-  // query would otherwise re-run the 100k-row probe collect.
+  // query would otherwise re-run the 100k-row probe collect. The key
+  // carries the declared filter columns: a re-declaration invalidates
+  // the sidecar.
   private val tailCache = scala.collection.concurrent.TrieMap[
     (String, String),
-    (Long, Long, Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]])]()
+    (Long, Long, Seq[String], Either[Unit, Option[DenseTail]])]()
 
   /** ONE driver probe per snapshot move: the fresh-tail rows (above the
     * serving pin) and the tombstone ids used to travel in two separate
@@ -88,8 +98,9 @@ class GraftDb(val spark: SparkSession, val root: String,
     * when the tail is over `tailCap`; tail rows come back as
     * (kind=0, id, fieldValue). */
   private def servingProbe(st: TableStore, field: String, wm: Long,
-      tailCap: Int): Either[Unit, Array[org.apache.spark.sql.Row]] = {
-    import org.apache.spark.sql.functions.{col, lit}
+      tailCap: Int, scalarCols: Seq[String] = Nil)
+      : Either[Unit, Array[org.apache.spark.sql.Row]] = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     val tombFresh = tombCache.get(st.schema.name).exists(_._1 == ver)
     val storeWm = st.snapshot().map(_.watermark).getOrElse(0L)
@@ -98,12 +109,22 @@ class GraftDb(val spark: SparkSession, val root: String,
     // `exclude` (tail rows included), and the live-rows anti-join would
     // cost a broadcast-exchange job per probe
     val read = st.rawRead()
+    // declared filter columns ride as a 4th struct column (null on the
+    // tombstone leg; a null INT placeholder when none are declared, so
+    // both legs always share one schema)
+    val psType: org.apache.spark.sql.types.DataType =
+      if (scalarCols.isEmpty) org.apache.spark.sql.types.IntegerType
+      else org.apache.spark.sql.types.StructType(
+        scalarCols.map(c => read.schema(read.schema.fieldIndex(c))))
+    val psCol =
+      if (scalarCols.isEmpty) lit(null).cast(psType).as("__ps")
+      else struct(scalarCols.map(col): _*).as("__ps")
     val tailLeg =
       if (storeWm <= wm) None
       else Some(read
         .filter(col(TableStore.RowId) > wm)
         .select(lit(0).as("__pk"), col(TableStore.RowId).as("__pid"),
-          col(field).as("__pv"))
+          col(field).as("__pv"), psCol)
         .rdd)
     val tombCap = maxServeTombstones
     val tombLeg =
@@ -117,7 +138,8 @@ class GraftDb(val spark: SparkSession, val root: String,
           // and the total cap is re-checked on the collected rows
           Some(df.select(lit(1).as("__pk"),
             col(df.columns.head).cast("long").as("__pid"),
-            lit(null).cast(read.schema(field).dataType).as("__pv"))
+            lit(null).cast(read.schema(field).dataType).as("__pv"),
+            lit(null).cast(psType).as("__ps"))
             .rdd.mapPartitions(_.take(tombCap + 1)))
       }
     val rows: Array[org.apache.spark.sql.Row] = (tailLeg, tombLeg) match {
@@ -137,33 +159,102 @@ class GraftDb(val spark: SparkSession, val root: String,
   }
 
   /** Left(()) = tail over cap (caller falls back to the job path);
-    * Right(None) = no fresh rows; Right(Some(cluster)) = packed tail. */
+    * Right(None) = no fresh rows; Right(Some(tail)) = packed tail + the
+    * declared filter columns' scalar sidecar. */
   private def freshTailCluster(st: TableStore, idx: graft.index.IvfIndex,
       field: String)
-      : Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] = {
+      : Either[Unit, Option[DenseTail]] = {
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     // the SERVING pin, not the index watermark: ingest-time appends move
     // the index watermark without flushing warm resident clusters, so the
     // tail must cover everything above the snapshot those clusters hold
     val wm = idx.servingWatermark()
     val cap = tailRowCap(st.schema.field(field).dimensions)
+    val cols = idx.serveFilterColumns()
     tailCache.get((st.schema.name, field)) match {
-      case Some((v, w, t)) if v == ver && w == wm =>
+      case Some((v, w, c, t)) if v == ver && w == wm && c == cols =>
         // the cap applies to resident entries too (it can be lowered live)
-        if (t.exists(_.exists(_._1.length > cap))) Left(()) else t
+        if (t.exists(_.exists(_.packed._1.length > cap))) Left(()) else t
       case _ =>
-        val result: Either[Unit, Option[(Array[Long], Array[Double], Array[Double])]] =
-          servingProbe(st, field, wm, cap) match {
+        val result: Either[Unit, Option[DenseTail]] =
+          servingProbe(st, field, wm, cap, cols) match {
             case Left(_) => Left(())
             case Right(rows) if rows.isEmpty => Right(None)
-            case Right(rows) => Right(Some(graft.index.IvfIndex.packRows(
-              rows.map(r => (r.getLong(1),
-                r.getAs[scala.collection.Seq[Float]](2).toArray)),
-              st.schema.field(field).dimensions)))
+            case Right(rows) =>
+              val packed = graft.index.IvfIndex.packRows(
+                rows.map(r => (r.getLong(1),
+                  r.getAs[scala.collection.Seq[Float]](2).toArray)),
+                st.schema.field(field).dimensions)
+              val scalars: Map[String, Array[AnyRef]] =
+                cols.zipWithIndex.map { case (c, ci) =>
+                  c -> rows.map { r =>
+                    if (r.isNullAt(3)) null
+                    else {
+                      val ps = r.getStruct(3)
+                      if (ps.isNullAt(ci)) null
+                      else ps.get(ci).asInstanceOf[AnyRef]
+                    }
+                  }
+                }.toMap
+              Right(Some(DenseTail(packed, scalars)))
           }
-        tailCache((st.schema.name, field)) = (ver, wm, result)
+        tailCache((st.schema.name, field)) = (ver, wm, cols, result)
         result
     }
+  }
+
+  /** The cached tail's rows passing the conjunction, evaluated on the
+    * scalar sidecar with the SAME comparison kernels the resident sweep
+    * uses. None = a condition references a column the sidecar lacks (a
+    * re-declaration raced the cache) → the caller declines to the job
+    * path. */
+  private def filterTail(dt: DenseTail,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond], dim: Int)
+      : Option[(Array[Long], Array[Double], Array[Double])] = {
+    import graft.filter.SimpleConjuncts._
+    val (ids, flat, norms) = dt.packed
+    val n = ids.length
+    val keep = new Array[Boolean](n)
+    var kept = 0
+    var j = 0
+    while (j < n) {
+      var ok = true
+      var ci = 0
+      while (ok && ci < conds.length) {
+        val c = conds(ci)
+        val arr = dt.scalars.getOrElse(c.col, null)
+        if (arr == null) return None
+        ok = (arr(j), c.value) match {
+          case (null, _) => false // SQL: NULL fails every comparison
+          case (x: java.lang.Double, l: NumLit) => evalDouble(c.op, x.doubleValue, l)
+          case (x: java.lang.Float, l: NumLit) => evalDouble(c.op, x.doubleValue, l)
+          case (x: java.lang.Number, l: NumLit) => evalLong(c.op, x.longValue, l)
+          case (x: String, l: StrLit) => evalString(c.op, x, l)
+          case (x: java.lang.Boolean, l: BoolLit) => evalBool(c.op, x.booleanValue, l)
+          case _ => return None // type drift: job path answers
+        }
+        ci += 1
+      }
+      keep(j) = ok
+      if (ok) kept += 1
+      j += 1
+    }
+    if (kept == n) return Some(dt.packed)
+    val oIds = new Array[Long](kept)
+    val oFlat = new Array[Double](kept * dim)
+    val oNorms = new Array[Double](kept)
+    var o = 0
+    j = 0
+    while (j < n) {
+      if (keep(j)) {
+        oIds(o) = ids(j)
+        oNorms(o) = norms(j)
+        System.arraycopy(flat, j * dim, oFlat, o * dim, dim)
+        o += 1
+      }
+      j += 1
+    }
+    Some((oIds, oFlat, oNorms))
   }
 
   // sparse fresh-tail rows exploded into per-dim posting slices (ids,
@@ -689,7 +780,7 @@ class GraftDb(val spark: SparkSession, val root: String,
           }
           val np = math.min(nProbe, idx.centroids().length)
           idx.servePoint(queryField, dense, math.min(k, maxRenderRows), np,
-            exclude = tombs.contains, freshTail = tail) match {
+            exclude = tombs.contains, freshTail = tail.map(_.packed)) match {
             case Some(hits) =>
               if (idx.servingWatermark() == pin) return Some(hits)
             // else: pin moved mid-serve — retry
@@ -751,12 +842,13 @@ class GraftDb(val spark: SparkSession, val root: String,
           val qs = dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }
           val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
             if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
-              exclude = tombs.contains, freshTail = tail, certify = certified)
-            else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
-              qs, k, np, exclude = tombs.contains, freshTail = tail,
+              exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
+            else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
+              qs, k, np, exclude = tombs.contains,
+              freshTail = tail.map(_.packed), certify = certified)
             else idx.servePointBatch(queryField, qs, k, np,
-              exclude = tombs.contains, freshTail = tail)
+              exclude = tombs.contains, freshTail = tail.map(_.packed))
               .map { case (qid, r) => (qid, r.map((_, 0))) }
           if (idx.servingWatermark() == pin) {
             return got.map { case (_, res) =>
@@ -915,21 +1007,31 @@ class GraftDb(val spark: SparkSession, val root: String,
           val np = math.min(nProbe, idx.centroids().length)
           val served =
             if (conds.nonEmpty) {
-              // fresh-tail rows carry no scalar values: filtered serving
-              // requires an empty tail (the steady state right after each
-              // rebuild) — any tail declines to the job path, exact
-              if (tail.isDefined) return None
+              // the conjunction applies to tail rows too: evaluated here
+              // on the tail's scalar sidecar (one driver pass over the
+              // bounded tail), so filtered serving stays live under
+              // continuous ingest; a sidecar raced by a re-declaration
+              // declines to the job path
+              val dim = st.schema.field(queryField).dimensions
+              val ft: Option[(Array[Long], Array[Double], Array[Double])] =
+                tail match {
+                  case None => None
+                  case Some(dt) => filterTail(dt, conds, dim) match {
+                    case Some(p) => if (p._1.isEmpty) None else Some(p)
+                    case None => return None
+                  }
+                }
               idx.servePointFiltered(queryField, dense, k, np, conds,
-                exclude = tombs.contains).map(h => (h, 0))
+                exclude = tombs.contains, freshTail = ft).map(h => (h, 0))
             }
             else if (pq) idx.servePointPqDetail(queryField, dense,
-              k, np, exclude = tombs.contains, freshTail = tail,
+              k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
             else if (quantized) idx.servePointQuantizedDetail(queryField, dense,
-              k, np, exclude = tombs.contains, freshTail = tail,
+              k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
             else idx.servePoint(queryField, dense, k, np,
-              exclude = tombs.contains, freshTail = tail).map((_, 0))
+              exclude = tombs.contains, freshTail = tail.map(_.packed)).map((_, 0))
           val (hits, reranked) = served match {
             case Some(h) => h
             // probed clusters exceed the resident budget (cardinality

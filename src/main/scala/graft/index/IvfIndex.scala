@@ -2145,14 +2145,20 @@ class IvfIndex(
     * vec_search_executor.cpp:905-928; ours stays exact because the sweep
     * is exhaustive over probed clusters). Declines (→ job path, exact)
     * when a condition references an undeclared column, the scalar load
-    * overruns the budget, or the cache thrashes. Fresh-tail rows carry no
-    * scalar values, so the CALLER must only use this with an empty tail. */
+    * overruns the budget, or the cache thrashes.
+    *
+    * `freshTail` rows must be PRE-FILTERED BY THE CALLER with the same
+    * conjunction (GraftDb evaluates it on the tail's scalar sidecar) —
+    * the resident passing-id set doesn't cover them, so the sweep
+    * exempts tail ids from the mask and scores them all. */
   def servePointFiltered(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
-      exclude: Long => Boolean = _ => false)
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
       : Option[Array[(Long, Double)]] = {
     import graft.filter.SimpleConjuncts._
-    if (conds.isEmpty) return servePoint(vecCol, query, k, nProbe, exclude, None)
+    if (conds.isEmpty)
+      return servePoint(vecCol, query, k, nProbe, exclude, freshTail)
     val declared = filterColsDecl
     if (!conds.forall(c => declared.contains(c.col))) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
@@ -2252,8 +2258,12 @@ class IvfIndex(
         s
       }
     }
+    // tail ids bypass the resident mask: the caller pre-filtered them
+    val tailIds = new java.util.HashSet[java.lang.Long]()
+    freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
     servePoint(vecCol, query, k, nProbe,
-      id => exclude(id) || !pass.contains(id), None)
+      id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
+      freshTail)
   }
 
   // ---- batch serving for the code-resident tiers (16-bit + PQ) ----

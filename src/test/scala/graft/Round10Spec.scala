@@ -94,6 +94,35 @@ class Round10Spec extends SparkSpec {
     assert(servedIds.forall(id => id % 10 >= 5), servedIds.toString)
   }
 
+  test("filtered serving stays live under ingest: tail rows evaluated on the scalar sidecar") {
+    val db = fixtureDb("r10_fserve_tail")
+    // fresh rows ABOVE the index watermark (raw store insert — no index
+    // append): both sit at distance 0 from the query; only Label 7 passes
+    val extra = Seq(
+      Row(1000L, 7L, "en", "fresh pass", Seq(0.5f, 0.4f, 0.3f, 0.2f)),
+      Row(1001L, 2L, "en", "fresh fail", Seq(0.5f, 0.4f, 0.3f, 0.2f)))
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(extra, 1), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("Lang", StringType, nullable = false),
+        StructField("Doc", StringType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    val resp = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":5,"nProbe":9999,
+         |"filter":"Label >= 5","serve":true}""".stripMargin)
+    assert(resp.contains("\"served\":true") && resp.contains("\"filtered\":true"),
+      s"tail must not force a filtered serve onto the job path: $resp")
+    val m = rowIdToId(db)
+    val servedIds = resultIds(resp).map(m)
+    assert(servedIds.head == 1000L, s"passing tail row must rank first: $servedIds")
+    assert(!servedIds.contains(1001L), s"failing tail row leaked: $servedIds")
+    val job = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":5,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    assert(servedIds == resultIds(job, "ID"), s"$resp vs $job")
+  }
+
   test("a filter OUTSIDE the serve sub-grammar declines: no served flag, job-path answer") {
     val db = fixtureDb("r10_decline_grammar")
     val resp = db.query(
