@@ -665,10 +665,17 @@ class GraftDb(val spark: SparkSession, val root: String,
     // excludeIds) instead
     val tombsOpt: Option[Long => Boolean] = tombstoneSet(st).map(_.contains)
 
-    // dense side: (row_id asc-rank list), serve tier first when asked
+    // dense side: (row_id asc-rank list), serve tier first when asked.
+    // A filtered hybrid can still serve its dense side when the filter is
+    // a resident-evaluable conjunction (same sub-grammar the single-query
+    // serve path takes); anything else keeps both sides on the job paths.
+    val serveConds: Option[Seq[graft.filter.SimpleConjuncts.Cond]] =
+      if (filterStr.isEmpty) Some(Nil)
+      else graft.filter.SimpleConjuncts.parse(filterStr, st.schema)
     val denseServed: Option[Array[Long]] =
-      if (!serve || filterCol.isDefined) None
-      else serveDenseHits(st, queryField, dense, cut, nProbe).map(_.map(_._1))
+      if (!serve || serveConds.isEmpty) None
+      else serveDenseHits(st, queryField, dense, cut, nProbe,
+        serveConds.get).map(_.map(_._1))
     val denseIds: Array[Long] = denseServed.getOrElse {
       val f = st.schema.field(queryField)
       val d = QueryEngine.distanceColumn(f, QueryEngine.DenseQuery(dense))
@@ -754,9 +761,12 @@ class GraftDb(val spark: SparkSession, val root: String,
 
   /** One dense serving handshake (pin + fresh tail + tombstones +
     * servePoint + pin re-check) returning raw hits — the id-level core
-    * the hybrid path shares with `serveQuery`'s rendered envelope. */
+    * the hybrid path shares with `serveQuery`'s rendered envelope.
+    * `conds` non-empty = attribute-filtered serving (servePointFiltered
+    * over declared resident columns; tail pre-filtered on the sidecar). */
   private def serveDenseHits(st: TableStore, queryField: String,
-      dense: Array[Float], k: Int, nProbe: Int)
+      dense: Array[Float], k: Int, nProbe: Int,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond] = Nil)
       : Option[Array[(Long, Double)]] = {
     val f = st.schema.field(queryField)
     if (!FieldType.isVector(f.fieldType) || FieldType.isSparse(f.fieldType))
@@ -779,8 +789,23 @@ class GraftDb(val spark: SparkSession, val root: String,
             case None => return None
           }
           val np = math.min(nProbe, idx.centroids().length)
-          idx.servePoint(queryField, dense, math.min(k, maxRenderRows), np,
-            exclude = tombs.contains, freshTail = tail.map(_.packed)) match {
+          val k2 = math.min(k, maxRenderRows)
+          val served =
+            if (conds.isEmpty)
+              idx.servePoint(queryField, dense, k2, np,
+                exclude = tombs.contains, freshTail = tail.map(_.packed))
+            else {
+              val ft = tail match {
+                case None => None
+                case Some(dt) => filterTail(dt, conds, f.dimensions) match {
+                  case Some(p) => if (p._1.isEmpty) None else Some(p)
+                  case None => return None
+                }
+              }
+              idx.servePointFiltered(queryField, dense, k2, np, conds,
+                exclude = tombs.contains, freshTail = ft)
+            }
+          served match {
             case Some(hits) =>
               if (idx.servingWatermark() == pin) return Some(hits)
             // else: pin moved mid-serve — retry

@@ -244,6 +244,26 @@ class Round10Spec extends SparkSpec {
     assert(filIds.nonEmpty && filIds.forall(_ % 3 == 0), s"unfiltered ids leaked: $filIds")
   }
 
+  test("filtered hybrid serves its dense side when the conjunction is resident-evaluable") {
+    val db = fixtureDb("r10_hybrid_fserve")
+    db.rebuildBm25Index("T", "Doc")
+    val req =
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":$qVec,
+         |"limit":10,"nProbe":9999,"filter":"Label >= 5"""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    // Label IS declared: the dense side rides servePointFiltered; the
+    // keyword side has no scalar residency and stays on the job path
+    assert(served.contains("\"served\":{\"dense\":true,\"keyword\":false}"), served)
+    val job = db.query(req + "}")
+    val m = rowIdToId(db)
+    // full probe => the dense serve is exact over the filtered corpus =>
+    // the fusion must equal the all-job answer
+    assert(resultIds(served).map(m) == resultIds(job).map(m),
+      s"$served vs $job")
+    assert(resultIds(served).map(m).forall(_ % 10 >= 5), served)
+  }
+
   test("hybrid keyword side masks rows purged AFTER the impact index froze (ADVICE: purge-gen guard)") {
     val db = fixtureDb("r10_hybrid_purge")
     db.rebuildBm25Index("T", "Doc")
@@ -390,6 +410,36 @@ class Round10Spec extends SparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).toSeq
     assert(auto2 == exactIds(q2), "post-append auto-probe lost exactness")
     assert(auto2.contains(9000L))
+  }
+
+  test("pre-radii layouts stay conservative: appends skip deltas, auto-probe degenerates to full probe") {
+    val df = blobs(800)
+    val path = tmpDir("r10_autoprobe_preradii")
+    val idx = graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 5)
+    // simulate a layout built before radii existed
+    val rp = java.nio.file.Paths.get(idx.radiiPath)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(rp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val far = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9100L, Seq(5.0f, 5.0f, 5.0f, 0.0f))), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+    assert(idx.append(far, "vec") == 1L)
+    // the append must NOT have written a delta-only radius (it would
+    // UNDER-estimate and break the probe bound)
+    assert(!java.nio.file.Files.exists(rp), "delta radius on a pre-radii layout")
+    assert(idx.clusterRadii().isEmpty)
+    val q = Array(5.0f, 5.0f, 5.0f, 0.0f)
+    // no radii -> probe everything -> still exact
+    assert(idx.probeSetForRecall(q, 10, 1.0).length == idx.centroids().length)
+    val auto = idx.searchAuto("vec", q, 10)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val exact = idx.search("vec", q, 10, nProbe = idx.centroids().length)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(auto == exact)
   }
 
   test("auto-probe target < 1 proves the recall floor and probes fewer clusters") {
