@@ -463,6 +463,23 @@ object AnnBench {
       case (e, a) => e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
     }.sum / exactFiltered.length
 
+    // BATCH filtered serving: one passing-id set for the shared
+    // conjunction + the float tier's shared row sweep
+    val tfb = System.nanoTime()
+    val bfserveDeadline = tfb + 10L * 1000 * 1000 * 1000
+    var bfserveQueries = 0L
+    var bfGot: Array[(Long, Option[Array[(Long, Double)]])] = null
+    while (bfserveQueries == 0L || System.nanoTime() < bfserveDeadline) {
+      bfGot = idx.servePointFilteredBatch("embedding", batchServeQs, 10,
+        nProbe = 8, fconds)
+      bfserveQueries += batchServeQs.length
+    }
+    val bfserveSec = (System.nanoTime() - tfb) / 1e9
+    val bfserveRecall = exactFiltered.zipWithIndex.map { case (e, i) =>
+      val a = bfGot(i)._2.map(_.map(_._1).toSeq).getOrElse(Nil)
+      e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
+    }.sum / exactFiltered.length
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -537,6 +554,8 @@ object AnnBench {
       f""""bpqserve_recall_at_10":$bpqserveRecall%.4f,""" +
       f""""fserve_qps":${fserveQueries / fserveSec}%.2f,""" +
       f""""fserve_recall_at_10":$fserveRecall%.4f,""" +
+      f""""bfserve_qps":${bfserveQueries / bfserveSec}%.2f,""" +
+      f""""bfserve_recall_at_10":$bfserveRecall%.4f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

@@ -825,12 +825,25 @@ class GraftDb(val spark: SparkSession, val root: String,
       quantized: Boolean = false, pq: Boolean = false)
       : Array[Option[String]] = {
     val allNone: Array[Option[String]] = Array.fill(dense.length)(None)
-    // filtered/faceted batches decline the SHARED serve path: the
-    // per-query fallback re-enters query(), whose serve dispatch applies
-    // the filter exactly (resident conjuncts) or declines per query
-    if (filterStringOf(req).nonEmpty || facetsPresent(req)) return allNone
+    // faceted batches always decline the shared serve path; a FILTERED
+    // batch rides it when the filter is a resident-evaluable conjunction
+    // on the float tier (the conjunction is shared, so one passing-id
+    // set masks the whole batch) — anything else declines and the
+    // per-query fallback re-enters query(), which serves or declines
+    // each query individually
+    if (facetsPresent(req)) return allNone
     val table = str(req \ "table")
     val st = store(table)
+    val filterStr = filterStringOf(req)
+    val conds: Seq[graft.filter.SimpleConjuncts.Cond] =
+      if (filterStr.isEmpty) Nil
+      else {
+        if (quantized || pq) return allNone // code tiers carry no scalars
+        graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
+          case Some(cs) if cs.nonEmpty => cs
+          case _ => return allNone
+        }
+      }
     val queryField = (req \ "queryField") match {
       case JString(s) => s
       case _ =>
@@ -866,7 +879,22 @@ class GraftDb(val spark: SparkSession, val root: String,
           }
           val qs = dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }
           val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
-            if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
+            if (conds.nonEmpty) {
+              // shared conjunction: tail pre-filtered once on the scalar
+              // sidecar, one passing-id set masks the whole batch
+              val ft = tail match {
+                case None => None
+                case Some(dt) => filterTail(dt, conds,
+                    st.schema.field(queryField).dimensions) match {
+                  case Some(p) => if (p._1.isEmpty) None else Some(p)
+                  case None => return allNone
+                }
+              }
+              idx.servePointFilteredBatch(queryField, qs, k, np, conds,
+                exclude = tombs.contains, freshTail = ft)
+                .map { case (qid, r) => (qid, r.map((_, 0))) }
+            }
+            else if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
               exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
             else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
@@ -887,6 +915,7 @@ class GraftDb(val spark: SparkSession, val root: String,
                   i += 1
                 }
                 sb.append("],\"served\":true")
+                if (conds.nonEmpty) sb.append(",\"filtered\":true")
                 if (pq) {
                   sb.append(",\"pq\":true")
                   if (certified) sb.append(",\"certified\":true")
@@ -1304,9 +1333,12 @@ class GraftDb(val spark: SparkSession, val root: String,
         }
       } else if (Files.exists(Paths.get(s"$root/$table/ivf_${f.name}/ivf_meta.json"))) {
         val ix = index(st, f.name)
+        val fcols = ix.serveFilterColumns().map(jsonStr).mkString("[", ",", "]")
         idxs += s"""{"field":${jsonStr(f.name)},"type":"ivf",""" +
           s""""rows":${ix.indexedCount()},"watermark":${ix.indexedWatermark()},""" +
-          s""""clusters":${ix.centroids().length}}"""
+          s""""clusters":${ix.centroids().length},""" +
+          s""""radii":${ix.clusterRadii().isDefined},""" +
+          s""""serveFilterColumns":$fcols}"""
       }
     }
     bm25Fields(table).foreach { f =>

@@ -2227,41 +2227,106 @@ class IvfIndex(
         if (!got.contains(null)) scalars = got
       }
     }
-    val cacheKey = (key(conds), serveWatermark, probed.sorted.toSeq)
-    val pass: java.util.HashSet[java.lang.Long] = {
-      val hit = synchronized { passCache.get(cacheKey) }
-      if (hit != null) hit
-      else {
-        val s = new java.util.HashSet[java.lang.Long](1 << 16)
-        scalars.foreach { sc =>
-          val n = sc.ids.length
-          var j = 0
-          while (j < n) {
-            var ok = true
-            var ci = 0
-            while (ok && ci < conds.length) {
-              val c = conds(ci)
-              ok = (sc.cols.getOrElse(c.col, null), c.value) match {
-                case (LongVals(vs, nl), l: NumLit) => !nl(j) && evalLong(c.op, vs(j), l)
-                case (DblVals(vs, nl), l: NumLit) => !nl(j) && evalDouble(c.op, vs(j), l)
-                case (StrVals(vs), l: StrLit) => evalString(c.op, vs(j), l)
-                case (BoolVals(vs, nl), l: BoolLit) => !nl(j) && evalBool(c.op, vs(j), l)
-                case _ => false // declared/typed drift: row fails, never throws
-              }
-              ci += 1
-            }
-            if (ok) s.add(sc.ids(j))
-            j += 1
-          }
-        }
-        synchronized { passCache.put(cacheKey, s) }
-        s
-      }
-    }
+    val pass = passingIds(conds, scalars, probed)
     // tail ids bypass the resident mask: the caller pre-filtered them
     val tailIds = new java.util.HashSet[java.lang.Long]()
     freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
     servePoint(vecCol, query, k, nProbe,
+      id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
+      freshTail)
+  }
+
+  /** Ids passing the conjunction among the given scalar clusters, cached
+    * per (conjunction, pin, cluster set). */
+  private def passingIds(conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      scalars: Array[ScalarCluster], clusters: Array[Int])
+      : java.util.HashSet[java.lang.Long] = {
+    import graft.filter.SimpleConjuncts._
+    val cacheKey = (key(conds), serveWatermark, clusters.sorted.toSeq)
+    val hit = synchronized { passCache.get(cacheKey) }
+    if (hit != null) return hit
+    val s = new java.util.HashSet[java.lang.Long](1 << 16)
+    scalars.foreach { sc =>
+      val n = sc.ids.length
+      var j = 0
+      while (j < n) {
+        var ok = true
+        var ci = 0
+        while (ok && ci < conds.length) {
+          val c = conds(ci)
+          ok = (sc.cols.getOrElse(c.col, null), c.value) match {
+            case (LongVals(vs, nl), l: NumLit) => !nl(j) && evalLong(c.op, vs(j), l)
+            case (DblVals(vs, nl), l: NumLit) => !nl(j) && evalDouble(c.op, vs(j), l)
+            case (StrVals(vs), l: StrLit) => evalString(c.op, vs(j), l)
+            case (BoolVals(vs, nl), l: BoolLit) => !nl(j) && evalBool(c.op, vs(j), l)
+            case _ => false // declared/typed drift: row fails, never throws
+          }
+          ci += 1
+        }
+        if (ok) s.add(sc.ids(j))
+        j += 1
+      }
+    }
+    synchronized { passCache.put(cacheKey, s) }
+    s
+  }
+
+  /** Batch attribute-filtered serving: the conjunction is SHARED by the
+    * batch, so one scalar acquisition + ONE passing-id set over the
+    * union of the batch's probe sets masks every query (a superset mask
+    * stays exact for a query probing any subset), and the float tier's
+    * shared row sweep does the rest. `freshTail` must be pre-filtered by
+    * the caller, like `servePointFiltered`. Declines/degrades per query
+    * via the single-query fallback. */
+  def servePointFilteredBatch(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      : Array[(Long, Option[Array[(Long, Double)]])] = {
+    if (queries.isEmpty) return Array.empty
+    if (conds.isEmpty)
+      return servePointBatch(vecCol, queries, k, nProbe, exclude, freshTail)
+    def fallback(): Array[(Long, Option[Array[(Long, Double)]])] =
+      queries.map { case (qid, raw) =>
+        (qid, servePointFiltered(vecCol, raw, k, nProbe, conds, exclude,
+          freshTail))
+      }
+    val declared = filterColsDecl
+    if (!conds.forall(c => declared.contains(c.col))) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim)) return fallback()
+    if (centroids().headOption.exists(_._2.length != dim)) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    var union: Array[Int] = null
+    val scalars = acquireResident[ScalarCluster](
+      scalarCache, _.ids.length.toLong,
+      () => scalarRowsResident, v => scalarRowsResident = v,
+      effectiveMaxRows(dim),
+      () => {
+        val cents = centroids()
+        union = qsArr.map { q =>
+          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+        }.flatten.distinct
+        union
+      },
+      loadScalarClusters) match {
+      case Some(m) => m
+      case None => return fallback()
+    }
+    val pass = passingIds(conds, union.map(scalars), union)
+    val tailIds = new java.util.HashSet[java.lang.Long]()
+    freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
+    servePointBatch(vecCol, queries, k, nProbe,
       id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
       freshTail)
   }

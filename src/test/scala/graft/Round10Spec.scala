@@ -214,10 +214,20 @@ class Round10Spec extends SparkSpec {
     }
     results.zip(singles).foreach { case (r, expect) =>
       val s = JsonMethods.compact(JsonMethods.render(r))
+      // the shared conjunction rides the batch serve path (one passing-id
+      // set masks the whole batch), marked in each entry's envelope
+      assert(s.contains("\"served\":true") && s.contains("\"filtered\":true"), s)
       val got = resultIds(s).map(m)
       assert(got == expect, s"batch entry diverged: $got vs $expect")
       assert(got.forall(_ % 10 >= 5), s)
     }
+    // a filter OUTSIDE the sub-grammar still declines the whole batch to
+    // per-query job answers
+    val declined = db.query(
+      s"""{"table":"T","queryVectors":[$qVec],"limit":4,
+         |"filter":"Label >= 8 OR Label < 1","serve":true,
+         |"response":["ID"]}""".stripMargin)
+    assert(!declined.contains("\"served\""), declined)
   }
 
   // ---- hybrid: filter routed through BOTH job sides ----
@@ -359,6 +369,48 @@ class Round10Spec extends SparkSpec {
     // old math deflated it by sqrt(500)/z ~ 42%)
     val frac = got.count().toDouble / 500.0
     assert(frac > 0.15 && frac < 0.25, s"realized fraction $frac")
+  }
+
+  test("filtered serving under racing rebuilds: exact-or-decline, never wrong") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val df = blobs(800)
+    val path = tmpDir("r10_fserve_race")
+    val idx = graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 5)
+    idx.setServeFilterColumns(Seq("id")) // any scalar works; id % semantics below
+    val conds = Seq(graft.filter.SimpleConjuncts.Cond("id", ">=",
+      graft.filter.SimpleConjuncts.NumLit(100.0, isInt = true)))
+    val q = Array(0.03f, 0.0f, 0.0f, 0.02f)
+    val nAll = idx.centroids().length
+    val expect = idx.search("vec", q, 10, nAll,
+        preFilter = Some(org.apache.spark.sql.functions.col("id") >= 100))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val rebuilder = Future {
+      while (!stop.get()) {
+        graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+          graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 2)
+        Thread.sleep(50)
+      }
+    }
+    var served = 0
+    var declined = 0
+    var wrong = 0
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 8L * 1000 * 1000 * 1000) {
+      idx.servePointFiltered("vec", q, 10, nAll, conds) match {
+        case Some(hits) =>
+          served += 1
+          if (hits.map(_._1).toSeq != expect) wrong += 1
+        case None => declined += 1
+      }
+    }
+    stop.set(true)
+    Await.ready(rebuilder, 120.seconds)
+    assert(wrong == 0, s"filtered serving returned WRONG answers under rebuild churn ($wrong)")
+    assert(served > 0, s"never served under churn (declined $declined) — thrash handling too pessimistic")
   }
 
   // ---- recall-targeted auto-probe (probeSetForRecall / searchAuto) ----
