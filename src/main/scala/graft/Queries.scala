@@ -391,6 +391,69 @@ object Queries {
         .filter(col(graft.store.TableStore.RowId).isin(ids: _*))
         .select(col("vec_id")).orderBy("vec_id")
     }),
+    // The BATCH form of the same contract: a `queryVectors` request with a
+    // shared filter rides servePointFilteredBatch (one passing-id set for
+    // the whole batch); every entry must be marked served+filtered and
+    // value-check against its own filtered brute force.
+    "v11_serve_filtered_batch" -> ((s, dir) => {
+      import org.json4s._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v11sfb_${math.abs(dir.hashCode)}"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val db = new graft.api.GraftDb(s, root)
+      val emb = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      db.createTable(
+        s"""{"name":"emb","fields":[
+           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
+           |  {"name":"label","dataType":"BIGINT"},
+           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
+           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+      val pad = emb.limit(32)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("label", lit(-1L))
+      db.store("emb").insert(emb.unionByName(pad))
+      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val qs = Seq(0L, 1L).map(i => emb.filter(col("vec_id") === i)
+        .select(col("embedding")).head().getSeq[Float](0).toArray)
+      val resp = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVectors":[[${qs(0).mkString(",")}],[${qs(1).mkString(",")}]],
+           |  "limit":10,"nProbe":9999,"filter":"label >= 5","serve":true}""".stripMargin)
+      val results = (org.json4s.jackson.JsonMethods.parse(resp) \ "results") match {
+        case JArray(rs) => rs
+        case other => sys.error(s"bad batch envelope: $other")
+      }
+      require(results.length == 2, resp)
+      val perQuery: Seq[(Long, Seq[Long])] = results.zipWithIndex.map { case (r, qi) =>
+        val txt = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(r))
+        require(txt.contains("\"served\":true") && txt.contains("\"filtered\":true"),
+          s"batch entry $qi did not ride the filtered serve path: $txt")
+        val ids = (r \ "result") match {
+          case JArray(rows) => rows.map(x => (x \ "__row_id") match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case other => sys.error(s"bad __row_id: $other")
+          })
+          case other => sys.error(s"bad result: $other")
+        }
+        (qi.toLong, ids)
+      }
+      val m = db.store("emb").read()
+        .select(col(graft.store.TableStore.RowId), col("vec_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      perQuery.flatMap { case (qi, ids) => ids.map(id => (qi, m(id))) }
+        .toDF("qid", "vec_id").orderBy("qid", "vec_id")
+    }),
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
       val withDist = t(s, dir, "embeddings")
@@ -723,6 +786,19 @@ object Queries {
     "v4_serve_filtered" ->
       s"""SELECT vec_id FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "v11_serve_filtered_batch" ->
+      s"""WITH q AS (
+         |  SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id = 0
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), embedding FROM embeddings WHERE vec_id = 1),
+         |sc AS (SELECT q.qid, e.vec_id, ${sqlL2sqr("e.embedding", "q.qv")} AS d
+         |       FROM embeddings e CROSS JOIN q WHERE e.label >= 5),
+         |rk AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rank
+         |       FROM sc)
+         |SELECT qid, vec_id FROM rk WHERE rank <= 10
+         |ORDER BY qid, vec_id""".stripMargin,
     "vq_int8_topk" -> {
       val qd = s"(SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings WHERE vec_id = 0)"
       s"""WITH qz AS (
