@@ -1035,6 +1035,22 @@ class GraftDb(val spark: SparkSession, val root: String,
           case _ => return None // outside the serve sub-grammar → job path
         }
       }
+    // "recallTarget" + serve: the float tier's probe set becomes the
+    // geometric cover PROVING recall >= target (probeSetForRecall; 1.0 =
+    // exact) instead of the fixed nearest-nProbe cut; an over-wide cover
+    // simply declines on the residency budget and the job path answers.
+    // The code-resident tiers keep their own contracts ("certified" is
+    // the proof mechanism there) and ignore the knob. Combined with a
+    // FILTER the cover proves nothing (it bounds the UNFILTERED top-k;
+    // filtered matches may rank past it) — same reason searchAuto
+    // refuses filters — so the combination declines to the job path.
+    val recallTarget: Option[Double] = (req \ "recallTarget") match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case _ => None
+    }
+    if (recallTarget.isDefined && conds.nonEmpty) return None
     // the tail and the resident clusters must cover DISJOINT id ranges
     // around one pin: re-check the pin after scoring (a rebuild landing
     // mid-query re-pins residency while the collected tail still covers
@@ -1059,6 +1075,10 @@ class GraftDb(val spark: SparkSession, val root: String,
           }
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
+          val probeSet: Option[Array[Int]] =
+            if (quantized || pq) None
+            else recallTarget.map(t =>
+              idx.probeSetForRecall(dense, k, t, slack = tombs.size.toLong))
           val served =
             if (conds.nonEmpty) {
               // the conjunction applies to tail rows too: evaluated here
@@ -1085,7 +1105,8 @@ class GraftDb(val spark: SparkSession, val root: String,
               k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
             else idx.servePoint(queryField, dense, k, np,
-              exclude = tombs.contains, freshTail = tail.map(_.packed)).map((_, 0))
+              exclude = tombs.contains, freshTail = tail.map(_.packed),
+              probeSet = probeSet).map((_, 0))
           val (hits, reranked) = served match {
             case Some(h) => h
             // probed clusters exceed the resident budget (cardinality

@@ -1744,7 +1744,8 @@ class IvfIndex(
     * on the job path instead. */
   def servePoint(vecCol: String, query: Array[Float], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
-      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      probeSet: Option[Array[Int]] = None)
       : Option[Array[(Long, Double)]] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     // stored-dim guard: resident vectors are packed row-major at the
@@ -1770,11 +1771,19 @@ class IvfIndex(
         ensureServeFresh()
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
-        probed = centroids()
-          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-          .sortBy { case (_, d) => d }
-          .take(nProbe)
-          .map(_._1)
+        // an EXPLICIT probe set (e.g. probeSetForRecall's proven cover)
+        // overrides the nearest-nProbe selection; ids a racing rebuild
+        // retired are dropped (the caller's pin re-check catches the race)
+        probed = probeSet match {
+          case Some(ps) =>
+            val live = centroids().map(_._1).toSet
+            ps.filter(live)
+          case None => centroids()
+            .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }
+            .take(nProbe)
+            .map(_._1)
+        }
         probed.filterNot(serveCache.containsKey(_))
       }
       // probe + load are guarded: a rebuild overwriting clustered/ between
@@ -2154,11 +2163,12 @@ class IvfIndex(
   def servePointFiltered(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
       exclude: Long => Boolean = _ => false,
-      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      probeSet: Option[Array[Int]] = None)
       : Option[Array[(Long, Double)]] = {
     import graft.filter.SimpleConjuncts._
     if (conds.isEmpty)
-      return servePoint(vecCol, query, k, nProbe, exclude, freshTail)
+      return servePoint(vecCol, query, k, nProbe, exclude, freshTail, probeSet)
     val declared = filterColsDecl
     if (!conds.forall(c => declared.contains(c.col))) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
@@ -2177,11 +2187,18 @@ class IvfIndex(
         ensureServeFresh()
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
-        probed = centroids()
-          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-          .sortBy { case (_, d) => d }
-          .take(nProbe)
-          .map(_._1)
+        // the scalar residency must cover the SAME probe set the vector
+        // sweep will visit (explicit set honored here and in servePoint)
+        probed = probeSet match {
+          case Some(ps) =>
+            val live = centroids().map(_._1).toSet
+            ps.filter(live)
+          case None => centroids()
+            .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+            .sortBy { case (_, d) => d }
+            .take(nProbe)
+            .map(_._1)
+        }
         probed.filterNot(scalarCache.containsKey(_))
       }
       var loaded: Map[Int, ScalarCluster] = null
@@ -2233,7 +2250,7 @@ class IvfIndex(
     freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
     servePoint(vecCol, query, k, nProbe,
       id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
-      freshTail)
+      freshTail, probeSet)
   }
 
   /** Ids passing the conjunction among the given scalar clusters, cached

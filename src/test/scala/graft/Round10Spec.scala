@@ -519,6 +519,33 @@ class Round10Spec extends SparkSpec {
       dotIdx.centroids().length)
   }
 
+  test("recallTarget drives the SERVE tier's probe set: proven-exact at serving latency") {
+    val db = fixtureDb("r10_serve_recall")
+    val m = rowIdToId(db)
+    // default nProbe (8) with recallTarget 1.0: the probe set is the
+    // geometric cover, not the nearest-8 cut — the answer must equal the
+    // exact job path even where nearest-8 would have missed
+    val served = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,"serve":true,
+         |"recallTarget":1.0}""".stripMargin)
+    assert(served.contains("\"served\":true"), served)
+    val exact = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,"response":["ID"]}""")
+    assert(resultIds(served).map(m) == resultIds(exact, "ID"),
+      s"$served vs $exact")
+    // recallTarget + filter must DECLINE: the cover bounds the UNFILTERED
+    // top-k, so it proves nothing about filtered matches (same reason
+    // searchAuto refuses filters) — the job path answers exactly
+    val both = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,"serve":true,
+         |"recallTarget":1.0,"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    assert(!both.contains("\"served\""), both)
+    val jobF = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":8,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    assert(resultIds(both, "ID") == resultIds(jobF, "ID"), s"$both vs $jobF")
+  }
+
   test("recallTarget rides the query API's ann path (hash-equal to exact)") {
     val db = fixtureDb("r10_autoprobe_api")
     val m = rowIdToId(db)
