@@ -136,7 +136,7 @@ class Client:
               serve=False, n_probe=None, unbounded=False,
               quantized=False, pq=False, certified=False,
               query_vectors=None, keywords=None, text_field=None,
-              rrf_cut=None):
+              rrf_cut=None, recall_target=None):
         """POST /api/{db}/data/query — vector top-K.
 
         ``query_vector`` is a dense list OR a sparse dict
@@ -188,6 +188,11 @@ class Client:
             body["pq"] = True
         if certified:
             body["certified"] = True
+        if recall_target is not None:
+            # ann path: auto-probe proving recall >= target (1.0 = exact);
+            # serve path: the float tier's probe set becomes the proven
+            # cover (declines to the job path when combined with a filter)
+            body["recallTarget"] = float(recall_target)
         if n_probe is not None:
             body["nProbe"] = n_probe
         if unbounded:

@@ -20,6 +20,9 @@ import graft.types.MetricType
 object ServeScaleBench {
   private[graft] val VecCol = "embedding"
   private[graft] val IdCol = "vec_id"
+  /** The filtered tier's shared conjunction (label >= 5 — half the rows). */
+  private[graft] val FilterConds = Seq(graft.filter.SimpleConjuncts.Cond(
+    "label", ">=", graft.filter.SimpleConjuncts.NumLit(5.0, isInt = true)))
 
   private def javaBin = s"${System.getProperty("java.home")}/bin/java"
 
@@ -43,9 +46,12 @@ object ServeScaleBench {
     // "float" (default) serves the all-float exact tier; "pq" serves the
     // m-byte ADC-resident tier — the shard-residency story at its densest
     // (each worker's warm set is ~50x smaller in bytes, so process count
-    // scales before RAM does)
+    // scales before RAM does); "filtered" serves the float tier through
+    // servePointFiltered (label >= 5 over the declared scalar residency)
+    // — attribute-filtered serving scales out like the rest
     val tier = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "float")
-    require(tier == "float" || tier == "pq", s"unknown tier $tier")
+    require(tier == "float" || tier == "pq" || tier == "filtered",
+      s"unknown tier $tier")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -55,11 +61,13 @@ object ServeScaleBench {
 
     // clustered synthetic corpus (same geometry as AnnBench: latent
     // centers + noise — uniform high-dim data defeats any pruning index)
-    val dataPath = s"${System.getProperty("java.io.tmpdir")}/graft_scale_synth_${rows}_$dim"
+    // _v2: carries the `label` scalar for the filtered tier
+    val dataPath = s"${System.getProperty("java.io.tmpdir")}/graft_scale_synth_v2_${rows}_$dim"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dataPath)))
       spark.range(rows)
         .withColumn("c", pmod(xxhash64(col("id")), lit(128)))
         .select(col("id").as(IdCol),
+          pmod(xxhash64(col("id") + 7), lit(10)).as("label"),
           transform(sequence(lit(1), lit(dim)), i =>
             ((pmod(xxhash64(col("c") * dim + i), lit(2000)) / 1000.0 - 1.0) +
               (pmod(xxhash64(col("id") * dim + i), lit(2000)) / 10000.0 - 0.1))
@@ -71,10 +79,10 @@ object ServeScaleBench {
     // rebuild a cached layout that predates the columns this tier needs
     // (the pq tier serves off __pqcode/__pqerr)
     val stale = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")) &&
-      tier == "pq" && {
+        java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")) && {
         val cols = spark.read.parquet(s"$idxPath/clustered").columns
-        !(cols.contains("__pqcode") && cols.contains("__pqerr"))
+        (tier == "pq" && !(cols.contains("__pqcode") && cols.contains("__pqerr"))) ||
+          (tier == "filtered" && !cols.contains("label"))
       }
     if (stale ||
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")))
@@ -83,6 +91,7 @@ object ServeScaleBench {
     val idx = new IvfIndex(spark, idxPath, IdCol, MetricType.Euclidean)
     idx.maxServeRows = Long.MaxValue
     idx.maxServeBytes = Long.MaxValue
+    if (tier == "filtered") idx.setServeFilterColumns(Seq("label"))
 
     val queries = emb.filter(col(IdCol) < 20).orderBy(IdCol)
       .select(VecCol).collect()
@@ -92,6 +101,8 @@ object ServeScaleBench {
     // from the queries, so answers must stay byte-identical)
     val expected = queries.map(q =>
       (if (tier == "pq") idx.servePointPq(VecCol, q, 10, nProbe = 8)
+       else if (tier == "filtered")
+         idx.servePointFiltered(VecCol, q, 10, nProbe = 8, ServeScaleBench.FilterConds)
        else idx.servePoint(VecCol, q, 10, nProbe = 8)).get.map(_._1).toSeq)
 
     val benchDir = java.nio.file.Paths.get(idxPath, ".scalebench")
@@ -146,6 +157,7 @@ object ServeScaleBench {
         while (!stopIngest.get()) {
           val batch = spark.range(nextId, nextId + 500)
             .select(col("id").as(IdCol),
+              pmod(xxhash64(col("id") + 7), lit(10)).as("label"),
               transform(sequence(lit(1), lit(dim)),
                 i => (lit(50.0) + pmod(xxhash64(col("id") * dim + i), lit(100)) / 100.0)
                   .cast("float")).as(VecCol))
@@ -218,12 +230,17 @@ object ServeScaleWorker {
         ServeScaleBench.IdCol, MetricType.Euclidean)
       idx.maxServeRows = Long.MaxValue
       idx.maxServeBytes = Long.MaxValue
+      if (tier == "filtered")
+        idx.setServeFilterColumns(Seq("label"))
       val mine = queries.indices.filter(_ % n == wid).toArray
       // warm this shard's probed clusters BEFORE signaling ready: the
       // timed window measures the warm serving tier
       def serveOne(i: Int): Option[Array[(Long, Double)]] =
         if (tier == "pq")
           idx.servePointPq(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8)
+        else if (tier == "filtered")
+          idx.servePointFiltered(ServeScaleBench.VecCol, queries(i), 10,
+            nProbe = 8, ServeScaleBench.FilterConds)
         else idx.servePoint(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8)
       mine.foreach(serveOne)
       java.nio.file.Files.write(benchDir.resolve(s"ready$wid"), Array.empty[Byte])
