@@ -84,6 +84,36 @@ object QueriesPipeline {
     entries.mkString("[", ",\n ", "]")
   }
 
+  /** The LSH→Jaccard-verify→connected-components CTE chain ending in
+    * `reach(id, comp)` — shared by the dup-cluster and survivorship
+    * oracles (mirrors minhashNearDuplicates + duplicateClusters). */
+  private def sqlDupClusterCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, $sqlToks toks FROM documents),
+       |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+       |h AS (SELECT doc_id, $sqlShingleHashes hs FROM tkh),
+       |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
+       |bands AS (
+       |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+       |  FROM sig, (SELECT unnest(range(8)) b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |tokd AS (SELECT doc_id, list_distinct(toks) toks FROM tok),
+       |edges AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN tokd x ON cand.id_a = x.doc_id
+       |  JOIN tokd y ON cand.id_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
+       |    (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.5),
+       |und AS (SELECT id_a AS s, id_b AS d FROM edges
+       |        UNION ALL SELECT id_b AS s, id_a AS d FROM edges),
+       |nodes AS (SELECT DISTINCT s AS id FROM und),
+       |reach AS (
+       |  SELECT id, id AS comp FROM nodes
+       |  UNION
+       |  SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id)""".stripMargin
+
   /** simhash as a DuckDB sum of 60 per-bit sign votes over `hs`. */
   private def sqlSimhash: String = {
     val bits = (0 until 60).map { i =>
@@ -244,6 +274,17 @@ object QueriesPipeline {
       Dedup.duplicateClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy(col("doc_id"))
+    }),
+    // Survivorship policy over the same clusters: a training pipeline
+    // keeps the BEST copy of each near-dup family (here: longest text,
+    // doc_id tie-break), not the earliest — unclustered docs untouched.
+    "dd_dup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 8)
+      Dedup.keepClusterSurvivors(docs, "doc_id",
+          Dedup.duplicateClusters(pairs), Seq(col("n_chars").desc))
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "dd_embed_cosine" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(
@@ -858,33 +899,20 @@ object QueriesPipeline {
          |GROUP BY p.doc_id
          |ORDER BY dot DESC, p.doc_id ASC LIMIT 20""".stripMargin,
     "dd_dup_clusters" ->
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT doc_id, $sqlToks toks FROM documents),
-         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
-         |h AS (SELECT doc_id, $sqlShingleHashes hs FROM tkh),
-         |sig AS (SELECT doc_id, ${sqlMinhashSig(32)} sig FROM h),
-         |bands AS (
-         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
-         |  FROM sig, (SELECT unnest(range(8)) b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |tokd AS (SELECT doc_id, list_distinct(toks) toks FROM tok),
-         |edges AS (
-         |  SELECT id_a, id_b FROM cand
-         |  JOIN tokd x ON cand.id_a = x.doc_id
-         |  JOIN tokd y ON cand.id_b = y.doc_id
-         |  WHERE CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) /
-         |    (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) >= 0.5),
-         |und AS (SELECT id_a AS s, id_b AS d FROM edges
-         |        UNION ALL SELECT id_b AS s, id_a AS d FROM edges),
-         |nodes AS (SELECT DISTINCT s AS id FROM und),
-         |reach AS (
-         |  SELECT id, id AS comp FROM nodes
-         |  UNION
-         |  SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id)
+      s"""WITH RECURSIVE $sqlDupClusterCtes
          |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dd_dup_survivors" ->
+      s"""WITH RECURSIVE $sqlDupClusterCtes,
+         |labs AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster
+         |         FROM reach GROUP BY id),
+         |j AS (SELECT d.doc_id, d.n_chars, coalesce(l.cluster, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN labs l USING (doc_id)),
+         |rk AS (SELECT doc_id,
+         |         row_number() OVER (PARTITION BY grp
+         |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |       FROM j)
+         |SELECT doc_id FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_simhash_fp" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents WHERE doc_id < 500),

@@ -52,6 +52,39 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Survivorship-policy exact dedup: keep ONE row per identical text,
+    * picked by the caller's priority (e.g. `Seq(col("quality").desc)` —
+    * a training pipeline usually wants the best-annotated copy, not the
+    * earliest); the id ascending tie-break is appended so the winner is
+    * deterministic. Same single digest-partitioned window
+    * `dropExactDuplicates` pays. */
+  def dropExactDuplicatesBy(df: DataFrame, textCol: String, idCol: String,
+      priority: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(priority :+ col(idCol).asc: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Survivorship over NEAR-dup clusters: given the (id, cluster) labels
+    * [[duplicateClusters]] derives from an LSH pair list, keep the best
+    * member of every duplicate cluster under the caller's priority;
+    * unclustered docs (never in any pair) survive untouched. One
+    * equi-join on id + one cluster-partitioned window — the label list
+    * covers only docs that appeared in a pair, so the join side is the
+    * duplicate subset, never the corpus squared. */
+  def keepClusterSurvivors(docs: DataFrame, idCol: String,
+      clusters: DataFrame, priority: Seq[Column]): DataFrame = {
+    val lab = clusters.select(col("id").cast("long").as("__did"),
+      col("cluster").cast("long").as("__cl"))
+    val joined = docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
+      .withColumn("__grp", coalesce(col("__cl"), docs(idCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp")).orderBy(priority :+ col(idCol).asc: _*)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__grp", "__cl", "__did")
+  }
+
   /** MinHash signature column over a PRE-MATERIALIZED shingle-hash array
     * column. The md5 hashing must live in its own projection stage (see
     * `minhashSignatures`): inlining it here would re-evaluate the md5s once

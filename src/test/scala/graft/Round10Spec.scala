@@ -558,6 +558,33 @@ class Round10Spec extends SparkSpec {
       s"$auto vs $exact")
   }
 
+  // ---- dedup survivorship policies ----
+
+  test("dropExactDuplicatesBy keeps the best-priority copy, not the earliest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", 0.2), (2L, "same text", 0.9), (3L, "same text", 0.9),
+      (4L, "other", 0.1)).toDF("id", "text", "quality")
+    val kept = graft.pipeline.Dedup.dropExactDuplicatesBy(
+        docs, "text", "id", Seq(col("quality").desc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // quality 0.9 wins; the id tie-break picks 2 over 3; singleton 4 stays
+    assert(kept == Set(2L, 4L), kept.toString)
+  }
+
+  test("keepClusterSurvivors keeps the best member per near-dup cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, 100L), (11L, 300L), (12L, 300L), // cluster A: 11 wins (tie -> lower id)
+      (20L, 50L),                            // cluster B alone after pairs? no pair -> untouched
+      (30L, 10L)).toDF("id", "len")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "cluster")
+    val kept = graft.pipeline.Dedup.keepClusterSurvivors(
+        docs, "id", clusters, Seq(col("len").desc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 20L, 30L), kept.toString)
+  }
+
   // ---- sparse serve guard ----
 
   test("sparse serve declines filtered requests but serves unfiltered ones") {
