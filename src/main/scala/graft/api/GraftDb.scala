@@ -832,6 +832,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     // per-query fallback re-enters query(), which serves or declines
     // each query individually
     if (facetsPresent(req)) return allNone
+    // a declared recall floor must never be silently ignored: the shared
+    // batch path has no per-query cover plumbing, so it declines and the
+    // per-query fallback (query() single dispatch) serves each query with
+    // probeSetForRecall's proven cover
+    if ((req \ "recallTarget") != JNothing) return allNone
     val table = str(req \ "table")
     val st = store(table)
     val filterStr = filterStringOf(req)

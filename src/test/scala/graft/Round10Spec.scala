@@ -546,6 +546,29 @@ class Round10Spec extends SparkSpec {
     assert(resultIds(both, "ID") == resultIds(jobF, "ID"), s"$both vs $jobF")
   }
 
+  test("a batch with recallTarget never silently drops the floor: per-query covers apply") {
+    val db = fixtureDb("r10_batch_recall")
+    val m = rowIdToId(db)
+    val batch = db.query(
+      s"""{"table":"T","queryVectors":[$qVec,[0.1,0.9,0.2,0.8]],
+         |"limit":6,"serve":true,"recallTarget":1.0}""".stripMargin)
+    val entries = (JsonMethods.parse(batch) \ "results") match {
+      case JArray(rs) => rs.map(r =>
+        JsonMethods.compact(JsonMethods.render(r)))
+      case other => fail(s"bad envelope: $other")
+    }
+    val singles = Seq(qVec, "[0.1,0.9,0.2,0.8]").map(v => db.query(
+      s"""{"table":"T","queryVector":$v,"limit":6,"response":["ID"]}"""))
+    entries.zip(singles).foreach { case (e, exact) =>
+      // each entry either served with the cover or fell to the job path —
+      // in BOTH cases the ids must equal the exact answer (target 1.0)
+      val got =
+        if (e.contains("\"served\":true")) resultIds(e).map(m)
+        else resultIds(e, "ID")
+      assert(got == resultIds(exact, "ID"), s"$e vs $exact")
+    }
+  }
+
   test("recallTarget rides the query API's ann path (hash-equal to exact)") {
     val db = fixtureDb("r10_autoprobe_api")
     val m = rowIdToId(db)
