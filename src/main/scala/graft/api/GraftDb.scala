@@ -35,10 +35,27 @@ class GraftDb(val spark: SparkSession, val root: String,
   // re-creating it per query would re-list and re-load per query
   private val indexes =
     scala.collection.concurrent.TrieMap[(String, String), graft.index.IvfIndex]()
+  /** Db-level serving-cap defaults (set via updateConfig): applied to every
+    * index instance AT CONSTRUCTION, so they survive release() and govern
+    * lazily-opened indexes too — config must not silently revert to
+    * library defaults on the next cold open. None = library default. */
+  @volatile private var defaultMaxServeRows: Option[Long] = None
+  @volatile private var defaultMaxServeBytes: Option[Long] = None
+  // declared filtered-serving columns, db-level: re-applied when an index
+  // instance is (re)constructed after release()/lazy open
+  private val declaredServeFilterCols =
+    scala.collection.concurrent.TrieMap[(String, String), Seq[String]]()
   private def index(st: TableStore, field: String): graft.index.IvfIndex =
-    indexes.getOrElseUpdate((st.schema.name, field),
-      new graft.index.IvfIndex(spark, s"$root/${st.schema.name}/ivf_$field",
-        graft.store.TableStore.RowId, st.schema.field(field).metric))
+    indexes.getOrElseUpdate((st.schema.name, field), {
+      val ix = new graft.index.IvfIndex(spark,
+        s"$root/${st.schema.name}/ivf_$field",
+        graft.store.TableStore.RowId, st.schema.field(field).metric)
+      defaultMaxServeRows.foreach(v => ix.maxServeRows = v)
+      defaultMaxServeBytes.foreach(v => ix.maxServeBytes = v)
+      declaredServeFilterCols.get((st.schema.name, field))
+        .foreach(ix.setServeFilterColumns)
+      ix
+    })
   // sparse fields get the inverted-posting index instead (same
   // one-instance-per-(table, field) rule: the instance owns the meta-
   // stamped posting/norms/serving caches)
@@ -380,6 +397,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     tailCache.keySet.filter(_._1 == name).foreach(tailCache.remove)
     sparseTailCache.keySet.filter(_._1 == name).foreach(sparseTailCache.remove)
     tombCache.remove(name)
+    declaredServeFilterCols.keySet.filter(_._1 == name)
+      .foreach(declaredServeFilterCols.remove)
     statsFragCache.keySet.filter(_._1 == name).foreach(statsFragCache.remove)
     healAttemptGen.keySet.filter(_._1 == name).foreach(healAttemptGen.remove)
     appendLocks.remove(name)
@@ -648,7 +667,12 @@ class GraftDb(val spark: SparkSession, val root: String,
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val cut = (req \ "rrfCut") match { case JInt(i) => i.toInt; case _ => 50 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
-    val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
+    // a declared recall floor forces BOTH sides onto their job paths:
+    // each side's exact cut trivially satisfies any floor, while the
+    // serve tiers' fixed-probe sweeps prove none — the uniform
+    // recallTarget contract (never drop a declared floor unmarked)
+    val serve = ((req \ "serve") match { case JBool(b) => b; case _ => false }) &&
+      (req \ "recallTarget") == JNothing
     require(!facetsPresent(req), "hybrid queries do not support facets")
     // `filter` applies to BOTH sides: each ranks over the FILTERED
     // universe before fusion (filter-then-rank — the same semantics the
@@ -843,7 +867,6 @@ class GraftDb(val spark: SparkSession, val root: String,
     val conds: Seq[graft.filter.SimpleConjuncts.Cond] =
       if (filterStr.isEmpty) Nil
       else {
-        if (quantized || pq) return allNone // code tiers carry no scalars
         graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs) if cs.nonEmpty => cs
           case _ => return allNone
@@ -886,7 +909,9 @@ class GraftDb(val spark: SparkSession, val root: String,
           val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
             if (conds.nonEmpty) {
               // shared conjunction: tail pre-filtered once on the scalar
-              // sidecar, one passing-id set masks the whole batch
+              // sidecar, one passing-id set masks the whole batch — on
+              // whichever tier the batch requested (the code tiers
+              // compose the mask into their shared code sweeps)
               val ft = tail match {
                 case None => None
                 case Some(dt) => filterTail(dt, conds,
@@ -895,7 +920,13 @@ class GraftDb(val spark: SparkSession, val root: String,
                   case None => return allNone
                 }
               }
-              idx.servePointFilteredBatch(queryField, qs, k, np, conds,
+              if (pq) idx.servePointPqFilteredBatchDetail(queryField, qs,
+                k, np, conds, exclude = tombs.contains, freshTail = ft,
+                certify = certified)
+              else if (quantized) idx.servePointQuantizedFilteredBatchDetail(
+                queryField, qs, k, np, conds, exclude = tombs.contains,
+                freshTail = ft, certify = certified)
+              else idx.servePointFilteredBatch(queryField, qs, k, np, conds,
                 exclude = tombs.contains, freshTail = ft)
                 .map { case (qid, r) => (qid, r.map((_, 0))) }
             }
@@ -1004,10 +1035,22 @@ class GraftDb(val spark: SparkSession, val root: String,
     // Pre-PQ layouts decline to the job path, never silently downgrade.
     val pq = (req \ "pq") match { case JBool(b) => b; case _ => false }
     val filterStr = filterStringOf(req)
+    // parsed BEFORE any tier dispatch: a declared recall floor must gate
+    // every serve branch (sparse included), never be read after one
+    // already answered
+    val recallTarget: Option[Double] = (req \ "recallTarget") match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case _ => None
+    }
     (req \ "queryVector") match {
       case o: JObject =>
-        // sparse postings carry no attribute columns: filtered → job path
-        return if (filterStr.nonEmpty) None
+        // sparse postings carry no attribute columns: filtered → job path.
+        // A declared recall floor also declines: the dot/cosine serving
+        // mode is candidate-retrieval (overlap-only), which proves no
+        // floor — the job path's exact inverted-index cut does.
+        return if (filterStr.nonEmpty || recallTarget.isDefined) None
         else serveSparse(st, queryField, o, limit)
       case _ => ()
     }
@@ -1028,13 +1071,12 @@ class GraftDb(val spark: SparkSession, val root: String,
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
     // filtered requests serve ONLY when the filter is a simple conjunction
     // over declared resident scalar columns — evaluated exactly in the
-    // sweep (servePointFiltered); anything else declines so the job path
-    // answers with the full grammar, exactly. The code-resident tiers
-    // (quantized/pq) hold no scalar columns, so they always decline.
+    // sweep (servePointFiltered and the code tiers' filtered forms, which
+    // compose the same passing-id mask into their sweeps); anything else
+    // declines so the job path answers with the full grammar, exactly.
     val conds: Seq[graft.filter.SimpleConjuncts.Cond] =
       if (filterStr.isEmpty) Nil
       else {
-        if (quantized || pq) return None
         graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs) if cs.nonEmpty => cs
           case _ => return None // outside the serve sub-grammar → job path
@@ -1044,18 +1086,19 @@ class GraftDb(val spark: SparkSession, val root: String,
     // geometric cover PROVING recall >= target (probeSetForRecall; 1.0 =
     // exact) instead of the fixed nearest-nProbe cut; an over-wide cover
     // simply declines on the residency budget and the job path answers.
-    // The code-resident tiers keep their own contracts ("certified" is
-    // the proof mechanism there) and ignore the knob. Combined with a
-    // FILTER the cover proves nothing (it bounds the UNFILTERED top-k;
-    // filtered matches may rank past it) — same reason searchAuto
-    // refuses filters — so the combination declines to the job path.
-    val recallTarget: Option[Double] = (req \ "recallTarget") match {
-      case JDouble(d) => Some(d)
-      case JDecimal(d) => Some(d.toDouble)
-      case JInt(i) => Some(i.toDouble)
-      case _ => None
-    }
-    if (recallTarget.isDefined && conds.nonEmpty) return None
+    // UNIFORM CONTRACT: a request carrying a declared floor is answered
+    // with the floor proven or declines — never an unmarked fixed-probe
+    // cut. The code-resident tiers have no cover plumbing ("certified"
+    // is their proof mechanism, a different knob), so recallTarget on
+    // them DECLINES to the job path, whose exact scan satisfies any
+    // floor, rather than serving at the fixed cut with the floor
+    // silently dropped.
+    if (recallTarget.isDefined && (quantized || pq)) return None
+    // recallTarget + FILTER: the unfiltered cover proves nothing (it
+    // bounds the UNFILTERED top-k; filtered matches may rank past it),
+    // but per-cluster PASSING counts restore the bound — the float tier
+    // answers via servePointFilteredRecall's passing-count cover
+    // (dispatched below); the code tiers declined above.
     // the tail and the resident clusters must cover DISJOINT id ranges
     // around one pin: re-check the pin after scoring (a rebuild landing
     // mid-query re-pins residency while the collected tail still covers
@@ -1100,8 +1143,27 @@ class GraftDb(val spark: SparkSession, val root: String,
                     case None => return None
                   }
                 }
-              idx.servePointFiltered(queryField, dense, k, np, conds,
-                exclude = tombs.contains, freshTail = ft).map(h => (h, 0))
+              // the filtered sweep runs on the REQUESTED tier: the code
+              // tiers compose the same passing-id mask into their code
+              // sweeps, with certification proven over the masked
+              // (= filtered) candidate set
+              if (pq) idx.servePointPqFilteredDetail(queryField, dense,
+                k, np, conds, exclude = tombs.contains, freshTail = ft,
+                certify = certified)
+              else if (quantized) idx.servePointQuantizedFilteredDetail(
+                queryField, dense, k, np, conds, exclude = tombs.contains,
+                freshTail = ft, certify = certified)
+              else recallTarget match {
+                // declared floor + filter: passing-count cover proves
+                // recall >= target over the FILTERED universe (1.0 =
+                // exact); over-budget covers decline to the job path
+                case Some(t) => idx.servePointFilteredRecall(queryField,
+                  dense, k, t, conds, exclude = tombs.contains,
+                  freshTail = ft, slack = tombs.size.toLong).map(h => (h, 0))
+                case None => idx.servePointFiltered(queryField, dense, k,
+                  np, conds, exclude = tombs.contains, freshTail = ft)
+                  .map(h => (h, 0))
+              }
             }
             else if (pq) idx.servePointPqDetail(queryField, dense,
               k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
@@ -1335,6 +1397,9 @@ class GraftDb(val spark: SparkSession, val root: String,
         f.fieldType != graft.types.FieldType.GeoPoint,
         s"$c is not a scalar column")
     }
+    // recorded db-level too: a release()/lazy re-open re-applies the
+    // declaration to the fresh instance instead of silently losing it
+    declaredServeFilterCols((table, field)) = cols
     index(st, field).setServeFilterColumns(cols)
   }
 
@@ -1398,7 +1463,29 @@ class GraftDb(val spark: SparkSession, val root: String,
     * the live rows (tombstones folded, the same visible state a reader
     * gets). One columnar write job per table; the export is a plain
     * GraftDb root, so `new GraftDb(spark, path)` opens it. */
-  def dump(path: String): Unit = {
+  /** Export/import confinement root for the filesystem-path-taking APIs
+    * (`dump` / `loadCsv`): when set, requested paths must resolve INSIDE
+    * it after normalization — absolute paths outside and `..` traversal
+    * are rejected. None (default) = unconfined, for library callers that
+    * own their paths; the HTTP surface sets it via updateConfig `IoRoot`
+    * (an HTTP client could otherwise overwrite any writable server path
+    * or ingest any readable CSV). */
+  @volatile var ioRoot: Option[String] = None
+
+  private def confinedPath(p: String): String = ioRoot match {
+    case None => p
+    case Some(root) =>
+      val rootP = Paths.get(root).toAbsolutePath.normalize
+      val reqP = Paths.get(p)
+      val resolved = (if (reqP.isAbsolute) reqP else rootP.resolve(reqP))
+        .toAbsolutePath.normalize
+      require(resolved.startsWith(rootP),
+        s"path $p escapes the configured IO root")
+      resolved.toString
+  }
+
+  def dump(path0: String): Unit = {
+    val path = confinedPath(path0)
     Files.createDirectories(Paths.get(path))
     listTables().foreach { t =>
       val st = store(t)
@@ -1416,7 +1503,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     * and geo columns cannot ride CSV) and inserted through the normal DML
     * path (PK dedup, WAL-ordering, quotas all apply). Returns the insert
     * response JSON. */
-  def loadCsv(table: String, path: String, upsert: Boolean = false): String = {
+  def loadCsv(table: String, path0: String, upsert: Boolean = false): String = {
+    val path = confinedPath(path0)
     val st = store(table)
     val scalarFields = st.schema.fields.filterNot(f =>
       FieldType.isVector(f.fieldType) || f.fieldType == FieldType.GeoPoint)
@@ -1469,12 +1557,22 @@ class GraftDb(val spark: SparkSession, val root: String,
       case other => throw new IllegalArgumentException(s"Invalid value for PreFilter: $other")
     }
     intIn("MaxServeTailRows", 1, Int.MaxValue)(maxServeTailRows = _)
+    // serving caps become the DB DEFAULT (applied at index construction,
+    // surviving release()/lazy opens) AND are pushed to live instances
     (o \ "MaxServeRows") match {
-      case JInt(v) => indexes.values.foreach(_.maxServeRows = v.toLong)
+      case JInt(v) =>
+        defaultMaxServeRows = Some(v.toLong)
+        indexes.values.foreach(_.maxServeRows = v.toLong)
       case _ => ()
     }
     (o \ "MaxServeBytes") match {
-      case JInt(v) => indexes.values.foreach(_.maxServeBytes = v.toLong)
+      case JInt(v) =>
+        defaultMaxServeBytes = Some(v.toLong)
+        indexes.values.foreach(_.maxServeBytes = v.toLong)
+      case _ => ()
+    }
+    (o \ "IoRoot") match {
+      case JString(p) => ioRoot = Some(p)
       case _ => ()
     }
     (o \ "ServeFilterColumns") match {
@@ -1586,6 +1684,16 @@ class GraftDb(val spark: SparkSession, val root: String,
         case None => ()
       }
     }
+    // UNIFORM CONTRACT: when the cover is unavailable (attribute filter —
+    // whose per-cluster selectivity the bound can't see; purge-stale
+    // index; tombstone mask over cap) a declared floor is answered
+    // EXACTLY — full probe makes the pruned scan exhaustive, satisfying
+    // any floor at bounded cost — never by the fixed-probe cut below,
+    // which proves nothing and used to drop the floor unmarked.
+    if (recallTarget.isDefined)
+      return idx.search(queryField, dense, limit, idx.centroids().length,
+        freshTail = Some(tail), preFilter = pre, excludeIds = tombs,
+        restrictIds = liveIds).drop("cluster")
     val nClusters = idx.centroids().length
     var nProbe = math.min(8, nClusters)
     var cut = idx.search(queryField, dense, limit, nProbe,

@@ -2166,100 +2166,196 @@ class IvfIndex(
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
       probeSet: Option[Array[Int]] = None)
       : Option[Array[(Long, Double)]] = {
-    import graft.filter.SimpleConjuncts._
     if (conds.isEmpty)
       return servePoint(vecCol, query, k, nProbe, exclude, freshTail, probeSet)
-    val declared = filterColsDecl
-    if (!conds.forall(c => declared.contains(c.col))) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     if (centroids().headOption.exists(_._2.length != q.length)) return decline
-    // scalar residency acquisition: same probe/budget/retry skeleton as
-    // servePoint (lock only around cache bookkeeping; load outside)
-    var scalars: Array[ScalarCluster] = null
-    var probed: Array[Int] = null
-    var attempts = 0
-    while (scalars == null) {
-      attempts += 1
-      if (attempts > 8) return decline
-      var w0AtProbe = 0L
-      var keyAtProbe: (Long, Long) = null
-      val missing: Array[Int] = synchronized {
-        ensureServeFresh()
-        w0AtProbe = serveWatermark
-        keyAtProbe = serveKey
-        // the scalar residency must cover the SAME probe set the vector
-        // sweep will visit (explicit set honored here and in servePoint)
-        probed = probeSet match {
-          case Some(ps) =>
-            val live = centroids().map(_._1).toSet
-            ps.filter(live)
-          case None => centroids()
-            .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-            .sortBy { case (_, d) => d }
-            .take(nProbe)
-            .map(_._1)
-        }
-        probed.filterNot(scalarCache.containsKey(_))
-      }
-      var loaded: Map[Int, ScalarCluster] = null
-      try {
-        if (missing.nonEmpty) {
-          // the vector sweep gates the same probe set at the same row cap,
-          // and a scalar row is far lighter than its vector — one shared
-          // feasibility check covers both
-          val counts = clusterStats().getOrElse(probeClusterCounts(missing))
-          val projected = missing.map(counts.getOrElse(_, 0L)).sum
-          val retained = synchronized {
-            probed.filter(scalarCache.containsKey(_))
-              .map(scalarCache.get(_).ids.length.toLong).sum
-          }
-          if (projected + retained > effectiveMaxRows(q.length)) return decline
-        }
-        loaded =
-          if (missing.isEmpty) Map.empty
-          else loadScalarClusters(missing)
-      } catch { case scala.util.control.NonFatal(_) => }
-      if (loaded == null) {
-        synchronized { serveStampCheckedAt = 0L; ensureServeFresh() }
-      } else synchronized {
-        ensureServeFresh()
-        if (serveKey == keyAtProbe && serveWatermark == w0AtProbe)
-          loaded.foreach { case (cid, cluster) =>
-            val prev = scalarCache.put(cid, cluster)
-            if (prev != null) scalarRowsResident -= prev.ids.length
-            scalarRowsResident += cluster.ids.length
-          }
-        val rowCap = effectiveMaxRows(q.length)
-        if (scalarRowsResident > rowCap) {
-          val it = scalarCache.entrySet().iterator()
-          while (scalarRowsResident > rowCap && it.hasNext) {
-            val e = it.next()
-            if (!probed.contains(e.getKey)) {
-              scalarRowsResident -= e.getValue.ids.length
-              it.remove()
-            }
-          }
-        }
-        val got = probed.map(scalarCache.get(_))
-        if (!got.contains(null)) scalars = got
-      }
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
+      effectiveMaxRows(q.length),
+      () => singleProbeSet(q, nProbe, probeSet)) { ex =>
+      servePoint(vecCol, query, k, nProbe, ex, freshTail, probeSet)
     }
-    val pass = passingIds(conds, scalars, probed)
-    // tail ids bypass the resident mask: the caller pre-filtered them
+  }
+
+  /** The probe set the vector sweep will visit, for the scalar residency
+    * to mirror (explicit set honored here and in servePoint; retired ids
+    * dropped). Must run under the instance lock (probeUnion contract). */
+  private def singleProbeSet(q: Array[Float], nProbe: Int,
+      probeSet: Option[Array[Int]]): Array[Int] = probeSet match {
+    case Some(ps) =>
+      val live = centroids().map(_._1).toSet
+      ps.filter(live)
+    case None => centroids()
+      .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+      .sortBy { case (_, d) => d }
+      .take(nProbe)
+      .map(_._1)
+  }
+
+  /** Pin re-verify: true iff the serving snapshot still matches the one
+    * a pass set was built at. */
+  private def pinStable(key: (Long, Long), wm: Long): Boolean =
+    synchronized { ensureServeFresh(); serveKey == key && serveWatermark == wm }
+
+  /** PROVEN-recall attribute-filtered serving: the recallTarget+filter
+    * combination the unfiltered cover cannot answer (it bounds the
+    * UNFILTERED top-k; filtered matches may rank past it). Per-cluster
+    * PASSING counts restore the bound: with the conjunction evaluated
+    * over scalar residency covering ALL clusters, take clusters by
+    * ascending d+r until the cumulative PASSING counts reach
+    * ⌈target·k⌉+slack — the worst such upper bound U bounds the true
+    * ⌈target·k⌉-th best FILTERED distance, and any cluster with
+    * d−r > U provably holds no filtered top-⌈target·k⌉ row (d−r lower-
+    * bounds every member, passing ones included). Probing the rest plus
+    * the exactly-scored pre-filtered tail ⇒ recall@k ≥ target; 1.0 is
+    * exact. `slack` absorbs tombstoned/excluded passing rows that may
+    * occupy the cover. DotProduct (no triangle inequality), missing
+    * radii, or unknown counts degrade the cover to ALL clusters — still
+    * proven (exhaustive), just not pruned. Declines when the all-cluster
+    * scalar residency or the cover's vector residency exceeds budget. */
+  def servePointFilteredRecall(vecCol: String, query: Array[Float], k: Int,
+      target: Double, conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L)
+      : Option[Array[(Long, Double)]] = {
+    if (conds.isEmpty)
+      return servePoint(vecCol, query, k, nProbe = centroids().length,
+        exclude, freshTail,
+        probeSet = Some(probeSetForRecall(query, k, target, slack)))
+    if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
     val tailIds = new java.util.HashSet[java.lang.Long]()
     freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
-    servePoint(vecCol, query, k, nProbe,
-      id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
-      freshTail, probeSet)
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      var union: Array[Int] = null
+      acquireResident[ScalarCluster](
+        scalarCache, _.ids.length.toLong,
+        () => scalarRowsResident, v => scalarRowsResident = v,
+        effectiveMaxRows(q.length),
+        () => { union = centroids().map(_._1); union },
+        loadScalarClusters) match {
+        case None => return decline
+        case Some((scalars, pinKey, pinWm)) =>
+          val pass = passingIds(conds, union.map(scalars), union, pinWm)
+          // per-cluster passing counts — the cover's count input
+          val passCounts: Map[Int, Long] = union.map { cid =>
+            val sc = scalars(cid)
+            var n = 0L
+            var j = 0
+            while (j < sc.ids.length) {
+              if (pass.contains(sc.ids(j))) n += 1
+              j += 1
+            }
+            cid -> n
+          }.toMap
+          val cover = coverFromCounts(q, k, target, slack, passCounts)
+          val served = servePoint(vecCol, query, k, nProbe = cover.length,
+            id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
+            freshTail, probeSet = Some(cover))
+          served match {
+            case None => return None
+            case some =>
+              if (pinStable(pinKey, pinWm)) return some
+            // else: a rebuild raced the pass set/cover — retry
+          }
+      }
+    }
+    decline
+  }
+
+  /** Ball cover from caller-supplied per-cluster counts (the geometric
+    * half of probeSetForRecall, counts injected — passing counts for the
+    * filtered form). `q` is already metric-normalized. */
+  private def coverFromCounts(q: Array[Float], k: Int, target: Double,
+      slack: Long, counts: Map[Int, Long]): Array[Int] = {
+    val cents = centroids()
+    val all = cents.map(_._1)
+    if (metric == MetricType.DotProduct) return all
+    val radii = clusterRadii().getOrElse(return all)
+    val kGoal = math.max(1L, math.ceil(target * k).toLong) + slack
+    val ds = cents.map { case (cid, c) =>
+      (cid, math.sqrt(IvfIndex.dist(MetricType.Euclidean, c, q)))
+    }
+    val known = ds.filter { case (cid, _) =>
+      radii.contains(cid) && counts.contains(cid)
+    }
+    if (known.isEmpty) return all
+    val byUb = known.map { case (cid, d) => (cid, d + radii(cid), counts(cid)) }
+      .sortBy(_._2)
+    var cum = 0L
+    var u = Double.PositiveInfinity
+    var i = 0
+    while (i < byUb.length && cum < kGoal) {
+      cum += byUb(i)._3; u = byUb(i)._2; i += 1
+    }
+    if (cum < kGoal) return all // fewer certain passing rows than the cover needs
+    ds.filter { case (cid, d) =>
+      !radii.contains(cid) || !counts.contains(cid) || d - radii(cid) <= u
+    }.map(_._1)
+  }
+
+  /** The shared skeleton of EVERY attribute-filtered serving tier:
+    * acquire scalar residency over `probeUnion`'s clusters, evaluate the
+    * conjunction to a passing-id set, run `inner` with the composed
+    * exclusion mask, then RE-VERIFY the serving pin — `inner` (servePoint
+    * and the code-tier sweeps) does its own snapshot handshake, so a full
+    * rebuild landing in between that changes cluster MEMBERSHIP but not
+    * the watermark would otherwise let the sweep serve a generation the
+    * pass set does not cover (passing rows relocated into newly-probed
+    * clusters would be silently excluded from a response still marked
+    * served+filtered). On pin mismatch the acquisition retries from
+    * scratch; persistent churn declines. `tailIds0` (caller-pre-filtered
+    * fresh-tail rows) bypass the resident mask — the pass set doesn't
+    * cover them. `rowCap` is the calling tier's residency bound (a scalar
+    * row is far lighter than any vector/code row, so one shared
+    * feasibility check covers both). */
+  private def withPassingMask[R](
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean,
+      tailIds0: Array[Long],
+      rowCap: Long,
+      probeUnion: () => Array[Int])(
+      inner: (Long => Boolean) => Option[R]): Option[R] = {
+    if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
+    val tailIds = new java.util.HashSet[java.lang.Long]()
+    tailIds0.foreach(id => tailIds.add(id))
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      var union: Array[Int] = null
+      acquireResident[ScalarCluster](
+        scalarCache, _.ids.length.toLong,
+        () => scalarRowsResident, v => scalarRowsResident = v,
+        rowCap,
+        () => { union = probeUnion(); union },
+        loadScalarClusters) match {
+        case None => return decline
+        case Some((scalars, pinKey, pinWm)) =>
+          val pass = passingIds(conds, union.map(scalars), union, pinWm)
+          inner(id =>
+            exclude(id) || (!pass.contains(id) && !tailIds.contains(id))) match {
+            case None => return None // inner declined on its own terms
+            case some =>
+              if (pinStable(pinKey, pinWm)) return some
+            // else: a rebuild raced the pass set — retry from scratch
+          }
+      }
+    }
+    decline
   }
 
   /** Ids passing the conjunction among the given scalar clusters, cached
     * per (conjunction, pin, cluster set). */
   private def passingIds(conds: Seq[graft.filter.SimpleConjuncts.Cond],
-      scalars: Array[ScalarCluster], clusters: Array[Int])
+      scalars: Array[ScalarCluster], clusters: Array[Int], pinWm: Long)
       : java.util.HashSet[java.lang.Long] = {
     import graft.filter.SimpleConjuncts._
-    val cacheKey = (key(conds), serveWatermark, clusters.sorted.toSeq)
+    val cacheKey = (key(conds), pinWm, clusters.sorted.toSeq)
     val hit = synchronized { passCache.get(cacheKey) }
     if (hit != null) return hit
     val s = new java.util.HashSet[java.lang.Long](1 << 16)
@@ -2323,29 +2419,154 @@ class IvfIndex(
       queries.foreach(_ => decline)
       return queries.map { case (qid, _) => (qid, None) }
     }
-    var union: Array[Int] = null
-    val scalars = acquireResident[ScalarCluster](
-      scalarCache, _.ids.length.toLong,
-      () => scalarRowsResident, v => scalarRowsResident = v,
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
       effectiveMaxRows(dim),
-      () => {
-        val cents = centroids()
-        union = qsArr.map { q =>
-          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
-        }.flatten.distinct
-        union
-      },
-      loadScalarClusters) match {
-      case Some(m) => m
-      case None => return fallback()
+      () => batchProbeUnion(qsArr, nProbe)) { ex =>
+      Some(servePointBatch(vecCol, queries, k, nProbe, ex, freshTail))
+    }.getOrElse(fallback())
+  }
+
+  /** Union of the batch's per-query probe sets (probeUnion contract:
+    * runs under the instance lock). */
+  private def batchProbeUnion(qsArr: Array[Array[Float]], nProbe: Int)
+      : Array[Int] = {
+    val cents = centroids()
+    qsArr.flatMap { q =>
+      cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+        .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+    }.distinct
+  }
+
+  /** Attribute-filtered serving off the 16-BIT code residency: the same
+    * passing-id mask as `servePointFiltered`, composed into the quantized
+    * sweep's exclusion — the candidate set IS the filtered universe, so
+    * `certify = true`'s interval proof certifies the exact top-k OF THE
+    * FILTERED rows (exactly the filtered-serving contract) and the
+    * boundary rerank only ever touches passing rows. The pass set's pin
+    * is re-verified after the sweep (same race note as withPassingMask).
+    * `freshTail` must be pre-filtered by the caller. */
+  def servePointQuantizedFilteredDetail(vecCol: String, query: Array[Float],
+      k: Int, nProbe: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Option[(Array[(Long, Double)], Int)] = {
+    if (conds.isEmpty)
+      return servePointQuantizedDetail(vecCol, query, k, nProbe, exclude,
+        freshTail, certify)
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
+      effectiveMaxQuantRows(q.length),
+      () => singleProbeSet(q, nProbe, None)) { ex =>
+      servePointQuantizedDetail(vecCol, query, k, nProbe, ex, freshTail,
+        certify)
     }
-    val pass = passingIds(conds, union.map(scalars), union)
-    val tailIds = new java.util.HashSet[java.lang.Long]()
-    freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
-    servePointBatch(vecCol, queries, k, nProbe,
-      id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
-      freshTail)
+  }
+
+  /** Attribute-filtered serving off the PQ code residency — see
+    * `servePointQuantizedFilteredDetail` (same mask, same certification
+    * semantics over the masked candidates, same pin re-verify). */
+  def servePointPqFilteredDetail(vecCol: String, query: Array[Float],
+      k: Int, nProbe: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Option[(Array[(Long, Double)], Int)] = {
+    if (conds.isEmpty)
+      return servePointPqDetail(vecCol, query, k, nProbe, exclude,
+        freshTail, certify)
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => return decline // pre-PQ layout
+    }
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (q.length != cb.dim) return decline
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
+      effectiveMaxPqRows(cb.m),
+      () => singleProbeSet(q, nProbe, None)) { ex =>
+      servePointPqDetail(vecCol, query, k, nProbe, ex, freshTail, certify)
+    }
+  }
+
+  /** Batch attribute-filtered serving off the 16-bit residency: one
+    * shared pass set over the union of probe sets masks the whole batch
+    * (a superset mask stays exact for a query probing any subset), then
+    * the quantized batch sweep runs as usual — per-query certification
+    * over masked candidates. Mask-acquisition failure degrades to
+    * per-query filtered calls, never a batch-wide decline. */
+  def servePointQuantizedFilteredBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
+    if (queries.isEmpty) return Array.empty
+    if (conds.isEmpty)
+      return servePointQuantizedBatchDetail(vecCol, queries, k, nProbe,
+        exclude, freshTail, certify)
+    def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+      queries.map { case (qid, raw) =>
+        (qid, servePointQuantizedFilteredDetail(vecCol, raw, k, nProbe,
+          conds, exclude, freshTail, certify))
+      }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim)) return fallback()
+    if (centroids().headOption.exists(_._2.length != dim)) {
+      queries.foreach(_ => decline)
+      return queries.map { case (qid, _) => (qid, None) }
+    }
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
+      effectiveMaxQuantRows(dim),
+      () => batchProbeUnion(qsArr, nProbe)) { ex =>
+      Some(servePointQuantizedBatchDetail(vecCol, queries, k, nProbe, ex,
+        freshTail, certify))
+    }.getOrElse(fallback())
+  }
+
+  /** Batch attribute-filtered serving off the PQ residency — the PQ twin
+    * of `servePointQuantizedFilteredBatchDetail`. */
+  def servePointPqFilteredBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      certify: Boolean = false)
+      : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
+    if (queries.isEmpty) return Array.empty
+    if (conds.isEmpty)
+      return servePointPqBatchDetail(vecCol, queries, k, nProbe, exclude,
+        freshTail, certify)
+    def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+      queries.map { case (qid, raw) =>
+        (qid, servePointPqFilteredDetail(vecCol, raw, k, nProbe, conds,
+          exclude, freshTail, certify))
+      }
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => queries.foreach(_ => decline)
+        return queries.map { case (qid, _) => (qid, None) }
+    }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim) || dim != cb.dim) return fallback()
+    withPassingMask(conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty),
+      effectiveMaxPqRows(cb.m),
+      () => batchProbeUnion(qsArr, nProbe)) { ex =>
+      Some(servePointPqBatchDetail(vecCol, queries, k, nProbe, ex,
+        freshTail, certify))
+    }.getOrElse(fallback())
   }
 
   // ---- batch serving for the code-resident tiers (16-bit + PQ) ----
@@ -2355,15 +2576,23 @@ class IvfIndex(
     * existing specs — and the BATCH tiers share this one). `probeUnion`
     * runs under the instance lock and returns the union of the batch's
     * probe sets; `load` runs OUTSIDE the lock (it is a Spark job). None =
-    * over budget or thrash — the caller degrades per query. */
+    * over budget or thrash — the caller degrades per query.
+    *
+    * Returns the map PLUS the serving pin (key, watermark) the acquired
+    * entries belong to — captured under the lock in the success branch,
+    * so a caller building derived state (a passing-id set) can re-verify
+    * the pin after a downstream sweep re-handshakes. */
   private def acquireResident[C](
       cache: java.util.LinkedHashMap[Int, C],
       rowsOf: C => Long,
       getResident: () => Long, setResident: Long => Unit,
       rowCap: Long,
       probeUnion: () => Array[Int],
-      load: Array[Int] => Map[Int, C]): Option[Map[Int, C]] = {
+      load: Array[Int] => Map[Int, C])
+      : Option[(Map[Int, C], (Long, Long), Long)] = {
     var out: Map[Int, C] = null
+    var pinKey: (Long, Long) = null
+    var pinWm = 0L
     var attempts = 0
     while (out == null) {
       attempts += 1
@@ -2412,10 +2641,16 @@ class IvfIndex(
           }
         }
         val got = union.map(cid => cid -> cache.get(cid))
-        if (!got.exists(_._2 == null)) out = got.toMap
+        if (!got.exists(_._2 == null)) {
+          out = got.toMap
+          // under the lock, cache entries always belong to the CURRENT
+          // serving snapshot (ensureServeFresh clears on key change)
+          pinKey = serveKey
+          pinWm = serveWatermark
+        }
       }
     }
-    Some(out)
+    Some((out, pinKey, pinWm))
   }
 
   /** Shared sweep of ONE quantized cluster for every query probing it:
@@ -2599,7 +2834,7 @@ class IvfIndex(
         probesPer.flatten.distinct
       },
       missing => loadQuantClusters(vecCol, missing)) match {
-      case Some(m) => m
+      case Some((m, _, _)) => m
       case None => return fallback()
     }
     val qds = qsArr.map { q =>
@@ -2695,7 +2930,7 @@ class IvfIndex(
         probesPer.flatten.distinct
       },
       missing => loadPqClusters(missing, cb.m)) match {
-      case Some(m) => m
+      case Some((m, _, _)) => m
       case None => return fallback()
     }
     val qds = qsArr.map { q =>

@@ -185,14 +185,27 @@ class Round10Spec extends SparkSpec {
     assert(resultIds(s2).map(rowIdToId(db)) == resultIds(j2, "ID"))
   }
 
-  test("quantized/pq serve tiers decline filtered requests (no scalar residency)") {
+  test("quantized/pq serve tiers answer filtered requests through the shared passing-id mask (round 11)") {
+    // round 10 declined these; round 11 wires the scalar residency's
+    // passing-id mask into the code-tier sweeps — filtered requests now
+    // SERVE on the requested tier, marked in the envelope, and certified
+    // mode proves the exact FILTERED id set (Round11Spec has the full
+    // equality matrix; this pins the dispatch)
     val db = fixtureDb("r10_qtier_decline")
-    for (tier <- Seq("\"quantized\":true", "\"pq\":true")) {
+    val m = rowIdToId(db)
+    val jobIds = resultIds(db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":5,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin), "ID")
+    for (tier <- Seq("quantized", "pq")) {
       val resp = db.query(
-        s"""{"table":"T","queryVector":$qVec,"limit":5,"serve":true,$tier,
-           |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
-      assert(!resp.contains("\"served\""), s"$tier: $resp")
-      assert(resultIds(resp, "ID").forall(_ % 10 >= 5), s"$tier: $resp")
+        s"""{"table":"T","queryVector":$qVec,"limit":5,"serve":true,
+           |"$tier":true,"certified":true,"nProbe":9999,
+           |"filter":"Label >= 5"}""".stripMargin)
+      assert(resp.contains("\"served\":true") &&
+        resp.contains("\"filtered\":true") &&
+        resp.contains(s""""$tier":true"""), s"$tier: $resp")
+      // certified => the id SET is proven exact over the FILTERED rows
+      assert(resultIds(resp).map(m).toSet == jobIds.toSet, s"$tier: $resp")
     }
   }
 
@@ -533,17 +546,19 @@ class Round10Spec extends SparkSpec {
       s"""{"table":"T","queryVector":$qVec,"limit":8,"response":["ID"]}""")
     assert(resultIds(served).map(m) == resultIds(exact, "ID"),
       s"$served vs $exact")
-    // recallTarget + filter must DECLINE: the cover bounds the UNFILTERED
-    // top-k, so it proves nothing about filtered matches (same reason
-    // searchAuto refuses filters) — the job path answers exactly
+    // recallTarget + filter (round 11): the UNFILTERED cover proves
+    // nothing here, but the passing-count cover does — the request now
+    // SERVES with the floor proven over the FILTERED universe (1.0 =
+    // exact), equal to the job path's filtered answer
     val both = db.query(
       s"""{"table":"T","queryVector":$qVec,"limit":8,"serve":true,
-         |"recallTarget":1.0,"filter":"Label >= 5","response":["ID"]}""".stripMargin)
-    assert(!both.contains("\"served\""), both)
+         |"recallTarget":1.0,"filter":"Label >= 5"}""".stripMargin)
+    assert(both.contains("\"served\":true") &&
+      both.contains("\"filtered\":true"), both)
     val jobF = db.query(
       s"""{"table":"T","queryVector":$qVec,"limit":8,
          |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
-    assert(resultIds(both, "ID") == resultIds(jobF, "ID"), s"$both vs $jobF")
+    assert(resultIds(both).map(m) == resultIds(jobF, "ID"), s"$both vs $jobF")
   }
 
   test("a batch with recallTarget never silently drops the floor: per-query covers apply") {
