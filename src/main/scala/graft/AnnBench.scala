@@ -480,6 +480,44 @@ object AnnBench {
       e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
     }.sum / exactFiltered.length
 
+    // FILTERED serving on the CODE tiers (round 11): the same passing-id
+    // mask composed into the 16-bit / PQ sweeps — dense-residency users
+    // no longer pay the job path for filtered queries. Recall vs the
+    // FILTERED exact top-10 (PQ throughput is lossy by contract; the
+    // certified sub-modes are proven on the unfiltered rows above and
+    // prove the FILTERED set here identically).
+    def codeFilteredRow(
+        serve: Array[Float] => Option[(Array[(Long, Double)], Int)])
+        : (Double, Double) = {
+      queries.foreach(serve(_))
+      val t0 = System.nanoTime()
+      val deadline = t0 + 10L * 1000 * 1000 * 1000
+      var served = 0L
+      while (served == 0L || System.nanoTime() < deadline) {
+        var qi = 0
+        while (qi < queries.length) { serve(queries(qi)).get; qi += 1 }
+        served += queries.length
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exactFiltered.zip(queries.map(q =>
+        serve(q).get._1.map(_._1).toSeq)).map { case (e, a) =>
+        e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
+      }.sum / exactFiltered.length
+      (served / sec, recall)
+    }
+    val (fqserveQps, fqserveRecall) = codeFilteredRow(q =>
+      idx.servePointQuantizedFilteredDetail("embedding", q, 10, nProbe = 8,
+        fconds))
+    val (fpqserveQps, fpqserveRecall) = codeFilteredRow(q =>
+      idx.servePointPqFilteredDetail("embedding", q, 10, nProbe = 8, fconds))
+
+    // PROVEN-recall filtered serving (passing-count ball cover, target
+    // 1.0 ⇒ exact over the filtered universe): the cover re-derives per
+    // serve from the resident radii/counts + the cached pass set
+    val (frserveQps, frserveRecall) = codeFilteredRow(q =>
+      idx.servePointFilteredRecall("embedding", q, 10, 1.0, fconds)
+        .map((_, 0)))
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -556,6 +594,12 @@ object AnnBench {
       f""""fserve_recall_at_10":$fserveRecall%.4f,""" +
       f""""bfserve_qps":${bfserveQueries / bfserveSec}%.2f,""" +
       f""""bfserve_recall_at_10":$bfserveRecall%.4f,""" +
+      f""""fqserve_qps":$fqserveQps%.2f,""" +
+      f""""fqserve_recall_at_10":$fqserveRecall%.4f,""" +
+      f""""fpqserve_qps":$fpqserveQps%.2f,""" +
+      f""""fpqserve_recall_at_10":$fpqserveRecall%.4f,""" +
+      f""""frserve_qps":$frserveQps%.2f,""" +
+      f""""frserve_recall_at_10":$frserveRecall%.4f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

@@ -454,6 +454,156 @@ object Queries {
       perQuery.flatMap { case (qi, ids) => ids.map(id => (qi, m(id))) }
         .toDF("qid", "vec_id").orderBy("qid", "vec_id")
     }),
+    // Round 11 serve-contract matrix through the FULL GraftDb dispatch,
+    // one fixture for four envelope-asserted cases:
+    //  fq_cert / fpq_cert — attribute-FILTERED serving on the 16-bit and
+    //    PQ code tiers with certification: the proven id set is the exact
+    //    top-10 of the FILTERED universe (the passing-id mask composes
+    //    into the code sweeps; certification runs over masked candidates);
+    //  recall_filter — serve + recallTarget 1.0 + filter: the passing-
+    //    count ball cover proves exactness over the filtered universe;
+    //  rt_code_decline — recallTarget + a code tier must DECLINE to the
+    //    job path (the uniform floor contract: honored or declined, never
+    //    silently dropped), whose exact scan answers.
+    // Every case's ids value-check against the DuckDB brute force.
+    "v11_serve_contract" -> ((s, dir) => {
+      import org.json4s._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v11sc_${math.abs(dir.hashCode)}"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val db = new graft.api.GraftDb(s, root)
+      val emb = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      db.createTable(
+        s"""{"name":"emb","fields":[
+           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
+           |  {"name":"label","dataType":"BIGINT"},
+           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
+           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+      // pad past MinimalIndexSize with rows that are BOTH filter-rejected
+      // (label -1) and geometrically FAR (embedding + 1000) — they can
+      // enter neither the filtered nor the unfiltered top-10, so every
+      // case's oracle is the plain brute force over the original corpus
+      val pad = emb.limit(32)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("label", lit(-1L))
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
+      db.store("emb").insert(emb.unionByName(pad))
+      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val m = db.store("emb").read()
+        .select(col(graft.store.TableStore.RowId), col("vec_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def ids(resp: String, key: String = "__row_id"): Seq[Long] =
+        (org.json4s.jackson.JsonMethods.parse(resp) \ "result") match {
+          case JArray(rows) => rows.map(r => (r \ key) match {
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case other => sys.error(s"bad $key: $other")
+          })
+          case other => sys.error(s"bad result: $other")
+        }
+      val out = Seq.newBuilder[(String, Long)]
+      // filtered certified serving on both code tiers
+      for ((tier, cid) <- Seq("quantized" -> "fq_cert", "pq" -> "fpq_cert")) {
+        val r = db.query(
+          s"""{"table":"emb","queryField":"embedding",
+             |  "queryVector":[${q.mkString(",")}],"limit":10,"nProbe":9999,
+             |  "filter":"label >= 5","serve":true,"$tier":true,
+             |  "certified":true}""".stripMargin)
+        require(r.contains("\"served\":true") && r.contains("\"filtered\":true") &&
+          r.contains(s""""$tier":true""") && r.contains("\"certified\":true"),
+          s"$cid did not ride the filtered $tier serve tier: $r")
+        ids(r).map(m).foreach(v => out += ((cid, v)))
+      }
+      // proven-recall filtered serving (passing-count cover, target 1.0)
+      val rr = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":10,
+           |  "filter":"label >= 5","serve":true,"recallTarget":1.0}""".stripMargin)
+      require(rr.contains("\"served\":true") && rr.contains("\"filtered\":true"),
+        s"recall_filter did not serve with the passing-count cover: $rr")
+      ids(rr).map(m).foreach(v => out += (("recall_filter", v)))
+      // a declared floor on a code tier DECLINES (job path answers exactly)
+      val rd = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":10,"serve":true,
+           |  "quantized":true,"recallTarget":1.0,
+           |  "response":["vec_id"]}""".stripMargin)
+      require(!rd.contains("\"served\""),
+        s"rt_code_decline served with the floor silently dropped: $rd")
+      ids(rd, "vec_id").foreach(v => out += (("rt_code_decline", v)))
+      import s.implicits._
+      out.result().toDF("case_id", "vec_id").orderBy("case_id", "vec_id")
+    }),
+
+    // Round 11: serve-path FACETS — aggregate the served top-k from the
+    // scalar residency (+ tail sidecar) through the SAME facet executor
+    // the job path uses; the gate runs the faceted request through the
+    // full dispatch, asserts the envelope says served (a decline would
+    // still match via the job path and prove nothing), then value-checks
+    // the facet rows against the DuckDB group-over-topk.
+    "g11_serve_facet" -> ((s, dir) => {
+      import org.json4s._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_g11sf_${math.abs(dir.hashCode)}"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val db = new graft.api.GraftDb(s, root)
+      val emb = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      db.createTable(
+        s"""{"name":"emb","fields":[
+           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
+           |  {"name":"label","dataType":"BIGINT"},
+           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
+           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+      // far pad (embedding + 1000, label -1) clears MinimalIndexSize
+      // without ever entering the top-100 the facets aggregate
+      val pad = emb.limit(32)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("label", lit(-1L))
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
+      db.store("emb").insert(emb.unionByName(pad))
+      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val resp = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":100,"nProbe":9999,
+           |  "serve":true,
+           |  "facets":[{"group":["label"],
+           |             "aggregate":["COUNT(*)","SUM(vec_id)"]}]}""".stripMargin)
+      require(resp.contains("\"served\":true"),
+        s"faceted request did not ride the serve tier: $resp")
+      val rows: Seq[(Long, Long, Long)] =
+        (org.json4s.jackson.JsonMethods.parse(resp) \ "facets") match {
+          case JArray(List(JArray(groups))) => groups.map { g =>
+            def l(v: JValue): Long = v match {
+              case JInt(i) => i.toLong
+              case JLong(x) => x
+              case other => sys.error(s"bad facet value: $other")
+            }
+            (l(g \ "label"), l(g \ "COUNT(*)"), l(g \ "SUM(vec_id)"))
+          }
+          case other => sys.error(s"bad facets envelope: $other")
+        }
+      import s.implicits._
+      rows.toDF("label", "n", "sum_id").orderBy("label")
+    }),
+
     // P10: @distance usable in the filter (post-filter mode)
     "v10_distance_filter" -> ((s, dir) => {
       val withDist = t(s, dir, "embeddings")
@@ -786,6 +936,27 @@ object Queries {
     "v4_serve_filtered" ->
       s"""SELECT vec_id FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    // the serve-contract matrix: code-tier certified filtered sets,
+    // the passing-count recall cover, and the code-tier floor decline —
+    // each case is its brute-force mirror (pad rows never pass)
+    "v11_serve_contract" ->
+      s"""WITH fb AS (SELECT vec_id FROM embeddings WHERE label >= 5
+         |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10),
+         |     ub AS (SELECT vec_id FROM embeddings
+         |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10)
+         |SELECT * FROM (
+         |  SELECT 'fq_cert' AS case_id, vec_id FROM fb
+         |  UNION ALL SELECT 'fpq_cert', vec_id FROM fb
+         |  UNION ALL SELECT 'recall_filter', vec_id FROM fb
+         |  UNION ALL SELECT 'rt_code_decline', vec_id FROM ub)
+         |ORDER BY case_id, vec_id""".stripMargin,
+    // serve-path facets: group-over-topk mirror (same shape as g1)
+    "g11_serve_facet" ->
+      s"""WITH topk AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 100)
+         |SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id
+         |FROM topk GROUP BY label ORDER BY label""".stripMargin,
     "v11_serve_filtered_batch" ->
       s"""WITH q AS (
          |  SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv

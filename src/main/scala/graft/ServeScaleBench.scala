@@ -48,10 +48,16 @@ object ServeScaleBench {
     // (each worker's warm set is ~50x smaller in bytes, so process count
     // scales before RAM does); "filtered" serves the float tier through
     // servePointFiltered (label >= 5 over the declared scalar residency)
-    // — attribute-filtered serving scales out like the rest
+    // — attribute-filtered serving scales out like the rest; "autoprobe"
+    // serves with the RECALL-TARGETED cover (probeSetForRecall at
+    // SPARK_GRAFT_SCALE_RT, default 1.0) — the radii/counts the cover
+    // reads are per-worker stamp-cached off the shared layout, and the
+    // leader's appends invalidate them (radius deltas widen the bound),
+    // so this tier measures proven-recall serving under live ingest
     val tier = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "float")
-    require(tier == "float" || tier == "pq" || tier == "filtered",
-      s"unknown tier $tier")
+    require(tier == "float" || tier == "pq" || tier == "filtered" ||
+      tier == "autoprobe", s"unknown tier $tier")
+    val rtTarget = sys.env.getOrElse("SPARK_GRAFT_SCALE_RT", "1.0").toDouble
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -82,7 +88,9 @@ object ServeScaleBench {
         java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")) && {
         val cols = spark.read.parquet(s"$idxPath/clustered").columns
         (tier == "pq" && !(cols.contains("__pqcode") && cols.contains("__pqerr"))) ||
-          (tier == "filtered" && !cols.contains("label"))
+          (tier == "filtered" && !cols.contains("label")) ||
+          (tier == "autoprobe" && !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$idxPath/cluster_radii")))
       }
     if (stale ||
         !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")))
@@ -99,10 +107,15 @@ object ServeScaleBench {
     // quiescent expected answers, served off the leader's own residency —
     // the workers' correctness oracle (appends land above every pin, far
     // from the queries, so answers must stay byte-identical)
+    // autoprobe's oracle is the EXACT (full-probe) answer: workers check
+    // the declared recall FLOOR against it — leader appends widen radii,
+    // which may legitimately move a t<1 cover, but never below the floor
     val expected = queries.map(q =>
       (if (tier == "pq") idx.servePointPq(VecCol, q, 10, nProbe = 8)
        else if (tier == "filtered")
          idx.servePointFiltered(VecCol, q, 10, nProbe = 8, ServeScaleBench.FilterConds)
+       else if (tier == "autoprobe")
+         idx.servePoint(VecCol, q, 10, nProbe = idx.centroids().length)
        else idx.servePoint(VecCol, q, 10, nProbe = 8)).get.map(_._1).toSeq)
 
     val benchDir = java.nio.file.Paths.get(idxPath, ".scalebench")
@@ -136,7 +149,7 @@ object ServeScaleBench {
           s"-Dscala.concurrent.context.maxThreads=$share",
           "-cp", System.getProperty("java.class.path"),
           "graft.ServeScaleWorker", idxPath, wid.toString, n.toString,
-          durSec.toString, tier)
+          durSec.toString, tier, rtTarget.toString)
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         pb.redirectOutput(java.io.File.createTempFile(s"scaleworker$wid", ".log"))
@@ -194,8 +207,10 @@ object ServeScaleBench {
     val body = perProcs.map { case (n, (qps, wrong, app)) =>
       f""""$n":{"agg_qps":$qps%.2f,"wrong":$wrong,"leader_appends":$app}"""
     }.mkString(",")
+    val rtField =
+      if (tier == "autoprobe") f""""recall_target":$rtTarget%.2f,""" else ""
     println(f"""{"metric":"serve_scaleout","rows":$rows,"dim":$dim,""" +
-      f""""tier":"$tier","queries":${queries.length},"duration_sec":$durSec,""" +
+      f""""tier":"$tier",$rtField"queries":${queries.length},"duration_sec":$durSec,""" +
       s""""per_procs":{$body}}""")
     spark.stop()
   }
@@ -207,10 +222,11 @@ object ServeScaleBench {
   * expected ids. */
 object ServeScaleWorker {
   def main(args: Array[String]): Unit = {
-    val Array(idxPath, widS, nS, durS, tier) = args
+    val Array(idxPath, widS, nS, durS, tier, rtS) = args
     val wid = widS.toInt
     val n = nS.toInt
     val durSec = durS.toInt
+    val rtTarget = rtS.toDouble
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName(s"graft-scale-worker-$wid")
@@ -241,6 +257,11 @@ object ServeScaleWorker {
         else if (tier == "filtered")
           idx.servePointFiltered(ServeScaleBench.VecCol, queries(i), 10,
             nProbe = 8, ServeScaleBench.FilterConds)
+        else if (tier == "autoprobe")
+          // the cover is recomputed per serve off the stamp-cached
+          // radii/counts — leader appends invalidate and widen it live
+          idx.servePoint(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8,
+            probeSet = Some(idx.probeSetForRecall(queries(i), 10, rtTarget)))
         else idx.servePoint(ServeScaleBench.VecCol, queries(i), 10, nProbe = 8)
       mine.foreach(serveOne)
       java.nio.file.Files.write(benchDir.resolve(s"ready$wid"), Array.empty[Byte])
@@ -259,7 +280,14 @@ object ServeScaleWorker {
         while (j < mine.length) {
           val i = mine(j)
           val got = serveOne(i).map(_.map(_._1).toSeq).getOrElse(Nil)
-          if (got != expected(i)) wrong += 1
+          // autoprobe's contract is the declared FLOOR vs the exact
+          // answer (appends can legitimately move a t<1 cover); every
+          // other tier must be byte-identical to its quiescent oracle
+          if (tier == "autoprobe") {
+            val recall = expected(i).toSet.intersect(got.toSet).size.toDouble /
+              math.max(expected(i).size, 1)
+            if (recall < rtTarget - 1e-9) wrong += 1
+          } else if (got != expected(i)) wrong += 1
           j += 1
         }
         served += mine.length

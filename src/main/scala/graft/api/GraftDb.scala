@@ -676,9 +676,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     require(!facetsPresent(req), "hybrid queries do not support facets")
     // `filter` applies to BOTH sides: each ranks over the FILTERED
     // universe before fusion (filter-then-rank — the same semantics the
-    // single-query path has, queryPlan's preFilter). Serving tiers hold
-    // no attribute columns on the keyword side, so a filtered hybrid
-    // always answers on the job paths.
+    // single-query path has, queryPlan's preFilter). When the filter is a
+    // resident-evaluable conjunction BOTH sides can serve: the dense side
+    // through servePointFiltered, the keyword side by borrowing the
+    // dense index's complete passing-id verdict (passingIdSet + the
+    // pre-filtered tail sidecar) as a mask on the sparse candidate walk.
     val filterStr = filterStringOf(req)
     val filterCol: Option[org.apache.spark.sql.Column] =
       if (filterStr.isEmpty) None
@@ -725,10 +727,19 @@ class GraftDb(val spark: SparkSession, val root: String,
     // annQuery uses) until the rebuild refreshes the index.
     val bmStale = bmIdx.indexedPurgeGen() < st.purgeGen()
     val kwServed: Option[Array[Long]] =
-      if (!serve || bmStale || filterCol.isDefined || tombsOpt.isEmpty) None
-      else scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
-          exclude = tombsOpt.get))
-        .toOption.flatten.map(_.map(_._1))
+      if (!serve || bmStale || tombsOpt.isEmpty) None
+      else if (filterStr.isEmpty)
+        scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
+            exclude = tombsOpt.get))
+          .toOption.flatten.map(_.map(_._1))
+      else serveConds match {
+        // filtered keyword serving: mask the candidate walk with the
+        // dense index's complete pass verdict (decline → job path)
+        case Some(cs) if cs.nonEmpty =>
+          serveKeywordFiltered(st, queryField, bmIdx, qd, ones, cut, cs,
+            tombsOpt.get)
+        case _ => None
+      }
     val kwIds: Array[Long] = kwServed.getOrElse {
       // filter → rank over the filtered live ids (st.read() already
       // excludes tombstones, so the semi-join covers stale-purge masking
@@ -834,6 +845,136 @@ class GraftDb(val spark: SparkSession, val root: String,
               if (idx.servingWatermark() == pin) return Some(hits)
             // else: pin moved mid-serve — retry
             case None => return None
+          }
+      }
+    }
+    None
+  }
+
+  /** Serve-path FACETS: aggregate the POST-LIMIT served result (≤ k rows
+    * — facets are post-limit by contract, table_mvp.cpp:377-400) from
+    * driver-resident values: declared scalar columns via scalarRowsFor,
+    * tail rows via the sidecar. The k rows are reconstructed as a LOCAL
+    * DataFrame (original schema types restored — the widening to
+    * Long/Double was exact, so the cast back is too) and fed through the
+    * SAME QueryEngine.facet the job path uses: grouping/aggregation
+    * semantics AND JSON number formatting are identical by construction.
+    * The aggregation is a tiny local job over k rows — no table scan; the
+    * serve sweep itself stays job-free. A facet referencing an
+    * undeclared column (or any facet parse failure) returns None and the
+    * whole request declines to the job path's full surface. */
+  private def serveFacetsJson(st: TableStore, idx: graft.index.IvfIndex,
+      queryField: String, dense: Array[Float], np: Int,
+      hits: Array[(Long, Double)], tail: Option[DenseTail],
+      facets: Seq[Facet]): Option[String] = {
+    import org.apache.spark.sql.types._
+    val cols = idx.serveFilterColumns()
+    if (cols.isEmpty) return None
+    val tailValueById: Map[Long, Array[AnyRef]] = tail match {
+      case None => Map.empty
+      case Some(dt) =>
+        dt.packed._1.zipWithIndex.map { case (id, j) =>
+          id -> cols.map(c => dt.scalars(c)(j)).toArray
+        }.toMap
+    }
+    val needResident = hits.map(_._1).filterNot(tailValueById.contains)
+    val resident = idx.scalarRowsFor(needResident, dense, np) match {
+      case Some(m) => m
+      case None => return None
+    }
+    def castTo(v: AnyRef, dt: DataType): Any =
+      if (v == null) null
+      else dt match {
+        case ByteType => v.asInstanceOf[Number].byteValue
+        case ShortType => v.asInstanceOf[Number].shortValue
+        case IntegerType => v.asInstanceOf[Number].intValue
+        case LongType => v.asInstanceOf[Number].longValue
+        case FloatType => v.asInstanceOf[Number].floatValue
+        case DoubleType => v.asInstanceOf[Number].doubleValue
+        case _ => v
+      }
+    val colTypes = cols.map(c => st.schema.field(c).sparkType)
+    val schema = org.apache.spark.sql.types.StructType(
+      StructField(TableStore.RowId, LongType, nullable = false) +:
+        StructField(QueryEngine.DistanceCol, DoubleType, nullable = false) +:
+        cols.zip(colTypes).map { case (c, t) => StructField(c, t) })
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      hits.map { case (id, d) =>
+        val vals = tailValueById.getOrElse(id, resident(id))
+        org.apache.spark.sql.Row.fromSeq(
+          id +: d +: vals.toSeq.zip(colTypes).map { case (v, t) => castTo(v, t) })
+      }.toSeq.asJava
+    val df = spark.createDataFrame(rows, schema)
+    val sb = new java.lang.StringBuilder(",\"facets\":[")
+    try {
+      val dfs = facets.map(QueryEngine.facet(df, _))
+      dfs.zipWithIndex.foreach { case (f, i) =>
+        if (i > 0) sb.append(',')
+        sb.append(f.toJSON.collect().mkString("[", ",", "]"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    sb.append(']')
+    Some(sb.toString)
+  }
+
+  /** Keyword-side FILTERED serving for hybrid queries: the sparse impact
+    * index holds no attribute columns, so the mask comes from the DENSE
+    * index's scalar residency — [[graft.index.IvfIndex.passingIdSet]]
+    * gives a complete verdict for ids at or below its serving pin, the
+    * pre-filtered tail sidecar covers ids above it, and together they
+    * mask the sparse candidate walk exactly (filter-then-rank over the
+    * frozen impacts, the same semantics the job path's restrictIds
+    * semi-join computes). The dense pin is re-verified after the sparse
+    * sweep; any inconsistency declines to the job path. */
+  private def serveKeywordFiltered(st: TableStore, queryField: String,
+      bmIdx: graft.index.SparseIndex, qd: Array[Int], ones: Array[Float],
+      cut: Int, conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      excl: Long => Boolean): Option[Array[Long]] = {
+    val f = st.schema.field(queryField)
+    if (!FieldType.isVector(f.fieldType) || FieldType.isSparse(f.fieldType))
+      return None
+    if (!Files.exists(Paths.get(
+        s"$root/${st.schema.name}/ivf_$queryField/ivf_meta.json"))) return None
+    val idx = index(st, queryField)
+    if (idx.indexedPurgeGen() < st.purgeGen()) return None
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val wm0 = idx.servingWatermark()
+      freshTailCluster(st, idx, queryField) match {
+        case Left(_) =>
+          if (idx.indexedWatermark() > wm0) idx.rebaseServing()
+          else return None // tail over cap: rebuild overdue
+        case Right(tail) =>
+          // passing ids ABOVE the pin, from the tail's scalar sidecar
+          val tailPass = new java.util.HashSet[java.lang.Long]()
+          tail match {
+            case None => ()
+            case Some(dt) => filterTail(dt, conds, f.dimensions) match {
+              case Some(p) => p._1.foreach(id => tailPass.add(id))
+              case None => return None // sidecar raced a re-declaration
+            }
+          }
+          idx.passingIdSet(conds) match {
+            case None => return None // undeclared column / over budget
+            case Some((pass, pinKey, pinWm)) =>
+              // the tail was collected against wm0: a pass set pinned
+              // elsewhere would leave the gap rows unjudged — retry
+              if (pinWm != wm0) ()
+              else {
+                val hits = scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
+                  exclude = id => excl(id) ||
+                    (if (id <= pinWm) !pass.contains(id)
+                     else !tailPass.contains(id))))
+                  .toOption.flatten
+                hits match {
+                  case Some(h) =>
+                    if (idx.pinStableFor(pinKey, pinWm))
+                      return Some(h.map(_._1))
+                  // else: rebuild raced the verdict — retry
+                  case None => return None // sparse tier declined
+                }
+              }
           }
       }
     }
@@ -999,11 +1140,14 @@ class GraftDb(val spark: SparkSession, val root: String,
     // filtered/faceted requests decline to the job path, which applies
     // them exactly (the reference's single search path always evaluates
     // the filter, vec_search_executor.cpp:905-928 — a serve tier that
-    // ignored it would return the UNFILTERED top-k unmarked). The one
-    // exception: a simple attribute conjunction over serve-resident
-    // scalar columns is evaluated exactly inside the sweep (see
-    // serveFilterOf); anything else — facets always — declines.
-    if (facetsPresent(req)) return None
+    // ignored it would return the UNFILTERED top-k unmarked). Two
+    // exceptions: a simple attribute conjunction over serve-resident
+    // scalar columns is evaluated exactly inside the sweep, and FACETS
+    // over declared resident columns aggregate the served top-k from the
+    // same residency (serveFacetsJson — facets are post-limit by
+    // contract, so ≤ k driver-resident rows are the whole input);
+    // anything else declines.
+    val facets = parseFacets(req \ "facets")
     val table = str(req \ "table")
     val st = store(table)
     val queryField = (req \ "queryField") match {
@@ -1046,11 +1190,13 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     (req \ "queryVector") match {
       case o: JObject =>
-        // sparse postings carry no attribute columns: filtered → job path.
-        // A declared recall floor also declines: the dot/cosine serving
-        // mode is candidate-retrieval (overlap-only), which proves no
-        // floor — the job path's exact inverted-index cut does.
-        return if (filterStr.nonEmpty || recallTarget.isDefined) None
+        // sparse postings carry no attribute columns: filtered and
+        // faceted requests → job path. A declared recall floor also
+        // declines: the dot/cosine serving mode is candidate-retrieval
+        // (overlap-only), which proves no floor — the job path's exact
+        // inverted-index cut does.
+        return if (filterStr.nonEmpty || facets.nonEmpty ||
+          recallTarget.isDefined) None
         else serveSparse(st, queryField, o, limit)
       case _ => ()
     }
@@ -1069,6 +1215,10 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
+    // facets need the declared scalar residency as their value source —
+    // nothing declared means the job path answers (cheap early decline
+    // instead of sweeping first and declining late)
+    if (facets.nonEmpty && idx.serveFilterColumns().isEmpty) return None
     // filtered requests serve ONLY when the filter is a simple conjunction
     // over declared resident scalar columns — evaluated exactly in the
     // sweep (servePointFiltered and the code tiers' filtered forms, which
@@ -1181,6 +1331,16 @@ class GraftDb(val spark: SparkSession, val root: String,
             case None => return None
           }
           if (idx.servingWatermark() == pin) {
+            // facets aggregate the served top-k from the scalar residency
+            // + tail sidecar — an unavailable source declines the WHOLE
+            // request (a response must never carry partial facets)
+            val facetJson: String =
+              if (facets.isEmpty) ""
+              else serveFacetsJson(st, idx, queryField, dense, np, hits,
+                tail, facets) match {
+                case Some(fj) => fj
+                case None => return None
+              }
             val sb = new java.lang.StringBuilder("{\"result\":[")
             var i = 0
             while (i < hits.length) {
@@ -1200,6 +1360,7 @@ class GraftDb(val spark: SparkSession, val root: String,
               if (certified) sb.append(",\"certified\":true")
               if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
             }
+            sb.append(facetJson)
             sb.append('}')
             return Some(sb.toString)
           } // pin moved mid-serve (rebuild/rebase landed): retry

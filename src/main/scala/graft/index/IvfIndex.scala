@@ -2198,6 +2198,84 @@ class IvfIndex(
   private def pinStable(key: (Long, Long), wm: Long): Boolean =
     synchronized { ensureServeFresh(); serveKey == key && serveWatermark == wm }
 
+  /** COMPLETE passing-id verdict for ids ≤ the serving pin: the
+    * conjunction evaluated over scalar residency covering ALL clusters
+    * (every indexed row lives in exactly one, so the union IS the
+    * indexed id universe). This is the mask OTHER serving tiers borrow —
+    * the hybrid keyword side's sparse candidate walk masks by it to
+    * serve filter-then-rank without a scalar residency of its own.
+    * Returns (set, pin key, pin watermark); the caller pairs it with its
+    * own verdict for ids ABOVE the pin (the pre-filtered tail sidecar)
+    * and re-verifies via [[pinStableFor]] after its sweep. None =
+    * undeclared column or over-budget residency. */
+  def passingIdSet(conds: Seq[graft.filter.SimpleConjuncts.Cond])
+      : Option[(java.util.HashSet[java.lang.Long], (Long, Long), Long)] = {
+    if (conds.isEmpty || !conds.forall(c => filterColsDecl.contains(c.col)))
+      return decline
+    val dim = centroids().headOption.map(_._2.length).getOrElse(return decline)
+    var union: Array[Int] = null
+    acquireResident[ScalarCluster](
+      scalarCache, _.ids.length.toLong,
+      () => scalarRowsResident, v => scalarRowsResident = v,
+      effectiveMaxRows(dim),
+      () => { union = centroids().map(_._1); union },
+      loadScalarClusters) match {
+      case None => decline
+      case Some((scalars, pinKey, pinWm)) =>
+        Some((passingIds(conds, union.map(scalars), union, pinWm),
+          pinKey, pinWm))
+    }
+  }
+
+  /** Public pin re-verify for derived state built from [[passingIdSet]]. */
+  def pinStableFor(key: (Long, Long), wm: Long): Boolean = pinStable(key, wm)
+
+  /** Declared-column values for the given ids from scalar residency over
+    * the query's probe set — the serve-path FACET source (facets
+    * aggregate the post-limit result, ≤ k driver-resident rows, so the
+    * lookup is the only data the aggregation needs). Values align with
+    * serveFilterColumns(); integral types are widened to Long and floats
+    * to Double (both exact — the caller casts back by schema). None =
+    * nothing declared, over budget, or an id not found in the probed
+    * residency (a racing rebuild relocated it) — the caller declines. */
+  def scalarRowsFor(ids: Array[Long], query: Array[Float], nProbe: Int)
+      : Option[Map[Long, Array[AnyRef]]] = {
+    val cols = filterColsDecl
+    if (cols.isEmpty) return decline
+    if (ids.isEmpty) return Some(Map.empty)
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
+    acquireResident[ScalarCluster](
+      scalarCache, _.ids.length.toLong,
+      () => scalarRowsResident, v => scalarRowsResident = v,
+      effectiveMaxRows(q.length),
+      () => singleProbeSet(q, nProbe, None),
+      loadScalarClusters) match {
+      case None => decline
+      case Some((scalars, _, _)) =>
+        val want = new java.util.HashSet[java.lang.Long]()
+        ids.foreach(id => want.add(id))
+        val out = Map.newBuilder[Long, Array[AnyRef]]
+        scalars.values.foreach { sc =>
+          var j = 0
+          while (j < sc.ids.length) {
+            if (want.contains(sc.ids(j)))
+              out += sc.ids(j) -> cols.map(c => scalarValueAt(sc.cols(c), j)).toArray
+            j += 1
+          }
+        }
+        val m = out.result()
+        if (ids.forall(m.contains)) Some(m) else None
+    }
+  }
+
+  private def scalarValueAt(vs: ScalarVals, j: Int): AnyRef = vs match {
+    case LongVals(v, nl) => if (nl(j)) null else java.lang.Long.valueOf(v(j))
+    case DblVals(v, nl) => if (nl(j)) null else java.lang.Double.valueOf(v(j))
+    case StrVals(v) => v(j)
+    case BoolVals(v, nl) => if (nl(j)) null else java.lang.Boolean.valueOf(v(j))
+  }
+
   /** PROVEN-recall attribute-filtered serving: the recallTarget+filter
     * combination the unfiltered cover cannot answer (it bounds the
     * UNFILTERED top-k; filtered matches may rank past it). Per-cluster

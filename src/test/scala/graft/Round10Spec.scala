@@ -142,14 +142,24 @@ class Round10Spec extends SparkSpec {
     assert(resultIds(resp, "ID").forall(_ % 3 == 0), resp) // en = i%3==0
   }
 
-  test("facets always decline the serve tier") {
+  test("facets over UNDECLARED columns decline the serve tier; declared ones serve (round 11)") {
     val db = fixtureDb("r10_decline_facets")
+    // Lang is NOT declared: the facet has no resident value source →
+    // the whole request answers on the job path (facets included)
     val resp = db.query(
       s"""{"table":"T","queryVector":$qVec,"limit":5,"serve":true,
          |"response":["ID"],
-         |"facets":[{"group":[],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+         |"facets":[{"group":["Lang"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
     assert(!resp.contains("\"served\""), resp)
     assert(resultIds(resp, "ID").nonEmpty, resp)
+    assert(resp.contains("\"facets\""), resp)
+    // a facet over the DECLARED column serves (Round11Spec proves the
+    // envelope equality; this pins the dispatch change)
+    val served = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":5,"serve":true,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+    assert(served.contains("\"served\":true"), served)
+    assert(served.contains("\"facets\""), served)
   }
 
   test("an unfiltered serve stays served (the guard must not over-decline)") {
@@ -275,9 +285,10 @@ class Round10Spec extends SparkSpec {
          |"textField":"Doc","queryField":"V","queryVector":$qVec,
          |"limit":10,"nProbe":9999,"filter":"Label >= 5"""".stripMargin
     val served = db.query(req + ""","serve":true}""")
-    // Label IS declared: the dense side rides servePointFiltered; the
-    // keyword side has no scalar residency and stays on the job path
-    assert(served.contains("\"served\":{\"dense\":true,\"keyword\":false}"), served)
+    // Label IS declared: the dense side rides servePointFiltered and the
+    // keyword side (round 11) borrows the dense index's passing-id
+    // verdict to mask its candidate walk — BOTH sides serve
+    assert(served.contains("\"served\":{\"dense\":true,\"keyword\":true}"), served)
     val job = db.query(req + "}")
     val m = rowIdToId(db)
     // full probe => the dense serve is exact over the filtered corpus =>

@@ -305,6 +305,61 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.5, s"declared floor violated: $recall")
   }
 
+  // ---- filtered hybrid: BOTH sides served under a resident conjunction ----
+
+  test("filtered hybrid serves BOTH sides (keyword side borrows the dense pass verdict), equal to the job path") {
+    val db = fixtureDbWithDoc("r11_hybrid_both")
+    db.rebuildBm25Index("T", "Doc")
+    val req =
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":$qVec,
+         |"limit":10,"nProbe":9999,"filter":"Label >= 5"""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":{\"dense\":true,\"keyword\":true}"),
+      served)
+    val job = db.query(req + "}")
+    assert(resultIds(served) == resultIds(job), s"$served vs $job")
+    val m = rowIdToId(db)
+    assert(resultIds(served).map(m).forall(_ % 10 >= 5), served)
+    // a filter OUTSIDE the sub-grammar keeps both sides on the job paths
+    val declined = db.query(
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":$qVec,
+         |"limit":10,"filter":"Label >= 8 OR Label < 1","serve":true}""".stripMargin)
+    assert(!declined.contains("\"served\""), declined)
+  }
+
+  test("filtered hybrid keyword serving judges tail rows by the sidecar (fresh doc passes, fresh non-match is masked)") {
+    val db = fixtureDbWithDoc("r11_hybrid_both_tail")
+    db.rebuildBm25Index("T", "Doc")
+    // fresh rows above the DENSE index watermark; BM25 impacts are frozen
+    // so these docs don't enter the keyword ranking — but the dense side
+    // must judge them by the sidecar, and the keyword mask must stay
+    // complete (ids above the pin → tail verdict)
+    val extra = Seq(
+      Row(1000L, 7L, "spark vector join", Seq(0.5f, 0.4f, 0.3f, 0.2f)),
+      Row(1001L, 2L, "spark vector join", Seq(0.5f, 0.4f, 0.3f, 0.2f)))
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(extra, 1), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("Doc", StringType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    val req =
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":$qVec,
+         |"limit":10,"nProbe":9999,"filter":"Label >= 5"""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":{\"dense\":true,\"keyword\":true}"),
+      served)
+    val job = db.query(req + "}")
+    assert(resultIds(served) == resultIds(job), s"$served vs $job")
+    val m = rowIdToId(db)
+    val ids = resultIds(served).map(m)
+    assert(ids.contains(1000L), s"passing fresh row lost: $ids")
+    assert(!ids.contains(1001L), s"failing fresh row leaked: $ids")
+  }
+
   // ---- ADVICE medium: pass-set pin race across a same-watermark rebuild ----
 
   test("a rebuild racing the pass set retries to a consistent generation (never a stale mask)") {
@@ -349,6 +404,80 @@ class Round11Spec extends SparkSpec {
     assert(expect.isDefined)
     assert(got.get.map(_._1).toSeq == expect.get.map(_._1).toSeq,
       "raced filtered serve diverged from the consistent answer")
+  }
+
+  // ---- serve-path facets over the served top-k ----
+
+  test("serve-path facets equal the job path's facet envelope byte-for-byte") {
+    val db = fixtureDb("r11_serve_facets")
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    val req =
+      s"""{"table":"T","queryVector":$qVec,"limit":50,"nProbe":9999,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]},
+         |          {"group":[],"aggregate":["COUNT(*)","AVG(Label)","MIN(ID)","MAX(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":true"), served)
+    val job = db.query(req + "}")
+    assert(!job.contains("\"served\""), job)
+    assert(facetRowSets(served) == facetRowSets(job),
+      s"facet envelopes diverged:\n$served\n$job")
+  }
+
+  /** Per-facet GROUP ROWS as rendered-JSON sets: hash-agg emission order
+    * is nondeterministic on both paths, so equality is per-facet
+    * set-of-rows (each row's rendered text still compares byte-for-byte —
+    * number formatting divergence would fail). */
+  private def facetRowSets(resp: String): Seq[Set[String]] =
+    (JsonMethods.parse(resp) \ "facets") match {
+      case JArray(fs) => fs.map {
+        case JArray(rows) =>
+          rows.map(r => JsonMethods.compact(JsonMethods.render(r))).toSet
+        case other => fail(s"bad facet entry in $resp: $other")
+      }
+      case other => fail(s"no facets in $resp: $other")
+    }
+
+  test("serve-path facets include tail rows and compose with a filter") {
+    val db = fixtureDb("r11_serve_facets_tail")
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    val extra = Seq(
+      Row(1000L, 7L, "en", Seq(0.5f, 0.4f, 0.3f, 0.2f)),
+      Row(1001L, 2L, "en", Seq(0.5f, 0.4f, 0.3f, 0.2f)))
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(extra, 1), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("Lang", StringType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    val req =
+      s"""{"table":"T","queryVector":$qVec,"limit":10,"nProbe":9999,
+         |"filter":"Label >= 5",
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","MAX(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true"), served)
+    val job = db.query(req + "}")
+    assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+    // the passing tail row (ID 1000, Label 7, distance 0) must be inside
+    // the faceted top-k: MAX(ID) for the Label-7 group proves it
+    assert(served.contains("1000"), served)
+  }
+
+  test("serve-path facets ride the code tiers too (same residency source)") {
+    val db = fixtureDb("r11_serve_facets_code")
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    val req =
+      s"""{"table":"T","queryVector":$qVec,"limit":20,"nProbe":9999,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]}]""".stripMargin
+    val job = db.query(req + "}")
+    for (tier <- Seq("quantized", "pq")) {
+      // certified => the id set (hence the facet input) is proven equal
+      // to the exact top-k, so facet rows must match the job path's
+      val served = db.query(req + s""","serve":true,"$tier":true,"certified":true}""")
+      assert(served.contains("\"served\":true") &&
+        served.contains(s""""$tier":true"""), s"$tier: $served")
+      assert(facetRowSets(served) == facetRowSets(job), s"$tier:\n$served\n$job")
+    }
   }
 
   // ---- ADVICE low: config durability across release()/lazy opens ----
