@@ -486,35 +486,44 @@ object AnnBench {
     // FILTERED exact top-10 (PQ throughput is lossy by contract; the
     // certified sub-modes are proven on the unfiltered rows above and
     // prove the FILTERED set here identically).
+    // declines are legitimate tier behavior (over-budget covers, hostile
+    // geometry) — count them instead of crashing the run, like the
+    // certified rows; recall is measured over the SERVED queries
     def codeFilteredRow(
         serve: Array[Float] => Option[(Array[(Long, Double)], Int)])
-        : (Double, Double) = {
+        : (Double, Double, Long) = {
       queries.foreach(serve(_))
       val t0 = System.nanoTime()
       val deadline = t0 + 10L * 1000 * 1000 * 1000
-      var served = 0L
-      while (served == 0L || System.nanoTime() < deadline) {
+      var attempts = 0L
+      var declines = 0L
+      while (attempts == 0L || System.nanoTime() < deadline) {
         var qi = 0
-        while (qi < queries.length) { serve(queries(qi)).get; qi += 1 }
-        served += queries.length
+        while (qi < queries.length) {
+          if (serve(queries(qi)).isEmpty) declines += 1
+          qi += 1
+        }
+        attempts += queries.length
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val recall = exactFiltered.zip(queries.map(q =>
-        serve(q).get._1.map(_._1).toSeq)).map { case (e, a) =>
-        e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
-      }.sum / exactFiltered.length
-      (served / sec, recall)
+      val recalls = exactFiltered.zip(queries.map(q =>
+        serve(q).map(_._1.map(_._1).toSeq))).collect {
+        case (e, Some(a)) =>
+          e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
+      }
+      val recall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.length
+      ((attempts - declines) / sec, recall, declines)
     }
-    val (fqserveQps, fqserveRecall) = codeFilteredRow(q =>
+    val (fqserveQps, fqserveRecall, fqserveDecl) = codeFilteredRow(q =>
       idx.servePointQuantizedFilteredDetail("embedding", q, 10, nProbe = 8,
         fconds))
-    val (fpqserveQps, fpqserveRecall) = codeFilteredRow(q =>
+    val (fpqserveQps, fpqserveRecall, fpqserveDecl) = codeFilteredRow(q =>
       idx.servePointPqFilteredDetail("embedding", q, 10, nProbe = 8, fconds))
 
     // PROVEN-recall filtered serving (passing-count ball cover, target
     // 1.0 ⇒ exact over the filtered universe): the cover re-derives per
     // serve from the resident radii/counts + the cached pass set
-    val (frserveQps, frserveRecall) = codeFilteredRow(q =>
+    val (frserveQps, frserveRecall, frserveDecl) = codeFilteredRow(q =>
       idx.servePointFilteredRecall("embedding", q, 10, 1.0, fconds)
         .map((_, 0)))
 
@@ -596,10 +605,13 @@ object AnnBench {
       f""""bfserve_recall_at_10":$bfserveRecall%.4f,""" +
       f""""fqserve_qps":$fqserveQps%.2f,""" +
       f""""fqserve_recall_at_10":$fqserveRecall%.4f,""" +
+      f""""fqserve_declines":$fqserveDecl,""" +
       f""""fpqserve_qps":$fpqserveQps%.2f,""" +
       f""""fpqserve_recall_at_10":$fpqserveRecall%.4f,""" +
+      f""""fpqserve_declines":$fpqserveDecl,""" +
       f""""frserve_qps":$frserveQps%.2f,""" +
       f""""frserve_recall_at_10":$frserveRecall%.4f,""" +
+      f""""frserve_declines":$frserveDecl,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

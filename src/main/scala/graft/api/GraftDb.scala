@@ -866,7 +866,8 @@ class GraftDb(val spark: SparkSession, val root: String,
   private def serveFacetsJson(st: TableStore, idx: graft.index.IvfIndex,
       queryField: String, dense: Array[Float], np: Int,
       hits: Array[(Long, Double)], tail: Option[DenseTail],
-      facets: Seq[Facet]): Option[String] = {
+      facets: Seq[Facet], probeSet: Option[Array[Int]] = None)
+      : Option[String] = {
     import org.apache.spark.sql.types._
     val cols = idx.serveFilterColumns()
     if (cols.isEmpty) return None
@@ -878,7 +879,7 @@ class GraftDb(val spark: SparkSession, val root: String,
         }.toMap
     }
     val needResident = hits.map(_._1).filterNot(tailValueById.contains)
-    val resident = idx.scalarRowsFor(needResident, dense, np) match {
+    val resident = idx.scalarRowsFor(needResident, dense, np, probeSet) match {
       case Some(m) => m
       case None => return None
     }
@@ -1337,7 +1338,7 @@ class GraftDb(val spark: SparkSession, val root: String,
             val facetJson: String =
               if (facets.isEmpty) ""
               else serveFacetsJson(st, idx, queryField, dense, np, hits,
-                tail, facets) match {
+                tail, facets, probeSet) match {
                 case Some(fj) => fj
                 case None => return None
               }

@@ -887,6 +887,15 @@ class IvfIndex(
     * can model a slow cold load. */
   protected def loadClusters(vecCol: String, missing: Array[Int])
       : Map[Int, (Array[Long], Array[Double], Array[Double])] = {
+    // wide cold loads (recallTarget covers can span most of the index)
+    // collect in CHUNKS: one all-cluster collect at dim 960 is ~3.7 GiB
+    // of serialized task results — past any sane
+    // spark.driver.maxResultSize — while per-chunk collects stay bounded
+    // regardless of cover width; the budget guard has already sized the
+    // TOTAL against driver heap
+    if (missing.length > IvfIndex.ColdLoadChunkClusters)
+      return missing.grouped(IvfIndex.ColdLoadChunkClusters)
+        .map(g => loadClusters(vecCol, g)).reduce(_ ++ _)
     // pack EXECUTOR-SIDE into primitive arrays: collecting Rows of boxed
     // float sequences pays ~10x in serialization + driver GC at high dims
     // (a 960-dim cold load was ~240 MB of Row objects); primitive arrays
@@ -986,6 +995,9 @@ class IvfIndex(
     * subsequent scoring pass, not in load IO). */
   protected def loadQuantClusters(vecCol: String, missing: Array[Int])
       : Map[Int, QuantCluster] = {
+    if (missing.length > IvfIndex.ColdLoadChunkClusters)
+      return missing.grouped(IvfIndex.ColdLoadChunkClusters)
+        .map(g => loadQuantClusters(vecCol, g)).reduce(_ ++ _)
     val chunks = clustered()
       .filter(col("cluster").isin(missing.toSeq: _*))
       .filter(col(idCol).cast("long") <= serveWatermark)
@@ -1318,6 +1330,9 @@ class IvfIndex(
   /** One pruned job collecting `missing` clusters' code + error columns. */
   protected def loadPqClusters(missing: Array[Int], m: Int)
       : Map[Int, PqServeCluster] = {
+    if (missing.length > IvfIndex.ColdLoadChunkClusters)
+      return missing.grouped(IvfIndex.ColdLoadChunkClusters)
+        .map(g => loadPqClusters(g, m)).reduce(_ ++ _)
     val chunks = clustered()
       .filter(col("cluster").isin(missing.toSeq: _*))
       .filter(col(idCol).cast("long") <= serveWatermark)
@@ -2071,6 +2086,18 @@ class IvfIndex(
           : Boolean = size() > 32
     }
 
+  /** Scalar-residency row cap: a scalar row costs ~id + a few primitive
+    * columns (estimated 48 B per declared column incl. boxing/slack —
+    * STRING columns can exceed the estimate; declare short keys, not
+    * documents), so gating scalar acquisitions by the VECTOR tier's row
+    * cap was wrong in both directions — at dim 960 it declined a 12 MB
+    * all-cluster pass-set build because the FLOAT budget says 278k rows.
+    * Vector feasibility is still enforced by the sweeps' own guards; this
+    * cap only bounds the scalar bytes themselves. */
+  private def effectiveMaxScalarRows: Long =
+    math.min(maxServeRows,
+      maxServeBytes / (48L * math.max(1, filterColsDecl.size)))
+
   /** Declare the scalar columns held resident for attribute-filtered
     * serving (flushes scalar residency; vector residency stays warm).
     * Empty = filtered requests always decline to the job path. */
@@ -2090,6 +2117,11 @@ class IvfIndex(
     * need exists to avoid boxed float seqs — two orders of magnitude
     * larger per row). */
   protected def loadScalarClusters(missing: Array[Int]): Map[Int, ScalarCluster] = {
+    // scalar rows are light, but the all-cluster pass-set build still
+    // collects the whole id universe — chunk like the vector loads
+    if (missing.length > IvfIndex.ColdLoadChunkClusters)
+      return missing.grouped(IvfIndex.ColdLoadChunkClusters)
+        .map(loadScalarClusters).reduce(_ ++ _)
     val colsDecl = filterColsDecl
     val proj = Seq(col("cluster"), col(idCol).cast("long").as(idCol)) ++
       colsDecl.map(col)
@@ -2172,7 +2204,6 @@ class IvfIndex(
     if (centroids().headOption.exists(_._2.length != q.length)) return decline
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxRows(q.length),
       () => singleProbeSet(q, nProbe, probeSet)) { ex =>
       servePoint(vecCol, query, k, nProbe, ex, freshTail, probeSet)
     }
@@ -2217,7 +2248,7 @@ class IvfIndex(
     acquireResident[ScalarCluster](
       scalarCache, _.ids.length.toLong,
       () => scalarRowsResident, v => scalarRowsResident = v,
-      effectiveMaxRows(dim),
+      effectiveMaxScalarRows,
       () => { union = centroids().map(_._1); union },
       loadScalarClusters) match {
       case None => decline
@@ -2238,7 +2269,8 @@ class IvfIndex(
     * to Double (both exact — the caller casts back by schema). None =
     * nothing declared, over budget, or an id not found in the probed
     * residency (a racing rebuild relocated it) — the caller declines. */
-  def scalarRowsFor(ids: Array[Long], query: Array[Float], nProbe: Int)
+  def scalarRowsFor(ids: Array[Long], query: Array[Float], nProbe: Int,
+      probeSet: Option[Array[Int]] = None)
       : Option[Map[Long, Array[AnyRef]]] = {
     val cols = filterColsDecl
     if (cols.isEmpty) return decline
@@ -2248,8 +2280,10 @@ class IvfIndex(
     acquireResident[ScalarCluster](
       scalarCache, _.ids.length.toLong,
       () => scalarRowsResident, v => scalarRowsResident = v,
-      effectiveMaxRows(q.length),
-      () => singleProbeSet(q, nProbe, None),
+      effectiveMaxScalarRows,
+      // the lookup must cover the clusters the HITS came from — an
+      // explicit probe set (recallTarget covers) overrides nearest-nProbe
+      () => singleProbeSet(q, nProbe, probeSet),
       loadScalarClusters) match {
       case None => decline
       case Some((scalars, _, _)) =>
@@ -2314,7 +2348,7 @@ class IvfIndex(
       acquireResident[ScalarCluster](
         scalarCache, _.ids.length.toLong,
         () => scalarRowsResident, v => scalarRowsResident = v,
-        effectiveMaxRows(q.length),
+        effectiveMaxScalarRows,
         () => { union = centroids().map(_._1); union },
         loadScalarClusters) match {
         case None => return decline
@@ -2389,14 +2423,14 @@ class IvfIndex(
     * served+filtered). On pin mismatch the acquisition retries from
     * scratch; persistent churn declines. `tailIds0` (caller-pre-filtered
     * fresh-tail rows) bypass the resident mask — the pass set doesn't
-    * cover them. `rowCap` is the calling tier's residency bound (a scalar
-    * row is far lighter than any vector/code row, so one shared
-    * feasibility check covers both). */
+    * cover them. The scalar acquisition is gated by its OWN cap
+    * (effectiveMaxScalarRows — scalar rows are far lighter than any
+    * vector/code row); the inner sweep's residency guards still gate the
+    * vector/code bytes. */
   private def withPassingMask[R](
       conds: Seq[graft.filter.SimpleConjuncts.Cond],
       exclude: Long => Boolean,
       tailIds0: Array[Long],
-      rowCap: Long,
       probeUnion: () => Array[Int])(
       inner: (Long => Boolean) => Option[R]): Option[R] = {
     if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
@@ -2409,7 +2443,7 @@ class IvfIndex(
       acquireResident[ScalarCluster](
         scalarCache, _.ids.length.toLong,
         () => scalarRowsResident, v => scalarRowsResident = v,
-        rowCap,
+        effectiveMaxScalarRows,
         () => { union = probeUnion(); union },
         loadScalarClusters) match {
         case None => return decline
@@ -2499,7 +2533,6 @@ class IvfIndex(
     }
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxRows(dim),
       () => batchProbeUnion(qsArr, nProbe)) { ex =>
       Some(servePointBatch(vecCol, queries, k, nProbe, ex, freshTail))
     }.getOrElse(fallback())
@@ -2537,7 +2570,6 @@ class IvfIndex(
     if (centroids().headOption.exists(_._2.length != q.length)) return decline
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxQuantRows(q.length),
       () => singleProbeSet(q, nProbe, None)) { ex =>
       servePointQuantizedDetail(vecCol, query, k, nProbe, ex, freshTail,
         certify)
@@ -2564,7 +2596,6 @@ class IvfIndex(
     if (q.length != cb.dim) return decline
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxPqRows(cb.m),
       () => singleProbeSet(q, nProbe, None)) { ex =>
       servePointPqDetail(vecCol, query, k, nProbe, ex, freshTail, certify)
     }
@@ -2603,7 +2634,6 @@ class IvfIndex(
     }
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxQuantRows(dim),
       () => batchProbeUnion(qsArr, nProbe)) { ex =>
       Some(servePointQuantizedBatchDetail(vecCol, queries, k, nProbe, ex,
         freshTail, certify))
@@ -2640,7 +2670,6 @@ class IvfIndex(
     if (qsArr.exists(_.length != dim) || dim != cb.dim) return fallback()
     withPassingMask(conds, exclude,
       freshTail.map(_._1).getOrElse(Array.empty),
-      effectiveMaxPqRows(cb.m),
       () => batchProbeUnion(qsArr, nProbe)) { ex =>
       Some(servePointPqBatchDetail(vecCol, queries, k, nProbe, ex,
         freshTail, certify))
@@ -3076,6 +3105,13 @@ object IvfIndex {
   private[index] def refsDistance(c: Column): Boolean =
     org.apache.spark.sql.graftbridge.CatalystBridge
       .referencesAttribute(c, "@distance")
+
+  /** Max clusters per cold-load collect: wide loads (recallTarget
+    * covers) chunk so one collect's serialized results stay bounded
+    * (~16 × cluster_rows × row_bytes) regardless of cover width — one
+    * 256-cluster dim-960 collect is ~3.7 GiB, past any sane
+    * spark.driver.maxResultSize, while the chunked peak is ~250 MB. */
+  val ColdLoadChunkClusters = 16
 
   /** Below this row count no index is built — search brute-forces
     * (reference: MinimalGraphSize config.hpp:22 + BruteforceThreshold

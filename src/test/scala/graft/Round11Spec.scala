@@ -463,6 +463,22 @@ class Round11Spec extends SparkSpec {
     assert(served.contains("1000"), served)
   }
 
+  test("facets compose with a recallTarget cover (lookup follows the cover's probe set)") {
+    val db = fixtureDb("r11_facets_cover")
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    val req =
+      s"""{"table":"T","queryVector":$qVec,"limit":20,"recallTarget":1.0,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    val job = db.query(req.replace(""","recallTarget":1.0""", "") + "}")
+    // target 1.0 => the served ids ARE the exact top-20, so the facet
+    // rows must equal the plain job path's
+    if (served.contains("\"served\":true"))
+      assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+    else // cover over budget is a legitimate decline — still exact
+      assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+  }
+
   test("serve-path facets ride the code tiers too (same residency source)") {
     val db = fixtureDb("r11_serve_facets_code")
     db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
