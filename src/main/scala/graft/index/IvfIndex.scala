@@ -813,7 +813,7 @@ class IvfIndex(
           quantCache.clear(); quantRowsResident = 0L
           pqCache.clear(); pqRowsResident = 0L
           scalarCache.clear(); scalarRowsResident = 0L
-          passCache.clear()
+          passCache.clear(); passCountCache.clear()
           serveWatermark = s._1
         }
       }
@@ -2085,6 +2085,14 @@ class IvfIndex(
           e: java.util.Map.Entry[(String, Long, Seq[Int]), java.util.HashSet[java.lang.Long]])
           : Boolean = size() > 32
     }
+  // per-cluster PASSING counts for the recall covers, same key discipline
+  @transient private val passCountCache =
+    new java.util.LinkedHashMap[(String, Long, Seq[Int]), Map[Int, Long]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Seq[Int]), Map[Int, Long]])
+          : Boolean = size() > 32
+    }
 
   /** Scalar-residency row cap: a scalar row costs ~id + a few primitive
     * columns (estimated 48 B per declared column incl. boxing/slack —
@@ -2104,7 +2112,7 @@ class IvfIndex(
   def setServeFilterColumns(cols: Seq[String]): Unit = synchronized {
     filterColsDecl = cols.distinct
     scalarCache.clear(); scalarRowsResident = 0L
-    passCache.clear()
+    passCache.clear(); passCountCache.clear()
   }
   def serveFilterColumns(): Seq[String] = filterColsDecl
 
@@ -2354,17 +2362,28 @@ class IvfIndex(
         case None => return decline
         case Some((scalars, pinKey, pinWm)) =>
           val pass = passingIds(conds, union.map(scalars), union, pinWm)
-          // per-cluster passing counts — the cover's count input
-          val passCounts: Map[Int, Long] = union.map { cid =>
-            val sc = scalars(cid)
-            var n = 0L
-            var j = 0
-            while (j < sc.ids.length) {
-              if (pass.contains(sc.ids(j))) n += 1
-              j += 1
+          // per-cluster passing counts (the cover's count input), cached
+          // next to the pass set — recomputing them is an O(corpus) hash
+          // walk per serve, a visible tax at 500k rows
+          val countKey = (graft.filter.SimpleConjuncts.key(conds), pinWm,
+            union.sorted.toSeq)
+          val cachedCounts = synchronized { passCountCache.get(countKey) }
+          val passCounts: Map[Int, Long] =
+            if (cachedCounts != null) cachedCounts
+            else {
+              val m = union.map { cid =>
+                val sc = scalars(cid)
+                var n = 0L
+                var j = 0
+                while (j < sc.ids.length) {
+                  if (pass.contains(sc.ids(j))) n += 1
+                  j += 1
+                }
+                cid -> n
+              }.toMap
+              synchronized { passCountCache.put(countKey, m) }
+              m
             }
-            cid -> n
-          }.toMap
           val cover = coverFromCounts(q, k, target, slack, passCounts)
           val served = servePoint(vecCol, query, k, nProbe = cover.length,
             id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
