@@ -998,11 +998,18 @@ class GraftDb(val spark: SparkSession, val root: String,
     // per-query fallback re-enters query(), which serves or declines
     // each query individually
     if (facetsPresent(req)) return allNone
-    // a declared recall floor must never be silently ignored: the shared
-    // batch path has no per-query cover plumbing, so it declines and the
-    // per-query fallback (query() single dispatch) serves each query with
-    // probeSetForRecall's proven cover
-    if ((req \ "recallTarget") != JNothing) return allNone
+    // the uniform floor contract, batch form: the FLOAT tier serves a
+    // declared recallTarget with PER-QUERY proven covers on the shared
+    // sweep (probeSets below); the code tiers and the filter combination
+    // decline to per-query dispatch, which honors the floor there
+    // (code tiers → exact job path; filtered → passing-count covers)
+    val recallTarget: Option[Double] = (req \ "recallTarget") match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case _ => None
+    }
+    if (recallTarget.isDefined && (quantized || pq)) return allNone
     val table = str(req \ "table")
     val st = store(table)
     val filterStr = filterStringOf(req)
@@ -1014,6 +1021,7 @@ class GraftDb(val spark: SparkSession, val root: String,
           case _ => return allNone
         }
       }
+    if (recallTarget.isDefined && conds.nonEmpty) return allNone
     val queryField = (req \ "queryField") match {
       case JString(s) => s
       case _ =>
@@ -1078,9 +1086,20 @@ class GraftDb(val spark: SparkSession, val root: String,
             else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
               qs, k, np, exclude = tombs.contains,
               freshTail = tail.map(_.packed), certify = certified)
-            else idx.servePointBatch(queryField, qs, k, np,
-              exclude = tombs.contains, freshTail = tail.map(_.packed))
-              .map { case (qid, r) => (qid, r.map((_, 0))) }
+            else {
+              // float tier: a declared floor swaps each query's probe set
+              // for ITS proven cover (1.0 = exact), acquired as one union
+              // and served on the shared sweep — the batch twin of the
+              // single dispatch's probeSet
+              val covers: Option[Array[Array[Int]]] = recallTarget.map(t =>
+                qs.map { case (_, q) =>
+                  idx.probeSetForRecall(q, k, t, slack = tombs.size.toLong)
+                })
+              idx.servePointBatch(queryField, qs, k, np,
+                exclude = tombs.contains, freshTail = tail.map(_.packed),
+                probeSets = covers)
+                .map { case (qid, r) => (qid, r.map((_, 0))) }
+            }
           if (idx.servingWatermark() == pin) {
             return got.map { case (_, res) =>
               res.map { case (hits, reranked) =>

@@ -1920,10 +1920,17 @@ class IvfIndex(
     * a batch never declines queries that would have served alone.
     *
     * Returns one (qid, result) per input query, input order. */
+  /** `probeSets` (aligned with `queries`) overrides the nearest-nProbe
+    * selection per query — the batch form of servePoint's explicit
+    * probe set (recallTarget covers: each query keeps ITS proven cover,
+    * the union is acquired once, the shared sweep scores each row only
+    * for the queries whose cover holds its cluster). Retired cluster ids
+    * are dropped like the single-query path. */
   def servePointBatch(vecCol: String,
       queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
-      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None)
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      probeSets: Option[Array[Array[Int]]] = None)
       : Array[(Long, Option[Array[(Long, Double)]])] = {
     if (queries.isEmpty) return Array.empty
     val qs: Array[Array[Float]] = queries.map { case (_, raw) =>
@@ -1933,8 +1940,9 @@ class IvfIndex(
     // itself, and re-normalizing an already-normalized vector can move the
     // last ulp — the degraded path must equal a direct servePoint call
     def fallback(): Array[(Long, Option[Array[(Long, Double)]])] =
-      queries.map { case (qid, raw) =>
-        (qid, servePoint(vecCol, raw, k, nProbe, exclude, freshTail))
+      queries.zipWithIndex.map { case ((qid, raw), qi) =>
+        (qid, servePoint(vecCol, raw, k, nProbe, exclude, freshTail,
+          probeSet = probeSets.map(_(qi))))
       }
     val dim = qs(0).length
     if (qs.exists(_.length != dim)) return fallback() // mixed dims: per-query guard
@@ -1958,11 +1966,16 @@ class IvfIndex(
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
         val cents = centroids()
-        probesPer = qs.map { q =>
-          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-            .sortBy { case (_, d) => d }
-            .take(nProbe)
-            .map(_._1)
+        probesPer = probeSets match {
+          case Some(ps) =>
+            val live = cents.map(_._1).toSet
+            ps.map(_.filter(live))
+          case None => qs.map { q =>
+            cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+              .sortBy { case (_, d) => d }
+              .take(nProbe)
+              .map(_._1)
+          }
         }
         union = probesPer.flatten.distinct
         union.filterNot(serveCache.containsKey(_))

@@ -305,6 +305,50 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.5, s"declared floor violated: $recall")
   }
 
+  test("batch recallTarget SERVES on the shared sweep with per-query proven covers") {
+    val db = fixtureDb("r11_batch_rt_serve")
+    val m = rowIdToId(db)
+    val vs = Seq(qVec, "[0.1,0.9,0.2,0.8]")
+    val batch = db.query(
+      s"""{"table":"T","queryVectors":[${vs.mkString(",")}],
+         |"limit":6,"serve":true,"recallTarget":1.0}""".stripMargin)
+    val entries = (JsonMethods.parse(batch) \ "results") match {
+      case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+      case other => fail(s"bad envelope: $other")
+    }
+    val singles = vs.map(v => resultIds(db.query(
+      s"""{"table":"T","queryVector":$v,"limit":6,"response":["ID"]}"""), "ID"))
+    entries.zip(singles).foreach { case (e, exact) =>
+      // round 10 declined the batch to per-query dispatch; now the batch
+      // itself serves — each entry marked AND exact (target 1.0)
+      assert(e.contains("\"served\":true"), e)
+      assert(resultIds(e).map(m) == exact, s"$e vs $exact")
+    }
+  }
+
+  test("servePointBatch with explicit probe sets equals per-query servePoint covers") {
+    val df = blobs(800)
+    val path = tmpDir("r11_batch_covers")
+    val idx = graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 5)
+    val queries = (0 until 8).map { ci =>
+      (ci.toLong, Array(ci * 10.0f + 0.03f, ci * 10.0f, (ci % 3) * 10.0f, 0.02f))
+    }.toArray
+    val covers = queries.map { case (_, q) => idx.probeSetForRecall(q, 10, 1.0) }
+    val batch = idx.servePointBatch("vec", queries, 10, nProbe = 2,
+      probeSets = Some(covers))
+    queries.zipWithIndex.foreach { case ((qid, q), i) =>
+      val single = idx.servePoint("vec", q, 10, nProbe = 2,
+        probeSet = Some(covers(i)))
+      assert(batch(i)._1 == qid)
+      assert(batch(i)._2.map(_.toSeq) == single.map(_.toSeq),
+        s"query $qid diverged")
+      // the cover is proven exact — equal to the full probe
+      val exact = idx.servePoint("vec", q, 10, nProbe = idx.centroids().length)
+      assert(batch(i)._2.map(_.map(_._1).toSeq) == exact.map(_.map(_._1).toSeq))
+    }
+  }
+
   // ---- filtered hybrid: BOTH sides served under a resident conjunction ----
 
   test("filtered hybrid serves BOTH sides (keyword side borrows the dense pass verdict), equal to the job path") {
