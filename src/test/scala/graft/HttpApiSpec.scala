@@ -332,4 +332,44 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(ids.nonEmpty && !ids.contains(7L) && ids.forall(_ % 2 == 0), fb2)
     delete("/api/default/schema/tables/Hy")
   }
+
+  test("served filter + facets round-trip over HTTP (round-11 envelope)") {
+    assert(post("/api/default/schema/tables",
+      """{"name":"SF","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)._1 == 200)
+    val rows = (0 until 600).map { i =>
+      s"""{"ID":$i,"Label":${i % 10},"V":[0.${i % 10},0.${(i * 3) % 10},0.${(i * 7) % 10},0.${(i * 9) % 10}]}"""
+    }.mkString("[", ",", "]")
+    assert(post("/api/default/data/insert",
+      s"""{"table":"SF","data":$rows}""")._1 == 200)
+    assert(post("/api/rebuild", "")._1 == 200)
+    // declare the filtered-serving residency over the config route
+    assert(post("/api/config",
+      """{"ServeFilterColumns":{"table":"SF","field":"V",
+        |"columns":["Label","ID"]}}""".stripMargin)._1 == 200)
+    val req =
+      """{"table":"SF","queryVector":[0.5,0.4,0.3,0.2],"limit":9,
+        |"nProbe":9999,"filter":"Label >= 5",
+        |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","MAX(ID)"]}]""".stripMargin
+    val (sc, sb) = post("/api/default/data/query", req + ""","serve":true}""")
+    assert(sc == 200, sb)
+    assert(sb.contains("\"served\":true") && sb.contains("\"filtered\":true") &&
+      sb.contains("\"facets\""), sb)
+    val (jc, jb) = post("/api/default/data/query", req + "}")
+    assert(jc == 200 && !jb.contains("\"served\""), jb)
+    def facetSets(resp: String): Seq[Set[String]] =
+      (JsonMethods.parse(resp) \ "facets") match {
+        case JArray(fs) => fs.map {
+          case JArray(rs) =>
+            rs.map(r => JsonMethods.compact(JsonMethods.render(r))).toSet
+          case other => fail(s"bad facet: $other")
+        }
+        case other => fail(s"no facets: $other")
+      }
+    assert(facetSets(sb) == facetSets(jb), s"$sb\n$jb")
+    delete("/api/default/schema/tables/SF")
+  }
 }
