@@ -934,15 +934,47 @@ class GraftDb(val spark: SparkSession, val root: String,
     val f = st.schema.field(queryField)
     if (!FieldType.isVector(f.fieldType) || FieldType.isSparse(f.fieldType))
       return None
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      densePassVerdict(st, queryField, conds) match {
+        case None => return None
+        case Some((passes, verify)) =>
+          val hits = scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
+            exclude = id => excl(id) || !passes(id))).toOption.flatten
+          hits match {
+            case Some(h) =>
+              if (verify()) return Some(h.map(_._1))
+            // else: a rebuild raced the verdict — rebuild it and retry
+            case None => return None // sparse tier declined
+          }
+      }
+    }
+    None
+  }
+
+  /** Complete pass verdict BORROWED from a dense index's scalar
+    * residency: `passes` judges EVERY live id — the resident pass set
+    * covers ids at or below the dense serving pin, the pre-filtered tail
+    * sidecar covers ids above it — and `verify()` re-checks the dense
+    * pin after the borrowing sweep (the ADVICE-medium race discipline).
+    * This is the mask the non-dense serving tiers (hybrid keyword walk,
+    * sparse-field retrieval) compose into their own candidate walks.
+    * None = no usable donor (missing/stale index, undeclared columns,
+    * over-budget residency, tail over cap, pin churn). */
+  private def densePassVerdict(st: TableStore, denseField: String,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond])
+      : Option[(Long => Boolean, () => Boolean)] = {
+    val f = st.schema.field(denseField)
     if (!Files.exists(Paths.get(
-        s"$root/${st.schema.name}/ivf_$queryField/ivf_meta.json"))) return None
-    val idx = index(st, queryField)
+        s"$root/${st.schema.name}/ivf_$denseField/ivf_meta.json"))) return None
+    val idx = index(st, denseField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
       val wm0 = idx.servingWatermark()
-      freshTailCluster(st, idx, queryField) match {
+      freshTailCluster(st, idx, denseField) match {
         case Left(_) =>
           if (idx.indexedWatermark() > wm0) idx.rebaseServing()
           else return None // tail over cap: rebuild overdue
@@ -961,21 +993,12 @@ class GraftDb(val spark: SparkSession, val root: String,
             case Some((pass, pinKey, pinWm)) =>
               // the tail was collected against wm0: a pass set pinned
               // elsewhere would leave the gap rows unjudged — retry
-              if (pinWm != wm0) ()
-              else {
-                val hits = scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
-                  exclude = id => excl(id) ||
-                    (if (id <= pinWm) !pass.contains(id)
-                     else !tailPass.contains(id))))
-                  .toOption.flatten
-                hits match {
-                  case Some(h) =>
-                    if (idx.pinStableFor(pinKey, pinWm))
-                      return Some(h.map(_._1))
-                  // else: rebuild raced the verdict — retry
-                  case None => return None // sparse tier declined
-                }
-              }
+              if (pinWm == wm0)
+                return Some((
+                  (id: Long) =>
+                    if (id <= pinWm) pass.contains(id)
+                    else tailPass.contains(id),
+                  () => idx.pinStableFor(pinKey, pinWm)))
           }
       }
     }
@@ -1210,14 +1233,35 @@ class GraftDb(val spark: SparkSession, val root: String,
     }
     (req \ "queryVector") match {
       case o: JObject =>
-        // sparse postings carry no attribute columns: filtered and
-        // faceted requests → job path. A declared recall floor also
-        // declines: the dot/cosine serving mode is candidate-retrieval
-        // (overlap-only), which proves no floor — the job path's exact
-        // inverted-index cut does.
-        return if (filterStr.nonEmpty || facets.nonEmpty ||
-          recallTarget.isDefined) None
-        else serveSparse(st, queryField, o, limit)
+        // sparse postings carry no attribute columns, but a resident
+        // conjunction can still serve the dot/cosine RETRIEVAL modes by
+        // borrowing a dense sibling index's pass verdict
+        // (densePassVerdict — the hybrid keyword side's mechanism);
+        // Euclidean declines under a filter (its exactness proof is not
+        // mask-aware), facets decline, and a declared recall floor
+        // declines (retrieval mode proves no floor — the job path's
+        // exact inverted-index cut does).
+        if (facets.nonEmpty || recallTarget.isDefined) return None
+        if (filterStr.isEmpty) return serveSparse(st, queryField, o, limit)
+        if (st.schema.field(queryField).metric == MetricType.Euclidean)
+          return None
+        val cs = graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
+          case Some(cs0) if cs0.nonEmpty => cs0
+          case _ => return None // outside the serve sub-grammar
+        }
+        // donor: any dense sibling whose DECLARED residency covers the
+        // conjunction's columns
+        val donor = st.schema.vectorFields.find { df =>
+          !FieldType.isSparse(df.fieldType) &&
+            Files.exists(Paths.get(
+              s"$root/${st.schema.name}/ivf_${df.name}/ivf_meta.json")) &&
+            cs.forall(c => index(st, df.name).serveFilterColumns().contains(c.col))
+        }
+        return donor match {
+          case Some(df) => serveSparse(st, queryField, o, limit,
+            filtered = Some((df.name, cs)))
+          case None => None
+        }
       case _ => ()
     }
     val dense: Array[Float] = (req \ "queryVector") match {
@@ -1401,13 +1445,19 @@ class GraftDb(val spark: SparkSession, val root: String,
     * back to the job path. Fresh tail + tombstone masks mirror the dense
     * serve path. */
   private def serveSparse(st: TableStore, queryField: String,
-      o: JObject, limit: Int): Option[String] = {
+      o: JObject, limit: Int,
+      filtered: Option[(String, Seq[graft.filter.SimpleConjuncts.Cond])] = None)
+      : Option[String] = {
     val f = st.schema.field(queryField)
     if (!Files.exists(Paths.get(
         s"$root/${st.schema.name}/spidx_$queryField/sp_meta.json")))
       return None
     val idx = sparseIndex(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
+    // the Euclidean exactness proof reasons over UNSEEN non-overlap rows
+    // and is not mask-aware — filtered Euclidean declines (caller guards
+    // too; this keeps the method safe for direct use)
+    if (filtered.isDefined && f.metric == MetricType.Euclidean) return None
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
     val k = math.min(limit, maxRenderRows)
@@ -1428,14 +1478,26 @@ class GraftDb(val spark: SparkSession, val root: String,
             case Some(t) => t
             case None => return None // tombstone mask over cap -> job path
           }
+          // filtered retrieval: the dense donor's complete pass verdict
+          // composes into the candidate walk; its pin is re-verified
+          // next to the sparse pin below
+          val (passes, verifyDonor): (Long => Boolean, () => Boolean) =
+            filtered match {
+              case None => ((_: Long) => true, () => true)
+              case Some((df, cs)) => densePassVerdict(st, df, cs) match {
+                case Some(v) => v
+                case None => return None
+              }
+            }
+          val ex: Long => Boolean = id => tombs.contains(id) || !passes(id)
           val hits: Array[(Long, Double)] =
             if (f.metric == MetricType.Euclidean)
-              idx.servePointEuclid(qIdx, qVal, k, exclude = tombs.contains,
+              idx.servePointEuclid(qIdx, qVal, k, exclude = ex,
                 tail = tail, tailNorms = tailNorms) match {
                 case Some(h) => h
                 case None => return None // exactness unprovable -> job path
               }
-            else idx.servePointDot(qIdx, qVal, k, exclude = tombs.contains,
+            else idx.servePointDot(qIdx, qVal, k, exclude = ex,
               tail = tail) match {
                 case Some(h) => h.map { case (id, dot) =>
                   (id, if (f.metric == MetricType.Cosine) 1.0 - dot else -dot)
@@ -1444,7 +1506,7 @@ class GraftDb(val spark: SparkSession, val root: String,
                 // pre-check declined before any collect) -> job path
                 case None => return None
               }
-          if (idx.servingWatermark() == pin) {
+          if (idx.servingWatermark() == pin && verifyDonor()) {
             val sb = new java.lang.StringBuilder("{\"result\":[")
             var i = 0
             while (i < hits.length) {
@@ -1453,9 +1515,11 @@ class GraftDb(val spark: SparkSession, val root: String,
                 .append(",\"@distance\":").append(hits(i)._2).append('}')
               i += 1
             }
-            sb.append("],\"served\":true}")
+            sb.append("],\"served\":true")
+            if (filtered.isDefined) sb.append(",\"filtered\":true")
+            sb.append('}')
             return Some(sb.toString)
-          } // pin moved mid-serve: retry
+          } // sparse pin or donor pin moved mid-serve: retry
       }
     }
     None // pin churn: job path answers exactly
