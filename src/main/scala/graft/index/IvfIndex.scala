@@ -2084,7 +2084,13 @@ class IvfIndex(
   protected final case class ScalarCluster(ids: Array[Long],
       cols: Map[String, ScalarVals])
 
-  @volatile private var filterColsDecl: Seq[String] = Nil
+  // declared filter columns are PERSISTED next to the layout
+  // (serve_cols.json) so follower processes opening the same root serve
+  // filtered queries without an out-of-band re-declaration — read once
+  // at construction; setServeFilterColumns rewrites atomically
+  def serveColsPath = s"$path/serve_cols.json"
+  @volatile private var filterColsDecl: Seq[String] =
+    IvfIndex.readServeCols(serveColsPath)
   @transient private var scalarCache =
     new java.util.LinkedHashMap[Int, ScalarCluster](64, 0.75f, true)
   @transient private var scalarRowsResident = 0L
@@ -2121,11 +2127,15 @@ class IvfIndex(
 
   /** Declare the scalar columns held resident for attribute-filtered
     * serving (flushes scalar residency; vector residency stays warm).
-    * Empty = filtered requests always decline to the job path. */
+    * Empty = filtered requests always decline to the job path. The
+    * declaration is persisted next to the layout, so follower processes
+    * opening the root later inherit it (instances already open keep
+    * their construction-time view until they re-declare). */
   def setServeFilterColumns(cols: Seq[String]): Unit = synchronized {
     filterColsDecl = cols.distinct
     scalarCache.clear(); scalarRowsResident = 0L
     passCache.clear(); passCountCache.clear()
+    IvfIndex.writeServeCols(serveColsPath, filterColsDecl)
   }
   def serveFilterColumns(): Seq[String] = filterColsDecl
 
@@ -3137,6 +3147,32 @@ object IvfIndex {
   private[index] def refsDistance(c: Column): Boolean =
     org.apache.spark.sql.graftbridge.CatalystBridge
       .referencesAttribute(c, "@distance")
+
+  /** Persisted filtered-serving declaration (`serve_cols.json`): a JSON
+    * string array written atomically next to the layout, so follower
+    * processes opening the same root inherit it at construction.
+    * Unreadable/absent → Nil (filtered requests decline, never guess). */
+  private[index] def readServeCols(p: String): Seq[String] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Nil
+    else scala.util.Try {
+      org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)) match {
+        case org.json4s.JArray(a) =>
+          a.collect { case org.json4s.JString(s) => s }
+        case _ => Seq.empty[String]
+      }
+    }.getOrElse(Seq.empty[String])
+
+  private[index] def writeServeCols(p: String, cols: Seq[String]): Unit = {
+    // the declaration can precede the first build — create the layout dir
+    val parent = java.nio.file.Paths.get(p).getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    MetaJson.writeAtomic(p, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(cols.map(org.json4s.JString(_)).toList))))
+  }
 
   /** Max clusters per cold-load collect: wide loads (recallTarget
     * covers) chunk so one collect's serialized results stay bounded

@@ -590,6 +590,54 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("serve-filter declarations persist on disk: follower instances and fresh GraftDbs inherit them") {
+    val df = blobs(800)
+    val path = tmpDir("r11_declpersist")
+    graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+    val leader = new graft.index.IvfIndex(spark, path, "id",
+      graft.types.MetricType.Euclidean)
+    leader.setServeFilterColumns(Seq("id"))
+    // a FOLLOWER process opening the same root (fresh instance, no
+    // out-of-band declaration) inherits and serves filtered
+    val follower = new graft.index.IvfIndex(spark, path, "id",
+      graft.types.MetricType.Euclidean)
+    assert(follower.serveFilterColumns() == Seq("id"))
+    val conds = Seq(graft.filter.SimpleConjuncts.Cond("id", ">=",
+      graft.filter.SimpleConjuncts.NumLit(100.0, isInt = true)))
+    val q = Array(0.03f, 0.0f, 0.0f, 0.02f)
+    val nAll = follower.centroids().length
+    val got = follower.servePointFiltered("vec", q, 10, nAll, conds)
+    val expect = leader.search("vec", q, 10, nAll,
+        preFilter = Some(col("id") >= 100))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got.isDefined && got.get.map(_._1).toSeq == expect)
+    // and at the GraftDb level: a fresh db over the same root (process
+    // restart) serves filtered without re-declaration
+    val root = tmpDir("r11_declpersist_db")
+    val db = new graft.api.GraftDb(spark, root)
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 600).map(i =>
+        Row(i.toLong, (i % 10).toLong, vecOf(i))), 2), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false), nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    db.setServeFilterColumns("T", "V", Seq("Label"))
+    val db2 = new graft.api.GraftDb(spark, root) // "restarted process"
+    val resp = db2.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":5,"nProbe":9999,
+         |"filter":"Label >= 5","serve":true}""".stripMargin)
+    assert(resp.contains("\"served\":true") && resp.contains("\"filtered\":true"),
+      resp)
+  }
+
   // ---- ADVICE low: config durability across release()/lazy opens ----
 
   test("MaxServeRows/MaxServeBytes/ServeFilterColumns survive release() (db-level defaults)") {
