@@ -476,16 +476,23 @@ object Queries {
           .foreach(java.nio.file.Files.delete)
       }
       val db = new graft.api.GraftDb(s, root)
+      // SV: the embedding's first-8-dim prefix as a sparse DOT_PRODUCT
+      // field (indices strictly increasing; every row shares the query's
+      // dims, so retrieval-mode == exact) — the sparse_filter case
       val emb = t(s, dir, "embeddings").orderBy("vec_id")
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
+          col("embedding"),
+          struct(lit((0 until 8).toArray).as("indices"),
+            slice(col("embedding"), 1, 8).as("values")).as("SV"))
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
       db.createTable(
         s"""{"name":"emb","fields":[
            |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
            |  {"name":"label","dataType":"BIGINT"},
            |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+           |   "metricType":"EUCLIDEAN"},
+           |  {"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
+           |   "metricType":"DOT_PRODUCT"}]}""".stripMargin)
       // pad past MinimalIndexSize with rows that are BOTH filter-rejected
       // (label -1) and geometrically FAR (embedding + 1000) — they can
       // enter neither the filtered nor the unfiltered top-10, so every
@@ -494,8 +501,11 @@ object Queries {
         .withColumn("vec_id", col("vec_id") + 2000000L)
         .withColumn("label", lit(-1L))
         .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
+        .withColumn("SV", struct(lit((0 until 8).toArray).as("indices"),
+          slice(col("embedding"), 1, 8).as("values")))
       db.store("emb").insert(emb.unionByName(pad))
       require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
       db.setServeFilterColumns("emb", "embedding", Seq("label"))
       val q = SparkEntry.queryVectorOf(s, dir)
       val m = db.store("emb").read()
@@ -540,6 +550,18 @@ object Queries {
       require(!rd.contains("\"served\""),
         s"rt_code_decline served with the floor silently dropped: $rd")
       ids(rd, "vec_id").foreach(v => out += (("rt_code_decline", v)))
+      // filtered SPARSE serving off the borrowed dense pass verdict
+      // (round 11): retrieval-mode over the masked candidates == the
+      // filtered brute force on this all-overlap prefix field
+      val sq = q.take(8)
+      val rs = db.query(
+        s"""{"table":"emb","queryField":"SV",
+           |  "queryVector":{"indices":[0,1,2,3,4,5,6,7],
+           |    "values":[${sq.mkString(",")}]},"limit":10,"serve":true,
+           |  "filter":"label >= 5"}""".stripMargin)
+      require(rs.contains("\"served\":true") && rs.contains("\"filtered\":true"),
+        s"sparse_filter did not ride the borrowed-verdict serve path: $rs")
+      ids(rs).map(m).foreach(v => out += (("sparse_filter", v)))
       import s.implicits._
       out.result().toDF("case_id", "vec_id").orderBy("case_id", "vec_id")
     }),
@@ -943,12 +965,16 @@ object Queries {
       s"""WITH fb AS (SELECT vec_id FROM embeddings WHERE label >= 5
          |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10),
          |     ub AS (SELECT vec_id FROM embeddings
-         |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10)
+         |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10),
+         |     sp AS (SELECT vec_id FROM embeddings WHERE label >= 5
+         |            ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
+         |              vec_id ASC LIMIT 10)
          |SELECT * FROM (
          |  SELECT 'fq_cert' AS case_id, vec_id FROM fb
          |  UNION ALL SELECT 'fpq_cert', vec_id FROM fb
          |  UNION ALL SELECT 'recall_filter', vec_id FROM fb
-         |  UNION ALL SELECT 'rt_code_decline', vec_id FROM ub)
+         |  UNION ALL SELECT 'rt_code_decline', vec_id FROM ub
+         |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp)
          |ORDER BY case_id, vec_id""".stripMargin,
     // serve-path facets: group-over-topk mirror (same shape as g1)
     "g11_serve_facet" ->

@@ -1234,17 +1234,16 @@ class GraftDb(val spark: SparkSession, val root: String,
     (req \ "queryVector") match {
       case o: JObject =>
         // sparse postings carry no attribute columns, but a resident
-        // conjunction can still serve the dot/cosine RETRIEVAL modes by
-        // borrowing a dense sibling index's pass verdict
-        // (densePassVerdict — the hybrid keyword side's mechanism);
-        // Euclidean declines under a filter (its exactness proof is not
-        // mask-aware), facets decline, and a declared recall floor
-        // declines (retrieval mode proves no floor — the job path's
-        // exact inverted-index cut does).
+        // conjunction can still serve by borrowing a dense sibling
+        // index's pass verdict (densePassVerdict — the hybrid keyword
+        // side's mechanism): dot/cosine keep their retrieval-mode
+        // contract under the mask, and Euclidean stays EXACT-or-decline
+        // — its proof bounds unseen rows by DISTANCE (norm order), which
+        // holds for masked rows identically. Facets decline, and a
+        // declared recall floor declines (retrieval mode proves no floor
+        // — the job path's exact inverted-index cut does).
         if (facets.nonEmpty || recallTarget.isDefined) return None
         if (filterStr.isEmpty) return serveSparse(st, queryField, o, limit)
-        if (st.schema.field(queryField).metric == MetricType.Euclidean)
-          return None
         val cs = graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs0) if cs0.nonEmpty => cs0
           case _ => return None // outside the serve sub-grammar
@@ -1454,10 +1453,6 @@ class GraftDb(val spark: SparkSession, val root: String,
       return None
     val idx = sparseIndex(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None // stale vs compact
-    // the Euclidean exactness proof reasons over UNSEEN non-overlap rows
-    // and is not mask-aware — filtered Euclidean declines (caller guards
-    // too; this keeps the method safe for direct use)
-    if (filtered.isDefined && f.metric == MetricType.Euclidean) return None
     val qIdx = (o \ "indices").asInstanceOf[JArray].arr.map(num(_).toInt).toArray
     val qVal = (o \ "values").asInstanceOf[JArray].arr.map(num(_).toFloat).toArray
     val k = math.min(limit, maxRenderRows)

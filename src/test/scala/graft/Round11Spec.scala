@@ -404,7 +404,7 @@ class Round11Spec extends SparkSpec {
     assert(!ids.contains(1001L), s"failing fresh row leaked: $ids")
   }
 
-  test("sparse-field filtered serving borrows a dense sibling's pass verdict (dot); undeclared columns decline") {
+  test("sparse-field filtered serving borrows a dense sibling's pass verdict (dot + Euclid); undeclared columns decline") {
     val db = new graft.api.GraftDb(spark, tmpDir("r11_sparse_filter"))
     db.createTable(
       """{"name":"S","fields":[
@@ -413,40 +413,48 @@ class Round11Spec extends SparkSpec {
         |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
         | "metricType":"EUCLIDEAN"},
         |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
-        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+        | "metricType":"DOT_PRODUCT"},
+        |{"name":"SE","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
     val rows = (0 until 600).map { i =>
       // sparse indices must be STRICTLY increasing or validation skips
       // the row (table_segment_mvp.cpp:511-553)
       val (a, b) = (i % 16, (i + 7) % 16)
-      Row(i.toLong, (i % 10).toLong, vecOf(i),
-        Row(Seq(math.min(a, b), math.max(a, b)),
-          Seq(1.0f + (i % 5) * 0.25f, 0.5f)))
+      val sv = Row(Seq(math.min(a, b), math.max(a, b)),
+        Seq(1.0f + (i % 5) * 0.25f, 0.5f))
+      Row(i.toLong, (i % 10).toLong, vecOf(i), sv, sv)
     }
     val res = db.store("S").insert(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), StructType(Seq(
         StructField("ID", LongType, nullable = false),
         StructField("Label", LongType, nullable = false),
         StructField("V", ArrayType(FloatType, containsNull = false), nullable = false),
-        StructField("SV", graft.functions.SparseVec.sqlType, nullable = false)))))
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = false),
+        StructField("SE", graft.functions.SparseVec.sqlType, nullable = false)))))
     assert(res.inserted == 600, res.toString)
     assert(db.rebuildIndex("S", "V"))
     assert(db.rebuildIndex("S", "SV"))
+    assert(db.rebuildIndex("S", "SE"))
     db.setServeFilterColumns("S", "V", Seq("Label"))
     val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
-    val served = db.query(
-      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
-         |"serve":true,"filter":"Label >= 5"}""".stripMargin)
-    assert(served.contains("\"served\":true") &&
-      served.contains("\"filtered\":true"), served)
-    val job = db.query(
-      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
-         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
     val m = db.store("S").read()
       .select(col(graft.store.TableStore.RowId), col("ID"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(resultIds(served).map(m) == resultIds(job, "ID"),
-      s"$served vs $job")
-    assert(resultIds(served).map(m).forall(_ % 10 >= 5), served)
+    // dot: retrieval-mode contract, masked — equal to the filtered job
+    // path on this all-overlap, positive-valued fixture
+    for (fld <- Seq("SV", "SE")) {
+      val served = db.query(
+        s"""{"table":"S","queryField":"$fld","queryVector":$qv,"limit":5,
+           |"serve":true,"filter":"Label >= 5"}""".stripMargin)
+      assert(served.contains("\"served\":true") &&
+        served.contains("\"filtered\":true"), s"$fld: $served")
+      val job = db.query(
+        s"""{"table":"S","queryField":"$fld","queryVector":$qv,"limit":5,
+           |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+      assert(resultIds(served).map(m) == resultIds(job, "ID"),
+        s"$fld: $served vs $job")
+      assert(resultIds(served).map(m).forall(_ % 10 >= 5), s"$fld: $served")
+    }
     // a filter on an UNDECLARED column still declines (no usable donor)
     val undeclared = db.query(
       s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
