@@ -1079,6 +1079,10 @@ class GraftDb(val spark: SparkSession, val root: String,
             case JBool(b) => b; case _ => false
           }
           val qs = dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+          // batch covers are derived state: their pin must survive the
+          // sweep's own handshake or the whole attempt retries (the
+          // same-watermark-rebuild race — see servePointRecall)
+          var coverStable: () => Boolean = () => true
           val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
             if (conds.nonEmpty) {
               // shared conjunction: tail pre-filtered once on the scalar
@@ -1114,16 +1118,19 @@ class GraftDb(val spark: SparkSession, val root: String,
               // for ITS proven cover (1.0 = exact), acquired as one union
               // and served on the shared sweep — the batch twin of the
               // single dispatch's probeSet
-              val covers: Option[Array[Array[Int]]] = recallTarget.map(t =>
+              val covers: Option[Array[Array[Int]]] = recallTarget.map { t =>
+                val (ck, cw) = idx.servingPinSnapshot()
+                coverStable = () => idx.pinStableFor(ck, cw)
                 qs.map { case (_, q) =>
                   idx.probeSetForRecall(q, k, t, slack = tombs.size.toLong)
-                })
+                }
+              }
               idx.servePointBatch(queryField, qs, k, np,
                 exclude = tombs.contains, freshTail = tail.map(_.packed),
                 probeSets = covers)
                 .map { case (qid, r) => (qid, r.map((_, 0))) }
             }
-          if (idx.servingWatermark() == pin) {
+          if (idx.servingWatermark() == pin && coverStable()) {
             return got.map { case (_, res) =>
               res.map { case (hits, reranked) =>
                 val sb = new java.lang.StringBuilder("{\"result\":[")
@@ -1336,8 +1343,12 @@ class GraftDb(val spark: SparkSession, val root: String,
           }
           val k = math.min(limit, maxRenderRows)
           val np = math.min(nProbe, idx.centroids().length)
-          val probeSet: Option[Array[Int]] =
-            if (quantized || pq) None
+          // facet-lookup hint only: under a recall floor the hits come
+          // from the cover, so the facet value lookup should probe it —
+          // a freshly computed cover is fine as a HINT (values are
+          // id-keyed; a miss declines, never miscounts)
+          val facetProbeHint: Option[Array[Int]] =
+            if (facets.isEmpty || quantized || pq) None
             else recallTarget.map(t =>
               idx.probeSetForRecall(dense, k, t, slack = tombs.size.toLong))
           val served =
@@ -1384,9 +1395,17 @@ class GraftDb(val spark: SparkSession, val root: String,
             else if (quantized) idx.servePointQuantizedDetail(queryField, dense,
               k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
               certify = certified)
-            else idx.servePoint(queryField, dense, k, np,
-              exclude = tombs.contains, freshTail = tail.map(_.packed),
-              probeSet = probeSet).map((_, 0))
+            else recallTarget match {
+              // the cover is computed and served under ONE pin inside
+              // servePointRecall (covers are derived state — see the
+              // same-watermark-rebuild race note there)
+              case Some(t) => idx.servePointRecall(queryField, dense, k, t,
+                exclude = tombs.contains, freshTail = tail.map(_.packed),
+                slack = tombs.size.toLong).map((_, 0))
+              case None => idx.servePoint(queryField, dense, k, np,
+                exclude = tombs.contains,
+                freshTail = tail.map(_.packed)).map((_, 0))
+            }
           val (hits, reranked) = served match {
             case Some(h) => h
             // probed clusters exceed the resident budget (cardinality
@@ -1400,7 +1419,7 @@ class GraftDb(val spark: SparkSession, val root: String,
             val facetJson: String =
               if (facets.isEmpty) ""
               else serveFacetsJson(st, idx, queryField, dense, np, hits,
-                tail, facets, probeSet) match {
+                tail, facets, facetProbeHint) match {
                 case Some(fj) => fj
                 case None => return None
               }

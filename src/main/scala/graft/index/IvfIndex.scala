@@ -2341,6 +2341,40 @@ class IvfIndex(
     case BoolVals(v, nl) => if (nl(j)) null else java.lang.Boolean.valueOf(v(j))
   }
 
+  /** PROVEN-recall serving (unfiltered): the cover is computed and the
+    * sweep served under ONE pin discipline — covers are DERIVED STATE
+    * like pass sets, so a same-watermark rebuild landing between
+    * probeSetForRecall (gen G radii/counts/centroids) and servePoint's
+    * own handshake (gen G+1 clusters, SAME cluster ids — build() reuses
+    * 0..N−1) would otherwise serve the new generation under a stale
+    * cover with no recall proof and nothing in the envelope saying so.
+    * Pin mismatch retries from scratch; persistent churn declines. */
+  def servePointRecall(vecCol: String, query: Array[Float], k: Int,
+      target: Double, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L): Option[Array[(Long, Double)]] = {
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      val (pinKey, pinWm) =
+        synchronized { ensureServeFresh(); (serveKey, serveWatermark) }
+      val cover = probeSetForRecall(query, k, target, slack)
+      servePoint(vecCol, query, k, nProbe = cover.length, exclude,
+        freshTail, probeSet = Some(cover)) match {
+        case None => return None
+        case some =>
+          if (pinStable(pinKey, pinWm)) return some
+        // else: a rebuild raced the cover — recompute against the new pin
+      }
+    }
+    decline
+  }
+
+  /** The serving pin as an opaque snapshot for callers assembling their
+    * own derived state (batch covers) — pair with [[pinStableFor]]. */
+  private[graft] def servingPinSnapshot(): ((Long, Long), Long) =
+    synchronized { ensureServeFresh(); (serveKey, serveWatermark) }
+
   /** PROVEN-recall attribute-filtered serving: the recallTarget+filter
     * combination the unfiltered cover cannot answer (it bounds the
     * UNFILTERED top-k; filtered matches may rank past it). Per-cluster
@@ -2364,9 +2398,8 @@ class IvfIndex(
       slack: Long = 0L)
       : Option[Array[(Long, Double)]] = {
     if (conds.isEmpty)
-      return servePoint(vecCol, query, k, nProbe = centroids().length,
-        exclude, freshTail,
-        probeSet = Some(probeSetForRecall(query, k, target, slack)))
+      return servePointRecall(vecCol, query, k, target, exclude, freshTail,
+        slack)
     if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     if (centroids().headOption.exists(_._2.length != q.length)) return decline

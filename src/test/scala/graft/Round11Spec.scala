@@ -462,6 +462,47 @@ class Round11Spec extends SparkSpec {
     assert(!undeclared.contains("\"served\""), undeclared)
   }
 
+  test("a rebuild racing a recall COVER retries to a consistent generation (covers are derived state too)") {
+    // the cover twin of the pass-set race: probeSetForRecall reads gen-G
+    // radii/counts, servePoint re-handshakes — a same-watermark rebuild
+    // in between reuses cluster ids 0..N-1, so a stale cover would serve
+    // the new generation with no recall proof. servePointRecall pins the
+    // cover; target 1.0's answer is generation-INDEPENDENT (exact over
+    // the same rows), so the assertion is deterministic.
+    val df = blobs(800)
+    val path = tmpDir("r11_coverrace")
+    graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+      graft.types.MetricType.Euclidean, nClusters = 8, maxIter = 3)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val raced = new graft.index.IvfIndex(spark, path, "id",
+      graft.types.MetricType.Euclidean) {
+      override protected def loadClusters(vecCol: String, missing: Array[Int])
+          : Map[Int, (Array[Long], Array[Double], Array[Double])] = {
+        if (fired.compareAndSet(false, true)) {
+          graft.index.IvfIndex.build(spark, df, "vec", "id", path,
+            graft.types.MetricType.Euclidean, nClusters = 5, maxIter = 2)
+        }
+        super.loadClusters(vecCol, missing)
+      }
+    }
+    val q = Array(5.0f, 5.0f, 5.0f, 0.0f) // between blobs: partial covers
+    var got: Option[Array[(Long, Double)]] = None
+    var tries = 0
+    while (got.isEmpty && tries < 6) {
+      got = raced.servePointRecall("vec", q, 10, 1.0)
+      tries += 1
+    }
+    assert(fired.get, "fixture never raced")
+    assert(got.isDefined, "recall serve never recovered after the race")
+    val fresh = new graft.index.IvfIndex(spark, path, "id",
+      graft.types.MetricType.Euclidean)
+    val exact = fresh.servePoint("vec", q, 10,
+      nProbe = fresh.centroids().length)
+    assert(exact.isDefined)
+    assert(got.get.map(_._1).toSeq == exact.get.map(_._1).toSeq,
+      "raced recall cover lost exactness")
+  }
+
   // ---- ADVICE medium: pass-set pin race across a same-watermark rebuild ----
 
   test("a rebuild racing the pass set retries to a consistent generation (never a stale mask)") {
