@@ -489,7 +489,7 @@ object AnnBench {
     // declines are legitimate tier behavior (over-budget covers, hostile
     // geometry) — count them instead of crashing the run, like the
     // certified rows; recall is measured over the SERVED queries
-    def codeFilteredRow(
+    def codeRow(oracle: Seq[Seq[Long]],
         serve: Array[Float] => Option[(Array[(Long, Double)], Int)])
         : (Double, Double, Long) = {
       queries.foreach(serve(_))
@@ -506,7 +506,7 @@ object AnnBench {
         attempts += queries.length
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val recalls = exactFiltered.zip(queries.map(q =>
+      val recalls = oracle.zip(queries.map(q =>
         serve(q).map(_._1.map(_._1).toSeq))).collect {
         case (e, Some(a)) =>
           e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
@@ -514,18 +514,39 @@ object AnnBench {
       val recall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.length
       ((attempts - declines) / sec, recall, declines)
     }
-    val (fqserveQps, fqserveRecall, fqserveDecl) = codeFilteredRow(q =>
+    val (fqserveQps, fqserveRecall, fqserveDecl) = codeRow(exactFiltered, q =>
       idx.servePointQuantizedFilteredDetail("embedding", q, 10, nProbe = 8,
         fconds))
-    val (fpqserveQps, fpqserveRecall, fpqserveDecl) = codeFilteredRow(q =>
-      idx.servePointPqFilteredDetail("embedding", q, 10, nProbe = 8, fconds))
+    val (fpqserveQps, fpqserveRecall, fpqserveDecl) = codeRow(exactFiltered,
+      q => idx.servePointPqFilteredDetail("embedding", q, 10, nProbe = 8,
+        fconds))
 
     // PROVEN-recall filtered serving (passing-count ball cover, target
     // 1.0 ⇒ exact over the filtered universe): the cover re-derives per
     // serve from the resident radii/counts + the cached pass set
-    val (frserveQps, frserveRecall, frserveDecl) = codeFilteredRow(q =>
-      idx.servePointFilteredRecall("embedding", q, 10, 1.0, fconds)
+    val (frserveQps, frserveRecall, frserveDecl) = codeRow(exactFiltered,
+      q => idx.servePointFilteredRecall("embedding", q, 10, 1.0, fconds)
         .map((_, 0)))
+
+    // PROVEN-recall serving on the CODE tiers (round 11): geometric cover
+    // × FORCED certification — the floor is proven at code-tier memory
+    // bandwidth (target 1.0 ⇒ exact id set) where the uniform contract
+    // previously declined to the ~1 qps job path; recall vs the
+    // UNFILTERED exact top-10 must read 1.0 (any deficit is a bug, not
+    // tier lossiness — these rows carry a proof)
+    val (rqserveQps, rqserveRecall, rqserveDecl) = codeRow(exact, q =>
+      idx.servePointQuantizedRecallDetail("embedding", q, 10, 1.0))
+    val (rpqserveQps, rpqserveRecall, rpqserveDecl) = codeRow(exact, q =>
+      idx.servePointPqRecallDetail("embedding", q, 10, 1.0))
+    // their FILTERED forms: passing-count cover × certification over the
+    // masked (= filtered) candidates — proven-exact filtered answers off
+    // 16-bit / PQ codes
+    val (frqserveQps, frqserveRecall, frqserveDecl) = codeRow(exactFiltered,
+      q => idx.servePointQuantizedFilteredRecallDetail("embedding", q, 10,
+        1.0, fconds))
+    val (frpqserveQps, frpqserveRecall, frpqserveDecl) = codeRow(exactFiltered,
+      q => idx.servePointPqFilteredRecallDetail("embedding", q, 10,
+        1.0, fconds))
 
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
@@ -612,6 +633,18 @@ object AnnBench {
       f""""frserve_qps":$frserveQps%.2f,""" +
       f""""frserve_recall_at_10":$frserveRecall%.4f,""" +
       f""""frserve_declines":$frserveDecl,""" +
+      f""""rqserve_qps":$rqserveQps%.2f,""" +
+      f""""rqserve_recall_at_10":$rqserveRecall%.4f,""" +
+      f""""rqserve_declines":$rqserveDecl,""" +
+      f""""rpqserve_qps":$rpqserveQps%.2f,""" +
+      f""""rpqserve_recall_at_10":$rpqserveRecall%.4f,""" +
+      f""""rpqserve_declines":$rpqserveDecl,""" +
+      f""""frqserve_qps":$frqserveQps%.2f,""" +
+      f""""frqserve_recall_at_10":$frqserveRecall%.4f,""" +
+      f""""frqserve_declines":$frqserveDecl,""" +
+      f""""frpqserve_qps":$frpqserveQps%.2f,""" +
+      f""""frpqserve_recall_at_10":$frpqserveRecall%.4f,""" +
+      f""""frpqserve_declines":$frpqserveDecl,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

@@ -462,9 +462,13 @@ object Queries {
     //    into the code sweeps; certification runs over masked candidates);
     //  recall_filter — serve + recallTarget 1.0 + filter: the passing-
     //    count ball cover proves exactness over the filtered universe;
-    //  rt_code_decline — recallTarget + a code tier must DECLINE to the
-    //    job path (the uniform floor contract: honored or declined, never
-    //    silently dropped), whose exact scan answers.
+    //  rt_code_serve — recallTarget + a code tier SERVES with the proof
+    //    composed (geometric cover × forced interval certification: the
+    //    cover holds the true top-k, certification returns the cover's
+    //    exact top-k — the floor is proven at code-tier bandwidth);
+    //  rt_fpq_recall — recallTarget + filter + PQ: the passing-count
+    //    cover bounds the FILTERED top-k and certification runs over the
+    //    masked candidates — the exact filtered answer off PQ codes.
     // Every case's ids value-check against the DuckDB brute force.
     "v11_serve_contract" -> ((s, dir) => {
       import org.json4s._
@@ -541,15 +545,27 @@ object Queries {
       require(rr.contains("\"served\":true") && rr.contains("\"filtered\":true"),
         s"recall_filter did not serve with the passing-count cover: $rr")
       ids(rr).map(m).foreach(v => out += (("recall_filter", v)))
-      // a declared floor on a code tier DECLINES (job path answers exactly)
+      // a declared floor on a code tier SERVES with certification forced:
+      // the cover × interval proof composition makes target 1.0 the exact
+      // top-10 off the 16-bit codes (the envelope must say so — a decline
+      // would still match via the job path and prove nothing)
       val rd = db.query(
         s"""{"table":"emb","queryField":"embedding",
            |  "queryVector":[${q.mkString(",")}],"limit":10,"serve":true,
-           |  "quantized":true,"recallTarget":1.0,
-           |  "response":["vec_id"]}""".stripMargin)
-      require(!rd.contains("\"served\""),
-        s"rt_code_decline served with the floor silently dropped: $rd")
-      ids(rd, "vec_id").foreach(v => out += (("rt_code_decline", v)))
+           |  "quantized":true,"recallTarget":1.0}""".stripMargin)
+      require(rd.contains("\"served\":true") && rd.contains("\"quantized\":true")
+          && rd.contains("\"certified\":true"),
+        s"rt_code_serve did not ride the proven-recall 16-bit tier: $rd")
+      ids(rd).map(m).foreach(v => out += (("rt_code_serve", v)))
+      // floor + filter + PQ: passing-count cover over masked candidates
+      val rf = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":10,"serve":true,
+           |  "pq":true,"recallTarget":1.0,"filter":"label >= 5"}""".stripMargin)
+      require(rf.contains("\"served\":true") && rf.contains("\"filtered\":true")
+          && rf.contains("\"pq\":true") && rf.contains("\"certified\":true"),
+        s"rt_fpq_recall did not ride the proven-recall filtered PQ tier: $rf")
+      ids(rf).map(m).foreach(v => out += (("rt_fpq_recall", v)))
       // filtered SPARSE serving off the borrowed dense pass verdict
       // (round 11): retrieval-mode over the masked candidates == the
       // filtered brute force on this all-overlap prefix field
@@ -959,8 +975,8 @@ object Queries {
       s"""SELECT vec_id FROM embeddings WHERE label >= 5
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     // the serve-contract matrix: code-tier certified filtered sets,
-    // the passing-count recall cover, and the code-tier floor decline —
-    // each case is its brute-force mirror (pad rows never pass)
+    // the passing-count recall cover, and the code-tier proven-recall
+    // serves — each case is its brute-force mirror (pad rows never pass)
     "v11_serve_contract" ->
       s"""WITH fb AS (SELECT vec_id FROM embeddings WHERE label >= 5
          |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10),
@@ -973,7 +989,8 @@ object Queries {
          |  SELECT 'fq_cert' AS case_id, vec_id FROM fb
          |  UNION ALL SELECT 'fpq_cert', vec_id FROM fb
          |  UNION ALL SELECT 'recall_filter', vec_id FROM fb
-         |  UNION ALL SELECT 'rt_code_decline', vec_id FROM ub
+         |  UNION ALL SELECT 'rt_code_serve', vec_id FROM ub
+         |  UNION ALL SELECT 'rt_fpq_recall', vec_id FROM fb
          |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp)
          |ORDER BY case_id, vec_id""".stripMargin,
     // serve-path facets: group-over-topk mirror (same shape as g1)

@@ -1025,7 +1025,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     // declared recallTarget with PER-QUERY proven covers on the shared
     // sweep (probeSets below); the code tiers and the filter combination
     // decline to per-query dispatch, which honors the floor there
-    // (code tiers → exact job path; filtered → passing-count covers)
+    // (code tiers → cover×certified recall serves; filtered →
+    // passing-count covers — each query still SERVES, just unbatched)
     val recallTarget: Option[Double] = (req \ "recallTarget") match {
       case JDouble(d) => Some(d)
       case JDecimal(d) => Some(d.toDouble)
@@ -1308,17 +1309,17 @@ class GraftDb(val spark: SparkSession, val root: String,
     // simply declines on the residency budget and the job path answers.
     // UNIFORM CONTRACT: a request carrying a declared floor is answered
     // with the floor proven or declines — never an unmarked fixed-probe
-    // cut. The code-resident tiers have no cover plumbing ("certified"
-    // is their proof mechanism, a different knob), so recallTarget on
-    // them DECLINES to the job path, whose exact scan satisfies any
-    // floor, rather than serving at the fixed cut with the floor
-    // silently dropped.
-    if (recallTarget.isDefined && (quantized || pq)) return None
+    // cut. On the code-resident tiers the proof is a COMPOSITION: the
+    // cover bounds the true top-k's clusters and the interval
+    // certification — FORCED on when a floor is declared, a floor
+    // demands a proof — returns the exact top-k of the cover's
+    // candidates, so the floor holds at code-tier bandwidth (the
+    // envelope says certified:true, truthfully).
+    val certEff = certified || recallTarget.isDefined
     // recallTarget + FILTER: the unfiltered cover proves nothing (it
     // bounds the UNFILTERED top-k; filtered matches may rank past it),
-    // but per-cluster PASSING counts restore the bound — the float tier
-    // answers via servePointFilteredRecall's passing-count cover
-    // (dispatched below); the code tiers declined above.
+    // but per-cluster PASSING counts restore the bound — every dense
+    // tier answers via its passing-count-cover form (dispatched below).
     // the tail and the resident clusters must cover DISJOINT id ranges
     // around one pin: re-check the pin after scoring (a rebuild landing
     // mid-query re-pins residency while the collected tail still covers
@@ -1348,7 +1349,7 @@ class GraftDb(val spark: SparkSession, val root: String,
           // a freshly computed cover is fine as a HINT (values are
           // id-keyed; a miss declines, never miscounts)
           val facetProbeHint: Option[Array[Int]] =
-            if (facets.isEmpty || quantized || pq) None
+            if (facets.isEmpty) None
             else recallTarget.map(t =>
               idx.probeSetForRecall(dense, k, t, slack = tombs.size.toLong))
           val served =
@@ -1370,13 +1371,25 @@ class GraftDb(val spark: SparkSession, val root: String,
               // the filtered sweep runs on the REQUESTED tier: the code
               // tiers compose the same passing-id mask into their code
               // sweeps, with certification proven over the masked
-              // (= filtered) candidate set
-              if (pq) idx.servePointPqFilteredDetail(queryField, dense,
-                k, np, conds, exclude = tombs.contains, freshTail = ft,
-                certify = certified)
-              else if (quantized) idx.servePointQuantizedFilteredDetail(
-                queryField, dense, k, np, conds, exclude = tombs.contains,
-                freshTail = ft, certify = certified)
+              // (= filtered) candidate set; a declared floor swaps their
+              // probe set for the passing-count cover (certification
+              // forced — cover × certified = the floor's proof)
+              if (pq) recallTarget match {
+                case Some(t) => idx.servePointPqFilteredRecallDetail(
+                  queryField, dense, k, t, conds, exclude = tombs.contains,
+                  freshTail = ft, slack = tombs.size.toLong)
+                case None => idx.servePointPqFilteredDetail(queryField,
+                  dense, k, np, conds, exclude = tombs.contains,
+                  freshTail = ft, certify = certEff)
+              }
+              else if (quantized) recallTarget match {
+                case Some(t) => idx.servePointQuantizedFilteredRecallDetail(
+                  queryField, dense, k, t, conds, exclude = tombs.contains,
+                  freshTail = ft, slack = tombs.size.toLong)
+                case None => idx.servePointQuantizedFilteredDetail(
+                  queryField, dense, k, np, conds, exclude = tombs.contains,
+                  freshTail = ft, certify = certEff)
+              }
               else recallTarget match {
                 // declared floor + filter: passing-count cover proves
                 // recall >= target over the FILTERED universe (1.0 =
@@ -1389,12 +1402,22 @@ class GraftDb(val spark: SparkSession, val root: String,
                   .map(h => (h, 0))
               }
             }
-            else if (pq) idx.servePointPqDetail(queryField, dense,
-              k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
-              certify = certified)
-            else if (quantized) idx.servePointQuantizedDetail(queryField, dense,
-              k, np, exclude = tombs.contains, freshTail = tail.map(_.packed),
-              certify = certified)
+            else if (pq) recallTarget match {
+              case Some(t) => idx.servePointPqRecallDetail(queryField, dense,
+                k, t, exclude = tombs.contains,
+                freshTail = tail.map(_.packed), slack = tombs.size.toLong)
+              case None => idx.servePointPqDetail(queryField, dense,
+                k, np, exclude = tombs.contains,
+                freshTail = tail.map(_.packed), certify = certEff)
+            }
+            else if (quantized) recallTarget match {
+              case Some(t) => idx.servePointQuantizedRecallDetail(queryField,
+                dense, k, t, exclude = tombs.contains,
+                freshTail = tail.map(_.packed), slack = tombs.size.toLong)
+              case None => idx.servePointQuantizedDetail(queryField, dense,
+                k, np, exclude = tombs.contains,
+                freshTail = tail.map(_.packed), certify = certEff)
+            }
             else recallTarget match {
               // the cover is computed and served under ONE pin inside
               // servePointRecall (covers are derived state — see the
@@ -1435,11 +1458,11 @@ class GraftDb(val spark: SparkSession, val root: String,
             if (conds.nonEmpty) sb.append(",\"filtered\":true")
             if (pq) {
               sb.append(",\"pq\":true")
-              if (certified) sb.append(",\"certified\":true")
+              if (certEff) sb.append(",\"certified\":true")
               if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
             } else if (quantized) {
               sb.append(",\"quantized\":true")
-              if (certified) sb.append(",\"certified\":true")
+              if (certEff) sb.append(",\"certified\":true")
               if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
             }
             sb.append(facetJson)

@@ -1108,7 +1108,8 @@ class IvfIndex(
   def servePointQuantizedDetail(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
-      certify: Boolean = false)
+      certify: Boolean = false,
+      probeSet: Option[Array[Int]] = None)
       : Option[(Array[(Long, Double)], Int)] = {
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     // stored-dim guard (mirrors the PQ tier's cb.dim check): the packed
@@ -1128,11 +1129,9 @@ class IvfIndex(
         ensureServeFresh()
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
-        probed = centroids()
-          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-          .sortBy { case (_, d) => d }
-          .take(nProbe)
-          .map(_._1)
+        // an explicit probe set (a recall cover) overrides nearest-nProbe,
+        // exactly as in servePoint
+        probed = singleProbeSet(q, nProbe, probeSet)
         probed.filterNot(quantCache.containsKey(_))
       }
       var loaded: Map[Int, QuantCluster] = null
@@ -1501,7 +1500,8 @@ class IvfIndex(
   def servePointPqDetail(vecCol: String, query: Array[Float], k: Int,
       nProbe: Int, exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
-      certify: Boolean = false)
+      certify: Boolean = false,
+      probeSet: Option[Array[Int]] = None)
       : Option[(Array[(Long, Double)], Int)] = {
     val cb = pqCodebook() match {
       case Some(c) => c
@@ -1522,11 +1522,9 @@ class IvfIndex(
         ensureServeFresh()
         w0AtProbe = serveWatermark
         keyAtProbe = serveKey
-        probed = centroids()
-          .map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-          .sortBy { case (_, d) => d }
-          .take(nProbe)
-          .map(_._1)
+        // an explicit probe set (a recall cover) overrides nearest-nProbe,
+        // exactly as in servePoint
+        probed = singleProbeSet(q, nProbe, probeSet)
         probed.filterNot(pqCache.containsKey(_))
       }
       var loaded: Map[Int, PqServeCluster] = null
@@ -2352,15 +2350,27 @@ class IvfIndex(
   def servePointRecall(vecCol: String, query: Array[Float], k: Int,
       target: Double, exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
-      slack: Long = 0L): Option[Array[(Long, Double)]] = {
+      slack: Long = 0L): Option[Array[(Long, Double)]] =
+    withRecallCover(query, k, target, slack)(cover =>
+      servePoint(vecCol, query, k, nProbe = cover.length, exclude,
+        freshTail, probeSet = Some(cover)))
+
+  /** The cover-pin skeleton shared by every PROVEN-recall serving tier:
+    * compute the geometric cover and run `inner`'s sweep under ONE pin
+    * (the sweep re-handshakes on its own; a same-watermark rebuild in
+    * between would serve the new generation under a stale cover with no
+    * recall proof). Pin mismatch retries from scratch; persistent churn
+    * declines. */
+  private def withRecallCover[R](query: Array[Float], k: Int,
+      target: Double, slack: Long)(
+      inner: Array[Int] => Option[R]): Option[R] = {
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
       val (pinKey, pinWm) =
         synchronized { ensureServeFresh(); (serveKey, serveWatermark) }
       val cover = probeSetForRecall(query, k, target, slack)
-      servePoint(vecCol, query, k, nProbe = cover.length, exclude,
-        freshTail, probeSet = Some(cover)) match {
+      inner(cover) match {
         case None => return None
         case some =>
           if (pinStable(pinKey, pinWm)) return some
@@ -2369,6 +2379,36 @@ class IvfIndex(
     }
     decline
   }
+
+  /** PROVEN-recall serving off the 16-BIT code residency: the proof is a
+    * COMPOSITION — the geometric cover guarantees ≥ ⌈target·k⌉ of the
+    * true top-k live in the cover's clusters, and the interval
+    * certification (proofCut, forced on — a floor demands a proof)
+    * returns the EXACT top-k of the cover's candidate set, so the
+    * answer's recall vs the true top-k is ≥ target; at target 1.0 it IS
+    * the exact top-k, at code-tier memory bandwidth. Distances follow the
+    * certified contract (quantized on the certified path, exact on the
+    * reranked path); the id SET carries the proof. Same cover-pin
+    * discipline as the float tier. */
+  def servePointQuantizedRecallDetail(vecCol: String, query: Array[Float],
+      k: Int, target: Double, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L): Option[(Array[(Long, Double)], Int)] =
+    withRecallCover(query, k, target, slack)(cover =>
+      servePointQuantizedDetail(vecCol, query, k, nProbe = cover.length,
+        exclude, freshTail, certify = true, probeSet = Some(cover)))
+
+  /** PROVEN-recall serving off the PQ code residency — the same
+    * cover×certification composition as the 16-bit form (the stored
+    * per-row reconstruction error bounds make proofCut's intervals
+    * sound); a pathological rerank band declines to the job path. */
+  def servePointPqRecallDetail(vecCol: String, query: Array[Float],
+      k: Int, target: Double, exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L): Option[(Array[(Long, Double)], Int)] =
+    withRecallCover(query, k, target, slack)(cover =>
+      servePointPqDetail(vecCol, query, k, nProbe = cover.length,
+        exclude, freshTail, certify = true, probeSet = Some(cover)))
 
   /** The serving pin as an opaque snapshot for callers assembling their
     * own derived state (batch covers) — pair with [[pinStableFor]]. */
@@ -2400,11 +2440,33 @@ class IvfIndex(
     if (conds.isEmpty)
       return servePointRecall(vecCol, query, k, target, exclude, freshTail,
         slack)
-    if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
     val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
     if (centroids().headOption.exists(_._2.length != q.length)) return decline
+    withPassingCountCover(q, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (cover, ex) =>
+      servePoint(vecCol, query, k, nProbe = cover.length, ex, freshTail,
+        probeSet = Some(cover))
+    }
+  }
+
+  /** The skeleton shared by every PROVEN-recall attribute-FILTERED
+    * serving tier: acquire scalar residency over ALL clusters (every
+    * indexed row lives in exactly one, so the union is the id universe),
+    * evaluate the conjunction to a passing-id set + per-cluster PASSING
+    * counts, build the passing-count ball cover (recall ≥ target over
+    * the FILTERED universe), run the tier's sweep over the cover with
+    * the mask composed, then RE-VERIFY the pin (covers and pass sets are
+    * derived state — the same-watermark-rebuild race). `q` must already
+    * be metric-normalized; `tailIds0` (caller-pre-filtered fresh-tail
+    * rows) bypass the resident mask. */
+  private def withPassingCountCover[R](q: Array[Float], k: Int,
+      target: Double, slack: Long,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean, tailIds0: Array[Long])(
+      inner: (Array[Int], Long => Boolean) => Option[R]): Option[R] = {
+    if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
     val tailIds = new java.util.HashSet[java.lang.Long]()
-    freshTail.foreach(_._1.foreach(id => tailIds.add(id)))
+    tailIds0.foreach(id => tailIds.add(id))
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
@@ -2441,10 +2503,9 @@ class IvfIndex(
               m
             }
           val cover = coverFromCounts(q, k, target, slack, passCounts)
-          val served = servePoint(vecCol, query, k, nProbe = cover.length,
-            id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id)),
-            freshTail, probeSet = Some(cover))
-          served match {
+          inner(cover,
+            id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id))
+          ) match {
             case None => return None
             case some =>
               if (pinStable(pinKey, pinWm)) return some
@@ -2453,6 +2514,56 @@ class IvfIndex(
       }
     }
     decline
+  }
+
+  /** PROVEN-recall attribute-FILTERED serving off the 16-BIT code
+    * residency: the passing-count cover bounds the true FILTERED top-k's
+    * clusters, the mask makes the candidate set the filtered universe,
+    * and the forced certification returns its exact top-k — recall ≥
+    * target over the filtered rows, at code-tier bandwidth (target 1.0 =
+    * the exact filtered answer). `freshTail` must be pre-filtered by the
+    * caller. */
+  def servePointQuantizedFilteredRecallDetail(vecCol: String,
+      query: Array[Float], k: Int, target: Double,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L): Option[(Array[(Long, Double)], Int)] = {
+    if (conds.isEmpty)
+      return servePointQuantizedRecallDetail(vecCol, query, k, target,
+        exclude, freshTail, slack)
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return decline
+    withPassingCountCover(q, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (cover, ex) =>
+      servePointQuantizedDetail(vecCol, query, k, nProbe = cover.length,
+        ex, freshTail, certify = true, probeSet = Some(cover))
+    }
+  }
+
+  /** PROVEN-recall attribute-FILTERED serving off the PQ code residency —
+    * see `servePointQuantizedFilteredRecallDetail` (same passing-count
+    * cover, same forced certification over the masked candidates). */
+  def servePointPqFilteredRecallDetail(vecCol: String,
+      query: Array[Float], k: Int, target: Double,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L): Option[(Array[(Long, Double)], Int)] = {
+    if (conds.isEmpty)
+      return servePointPqRecallDetail(vecCol, query, k, target, exclude,
+        freshTail, slack)
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => return decline // pre-PQ layout
+    }
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (q.length != cb.dim) return decline
+    withPassingCountCover(q, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (cover, ex) =>
+      servePointPqDetail(vecCol, query, k, nProbe = cover.length, ex,
+        freshTail, certify = true, probeSet = Some(cover))
+    }
   }
 
   /** Ball cover from caller-supplied per-cluster counts (the geometric

@@ -161,17 +161,56 @@ class Round11Spec extends SparkSpec {
 
   // ---- the uniform recallTarget contract ----
 
-  test("recallTarget + quantized/pq serve DECLINES to the job path (floor honored exactly, never dropped)") {
-    val db = fixtureDb("r11_rt_code_decline")
+  test("recallTarget + quantized/pq SERVES with the cover × certification proof (floor proven, never dropped)") {
+    val db = fixtureDb("r11_rt_code_serve")
+    val m = rowIdToId(db)
     val exact = resultIds(db.query(
       s"""{"table":"T","queryVector":$qVec,"limit":6,"response":["ID"]}"""), "ID")
     for (tier <- Seq("quantized", "pq")) {
       val resp = db.query(
         s"""{"table":"T","queryVector":$qVec,"limit":6,"serve":true,
-           |"$tier":true,"recallTarget":1.0,"response":["ID"]}""".stripMargin)
-      assert(!resp.contains("\"served\""), s"$tier: $resp")
-      assert(resultIds(resp, "ID") == exact, s"$tier: $resp")
+           |"$tier":true,"recallTarget":1.0}""".stripMargin)
+      // the envelope must say served + certified (certification is FORCED
+      // by the floor — it is the proof); a decline would still produce
+      // exact ids via the job path and prove nothing about the tier
+      assert(resp.contains("\"served\":true") &&
+        resp.contains(s""""$tier":true""") &&
+        resp.contains("\"certified\":true"), s"$tier: $resp")
+      // certified id SET is exact; order may differ on quantized ties
+      assert(resultIds(resp).map(m).toSet == exact.toSet, s"$tier: $resp")
     }
+  }
+
+  test("recallTarget + filter on the code tiers SERVES via the passing-count cover (exact filtered set)") {
+    val db = fixtureDb("r11_rt_code_filter")
+    val m = rowIdToId(db)
+    for (tier <- Seq("quantized", "pq"); filter <- Seq("Label >= 5", "Label = 7")) {
+      val served = db.query(
+        s"""{"table":"T","queryVector":$qVec,"limit":8,"serve":true,
+           |"$tier":true,"recallTarget":1.0,"filter":"$filter"}""".stripMargin)
+      assert(served.contains("\"served\":true") &&
+        served.contains("\"filtered\":true") &&
+        served.contains("\"certified\":true"), s"$tier/$filter: $served")
+      val job = db.query(
+        s"""{"table":"T","queryVector":$qVec,"limit":8,
+           |"filter":"$filter","response":["ID"]}""".stripMargin)
+      assert(resultIds(served).map(m).toSet == resultIds(job, "ID").toSet,
+        s"$tier/$filter: $served vs $job")
+    }
+  }
+
+  test("a 0.5 floor on a code tier is honored (recall vs exact >= 0.5, envelope still certified)") {
+    val db = fixtureDb("r11_rt_code_half")
+    val m = rowIdToId(db)
+    val exact = resultIds(db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":10,"response":["ID"]}"""), "ID").toSet
+    val resp = db.query(
+      s"""{"table":"T","queryVector":$qVec,"limit":10,"serve":true,
+         |"quantized":true,"recallTarget":0.5}""".stripMargin)
+    assert(resp.contains("\"served\":true") && resp.contains("\"certified\":true"), resp)
+    val got = resultIds(resp).map(m).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"floor violated: $recall ($got vs $exact)")
   }
 
   test("recallTarget + sparse serve DECLINES to the job path") {
