@@ -548,6 +548,28 @@ object AnnBench {
       q => idx.servePointPqFilteredRecallDetail("embedding", q, 10,
         1.0, fconds))
 
+    // BATCH proven-recall on the 16-bit tier: per-query covers on the
+    // shared code sweep × forced per-query certification — the batch
+    // twin of rqserve (recall vs exact must read 1.0; the shared sweep
+    // amortizes the code reads across the cover like bqserve does)
+    val tbr = System.nanoTime()
+    val brqserveDeadline = tbr + 10L * 1000 * 1000 * 1000
+    var brqserveQueries = 0L
+    var brqGot: Array[(Long, Option[(Array[(Long, Double)], Int)])] = null
+    while (brqserveQueries == 0L || System.nanoTime() < brqserveDeadline) {
+      val covers = batchServeQs.map { case (_, q) =>
+        idx.probeSetForRecall(q, 10, 1.0)
+      }
+      brqGot = idx.servePointQuantizedBatchDetail("embedding", batchServeQs,
+        10, nProbe = 8, certify = true, probeSets = Some(covers))
+      brqserveQueries += batchServeQs.length
+    }
+    val brqserveSec = (System.nanoTime() - tbr) / 1e9
+    val brqserveRecall = exact.zipWithIndex.map { case (e, i) =>
+      val a = brqGot(i)._2.map(_._1.map(_._1).toSeq).getOrElse(Nil)
+      e.toSet.intersect(a.toSet).size.toDouble / e.size
+    }.sum / exact.length
+
     // serving under CONCURRENT INGEST (dense twin of the sparse row): a
     // writer thread appends 500-row batches (assigned to the existing
     // centroids) every ~700 ms. Appends land ABOVE the serving pin, so
@@ -645,6 +667,8 @@ object AnnBench {
       f""""frpqserve_qps":$frpqserveQps%.2f,""" +
       f""""frpqserve_recall_at_10":$frpqserveRecall%.4f,""" +
       f""""frpqserve_declines":$frpqserveDecl,""" +
+      f""""brqserve_qps":${brqserveQueries / brqserveSec}%.2f,""" +
+      f""""brqserve_recall_at_10":$brqserveRecall%.4f,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

@@ -1014,26 +1014,30 @@ class GraftDb(val spark: SparkSession, val root: String,
       quantized: Boolean = false, pq: Boolean = false)
       : Array[Option[String]] = {
     val allNone: Array[Option[String]] = Array.fill(dense.length)(None)
-    // faceted batches always decline the shared serve path; a FILTERED
-    // batch rides it when the filter is a resident-evaluable conjunction
-    // on the float tier (the conjunction is shared, so one passing-id
-    // set masks the whole batch) — anything else declines and the
-    // per-query fallback re-enters query(), which serves or declines
-    // each query individually
-    if (facetsPresent(req)) return allNone
-    // the uniform floor contract, batch form: the FLOAT tier serves a
-    // declared recallTarget with PER-QUERY proven covers on the shared
-    // sweep (probeSets below); the code tiers and the filter combination
-    // decline to per-query dispatch, which honors the floor there
-    // (code tiers → cover×certified recall serves; filtered →
-    // passing-count covers — each query still SERVES, just unbatched)
+    // FACETED batches ride the shared sweep too: facets aggregate each
+    // query's post-limit top-k (≤ k driver-resident rows) through the
+    // same serveFacetsJson the single dispatch uses — the sweep is
+    // batched, the per-query facet aggregation is tiny by contract. An
+    // entry whose facet source is unavailable degrades to ITS per-query
+    // fallback (which re-enters query() and serves or declines there) —
+    // never partial facets, never a batch-wide decline. A FILTERED
+    // batch rides the sweep when the filter is a resident-evaluable
+    // conjunction (the conjunction is shared, so one passing-id set
+    // masks the whole batch); anything else declines per query.
+    val facets = parseFacets(req \ "facets")
+    // the uniform floor contract, batch form: ALL THREE dense tiers
+    // serve a declared recallTarget with PER-QUERY proven covers on the
+    // shared sweep (probeSets below) — the code tiers compose forced
+    // certification on top (cover × certified = the floor's proof, as
+    // in the single dispatch); the filter combination declines to
+    // per-query dispatch, which honors the floor there (passing-count
+    // covers — each query still SERVES, just unbatched)
     val recallTarget: Option[Double] = (req \ "recallTarget") match {
       case JDouble(d) => Some(d)
       case JDecimal(d) => Some(d.toDouble)
       case JInt(i) => Some(i.toDouble)
       case _ => None
     }
-    if (recallTarget.isDefined && (quantized || pq)) return allNone
     val table = str(req \ "table")
     val st = store(table)
     val filterStr = filterStringOf(req)
@@ -1061,6 +1065,9 @@ class GraftDb(val spark: SparkSession, val root: String,
       return allNone
     val idx = index(st, queryField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return allNone
+    // facets need the declared scalar residency as their value source —
+    // nothing declared means per-query dispatch decides (cheap early out)
+    if (facets.nonEmpty && idx.serveFilterColumns().isEmpty) return allNone
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
@@ -1079,11 +1086,26 @@ class GraftDb(val spark: SparkSession, val root: String,
           val certified = (req \ "certified") match {
             case JBool(b) => b; case _ => false
           }
+          // a declared floor forces certification on the code tiers —
+          // cover × certified is the floor's proof (see serveQuery)
+          val certEff = certified || recallTarget.isDefined
           val qs = dense.zipWithIndex.map { case (q, i) => (i.toLong, q) }
           // batch covers are derived state: their pin must survive the
           // sweep's own handshake or the whole attempt retries (the
           // same-watermark-rebuild race — see servePointRecall)
           var coverStable: () => Boolean = () => true
+          // per-query proven covers (1.0 = exact), shared by the three
+          // dense tiers: each query keeps ITS cover, the union is
+          // acquired once, the shared sweep scores each row only for
+          // the queries whose cover holds its cluster
+          val covers: Option[Array[Array[Int]]] =
+            recallTarget.map { t =>
+              val (ck, cw) = idx.servingPinSnapshot()
+              coverStable = () => idx.pinStableFor(ck, cw)
+              qs.map { case (_, q) =>
+                idx.probeSetForRecall(q, k, t, slack = tombs.size.toLong)
+              }
+            }
           val got: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
             if (conds.nonEmpty) {
               // shared conjunction: tail pre-filtered once on the scalar
@@ -1110,51 +1132,50 @@ class GraftDb(val spark: SparkSession, val root: String,
             }
             else if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
               exclude = tombs.contains, freshTail = tail.map(_.packed),
-              certify = certified)
+              certify = certEff, probeSets = covers)
             else if (quantized) idx.servePointQuantizedBatchDetail(queryField,
               qs, k, np, exclude = tombs.contains,
-              freshTail = tail.map(_.packed), certify = certified)
-            else {
-              // float tier: a declared floor swaps each query's probe set
-              // for ITS proven cover (1.0 = exact), acquired as one union
-              // and served on the shared sweep — the batch twin of the
-              // single dispatch's probeSet
-              val covers: Option[Array[Array[Int]]] = recallTarget.map { t =>
-                val (ck, cw) = idx.servingPinSnapshot()
-                coverStable = () => idx.pinStableFor(ck, cw)
-                qs.map { case (_, q) =>
-                  idx.probeSetForRecall(q, k, t, slack = tombs.size.toLong)
-                }
-              }
+              freshTail = tail.map(_.packed), certify = certEff,
+              probeSets = covers)
+            else
               idx.servePointBatch(queryField, qs, k, np,
                 exclude = tombs.contains, freshTail = tail.map(_.packed),
                 probeSets = covers)
                 .map { case (qid, r) => (qid, r.map((_, 0))) }
-            }
           if (idx.servingWatermark() == pin && coverStable()) {
-            return got.map { case (_, res) =>
-              res.map { case (hits, reranked) =>
-                val sb = new java.lang.StringBuilder("{\"result\":[")
-                var i = 0
-                while (i < hits.length) {
-                  if (i > 0) sb.append(',')
-                  sb.append("{\"__row_id\":").append(hits(i)._1)
-                    .append(",\"@distance\":").append(hits(i)._2).append('}')
-                  i += 1
+            return got.zipWithIndex.map { case ((_, res), qi) =>
+              res.flatMap { case (hits, reranked) =>
+                // per-entry facets over ITS served top-k (≤ k rows, the
+                // single dispatch's serveFacetsJson); an unavailable
+                // source degrades this entry to its per-query fallback
+                val facetJson: Option[String] =
+                  if (facets.isEmpty) Some("")
+                  else serveFacetsJson(st, idx, queryField, dense(qi), np,
+                    hits, tail, facets, covers.map(_(qi)))
+                facetJson.map { fj =>
+                  val sb = new java.lang.StringBuilder("{\"result\":[")
+                  var i = 0
+                  while (i < hits.length) {
+                    if (i > 0) sb.append(',')
+                    sb.append("{\"__row_id\":").append(hits(i)._1)
+                      .append(",\"@distance\":").append(hits(i)._2).append('}')
+                    i += 1
+                  }
+                  sb.append("],\"served\":true")
+                  if (conds.nonEmpty) sb.append(",\"filtered\":true")
+                  if (pq) {
+                    sb.append(",\"pq\":true")
+                    if (certEff) sb.append(",\"certified\":true")
+                    if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+                  } else if (quantized) {
+                    sb.append(",\"quantized\":true")
+                    if (certEff) sb.append(",\"certified\":true")
+                    if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
+                  }
+                  sb.append(fj)
+                  sb.append('}')
+                  sb.toString
                 }
-                sb.append("],\"served\":true")
-                if (conds.nonEmpty) sb.append(",\"filtered\":true")
-                if (pq) {
-                  sb.append(",\"pq\":true")
-                  if (certified) sb.append(",\"certified\":true")
-                  if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
-                } else if (quantized) {
-                  sb.append(",\"quantized\":true")
-                  if (certified) sb.append(",\"certified\":true")
-                  if (reranked > 0) sb.append(",\"reranked\":").append(reranked)
-                }
-                sb.append('}')
-                sb.toString
               }
             }
           } // pin moved mid-serve: retry
@@ -1247,10 +1268,16 @@ class GraftDb(val spark: SparkSession, val root: String,
         // side's mechanism): dot/cosine keep their retrieval-mode
         // contract under the mask, and Euclidean stays EXACT-or-decline
         // — its proof bounds unseen rows by DISTANCE (norm order), which
-        // holds for masked rows identically. Facets decline, and a
-        // declared recall floor declines (retrieval mode proves no floor
-        // — the job path's exact inverted-index cut does).
-        if (facets.nonEmpty || recallTarget.isDefined) return None
+        // holds for masked rows identically. Facets decline. A declared
+        // recall floor: EUCLIDEAN sparse serving is exact-or-decline
+        // (servePointEuclid's norm-order truncation proof), so a served
+        // answer trivially honors any floor; dot/cosine retrieval mode
+        // proves no floor → decline (the job path's exact inverted cut
+        // answers).
+        if (facets.nonEmpty) return None
+        if (recallTarget.isDefined &&
+            st.schema.field(queryField).metric != MetricType.Euclidean)
+          return None
         if (filterStr.isEmpty) return serveSparse(st, queryField, o, limit)
         val cs = graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs0) if cs0.nonEmpty => cs0

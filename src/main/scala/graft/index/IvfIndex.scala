@@ -3096,13 +3096,14 @@ class IvfIndex(
       queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
-      certify: Boolean = false)
+      certify: Boolean = false,
+      probeSets: Option[Array[Array[Int]]] = None)
       : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
     if (queries.isEmpty) return Array.empty
     def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
-      queries.map { case (qid, raw) =>
+      queries.zipWithIndex.map { case ((qid, raw), qi) =>
         (qid, servePointQuantizedDetail(vecCol, raw, k, nProbe, exclude,
-          freshTail, certify))
+          freshTail, certify, probeSet = probeSets.map(_(qi))))
       }
     val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
       if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
@@ -3120,9 +3121,16 @@ class IvfIndex(
       effectiveMaxQuantRows(dim),
       () => {
         val cents = centroids()
-        probesPer = qsArr.map { q =>
-          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+        // explicit per-query probe sets (recallTarget covers) override
+        // nearest-nProbe, exactly as in servePointBatch
+        probesPer = probeSets match {
+          case Some(ps) =>
+            val live = cents.map(_._1).toSet
+            ps.map(_.filter(live))
+          case None => qsArr.map { q =>
+            cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+              .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+          }
         }
         probesPer.flatten.distinct
       },
@@ -3187,13 +3195,14 @@ class IvfIndex(
       queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
       exclude: Long => Boolean = _ => false,
       freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
-      certify: Boolean = false)
+      certify: Boolean = false,
+      probeSets: Option[Array[Array[Int]]] = None)
       : Array[(Long, Option[(Array[(Long, Double)], Int)])] = {
     if (queries.isEmpty) return Array.empty
     def fallback(): Array[(Long, Option[(Array[(Long, Double)], Int)])] =
-      queries.map { case (qid, raw) =>
+      queries.zipWithIndex.map { case ((qid, raw), qi) =>
         (qid, servePointPqDetail(vecCol, raw, k, nProbe, exclude,
-          freshTail, certify))
+          freshTail, certify, probeSet = probeSets.map(_(qi))))
       }
     val cb = pqCodebook() match {
       case Some(c) => c
@@ -3216,9 +3225,16 @@ class IvfIndex(
       effectiveMaxPqRows(cb.m),
       () => {
         val cents = centroids()
-        probesPer = qsArr.map { q =>
-          cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
-            .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+        // explicit per-query probe sets (recallTarget covers) override
+        // nearest-nProbe, exactly as in servePointBatch
+        probesPer = probeSets match {
+          case Some(ps) =>
+            val live = cents.map(_._1).toSet
+            ps.map(_.filter(live))
+          case None => qsArr.map { q =>
+            cents.map { case (cid, c) => (cid, IvfIndex.dist(metric, c, q)) }
+              .sortBy { case (_, d) => d }.take(nProbe).map(_._1)
+          }
         }
         probesPer.flatten.distinct
       },

@@ -239,6 +239,53 @@ class Round11Spec extends SparkSpec {
     assert(resultIds(resp, "ID").nonEmpty, resp)
   }
 
+  test("recallTarget + sparse EUCLIDEAN serves (exact-or-decline honors any floor); dot still declines") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r11_rt_sparse_euclid"))
+    db.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"},
+        |{"name":"SE","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (0 until 600).map { i =>
+      val (a, b) = (i % 16, (i + 7) % 16)
+      val sv = Row(Seq(math.min(a, b), math.max(a, b)),
+        Seq(1.0f + (i % 5) * 0.25f, 0.5f))
+      Row(i.toLong, sv, sv)
+    }
+    val res = db.store("S").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = false),
+        StructField("SE", graft.functions.SparseVec.sqlType, nullable = false)))))
+    assert(res.inserted == 600, res.toString)
+    assert(db.rebuildIndex("S", "SV"))
+    assert(db.rebuildIndex("S", "SE"))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    // Euclidean: servePointEuclid is exact-or-decline, so a served
+    // answer trivially honors any declared floor — the envelope must
+    // say served and the ids must equal the job path's exact cut
+    val served = db.query(
+      s"""{"table":"S","queryField":"SE","queryVector":$qv,"limit":5,
+         |"serve":true,"recallTarget":1.0}""".stripMargin)
+    assert(served.contains("\"served\":true"), served)
+    val m = db.store("S").read()
+      .select(col(graft.store.TableStore.RowId), col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val job = db.query(
+      s"""{"table":"S","queryField":"SE","queryVector":$qv,"limit":5,
+         |"response":["ID"]}""".stripMargin)
+    assert(resultIds(served).map(m) == resultIds(job, "ID"),
+      s"$served vs $job")
+    // dot retrieval mode proves no floor: still a decline
+    val dot = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"serve":true,"recallTarget":1.0,"response":["ID"]}""".stripMargin)
+    assert(!dot.contains("\"served\""), dot)
+    assert(resultIds(dot, "ID").nonEmpty, dot)
+  }
+
   test("recallTarget forces a hybrid query onto both job paths (exact cuts satisfy any floor)") {
     val db = fixtureDbWithDoc("r11_rt_hybrid")
     db.rebuildBm25Index("T", "Doc")
@@ -362,6 +409,32 @@ class Round11Spec extends SparkSpec {
       // itself serves — each entry marked AND exact (target 1.0)
       assert(e.contains("\"served\":true"), e)
       assert(resultIds(e).map(m) == exact, s"$e vs $exact")
+    }
+  }
+
+  test("batch recallTarget on the CODE tiers serves on the shared sweep (cover × forced certification)") {
+    val db = fixtureDb("r11_batch_rt_code")
+    val m = rowIdToId(db)
+    val vs = Seq(qVec, "[0.1,0.9,0.2,0.8]", "[0.7,0.1,0.6,0.3]")
+    val singles = vs.map(v => resultIds(db.query(
+      s"""{"table":"T","queryVector":$v,"limit":6,"response":["ID"]}"""), "ID"))
+    for (tier <- Seq("quantized", "pq")) {
+      val batch = db.query(
+        s"""{"table":"T","queryVectors":[${vs.mkString(",")}],
+           |"limit":6,"serve":true,"$tier":true,"recallTarget":1.0}""".stripMargin)
+      val entries = (JsonMethods.parse(batch) \ "results") match {
+        case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+        case other => fail(s"bad envelope: $other")
+      }
+      entries.zip(singles).foreach { case (e, exact) =>
+        // each entry must be marked served + tier + certified (the floor
+        // forces certification — cover × certified is the proof) and the
+        // id SET must be the exact top-6 (target 1.0)
+        assert(e.contains("\"served\":true") &&
+          e.contains(s""""$tier":true""") &&
+          e.contains("\"certified\":true"), s"$tier: $e")
+        assert(resultIds(e).map(m).toSet == exact.toSet, s"$tier: $e vs $exact")
+      }
     }
   }
 
@@ -675,6 +748,45 @@ class Round11Spec extends SparkSpec {
       assert(served.contains("\"served\":true") &&
         served.contains(s""""$tier":true"""), s"$tier: $served")
       assert(facetRowSets(served) == facetRowSets(job), s"$tier:\n$served\n$job")
+    }
+  }
+
+  test("batch facets ride the shared sweep: every entry served with ITS facet envelope, set-equal to the job path") {
+    val db = fixtureDb("r11_batch_facets")
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    val vs = Seq(qVec, "[0.1,0.9,0.2,0.8]", "[0.7,0.1,0.6,0.3]")
+    val facetsReq =
+      """"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]},
+        |          {"group":[],"aggregate":["COUNT(*)","MIN(ID)","MAX(ID)"]}]""".stripMargin
+    val batch = db.query(
+      s"""{"table":"T","queryVectors":[${vs.mkString(",")}],"limit":20,
+         |"nProbe":9999,"serve":true,$facetsReq}""".stripMargin)
+    val entries = (JsonMethods.parse(batch) \ "results") match {
+      case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+      case other => fail(s"bad envelope: $other")
+    }
+    assert(entries.length == vs.length)
+    entries.zip(vs).foreach { case (e, v) =>
+      assert(e.contains("\"served\":true"), e)
+      val job = db.query(
+        s"""{"table":"T","queryVector":$v,"limit":20,"nProbe":9999,
+           |$facetsReq}""".stripMargin)
+      assert(!job.contains("\"served\""), job)
+      assert(facetRowSets(e) == facetRowSets(job), s"$e\n$job")
+    }
+    // a facet over an UNDECLARED column degrades each entry to its
+    // per-query fallback (job path — correct facets, no served mark)
+    val undeclared = db.query(
+      s"""{"table":"T","queryVectors":[${vs.mkString(",")}],"limit":20,
+         |"serve":true,
+         |"facets":[{"group":["Lang"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+    (JsonMethods.parse(undeclared) \ "results") match {
+      case JArray(rs) => rs.foreach { r =>
+        val s = JsonMethods.compact(JsonMethods.render(r))
+        assert(!s.contains("\"served\""), s)
+        assert(s.contains("\"facets\""), s)
+      }
+      case other => fail(s"bad envelope: $other")
     }
   }
 
