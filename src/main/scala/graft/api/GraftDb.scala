@@ -1268,32 +1268,48 @@ class GraftDb(val spark: SparkSession, val root: String,
         // side's mechanism): dot/cosine keep their retrieval-mode
         // contract under the mask, and Euclidean stays EXACT-or-decline
         // — its proof bounds unseen rows by DISTANCE (norm order), which
-        // holds for masked rows identically. Facets decline. A declared
-        // recall floor: EUCLIDEAN sparse serving is exact-or-decline
-        // (servePointEuclid's norm-order truncation proof), so a served
-        // answer trivially honors any floor; dot/cosine retrieval mode
-        // proves no floor → decline (the job path's exact inverted cut
-        // answers).
-        if (facets.nonEmpty) return None
+        // holds for masked rows identically. FACETS borrow a donor the
+        // same way (values by id from its scalar residency + tail
+        // sidecar — sparseFacetsJson). A declared recall floor:
+        // EUCLIDEAN sparse serving is exact-or-decline (servePointEuclid's
+        // norm-order truncation proof), so a served answer trivially
+        // honors any floor; dot/cosine retrieval mode proves no floor →
+        // decline (the job path's exact inverted cut answers).
         if (recallTarget.isDefined &&
             st.schema.field(queryField).metric != MetricType.Euclidean)
           return None
-        if (filterStr.isEmpty) return serveSparse(st, queryField, o, limit)
+        def denseDonor(cols: Set[String]): Option[String] =
+          st.schema.vectorFields.find { df =>
+            !FieldType.isSparse(df.fieldType) &&
+              Files.exists(Paths.get(
+                s"$root/${st.schema.name}/ivf_${df.name}/ivf_meta.json")) &&
+              cols.subsetOf(index(st, df.name).serveFilterColumns().toSet)
+          }.map(_.name)
+        val facetDonor: Option[(String, Seq[Facet])] =
+          if (facets.isEmpty) None
+          else {
+            // columns a facet touches: plain group names + the argument
+            // of each aggregate ("SUM(ID)" → ID; "*" and @distance are
+            // always available on the ≤ k facet input)
+            val fcols = facets.flatMap(f => f.group ++ f.aggregate.flatMap(
+              a => "\\(([^)]*)\\)".r.findFirstMatchIn(a).map(_.group(1).trim)))
+              .filterNot(c => c == "*" || c.startsWith("@")).toSet
+            denseDonor(fcols) match {
+              case Some(dn) => Some((dn, facets))
+              case None => return None // no donor declares them: job path
+            }
+          }
+        if (filterStr.isEmpty)
+          return serveSparse(st, queryField, o, limit, facetDonor = facetDonor)
         val cs = graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs0) if cs0.nonEmpty => cs0
           case _ => return None // outside the serve sub-grammar
         }
         // donor: any dense sibling whose DECLARED residency covers the
         // conjunction's columns
-        val donor = st.schema.vectorFields.find { df =>
-          !FieldType.isSparse(df.fieldType) &&
-            Files.exists(Paths.get(
-              s"$root/${st.schema.name}/ivf_${df.name}/ivf_meta.json")) &&
-            cs.forall(c => index(st, df.name).serveFilterColumns().contains(c.col))
-        }
-        return donor match {
-          case Some(df) => serveSparse(st, queryField, o, limit,
-            filtered = Some((df.name, cs)))
+        return denseDonor(cs.map(_.col).toSet) match {
+          case Some(dn) => serveSparse(st, queryField, o, limit,
+            filtered = Some((dn, cs)), facetDonor = facetDonor)
           case None => None
         }
       case _ => ()
@@ -1514,7 +1530,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     * serve path. */
   private def serveSparse(st: TableStore, queryField: String,
       o: JObject, limit: Int,
-      filtered: Option[(String, Seq[graft.filter.SimpleConjuncts.Cond])] = None)
+      filtered: Option[(String, Seq[graft.filter.SimpleConjuncts.Cond])] = None,
+      facetDonor: Option[(String, Seq[Facet])] = None)
       : Option[String] = {
     val f = st.schema.field(queryField)
     if (!Files.exists(Paths.get(
@@ -1571,6 +1588,16 @@ class GraftDb(val spark: SparkSession, val root: String,
                 case None => return None
               }
           if (idx.servingWatermark() == pin && verifyDonor()) {
+            // facets aggregate the served top-k; values come from the
+            // dense donor's scalar residency + tail sidecar (id-keyed —
+            // a miss declines, never miscounts), same as the dense path
+            val facetJson: String = facetDonor match {
+              case None => ""
+              case Some((dn, fs)) => sparseFacetsJson(st, dn, hits, fs) match {
+                case Some(fj) => fj
+                case None => return None
+              }
+            }
             val sb = new java.lang.StringBuilder("{\"result\":[")
             var i = 0
             while (i < hits.length) {
@@ -1581,12 +1608,38 @@ class GraftDb(val spark: SparkSession, val root: String,
             }
             sb.append("],\"served\":true")
             if (filtered.isDefined) sb.append(",\"filtered\":true")
+            sb.append(facetJson)
             sb.append('}')
             return Some(sb.toString)
           } // sparse pin or donor pin moved mid-serve: retry
       }
     }
     None // pin churn: job path answers exactly
+  }
+
+  /** Facet source for SPARSE serves: the sparse postings carry no
+    * attribute columns, so values for the served top-k come from a dense
+    * sibling's declared scalar residency over ALL clusters (every indexed
+    * row lives in exactly one) plus its fresh-tail scalar sidecar for
+    * rows above the donor's pin. Scalar values are row content, keyed by
+    * id — generation-INDEPENDENT, so no donor-pin coherence is needed
+    * here: a racing rebuild can only make a lookup miss (→ decline),
+    * never return another row's value. The zeros query is a placeholder:
+    * with an explicit all-clusters probe set it feeds only the dim
+    * guard. */
+  private def sparseFacetsJson(st: TableStore, donorField: String,
+      hits: Array[(Long, Double)], facets: Seq[Facet]): Option[String] = {
+    val didx = index(st, donorField)
+    if (didx.indexedPurgeGen() < st.purgeGen()) return None
+    freshTailCluster(st, didx, donorField) match {
+      case Left(_) => None
+      case Right(dtail) =>
+        val all = didx.centroids().map(_._1)
+        if (all.isEmpty) return None
+        val dim = st.schema.field(donorField).dimensions
+        serveFacetsJson(st, didx, donorField, new Array[Float](dim),
+          all.length, hits, dtail, facets, Some(all))
+    }
   }
 
   /** DataFrame-returning query: the result stays distributed (nothing is

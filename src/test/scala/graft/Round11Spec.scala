@@ -774,6 +774,43 @@ class Round11Spec extends SparkSpec {
       assert(!job.contains("\"served\""), job)
       assert(facetRowSets(e) == facetRowSets(job), s"$e\n$job")
     }
+    // the facet input is tier- and cover-independent once the id set is
+    // exact: code tiers (certified) and a recallTarget cover must yield
+    // the same facet rows on the batch path
+    for (extra <- Seq(""","quantized":true,"certified":true""",
+        ""","pq":true,"certified":true""", ""","recallTarget":1.0""")) {
+      val b2 = db.query(
+        s"""{"table":"T","queryVectors":[${vs.mkString(",")}],"limit":20,
+           |"nProbe":9999,"serve":true$extra,$facetsReq}""".stripMargin)
+      (JsonMethods.parse(b2) \ "results") match {
+        case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+          .zip(vs).foreach { case (e, v) =>
+            assert(e.contains("\"served\":true"), s"$extra: $e")
+            val job = db.query(
+              s"""{"table":"T","queryVector":$v,"limit":20,"nProbe":9999,
+                 |$facetsReq}""".stripMargin)
+            assert(facetRowSets(e) == facetRowSets(job), s"$extra:\n$e\n$job")
+          }
+        case other => fail(s"$extra: bad envelope: $other")
+      }
+    }
+    // facets compose with a shared FILTER on the batch sweep: each
+    // entry's facet rows aggregate its FILTERED top-k
+    val filtered = db.query(
+      s"""{"table":"T","queryVectors":[${vs.mkString(",")}],"limit":20,
+         |"nProbe":9999,"serve":true,"filter":"Label >= 5",$facetsReq}""".stripMargin)
+    (JsonMethods.parse(filtered) \ "results") match {
+      case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+        .zip(vs).foreach { case (e, v) =>
+          assert(e.contains("\"served\":true") &&
+            e.contains("\"filtered\":true"), e)
+          val job = db.query(
+            s"""{"table":"T","queryVector":$v,"limit":20,"nProbe":9999,
+               |"filter":"Label >= 5",$facetsReq}""".stripMargin)
+          assert(facetRowSets(e) == facetRowSets(job), s"$e\n$job")
+        }
+      case other => fail(s"bad envelope: $other")
+    }
     // a facet over an UNDECLARED column degrades each entry to its
     // per-query fallback (job path — correct facets, no served mark)
     val undeclared = db.query(
@@ -788,6 +825,65 @@ class Round11Spec extends SparkSpec {
       }
       case other => fail(s"bad envelope: $other")
     }
+  }
+
+  test("sparse serve facets borrow the dense donor's residency; fresh rows ride its tail sidecar; no donor declines") {
+    val db = new graft.api.GraftDb(spark, tmpDir("r11_sparse_facets"))
+    db.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"Lang","dataType":"STRING"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("ID", LongType, nullable = false),
+      StructField("Label", LongType, nullable = false),
+      StructField("Lang", StringType, nullable = false),
+      StructField("V", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("SV", graft.functions.SparseVec.sqlType, nullable = false)))
+    def svOf(i: Int): Row = {
+      val (a, b) = (i % 16, (i + 7) % 16)
+      Row(Seq(math.min(a, b), math.max(a, b)),
+        Seq(1.0f + (i % 5) * 0.25f, 0.5f))
+    }
+    val rows = (0 until 600).map(i =>
+      Row(i.toLong, (i % 10).toLong, langs(i % 3), vecOf(i), svOf(i)))
+    val res = db.store("S").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema))
+    assert(res.inserted == 600, res.toString)
+    assert(db.rebuildIndex("S", "V"))
+    assert(db.rebuildIndex("S", "SV"))
+    db.setServeFilterColumns("S", "V", Seq("Label", "ID"))
+    // a FRESH row above both pins that lands in the sparse top-k: its
+    // facet values must come from the donor's tail scalar sidecar
+    val extra = db.store("S").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1000L, 7L, "en", Seq(9f, 9f, 9f, 9f),
+          Row(Seq(3, 10), Seq(9.0f, 9.0f)))), 1), schema))
+    assert(extra.inserted == 1, extra.toString)
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val req =
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":10,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]},
+         |          {"group":[],"aggregate":["COUNT(*)","MAX(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":true"), served)
+    val job = db.query(req + "}")
+    assert(!job.contains("\"served\""), job)
+    assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+    // the fresh row tops the overlap ranking: MAX(ID) proves it's inside
+    assert(served.contains("1000"), served)
+    // a facet touching an UNDECLARED column has no donor: decline (the
+    // job path answers with correct facets, unmarked)
+    val und = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":10,
+         |"serve":true,
+         |"facets":[{"group":["Lang"],"aggregate":["COUNT(*)"]}]}""".stripMargin)
+    assert(!und.contains("\"served\""), und)
+    assert(und.contains("\"facets\""), und)
   }
 
   test("serve-filter declarations persist on disk: follower instances and fresh GraftDbs inherit them") {
