@@ -598,35 +598,39 @@ object Queries {
           .foreach(java.nio.file.Files.delete)
       }
       val db = new graft.api.GraftDb(s, root)
+      // SV: the first-8-dim prefix dot field (see v11_serve_contract) —
+      // the SPARSE facet case serves filtered via the borrowed dense
+      // verdict and aggregates via the donor's scalar residency
       val emb = t(s, dir, "embeddings").orderBy("vec_id")
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
+          col("embedding"),
+          struct(lit((0 until 8).toArray).as("indices"),
+            slice(col("embedding"), 1, 8).as("values")).as("SV"))
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
       db.createTable(
         s"""{"name":"emb","fields":[
            |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
            |  {"name":"label","dataType":"BIGINT"},
            |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
+           |   "metricType":"EUCLIDEAN"},
+           |  {"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
+           |   "metricType":"DOT_PRODUCT"}]}""".stripMargin)
       // far pad (embedding + 1000, label -1) clears MinimalIndexSize
-      // without ever entering the top-100 the facets aggregate
+      // without ever entering the top-100 the facets aggregate (the
+      // sparse case filters label >= 5, which rejects the pad rows the
+      // prefix dot would otherwise rank first)
       val pad = emb.limit(32)
         .withColumn("vec_id", col("vec_id") + 2000000L)
         .withColumn("label", lit(-1L))
         .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
+        .withColumn("SV", struct(lit((0 until 8).toArray).as("indices"),
+          slice(col("embedding"), 1, 8).as("values")))
       db.store("emb").insert(emb.unionByName(pad))
       require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
       db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
       val q = SparkEntry.queryVectorOf(s, dir)
-      val resp = db.query(
-        s"""{"table":"emb","queryField":"embedding",
-           |  "queryVector":[${q.mkString(",")}],"limit":100,"nProbe":9999,
-           |  "serve":true,
-           |  "facets":[{"group":["label"],
-           |             "aggregate":["COUNT(*)","SUM(vec_id)"]}]}""".stripMargin)
-      require(resp.contains("\"served\":true"),
-        s"faceted request did not ride the serve tier: $resp")
-      val rows: Seq[(Long, Long, Long)] =
+      def facetRows(resp: String): Seq[(Long, Long, Long)] =
         (org.json4s.jackson.JsonMethods.parse(resp) \ "facets") match {
           case JArray(List(JArray(groups))) => groups.map { g =>
             def l(v: JValue): Long = v match {
@@ -638,8 +642,30 @@ object Queries {
           }
           case other => sys.error(s"bad facets envelope: $other")
         }
+      val resp = db.query(
+        s"""{"table":"emb","queryField":"embedding",
+           |  "queryVector":[${q.mkString(",")}],"limit":100,"nProbe":9999,
+           |  "serve":true,
+           |  "facets":[{"group":["label"],
+           |             "aggregate":["COUNT(*)","SUM(vec_id)"]}]}""".stripMargin)
+      require(resp.contains("\"served\":true"),
+        s"faceted request did not ride the serve tier: $resp")
+      // sparse + filter + facets: the borrowed verdict masks the sparse
+      // walk AND the donor's residency values the facet input
+      val spResp = db.query(
+        s"""{"table":"emb","queryField":"SV",
+           |  "queryVector":{"indices":[0,1,2,3,4,5,6,7],
+           |                 "values":[${q.take(8).mkString(",")}]},
+           |  "limit":10,"serve":true,"filter":"label >= 5",
+           |  "facets":[{"group":["label"],
+           |             "aggregate":["COUNT(*)","SUM(vec_id)"]}]}""".stripMargin)
+      require(spResp.contains("\"served\":true") &&
+        spResp.contains("\"filtered\":true"),
+        s"sparse faceted request did not ride the serve tier: $spResp")
       import s.implicits._
-      rows.toDF("label", "n", "sum_id").orderBy("label")
+      (facetRows(resp).map(r => ("dense", r._1, r._2, r._3)) ++
+        facetRows(spResp).map(r => ("sparse", r._1, r._2, r._3)))
+        .toDF("case_id", "label", "n", "sum_id").orderBy("case_id", "label")
     }),
 
     // P10: @distance usable in the filter (post-filter mode)
@@ -993,13 +1019,24 @@ object Queries {
          |  UNION ALL SELECT 'rt_fpq_recall', vec_id FROM fb
          |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp)
          |ORDER BY case_id, vec_id""".stripMargin,
-    // serve-path facets: group-over-topk mirror (same shape as g1)
+    // serve-path facets: group-over-topk mirrors (dense top-100; sparse
+    // filtered prefix-dot top-10 — same cut the sparse_filter case pins)
     "g11_serve_facet" ->
       s"""WITH topk AS (
          |  SELECT vec_id, label FROM embeddings
-         |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 100)
-         |SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_id
-         |FROM topk GROUP BY label ORDER BY label""".stripMargin,
+         |  ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 100),
+         |sptop AS (
+         |  SELECT vec_id, label FROM embeddings WHERE label >= 5
+         |  ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
+         |    vec_id ASC LIMIT 10)
+         |SELECT * FROM (
+         |  SELECT 'dense' AS case_id, label, count(*) AS n,
+         |         CAST(sum(vec_id) AS BIGINT) AS sum_id
+         |  FROM topk GROUP BY label
+         |  UNION ALL
+         |  SELECT 'sparse', label, count(*), CAST(sum(vec_id) AS BIGINT)
+         |  FROM sptop GROUP BY label)
+         |ORDER BY case_id, label""".stripMargin,
     "v11_serve_filtered_batch" ->
       s"""WITH q AS (
          |  SELECT CAST(0 AS BIGINT) AS qid, embedding AS qv
