@@ -372,4 +372,74 @@ class HttpApiSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(facetSets(sb) == facetSets(jb), s"$sb\n$jb")
     delete("/api/default/schema/tables/SF")
   }
+
+  test("batch facets and code-tier recall floors round-trip over HTTP") {
+    assert(post("/api/default/schema/tables",
+      """{"name":"BF","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)._1 == 200)
+    val rows = (0 until 600).map { i =>
+      s"""{"ID":$i,"Label":${i % 10},"V":[0.${i % 10},0.${(i * 3) % 10},0.${(i * 7) % 10},0.${(i * 9) % 10}]}"""
+    }.mkString("[", ",", "]")
+    assert(post("/api/default/data/insert",
+      s"""{"table":"BF","data":$rows}""")._1 == 200)
+    assert(post("/api/rebuild", "")._1 == 200)
+    assert(post("/api/config",
+      """{"ServeFilterColumns":{"table":"BF","field":"V",
+        |"columns":["Label","ID"]}}""".stripMargin)._1 == 200)
+    def resultIds(resp: String): Set[BigInt] =
+      (JsonMethods.parse(resp) \ "result") match {
+        case JArray(rs) => rs.map(r => (r \ "__row_id") match {
+          case JInt(i) => i
+          case other => fail(s"bad __row_id: $other")
+        }).toSet
+        case other => fail(s"no result: $other")
+      }
+    // a declared floor on the 16-bit tier over HTTP: the envelope must
+    // carry the proof marks, and target 1.0 makes the id set equal the
+    // float tier's proven cover serve (both exact by proof)
+    val base =
+      """{"table":"BF","queryVector":[0.5,0.4,0.3,0.2],"limit":9,
+        |"serve":true,"recallTarget":1.0""".stripMargin
+    val (fc, fb) = post("/api/default/data/query", base + "}")
+    assert(fc == 200 && fb.contains("\"served\":true"), fb)
+    val (qc, qb) = post("/api/default/data/query",
+      base + ""","quantized":true}""")
+    assert(qc == 200 && qb.contains("\"served\":true") &&
+      qb.contains("\"quantized\":true") && qb.contains("\"certified\":true"), qb)
+    assert(resultIds(qb) == resultIds(fb), s"$qb\n$fb")
+    // batch + facets: one POST, every entry served with ITS facets equal
+    // to the per-query job path's
+    val vs = Seq("[0.5,0.4,0.3,0.2]", "[0.1,0.9,0.2,0.8]")
+    val facetsReq =
+      """"facets":[{"group":["Label"],"aggregate":["COUNT(*)","MAX(ID)"]}]"""
+    val (bc, bb) = post("/api/default/data/query",
+      s"""{"table":"BF","queryVectors":[${vs.mkString(",")}],"limit":9,
+         |"nProbe":9999,"serve":true,$facetsReq}""".stripMargin)
+    assert(bc == 200, bb)
+    def facetSets(resp: String): Seq[Set[String]] =
+      (JsonMethods.parse(resp) \ "facets") match {
+        case JArray(fs) => fs.map {
+          case JArray(rs) =>
+            rs.map(r => JsonMethods.compact(JsonMethods.render(r))).toSet
+          case other => fail(s"bad facet: $other")
+        }
+        case other => fail(s"no facets: $other")
+      }
+    val entries = (JsonMethods.parse(bb) \ "results") match {
+      case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+      case other => fail(s"bad batch envelope: $other")
+    }
+    entries.zip(vs).foreach { case (e, v) =>
+      assert(e.contains("\"served\":true") && e.contains("\"facets\""), e)
+      val (jc2, jb2) = post("/api/default/data/query",
+        s"""{"table":"BF","queryVector":$v,"limit":9,"nProbe":9999,
+           |$facetsReq}""".stripMargin)
+      assert(jc2 == 200 && !jb2.contains("\"served\""), jb2)
+      assert(facetSets(e) == facetSets(jb2), s"$e\n$jb2")
+    }
+    delete("/api/default/schema/tables/BF")
+  }
 }
