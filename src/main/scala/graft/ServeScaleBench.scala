@@ -54,9 +54,14 @@ object ServeScaleBench {
     // reads are per-worker stamp-cached off the shared layout, and the
     // leader's appends invalidate them (radius deltas widen the bound),
     // so this tier measures proven-recall serving under live ingest
+    // "frecall" serves the PROVEN-recall FILTERED tier
+    // (servePointFilteredRecall at SPARK_GRAFT_SCALE_RT): the
+    // passing-count ball cover re-derives per serve off each worker's
+    // stamp-cached radii/counts + pass set, and the leader's appends
+    // invalidate both — proven filtered answers under live ingest
     val tier = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIER", "float")
     require(tier == "float" || tier == "pq" || tier == "filtered" ||
-      tier == "autoprobe", s"unknown tier $tier")
+      tier == "autoprobe" || tier == "frecall", s"unknown tier $tier")
     val rtTarget = sys.env.getOrElse("SPARK_GRAFT_SCALE_RT", "1.0").toDouble
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -88,8 +93,8 @@ object ServeScaleBench {
         java.nio.file.Paths.get(s"$idxPath/ivf_meta.json")) && {
         val cols = spark.read.parquet(s"$idxPath/clustered").columns
         (tier == "pq" && !(cols.contains("__pqcode") && cols.contains("__pqerr"))) ||
-          (tier == "filtered" && !cols.contains("label")) ||
-          (tier == "autoprobe" && !java.nio.file.Files.exists(
+          ((tier == "filtered" || tier == "frecall") && !cols.contains("label")) ||
+          ((tier == "autoprobe" || tier == "frecall") && !java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$idxPath/cluster_radii")))
       }
     if (stale ||
@@ -99,7 +104,8 @@ object ServeScaleBench {
     val idx = new IvfIndex(spark, idxPath, IdCol, MetricType.Euclidean)
     idx.maxServeRows = Long.MaxValue
     idx.maxServeBytes = Long.MaxValue
-    if (tier == "filtered") idx.setServeFilterColumns(Seq("label"))
+    if (tier == "filtered" || tier == "frecall")
+      idx.setServeFilterColumns(Seq("label"))
 
     val queries = emb.filter(col(IdCol) < 20).orderBy(IdCol)
       .select(VecCol).collect()
@@ -110,10 +116,15 @@ object ServeScaleBench {
     // autoprobe's oracle is the EXACT (full-probe) answer: workers check
     // the declared recall FLOOR against it — leader appends widen radii,
     // which may legitimately move a t<1 cover, but never below the floor
+    // frecall's oracle is the EXACT FILTERED answer (full-probe filtered
+    // sweep): workers check the declared floor against it
     val expected = queries.map(q =>
       (if (tier == "pq") idx.servePointPq(VecCol, q, 10, nProbe = 8)
        else if (tier == "filtered")
          idx.servePointFiltered(VecCol, q, 10, nProbe = 8, ServeScaleBench.FilterConds)
+       else if (tier == "frecall")
+         idx.servePointFiltered(VecCol, q, 10,
+           nProbe = idx.centroids().length, ServeScaleBench.FilterConds)
        else if (tier == "autoprobe")
          idx.servePoint(VecCol, q, 10, nProbe = idx.centroids().length)
        else idx.servePoint(VecCol, q, 10, nProbe = 8)).get.map(_._1).toSeq)
@@ -208,7 +219,8 @@ object ServeScaleBench {
       f""""$n":{"agg_qps":$qps%.2f,"wrong":$wrong,"leader_appends":$app}"""
     }.mkString(",")
     val rtField =
-      if (tier == "autoprobe") f""""recall_target":$rtTarget%.2f,""" else ""
+      if (tier == "autoprobe" || tier == "frecall")
+        f""""recall_target":$rtTarget%.2f,""" else ""
     println(f"""{"metric":"serve_scaleout","rows":$rows,"dim":$dim,""" +
       f""""tier":"$tier",$rtField"queries":${queries.length},"duration_sec":$durSec,""" +
       s""""per_procs":{$body}}""")
@@ -246,7 +258,7 @@ object ServeScaleWorker {
         ServeScaleBench.IdCol, MetricType.Euclidean)
       idx.maxServeRows = Long.MaxValue
       idx.maxServeBytes = Long.MaxValue
-      if (tier == "filtered")
+      if (tier == "filtered" || tier == "frecall")
         idx.setServeFilterColumns(Seq("label"))
       val mine = queries.indices.filter(_ % n == wid).toArray
       // warm this shard's probed clusters BEFORE signaling ready: the
@@ -257,6 +269,11 @@ object ServeScaleWorker {
         else if (tier == "filtered")
           idx.servePointFiltered(ServeScaleBench.VecCol, queries(i), 10,
             nProbe = 8, ServeScaleBench.FilterConds)
+        else if (tier == "frecall")
+          // passing-count cover re-derived per serve; leader appends
+          // invalidate the pass set + counts caches live
+          idx.servePointFilteredRecall(ServeScaleBench.VecCol, queries(i),
+            10, rtTarget, ServeScaleBench.FilterConds)
         else if (tier == "autoprobe")
           // the cover is recomputed per serve off the stamp-cached
           // radii/counts — leader appends invalidate and widen it live
@@ -283,7 +300,7 @@ object ServeScaleWorker {
           // autoprobe's contract is the declared FLOOR vs the exact
           // answer (appends can legitimately move a t<1 cover); every
           // other tier must be byte-identical to its quiescent oracle
-          if (tier == "autoprobe") {
+          if (tier == "autoprobe" || tier == "frecall") {
             val recall = expected(i).toSet.intersect(got.toSet).size.toDouble /
               math.max(expected(i).size, 1)
             if (recall < rtTarget - 1e-9) wrong += 1
