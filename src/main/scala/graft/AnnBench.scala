@@ -548,6 +548,31 @@ object AnnBench {
       q => idx.servePointPqFilteredRecallDetail("embedding", q, 10,
         1.0, fconds))
 
+    // BATCH proven-recall FILTERED serving: ONE all-cluster pass set +
+    // passing-count map serve per-query covers on the shared masked
+    // sweep — the batch twin of frserve (recall vs the filtered exact
+    // must read 1.0 on every served entry; a whole-batch decline is
+    // counted, not crashed)
+    val tbfr = System.nanoTime()
+    val bfrserveDeadline = tbfr + 10L * 1000 * 1000 * 1000
+    var bfrserveQueries = 0L
+    var bfrserveDecl = 0L
+    var bfrGot: Option[Array[(Long, Option[Array[(Long, Double)]])]] = None
+    while (bfrserveQueries == 0L || System.nanoTime() < bfrserveDeadline) {
+      bfrGot = idx.servePointFilteredRecallBatch("embedding", batchServeQs,
+        10, 1.0, fconds)
+      if (bfrGot.isEmpty) bfrserveDecl += batchServeQs.length
+      bfrserveQueries += batchServeQs.length
+    }
+    val bfrserveSec = (System.nanoTime() - tbfr) / 1e9
+    val bfrserveRecall = bfrGot match {
+      case None => 0.0
+      case Some(got) => exactFiltered.zipWithIndex.map { case (e, i) =>
+        val a = got(i)._2.map(_.map(_._1).toSeq).getOrElse(Nil)
+        e.toSet.intersect(a.toSet).size.toDouble / math.max(e.size, 1)
+      }.sum / exactFiltered.length
+    }
+
     // BATCH proven-recall on the 16-bit tier: per-query covers on the
     // shared code sweep × forced per-query certification — the batch
     // twin of rqserve (recall vs exact must read 1.0; the shared sweep
@@ -669,6 +694,9 @@ object AnnBench {
       f""""frpqserve_declines":$frpqserveDecl,""" +
       f""""brqserve_qps":${brqserveQueries / brqserveSec}%.2f,""" +
       f""""brqserve_recall_at_10":$brqserveRecall%.4f,""" +
+      f""""bfrserve_qps":${(bfrserveQueries - bfrserveDecl) / bfrserveSec}%.2f,""" +
+      f""""bfrserve_recall_at_10":$bfrserveRecall%.4f,""" +
+      f""""bfrserve_declines":$bfrserveDecl,""" +
       f""""ingest_serve_qps":${ingestQueries / ingestSec}%.2f,""" +
       f""""ingest_appends":${appendsN.get()},"ingest_wrong":$ingestWrong,""" +
       s""""autoprobe":[${autoRows.mkString(",")}],"geom":"$geomTag",""" +

@@ -328,6 +328,17 @@ object QueriesPipeline {
           round(min(col("quality")), 6).as("min_quality"))
         .orderBy(col("lang"))
     }),
+    // Gopher-style repetition filters (Rae et al. 2021 App. A, public):
+    // per-document line/n-gram repetition fractions — the boilerplate/spam
+    // signals a corpus-cleaning pipeline cuts on. Pure map, no shuffle.
+    "tx_repetition" -> ((s, dir) => {
+      val (dl, dlc, tb, dt, adj) = TextAnalysis.repetitionSignals(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dl.as("dup_line_frac"),
+          dlc.as("dup_line_char_frac"), tb.as("top_bigram_frac"),
+          dt.as("dup_trigram_frac"), adj.as("adj_dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
 
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
@@ -996,6 +1007,29 @@ object QueriesPipeline {
          |  round(min(quality), 6) AS min_quality
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "tx_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, text, $sqlToks toks0 FROM documents),
+         |capped AS (SELECT doc_id, text, toks0[1:512] AS toks FROM tok),
+         |lns AS (SELECT doc_id, toks,
+         |  list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines
+         |  FROM capped),
+         |g AS (SELECT doc_id, lines, toks,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE CAST([] AS VARCHAR[]) END AS bg,
+         |  CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE CAST([] AS VARCHAR[]) END AS tg,
+         |  CASE WHEN len(toks) >= 2 THEN len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) ELSE 0 END AS adj
+         |  FROM lns),
+         |g2 AS (SELECT *,
+         |  CASE WHEN len(bg) > 0 THEN list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) ELSE 0 END AS topbg
+         |  FROM g)
+         |SELECT doc_id,
+         |  CASE WHEN len(lines) > 0 THEN round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+         |  CASE WHEN list_sum(list_transform(lines, x -> len(x))) > 0
+         |       THEN round(CAST(list_sum(list_transform(lines, x -> len(x))) - list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE) / list_sum(list_transform(lines, x -> len(x))), 6)
+         |       ELSE 0.0 END AS dup_line_char_frac,
+         |  CASE WHEN topbg > 1 THEN round(CAST(topbg AS DOUBLE) / len(bg), 6) ELSE 0.0 END AS top_bigram_frac,
+         |  CASE WHEN len(tg) > 0 THEN round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) ELSE 0.0 END AS dup_trigram_frac,
+         |  CASE WHEN len(toks) >= 2 THEN round(CAST(adj AS DOUBLE) / (len(toks) - 1), 6) ELSE 0.0 END AS adj_dup_frac
+         |FROM g2 ORDER BY doc_id""".stripMargin,
     "tx_tfidf_topterms" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |ex AS (SELECT doc_id, unnest(toks) AS word FROM tok),

@@ -87,7 +87,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     * tail never forces a filtered request onto the job path. */
   private final case class DenseTail(
       packed: (Array[Long], Array[Double], Array[Double]),
-      scalars: Map[String, Array[AnyRef]])
+      scalars: Map[String, Array[AnyRef]],
+      // NULL-vector rows seen above the pin: not packable (no distance) —
+      // dense serves simply skip them, but a COMPLETE-verdict borrower
+      // (densePassVerdict) must decline while any exist in the tail
+      nullVecRows: Int = 0)
 
   // fresh-tail rows in servePoint's resident layout, re-collected only
   // when the snapshot version or serving pin moves (one pruned job per
@@ -197,7 +201,11 @@ class GraftDb(val spark: SparkSession, val root: String,
           servingProbe(st, field, wm, cap, cols) match {
             case Left(_) => Left(())
             case Right(rows) if rows.isEmpty => Right(None)
-            case Right(rows) =>
+            case Right(allRows) =>
+              // NULL-vector rows can't be packed (no distance to score):
+              // they leave the serve universe, counted so verdict
+              // borrowers know the tail is incomplete
+              val (nullRows, rows) = allRows.partition(_.isNullAt(2))
               val packed = graft.index.IvfIndex.packRows(
                 rows.map(r => (r.getLong(1),
                   r.getAs[scala.collection.Seq[Float]](2).toArray)),
@@ -213,7 +221,7 @@ class GraftDb(val spark: SparkSession, val root: String,
                     }
                   }
                 }.toMap
-              Right(Some(DenseTail(packed, scalars)))
+              Right(Some(DenseTail(packed, scalars, nullRows.length)))
           }
         tailCache((st.schema.name, field)) = (ver, wm, cols, result)
         result
@@ -423,11 +431,35 @@ class GraftDb(val spark: SparkSession, val root: String,
     val req = JsonMethods.parse(requestJson)
     val table = str(req \ "table")
     val upsert = (req \ "upsert") match { case JBool(b) => b; case _ => false }
-    val data = (req \ "data") match {
-      case a: JArray => a.arr.map(r => JsonMethods.compact(JsonMethods.render(r)))
+    val recs = (req \ "data") match {
+      case a: JArray => a.arr
       case _ => throw new IllegalArgumentException("data must be an array")
     }
     val st = store(table)
+    // reference parity (table_segment_mvp.cpp:465-473): every non-index
+    // field must be PRESENT in every record, or the WHOLE batch is
+    // rejected — a silently-nulled field would otherwise poison every
+    // downstream distance (NULL sorts first) and leave the index universe
+    // incomplete. Auto-embed target fields are generated, hence exempt.
+    // Stricter than the reference on one point: an explicit JSON null for
+    // a VECTOR field is rejected too (the reference's parser would choke
+    // on it undefined-ly; scalar nulls stay allowed — SQL semantics
+    // throughout). Validated BEFORE the WAL/store see anything.
+    val embedTargets = st.schema.indices.map(_.tgt).toSet
+    recs.zipWithIndex.foreach { case (r, i) =>
+      st.schema.fields.foreach { f =>
+        if (!embedTargets.contains(f.name)) (r \ f.name) match {
+          case JNothing =>
+            throw new IllegalArgumentException(
+              s"Record $i missing field: ${f.name}")
+          case JNull if FieldType.isVector(f.fieldType) =>
+            throw new IllegalArgumentException(
+              s"Record $i null vector field: ${f.name}")
+          case _ => ()
+        }
+      }
+    }
+    val data = recs.map(r => JsonMethods.compact(JsonMethods.render(r)))
     if (quotaMaxRowsPerTable != Long.MaxValue &&
         st.count() + data.size > quotaMaxRowsPerTable)
       throw new IllegalStateException(
@@ -970,6 +1002,10 @@ class GraftDb(val spark: SparkSession, val root: String,
         s"$root/${st.schema.name}/ivf_$denseField/ivf_meta.json"))) return None
     val idx = index(st, denseField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None
+    // a donor that skipped NULL-vector rows at build/append has an
+    // INCOMPLETE id universe: rows it never saw (null dense, live sparse)
+    // would be judged non-passing — decline the borrow instead
+    if (!idx.universeComplete()) return None
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
@@ -979,6 +1015,9 @@ class GraftDb(val spark: SparkSession, val root: String,
           if (idx.indexedWatermark() > wm0) idx.rebaseServing()
           else return None // tail over cap: rebuild overdue
         case Right(tail) =>
+          // same completeness rule for the gap rows: a null-dense row
+          // above the pin has no sidecar judgment
+          if (tail.exists(_.nullVecRows > 0)) return None
           // passing ids ABOVE the pin, from the tail's scalar sidecar
           val tailPass = new java.util.HashSet[java.lang.Long]()
           tail match {
@@ -1029,9 +1068,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     // serve a declared recallTarget with PER-QUERY proven covers on the
     // shared sweep (probeSets below) — the code tiers compose forced
     // certification on top (cover × certified = the floor's proof, as
-    // in the single dispatch); the filter combination declines to
-    // per-query dispatch, which honors the floor there (passing-count
-    // covers — each query still SERVES, just unbatched)
+    // in the single dispatch). The FILTER combination rides the shared
+    // sweep too: one all-cluster pass set + passing-count map serves
+    // per-query passing-count covers (servePointFilteredRecallBatch and
+    // the code-tier twins — recall >= target over the FILTERED universe,
+    // 1.0 = exact per query)
     val recallTarget: Option[Double] = (req \ "recallTarget") match {
       case JDouble(d) => Some(d)
       case JDecimal(d) => Some(d.toDouble)
@@ -1049,7 +1090,6 @@ class GraftDb(val spark: SparkSession, val root: String,
           case _ => return allNone
         }
       }
-    if (recallTarget.isDefined && conds.nonEmpty) return allNone
     val queryField = (req \ "queryField") match {
       case JString(s) => s
       case _ =>
@@ -1099,7 +1139,10 @@ class GraftDb(val spark: SparkSession, val root: String,
           // acquired once, the shared sweep scores each row only for
           // the queries whose cover holds its cluster
           val covers: Option[Array[Array[Int]]] =
-            recallTarget.map { t =>
+            if (conds.nonEmpty) None // filtered floors: passing-count
+                                     // covers, pinned inside the batch
+                                     // recall methods below
+            else recallTarget.map { t =>
               val (ck, cw) = idx.servingPinSnapshot()
               coverStable = () => idx.pinStableFor(ck, cw)
               qs.map { case (_, q) =>
@@ -1120,15 +1163,39 @@ class GraftDb(val spark: SparkSession, val root: String,
                   case None => return allNone
                 }
               }
-              if (pq) idx.servePointPqFilteredBatchDetail(queryField, qs,
-                k, np, conds, exclude = tombs.contains, freshTail = ft,
-                certify = certified)
-              else if (quantized) idx.servePointQuantizedFilteredBatchDetail(
-                queryField, qs, k, np, conds, exclude = tombs.contains,
-                freshTail = ft, certify = certified)
-              else idx.servePointFilteredBatch(queryField, qs, k, np, conds,
-                exclude = tombs.contains, freshTail = ft)
-                .map { case (qid, r) => (qid, r.map((_, 0))) }
+              def allDecline: Array[(Long, Option[(Array[(Long, Double)], Int)])] =
+                qs.map { case (qid, _) => (qid, None) }
+              recallTarget match {
+                // declared floor + filter on the shared sweep: per-query
+                // passing-count covers off ONE pass set (1.0 = exact over
+                // the filtered universe); a whole-batch decline degrades
+                // every entry to per-query dispatch, which still serves
+                case Some(t) =>
+                  if (pq) idx.servePointPqFilteredRecallBatchDetail(
+                    queryField, qs, k, t, conds, exclude = tombs.contains,
+                    freshTail = ft, slack = tombs.size.toLong)
+                    .getOrElse(allDecline)
+                  else if (quantized)
+                    idx.servePointQuantizedFilteredRecallBatchDetail(
+                      queryField, qs, k, t, conds, exclude = tombs.contains,
+                      freshTail = ft, slack = tombs.size.toLong)
+                      .getOrElse(allDecline)
+                  else idx.servePointFilteredRecallBatch(queryField, qs, k,
+                    t, conds, exclude = tombs.contains, freshTail = ft,
+                    slack = tombs.size.toLong)
+                    .map(_.map { case (qid, r) => (qid, r.map((_, 0))) })
+                    .getOrElse(allDecline)
+                case None =>
+                  if (pq) idx.servePointPqFilteredBatchDetail(queryField, qs,
+                    k, np, conds, exclude = tombs.contains, freshTail = ft,
+                    certify = certified)
+                  else if (quantized) idx.servePointQuantizedFilteredBatchDetail(
+                    queryField, qs, k, np, conds, exclude = tombs.contains,
+                    freshTail = ft, certify = certified)
+                  else idx.servePointFilteredBatch(queryField, qs, k, np, conds,
+                    exclude = tombs.contains, freshTail = ft)
+                    .map { case (qid, r) => (qid, r.map((_, 0))) }
+              }
             }
             else if (pq) idx.servePointPqBatchDetail(queryField, qs, k, np,
               exclude = tombs.contains, freshTail = tail.map(_.packed),

@@ -287,13 +287,25 @@ class IvfIndex(
 
   def append(newRows: DataFrame, vecCol: String): Long = {
     import org.apache.spark.sql.functions.{col => c}
+    // NULL-vector rows can't be clustered (no distance): drop them from
+    // the staged batch but ADVANCE the watermark past them (or appendIndexes
+    // re-reads them forever) and accrue the persisted null count so
+    // universeComplete() reports the incomplete id universe
+    val rawStats = newRows.agg(count(lit(1)),
+      max(c(idCol).cast("long")), count(c(vecCol))).head()
+    val nRaw = rawStats.getLong(0)
+    if (nRaw == 0) return 0L
+    val rawMaxId = rawStats.getLong(1)
+    val nullsDelta = nRaw - rawStats.getLong(2)
+    val nonNull =
+      if (nullsDelta == 0L) newRows else newRows.filter(c(vecCol).isNotNull)
     val centPairs = centroids().sortBy(_._1)
     val cents = centPairs.map(_._2)
     val centIdByIdx = centPairs.map(_._1)
     val prepared =
       if (metric == MetricType.Cosine)
-        newRows.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
-      else newRows
+        nonNull.withColumn(vecCol, graft.functions.l2_normalize(c(vecCol)))
+      else nonNull
     // cluster is assigned FIRST: residual PQ codes are relative to the
     // assigned centroid, so the encode expressions need the cluster
     // column. NearestCentroid yields the ARRAY INDEX — map it to the real
@@ -360,8 +372,7 @@ class IvfIndex(
         }
       else staged1
     val assigned = staged.cache()
-    val stats = assigned.agg(count(lit(1)), max(c(idCol).cast("long"))).head()
-    val n = stats.getLong(0)
+    val n = rawStats.getLong(2) // non-null rows = rows actually staged
     if (n > 0) {
       assigned.repartition(c("cluster"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -380,15 +391,26 @@ class IvfIndex(
           java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath)))
         IvfIndex.writeRadii(spark, path, vecCol,
           org.apache.spark.sql.SaveMode.Append, Some(assigned))
-      val (wm, cnt, purge) = meta()
-      IvfIndex.writeMeta(metaPath, math.max(wm, stats.getLong(1)), cnt + n, purge,
-        base = IvfIndex.readBase(metaPath), gen = IvfIndex.readGen(metaPath))
-      // the meta stamp changed — refreshIfStale() re-lists on next access,
-      // here and in any other JVM sharing this index path
     }
+    // meta advances even for an all-null batch (n == 0, nRaw > 0): the
+    // watermark must pass the nulls or every maintenance tick re-reads them
+    val (wm, cnt, purge) = meta()
+    IvfIndex.writeMeta(metaPath, math.max(wm, rawMaxId), cnt + nRaw, purge,
+      base = IvfIndex.readBase(metaPath), gen = IvfIndex.readGen(metaPath),
+      nulls = IvfIndex.readNulls(metaPath) + nullsDelta)
+    // the meta stamp changed — refreshIfStale() re-lists on next access,
+    // here and in any other JVM sharing this index path
     assigned.unpersist()
     n
   }
+
+  /** True iff this layout's id universe covers EVERY store row at or below
+    * the indexed watermark — i.e. no NULL-vector row was ever skipped by a
+    * build/append pass. Borrowed-verdict consumers (densePassVerdict: the
+    * hybrid keyword mask, sparse-field filtered serving) require a complete
+    * universe: an incomplete donor must DECLINE, never silently judge a
+    * row it has never seen as non-passing. */
+  def universeComplete(): Boolean = IvfIndex.readNulls(metaPath) == 0L
 
   /** ANN top-K: prune to the nProbe nearest clusters of the query, exact
     * search within them.
@@ -2566,6 +2588,152 @@ class IvfIndex(
     }
   }
 
+  /** The BATCH form of [[withPassingCountCover]]: one all-cluster scalar
+    * acquisition + ONE passing-id set + ONE per-cluster passing-count map
+    * serve PER-QUERY proven covers for the whole batch (the conjunction is
+    * shared, so the counts are too — each query only differs in its
+    * centroid distances). `inner` gets the aligned covers plus the
+    * composed mask and runs the tier's shared sweep; the pin is
+    * re-verified after it returns (covers and pass sets are derived
+    * state — the same-watermark-rebuild race). `qsArr` must already be
+    * metric-normalized; `tailIds0` pre-filtered tail rows bypass the
+    * resident mask. */
+  private def withPassingCountCoverBatch[R](qsArr: Array[Array[Float]],
+      k: Int, target: Double, slack: Long,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean, tailIds0: Array[Long])(
+      inner: (Array[Array[Int]], Long => Boolean) => Option[R]): Option[R] = {
+    if (!conds.forall(c => filterColsDecl.contains(c.col))) return decline
+    val tailIds = new java.util.HashSet[java.lang.Long]()
+    tailIds0.foreach(id => tailIds.add(id))
+    var attempts = 0
+    while (attempts < 4) {
+      attempts += 1
+      var union: Array[Int] = null
+      acquireResident[ScalarCluster](
+        scalarCache, _.ids.length.toLong,
+        () => scalarRowsResident, v => scalarRowsResident = v,
+        effectiveMaxScalarRows,
+        () => { union = centroids().map(_._1); union },
+        loadScalarClusters) match {
+        case None => return decline
+        case Some((scalars, pinKey, pinWm)) =>
+          val pass = passingIds(conds, union.map(scalars), union, pinWm)
+          val countKey = (graft.filter.SimpleConjuncts.key(conds), pinWm,
+            union.sorted.toSeq)
+          val cachedCounts = synchronized { passCountCache.get(countKey) }
+          val passCounts: Map[Int, Long] =
+            if (cachedCounts != null) cachedCounts
+            else {
+              val m = union.map { cid =>
+                val sc = scalars(cid)
+                var n = 0L
+                var j = 0
+                while (j < sc.ids.length) {
+                  if (pass.contains(sc.ids(j))) n += 1
+                  j += 1
+                }
+                cid -> n
+              }.toMap
+              synchronized { passCountCache.put(countKey, m) }
+              m
+            }
+          val covers = qsArr.map(q => coverFromCounts(q, k, target, slack,
+            passCounts))
+          inner(covers,
+            id => exclude(id) || (!pass.contains(id) && !tailIds.contains(id))
+          ) match {
+            case None => return None
+            case some =>
+              if (pinStable(pinKey, pinWm)) return some
+            // else: a rebuild raced the pass set/covers — retry
+          }
+      }
+    }
+    decline
+  }
+
+  /** BATCH proven-recall attribute-filtered serving, float tier: each
+    * query keeps ITS passing-count cover (recall ≥ target over the
+    * FILTERED universe; 1.0 = exact) while the cover union is acquired
+    * once and the row sweep is shared. Outer None = whole-batch decline
+    * (caller degrades to per-query dispatch, which still serves). */
+  def servePointFilteredRecallBatch(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, target: Double,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L)
+      : Option[Array[(Long, Option[Array[(Long, Double)]])]] = {
+    if (queries.isEmpty) return Some(Array.empty)
+    if (conds.isEmpty) return decline // unfiltered covers are the caller's path
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim)) return decline
+    if (centroids().headOption.exists(_._2.length != dim)) return decline
+    withPassingCountCoverBatch(qsArr, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (covers, ex) =>
+      Some(servePointBatch(vecCol, queries, k, nProbe = 0, ex, freshTail,
+        probeSets = Some(covers)))
+    }
+  }
+
+  /** BATCH proven-recall attribute-filtered serving off the 16-BIT code
+    * residency: per-query passing-count covers × FORCED certification on
+    * the shared code sweep — cover bounds the filtered top-k's clusters,
+    * the mask makes the candidates the filtered universe, certification
+    * returns their exact top-k ⇒ recall ≥ target per query. */
+  def servePointQuantizedFilteredRecallBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, target: Double,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L)
+      : Option[Array[(Long, Option[(Array[(Long, Double)], Int)])]] = {
+    if (queries.isEmpty) return Some(Array.empty)
+    if (conds.isEmpty) return decline
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    val dim = qsArr(0).length
+    if (qsArr.exists(_.length != dim)) return decline
+    if (centroids().headOption.exists(_._2.length != dim)) return decline
+    withPassingCountCoverBatch(qsArr, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (covers, ex) =>
+      Some(servePointQuantizedBatchDetail(vecCol, queries, k, nProbe = 0,
+        ex, freshTail, certify = true, probeSets = Some(covers)))
+    }
+  }
+
+  /** The PQ twin of [[servePointQuantizedFilteredRecallBatchDetail]]
+    * (per-row reconstruction error bounds keep proofCut's intervals
+    * sound; a pathological rerank band declines that query). */
+  def servePointPqFilteredRecallBatchDetail(vecCol: String,
+      queries: Array[(Long, Array[Float])], k: Int, target: Double,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond],
+      exclude: Long => Boolean = _ => false,
+      freshTail: Option[(Array[Long], Array[Double], Array[Double])] = None,
+      slack: Long = 0L)
+      : Option[Array[(Long, Option[(Array[(Long, Double)], Int)])]] = {
+    if (queries.isEmpty) return Some(Array.empty)
+    if (conds.isEmpty) return decline
+    val cb = pqCodebook() match {
+      case Some(c) => c
+      case None => return decline // pre-PQ layout
+    }
+    val qsArr: Array[Array[Float]] = queries.map { case (_, raw) =>
+      if (metric == MetricType.Cosine) IvfIndex.normalize(raw) else raw
+    }
+    if (qsArr.exists(_.length != cb.dim)) return decline
+    withPassingCountCoverBatch(qsArr, k, target, slack, conds, exclude,
+      freshTail.map(_._1).getOrElse(Array.empty)) { (covers, ex) =>
+      Some(servePointPqBatchDetail(vecCol, queries, k, nProbe = 0,
+        ex, freshTail, certify = true, probeSets = Some(covers)))
+    }
+  }
+
   /** Ball cover from caller-supplied per-cluster counts (the geometric
     * half of probeSetForRecall, counts injected — passing counts for the
     * filtered form). `q` is already metric-normalized. */
@@ -3398,10 +3566,18 @@ object IvfIndex {
   private[graft] def readGen(metaPath: String): Long =
     MetaJson.readLongField(metaPath, "gen", 0L)
 
+  /** NULL-vector rows seen by build/append passes: they are not in the
+    * layout (no distance) but the watermark covers them. Nonzero means the
+    * index universe is INCOMPLETE vs the store — borrowed-verdict paths
+    * must decline. Metas written before the stamp existed read 0 (those
+    * builds would have failed outright on a null vector). */
+  private[graft] def readNulls(metaPath: String): Long =
+    MetaJson.readLongField(metaPath, "nulls", 0L)
+
   private[index] def writeMeta(metaPath: String, watermark: Long, count: Long,
-      purge: Long, base: Long = -1L, gen: Long = 0L): Unit =
+      purge: Long, base: Long = -1L, gen: Long = 0L, nulls: Long = 0L): Unit =
     MetaJson.writeAtomic(metaPath,
-      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base},"gen":$gen}""")
+      s"""{"watermark":$watermark,"count":$count,"purge":$purge,"base":${if (base < 0) count else base},"gen":$gen,"nulls":$nulls}""")
 
   /** Rebuild-scheduler semantics (reference: table_mvp.cpp:94-203, invoked
     * every 60s): skip when the table is too small or unchanged since the
@@ -3470,15 +3646,24 @@ object IvfIndex {
     val prepared = (if (metric == MetricType.Cosine)
       df.withColumn(vecCol, l2_normalize(col(vecCol)))
     else df).cache()
-    val stats = prepared.agg(count(lit(1)), max(col(idCol).cast("long"))).head()
+    // NULL vectors are not indexable (no distance): they are dropped from
+    // the layout but COUNTED in the meta — the watermark still advances
+    // past them (appends must not re-see them) and the persisted null
+    // count lets universeComplete() tell borrowers (densePassVerdict)
+    // that this index does NOT cover every store row
+    val stats = prepared.agg(count(lit(1)), max(col(idCol).cast("long")),
+      count(col(vecCol))).head()
     val n = stats.getLong(0)
     val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val nNulls = n - stats.getLong(2)
+    val indexed =
+      if (nNulls == 0L) prepared else prepared.filter(col(vecCol).isNotNull)
 
     // bounded fit sample (deterministic seed); Lloyd runs distributed over
     // the sample only — the full data is touched once more, at assignment
     val target = sampleTarget(nClusters)
-    val fitDf = (if (n <= target) prepared.select(col(idCol), col(vecCol))
-      else prepared.select(col(idCol), col(vecCol))
+    val fitDf = (if (n <= target) indexed.select(col(idCol), col(vecCol))
+      else indexed.select(col(idCol), col(vecCol))
         .sample(withReplacement = false, math.min(1.0, target.toDouble * 1.2 / n), seed = 42L))
       .cache()
 
@@ -3564,7 +3749,7 @@ object IvfIndex {
     // keeps up to nClusters parquet writers open (tasks x clusters small
     // files + writer churn was 70s of a 73s build at 500k rows)
     val bc = spark.sparkContext.broadcast(cents)
-    withQuantized(prepared, vecCol)
+    withQuantized(indexed, vecCol)
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .withColumn("__pqcode",
         pq_encode_res(col(vecCol), col("cluster"), pqCb, cIds, centsFlat))
@@ -3597,7 +3782,8 @@ object IvfIndex {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/ivf_meta.json")))
         readGen(s"$path/ivf_meta.json")
       else 0L
-    writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen, gen = prevGen + 1)
+    writeMeta(s"$path/ivf_meta.json", maxId, n, purgeGen, gen = prevGen + 1,
+      nulls = nNulls)
     prepared.unpersist()
     // organic-skew guard at build time: a cluster past 4x the mean row
     // count (k-means collapsed a dense region into one cell) is re-split
@@ -3746,7 +3932,7 @@ object IvfIndex {
       writeRadii(spark, path, vecCol, SaveMode.Overwrite, None)
     val (wm, cnt0, purge) = readMeta(metaFile)
     writeMeta(metaFile, wm, cnt0, purge, base = readBase(metaFile),
-      gen = readGen(metaFile) + 1)
+      gen = readGen(metaFile) + 1, nulls = readNulls(metaFile))
     split
   }
 

@@ -167,6 +167,60 @@ object TextAnalysis {
       i => window(i, shingleLen)))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis and Insights from Training Gopher",
+    * App. A — public filtering rules): boilerplate, SEO spam and scraper
+    * junk are dominated by repeated lines and n-grams. Five signals, each
+    * a map-only codegen'd expression (no UDF, no shuffle) rounded to 6
+    * places and mirrored verbatim in the DuckDB oracle:
+    *  - dup_line_frac       repeated (non-empty) lines / lines
+    *  - dup_line_char_frac  characters inside repeated lines / line chars
+    *  - top_bigram_frac     occurrences of the most frequent token bigram
+    *                        / all bigram occurrences
+    *  - dup_trigram_frac    1 − distinct trigrams / trigram occurrences
+    *  - adj_dup_frac        adjacent equal-token pairs / (tokens − 1)
+    * N-gram signals run over the first `capTokens` tokens: the mode count
+    * is O(distinct × n) per row, so the cap makes the per-row cost a
+    * CONSTANT — at 100 TB the operator stays a pure bounded map while
+    * keeping the signal (boilerplate repeats early and often). */
+  def repetitionSignals(text: Column, capTokens: Int = 512)
+      : (Column, Column, Column, Column, Column) = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nL = size(lines)
+    val nDl = size(array_distinct(lines))
+    val dupLineFrac = when(nL > 0,
+      round((nL - nDl).cast("double") / nL, 6)).otherwise(lit(0.0))
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val distChars =
+      aggregate(array_distinct(lines), lit(0L), (acc, l) => acc + length(l))
+    val dupLineCharFrac = when(lineChars > 0,
+      round((lineChars - distChars).cast("double") / lineChars, 6))
+      .otherwise(lit(0.0))
+    val toks = slice(tokens(text), 1, capTokens)
+    val n = size(toks)
+    // i = 1..n-k+1, space-joined — identical to the oracle's
+    // list_transform(range(1, len+2-k), i -> toks[i] || ' ' || ...)
+    def gram(k: Int): Column =
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    val bg = when(n >= 2, gram(2)).otherwise(array().cast("array<string>"))
+    val tg = when(n >= 3, gram(3)).otherwise(array().cast("array<string>"))
+    val topBg = array_max(transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b))))
+    // a top bigram occurring ONCE is not repetition — every no-repeat doc
+    // must score 0.0 on every signal (contract pinned by PipelineSpec)
+    val topBigramFrac = when(size(bg) > 0 && topBg > 1,
+      round(topBg.cast("double") / size(bg), 6)).otherwise(lit(0.0))
+    val dupTrigramFrac = when(size(tg) > 0,
+      round(lit(1.0) - size(array_distinct(tg)).cast("double") / size(tg), 6))
+      .otherwise(lit(0.0))
+    val adj = size(filter(sequence(lit(1), n - 1),
+      i => element_at(toks, i) === element_at(toks, i + 1)))
+    val adjDupFrac = when(n >= 2,
+      round(adj.cast("double") / (n - 1), 6)).otherwise(lit(0.0))
+    (dupLineFrac, dupLineCharFrac, topBigramFrac, dupTrigramFrac, adjDupFrac)
+  }
+
   /** PII / noise scrubbing patterns — written to behave identically under
     * Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
   val UrlPattern = "https?://[^ ]+"

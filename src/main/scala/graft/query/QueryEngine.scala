@@ -104,7 +104,12 @@ object QueryEngine {
   def search(table: DataFrame, schema: TableSchema, req: SearchRequest): DataFrame = {
     val field = schema.field(req.queryField)
     val dist = distanceColumn(field, req.queryVector)
-    val withDist = table.withColumn(DistanceCol, dist)
+    // NULL vectors have NULL distance, and Spark's asc ordering is
+    // NULLS FIRST — without this pushdown-friendly guard a null-vector
+    // row would head every top-k. Null vectors are simply not in the
+    // search universe (the reference cannot ingest them at all).
+    val withDist = table.filter(col(req.queryField).isNotNull)
+      .withColumn(DistanceCol, dist)
     // filter may reference @distance (post-filter mode, expr.cpp:134-139);
     // Catalyst pushes @distance-free conjuncts below the projection on its own.
     val filtered =
@@ -130,7 +135,8 @@ object QueryEngine {
       : (DataFrame, Seq[DataFrame], () => Unit) = {
     val field = schema.field(req.queryField)
     val dist = distanceColumn(field, req.queryVector)
-    val withDist = table.withColumn(DistanceCol, dist)
+    val withDist = table.filter(col(req.queryField).isNotNull)
+      .withColumn(DistanceCol, dist)
     val filtered =
       if (req.filter.nonEmpty)
         withDist.filter(FilterTranslator.translate(req.filter, withDist.schema))

@@ -22,6 +22,31 @@ class PipelineSpec extends SparkSpec {
     (8L, "short")
   ).toDF("doc_id", "text")
 
+  test("repetitionSignals: Gopher-style line/n-gram repetition fractions") {
+    val rdocs = Seq(
+      (1L, "good line\nother line\nthird one"),              // no repeats
+      (2L, "spam line\nspam line\nspam line\nreal content"), // dup lines
+      (3L, "buy now buy now buy now buy now"),               // dominant bigram
+      (4L, "a a a b"),                                       // adjacent dups
+      (5L, ""),                                              // empty
+      (6L, "one")                                            // single token
+    ).toDF("id", "text")
+    val (dl, dlc, tb, dt, adj) = TextAnalysis.repetitionSignals(col("text"))
+    val r = rdocs.select(col("id"), dl, dlc, tb, dt, adj).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(r(1L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(1L).toString)
+    // 4 lines, 2 distinct -> 0.5; chars 3*9+12=39, distinct 21 -> 18/39
+    assert(r(2L)._1 == 0.5 && r(2L)._2 == 0.461538, r(2L).toString)
+    // 8 tokens -> 7 bigrams: "buy now" x4, "now buy" x3 -> 4/7;
+    // 6 trigrams, 2 distinct -> 1 - 2/6
+    assert(r(3L)._3 == 0.571429 && r(3L)._4 == 0.666667, r(3L).toString)
+    // a a a b: adjacent equal pairs 2 of 3
+    assert(r(4L)._5 == 0.666667, r(4L).toString)
+    assert(r(5L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(5L).toString)
+    assert(r(6L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(6L).toString)
+  }
+
   test("tokens: empty string yields empty array") {
     val r = docs.select(TextAnalysis.tokenCount(col("text")).as("n"), col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap

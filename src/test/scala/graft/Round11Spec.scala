@@ -438,6 +438,53 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("batch recallTarget + FILTER serves on the shared sweep (per-query passing-count covers, all three tiers)") {
+    val db = fixtureDb("r11_batch_rt_filter")
+    val m = rowIdToId(db)
+    val vs = Seq(qVec, "[0.1,0.9,0.2,0.8]", "[0.7,0.1,0.6,0.3]")
+    val jobF = vs.map(v => resultIds(db.query(
+      s"""{"table":"T","queryVector":$v,"limit":6,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin), "ID"))
+    for (tier <- Seq("", "\"quantized\":true,", "\"pq\":true,")) {
+      val batch = db.query(
+        s"""{"table":"T","queryVectors":[${vs.mkString(",")}],
+           |"limit":6,"serve":true,$tier"recallTarget":1.0,
+           |"filter":"Label >= 5"}""".stripMargin)
+      val entries = (JsonMethods.parse(batch) \ "results") match {
+        case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+        case other => fail(s"bad envelope: $other")
+      }
+      entries.zip(jobF).foreach { case (e, exact) =>
+        // every entry marked served+filtered (+certified on a code tier —
+        // the floor forces certification there) and SET-equal to the
+        // filtered job path at target 1.0
+        assert(e.contains("\"served\":true") &&
+          e.contains("\"filtered\":true"), s"[$tier] $e")
+        if (tier.nonEmpty) assert(e.contains("\"certified\":true"), s"[$tier] $e")
+        assert(resultIds(e).map(m).toSet == exact.toSet,
+          s"[$tier] $e vs $exact")
+        assert(resultIds(e).map(m).forall(_ % 10 >= 5), s"[$tier] $e")
+      }
+    }
+    // a 0.5 floor + filter stays honored batch-wide (recall vs filtered
+    // exact >= 0.5 per entry, still marked filtered)
+    val half = db.query(
+      s"""{"table":"T","queryVectors":[${vs.mkString(",")}],
+         |"limit":6,"serve":true,"recallTarget":0.5,
+         |"filter":"Label >= 5"}""".stripMargin)
+    val hEntries = (JsonMethods.parse(half) \ "results") match {
+      case JArray(rs) => rs.map(r => JsonMethods.compact(JsonMethods.render(r)))
+      case other => fail(s"bad envelope: $other")
+    }
+    hEntries.zip(jobF).foreach { case (e, exact) =>
+      assert(e.contains("\"filtered\":true") || !e.contains("\"served\""), e)
+      val got =
+        if (e.contains("\"served\":true")) resultIds(e).map(m) else resultIds(e, "ID")
+      val recall = got.toSet.intersect(exact.toSet).size.toDouble / exact.size
+      assert(recall >= 0.5, s"floor violated: $e vs $exact")
+    }
+  }
+
   test("servePointBatch with explicit probe sets equals per-query servePoint covers") {
     val df = blobs(800)
     val path = tmpDir("r11_batch_covers")
