@@ -24,6 +24,30 @@ object QueriesPipeline {
   private def sqlHash60(e: String) =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  // Corpus bigram-LM scores, the shared CTE chain of the tx_lm_score /
+  // pl_lm_buckets oracles — mirrors TextAnalysis.bigramLmScore term by
+  // term (capped tokens, compressed (doc,bigram,multiplicity), add-0.5
+  // smoothing, m·ln p, round 4). Yields table lm(doc_id, lm_nll).
+  private val sqlLmNll =
+    s"""ltok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM documents),
+       |lbge AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |  FROM ltok),
+       |ldbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS m
+       |  FROM lbge GROUP BY 1, 2, 3),
+       |lbgc AS (SELECT bg, sum(m) AS c_bg FROM ldbg GROUP BY bg),
+       |llc AS (SELECT w1, sum(m) AS c_left FROM ldbg GROUP BY w1),
+       |lv AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM ltok) u),
+       |lsc AS (SELECT d.doc_id,
+       |    -sum(d.m * ln((c.c_bg + 0.5) / (l.c_left + 0.5 * lv.v))) / sum(d.m) AS nll
+       |  FROM ldbg d JOIN lbgc c USING (bg) JOIN llc l USING (w1) CROSS JOIN lv
+       |  GROUP BY d.doc_id),
+       |lm AS (SELECT d.doc_id, round(s.nll, 4) AS lm_nll
+       |  FROM documents d LEFT JOIN lsc s ON d.doc_id = s.doc_id)""".stripMargin
+
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
   private[graft] val Bm25Terms = Seq("vector", "join", "spark")
 
@@ -340,6 +364,34 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style corpus LM scoring (Wenzek et al. 2019): per-doc negative
+    // mean bigram log-likelihood under the corpus's own smoothed bigram
+    // model — the standard head/middle/tail quality axis.
+    "tx_lm_score" -> ((s, dir) => {
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    // ... and the bucketing that consumes it: per-LANGUAGE terciles of the
+    // rounded score (CCNet buckets per language), summarized per bucket.
+    // ntile runs over (rounded score, id) so the cut is deterministic and
+    // engine-independent; min/max over 4-rounded values are exact.
+    "pl_lm_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramLmScore(docs)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("lm_nll"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id")
+        .filter(col("lm_nll").isNotNull)
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_nll")).as("min_nll"),
+          max(col("lm_nll")).as("max_nll"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -517,6 +569,33 @@ object QueriesPipeline {
       val local = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
       java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
+    }),
+    // Streaming INCREMENTAL exact dedup (DocStream.incrementalDedup): the
+    // crawl-snapshot ingest shape — dropDuplicates state in the checkpoint
+    // dedups each new batch against everything already seen. The gate runs
+    // one AvailableNow pass over the documents table; output is the
+    // deterministic digest SET (the surviving row per digest depends on
+    // arrival order, so only the digest column is part of the contract).
+    "st_dedup_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("st_dedup_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      val sink = s"st_dedup_stream_sink_${evStreamRuns.incrementAndGet()}"
+      val q = graft.streaming.DocStream.incrementalDedup(src)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).select(col("digest")).orderBy(col("digest"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
       java.nio.file.Files.deleteIfExists(streamDir)
       local
     }),
@@ -1030,6 +1109,19 @@ object QueriesPipeline {
          |  CASE WHEN len(tg) > 0 THEN round(1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) ELSE 0.0 END AS dup_trigram_frac,
          |  CASE WHEN len(toks) >= 2 THEN round(CAST(adj AS DOUBLE) / (len(toks) - 1), 6) ELSE 0.0 END AS adj_dup_frac
          |FROM g2 ORDER BY doc_id""".stripMargin,
+    "tx_lm_score" ->
+      s"""WITH $sqlLmNll
+         |SELECT doc_id, lm_nll FROM lm ORDER BY doc_id""".stripMargin,
+    "pl_lm_buckets" ->
+      s"""WITH $sqlLmNll,
+         |b AS (SELECT d.lang, lm.doc_id, lm.lm_nll,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+         |  WHERE lm.lm_nll IS NOT NULL)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  min(lm_nll) AS min_nll, max(lm_nll) AS max_nll
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "tx_tfidf_topterms" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |ex AS (SELECT doc_id, unnest(toks) AS word FROM tok),
@@ -1189,6 +1281,9 @@ object QueriesPipeline {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     // the streaming twin must land on the exact same batch answer
+    "st_dedup_stream" ->
+      """SELECT DISTINCT md5(text) AS digest FROM documents
+        |ORDER BY digest""".stripMargin,
     "ev_hour_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

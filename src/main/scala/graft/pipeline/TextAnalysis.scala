@@ -270,6 +270,67 @@ object TextAnalysis {
       .select(id, col("rank"), col("word"), round(col("score"), 4).as("score"))
   }
 
+  /** Corpus bigram-LM quality score (CCNet-style; Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — the public LM-perplexity corpus-filtering signal). Each
+    * document is scored by the negative mean log-likelihood of its token
+    * bigrams under an add-k-smoothed bigram model estimated from the
+    * corpus itself: low = fluent/typical text, high = junk — the standard
+    * head/middle/tail quality axis.
+    *
+    *   P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V),   V = |vocab|
+    *   lm_nll(doc) = −(Σ m·ln P) / Σ m   over the doc's DISTINCT bigrams
+    *                                     with multiplicity m
+    *
+    * Plan shape, chosen for 100 TB: tokens are capped at `capTokens` (the
+    * per-row cost is constant); per-doc bigrams are COMPRESSED to
+    * (doc, bigram, multiplicity) first [shuffle 1], which bounds the
+    * model-join fan-in under zipfian bigrams ("buy now" ×10⁴ in one spam
+    * doc joins once, not 10⁴ times) and is also what makes the fp story
+    * mirrorable (m·ln p is one multiply on both engines, not m re-ordered
+    * additions); the bigram/left-context count tables derive from the
+    * compressed form [shuffles 2,3 — map-side partial aggs] and join back
+    * on their own keys, so the model side arrives pre-partitioned; the
+    * final per-doc reduce [shuffle 4] sums ≤capTokens terms. ln differs
+    * between libm implementations in the last ulp → the score is rounded
+    * to 4 places (oracle-fp discipline), and min/max/count over the
+    * rounded score are exact downstream. */
+  def bigramLmScore(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", capTokens: Int = 512,
+      k: Double = 0.5): DataFrame = {
+    val id = col(idCol)
+    val toksC = slice(tokens(col(textCol)), 1, capTokens)
+    val tok = df.select(id, toksC.as("toks"))
+    val nT = size(col("toks"))
+    // whitespace tokens cannot contain spaces, so "w1 w2" is an injective
+    // bigram key — no struct plumbing needed on either engine
+    val bgArr = when(nT >= 2,
+      transform(sequence(lit(1), nT - 1),
+        i => struct(
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)).as("bg"),
+          element_at(col("toks"), i).as("w1"))))
+      .otherwise(array().cast("array<struct<bg:string,w1:string>>"))
+    val docBg = tok.select(id, explode(bgArr).as("p"))
+      .groupBy(id, col("p.bg").as("bg"), col("p.w1").as("w1"))
+      .agg(count(lit(1)).as("m"))
+    val bgc = docBg.groupBy(col("bg")).agg(sum(col("m")).as("c_bg"))
+    val lc = docBg.groupBy(col("w1")).agg(sum(col("m")).as("c_left"))
+    val vocab = tok.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = docBg
+      .join(bgc, "bg").join(lc, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(id, (col("m") *
+        log((col("c_bg") + k) / (col("c_left") + lit(k) * col("v")))).as("lp"),
+        col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    // every input doc appears; <2-token docs carry a NULL score
+    df.select(id).join(scored, Seq(idCol), "left")
+      .select(id, round(col("nll"), 4).as("lm_nll"))
+  }
+
   /** Annotate a documents DataFrame with the full feature set.
     * Tokenization and shingle hashing are staged into their own projection
     * so they run ONCE per row; every feature reads the materialized arrays.

@@ -225,3 +225,24 @@ object EventStream {
       }
   }
 }
+
+/** Streaming twin of the batch exact-dedup operator: INCREMENTAL corpus
+  * dedup. `dropDuplicates` keeps one state-store row per distinct digest,
+  * and that state lives in the CHECKPOINT — so across AvailableNow
+  * restarts on one checkpoint, a document whose digest appeared in ANY
+  * earlier batch is never re-emitted. That is exactly the crawl-snapshot
+  * ingest shape at 100 TB: each new snapshot streams through and dedups
+  * against everything already ingested without re-reading it; state is
+  * digest-sized (16 bytes + overhead per DISTINCT doc), sharded across
+  * executors by the state-store partitioning, and the emitted stream is
+  * append-only (safe for a parquet sink). For event-time-bounded streams,
+  * `dropDuplicatesWithinWatermark` caps state by time instead. */
+object DocStream {
+
+  /** One output row per first-seen digest; `keepCols` rides along from the
+    * surviving (first-seen) row — e.g. the doc_id to keep. */
+  def incrementalDedup(docs: DataFrame, textCol: String = "text",
+      keepCols: Seq[String] = Seq.empty): DataFrame =
+    docs.select((md5(col(textCol)).as("digest") +: keepCols.map(col)): _*)
+      .dropDuplicates("digest")
+}

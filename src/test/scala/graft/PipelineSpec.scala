@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     assert(r(6L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(6L).toString)
   }
 
+  test("bigramLmScore: add-k smoothed corpus bigram NLL, hand-computed") {
+    val lmDocs = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
+      (2L, "a b c"),   // "a b", "b c"
+      (3L, "x"),       // no bigrams -> NULL score
+      (4L, "")         // empty -> NULL score
+    ).toDF("doc_id", "text")
+    // corpus: c("a b")=3, c("b a")=1, c("b c")=1; left a=3, b=2; V=4, k=0.5
+    // P(b|a)=3.5/5=0.7  P(a|b)=P(c|b)=1.5/4=0.375
+    // doc1 = -(2 ln .7 + ln .375)/3 = 0.5647;  doc2 = -(ln .7 + ln .375)/2 = 0.6688
+    val r = TextAnalysis.bigramLmScore(lmDocs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(r(1L).contains(0.5647), r(1L).toString)
+    assert(r(2L).contains(0.6688), r(2L).toString)
+    assert(r(3L).isEmpty && r(4L).isEmpty, (r(3L), r(4L)).toString)
+  }
+
   test("tokens: empty string yields empty array") {
     val r = docs.select(TextAnalysis.tokenCount(col("text")).as("n"), col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap

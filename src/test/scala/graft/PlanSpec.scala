@@ -26,7 +26,10 @@ class PlanSpec extends SparkSpec {
   private val intentionalThetaJoins =
     Set("dd_jaccard_pairs", "dd_embed_cosine", "r1_knn_join",
       "tx_bm25_topk", "tx_bm25_batch", "hy_rrf_fusion",
-      "hy_rrf_filtered") // same 1-row BM25 stats attach as hy_rrf_fusion
+      "hy_rrf_filtered", // same 1-row BM25 stats attach as hy_rrf_fusion
+      // bigramLmScore crossJoins a broadcast ONE-ROW vocab-size frame into
+      // the scoring pass — the same map-side constant attach as BM25
+      "tx_lm_score", "pl_lm_buckets")
 
   // store-DML queries execute real writes at construction; plan-shape for
   // their read side is covered by a1_store_scan_page's oracle. The two

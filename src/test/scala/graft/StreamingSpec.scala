@@ -35,6 +35,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(2 -> "two-v2", 3 -> "three"), s"got $rows")
   }
 
+  test("incremental dedup: checkpointed digest state dedups a second snapshot across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val srcDir = tmpDir("dd_stream_src")
+    val ckpt = tmpDir("dd_stream_ckpt")
+    val outDir = tmpDir("dd_stream_out")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val src = spark.readStream.schema(docSchema).parquet(srcDir)
+      val q = graft.streaming.DocStream
+        .incrementalDedup(src, keepCols = Seq("doc_id"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // snapshot 1: two distinct docs
+    Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(spark.read.parquet(outDir).count() == 2)
+    // snapshot 2 after a "restart": one text-dup of doc 1, one new doc.
+    // The dup digest is already in the checkpointed state store, so it is
+    // NOT re-emitted — the survivor stays the first-seen doc_id.
+    Seq((3L, "alpha doc"), (4L, "gamma doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3, out.collect().mkString(","))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), ids.toString)
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
