@@ -371,6 +371,16 @@ object QueriesPipeline {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    // ... the fit/apply split — the actual CCNet deployment shape: the
+    // model is estimated on a REFERENCE slice (doc_id < 250 stands in for
+    // the clean wiki-grade corpus) and applied to held-out docs, with
+    // out-of-vocabulary bigrams degrading to the smoothing floor.
+    "tx_lm_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramLmFit(docs.filter(col("doc_id") < 250))
+      TextAnalysis.bigramLmApply(lm, docs.filter(col("doc_id") >= 250))
+        .orderBy(col("doc_id"))
+    }),
     // ... and the bucketing that consumes it: per-LANGUAGE terciles of the
     // rounded score (CCNet buckets per language), summarized per bucket.
     // ntile runs over (rounded score, id) so the cut is deterministic and
@@ -1112,6 +1122,39 @@ object QueriesPipeline {
     "tx_lm_score" ->
       s"""WITH $sqlLmNll
          |SELECT doc_id, lm_nll FROM lm ORDER BY doc_id""".stripMargin,
+    "tx_lm_apply" ->
+      s"""WITH ttok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
+         |    FROM documents WHERE doc_id < 250),
+         |tbge AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS bg
+         |  FROM ttok),
+         |tdbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS m
+         |  FROM tbge GROUP BY 1, 2, 3),
+         |tm AS (SELECT bg, w1, sum(m) AS c_bg FROM tdbg GROUP BY bg, w1),
+         |tlc AS (SELECT w1, sum(c_bg) AS c_left FROM tm GROUP BY w1),
+         |tv AS (SELECT count(DISTINCT w) AS v
+         |  FROM (SELECT unnest(toks) AS w FROM ttok) u),
+         |atok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
+         |    FROM documents WHERE doc_id >= 250),
+         |abge AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS bg
+         |  FROM atok),
+         |adbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS m
+         |  FROM abge GROUP BY 1, 2, 3),
+         |alp AS (SELECT a.doc_id,
+         |    -sum(a.m * ln((coalesce(tm.c_bg, 0) + 0.5) /
+         |                  (coalesce(tlc.c_left, 0) + 0.5 * tv.v))) / sum(a.m) AS nll
+         |  FROM adbg a LEFT JOIN tm ON a.bg = tm.bg
+         |    LEFT JOIN tlc ON a.w1 = tlc.w1 CROSS JOIN tv
+         |  GROUP BY a.doc_id)
+         |SELECT d.doc_id, round(l.nll, 4) AS lm_nll
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |  LEFT JOIN alp l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "pl_lm_buckets" ->
       s"""WITH $sqlLmNll,
          |b AS (SELECT d.lang, lm.doc_id, lm.lm_nll,

@@ -299,21 +299,8 @@ object TextAnalysis {
       idCol: String = "doc_id", capTokens: Int = 512,
       k: Double = 0.5): DataFrame = {
     val id = col(idCol)
-    val toksC = slice(tokens(col(textCol)), 1, capTokens)
-    val tok = df.select(id, toksC.as("toks"))
-    val nT = size(col("toks"))
-    // whitespace tokens cannot contain spaces, so "w1 w2" is an injective
-    // bigram key — no struct plumbing needed on either engine
-    val bgArr = when(nT >= 2,
-      transform(sequence(lit(1), nT - 1),
-        i => struct(
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)).as("bg"),
-          element_at(col("toks"), i).as("w1"))))
-      .otherwise(array().cast("array<struct<bg:string,w1:string>>"))
-    val docBg = tok.select(id, explode(bgArr).as("p"))
-      .groupBy(id, col("p.bg").as("bg"), col("p.w1").as("w1"))
-      .agg(count(lit(1)).as("m"))
+    val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
+    val docBg = docBigrams(tok, id)
     val bgc = docBg.groupBy(col("bg")).agg(sum(col("m")).as("c_bg"))
     val lc = docBg.groupBy(col("w1")).agg(sum(col("m")).as("c_left"))
     val vocab = tok.select(explode(col("toks")).as("w"))
@@ -327,6 +314,97 @@ object TextAnalysis {
       .groupBy(id)
       .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
     // every input doc appears; <2-token docs carry a NULL score
+    df.select(id).join(scored, Seq(idCol), "left")
+      .select(id, round(col("nll"), 4).as("lm_nll"))
+  }
+
+  private def cappedTokens(text: Column, capTokens: Int): Column =
+    slice(tokens(text), 1, capTokens)
+
+  /** Per-doc COMPRESSED bigrams: (id, bg, w1, m). Whitespace tokens cannot
+    * contain spaces, so "w1 w2" is an injective bigram key — no struct
+    * plumbing needed on either engine. */
+  private def docBigrams(tok: DataFrame, id: Column): DataFrame = {
+    val nT = size(col("toks"))
+    val bgArr = when(nT >= 2,
+      transform(sequence(lit(1), nT - 1),
+        i => struct(
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)).as("bg"),
+          element_at(col("toks"), i).as("w1"))))
+      .otherwise(array().cast("array<struct<bg:string,w1:string>>"))
+    tok.select(id, explode(bgArr).as("p"))
+      .groupBy(id, col("p.bg").as("bg"), col("p.w1").as("w1"))
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** A FITTED bigram LM: the add-k model of `bigramLmScore`, separated
+    * into fit/apply so the model can be estimated on a clean REFERENCE
+    * corpus and applied to the crawl — the actual CCNet deployment shape
+    * (the reference model is wiki-grade text; the crawl never contaminates
+    * its own quality measure). The model is one bigram-count DataFrame
+    * (left-context counts derive from it by a groupBy at apply time) plus
+    * the training vocab size; persistable via save/load. */
+  final case class BigramLm(model: DataFrame, vocabSize: Long,
+      k: Double, capTokens: Int) {
+    def save(dir: String): Unit = {
+      val spark = model.sparkSession
+      model.write.mode("overwrite").parquet(s"$dir/bigrams.parquet")
+      import spark.implicits._
+      Seq((vocabSize, k, capTokens)).toDF("vocab_size", "k", "cap_tokens")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object BigramLm {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): BigramLm = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      BigramLm(spark.read.parquet(s"$dir/bigrams.parquet"),
+        meta.getAs[Long]("vocab_size"), meta.getAs[Double]("k"),
+        meta.getAs[Int]("cap_tokens"))
+    }
+  }
+
+  /** Estimate the bigram model on a training corpus. The single driver
+    * action is the vocab-size scalar (same class as topTermsTfIdf's doc
+    * count); the count table itself stays distributed. */
+  def bigramLmFit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", capTokens: Int = 512,
+      k: Double = 0.5): BigramLm = {
+    val id = col(idCol)
+    val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
+    val model = docBigrams(tok, id)
+      .groupBy(col("bg"), col("w1")).agg(sum(col("m")).as("c_bg"))
+    val v = tok.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v")).head().getLong(0)
+    BigramLm(model, v, k, capTokens)
+  }
+
+  /** Score documents under a fitted model. Out-of-vocabulary mass is where
+    * fit/apply genuinely differs from self-scoring: an unseen bigram
+    * coalesces to count 0 and an unseen left context to total 0, so the
+    * smoothed probability degrades to k/(c_left + k·V) and finally 1/V —
+    * never a NULL or a log of zero. Same plan shape as bigramLmScore
+    * (compressed doc bigrams, model joins on its own keys, per-doc
+    * reduce); the model side of the joins is the fitted table, so scoring
+    * a 100 TB crawl against a fixed reference model shuffles only the
+    * crawl's compressed bigrams. */
+  def bigramLmApply(lm: BigramLm, df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    val tok = df.select(id, cappedTokens(col(textCol), lm.capTokens).as("toks"))
+    val docBg = docBigrams(tok, id)
+    val lc = lm.model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_left"))
+    val kv = lm.k * lm.vocabSize // exact: integer-valued double times 0.5
+    val scored = docBg
+      .join(lm.model.select(col("bg"), col("c_bg")), Seq("bg"), "left")
+      .join(lc, Seq("w1"), "left")
+      .select(id, (col("m") *
+        log((coalesce(col("c_bg"), lit(0L)) + lm.k) /
+            (coalesce(col("c_left"), lit(0L)) + kv))).as("lp"),
+        col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
     df.select(id).join(scored, Seq(idCol), "left")
       .select(id, round(col("nll"), 4).as("lm_nll"))
   }

@@ -64,6 +64,30 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L).isEmpty && r(4L).isEmpty, (r(3L), r(4L)).toString)
   }
 
+  test("bigramLm fit/apply: OOV smoothing floor + save/load roundtrip") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // model: c("a b")=2, c("b a")=1; left a=2, b=1; V={a,b}=2, k=0.5, kV=1
+    val lm = TextAnalysis.bigramLmFit(train)
+    assert(lm.vocabSize == 2L)
+    val held = Seq(
+      (10L, "a b c x"), // "a b": 2.5/3   "b c": 0.5/2   "c x" (OOV left): 0.5/1
+      (11L, "solo")     // no bigrams -> NULL
+    ).toDF("doc_id", "text")
+    def scores(m: TextAnalysis.BigramLm) =
+      TextAnalysis.bigramLmApply(m, held).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val r = scores(lm)
+    // -(ln(2.5/3) + ln .25 + ln .5)/3 = 0.7539
+    assert(r(10L).contains(0.7539), r(10L).toString)
+    assert(r(11L).isEmpty, r(11L).toString)
+    val dir = tmpDir("lm_model")
+    lm.save(dir)
+    val loaded = TextAnalysis.BigramLm.load(spark, dir)
+    assert(loaded.vocabSize == lm.vocabSize && loaded.k == lm.k &&
+      loaded.capTokens == lm.capTokens)
+    assert(scores(loaded) == r)
+  }
+
   test("tokens: empty string yields empty array") {
     val r = docs.select(TextAnalysis.tokenCount(col("text")).as("n"), col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
