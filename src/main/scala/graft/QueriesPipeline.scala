@@ -356,11 +356,10 @@ object QueriesPipeline {
     // per-document line/n-gram repetition fractions — the boilerplate/spam
     // signals a corpus-cleaning pipeline cuts on. Pure map, no shuffle.
     "tx_repetition" -> ((s, dir) => {
-      val (dl, dlc, tb, dt, adj) = TextAnalysis.repetitionSignals(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), dl.as("dup_line_frac"),
-          dlc.as("dup_line_char_frac"), tb.as("top_bigram_frac"),
-          dt.as("dup_trigram_frac"), adj.as("adj_dup_frac"))
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("top_bigram_frac"),
+          col("dup_trigram_frac"), col("adj_dup_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -400,6 +399,27 @@ object QueriesPipeline {
           min(col("lm_nll")).as("min_nll"),
           max(col("lm_nll")).as("max_nll"))
         .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // ... and the composed CCNet mixing flow the score/buckets exist FOR:
+    // keep the head tercile, hash-sample the middle at 50% (deterministic
+    // — the same content-hash sampler as pl_stratified_sample), drop the
+    // tail. Everything upstream is a map or a pre-partitioned join; the
+    // sampler adds no shuffle.
+    "pl_lm_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramLmScore(docs)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("lm_nll"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(lm, "doc_id").filter(col("lm_nll").isNotNull)
+        .withColumn("bucket", ntile(3).over(w))
+        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
+          pmod(graft.functions.hash60(col("doc_id").cast("string")),
+            lit(1000)) < 500))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
     }),
 
     "tx_tfidf_topterms" -> ((s, dir) => {
@@ -1165,6 +1185,17 @@ object QueriesPipeline {
          |SELECT lang, bucket, count(*) AS n_docs,
          |  min(lm_nll) AS min_nll, max(lm_nll) AS max_nll
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "pl_lm_mix" ->
+      s"""WITH $sqlLmNll,
+         |b AS (SELECT d.lang, lm.doc_id, lm.lm_nll,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+         |  WHERE lm.lm_nll IS NOT NULL)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+         |ORDER BY doc_id""".stripMargin,
     "tx_tfidf_topterms" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |ex AS (SELECT doc_id, unnest(toks) AS word FROM tok),

@@ -183,9 +183,36 @@ object TextAnalysis {
     * is O(distinct × n) per row, so the cap makes the per-row cost a
     * CONSTANT — at 100 TB the operator stays a pure bounded map while
     * keeping the signal (boilerplate repeats early and often). */
-  def repetitionSignals(text: Column, capTokens: Int = 512)
-      : (Column, Column, Column, Column, Column) = {
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+  def repetitionSignals(df: DataFrame, textCol: String = "text",
+      capTokens: Int = 512): DataFrame = {
+    val text = col(textCol)
+    // The arrays MUST be staged as attributes: every signal references
+    // them many times — several INSIDE HOF lambdas, i.e. once per array
+    // ELEMENT — and an attribute read is O(1) from the row, while an
+    // inlined expression tree re-evaluates at every reference (the
+    // unstaged Column form of this function re-ran the regex split per
+    // element per lambda: 1964 s for 5000 docs at sf0.1 vs seconds
+    // staged). Same staging rationale as annotate(); CollapseProject
+    // keeps the stage because the arrays are non-cheap and multiply
+    // referenced.
+    val staged = df
+      .withColumn("__rl", filter(split(text, "\n"),
+        l => length(trim(l)) > 0))
+      .withColumn("__rt", slice(tokens(text), 1, capTokens))
+    val toks = col("__rt")
+    val n = size(toks)
+    // i = 1..n-k+1, space-joined — identical to the oracle's
+    // list_transform(range(1, len+2-k), i -> toks[i] || ' ' || ...)
+    def gram(k: Int): Column =
+      when(n >= k, transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val staged2 = staged
+      .withColumn("__rbg", gram(2))
+      .withColumn("__rtg", gram(3))
+    val lines = col("__rl")
+    val bg = col("__rbg")
+    val tg = col("__rtg")
     val nL = size(lines)
     val nDl = size(array_distinct(lines))
     val dupLineFrac = when(nL > 0,
@@ -196,15 +223,6 @@ object TextAnalysis {
     val dupLineCharFrac = when(lineChars > 0,
       round((lineChars - distChars).cast("double") / lineChars, 6))
       .otherwise(lit(0.0))
-    val toks = slice(tokens(text), 1, capTokens)
-    val n = size(toks)
-    // i = 1..n-k+1, space-joined — identical to the oracle's
-    // list_transform(range(1, len+2-k), i -> toks[i] || ' ' || ...)
-    def gram(k: Int): Column =
-      transform(sequence(lit(1), n - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
-    val bg = when(n >= 2, gram(2)).otherwise(array().cast("array<string>"))
-    val tg = when(n >= 3, gram(3)).otherwise(array().cast("array<string>"))
     val topBg = array_max(transform(array_distinct(bg),
       b => size(filter(bg, x => x === b))))
     // a top bigram occurring ONCE is not repetition — every no-repeat doc
@@ -218,7 +236,13 @@ object TextAnalysis {
       i => element_at(toks, i) === element_at(toks, i + 1)))
     val adjDupFrac = when(n >= 2,
       round(adj.cast("double") / (n - 1), 6)).otherwise(lit(0.0))
-    (dupLineFrac, dupLineCharFrac, topBigramFrac, dupTrigramFrac, adjDupFrac)
+    staged2
+      .withColumn("dup_line_frac", dupLineFrac)
+      .withColumn("dup_line_char_frac", dupLineCharFrac)
+      .withColumn("top_bigram_frac", topBigramFrac)
+      .withColumn("dup_trigram_frac", dupTrigramFrac)
+      .withColumn("adj_dup_frac", adjDupFrac)
+      .drop("__rl", "__rt", "__rbg", "__rtg")
   }
 
   /** PII / noise scrubbing patterns — written to behave identically under

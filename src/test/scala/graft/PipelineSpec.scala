@@ -31,8 +31,10 @@ class PipelineSpec extends SparkSpec {
       (5L, ""),                                              // empty
       (6L, "one")                                            // single token
     ).toDF("id", "text")
-    val (dl, dlc, tb, dt, adj) = TextAnalysis.repetitionSignals(col("text"))
-    val r = rdocs.select(col("id"), dl, dlc, tb, dt, adj).collect()
+    val r = TextAnalysis.repetitionSignals(rdocs)
+      .select(col("id"), col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top_bigram_frac"), col("dup_trigram_frac"), col("adj_dup_frac"))
+      .collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(r(1L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(1L).toString)
