@@ -179,9 +179,9 @@ object TextAnalysis {
     *                        / all bigram occurrences
     *  - dup_trigram_frac    1 − distinct trigrams / trigram occurrences
     *  - adj_dup_frac        adjacent equal-token pairs / (tokens − 1)
-    * N-gram signals run over the first `capTokens` tokens: the mode count
-    * is O(distinct × n) per row, so the cap makes the per-row cost a
-    * CONSTANT — at 100 TB the operator stays a pure bounded map while
+    * N-gram signals run over the first `capTokens` tokens, so the per-row
+    * cost is a CONSTANT (the mode count is sort + one fold, O(n log n) in
+    * the window) — at 100 TB the operator stays a pure bounded map while
     * keeping the signal (boilerplate repeats early and often). */
   def repetitionSignals(df: DataFrame, textCol: String = "text",
       capTokens: Int = 512): DataFrame = {
@@ -223,8 +223,22 @@ object TextAnalysis {
     val dupLineCharFrac = when(lineChars > 0,
       round((lineChars - distChars).cast("double") / lineChars, 6))
       .otherwise(lit(0.0))
-    val topBg = array_max(transform(array_distinct(bg),
-      b => size(filter(bg, x => x === b))))
+    // Mode count via sort + longest-equal-run: O(n log n) per row vs the
+    // O(distinct × n) transform(array_distinct, b => size(filter(...)))
+    // form (~260k string compares in a 511-bigram window — it was the
+    // single most expensive bench row at 20% of the r11 wall). The fold
+    // runs once over the sorted array; run resets to 1 on a boundary, and
+    // the zero accumulator (prev="", run=0) is safe even for an "" element
+    // because 0+1 == 1. Identical value to the mode count, so the oracle's
+    // list-comprehension form still hash-matches.
+    def runLen(acc: Column, x: Column): Column =
+      when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+    val topBg = aggregate(
+      array_sort(bg),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => struct(x.as("prev"), runLen(acc, x).as("run"),
+        greatest(acc("best"), runLen(acc, x)).as("best")),
+      acc => acc("best"))
     // a top bigram occurring ONCE is not repetition — every no-repeat doc
     // must score 0.0 on every signal (contract pinned by PipelineSpec)
     val topBigramFrac = when(size(bg) > 0 && topBg > 1,
