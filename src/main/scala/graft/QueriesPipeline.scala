@@ -167,6 +167,19 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Paragraph/span-level dedup (Lee et al. 2022): repeated 25-token
+    // spans are scrubbed corpus-wide, first occurrence survives. The
+    // synthetic docs have no blank-line structure, so the fixed-window
+    // span unit is the exercisable form here; blankLineParagraphs is the
+    // production splitter (PipelineSpec covers it).
+    "dd_paragraph_dedup" -> ((s, dir) => {
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), Dedup.tokenWindows(col("__toks"), 25).as("paras"))
+      Dedup.dropDuplicateParagraphs(staged, "doc_id", col("paras"), " ")
+        .select(col("doc_id"), col("clean_text"), col("n_paras"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
     "dd_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           threshold = 0.5, numHashes = 32, bands = 8)
@@ -896,6 +909,20 @@ object QueriesPipeline {
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS min_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY digest""".stripMargin,
+    "dd_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS INT) AS idx,
+        |    array_to_string(t[((i-1)*25+1):least(i*25, len(t))], ' ') AS para
+        |  FROM toks, unnest(range(1, CAST(ceil(len(t)/25.0) AS BIGINT) + 1)) u(i)),
+        |kept AS (SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS clean_text,
+        |  count(*) AS n_paras,
+        |  count(*) FILTER (WHERE rn > 1) AS n_dropped
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_distinct($sqlToks) toks FROM documents WHERE doc_id < 200)

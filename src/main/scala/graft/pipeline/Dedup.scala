@@ -346,6 +346,66 @@ object Dedup {
     labels
   }
 
+  /** Blank-line paragraph splitter (the unit of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): blocks
+    * separated by one-or-more blank lines, whitespace-only blocks dropped. */
+  def blankLineParagraphs(text: Column): Column =
+    filter(split(text, "\n[ \t]*\n+"), p => length(trim(p)) > 0)
+
+  /** Fixed k-token windows — the span-dedup approximation for corpora
+    * without paragraph structure (Lee et al. 2022 dedups repeated SPANS;
+    * fixed windows are the alignment-free, one-pass form of that). `toks`
+    * MUST be a staged attribute (e.g. `split(text, " ").as("__toks")`
+    * in its own projection): it is read inside a per-window lambda, and an
+    * attribute read is O(1) while an inline split would re-tokenize once
+    * per window. */
+  def tokenWindows(toks: Column, k: Int): Column = {
+    require(k >= 1, "window must be >= 1 token")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), ceil(size(toks).cast("double") / k).cast("int")),
+        i => array_join(slice(toks, (i - 1) * k + 1, lit(k)), " ")))
+  }
+
+  /** Paragraph-level dedup (Lee et al. 2022): doc-level passes leave
+    * boilerplate headers/footers shared across millions of pages intact —
+    * this removes repeated paragraphs ACROSS documents, keeping only the
+    * first occurrence by (doc id, paragraph position) and re-assembling
+    * the scrubbed text. `paras` is any array<string> paragraph column
+    * ([[blankLineParagraphs]] or [[tokenWindows]]).
+    *
+    * Scale shape: explode to one row per paragraph occurrence, ONE window
+    * shuffle partitioned by the 128-bit paragraph digest (state per task ∝
+    * occurrences of its digests, never the corpus), one groupBy(id) to
+    * re-assemble. No all-pairs anything; at 100 TB the digest shuffle
+    * carries each paragraph's bytes exactly once per occurrence — the
+    * minimum any reassembling span-dedup can move.
+    *
+    * Returns (idCol, clean_text, n_paras, n_dropped); a doc whose every
+    * paragraph is a repeat comes back with clean_text = "". */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, paras: Column,
+      sep: String = " "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val exploded = df.select(id, posexplode_outer(paras).as(Seq("idx", "para")))
+    val w = Window.partitionBy(md5(col("para"))).orderBy(id, col("idx"))
+    exploded
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(id)
+      .agg(
+        count(when(col("idx").isNotNull, 1)).as("n_paras"),
+        count(when(col("idx").isNotNull && col("__rn") > 1, 1)).as("n_dropped"),
+        // nulls (dropped repeats) are skipped by both collect_list and
+        // array_join; array_sort on struct orders by idx, restoring the
+        // document's paragraph order after the digest shuffle scattered it
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("idx").isNotNull && col("__rn") === 1,
+              struct(col("idx"), col("para"))))),
+            s => s("para")),
+          sep).as("clean_text"))
+  }
+
   /** Embedding near-dup at scale: pairs are formed ONLY within shared
     * buckets (equi-join on cluster id — never the all-pairs theta-join).
     * `probes` > 1 multi-assigns each row to its nearest clusters so pairs

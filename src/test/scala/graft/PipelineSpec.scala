@@ -49,6 +49,44 @@ class PipelineSpec extends SparkSpec {
     assert(r(6L) == ((0.0, 0.0, 0.0, 0.0, 0.0)), r(6L).toString)
   }
 
+  test("dropDuplicateParagraphs: Lee et al. span dedup, hand-computed survivors") {
+    val pdocs = Seq(
+      // doc 1: header + unique body — header is the corpus-wide boilerplate
+      (1L, "SITE HEADER\n\nalpha body one\n\nSHARED FOOTER"),
+      // doc 2: same header+footer, own body; header/footer must be scrubbed
+      (2L, "SITE HEADER\n\nbeta body two\n\nSHARED FOOTER"),
+      // doc 3: nothing but the boilerplate -> clean_text = ""
+      (3L, "SITE HEADER\n\nSHARED FOOTER"),
+      // doc 4: repeats ITS OWN first paragraph later (in-doc repeat) and
+      // has blank-ish separators with stray spaces
+      (4L, "gamma para\n \n\ngamma para\n\ndelta para"),
+      (5L, "")                                              // empty doc
+    ).toDF("doc_id", "text")
+    val staged = pdocs.select(col("doc_id"),
+      Dedup.blankLineParagraphs(col("text")).as("paras"))
+    val r = Dedup.dropDuplicateParagraphs(staged, "doc_id", col("paras"), "\n\n")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    // columns come back as (doc_id, n_paras, n_dropped, clean_text)
+    assert(r(1L) == (("SITE HEADER\n\nalpha body one\n\nSHARED FOOTER", 3L, 0L)), r(1L).toString)
+    assert(r(2L) == (("beta body two", 3L, 2L)), r(2L).toString)
+    assert(r(3L) == (("", 2L, 2L)), r(3L).toString)
+    assert(r(4L) == (("gamma para\n\ndelta para", 3L, 1L)), r(4L).toString)
+    assert(r(5L) == (("", 0L, 0L)), r(5L).toString)
+  }
+
+  test("tokenWindows: fixed-span unit, boundary + short-doc behavior") {
+    val tdocs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val r = tdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), Dedup.tokenWindows(col("__toks"), 2).as("w"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("a b", "c d", "e"), r(1L).toString)
+    assert(r(2L) == Seq("a b"), r(2L).toString)
+    // split("", " ") yields [""] -> one empty window, matching the oracle's
+    // string_split behavior (documents never carry empty text)
+    assert(r(3L) == Seq(""), r(3L).toString)
+  }
+
   test("bigramLmScore: add-k smoothed corpus bigram NLL, hand-computed") {
     val lmDocs = Seq(
       (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
