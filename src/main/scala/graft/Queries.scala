@@ -578,6 +578,20 @@ object Queries {
       require(rs.contains("\"served\":true") && rs.contains("\"filtered\":true"),
         s"sparse_filter did not ride the borrowed-verdict serve path: $rs")
       ids(rs).map(m).foreach(v => out += (("sparse_filter", v)))
+      // sparse-ONLY verdict (round 12): a conjunction whose columns the
+      // dense donor does NOT declare (vec_id is declared only on SV)
+      // forces the self path — the sparse index's own pass-set residency
+      // judges resident rows and the sparse tail sidecar judges fresh
+      // ones; envelope-asserted like every other cell
+      db.setServeFilterColumns("emb", "SV", Seq("label", "vec_id"))
+      val rss = db.query(
+        s"""{"table":"emb","queryField":"SV",
+           |  "queryVector":{"indices":[0,1,2,3,4,5,6,7],
+           |    "values":[${sq.mkString(",")}]},"limit":10,"serve":true,
+           |  "filter":"label >= 5 AND vec_id < 300"}""".stripMargin)
+      require(rss.contains("\"served\":true") && rss.contains("\"filtered\":true"),
+        s"sparse_self did not ride the own-residency serve path: $rss")
+      ids(rss).map(m).foreach(v => out += (("sparse_self", v)))
       import s.implicits._
       out.result().toDF("case_id", "vec_id").orderBy("case_id", "vec_id")
     }),
@@ -1010,6 +1024,10 @@ object Queries {
          |            ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10),
          |     sp AS (SELECT vec_id FROM embeddings WHERE label >= 5
          |            ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
+         |              vec_id ASC LIMIT 10),
+         |     ss AS (SELECT vec_id FROM embeddings
+         |            WHERE label >= 5 AND vec_id < 300
+         |            ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
          |              vec_id ASC LIMIT 10)
          |SELECT * FROM (
          |  SELECT 'fq_cert' AS case_id, vec_id FROM fb
@@ -1017,7 +1035,8 @@ object Queries {
          |  UNION ALL SELECT 'recall_filter', vec_id FROM fb
          |  UNION ALL SELECT 'rt_code_serve', vec_id FROM ub
          |  UNION ALL SELECT 'rt_fpq_recall', vec_id FROM fb
-         |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp)
+         |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp
+         |  UNION ALL SELECT 'sparse_self', vec_id FROM ss)
          |ORDER BY case_id, vec_id""".stripMargin,
     // serve-path facets: group-over-topk mirrors (dense top-100; sparse
     // filtered prefix-dot top-10 — same cut the sparse_filter case pins)

@@ -62,9 +62,13 @@ class GraftDb(val spark: SparkSession, val root: String,
   private val sparseIndexes =
     scala.collection.concurrent.TrieMap[(String, String), graft.index.SparseIndex]()
   private def sparseIndex(st: TableStore, field: String): graft.index.SparseIndex =
-    sparseIndexes.getOrElseUpdate((st.schema.name, field),
-      new graft.index.SparseIndex(spark, s"$root/${st.schema.name}/spidx_$field",
-        graft.store.TableStore.RowId))
+    sparseIndexes.getOrElseUpdate((st.schema.name, field), {
+      val ix = new graft.index.SparseIndex(spark,
+        s"$root/${st.schema.name}/spidx_$field", graft.store.TableStore.RowId)
+      declaredServeFilterCols.get((st.schema.name, field))
+        .foreach(ix.setServeFilterColumns)
+      ix
+    })
   /** Serving fresh-tail cap: rows above the indexed watermark held
     * resident on the driver for serving. A bigger tail means the
     * maintenance rebuild is overdue — serving then falls back to the job
@@ -287,31 +291,44 @@ class GraftDb(val spark: SparkSession, val root: String,
   // tail row for Euclidean non-overlap fills; re-collected only when the
   // snapshot version or index watermark moves — the sparse twin of
   // `tailCache`
-  private type SparseTail =
-    (Map[Int, (Array[Long], Array[Double], Array[Double])], Array[(Long, Double)])
+  /** Sparse fresh tail: per-dim posting slices + per-row norms of rows
+    * above the serving pin, PLUS a row-aligned scalar sidecar of the
+    * sparse index's declared filter columns (empty when none are
+    * declared) — sparse-only filtered serving judges tail rows on it the
+    * way the dense tiers judge theirs on DenseTail.scalars. */
+  private final case class SparseTail(
+      byDim: Map[Int, (Array[Long], Array[Double], Array[Double])],
+      rowNorms: Array[(Long, Double)],
+      scalarIds: Array[Long],
+      scalars: Map[String, Array[AnyRef]])
+  // key carries the declared columns: a re-declaration invalidates the
+  // sidecar (same discipline as the dense tailCache)
   private val sparseTailCache = scala.collection.concurrent.TrieMap[
-    (String, String), (Long, Long, Option[SparseTail])]()
-  private val emptySparseTail: SparseTail = (Map.empty, Array.empty)
+    (String, String), (Long, Long, Seq[String], Option[SparseTail])]()
+  private val emptySparseTail: SparseTail =
+    SparseTail(Map.empty, Array.empty, Array.empty, Map.empty)
 
-  /** Left(()) = tail over cap (job path); Right((map, norms)) = per-dim
-    * postings + per-row norms of rows above the sparse index watermark
-    * (empty = no fresh rows). */
+  /** Left(()) = tail over cap (job path); Right(tail) = per-dim
+    * postings + per-row norms (+ scalar sidecar) of rows above the sparse
+    * index watermark (empty = no fresh rows). */
   private def sparseFreshTail(st: TableStore, idx: graft.index.SparseIndex,
       field: String): Either[Unit, SparseTail] = {
     val ver = st.snapshot().map(_.version).getOrElse(-1L)
     // the SERVING pin, not the index watermark (see freshTailCluster)
     val wm = idx.servingWatermark()
+    val cols = idx.serveFilterColumns()
     sparseTailCache.get((st.schema.name, field)) match {
-      case Some((v, w, t)) if v == ver && w == wm =>
+      case Some((v, w, c, t)) if v == ver && w == wm && c == cols =>
         t.toRight(())
       case _ =>
         // one kind-tagged union job refreshes the tombstone cache too
-        servingProbe(st, field, wm, maxServeTailRows) match {
+        servingProbe(st, field, wm, maxServeTailRows, cols) match {
           case Left(_) =>
-            sparseTailCache((st.schema.name, field)) = (ver, wm, None)
+            sparseTailCache((st.schema.name, field)) = (ver, wm, cols, None)
             Left(())
           case Right(rows) if rows.isEmpty =>
-            sparseTailCache((st.schema.name, field)) = (ver, wm, Some(emptySparseTail))
+            sparseTailCache((st.schema.name, field)) =
+              (ver, wm, cols, Some(emptySparseTail))
             Right(emptySparseTail)
           case Right(rows) => {
             val byDim = scala.collection.mutable.Map[
@@ -319,9 +336,24 @@ class GraftDb(val spark: SparkSession, val root: String,
                 scala.collection.mutable.ArrayBuffer[Double],
                 scala.collection.mutable.ArrayBuffer[Double])]()
             val rowNorms = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+            // scalar sidecar, row-aligned with the KEPT (non-null-sparse)
+            // rows — the only rows the candidate walk can ever surface
+            val sideIds = scala.collection.mutable.ArrayBuffer[Long]()
+            val sideVals = cols.map(_ =>
+              scala.collection.mutable.ArrayBuffer[AnyRef]())
             rows.foreach { r =>
               if (!r.isNullAt(2)) {
                 val id = r.getLong(1)
+                sideIds += id
+                if (cols.nonEmpty) {
+                  val ps = if (r.isNullAt(3)) null else r.getStruct(3)
+                  var ci = 0
+                  while (ci < cols.length) {
+                    sideVals(ci) += (if (ps == null || ps.isNullAt(ci)) null
+                      else ps.get(ci).asInstanceOf[AnyRef])
+                    ci += 1
+                  }
+                }
                 val sv = r.getStruct(2)
                 val dims = sv.getSeq[Int](0)
                 val vals = sv.getSeq[Float](1)
@@ -342,12 +374,16 @@ class GraftDb(val spark: SparkSession, val root: String,
                 }
               }
             }
-            val packed: SparseTail = (
+            val packed: SparseTail = SparseTail(
               byDim.map { case (d, (ids, vs, ns)) =>
                 d -> ((ids.toArray, vs.toArray, ns.toArray))
               }.toMap,
-              rowNorms.toArray)
-            sparseTailCache((st.schema.name, field)) = (ver, wm, Some(packed))
+              rowNorms.toArray,
+              sideIds.toArray,
+              cols.zipWithIndex.map { case (c, ci) =>
+                c -> sideVals(ci).toArray
+              }.toMap)
+            sparseTailCache((st.schema.name, field)) = (ver, wm, cols, Some(packed))
             Right(packed)
           }
         }
@@ -1372,12 +1408,20 @@ class GraftDb(val spark: SparkSession, val root: String,
           case Some(cs0) if cs0.nonEmpty => cs0
           case _ => return None // outside the serve sub-grammar
         }
-        // donor: any dense sibling whose DECLARED residency covers the
-        // conjunction's columns
+        // verdict source, in preference order: a dense sibling whose
+        // DECLARED residency covers the conjunction's columns (values
+        // already resident, zero extra jobs), else — the sparse-ONLY
+        // case — the sparse index's OWN declaration (one cached pruned
+        // pass-set job, then warm); neither ⇒ job path
         return denseDonor(cs.map(_.col).toSet) match {
           case Some(dn) => serveSparse(st, queryField, o, limit,
-            filtered = Some((dn, cs)), facetDonor = facetDonor)
-          case None => None
+            filtered = Some((Some(dn), cs)), facetDonor = facetDonor)
+          case None =>
+            if (cs.map(_.col).toSet.subsetOf(
+                sparseIndex(st, queryField).serveFilterColumns().toSet))
+              serveSparse(st, queryField, o, limit,
+                filtered = Some((None, cs)), facetDonor = facetDonor)
+            else None
         }
       case _ => ()
     }
@@ -1595,9 +1639,110 @@ class GraftDb(val spark: SparkSession, val root: String,
     * min-norm list, and when exactness cannot be proven the query falls
     * back to the job path. Fresh tail + tombstone masks mirror the dense
     * serve path. */
+  /** Passing ids from a row-aligned scalar sidecar (fresh-tail rows),
+    * evaluated with the SAME comparison kernels the resident sweeps use.
+    * None = a condition references a column the sidecar lacks (a
+    * re-declaration raced the cache) → the caller declines. */
+  private def sidecarPassingIds(ids: Array[Long],
+      scalars: Map[String, Array[AnyRef]],
+      conds: Seq[graft.filter.SimpleConjuncts.Cond]): Option[Array[Long]] = {
+    import graft.filter.SimpleConjuncts._
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var j = 0
+    while (j < ids.length) {
+      var ok = true
+      var ci = 0
+      while (ok && ci < conds.length) {
+        val c = conds(ci)
+        val arr = scalars.getOrElse(c.col, null)
+        if (arr == null) return None
+        ok = (arr(j), c.value) match {
+          case (null, _) => false // SQL: NULL fails every comparison
+          case (x: java.lang.Double, l: NumLit) => evalDouble(c.op, x.doubleValue, l)
+          case (x: java.lang.Float, l: NumLit) => evalDouble(c.op, x.doubleValue, l)
+          case (x: java.lang.Number, l: NumLit) => evalLong(c.op, x.longValue, l)
+          case (x: String, l: StrLit) => evalString(c.op, x, l)
+          case (x: java.lang.Boolean, l: BoolLit) => evalBool(c.op, x.booleanValue, l)
+          case _ => return None // type drift: job path answers
+        }
+        ci += 1
+      }
+      if (ok) out += ids(j)
+      j += 1
+    }
+    Some(out.toArray)
+  }
+
+  /** The serve sub-grammar compiled to the SAME Catalyst comparisons the
+    * job path runs (FilterTranslator types integral literals as longs —
+    * mirrored here, so the pruned pass-set job and the job path agree
+    * with the driver-side eval kernels on every coercion case). */
+  private def condsColumn(conds: Seq[graft.filter.SimpleConjuncts.Cond])
+      : org.apache.spark.sql.Column = {
+    import graft.filter.SimpleConjuncts._
+    import org.apache.spark.sql.functions.{col, lit}
+    conds.map { c =>
+      val l = c.value match {
+        case NumLit(v, isInt) =>
+          if (isInt && v.isWhole && math.abs(v) < 9.2e18) lit(v.toLong)
+          else lit(v)
+        case StrLit(s) => lit(s)
+        case BoolLit(b) => lit(b)
+      }
+      val cc = col(c.col)
+      c.op match {
+        case "<" => cc < l
+        case "<=" => cc <= l
+        case ">" => cc > l
+        case ">=" => cc >= l
+        case "=" => cc === l
+        case "<>" => cc =!= l
+      }
+    }.reduce(_ && _)
+  }
+
+  /** Complete pass verdict from the sparse index's OWN declared columns
+    * (sparse-ONLY tables — no dense donor exists to borrow from):
+    * passing ids at or below the pin come from a cached pruned store job
+    * (row content is id-keyed and IMMUTABLE — upserts tombstone + insert
+    * under a new id — so the set is valid for its pin forever, and no
+    * donor pin exists to re-verify); rows above the pin are judged on
+    * the sparse tail's scalar sidecar, collected against the same pin —
+    * the caller's post-sweep pin re-check closes the tail race.
+    * Completeness holds structurally: the walk only surfaces ids the
+    * postings (≤ pin, a subset of store rows ≤ pin) or the tail hold. */
+  private def sparseSelfVerdict(st: TableStore,
+      idx: graft.index.SparseIndex, pin: Long,
+      conds: Seq[graft.filter.SimpleConjuncts.Cond], tail: SparseTail)
+      : Option[Long => Boolean] = {
+    import org.apache.spark.sql.functions.col
+    if (!conds.forall(c => idx.serveFilterColumns().contains(c.col)))
+      return None
+    val tailPass = new java.util.HashSet[java.lang.Long]()
+    sidecarPassingIds(tail.scalarIds, tail.scalars, conds) match {
+      case None => return None // a re-declaration raced the sidecar
+      case Some(ids) => ids.foreach(id => tailPass.add(id))
+    }
+    val cap = idx.maxServePassIds
+    idx.passingIdSet(graft.filter.SimpleConjuncts.key(conds), pin, () => {
+      // ONE pruned cold job: rawRead (tombstones are masked by the
+      // walk's exclude), cut at the pin, ids only; cardinality is
+      // pre-checked BEFORE the collect so an over-cap filter costs a
+      // codegen'd count, never an unbounded collect
+      val df = st.rawRead()
+        .filter(col(TableStore.RowId).cast("long") <= pin)
+        .filter(condsColumn(conds))
+        .select(col(TableStore.RowId).cast("long"))
+      if (df.count() > cap) None
+      else Some(df.collect().map(_.getLong(0)))
+    }).map { pass =>
+      (id: Long) => if (id <= pin) pass.contains(id) else tailPass.contains(id)
+    }
+  }
+
   private def serveSparse(st: TableStore, queryField: String,
       o: JObject, limit: Int,
-      filtered: Option[(String, Seq[graft.filter.SimpleConjuncts.Cond])] = None,
+      filtered: Option[(Option[String], Seq[graft.filter.SimpleConjuncts.Cond])] = None,
       facetDonor: Option[(String, Seq[Facet])] = None)
       : Option[String] = {
     val f = st.schema.field(queryField)
@@ -1619,23 +1764,32 @@ class GraftDb(val spark: SparkSession, val root: String,
         case Left(_) =>
           if (idx.indexedWatermark() > pin) idx.rebaseServing()
           else return None // index behind the store: rebuild overdue
-        case Right((tail, tailNorms)) =>
+        case Right(tailData) =>
+          val tail = tailData.byDim
+          val tailNorms = tailData.rowNorms
           // pure cache hit: the tail probe above refreshed the tombstone
           // cache for this version inside its own (single) job
           val tombs = tombstoneSet(st) match {
             case Some(t) => t
             case None => return None // tombstone mask over cap -> job path
           }
-          // filtered retrieval: the dense donor's complete pass verdict
-          // composes into the candidate walk; its pin is re-verified
-          // next to the sparse pin below
+          // filtered retrieval: a complete pass verdict composes into the
+          // candidate walk — from a dense donor's scalar residency when
+          // one exists (pin re-verified next to the sparse pin below), or
+          // from the sparse index's OWN declared columns on sparse-only
+          // tables (id-keyed immutable content: nothing to re-verify)
           val (passes, verifyDonor): (Long => Boolean, () => Boolean) =
             filtered match {
               case None => ((_: Long) => true, () => true)
-              case Some((df, cs)) => densePassVerdict(st, df, cs) match {
+              case Some((Some(df), cs)) => densePassVerdict(st, df, cs) match {
                 case Some(v) => v
                 case None => return None
               }
+              case Some((None, cs)) =>
+                sparseSelfVerdict(st, idx, pin, cs, tailData) match {
+                  case Some(p) => (p, () => true)
+                  case None => return None
+                }
             }
           val ex: Long => Boolean = id => tombs.contains(id) || !passes(id)
           val hits: Array[(Long, Double)] =
@@ -1829,7 +1983,11 @@ class GraftDb(val spark: SparkSession, val root: String,
     // recorded db-level too: a release()/lazy re-open re-applies the
     // declaration to the fresh instance instead of silently losing it
     declaredServeFilterCols((table, field)) = cols
-    index(st, field).setServeFilterColumns(cols)
+    // sparse fields declare on THEIR index (pass-set residency for
+    // sparse-only filtered serving); dense fields on the IVF residency
+    if (graft.types.FieldType.isSparse(st.schema.field(field).fieldType))
+      sparseIndex(st, field).setServeFilterColumns(cols)
+    else index(st, field).setServeFilterColumns(cols)
   }
 
   private def jsonStr(s: String): String =

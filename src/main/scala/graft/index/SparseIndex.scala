@@ -412,6 +412,73 @@ class SparseIndex(
   private[graft] def resetServeDeclineCount(): Unit = declines.set(0L)
   private def decline: Option[Nothing] = { declines.incrementAndGet(); None }
 
+  // ---- declared-column filtered serving (sparse-ONLY tables) ----
+
+  /** Declared scalar filter columns, persisted next to the layout
+    * (serve_cols.json — the same artifact the dense index writes, so
+    * follower processes inherit the declaration). Unlike the dense index,
+    * the sparse layout is per-dim postings with no row-wise scalar
+    * storage, so the declaration does not pin VALUES resident: the
+    * filtered-serving verdict is a PASSING-ID SET per (conjunction, pin),
+    * computed by one pruned store job (the caller supplies the loader)
+    * when cold and pure JVM compute warm. Entries never go stale — row
+    * content is id-keyed and IMMUTABLE (an upsert tombstones the old row
+    * and inserts under a NEW id), so a set keyed by (conjunction, pinWm)
+    * answers for that pin forever; the LRU bound is a memory budget, not
+    * a freshness mechanism. Completeness: the verdict is only ever
+    * consulted for ids the sparse candidate walk surfaces, and every such
+    * id at or below the pin is a store row at or below the pin — exactly
+    * the loader's universe. */
+  def serveColsPath = s"$path/serve_cols.json"
+  @volatile private var filterColsDecl: Seq[String] =
+    IvfIndex.readServeCols(serveColsPath)
+  def setServeFilterColumns(cols: Seq[String]): Unit = synchronized {
+    filterColsDecl = cols.distinct
+    passSetCache.clear()
+    IvfIndex.writeServeCols(serveColsPath, filterColsDecl)
+  }
+  def serveFilterColumns(): Seq[String] = filterColsDecl
+
+  /** Passing-id budget: a resident HashSet entry costs ~48 B, so the
+    * default (4M ids ≈ 192 MiB) matches the dense scalar residency's
+    * scale. A conjunction passing more rows than this declines to the
+    * job path (which masks by a distributed semi-join instead). */
+  @volatile var maxServePassIds: Long = 4L * 1024 * 1024
+
+  @transient private val passSetCache =
+    new java.util.LinkedHashMap[(String, Long), java.util.HashSet[java.lang.Long]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), java.util.HashSet[java.lang.Long]])
+          : Boolean = size() > 16
+    }
+
+  /** The resident pass set for a conjunction (keyed by its canonical
+    * string) at pin `pinWm`. `loader` runs ONE pruned job over the
+    * store's rows at or below the pin when cold; None from it (over
+    * budget pre-check, unknown column) declines. The cold load runs
+    * OUTSIDE the instance lock — last-writer-wins on a duplicate load of
+    * the same immutable set. */
+  def passingIdSet(condsKey: String, pinWm: Long,
+      loader: () => Option[Array[Long]])
+      : Option[java.util.HashSet[java.lang.Long]] = {
+    val key = (condsKey, pinWm)
+    synchronized {
+      val c = passSetCache.get(key)
+      if (c != null) return Some(c)
+    }
+    loader() match {
+      case None => decline
+      case Some(ids) =>
+        if (ids.length > maxServePassIds) return decline
+        val s = new java.util.HashSet[java.lang.Long](
+          math.max(16, ids.length * 4 / 3))
+        ids.foreach(id => s.add(id))
+        synchronized { passSetCache.put(key, s) }
+        Some(s)
+    }
+  }
+
   // ---- WAND / max-score hot-dim serving state ----
 
   /** Impact-ordered resident PREFIX of a hot dim's posting list: the top

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Round 12: the serving ladder's remaining decline cells — sparse-ONLY
+  * tables serve filtered requests from the sparse index's own pass-set
+  * residency (round-11 "What's missing" #2), the dense side of floored
+  * hybrid queries serves under its proven cover (#3), and the
+  * filter+recallTarget+facets combination serves with the facet lookup
+  * probing the passing-count cover the hits came from (#5 / ADVICE). */
+class Round12Spec extends SparkSpec {
+
+  private def resultIds(resp: String, key: String = "__row_id"): Seq[Long] = {
+    val p = (s"""\"$key\":(-?\\d+)""").r
+    p.findAllMatchIn(resp).map(_.group(1).toLong).toSeq
+  }
+
+  /** Sparse-ONLY fixture: no dense sibling anywhere, so every borrowed
+    * verdict path is structurally unavailable — the table serves filtered
+    * requests only if the sparse index's own residency can. */
+  private def sparseOnlyDb(tag: String): graft.api.GraftDb = {
+    val db = new graft.api.GraftDb(spark, tmpDir(tag))
+    db.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"},
+        |{"name":"SE","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    db
+  }
+
+  private def sparseRows(from: Int, until: Int): Seq[Row] =
+    (from until until).map { i =>
+      val (a, b) = (i % 16, (i + 7) % 16)
+      val sv = Row(Seq(math.min(a, b), math.max(a, b)),
+        Seq(1.0f + (i % 5) * 0.25f, 0.5f))
+      Row(i.toLong, (i % 10).toLong, sv, sv)
+    }
+
+  private val sparseSchema = StructType(Seq(
+    StructField("ID", LongType, nullable = false),
+    StructField("Label", LongType, nullable = false),
+    StructField("SV", graft.functions.SparseVec.sqlType, nullable = false),
+    StructField("SE", graft.functions.SparseVec.sqlType, nullable = false)))
+
+  private def insertRows(db: graft.api.GraftDb, rows: Seq[Row]): Unit = {
+    val res = db.store("S").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), sparseSchema))
+    assert(res.inserted == rows.length, res.toString)
+  }
+
+  test("sparse-ONLY table: declared filter serves from the index's own pass-set residency (dot + Euclid), equal to the job path") {
+    val db = sparseOnlyDb("r12_sparse_only")
+    insertRows(db, sparseRows(0, 600))
+    assert(db.rebuildIndex("S", "SV"))
+    assert(db.rebuildIndex("S", "SE"))
+    db.setServeFilterColumns("S", "SV", Seq("Label"))
+    db.setServeFilterColumns("S", "SE", Seq("Label"))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val m = db.store("S").read()
+      .select(org.apache.spark.sql.functions.col(graft.store.TableStore.RowId),
+        org.apache.spark.sql.functions.col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (fld <- Seq("SV", "SE")) {
+      val served = db.query(
+        s"""{"table":"S","queryField":"$fld","queryVector":$qv,"limit":5,
+           |"serve":true,"filter":"Label >= 5"}""".stripMargin)
+      assert(served.contains("\"served\":true") &&
+        served.contains("\"filtered\":true"), s"$fld: $served")
+      val job = db.query(
+        s"""{"table":"S","queryField":"$fld","queryVector":$qv,"limit":5,
+           |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+      assert(resultIds(served).map(m) == resultIds(job, "ID"),
+        s"$fld: $served vs $job")
+      assert(resultIds(served).map(m).forall(_ % 10 >= 5), s"$fld: $served")
+    }
+    // an UNDECLARED column still declines (no donor, not in own decl)
+    val undeclared = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"serve":true,"filter":"ID >= 100","response":["ID"]}""".stripMargin)
+    assert(!undeclared.contains("\"served\""), undeclared)
+  }
+
+  test("sparse-ONLY filtered serving: fresh rows above the pin are judged on the tail's scalar sidecar") {
+    val db = sparseOnlyDb("r12_sparse_only_tail")
+    insertRows(db, sparseRows(0, 400))
+    assert(db.rebuildIndex("S", "SV"))
+    db.setServeFilterColumns("S", "SV", Seq("Label"))
+    // warm the serve path at the pre-tail pin
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val warm = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"serve":true,"filter":"Label >= 5"}""".stripMargin)
+    assert(warm.contains("\"served\":true"), warm)
+    // fresh rows: ids 400..419 land ABOVE the sparse pin; Label = id%10,
+    // so half pass the filter — a hit from the tail must be filter-true
+    insertRows(db, sparseRows(400, 420))
+    val served = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":8,
+         |"serve":true,"filter":"Label >= 5"}""".stripMargin)
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true"), served)
+    val job = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":8,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    val m = db.store("S").read()
+      .select(org.apache.spark.sql.functions.col(graft.store.TableStore.RowId),
+        org.apache.spark.sql.functions.col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resultIds(served).map(m) == resultIds(job, "ID"),
+      s"$served vs $job")
+    assert(resultIds(served).map(m).forall(_ % 10 >= 5), served)
+  }
+
+  test("sparse-ONLY declaration persists (serve_cols.json): a fresh db instance on the same root serves filtered without re-declaration") {
+    val root = tmpDir("r12_sparse_only_follower")
+    val db = new graft.api.GraftDb(spark, root)
+    db.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"},
+        |{"name":"SE","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    insertRows(db, sparseRows(0, 300))
+    assert(db.rebuildIndex("S", "SV"))
+    db.setServeFilterColumns("S", "SV", Seq("Label"))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val follower = new graft.api.GraftDb(spark, root)
+    val served = follower.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"serve":true,"filter":"Label >= 5"}""".stripMargin)
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true"), served)
+  }
+
+  test("sparse-ONLY Euclid: filtered serve honors a declared recall floor (exact-or-decline); dot with a floor still declines") {
+    val db = sparseOnlyDb("r12_sparse_only_floor")
+    insertRows(db, sparseRows(0, 600))
+    assert(db.rebuildIndex("S", "SE"))
+    assert(db.rebuildIndex("S", "SV"))
+    db.setServeFilterColumns("S", "SE", Seq("Label"))
+    db.setServeFilterColumns("S", "SV", Seq("Label"))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val served = db.query(
+      s"""{"table":"S","queryField":"SE","queryVector":$qv,"limit":5,
+         |"serve":true,"filter":"Label >= 5","recallTarget":1.0}""".stripMargin)
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true"), served)
+    val job = db.query(
+      s"""{"table":"S","queryField":"SE","queryVector":$qv,"limit":5,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    val m = db.store("S").read()
+      .select(org.apache.spark.sql.functions.col(graft.store.TableStore.RowId),
+        org.apache.spark.sql.functions.col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resultIds(served).map(m) == resultIds(job, "ID"), s"$served vs $job")
+    // retrieval-mode dot proves no floor: decline even with the mask
+    val dot = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"serve":true,"filter":"Label >= 5","recallTarget":1.0}""".stripMargin)
+    assert(!dot.contains("\"served\""), dot)
+  }
+}
