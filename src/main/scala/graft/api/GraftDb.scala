@@ -735,12 +735,21 @@ class GraftDb(val spark: SparkSession, val root: String,
     val limit = (req \ "limit") match { case JInt(i) => i.toInt; case _ => 10 }
     val cut = (req \ "rrfCut") match { case JInt(i) => i.toInt; case _ => 50 }
     val nProbe = (req \ "nProbe") match { case JInt(i) => i.toInt; case _ => 8 }
-    // a declared recall floor forces BOTH sides onto their job paths:
-    // each side's exact cut trivially satisfies any floor, while the
-    // serve tiers' fixed-probe sweeps prove none — the uniform
-    // recallTarget contract (never drop a declared floor unmarked)
-    val serve = ((req \ "serve") match { case JBool(b) => b; case _ => false }) &&
-      (req \ "recallTarget") == JNothing
+    // a declared recall floor: the DENSE side serves under its PROVEN
+    // cover (geometric ball cover unfiltered, passing-count cover
+    // filtered — the same proofs the single dispatch uses; 1.0 = the
+    // exact dense cut), while the KEYWORD side rides the job path (its
+    // exact cut trivially satisfies any floor; the WAND serve tier is
+    // retrieval-mode and proves none). The uniform recallTarget contract
+    // holds: every served side carries its floor's proof, and the
+    // envelope says which side served.
+    val recallTarget: Option[Double] = (req \ "recallTarget") match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case _ => None
+    }
+    val serve = (req \ "serve") match { case JBool(b) => b; case _ => false }
     require(!facetsPresent(req), "hybrid queries do not support facets")
     // `filter` applies to BOTH sides: each ranks over the FILTERED
     // universe before fusion (filter-then-rank — the same semantics the
@@ -769,7 +778,7 @@ class GraftDb(val spark: SparkSession, val root: String,
     val denseServed: Option[Array[Long]] =
       if (!serve || serveConds.isEmpty) None
       else serveDenseHits(st, queryField, dense, cut, nProbe,
-        serveConds.get).map(_.map(_._1))
+        serveConds.get, recallTarget).map(_.map(_._1))
     val denseIds: Array[Long] = denseServed.getOrElse {
       val f = st.schema.field(queryField)
       val d = QueryEngine.distanceColumn(f, QueryEngine.DenseQuery(dense))
@@ -795,7 +804,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     // annQuery uses) until the rebuild refreshes the index.
     val bmStale = bmIdx.indexedPurgeGen() < st.purgeGen()
     val kwServed: Option[Array[Long]] =
-      if (!serve || bmStale || tombsOpt.isEmpty) None
+      if (!serve || bmStale || tombsOpt.isEmpty ||
+          recallTarget.isDefined) None // floor: exact job cut (see above)
       else if (filterStr.isEmpty)
         scala.util.Try(bmIdx.servePointDot(qd, ones, cut,
             exclude = tombsOpt.get))
@@ -869,7 +879,8 @@ class GraftDb(val spark: SparkSession, val root: String,
     * over declared resident columns; tail pre-filtered on the sidecar). */
   private def serveDenseHits(st: TableStore, queryField: String,
       dense: Array[Float], k: Int, nProbe: Int,
-      conds: Seq[graft.filter.SimpleConjuncts.Cond] = Nil)
+      conds: Seq[graft.filter.SimpleConjuncts.Cond] = Nil,
+      recallTarget: Option[Double] = None)
       : Option[Array[(Long, Double)]] = {
     val f = st.schema.field(queryField)
     if (!FieldType.isVector(f.fieldType) || FieldType.isSparse(f.fieldType))
@@ -894,9 +905,15 @@ class GraftDb(val spark: SparkSession, val root: String,
           val np = math.min(nProbe, idx.centroids().length)
           val k2 = math.min(k, maxRenderRows)
           val served =
-            if (conds.isEmpty)
-              idx.servePoint(queryField, dense, k2, np,
+            if (conds.isEmpty) recallTarget match {
+              // declared floor: the geometric ball cover proves it
+              // (1.0 = exact), the same path the single dispatch takes
+              case Some(t) => idx.servePointRecall(queryField, dense, k2,
+                t, exclude = tombs.contains, freshTail = tail.map(_.packed),
+                slack = tombs.size.toLong)
+              case None => idx.servePoint(queryField, dense, k2, np,
                 exclude = tombs.contains, freshTail = tail.map(_.packed))
+            }
             else {
               val ft = tail match {
                 case None => None
@@ -905,8 +922,15 @@ class GraftDb(val spark: SparkSession, val root: String,
                   case None => return None
                 }
               }
-              idx.servePointFiltered(queryField, dense, k2, np, conds,
-                exclude = tombs.contains, freshTail = ft)
+              recallTarget match {
+                // floor + filter: the passing-count cover proves the
+                // floor over the FILTERED universe
+                case Some(t) => idx.servePointFilteredRecall(queryField,
+                  dense, k2, t, conds, exclude = tombs.contains,
+                  freshTail = ft, slack = tombs.size.toLong)
+                case None => idx.servePointFiltered(queryField, dense, k2,
+                  np, conds, exclude = tombs.contains, freshTail = ft)
+              }
             }
           served match {
             case Some(hits) =>
@@ -1253,8 +1277,20 @@ class GraftDb(val spark: SparkSession, val root: String,
                 // source degrades this entry to its per-query fallback
                 val facetJson: Option[String] =
                   if (facets.isEmpty) Some("")
-                  else serveFacetsJson(st, idx, queryField, dense(qi), np,
-                    hits, tail, facets, covers.map(_(qi)))
+                  else {
+                    // filtered floors swept per-query PASSING-COUNT covers
+                    // (inside the batch recall methods) — recompute the
+                    // same cover as the value-lookup hint (cached warm; a
+                    // racing rebuild only makes the lookup miss → this
+                    // entry degrades to its per-query fallback)
+                    val hint: Option[Array[Int]] = covers.map(_(qi)).orElse(
+                      if (conds.nonEmpty) recallTarget.flatMap(t =>
+                        idx.probeSetForFilteredRecall(dense(qi), k, t,
+                          slack = tombs.size.toLong, conds))
+                      else None)
+                    serveFacetsJson(st, idx, queryField, dense(qi), np,
+                      hits, tail, facets, hint)
+                  }
                 facetJson.map { fj =>
                   val sb = new java.lang.StringBuilder("{\"result\":[")
                   var i = 0
@@ -1501,11 +1537,17 @@ class GraftDb(val spark: SparkSession, val root: String,
           // facet-lookup hint only: under a recall floor the hits come
           // from the cover, so the facet value lookup should probe it —
           // a freshly computed cover is fine as a HINT (values are
-          // id-keyed; a miss declines, never miscounts)
+          // id-keyed; a miss declines, never miscounts). FILTERED floors
+          // swept the PASSING-COUNT cover, which can be wider than the
+          // unfiltered one — probe the cover the hits actually came from
           val facetProbeHint: Option[Array[Int]] =
             if (facets.isEmpty) None
-            else recallTarget.map(t =>
-              idx.probeSetForRecall(dense, k, t, slack = tombs.size.toLong))
+            else recallTarget.flatMap(t =>
+              if (conds.isEmpty)
+                Some(idx.probeSetForRecall(dense, k, t,
+                  slack = tombs.size.toLong))
+              else idx.probeSetForFilteredRecall(dense, k, t,
+                slack = tombs.size.toLong, conds))
           val served =
             if (conds.nonEmpty) {
               // the conjunction applies to tail rows too: evaluated here

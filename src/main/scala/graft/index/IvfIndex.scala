@@ -2471,6 +2471,24 @@ class IvfIndex(
     }
   }
 
+  /** The passing-count cover as a facet-lookup HINT for the
+    * filter+recallTarget(+facets) combination: the hits come from the
+    * passing-count cover, so the facet value lookup must probe THOSE
+    * clusters — the unfiltered probeSetForRecall cover may be narrower
+    * and systematically miss (→ a spurious decline, never a miscount).
+    * Recomputing here is cheap warm (scalar residency, pass set and
+    * per-cluster counts are all cached under the same keys the serving
+    * sweep used); a rebuild racing between the sweep and this hint can
+    * only make the lookup miss, which declines. */
+  def probeSetForFilteredRecall(query: Array[Float], k: Int, target: Double,
+      slack: Long, conds: Seq[graft.filter.SimpleConjuncts.Cond])
+      : Option[Array[Int]] = {
+    val q = if (metric == MetricType.Cosine) IvfIndex.normalize(query) else query
+    if (centroids().headOption.exists(_._2.length != q.length)) return None
+    withPassingCountCover(q, k, target, slack, conds, _ => false,
+      Array.empty)((cover, _) => Some(cover))
+  }
+
   /** The skeleton shared by every PROVEN-recall attribute-FILTERED
     * serving tier: acquire scalar residency over ALL clusters (every
     * indexed row lives in exactly one, so the union is the id universe),

@@ -286,7 +286,11 @@ class Round11Spec extends SparkSpec {
     assert(resultIds(dot, "ID").nonEmpty, dot)
   }
 
-  test("recallTarget forces a hybrid query onto both job paths (exact cuts satisfy any floor)") {
+  test("recallTarget + hybrid: the dense side serves under its PROVEN cover, keyword rides the job path (round 12 upgrade)") {
+    // round 11 forced BOTH sides onto job paths; the dense side now
+    // serves under the same geometric-cover proof the single dispatch
+    // uses (1.0 = the exact dense cut), so the fused answer is unchanged
+    // and the envelope says which side served
     val db = fixtureDbWithDoc("r11_rt_hybrid")
     db.rebuildBm25Index("T", "Doc")
     val req =
@@ -295,7 +299,8 @@ class Round11Spec extends SparkSpec {
          |"limit":10""".stripMargin
     val plain = db.query(req + "}")
     val floored = db.query(req + ""","serve":true,"recallTarget":1.0}""")
-    assert(!floored.contains("\"served\""), floored)
+    assert(floored.contains("\"served\":{\"dense\":true,\"keyword\":false}"),
+      floored)
     assert(resultIds(floored) == resultIds(plain), s"$floored vs $plain")
   }
 

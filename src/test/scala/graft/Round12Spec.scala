@@ -138,6 +138,125 @@ class Round12Spec extends SparkSpec {
       served.contains("\"filtered\":true"), served)
   }
 
+  // ---- filter + recallTarget + facets: lookup probes the swept cover ----
+
+  private def facetRowSets(resp: String): Seq[Set[String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(resp) \ "facets") match {
+      case JArray(fs) => fs.map {
+        case JArray(rows) =>
+          rows.map(r => JsonMethods.compact(JsonMethods.render(r))).toSet
+        case other => fail(s"bad facet entry in $resp: $other")
+      }
+      case other => fail(s"no facets in $resp: $other")
+    }
+  }
+
+  private def denseDb(tag: String): graft.api.GraftDb = {
+    val db = new graft.api.GraftDb(spark, tmpDir(tag))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (0 until 600).map { i =>
+      Row(i.toLong, (i % 10).toLong,
+        Seq((i % 83) / 83.0f, (i % 47) / 47.0f, (i % 29) / 29.0f,
+          (i % 13) / 13.0f))
+    }
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false),
+          nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    db.setServeFilterColumns("T", "V", Seq("Label", "ID"))
+    db
+  }
+
+  test("filter + recallTarget + facets SERVES: the facet lookup probes the passing-count cover the hits came from") {
+    val db = denseDb("r12_facet_cover")
+    val req =
+      s"""{"table":"T","queryVector":[0.5,0.4,0.3,0.2],"limit":20,
+         |"filter":"Label >= 5","recallTarget":1.0,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    // the round-11 hint was the UNFILTERED cover, which could miss and
+    // decline this exact combination — round 12 pins that it SERVES
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true"), served)
+    val job = db.query(req + "}")
+    assert(!job.contains("\"served\""), job)
+    assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+    // the batch twin: both entries serve with facets under filter+floor
+    val batch = db.query(
+      s"""{"table":"T","queryVectors":[[0.5,0.4,0.3,0.2],[0.1,0.9,0.2,0.8]],
+         |"limit":20,"filter":"Label >= 5","recallTarget":1.0,
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]}],
+         |"serve":true}""".stripMargin)
+    assert(batch.contains("\"served\":true"), batch)
+  }
+
+  // ---- floored hybrid: dense side serves under its proven cover ----
+
+  private val vocab = Array("spark", "vector", "join", "scan", "stream",
+    "filter", "hash", "probe", "window", "state", "plan", "fusion")
+
+  private def hybridDb(tag: String): graft.api.GraftDb = {
+    val db = new graft.api.GraftDb(spark, tmpDir(tag))
+    db.createTable(
+      """{"name":"T","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"Label","dataType":"BIGINT"},
+        |{"name":"Doc","dataType":"STRING"},
+        |{"name":"V","dataType":"VECTOR_FLOAT","dimensions":4,
+        | "metricType":"EUCLIDEAN"}]}""".stripMargin)
+    val rows = (0 until 600).map { i =>
+      val len = 4 + (i * 7) % 9
+      val doc = (0 until len).map(j => vocab((i * 5 + j * j) % vocab.length))
+        .mkString(" ")
+      Row(i.toLong, (i % 10).toLong, doc,
+        Seq((i % 83) / 83.0f, (i % 47) / 47.0f, (i % 29) / 29.0f,
+          (i % 13) / 13.0f))
+    }
+    db.store("T").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("Label", LongType, nullable = false),
+        StructField("Doc", StringType, nullable = false),
+        StructField("V", ArrayType(FloatType, containsNull = false),
+          nullable = false)))))
+    assert(db.rebuildIndex("T", "V"))
+    db.setServeFilterColumns("T", "V", Seq("Label"))
+    db.rebuildBm25Index("T", "Doc")
+    db
+  }
+
+  test("floored FILTERED hybrid: dense side serves under the passing-count cover, keyword exact on the job path; 1.0 == both-job-paths") {
+    val db = hybridDb("r12_hybrid_floor")
+    val req =
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":[0.5,0.4,0.3,0.2],
+         |"limit":10,"filter":"Label >= 5"""".stripMargin
+    val plain = db.query(req + "}")
+    assert(!plain.contains("\"served\""), plain)
+    val floored = db.query(req + ""","serve":true,"recallTarget":1.0}""")
+    assert(floored.contains("\"served\":{\"dense\":true,\"keyword\":false}"),
+      floored)
+    assert(resultIds(floored) == resultIds(plain), s"$floored vs $plain")
+    // an undeclared-column filter declines the dense serve too: both
+    // sides exact on the job paths, nothing marked served
+    val undeclared = db.query(
+      s"""{"table":"T","keywords":["spark","vector","join"],
+         |"textField":"Doc","queryField":"V","queryVector":[0.5,0.4,0.3,0.2],
+         |"limit":10,"filter":"ID >= 100","serve":true,
+         |"recallTarget":1.0}""".stripMargin)
+    assert(!undeclared.contains("\"served\""), undeclared)
+  }
+
   test("sparse-ONLY Euclid: filtered serve honors a declared recall floor (exact-or-decline); dot with a floor still declines") {
     val db = sparseOnlyDb("r12_sparse_only_floor")
     insertRows(db, sparseRows(0, 600))
