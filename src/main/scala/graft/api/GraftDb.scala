@@ -17,7 +17,13 @@ import scala.jdk.CollectionConverters._
   * a JSON file per table (basic_meta_impl.cpp analog).
   */
 class GraftDb(val spark: SparkSession, val root: String,
-    val maxRenderRows: Int = 100000) {
+    val maxRenderRows: Int = 100000,
+    /** Launch-time export/import confinement for the path-taking APIs
+      * (`dump`/`loadCsv`) — see [[setIoRoot]]. Passing it HERE (not via
+      * config) is the deployment shape for a server fronting untrusted
+      * HTTP clients: the confinement exists before the first request and
+      * no request can widen it. */
+    ioRootInit: Option[String] = None) {
 
   /** Per-database admission quotas (our extension — the reference's
     * multi-DB catalog has none, but a multi-tenant deployment needs them):
@@ -2096,10 +2102,28 @@ class GraftDb(val spark: SparkSession, val root: String,
     * (`dump` / `loadCsv`): when set, requested paths must resolve INSIDE
     * it after normalization — absolute paths outside and `..` traversal
     * are rejected. None (default) = unconfined, for library callers that
-    * own their paths; the HTTP surface sets it via updateConfig `IoRoot`
-    * (an HTTP client could otherwise overwrite any writable server path
-    * or ingest any readable CSV). */
-  @volatile var ioRoot: Option[String] = None
+    * own their paths; a server deployment passes it AT CONSTRUCTION
+    * (`ioRootInit`). */
+  @volatile private var ioRootV: Option[String] =
+    ioRootInit.map(p => Paths.get(p).toAbsolutePath.normalize.toString)
+  def ioRoot: Option[String] = ioRootV
+
+  /** NARROW-ONLY setter (also reachable via updateConfig `IoRoot`): once
+    * a confinement root exists it can only move to a subdirectory of
+    * itself, never widen or clear — otherwise the unauthenticated config
+    * endpoint would let the very HTTP client the confinement defends
+    * against re-point it at "/" and regain arbitrary-path dump/CSV-ingest
+    * (round-11 ADVICE). First set from an unconfined state is allowed
+    * (it only ADDS restriction relative to none). */
+  def setIoRoot(p: String): Unit = synchronized {
+    val np = Paths.get(p).toAbsolutePath.normalize
+    ioRootV match {
+      case Some(cur) if !np.startsWith(Paths.get(cur)) =>
+        throw new IllegalArgumentException(
+          s"IoRoot can only be narrowed to a subdirectory of $cur")
+      case _ => ioRootV = Some(np.toString)
+    }
+  }
 
   private def confinedPath(p: String): String = ioRoot match {
     case None => p
@@ -2201,7 +2225,7 @@ class GraftDb(val spark: SparkSession, val root: String,
       case _ => ()
     }
     (o \ "IoRoot") match {
-      case JString(p) => ioRoot = Some(p)
+      case JString(p) => setIoRoot(p) // narrow-only (throws on widening)
       case _ => ()
     }
     (o \ "ServeFilterColumns") match {

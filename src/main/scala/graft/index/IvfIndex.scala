@@ -69,7 +69,7 @@ class IvfIndex(
   // byte-identical data (count/watermark/purge unchanged, gen bumped)
   // still replaces the layout files, so a live instance must re-list —
   // a gen-less stamp left caches pointing at deleted parquet paths
-  @transient private var cachedStamp: (Long, Long, Long, Long) = null
+  @transient private var cachedStamp: (Long, Long, Long, Long, Long) = null
   @transient private var centroidKey: (Long, Long) = null
   @transient private var centroidCache: Array[(Int, Array[Float])] = null
   @transient private var clusteredCache: DataFrame = null
@@ -79,15 +79,18 @@ class IvfIndex(
   @transient private var pqCbCache: Option[PqCodebook] = null
   @transient private var pqResCache: java.lang.Boolean = null
 
-  /** One file read covering all four stamp fields (meta() + readGen would
-    * read the file twice per access on the serving hot path). */
-  private def stamp(): (Long, Long, Long, Long) = {
+  /** One file read covering all five stamp fields (meta() + readGen +
+    * readNulls would read the file three times per access on the serving
+    * hot path — universeComplete() in particular runs per borrowed-verdict
+    * serve, so its nulls count rides this cache too). */
+  private def stamp(): (Long, Long, Long, Long, Long) = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
     (MetaJson.longField(raw, "watermark", 0L),
       MetaJson.longField(raw, "count", 0L),
       MetaJson.longField(raw, "purge", 0L),
-      MetaJson.longField(raw, "gen", 0L))
+      MetaJson.longField(raw, "gen", 0L),
+      MetaJson.longField(raw, "nulls", 0L))
   }
 
   private def refreshIfStale(): Unit = {
@@ -138,7 +141,7 @@ class IvfIndex(
     * collect itself onto the driver. None = layout predates the stats file
     * (or a rebuild races the read); callers fall back to a count probe. */
   def clusterStats(): Option[Map[Int, Long]] = {
-    var stampAt: (Long, Long, Long, Long) = null
+    var stampAt: (Long, Long, Long, Long, Long) = null
     synchronized {
       refreshIfStale()
       if (clusterStatsCache != null) return clusterStatsCache
@@ -167,7 +170,7 @@ class IvfIndex(
     * (`probeSetForRecall`). None = layout predates radii (or a rebuild
     * races the read); callers fall back to probing everything. */
   def clusterRadii(): Option[Map[Int, Double]] = {
-    var stampAt: (Long, Long, Long, Long) = null
+    var stampAt: (Long, Long, Long, Long, Long) = null
     synchronized {
       refreshIfStale()
       if (clusterRadiiCache != null) return clusterRadiiCache
@@ -286,6 +289,16 @@ class IvfIndex(
   }
 
   def append(newRows: DataFrame, vecCol: String): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    // cache the INPUT plan: the raw-stats pass below and the staged write
+    // both consume it — uncached, every append batch's lineage (store
+    // read + filter, or worse) would run twice (round-11 ADVICE)
+    val input = newRows.cache()
+    try appendCached(input, vecCol)
+    finally input.unpersist()
+  }
+
+  private def appendCached(newRows: DataFrame, vecCol: String): Long = {
     import org.apache.spark.sql.functions.{col => c}
     // NULL-vector rows can't be clustered (no distance): drop them from
     // the staged batch but ADVANCE the watermark past them (or appendIndexes
@@ -409,8 +422,15 @@ class IvfIndex(
     * build/append pass. Borrowed-verdict consumers (densePassVerdict: the
     * hybrid keyword mask, sparse-field filtered serving) require a complete
     * universe: an incomplete donor must DECLINE, never silently judge a
-    * row it has never seen as non-passing. */
-  def universeComplete(): Boolean = IvfIndex.readNulls(metaPath) == 0L
+    * row it has never seen as non-passing. Reads the THROTTLED serve stamp
+    * (ServeFreshnessMs, amortized zero file reads — round-11 ADVICE: the
+    * per-serve readNulls was a file read on the hot driver path), which is
+    * safe: the stamp's nulls count and the serving pin move together in
+    * one meta write, so a stale "0 nulls" comes with an equally stale pin
+    * and the gap rows are tail rows — judged by the tail's OWN
+    * nullVecRows check at the borrow site. */
+  def universeComplete(): Boolean =
+    synchronized { ensureServeFresh(); serveStamp._5 == 0L }
 
   /** ANN top-K: prune to the nProbe nearest clusters of the query, exact
     * search within them.
@@ -806,7 +826,7 @@ class IvfIndex(
     new java.util.LinkedHashMap[Int, (Array[Long], Array[Double], Array[Double])](
       64, 0.75f, true)
   @transient private var serveRowsResident = 0L
-  @transient private var serveStamp: (Long, Long, Long, Long) = null
+  @transient private var serveStamp: (Long, Long, Long, Long, Long) = null
   @transient private var serveStampCheckedAt = 0L
   // serving is pinned to a SNAPSHOT: resident clusters hold rows with
   // id <= serveWatermark, and the caller unions rows above it as the fresh

@@ -138,6 +138,23 @@ class Round12Spec extends SparkSpec {
       served.contains("\"filtered\":true"), served)
   }
 
+  test("IoRoot is launch-time + narrow-only: updateConfig cannot widen or clear the confinement") {
+    val exports = tmpDir("r12_ioroot_exports")
+    val db = new graft.api.GraftDb(spark, tmpDir("r12_ioroot"),
+      ioRootInit = Some(exports))
+    db.dump(s"$exports/ok") // inside the launch-time root: allowed
+    intercept[IllegalArgumentException](db.dump("/tmp/outside_r12_ioroot"))
+    // the attack the advice named: the unauthenticated config surface
+    // re-pointing the root at "/" — must throw, not widen
+    intercept[IllegalArgumentException](db.updateConfig("""{"IoRoot":"/"}"""))
+    intercept[IllegalArgumentException](
+      db.updateConfig(s"""{"IoRoot":"${tmpDir("r12_ioroot_other")}"}"""))
+    // narrowing to a subdirectory is allowed and takes effect
+    db.updateConfig(s"""{"IoRoot":"$exports/sub"}""")
+    intercept[IllegalArgumentException](db.dump(s"$exports/ok2"))
+    db.dump(s"$exports/sub/ok3")
+  }
+
   // ---- filter + recallTarget + facets: lookup probes the swept cover ----
 
   private def facetRowSets(resp: String): Seq[Set[String]] = {
