@@ -19,6 +19,65 @@ import graft.filter.FilterTranslator
   */
 object Queries {
 
+  /** ONE shared serve-lifecycle fixture for the four serve gates
+    * (`v4_serve_filtered`, `v11_serve_filtered_batch`,
+    * `v11_serve_contract`, `g11_serve_facet`): store + dense IVF + sparse
+    * prefix index built ONCE per (session, sf dir) — round 11's bench
+    * spent ~35 s rebuilding four near-identical fixtures. The gates only
+    * QUERY it (no row mutation), so sharing cannot leak state between
+    * them; gates whose point is generation churn (`r3_rebuild_skip`,
+    * `s2_time_travel`, …) keep their own roots.
+    *
+    * Layout: table emb(vec_id PK, label, bucket = vec_id % 7, embedding
+    * EUCLIDEAN, SV = first-8-dim prefix DOT_PRODUCT), plus 32 pad rows
+    * past MinimalIndexSize that are BOTH filter-rejected (label -1) and
+    * geometrically FAR (embedding + 1000) — they enter no gate's top-k.
+    * Declarations are fixed at build: embedding → (label, vec_id)
+    * [filtered serving + facet values], SV → (label, bucket). `bucket`
+    * lives ONLY on SV so the contract gate's sparse_self case provably
+    * rides the sparse index's OWN residency (a dense donor declaring the
+    * column would be preferred). */
+  private val serveFixtures =
+    scala.collection.concurrent.TrieMap[(Int, String), graft.api.GraftDb]()
+  private def serveFixture(s: SparkSession, dir: String): graft.api.GraftDb =
+    serveFixtures.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_servefx_${math.abs(dir.hashCode)}"
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val db = new graft.api.GraftDb(s, root)
+      val emb = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          (col("vec_id") % 7).as("bucket"), col("embedding"),
+          struct(lit((0 until 8).toArray).as("indices"),
+            slice(col("embedding"), 1, 8).as("values")).as("SV"))
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      db.createTable(
+        s"""{"name":"emb","fields":[
+           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
+           |  {"name":"label","dataType":"BIGINT"},
+           |  {"name":"bucket","dataType":"BIGINT"},
+           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
+           |   "metricType":"EUCLIDEAN"},
+           |  {"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
+           |   "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+      val pad = emb.limit(32)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("label", lit(-1L))
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
+        .withColumn("SV", struct(lit((0 until 8).toArray).as("indices"),
+          slice(col("embedding"), 1, 8).as("values")))
+      db.store("emb").insert(emb.unionByName(pad))
+      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
+      require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
+      db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
+      db.setServeFilterColumns("emb", "SV", Seq("label", "bucket"))
+      db
+    })
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -342,32 +401,7 @@ object Queries {
     // Full probe => the pruned sweep is exhaustive => exact.
     "v4_serve_filtered" -> ((s, dir) => {
       import org.json4s._
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v4sf_${math.abs(dir.hashCode)}"
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      val db = new graft.api.GraftDb(s, root)
-      val emb = t(s, dir, "embeddings").orderBy("vec_id")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      db.createTable(
-        s"""{"name":"emb","fields":[
-           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
-           |  {"name":"label","dataType":"BIGINT"},
-           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
-      // pad past MinimalIndexSize with rows the filter ALWAYS rejects
-      // (label -1): they change the index, never the filtered answer
-      val pad = emb.limit(32)
-        .withColumn("vec_id", col("vec_id") + 2000000L)
-        .withColumn("label", lit(-1L))
-      db.store("emb").insert(emb.unionByName(pad))
-      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
-      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val db = serveFixture(s, dir)
       val q = SparkEntry.queryVectorOf(s, dir)
       val resp = db.query(
         s"""{"table":"emb","queryField":"embedding",
@@ -397,30 +431,8 @@ object Queries {
     // value-check against its own filtered brute force.
     "v11_serve_filtered_batch" -> ((s, dir) => {
       import org.json4s._
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v11sfb_${math.abs(dir.hashCode)}"
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      val db = new graft.api.GraftDb(s, root)
-      val emb = t(s, dir, "embeddings").orderBy("vec_id")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"))
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      db.createTable(
-        s"""{"name":"emb","fields":[
-           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
-           |  {"name":"label","dataType":"BIGINT"},
-           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"}]}""".stripMargin)
-      val pad = emb.limit(32)
-        .withColumn("vec_id", col("vec_id") + 2000000L)
-        .withColumn("label", lit(-1L))
-      db.store("emb").insert(emb.unionByName(pad))
-      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
-      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val db = serveFixture(s, dir)
+      val emb = t(s, dir, "embeddings")
       val qs = Seq(0L, 1L).map(i => emb.filter(col("vec_id") === i)
         .select(col("embedding")).head().getSeq[Float](0).toArray)
       val resp = db.query(
@@ -472,45 +484,7 @@ object Queries {
     // Every case's ids value-check against the DuckDB brute force.
     "v11_serve_contract" -> ((s, dir) => {
       import org.json4s._
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_v11sc_${math.abs(dir.hashCode)}"
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      val db = new graft.api.GraftDb(s, root)
-      // SV: the embedding's first-8-dim prefix as a sparse DOT_PRODUCT
-      // field (indices strictly increasing; every row shares the query's
-      // dims, so retrieval-mode == exact) — the sparse_filter case
-      val emb = t(s, dir, "embeddings").orderBy("vec_id")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"),
-          struct(lit((0 until 8).toArray).as("indices"),
-            slice(col("embedding"), 1, 8).as("values")).as("SV"))
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      db.createTable(
-        s"""{"name":"emb","fields":[
-           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
-           |  {"name":"label","dataType":"BIGINT"},
-           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"},
-           |  {"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
-           |   "metricType":"DOT_PRODUCT"}]}""".stripMargin)
-      // pad past MinimalIndexSize with rows that are BOTH filter-rejected
-      // (label -1) and geometrically FAR (embedding + 1000) — they can
-      // enter neither the filtered nor the unfiltered top-10, so every
-      // case's oracle is the plain brute force over the original corpus
-      val pad = emb.limit(32)
-        .withColumn("vec_id", col("vec_id") + 2000000L)
-        .withColumn("label", lit(-1L))
-        .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
-        .withColumn("SV", struct(lit((0 until 8).toArray).as("indices"),
-          slice(col("embedding"), 1, 8).as("values")))
-      db.store("emb").insert(emb.unionByName(pad))
-      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
-      require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
-      db.setServeFilterColumns("emb", "embedding", Seq("label"))
+      val db = serveFixture(s, dir)
       val q = SparkEntry.queryVectorOf(s, dir)
       val m = db.store("emb").read()
         .select(col(graft.store.TableStore.RowId), col("vec_id"))
@@ -579,16 +553,15 @@ object Queries {
         s"sparse_filter did not ride the borrowed-verdict serve path: $rs")
       ids(rs).map(m).foreach(v => out += (("sparse_filter", v)))
       // sparse-ONLY verdict (round 12): a conjunction whose columns the
-      // dense donor does NOT declare (vec_id is declared only on SV)
-      // forces the self path — the sparse index's own pass-set residency
-      // judges resident rows and the sparse tail sidecar judges fresh
-      // ones; envelope-asserted like every other cell
-      db.setServeFilterColumns("emb", "SV", Seq("label", "vec_id"))
+      // dense donor does NOT declare (bucket is declared only on SV —
+      // see serveFixture) forces the self path: the sparse index's own
+      // pass-set residency judges resident rows and the sparse tail
+      // sidecar judges fresh ones; envelope-asserted like every cell
       val rss = db.query(
         s"""{"table":"emb","queryField":"SV",
            |  "queryVector":{"indices":[0,1,2,3,4,5,6,7],
            |    "values":[${sq.mkString(",")}]},"limit":10,"serve":true,
-           |  "filter":"label >= 5 AND vec_id < 300"}""".stripMargin)
+           |  "filter":"label >= 5 AND bucket < 3"}""".stripMargin)
       require(rss.contains("\"served\":true") && rss.contains("\"filtered\":true"),
         s"sparse_self did not ride the own-residency serve path: $rss")
       ids(rss).map(m).foreach(v => out += (("sparse_self", v)))
@@ -604,45 +577,7 @@ object Queries {
     // the facet rows against the DuckDB group-over-topk.
     "g11_serve_facet" -> ((s, dir) => {
       import org.json4s._
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_g11sf_${math.abs(dir.hashCode)}"
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      val db = new graft.api.GraftDb(s, root)
-      // SV: the first-8-dim prefix dot field (see v11_serve_contract) —
-      // the SPARSE facet case serves filtered via the borrowed dense
-      // verdict and aggregates via the donor's scalar residency
-      val emb = t(s, dir, "embeddings").orderBy("vec_id")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding"),
-          struct(lit((0 until 8).toArray).as("indices"),
-            slice(col("embedding"), 1, 8).as("values")).as("SV"))
-      val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      db.createTable(
-        s"""{"name":"emb","fields":[
-           |  {"name":"vec_id","dataType":"BIGINT","primaryKey":true},
-           |  {"name":"label","dataType":"BIGINT"},
-           |  {"name":"embedding","dataType":"VECTOR_FLOAT","dimensions":$dim,
-           |   "metricType":"EUCLIDEAN"},
-           |  {"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":8,
-           |   "metricType":"DOT_PRODUCT"}]}""".stripMargin)
-      // far pad (embedding + 1000, label -1) clears MinimalIndexSize
-      // without ever entering the top-100 the facets aggregate (the
-      // sparse case filters label >= 5, which rejects the pad rows the
-      // prefix dot would otherwise rank first)
-      val pad = emb.limit(32)
-        .withColumn("vec_id", col("vec_id") + 2000000L)
-        .withColumn("label", lit(-1L))
-        .withColumn("embedding", transform(col("embedding"), x => x + lit(1000.0f)))
-        .withColumn("SV", struct(lit((0 until 8).toArray).as("indices"),
-          slice(col("embedding"), 1, 8).as("values")))
-      db.store("emb").insert(emb.unionByName(pad))
-      require(db.rebuildIndex("emb", "embedding"), "index build skipped")
-      require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
-      db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
+      val db = serveFixture(s, dir)
       val q = SparkEntry.queryVectorOf(s, dir)
       def facetRows(resp: String): Seq[(Long, Long, Long)] =
         (org.json4s.jackson.JsonMethods.parse(resp) \ "facets") match {
@@ -1026,7 +961,7 @@ object Queries {
          |            ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
          |              vec_id ASC LIMIT 10),
          |     ss AS (SELECT vec_id FROM embeddings
-         |            WHERE label >= 5 AND vec_id < 300
+         |            WHERE label >= 5 AND (vec_id % 7) < 3
          |            ORDER BY -${sqlDot("embedding[1:8]", s"($QV)[1:8]")} ASC,
          |              vec_id ASC LIMIT 10)
          |SELECT * FROM (
