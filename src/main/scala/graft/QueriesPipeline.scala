@@ -393,6 +393,18 @@ object QueriesPipeline {
       TextAnalysis.bigramLmApply(lm, docs.filter(col("doc_id") >= 250))
         .orderBy(col("doc_id"))
     }),
+    // Trigram LM with STUPID BACKOFF (Brants et al. 2007) — the opt-in
+    // higher-order upgrade of the bigram model, same fit/apply split:
+    // the reference slice (doc_id < 250) estimates the counts, held-out
+    // docs score through all three backoff levels (unseen trigram → α ·
+    // bigram; unseen bigram → α² · add-one unigram — the held-out docs
+    // exercise every branch, value-checked against the DuckDB mirror).
+    "tx_lm_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trigramLmFit(docs.filter(col("doc_id") < 250))
+      TextAnalysis.trigramLmApply(lm, docs.filter(col("doc_id") >= 250))
+        .orderBy(col("doc_id"))
+    }),
     // ... and the bucketing that consumes it: per-LANGUAGE terciles of the
     // rounded score (CCNet buckets per language), summarized per bucket.
     // ntile runs over (rounded score, id) so the cut is deterministic and
@@ -1198,6 +1210,52 @@ object QueriesPipeline {
          |  FROM adbg a LEFT JOIN tm ON a.bg = tm.bg
          |    LEFT JOIN tlc ON a.w1 = tlc.w1 CROSS JOIN tv
          |  GROUP BY a.doc_id)
+         |SELECT d.doc_id, round(l.nll, 4) AS lm_nll
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |  LEFT JOIN alp l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "tx_lm_trigram" ->
+      s"""WITH ttok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
+         |    FROM documents WHERE doc_id < 250),
+         |tre AS (SELECT unnest(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS tg
+         |  FROM ttok),
+         |tc3 AS (SELECT tg, count(*) AS c3 FROM tre GROUP BY tg),
+         |bge AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS bg
+         |  FROM ttok),
+         |tc2 AS (SELECT bg, count(*) AS c2 FROM bge GROUP BY bg),
+         |une AS (SELECT unnest(toks) AS w FROM ttok),
+         |tc1 AS (SELECT w, count(*) AS c1 FROM une GROUP BY w),
+         |nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM une),
+         |atok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
+         |    FROM documents WHERE doc_id >= 250),
+         |atge AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |      THEN list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS tg
+         |  FROM atok),
+         |adtg AS (SELECT doc_id, tg, count(*) AS m FROM atge GROUP BY 1, 2),
+         |asplit AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM adtg),
+         |score AS (SELECT a.doc_id, a.m,
+         |    CASE WHEN tc3.c3 IS NOT NULL
+         |           THEN CAST(tc3.c3 AS DOUBLE) / b12.c2
+         |         WHEN b23.c2 IS NOT NULL
+         |           THEN 0.4 * CAST(b23.c2 AS DOUBLE) / u2.c1
+         |         ELSE 0.4 * 0.4 * (coalesce(u3.c1, 0) + 1.0) / (nv.n + nv.v)
+         |    END AS s
+         |  FROM asplit a LEFT JOIN tc3 ON a.tg = tc3.tg
+         |    LEFT JOIN tc2 b12 ON a.ws[1] || ' ' || a.ws[2] = b12.bg
+         |    LEFT JOIN tc2 b23 ON a.ws[2] || ' ' || a.ws[3] = b23.bg
+         |    LEFT JOIN tc1 u2 ON a.ws[2] = u2.w
+         |    LEFT JOIN tc1 u3 ON a.ws[3] = u3.w
+         |    CROSS JOIN nv),
+         |alp AS (SELECT doc_id, -sum(m * ln(s)) / sum(m) AS nll
+         |  FROM score GROUP BY doc_id)
          |SELECT d.doc_id, round(l.nll, 4) AS lm_nll
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
          |  LEFT JOIN alp l ON d.doc_id = l.doc_id

@@ -447,6 +447,125 @@ object TextAnalysis {
       .select(id, round(col("nll"), 4).as("lm_nll"))
   }
 
+  /** A FITTED trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4 — the public
+    * large-corpus recipe CCNet's KenLM descends from): relative
+    * frequencies with a fixed backoff multiplier α (0.4 in the paper),
+    * no normalization —
+    *
+    *   S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if the trigram is seen
+    *               = α · S(w3|w2)                     otherwise
+    *   S(w3|w2)    = c(w2 w3)/c(w2)                   if the bigram is seen
+    *               = α · S(w3)                        otherwise
+    *   S(w3)       = (c(w3) + 1)/(N + V)
+    *
+    * The terminal unigram is add-one smoothed over the training vocab (a
+    * documented deviation — pure stupid backoff gives an OOV token score
+    * 0 ⇒ ln 0; the same never-NULL floor discipline as the bigram
+    * model). Seen branches never divide by zero: a seen trigram implies
+    * its (w1 w2) prefix is seen, a seen (w2 w3) implies w2 is seen.
+    * Model = three count tables + (N, V); scoring a 100 TB crawl against
+    * a fixed reference model shuffles only the crawl's COMPRESSED
+    * trigrams (the same zipfian-fan-in bound as the bigram plan). */
+  final case class TrigramLm(tri: DataFrame, bi: DataFrame, uni: DataFrame,
+      totalTokens: Long, vocabSize: Long, alpha: Double, capTokens: Int) {
+    def save(dir: String): Unit = {
+      val spark = tri.sparkSession
+      tri.write.mode("overwrite").parquet(s"$dir/trigrams.parquet")
+      bi.write.mode("overwrite").parquet(s"$dir/bigrams.parquet")
+      uni.write.mode("overwrite").parquet(s"$dir/unigrams.parquet")
+      import spark.implicits._
+      Seq((totalTokens, vocabSize, alpha, capTokens))
+        .toDF("total_tokens", "vocab_size", "alpha", "cap_tokens")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object TrigramLm {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): TrigramLm = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      TrigramLm(spark.read.parquet(s"$dir/trigrams.parquet"),
+        spark.read.parquet(s"$dir/bigrams.parquet"),
+        spark.read.parquet(s"$dir/unigrams.parquet"),
+        meta.getAs[Long]("total_tokens"), meta.getAs[Long]("vocab_size"),
+        meta.getAs[Double]("alpha"), meta.getAs[Int]("cap_tokens"))
+    }
+  }
+
+  /** Per-doc COMPRESSED trigram occurrences with the backoff keys the
+    * apply joins need: (id, tg, bg12, bg23, w2, w3, m). */
+  private def docTrigrams(tok: DataFrame, id: Column): DataFrame = {
+    val nT = size(col("toks"))
+    def w(i: Column, o: Int) = element_at(col("toks"), i + o)
+    val tgArr = when(nT >= 3,
+      transform(sequence(lit(1), nT - 2),
+        i => struct(
+          concat_ws(" ", w(i, 0), w(i, 1), w(i, 2)).as("tg"),
+          concat_ws(" ", w(i, 0), w(i, 1)).as("bg12"),
+          concat_ws(" ", w(i, 1), w(i, 2)).as("bg23"),
+          w(i, 1).as("w2"), w(i, 2).as("w3"))))
+      .otherwise(array().cast(
+        "array<struct<tg:string,bg12:string,bg23:string,w2:string,w3:string>>"))
+    tok.select(id, explode(tgArr).as("p"))
+      .groupBy(id, col("p.tg").as("tg"), col("p.bg12").as("bg12"),
+        col("p.bg23").as("bg23"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** Estimate the stupid-backoff trigram model. Two driver scalars (N, V)
+    * in one action; the count tables stay distributed. */
+  def trigramLmFit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", capTokens: Int = 512,
+      alpha: Double = 0.4): TrigramLm = {
+    val id = col(idCol)
+    val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
+    val tri = docTrigrams(tok, id)
+      .groupBy(col("tg")).agg(sum(col("m")).as("c3"))
+    val bi = docBigrams(tok, id)
+      .groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val uni = tok.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(sum(col("c1")), count(lit(1))).head()
+    TrigramLm(tri, bi, uni,
+      if (nv.isNullAt(0)) 0L else nv.getLong(0), nv.getLong(1),
+      alpha, capTokens)
+  }
+
+  /** Score documents under a fitted stupid-backoff model:
+    * lm_nll = −(Σ m·ln S)/Σ m over the doc's compressed trigrams; docs
+    * with < 3 tokens carry NULL. Plan shape: one compress shuffle on the
+    * scored side, five left joins against the model's own pre-aggregated
+    * keys, one per-doc reduce — the model tables are the small/fixed
+    * side, so crawl-scale scoring never re-shuffles the model. */
+  def trigramLmApply(lm: TrigramLm, df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    val tok = df.select(id, cappedTokens(col(textCol), lm.capTokens).as("toks"))
+    val a = lm.alpha
+    val floor = (coalesce(col("c1_w3"), lit(0L)) + lit(1.0)) /
+      lit(lm.totalTokens + lm.vocabSize).cast("double")
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2_12"))
+      .otherwise(lit(a) * when(col("c2_23").isNotNull,
+          col("c2_23").cast("double") / col("c1_w2"))
+        .otherwise(lit(a) * floor))
+    val scored = docTrigrams(tok, id)
+      .join(lm.tri, Seq("tg"), "left")
+      .join(lm.bi.select(col("bg").as("bg12"), col("c2").as("c2_12")),
+        Seq("bg12"), "left")
+      .join(lm.bi.select(col("bg").as("bg23"), col("c2").as("c2_23")),
+        Seq("bg23"), "left")
+      .join(lm.uni.select(col("w").as("w2"), col("c1").as("c1_w2")),
+        Seq("w2"), "left")
+      .join(lm.uni.select(col("w").as("w3"), col("c1").as("c1_w3")),
+        Seq("w3"), "left")
+      .select(id, (col("m") * log(s)).as("lp"), col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    df.select(id).join(scored, Seq(idCol), "left")
+      .select(id, round(col("nll"), 4).as("lm_nll"))
+  }
+
   /** Annotate a documents DataFrame with the full feature set.
     * Tokenization and shingle hashing are staged into their own projection
     * so they run ONCE per row; every feature reads the materialized arrays.
