@@ -981,6 +981,22 @@ class GraftDb(val spark: SparkSession, val root: String,
       case Some(m) => m
       case None => return None
     }
+    facetsJsonFromValues(st, cols, hits,
+      id => tailValueById.getOrElse(id, resident(id)), facets)
+  }
+
+  /** The shared facet-envelope tail: reconstruct the ≤ k served rows as a
+    * LOCAL DataFrame (original schema types restored — the widening to
+    * Long/Double was exact, so the cast back is too) and feed them
+    * through the SAME QueryEngine.facet executor the job path uses, so
+    * grouping semantics AND JSON number formatting are identical by
+    * construction. `valueOf` is the residency's id → declared-col values
+    * lookup (any tier's: dense scalar clusters, sparse scalar rows, tail
+    * sidecars) — a missing id throws, caught here as a decline. */
+  private def facetsJsonFromValues(st: TableStore, cols: Seq[String],
+      hits: Array[(Long, Double)], valueOf: Long => Array[AnyRef],
+      facets: Seq[Facet]): Option[String] = {
+    import org.apache.spark.sql.types._
     def castTo(v: AnyRef, dt: DataType): Any =
       if (v == null) null
       else dt match {
@@ -998,11 +1014,12 @@ class GraftDb(val spark: SparkSession, val root: String,
         StructField(QueryEngine.DistanceCol, DoubleType, nullable = false) +:
         cols.zip(colTypes).map { case (c, t) => StructField(c, t) })
     val rows: java.util.List[org.apache.spark.sql.Row] =
-      hits.map { case (id, d) =>
-        val vals = tailValueById.getOrElse(id, resident(id))
+      try hits.map { case (id, d) =>
+        val vals = valueOf(id)
         org.apache.spark.sql.Row.fromSeq(
           id +: d +: vals.toSeq.zip(colTypes).map { case (v, t) => castTo(v, t) })
       }.toSeq.asJava
+      catch { case scala.util.control.NonFatal(_) => return None }
     val df = spark.createDataFrame(rows, schema)
     val sb = new java.lang.StringBuilder(",\"facets\":[")
     try {
@@ -1430,7 +1447,7 @@ class GraftDb(val spark: SparkSession, val root: String,
                 s"$root/${st.schema.name}/ivf_${df.name}/ivf_meta.json")) &&
               cols.subsetOf(index(st, df.name).serveFilterColumns().toSet)
           }.map(_.name)
-        val facetDonor: Option[(String, Seq[Facet])] =
+        val facetDonor: Option[(Option[String], Seq[Facet])] =
           if (facets.isEmpty) None
           else {
             // columns a facet touches: plain group names + the argument
@@ -1440,8 +1457,14 @@ class GraftDb(val spark: SparkSession, val root: String,
               a => "\\(([^)]*)\\)".r.findFirstMatchIn(a).map(_.group(1).trim)))
               .filterNot(c => c == "*" || c.startsWith("@")).toSet
             denseDonor(fcols) match {
-              case Some(dn) => Some((dn, facets))
-              case None => return None // no donor declares them: job path
+              case Some(dn) => Some((Some(dn), facets))
+              case None =>
+                // sparse-ONLY: values from the sparse index's OWN scalar
+                // residency + tail sidecar (round 12); undeclared → job
+                if (fcols.subsetOf(
+                    sparseIndex(st, queryField).serveFilterColumns().toSet))
+                  Some((None, facets))
+                else return None
             }
           }
         if (filterStr.isEmpty)
@@ -1749,21 +1772,52 @@ class GraftDb(val spark: SparkSession, val root: String,
     }.reduce(_ && _)
   }
 
+  /** The sparse index's scalar VALUES residency at a pin: ONE cached
+    * pruned store job loads every declared column for rows at or below
+    * the pin (row content is id-keyed and IMMUTABLE — upserts tombstone +
+    * insert under a new id — so the block is valid for its pin forever).
+    * Every conjunction and every facet lookup at this pin evaluates
+    * DRIVER-SIDE against this block; cardinality is pre-checked BEFORE
+    * the collect so an over-cap table costs a codegen'd count, never an
+    * unbounded collect. */
+  private def sparseScalarRows(st: TableStore, idx: graft.index.SparseIndex,
+      pin: Long): Option[graft.index.SparseIndex.SparseScalarRows] = {
+    import org.apache.spark.sql.functions.col
+    val cols = idx.serveFilterColumns()
+    if (cols.isEmpty) return None
+    idx.scalarRowsAt(pin, () => {
+      val df = st.rawRead()
+        .filter(col(TableStore.RowId).cast("long") <= pin)
+        .select(col(TableStore.RowId).cast("long") +: cols.map(col): _*)
+      if (df.count() > idx.effectiveMaxScalarRows) None
+      else {
+        val rows = df.collect()
+        val ids = rows.map(_.getLong(0))
+        val vals: Map[String, Array[AnyRef]] =
+          cols.zipWithIndex.map { case (c, ci) =>
+            c -> rows.map(r =>
+              if (r.isNullAt(ci + 1)) null
+              else r.get(ci + 1).asInstanceOf[AnyRef])
+          }.toMap
+        Some(graft.index.SparseIndex.SparseScalarRows(ids, vals))
+      }
+    })
+  }
+
   /** Complete pass verdict from the sparse index's OWN declared columns
-    * (sparse-ONLY tables — no dense donor exists to borrow from):
-    * passing ids at or below the pin come from a cached pruned store job
-    * (row content is id-keyed and IMMUTABLE — upserts tombstone + insert
-    * under a new id — so the set is valid for its pin forever, and no
-    * donor pin exists to re-verify); rows above the pin are judged on
-    * the sparse tail's scalar sidecar, collected against the same pin —
-    * the caller's post-sweep pin re-check closes the tail race.
-    * Completeness holds structurally: the walk only surfaces ids the
-    * postings (≤ pin, a subset of store rows ≤ pin) or the tail hold. */
+    * (sparse-ONLY tables — no dense donor exists to borrow from): the
+    * conjunction is evaluated driver-side over the cached values
+    * residency (no per-conjunction jobs — one block load per pin serves
+    * every filter, and no donor pin exists to re-verify); rows above the
+    * pin are judged on the sparse tail's scalar sidecar, collected
+    * against the same pin — the caller's post-sweep pin re-check closes
+    * the tail race. Completeness holds structurally: the walk only
+    * surfaces ids the postings (≤ pin, a subset of store rows ≤ pin) or
+    * the tail hold. */
   private def sparseSelfVerdict(st: TableStore,
       idx: graft.index.SparseIndex, pin: Long,
       conds: Seq[graft.filter.SimpleConjuncts.Cond], tail: SparseTail)
       : Option[Long => Boolean] = {
-    import org.apache.spark.sql.functions.col
     if (!conds.forall(c => idx.serveFilterColumns().contains(c.col)))
       return None
     val tailPass = new java.util.HashSet[java.lang.Long]()
@@ -1771,19 +1825,12 @@ class GraftDb(val spark: SparkSession, val root: String,
       case None => return None // a re-declaration raced the sidecar
       case Some(ids) => ids.foreach(id => tailPass.add(id))
     }
-    val cap = idx.maxServePassIds
-    idx.passingIdSet(graft.filter.SimpleConjuncts.key(conds), pin, () => {
-      // ONE pruned cold job: rawRead (tombstones are masked by the
-      // walk's exclude), cut at the pin, ids only; cardinality is
-      // pre-checked BEFORE the collect so an over-cap filter costs a
-      // codegen'd count, never an unbounded collect
-      val df = st.rawRead()
-        .filter(col(TableStore.RowId).cast("long") <= pin)
-        .filter(condsColumn(conds))
-        .select(col(TableStore.RowId).cast("long"))
-      if (df.count() > cap) None
-      else Some(df.collect().map(_.getLong(0)))
-    }).map { pass =>
+    val rows = sparseScalarRows(st, idx, pin) match {
+      case Some(r) => r
+      case None => return None
+    }
+    idx.passingIdSet(graft.filter.SimpleConjuncts.key(conds), pin,
+      () => sidecarPassingIds(rows.ids, rows.cols, conds)).map { pass =>
       (id: Long) => if (id <= pin) pass.contains(id) else tailPass.contains(id)
     }
   }
@@ -1791,7 +1838,7 @@ class GraftDb(val spark: SparkSession, val root: String,
   private def serveSparse(st: TableStore, queryField: String,
       o: JObject, limit: Int,
       filtered: Option[(Option[String], Seq[graft.filter.SimpleConjuncts.Cond])] = None,
-      facetDonor: Option[(String, Seq[Facet])] = None)
+      facetDonor: Option[(Option[String], Seq[Facet])] = None)
       : Option[String] = {
     val f = st.schema.field(queryField)
     if (!Files.exists(Paths.get(
@@ -1857,15 +1904,22 @@ class GraftDb(val spark: SparkSession, val root: String,
                 case None => return None
               }
           if (idx.servingWatermark() == pin && verifyDonor()) {
-            // facets aggregate the served top-k; values come from the
-            // dense donor's scalar residency + tail sidecar (id-keyed —
-            // a miss declines, never miscounts), same as the dense path
+            // facets aggregate the served top-k; values come from a dense
+            // donor's scalar residency + tail sidecar when one declares
+            // the columns, else from the sparse index's OWN values
+            // residency (id-keyed either way — a miss declines, never
+            // miscounts), same executor as the dense path
             val facetJson: String = facetDonor match {
               case None => ""
-              case Some((dn, fs)) => sparseFacetsJson(st, dn, hits, fs) match {
+              case Some((Some(dn), fs)) => sparseFacetsJson(st, dn, hits, fs) match {
                 case Some(fj) => fj
                 case None => return None
               }
+              case Some((None, fs)) =>
+                sparseSelfFacetsJson(st, idx, pin, hits, tailData, fs) match {
+                  case Some(fj) => fj
+                  case None => return None
+                }
             }
             val sb = new java.lang.StringBuilder("{\"result\":[")
             var i = 0
@@ -1896,6 +1950,34 @@ class GraftDb(val spark: SparkSession, val root: String,
     * never return another row's value. The zeros query is a placeholder:
     * with an explicit all-clusters probe set it feeds only the dim
     * guard. */
+  /** Facet source for SPARSE-ONLY serves (no dense donor declares the
+    * facet's columns): values by id from the sparse index's own scalar
+    * VALUES residency (rows ≤ pin) plus the sparse tail's scalar sidecar
+    * (rows above it) — the same facet executor as every other tier. A
+    * hit id missing from both (racing re-declaration shrank the sidecar,
+    * purge) throws inside the lookup and declines, never miscounts. */
+  private def sparseSelfFacetsJson(st: TableStore,
+      idx: graft.index.SparseIndex, pin: Long,
+      hits: Array[(Long, Double)], tail: SparseTail, facets: Seq[Facet])
+      : Option[String] = {
+    val cols = idx.serveFilterColumns()
+    if (cols.isEmpty) return None
+    val rows = sparseScalarRows(st, idx, pin) match {
+      case Some(r) => r
+      case None => return None
+    }
+    val tailIdx = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    tail.scalarIds.zipWithIndex.foreach { case (id, j) => tailIdx.put(id, j) }
+    facetsJsonFromValues(st, cols, hits, { id =>
+      val tj = tailIdx.get(id)
+      if (tj != null) cols.map(c => tail.scalars(c)(tj)).toArray
+      else {
+        val j = rows.indexOf.get(id) // null → NPE → decline upstream
+        cols.map(c => rows.cols(c)(j)).toArray
+      }
+    }, facets)
+  }
+
   private def sparseFacetsJson(st: TableStore, donorField: String,
       hits: Array[(Long, Double)], facets: Seq[Facet]): Option[String] = {
     val didx = index(st, donorField)

@@ -435,15 +435,28 @@ class SparseIndex(
   def setServeFilterColumns(cols: Seq[String]): Unit = synchronized {
     filterColsDecl = cols.distinct
     passSetCache.clear()
+    scalarRowsCache = null // the values block is per-declaration
     IvfIndex.writeServeCols(serveColsPath, filterColsDecl)
   }
   def serveFilterColumns(): Seq[String] = filterColsDecl
 
-  /** Passing-id budget: a resident HashSet entry costs ~48 B, so the
-    * default (4M ids ≈ 192 MiB) matches the dense scalar residency's
-    * scale. A conjunction passing more rows than this declines to the
-    * job path (which masks by a distributed semi-join instead). */
+  /** Scalar-residency unit budget: ~48 B per resident value (boxing +
+    * slack, the dense estimate), so the default (4M units ≈ 192 MiB)
+    * matches the dense scalar residency's scale. The VALUES load is
+    * row-capped at `maxServePassIds / max(1, declared columns)`; a pass
+    * set is always within budget because it holds a subset of the loaded
+    * rows' ids. Over-budget tables decline to the job path (which masks
+    * by a distributed semi-join instead). */
   @volatile var maxServePassIds: Long = 4L * 1024 * 1024
+
+  /** Effective row cap for the values residency. */
+  def effectiveMaxScalarRows: Long =
+    maxServePassIds / math.max(1, filterColsDecl.size)
+
+  // ONE values entry per pin (id-keyed row content is immutable — an
+  // upsert tombstones + re-inserts under a new id — so an entry is valid
+  // for its pin forever; a new pin simply replaces it)
+  @transient private var scalarRowsCache: (Long, SparseIndex.SparseScalarRows) = null
 
   @transient private val passSetCache =
     new java.util.LinkedHashMap[(String, Long), java.util.HashSet[java.lang.Long]](
@@ -453,24 +466,43 @@ class SparseIndex(
           : Boolean = size() > 16
     }
 
-  /** The resident pass set for a conjunction (keyed by its canonical
-    * string) at pin `pinWm`. `loader` runs ONE pruned job over the
-    * store's rows at or below the pin when cold; None from it (over
-    * budget pre-check, unknown column) declines. The cold load runs
+  /** The values residency at pin `pinWm`: warm = pure cache hit; cold =
+    * `loader` runs ONE pruned job over the store's rows at or below the
+    * pin (None from it = over the row-cap pre-check → decline). Runs
     * OUTSIDE the instance lock — last-writer-wins on a duplicate load of
-    * the same immutable set. */
+    * the same immutable block. Every conjunction and every facet lookup
+    * at this pin reads this one block; no per-conjunction jobs. */
+  def scalarRowsAt(pinWm: Long,
+      loader: () => Option[SparseIndex.SparseScalarRows])
+      : Option[SparseIndex.SparseScalarRows] = {
+    synchronized {
+      val c = scalarRowsCache
+      if (c != null && c._1 == pinWm) return Some(c._2)
+    }
+    loader() match {
+      case None => decline
+      case Some(rows) =>
+        if (rows.ids.length > effectiveMaxScalarRows) return decline
+        synchronized { scalarRowsCache = (pinWm, rows) }
+        Some(rows)
+    }
+  }
+
+  /** The resident pass set for a conjunction (keyed by its canonical
+    * string) at pin `pinWm` — a DRIVER-SIDE evaluation over the values
+    * residency (the `eval` closure), cached so a repeated filter costs
+    * one hash lookup per candidate in the walk, not a re-evaluation. */
   def passingIdSet(condsKey: String, pinWm: Long,
-      loader: () => Option[Array[Long]])
+      eval: () => Option[Array[Long]])
       : Option[java.util.HashSet[java.lang.Long]] = {
     val key = (condsKey, pinWm)
     synchronized {
       val c = passSetCache.get(key)
       if (c != null) return Some(c)
     }
-    loader() match {
+    eval() match {
       case None => decline
       case Some(ids) =>
-        if (ids.length > maxServePassIds) return decline
         val s = new java.util.HashSet[java.lang.Long](
           math.max(16, ids.length * 4 / 3))
         ids.foreach(id => s.add(id))
@@ -1115,6 +1147,22 @@ class SparseIndex(
 }
 
 object SparseIndex {
+
+  /** Declared-column VALUES for every indexed row at or below a pin —
+    * the sparse twin of the dense index's scalar clusters, loaded as ONE
+    * block (the sparse layout has no clusters to chunk by; the row cap
+    * bounds the collect). `indexOf` materializes lazily for the facet
+    * value lookup and lives with the cache entry. */
+  final case class SparseScalarRows(ids: Array[Long],
+      cols: Map[String, Array[AnyRef]]) {
+    lazy val indexOf: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](
+        math.max(16, ids.length * 4 / 3))
+      var j = 0
+      while (j < ids.length) { m.put(ids(j), j); j += 1 }
+      m
+    }
+  }
 
   /** Default dim-bucket count: enough directories that a query's dims
     * prune most of the layout, few enough that small corpora don't

@@ -138,6 +138,34 @@ class Round12Spec extends SparkSpec {
       served.contains("\"filtered\":true"), served)
   }
 
+  test("sparse-ONLY facets: values from the index's own scalar residency + tail sidecar, equal to the job path's envelope") {
+    val db = sparseOnlyDb("r12_sparse_only_facets")
+    insertRows(db, sparseRows(0, 400))
+    assert(db.rebuildIndex("S", "SV"))
+    db.setServeFilterColumns("S", "SV", Seq("Label", "ID"))
+    // fresh rows above the pin so the sidecar leg is exercised too
+    insertRows(db, sparseRows(400, 420))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val req =
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":8,
+         |"filter":"Label >= 5",
+         |"facets":[{"group":["Label"],"aggregate":["COUNT(*)","SUM(ID)"]}]""".stripMargin
+    val served = db.query(req + ""","serve":true}""")
+    assert(served.contains("\"served\":true") &&
+      served.contains("\"filtered\":true") &&
+      served.contains("\"facets\":["), served)
+    val job = db.query(req + "}")
+    assert(!job.contains("\"served\""), job)
+    assert(facetRowSets(served) == facetRowSets(job), s"$served\n$job")
+    // a facet on an UNDECLARED column declines the whole request
+    db.setServeFilterColumns("S", "SV", Seq("Label")) // ID no longer declared
+    val undeclared = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":8,
+         |"serve":true,
+         |"facets":[{"group":["Label"],"aggregate":["SUM(ID)"]}]}""".stripMargin)
+    assert(!undeclared.contains("\"served\""), undeclared)
+  }
+
   test("IoRoot is launch-time + narrow-only: updateConfig cannot widen or clear the confinement") {
     val exports = tmpDir("r12_ioroot_exports")
     val db = new graft.api.GraftDb(spark, tmpDir("r12_ioroot"),
