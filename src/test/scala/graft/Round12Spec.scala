@@ -166,6 +166,80 @@ class Round12Spec extends SparkSpec {
     assert(!undeclared.contains("\"served\""), undeclared)
   }
 
+  test("sparse-ONLY filtered serving equals the job path over random conjunctions and NULL-bearing data (property sweep)") {
+    // the FilteredServeProps backstop for the NEW verdict source: the
+    // driver-side kernels over the sparse values residency must agree
+    // with the Catalyst plan the job path compiles from the SAME filter
+    // string, on every typed column / op / literal / NULL combination
+    // the sub-grammar admits. Every row carries the query's dims
+    // (all-overlap), so retrieval-mode == exact and the mask is the only
+    // variable.
+    val rnd = new scala.util.Random(421200L)
+    val db = new graft.api.GraftDb(spark, tmpDir("r12_sparse_props"))
+    db.createTable(
+      """{"name":"P","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"lc","dataType":"BIGINT"},
+        |{"name":"dc","dataType":"DOUBLE"},
+        |{"name":"sc","dataType":"STRING"},
+        |{"name":"bc","dataType":"BOOL"},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    def maybeNull[A <: AnyRef](v: A): A =
+      if (rnd.nextInt(8) == 0) null.asInstanceOf[A] else v
+    val rows = (0 until 700).map { i =>
+      Row(i.toLong,
+        maybeNull(java.lang.Long.valueOf(rnd.nextInt(50).toLong)),
+        maybeNull(java.lang.Double.valueOf(math.rint(rnd.nextDouble() * 1000) / 10.0)),
+        maybeNull("s" + rnd.nextInt(20)),
+        maybeNull(java.lang.Boolean.valueOf(rnd.nextBoolean())),
+        Row(Seq(3, 10), Seq(1.0f + (i % 7) * 0.25f, 0.5f + (i % 5) * 0.25f)))
+    }
+    val res = db.store("P").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("lc", LongType, nullable = true),
+        StructField("dc", DoubleType, nullable = true),
+        StructField("sc", StringType, nullable = true),
+        StructField("bc", BooleanType, nullable = true),
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = false)))))
+    assert(res.inserted == 700, res.toString)
+    assert(db.rebuildIndex("P", "SV"))
+    db.setServeFilterColumns("P", "SV", Seq("lc", "dc", "sc", "bc"))
+    val qv = """{"indices":[3,10],"values":[1.0,1.0]}"""
+    val m = db.store("P").read()
+      .select(org.apache.spark.sql.functions.col(graft.store.TableStore.RowId),
+        org.apache.spark.sql.functions.col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordOps = Array("<", "<=", ">", ">=", "=", "<>")
+    var nonEmptyTrials = 0
+    for (trial <- 0 until 30) {
+      val parts = (0 to rnd.nextInt(2)).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => s"lc ${ordOps(rnd.nextInt(6))} ${rnd.nextInt(50)}"
+          case 1 => s"dc ${ordOps(rnd.nextInt(6))} ${rnd.nextInt(100)}"
+          case 2 => s"dc ${ordOps(rnd.nextInt(6))} ${math.rint(rnd.nextDouble() * 1000) / 10.0}"
+          case 3 => s"sc ${if (rnd.nextBoolean()) "=" else "<>"} 's${rnd.nextInt(20)}'"
+          case 4 => s"bc ${if (rnd.nextBoolean()) "=" else "<>"} ${if (rnd.nextBoolean()) "TRUE" else "FALSE"}"
+        }
+      }
+      val filter = parts.mkString(" AND ")
+      val served = db.query(
+        s"""{"table":"P","queryField":"SV","queryVector":$qv,"limit":10,
+           |"serve":true,"filter":"${filter.replace("\"", "\\\"")}"}""".stripMargin)
+      assert(served.contains("\"served\":true"),
+        s"trial $trial declined: $filter -> $served")
+      val job = db.query(
+        s"""{"table":"P","queryField":"SV","queryVector":$qv,"limit":10,
+           |"filter":"${filter.replace("\"", "\\\"")}","response":["ID"]}""".stripMargin)
+      val got = resultIds(served).map(m)
+      val expect = resultIds(job, "ID")
+      assert(got == expect, s"trial $trial diverged on: $filter\n$served\n$job")
+      if (expect.nonEmpty) nonEmptyTrials += 1
+    }
+    assert(nonEmptyTrials >= 15, s"only $nonEmptyTrials non-empty trials")
+  }
+
   test("IoRoot is launch-time + narrow-only: updateConfig cannot widen or clear the confinement") {
     val exports = tmpDir("r12_ioroot_exports")
     val db = new graft.api.GraftDb(spark, tmpDir("r12_ioroot"),

@@ -39,7 +39,7 @@ class Round9Spec extends SparkSpec {
       nClusters = 2, maxIter = 5)
     val idx0 = new IvfIndex(spark, path, "id", MetricType.Euclidean)
     val before = fullProbeIds(idx0, Array(0f, 0f, 0f, 0f), 20)
-    val genBefore = idx0.freshnessStamp().asInstanceOf[(Long, Long, Long, Long)]._4
+    val genBefore = idx0.freshnessStamp().asInstanceOf[(Long, Long, Long, Long, Long)]._4
     // 1800-row hot cluster vs bound 300: one cluster must split
     assert(IvfIndex.splitOversized(spark, path, "vec", "id",
       MetricType.Euclidean, maxRows = 300) == 1)
@@ -48,7 +48,7 @@ class Round9Spec extends SparkSpec {
     val stats = idx.clusterStats().get
     assert(stats.values.sum == 2000L, s"rows lost/duplicated by the split: $stats")
     // the generation bumped: live instances (any process) flush residency
-    val genAfter = idx.freshnessStamp().asInstanceOf[(Long, Long, Long, Long)]._4
+    val genAfter = idx.freshnessStamp().asInstanceOf[(Long, Long, Long, Long, Long)]._4
     assert(genAfter == genBefore + 1)
     // full-probe search is EXACT search: byte-identical before/after
     assert(fullProbeIds(idx, Array(0f, 0f, 0f, 0f), 20) == before)
