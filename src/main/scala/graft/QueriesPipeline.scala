@@ -654,6 +654,38 @@ object QueriesPipeline {
       java.nio.file.Files.deleteIfExists(streamDir)
       local
     }),
+    // Streaming INCREMENTAL paragraph dedup (DocStream
+    // .incrementalParagraphDedup): the span-level twin of
+    // st_dedup_stream — 25-token windows deduped by digest with the
+    // state in the checkpoint. Contract = the surviving digest SET (and
+    // the paragraph text, digest-determined); which occurrence survives
+    // follows arrival order, so ids stay out of the hash.
+    "st_paragraph_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("st_para_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"),
+          graft.pipeline.Dedup.tokenWindows(col("__toks"), 25).as("paras"))
+      val sink = s"st_para_stream_sink_${evStreamRuns.incrementAndGet()}"
+      val q = graft.streaming.DocStream
+        .incrementalParagraphDedup(src, "doc_id", col("paras"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).select(col("digest"), col("para"))
+        .orderBy(col("digest"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
+    }),
     "ev_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1442,6 +1474,14 @@ object QueriesPipeline {
     // the streaming twin must land on the exact same batch answer
     "st_dedup_stream" ->
       """SELECT DISTINCT md5(text) AS digest FROM documents
+        |ORDER BY digest""".stripMargin,
+    "st_paragraph_stream" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    array_to_string(t[((i-1)*25+1):least(i*25, len(t))], ' ') AS para
+        |  FROM toks, unnest(range(1, CAST(ceil(len(t)/25.0) AS BIGINT) + 1)) u(i))
+        |SELECT DISTINCT md5(para) AS digest, para FROM chunks
         |ORDER BY digest""".stripMargin,
     "ev_hour_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,

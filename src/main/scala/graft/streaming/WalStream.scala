@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -244,5 +244,26 @@ object DocStream {
   def incrementalDedup(docs: DataFrame, textCol: String = "text",
       keepCols: Seq[String] = Seq.empty): DataFrame =
     docs.select((md5(col(textCol)).as("digest") +: keepCols.map(col)): _*)
+      .dropDuplicates("digest")
+
+  /** Streaming twin of [[graft.pipeline.Dedup.dropDuplicateParagraphs]]:
+    * INCREMENTAL paragraph-level dedup. Paragraphs (`paras` — any
+    * array<string> unit column: blankLineParagraphs, tokenWindows) are
+    * exploded and deduped by content digest with the state in the
+    * checkpoint, so a paragraph seen in ANY earlier crawl snapshot — or
+    * earlier in this batch — is never re-emitted: boilerplate
+    * headers/footers stream through once, corpus-wide, without re-reading
+    * prior ingest. Emission is one row per FIRST-SEEN paragraph carrying
+    * its (source id, position) — append-only and parquet-safe; the
+    * consumer re-assembles documents downstream (a streaming per-doc
+    * re-assembly would hold doc-keyed state forever; paragraph emission
+    * keeps state digest-sized, one row per DISTINCT paragraph, sharded by
+    * the state-store partitioning). Which duplicate occurrence survives
+    * within one batch follows arrival order (same contract as
+    * [[incrementalDedup]]); the digest SET is deterministic. */
+  def incrementalParagraphDedup(docs: DataFrame, idCol: String,
+      paras: Column): DataFrame =
+    docs.select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+      .withColumn("digest", md5(col("para")))
       .dropDuplicates("digest")
 }

@@ -71,6 +71,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L), ids.toString)
   }
 
+  test("incremental paragraph dedup: checkpointed paragraph-digest state scrubs boilerplate across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    import org.apache.spark.sql.functions.col
+    val srcDir = tmpDir("pd_stream_src")
+    val ckpt = tmpDir("pd_stream_ckpt")
+    val outDir = tmpDir("pd_stream_out")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val src = spark.readStream.schema(docSchema).parquet(srcDir)
+      val q = graft.streaming.DocStream
+        .incrementalParagraphDedup(src, "doc_id",
+          graft.pipeline.Dedup.blankLineParagraphs(col("text")))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // snapshot 1: header + body A, and a header-only doc — the shared
+    // header must be emitted exactly once
+    Seq((1L, "SITE HEADER\n\nalpha body"), (2L, "SITE HEADER"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out1 = spark.read.parquet(outDir)
+    assert(out1.count() == 2, out1.collect().mkString(","))
+    assert(out1.select("para").collect().map(_.getString(0)).toSet ==
+      Set("SITE HEADER", "alpha body"))
+    // snapshot 2 after a "restart": the header again (checkpointed state
+    // drops it) plus a new body — only the new paragraph is emitted
+    Seq((3L, "SITE HEADER\n\nbeta body")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out2 = spark.read.parquet(outDir)
+    assert(out2.count() == 3, out2.collect().mkString(","))
+    assert(out2.select("para").collect().map(_.getString(0)).toSet ==
+      Set("SITE HEADER", "alpha body", "beta body"))
+    // the survivor of the shared header is the first-seen source doc
+    val headerSrc = out2.filter(col("para") === "SITE HEADER")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(headerSrc.length == 1 && Set(1L, 2L).contains(headerSrc.head),
+      headerSrc.toString)
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
