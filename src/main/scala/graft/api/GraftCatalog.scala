@@ -129,8 +129,11 @@ class GraftCatalog(val spark: SparkSession, val rootDir: String) {
     val db = dbs.remove(name)
     db.foreach { d =>
       val p = Paths.get(d.root)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      if (Files.exists(p)) {
+        val w = Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally w.close()
+      }
     }
     persist()
   }

@@ -454,15 +454,21 @@ class GraftDb(val spark: SparkSession, val root: String,
     appendLocks.remove(name)
     val p = Paths.get(tablePath(name))
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
     }
   }
 
   def listTables(): Seq[String] =
     if (!Files.exists(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("schema.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val stream = Files.list(Paths.get(root))
+      try stream.iterator().asScala
+        .filter(p => Files.exists(p.resolve("schema.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
+    }
 
   def store(name: String): TableStore =
     stores.getOrElseUpdate(name, TableStore.open(spark, tablePath(name)))

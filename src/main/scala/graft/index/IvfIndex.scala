@@ -3978,8 +3978,10 @@ object IvfIndex {
     val p = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
+      finally w.close()
     }
   }
 

@@ -68,11 +68,18 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   /** Latest committed snapshot (None before the first commit). */
   def snapshot(): Option[Snapshot] = {
     if (!Files.exists(versionsPath)) return None
-    val latest = Files.list(versionsPath).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong)
-      .foldLeft(-1L)(math.max)
+    // the Files.list STREAM must be closed explicitly: this runs once per
+    // serve-path query (tail probe + tombstone check), and an unclosed
+    // stream holds a directory fd until GC — at serving qps that was a
+    // measured EMFILE crash after ~20k queries (round-12 bench find)
+    val stream = Files.list(versionsPath)
+    val latest =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .foldLeft(-1L)(math.max)
+      finally stream.close()
     if (latest < 0) None else Some(readManifest(latest))
   }
 
@@ -411,11 +418,15 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
   /** All manifest versions currently on disk (ascending). */
   def versions(): Seq[Long] =
     if (!Files.exists(versionsPath)) Nil
-    else Files.list(versionsPath).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.substring(1, n.length - 5).toLong)
-      .toSeq.sorted
+    else {
+      val stream = Files.list(versionsPath)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.substring(1, n.length - 5).toLong)
+        .toSeq.sorted
+      finally stream.close()
+    }
 
   /** Retention: drop manifests older than `retainMs` (by file mtime),
     * never the latest — bounds time travel the way the reference bounds
@@ -454,13 +465,19 @@ class TableStore(val spark: SparkSession, val path: String, val schema: TableSch
     val cutoff = System.currentTimeMillis - graceMs
     Seq(dataPath, tombPath).foreach { base =>
       val p = Paths.get(base)
-      if (Files.exists(p))
-        Files.list(p).iterator().asScala.toSeq
-          .filterNot(d => keep.contains(d.getFileName.toString))
-          .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
-          .foreach { d =>
-            Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
+      if (Files.exists(p)) {
+        val stream = Files.list(p)
+        val stale =
+          try stream.iterator().asScala.toSeq
+            .filterNot(d => keep.contains(d.getFileName.toString))
+            .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+          finally stream.close()
+        stale.foreach { d =>
+          val w = Files.walk(d)
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally w.close()
+        }
+      }
     }
   }
 

@@ -143,7 +143,11 @@ object WalStream {
     if (!Files.exists(dir)) return 0
     val consumed = consumedGid(store)
     var removed = 0
-    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+    val stream = Files.list(dir)
+    val entries =
+      try stream.iterator().asScala.toSeq
+      finally stream.close()
+    entries.foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("wal-") && n.endsWith(".json")) {
         val gid = scala.util.Try(n.stripPrefix("wal-").stripSuffix(".json").toLong)
