@@ -565,6 +565,19 @@ object Queries {
       require(rss.contains("\"served\":true") && rss.contains("\"filtered\":true"),
         s"sparse_self did not ride the own-residency serve path: $rss")
       ids(rss).map(m).foreach(v => out += (("sparse_self", v)))
+      // floored sparse dot (round 12): the zero-gap proof — every row
+      // shares the query's 8 prefix dims with positive values, so the
+      // k-th dot strictly clears the zero-overlap constant and the serve
+      // answers the floor exactly (envelope-asserted; value-checked
+      // against the filtered brute force like sparse_filter)
+      val rsd = db.query(
+        s"""{"table":"emb","queryField":"SV",
+           |  "queryVector":{"indices":[0,1,2,3,4,5,6,7],
+           |    "values":[${sq.mkString(",")}]},"limit":10,"serve":true,
+           |  "filter":"label >= 5","recallTarget":1.0}""".stripMargin)
+      require(rsd.contains("\"served\":true") && rsd.contains("\"filtered\":true"),
+        s"rt_sparse_dot did not ride the zero-gap floored serve path: $rsd")
+      ids(rsd).map(m).foreach(v => out += (("rt_sparse_dot", v)))
       import s.implicits._
       out.result().toDF("case_id", "vec_id").orderBy("case_id", "vec_id")
     }),
@@ -971,7 +984,8 @@ object Queries {
          |  UNION ALL SELECT 'rt_code_serve', vec_id FROM ub
          |  UNION ALL SELECT 'rt_fpq_recall', vec_id FROM fb
          |  UNION ALL SELECT 'sparse_filter', vec_id FROM sp
-         |  UNION ALL SELECT 'sparse_self', vec_id FROM ss)
+         |  UNION ALL SELECT 'sparse_self', vec_id FROM ss
+         |  UNION ALL SELECT 'rt_sparse_dot', vec_id FROM sp)
          |ORDER BY case_id, vec_id""".stripMargin,
     // serve-path facets: group-over-topk mirrors (dense top-100; sparse
     // filtered prefix-dot top-10 — same cut the sparse_filter case pins)

@@ -1441,11 +1441,13 @@ class GraftDb(val spark: SparkSession, val root: String,
         // sidecar — sparseFacetsJson). A declared recall floor:
         // EUCLIDEAN sparse serving is exact-or-decline (servePointEuclid's
         // norm-order truncation proof), so a served answer trivially
-        // honors any floor; dot/cosine retrieval mode proves no floor →
-        // decline (the job path's exact inverted cut answers).
-        if (recallTarget.isDefined &&
-            st.schema.field(queryField).metric != MetricType.Euclidean)
-          return None
+        // honors any floor; DOT/COSINE serve it with the ZERO-GAP proof
+        // (round 12): every row outside the candidate walk shares no
+        // query dim, so its dot is EXACTLY 0 (cosine distance exactly 1)
+        // — if the k-th served score clears that constant by an fp
+        // margin, the candidates provably contain the true top-k and the
+        // answer is exact (any floor holds); otherwise decline
+        // (serveSparse checks per answer).
         def denseDonor(cols: Set[String]): Option[String] =
           st.schema.vectorFields.find { df =>
             !FieldType.isSparse(df.fieldType) &&
@@ -1474,7 +1476,8 @@ class GraftDb(val spark: SparkSession, val root: String,
             }
           }
         if (filterStr.isEmpty)
-          return serveSparse(st, queryField, o, limit, facetDonor = facetDonor)
+          return serveSparse(st, queryField, o, limit,
+            facetDonor = facetDonor, recallTarget = recallTarget)
         val cs = graft.filter.SimpleConjuncts.parse(filterStr, st.schema) match {
           case Some(cs0) if cs0.nonEmpty => cs0
           case _ => return None // outside the serve sub-grammar
@@ -1486,12 +1489,14 @@ class GraftDb(val spark: SparkSession, val root: String,
         // pass-set job, then warm); neither ⇒ job path
         return denseDonor(cs.map(_.col).toSet) match {
           case Some(dn) => serveSparse(st, queryField, o, limit,
-            filtered = Some((Some(dn), cs)), facetDonor = facetDonor)
+            filtered = Some((Some(dn), cs)), facetDonor = facetDonor,
+            recallTarget = recallTarget)
           case None =>
             if (cs.map(_.col).toSet.subsetOf(
                 sparseIndex(st, queryField).serveFilterColumns().toSet))
               serveSparse(st, queryField, o, limit,
-                filtered = Some((None, cs)), facetDonor = facetDonor)
+                filtered = Some((None, cs)), facetDonor = facetDonor,
+                recallTarget = recallTarget)
             else None
         }
       case _ => ()
@@ -1844,7 +1849,8 @@ class GraftDb(val spark: SparkSession, val root: String,
   private def serveSparse(st: TableStore, queryField: String,
       o: JObject, limit: Int,
       filtered: Option[(Option[String], Seq[graft.filter.SimpleConjuncts.Cond])] = None,
-      facetDonor: Option[(Option[String], Seq[Facet])] = None)
+      facetDonor: Option[(Option[String], Seq[Facet])] = None,
+      recallTarget: Option[Double] = None)
       : Option[String] = {
     val f = st.schema.field(queryField)
     if (!Files.exists(Paths.get(
@@ -1909,6 +1915,21 @@ class GraftDb(val spark: SparkSession, val root: String,
                 // pre-check declined before any collect) -> job path
                 case None => return None
               }
+          // declared floor on DOT/COSINE: the ZERO-GAP proof. Every row
+          // the candidate walk never saw shares no query dim, so its raw
+          // dot is EXACTLY 0 — distance exactly 0.0 (dot) / 1.0 (cosine).
+          // If k hits came back and the k-th strictly clears that
+          // constant by an fp margin (the two engines may not sum the
+          // overlap products in the same order), no unseen row can enter
+          // the true top-k: the served answer IS exact and any floor
+          // holds. Fewer than k overlap candidates, or a k-th at/past
+          // the constant, proves nothing → decline to the exact job cut.
+          // (Euclidean's own serve path is already exact-or-decline.)
+          if (recallTarget.isDefined && f.metric != MetricType.Euclidean) {
+            val unseen = if (f.metric == MetricType.Cosine) 1.0 else 0.0
+            if (hits.length < k || hits.last._2 >= unseen - 1e-9)
+              return None
+          }
           if (idx.servingWatermark() == pin && verifyDonor()) {
             // facets aggregate the served top-k; values come from a dense
             // donor's scalar residency + tail sidecar when one declares

@@ -213,7 +213,7 @@ class Round11Spec extends SparkSpec {
     assert(recall >= 0.5, s"floor violated: $recall ($got vs $exact)")
   }
 
-  test("recallTarget + sparse serve DECLINES to the job path") {
+  test("recallTarget + sparse dot serves with the ZERO-GAP proof; an unprovable floor declines (round 12 upgrade)") {
     val db = new graft.api.GraftDb(spark, tmpDir("r11_rt_sparse"))
     db.createTable(
       """{"name":"S","fields":[
@@ -232,14 +232,46 @@ class Round11Spec extends SparkSpec {
     // sanity: without the floor the sparse tier serves
     assert(db.query(s"""{"table":"S","queryVector":$qv,"limit":5,"serve":true}""")
       .contains("\"served\":true"))
+    // round 12: the floor SERVES under the zero-gap proof — k candidates
+    // all with dot > 0 provably beat every zero-overlap row, so the
+    // answer is exact and equals the job path's cut
+    val m = db.store("S").read()
+      .select(col(graft.store.TableStore.RowId), col("ID"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val resp = db.query(
       s"""{"table":"S","queryVector":$qv,"limit":5,"serve":true,
-         |"recallTarget":1.0,"response":["ID"]}""".stripMargin)
-    assert(!resp.contains("\"served\""), resp)
-    assert(resultIds(resp, "ID").nonEmpty, resp)
+         |"recallTarget":1.0}""".stripMargin)
+    assert(resp.contains("\"served\":true"), resp)
+    val job = db.query(
+      s"""{"table":"S","queryVector":$qv,"limit":5,"response":["ID"]}""")
+    assert(resultIds(resp).map(m) == resultIds(job, "ID"), s"$resp vs $job")
+    // UNPROVABLE floor: fewer than k overlap candidates — the true top-k
+    // must include zero-dot rows the walk never sees → decline, the job
+    // path answers (and fills with zero-dot rows)
+    val db2 = new graft.api.GraftDb(spark, tmpDir("r11_rt_sparse_decline"))
+    db2.createTable(
+      """{"name":"S","fields":[
+        |{"name":"ID","dataType":"BIGINT","primaryKey":true},
+        |{"name":"SV","dataType":"SPARSE_VECTOR_FLOAT","dimensions":16,
+        | "metricType":"DOT_PRODUCT"}]}""".stripMargin)
+    // only rows 0..2 carry dim 3; everything else lives in dims 8..15
+    val rows2 = (0 until 600).map { i =>
+      val dims = if (i < 3) Seq(3, 8 + i % 8) else Seq(8 + i % 4, 12 + i % 4)
+      Row(i.toLong, Row(dims.distinct.sorted, dims.distinct.map(_ => 1.0f)))
+    }
+    db2.store("S").insert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2, 2), StructType(Seq(
+        StructField("ID", LongType, nullable = false),
+        StructField("SV", graft.functions.SparseVec.sqlType, nullable = false)))))
+    db2.rebuildIndex("S", "SV")
+    val declined = db2.query(
+      """{"table":"S","queryVector":{"indices":[3],"values":[1.0]},
+        |"limit":5,"serve":true,"recallTarget":1.0,"response":["ID"]}""".stripMargin)
+    assert(!declined.contains("\"served\""), declined)
+    assert(resultIds(declined, "ID").size == 5, declined)
   }
 
-  test("recallTarget + sparse EUCLIDEAN serves (exact-or-decline honors any floor); dot still declines") {
+  test("recallTarget + sparse EUCLIDEAN serves (exact-or-decline honors any floor); dot serves under the zero-gap proof") {
     val db = new graft.api.GraftDb(spark, tmpDir("r11_rt_sparse_euclid"))
     db.createTable(
       """{"name":"S","fields":[
@@ -278,12 +310,16 @@ class Round11Spec extends SparkSpec {
          |"response":["ID"]}""".stripMargin)
     assert(resultIds(served).map(m) == resultIds(job, "ID"),
       s"$served vs $job")
-    // dot retrieval mode proves no floor: still a decline
+    // dot: the zero-gap proof serves the floor on this all-positive
+    // fixture, hash-equal to the job path's exact cut
     val dot = db.query(
       s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
-         |"serve":true,"recallTarget":1.0,"response":["ID"]}""".stripMargin)
-    assert(!dot.contains("\"served\""), dot)
-    assert(resultIds(dot, "ID").nonEmpty, dot)
+         |"serve":true,"recallTarget":1.0}""".stripMargin)
+    assert(dot.contains("\"served\":true"), dot)
+    val dotJob = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"response":["ID"]}""".stripMargin)
+    assert(resultIds(dot).map(m) == resultIds(dotJob, "ID"), s"$dot vs $dotJob")
   }
 
   test("recallTarget + hybrid: the dense side serves under its PROVEN cover, keyword rides the job path (round 12 upgrade)") {

@@ -376,7 +376,7 @@ class Round12Spec extends SparkSpec {
     assert(!undeclared.contains("\"served\""), undeclared)
   }
 
-  test("sparse-ONLY Euclid: filtered serve honors a declared recall floor (exact-or-decline); dot with a floor still declines") {
+  test("sparse-ONLY floors: Euclid exact-or-decline; dot + filter serves under the zero-gap proof") {
     val db = sparseOnlyDb("r12_sparse_only_floor")
     insertRows(db, sparseRows(0, 600))
     assert(db.rebuildIndex("S", "SE"))
@@ -397,10 +397,17 @@ class Round12Spec extends SparkSpec {
         org.apache.spark.sql.functions.col("ID"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(resultIds(served).map(m) == resultIds(job, "ID"), s"$served vs $job")
-    // retrieval-mode dot proves no floor: decline even with the mask
+    // dot + filter + floor: the zero-gap proof composes with the mask
+    // (masked rows are excluded; unseen rows still score exactly 0) —
+    // serves and equals the filtered job cut
     val dot = db.query(
       s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
          |"serve":true,"filter":"Label >= 5","recallTarget":1.0}""".stripMargin)
-    assert(!dot.contains("\"served\""), dot)
+    assert(dot.contains("\"served\":true") &&
+      dot.contains("\"filtered\":true"), dot)
+    val dotJob = db.query(
+      s"""{"table":"S","queryField":"SV","queryVector":$qv,"limit":5,
+         |"filter":"Label >= 5","response":["ID"]}""".stripMargin)
+    assert(resultIds(dot).map(m) == resultIds(dotJob, "ID"), s"$dot vs $dotJob")
   }
 }
