@@ -1927,8 +1927,9 @@ class GraftDb(val spark: SparkSession, val root: String,
           // (Euclidean's own serve path is already exact-or-decline.)
           if (recallTarget.isDefined && f.metric != MetricType.Euclidean) {
             val unseen = if (f.metric == MetricType.Cosine) 1.0 else 0.0
-            if (hits.length < k || hits.last._2 >= unseen - 1e-9)
-              return None
+            if (hits.isEmpty || hits.length < k ||
+                hits.last._2 >= unseen - 1e-9)
+              return None // k = 0 requests included: nothing provable
           }
           if (idx.servingWatermark() == pin && verifyDonor()) {
             // facets aggregate the served top-k; values come from a dense

@@ -453,10 +453,15 @@ class SparseIndex(
   def effectiveMaxScalarRows: Long =
     maxServePassIds / math.max(1, filterColsDecl.size)
 
-  // ONE values entry per pin (id-keyed row content is immutable — an
-  // upsert tombstones + re-inserts under a new id — so an entry is valid
-  // for its pin forever; a new pin simply replaces it)
-  @transient private var scalarRowsCache: (Long, SparseIndex.SparseScalarRows) = null
+  // ONE values entry per (pin, declaration) (id-keyed row content is
+  // immutable — an upsert tombstones + re-inserts under a new id — so an
+  // entry is valid for its pin forever; a new pin or a re-declaration
+  // simply replaces it; the declaration in the key closes the race where
+  // a cold load started under the OLD declaration lands after a
+  // re-declaration cleared the cache — a stale block keyed by pin alone
+  // would decline every new-column filter until the pin moved)
+  @transient private var scalarRowsCache:
+    ((Long, Seq[String]), SparseIndex.SparseScalarRows) = null
 
   @transient private val passSetCache =
     new java.util.LinkedHashMap[(String, Long), java.util.HashSet[java.lang.Long]](
@@ -475,15 +480,16 @@ class SparseIndex(
   def scalarRowsAt(pinWm: Long,
       loader: () => Option[SparseIndex.SparseScalarRows])
       : Option[SparseIndex.SparseScalarRows] = {
+    val key = (pinWm, filterColsDecl)
     synchronized {
       val c = scalarRowsCache
-      if (c != null && c._1 == pinWm) return Some(c._2)
+      if (c != null && c._1 == key) return Some(c._2)
     }
     loader() match {
       case None => decline
       case Some(rows) =>
         if (rows.ids.length > effectiveMaxScalarRows) return decline
-        synchronized { scalarRowsCache = (pinWm, rows) }
+        synchronized { scalarRowsCache = (key, rows) }
         Some(rows)
     }
   }
