@@ -257,6 +257,34 @@ object Queries {
     // int8-quantized vector scan: top-K over reconstructed vectors — the
     // 4x-fewer-bytes scan path; the affine code/decode is exact-mirrored
     // in the oracle (explicit floor(y+0.5) rounding both engines)
+    // Johnson–Lindenstrauss prefilter + exact rerank (public: JL lemma /
+    // Achlioptas 2003): project 64-dim embeddings through a deterministic
+    // ±1 sign matrix to 16 dims, take the top-50 candidates by reduced-
+    // space L2 (rounded to 6 places before the cut — both engines sum in
+    // different orders), exact-rerank to the top-10. The scan-bytes shape
+    // of a dim/m× cheaper candidate pass; the DuckDB oracle rebuilds the
+    // SAME matrix from the md5-parity formula and mirrors both stages.
+    "v12_jl_prefilter" -> ((s, dir) => {
+      import graft.pipeline.Quantize
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val m = 16
+      val signs = Quantize.jlSigns(dim, m)
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val qr = Quantize.jlProjectLocal(q, signs)
+      val staged = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("rv", Quantize.jlProject(col("embedding"), signs))
+      val rd = staged.select(col("vec_id"), col("embedding"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, r) => {
+            val d = element_at(col("rv"), r + 1) - element_at(lit(qr), r + 1)
+            acc + d * d
+          }), 6).as("rdist"))
+      rd.orderBy(col("rdist").asc, col("vec_id").asc).limit(50)
+        .withColumn("d", l2sqr_distance(col("embedding"), lit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     "vq_int8_topk" -> ((s, dir) => {
       val q = SparkEntry.queryVectorOf(s, dir).map(_.toDouble)
       graft.pipeline.Quantize.topKL2Quantized(
@@ -1018,6 +1046,28 @@ object Queries {
          |       FROM sc)
          |SELECT qid, vec_id FROM rk WHERE rank <= 10
          |ORDER BY qid, vec_id""".stripMargin,
+    "v12_jl_prefilter" ->
+      s"""WITH dm AS (SELECT len($QV) AS dim),
+         |rj AS (SELECT r.r, j.j
+         |  FROM (SELECT unnest(range(0, 16)) AS r) r,
+         |       (SELECT unnest(range(0, (SELECT dim FROM dm))) AS j) j),
+         |sgn AS (SELECT r, j,
+         |  CASE WHEN CAST(('0x' || substr(md5('jl:' ||
+         |      CAST(r * (SELECT dim FROM dm) + j AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+         |  FROM rj),
+         |rv AS (SELECT e.vec_id, g.r, sum(e.embedding[g.j + 1] * g.s) AS v
+         |  FROM embeddings e, sgn g GROUP BY e.vec_id, g.r),
+         |qr AS (SELECT g.r, sum(qv.q[g.j + 1] * g.s) AS v
+         |  FROM (SELECT $QV AS q) qv, sgn g GROUP BY g.r),
+         |rd AS (SELECT rv.vec_id,
+         |    round(sum((rv.v - qr.v) * (rv.v - qr.v)), 6) AS rdist
+         |  FROM rv JOIN qr ON rv.r = qr.r GROUP BY rv.vec_id),
+         |cand AS (SELECT vec_id FROM rd ORDER BY rdist ASC, vec_id ASC LIMIT 50),
+         |topk AS (SELECT e.vec_id FROM embeddings e
+         |  JOIN cand c ON e.vec_id = c.vec_id
+         |  ORDER BY ${sqlL2sqr("e.embedding", QV)} ASC, e.vec_id ASC LIMIT 10)
+         |SELECT vec_id FROM topk ORDER BY vec_id""".stripMargin,
     "vq_int8_topk" -> {
       val qd = s"(SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings WHERE vec_id = 0)"
       s"""WITH qz AS (

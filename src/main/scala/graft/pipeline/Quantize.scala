@@ -18,6 +18,42 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Deterministic ±1 Rademacher sign matrix for a Johnson–Lindenstrauss
+    * random projection (public: the JL lemma; Achlioptas 2003 showed ±1
+    * entries suffice). Signs derive from the parity of the SAME
+    * md5-based 60-bit hash the DuckDB oracles mirror
+    * (`CAST('0x'||substr(md5(s),1,15) AS BIGINT) % 2`), so both engines
+    * build the identical matrix from scratch — no side-channel. The
+    * matrix is outDim × dim doubles (kilobytes), built driver-side. */
+  def jlSigns(dim: Int, outDim: Int, seed: String = "jl:"): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (r, j) =>
+      val hex = md.digest((seed + (r * dim + j)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Project a dense vector column through a JL sign matrix:
+    * out[r] = Σ_j vec[j]·signs[r][j]. The matrix rides as ONE flat
+    * literal array (O(1) `element_at` reads inside the fold); `vec` must
+    * be a staged attribute (the re-evaluation trap). The reduced column
+    * is the 100 TB pre-filter shape: a dim→m reduction cuts scan bytes
+    * dim/m× for the candidate pass, with the exact rerank confined to
+    * the candidate set. */
+  def jlProject(vec: Column, signs: Array[Array[Double]]): Column = {
+    val dim = signs(0).length
+    val flat = lit(signs.flatten)
+    transform(sequence(lit(0), lit(signs.length - 1)), r =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, j) =>
+          acc + element_at(vec, j + 1) * element_at(flat, r * dim + j + 1)))
+  }
+
+  /** Driver-side projection of the query vector (same math, same matrix). */
+  def jlProjectLocal(q: Array[Float], signs: Array[Array[Double]]): Array[Double] =
+    signs.map(row => row.zip(q).map { case (sg, x) => sg * x.toDouble }.sum)
+
   /** Add (qmin, qmax, q: array<int> of 0..255) for `vecCol`. Constant
     * vectors (max == min) code to all zeros. Scale params are staged as
     * real columns before the per-element lambdas reference them (the

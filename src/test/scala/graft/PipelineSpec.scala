@@ -87,6 +87,20 @@ class PipelineSpec extends SparkSpec {
     assert(r(3L) == Seq(""), r(3L).toString)
   }
 
+  test("jlProject: deterministic ±1 matrix; distributed projection equals the driver matvec") {
+    import graft.pipeline.Quantize
+    val signs = Quantize.jlSigns(4, 3)
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(Quantize.jlSigns(4, 3).map(_.toSeq).toSeq ==
+      signs.map(_.toSeq).toSeq) // same seed → same matrix, every process
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val df = Seq((1L, v.toSeq)).toDF("id", "v")
+    val got = df.select(Quantize.jlProject(col("v"), signs).as("rv"))
+      .head.getSeq[Double](0)
+    val want = Quantize.jlProjectLocal(v, signs).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   test("trigramLm stupid backoff: every branch hand-computed; save/load roundtrip") {
     // train: doc1 "a b c a b c", doc2 "a b d"
     //   N=9 tokens, V=4 ({a,b,c,d})
