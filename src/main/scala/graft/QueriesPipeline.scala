@@ -365,6 +365,33 @@ object QueriesPipeline {
           round(min(col("quality")), 6).as("min_quality"))
         .orderBy(col("lang"))
     }),
+    // Corpus-statistics diagnostic: the Zipf slope of the term-frequency
+    // distribution (OLS of ln f on ln rank over the top-100 terms) plus
+    // type/token counts — natural text sits near −1; a synthetic or
+    // template-heavy corpus flags as anomalous (flat) and a
+    // boilerplate-dominated one as steep. Scale shape: ONE groupBy(term)
+    // shuffle (map-side combined), top-100 via TakeOrdered, the
+    // regression over 100 rows. The OLS is written as explicit avg()
+    // moments so both engines compute the identical formula.
+    "tx_zipf_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val totals = tf.agg(count(lit(1)).as("n_types"),
+        sum(col("f")).as("n_tokens"))
+      val top = tf.orderBy(col("f").desc, col("w")).limit(100)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("f").desc, col("w"))))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      val slope = top.agg(round(
+        (avg(col("x") * col("y")) - avg(col("x")) * avg(col("y"))) /
+          (avg(col("x") * col("x")) - avg(col("x")) * avg(col("x"))),
+        4).as("zipf_slope"))
+      totals.crossJoin(broadcast(slope)) // two 1-row frames
+        .select(col("n_types"), col("n_tokens"), col("zipf_slope"))
+    }),
     // Gopher-style repetition filters (Rae et al. 2021 App. A, public):
     // per-document line/n-gram repetition fractions — the boilerplate/spam
     // signals a corpus-cleaning pipeline cuts on. Pure map, no shuffle.
@@ -1187,6 +1214,18 @@ object QueriesPipeline {
          |  round(min(quality), 6) AS min_quality
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "tx_zipf_stats" ->
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |tf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |               CAST(sum(f) AS BIGINT) AS n_tokens FROM tf),
+         |top AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)) AS x,
+         |               ln(CAST(f AS DOUBLE)) AS y
+         |        FROM tf ORDER BY f DESC, w LIMIT 100),
+         |sl AS (SELECT round((avg(x*y) - avg(x)*avg(y)) /
+         |                    (avg(x*x) - avg(x)*avg(x)), 4) AS zipf_slope
+         |       FROM top)
+         |SELECT tot.n_types, tot.n_tokens, sl.zipf_slope FROM tot, sl""".stripMargin,
     "tx_repetition" ->
       s"""WITH tok AS (SELECT doc_id, text, $sqlToks toks0 FROM documents),
          |capped AS (SELECT doc_id, text, toks0[1:512] AS toks FROM tok),
