@@ -29,7 +29,9 @@ class PlanSpec extends SparkSpec {
       "hy_rrf_filtered", // same 1-row BM25 stats attach as hy_rrf_fusion
       // bigramLmScore crossJoins a broadcast ONE-ROW vocab-size frame into
       // the scoring pass — the same map-side constant attach as BM25
-      "tx_lm_score", "pl_lm_buckets", "pl_lm_mix")
+      "tx_lm_score", "pl_lm_buckets", "pl_lm_mix",
+      // the Zipf gate crossJoins two ONE-ROW aggregates (totals × slope)
+      "tx_zipf_stats")
 
   // store-DML queries execute real writes at construction; plan-shape for
   // their read side is covered by a1_store_scan_page's oracle. The two
