@@ -965,8 +965,9 @@ object AnnBench {
     val dbP = java.nio.file.Paths.get(dbRoot)
     if (java.nio.file.Files.exists(dbP)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dbP).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val w = java.nio.file.Files.walk(dbP)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
     }
     val db = new graft.api.GraftDb(spark, dbRoot)
     db.createTable(

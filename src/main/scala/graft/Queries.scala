@@ -45,8 +45,9 @@ object Queries {
       val p = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        finally w.close()
       }
       val db = new graft.api.GraftDb(s, root)
       val emb = t(s, dir, "embeddings").orderBy("vec_id")

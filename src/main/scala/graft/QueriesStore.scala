@@ -33,9 +33,11 @@ object QueriesStore {
   private def cleanRoot(tag: String, dir: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_gate_${tag}_${math.abs(dir.hashCode)}"
     val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
     root
   }
 

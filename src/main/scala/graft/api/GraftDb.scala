@@ -1091,14 +1091,19 @@ class GraftDb(val spark: SparkSession, val root: String,
         s"$root/${st.schema.name}/ivf_$denseField/ivf_meta.json"))) return None
     val idx = index(st, denseField)
     if (idx.indexedPurgeGen() < st.purgeGen()) return None
-    // a donor that skipped NULL-vector rows at build/append has an
-    // INCOMPLETE id universe: rows it never saw (null dense, live sparse)
-    // would be judged non-passing — decline the borrow instead
-    if (!idx.universeComplete()) return None
     var attempts = 0
     while (attempts < 4) {
       attempts += 1
-      val wm0 = idx.servingWatermark()
+      // a donor that skipped NULL-vector rows at build/append has an
+      // INCOMPLETE id universe: rows it never saw (null dense, live
+      // sparse) would be judged non-passing — decline the borrow. The
+      // completeness bit and the pin come from ONE synchronized stamp
+      // read (and re-read per retry, since a rebase in the Left branch
+      // moves the pin): two separate reads let a throttled refresh slide
+      // the pin past new null rows the tail check then never sees
+      // (round-12 ADVICE, medium).
+      val (complete0, wm0) = idx.universeCompletePin()
+      if (!complete0) return None
       freshTailCluster(st, idx, denseField) match {
         case Left(_) =>
           if (idx.indexedWatermark() > wm0) idx.rebaseServing()
@@ -1126,7 +1131,14 @@ class GraftDb(val spark: SparkSession, val root: String,
                   (id: Long) =>
                     if (id <= pinWm) pass.contains(id)
                     else tailPass.contains(id),
-                  () => idx.pinStableFor(pinKey, pinWm)))
+                  // post-sweep re-verify ALSO re-checks completeness at
+                  // the same pin from one stamp: nulls appended during
+                  // the borrower's sweep invalidate the verdict instead
+                  // of silently aging the tailPass set
+                  () => {
+                    val (c, w) = idx.universeCompletePin()
+                    c && w == pinWm && idx.pinStableFor(pinKey, pinWm)
+                  }))
           }
       }
     }
@@ -1755,42 +1767,17 @@ class GraftDb(val spark: SparkSession, val root: String,
     Some(out.toArray)
   }
 
-  /** The serve sub-grammar compiled to the SAME Catalyst comparisons the
-    * job path runs (FilterTranslator types integral literals as longs —
-    * mirrored here, so the pruned pass-set job and the job path agree
-    * with the driver-side eval kernels on every coercion case). */
-  private def condsColumn(conds: Seq[graft.filter.SimpleConjuncts.Cond])
-      : org.apache.spark.sql.Column = {
-    import graft.filter.SimpleConjuncts._
-    import org.apache.spark.sql.functions.{col, lit}
-    conds.map { c =>
-      val l = c.value match {
-        case NumLit(v, isInt) =>
-          if (isInt && v.isWhole && math.abs(v) < 9.2e18) lit(v.toLong)
-          else lit(v)
-        case StrLit(s) => lit(s)
-        case BoolLit(b) => lit(b)
-      }
-      val cc = col(c.col)
-      c.op match {
-        case "<" => cc < l
-        case "<=" => cc <= l
-        case ">" => cc > l
-        case ">=" => cc >= l
-        case "=" => cc === l
-        case "<>" => cc =!= l
-      }
-    }.reduce(_ && _)
-  }
-
   /** The sparse index's scalar VALUES residency at a pin: ONE cached
-    * pruned store job loads every declared column for rows at or below
+    * store job, pruned to the DECLARED COLUMNS and to rows at or below
     * the pin (row content is id-keyed and IMMUTABLE — upserts tombstone +
     * insert under a new id — so the block is valid for its pin forever).
-    * Every conjunction and every facet lookup at this pin evaluates
-    * DRIVER-SIDE against this block; cardinality is pre-checked BEFORE
-    * the collect so an over-cap table costs a codegen'd count, never an
-    * unbounded collect. */
+    * No per-conjunction predicate is pushed into this load ON PURPOSE:
+    * the block is shared by EVERY conjunction and every facet lookup at
+    * this pin, so filtering it to one query's predicate would make it
+    * unusable for the next. Every conjunction evaluates DRIVER-SIDE
+    * against this block; cardinality is pre-checked BEFORE the collect
+    * so an over-cap table costs a codegen'd count, never an unbounded
+    * collect. */
   private def sparseScalarRows(st: TableStore, idx: graft.index.SparseIndex,
       pin: Long): Option[graft.index.SparseIndex.SparseScalarRows] = {
     import org.apache.spark.sql.functions.col
@@ -1927,8 +1914,19 @@ class GraftDb(val spark: SparkSession, val root: String,
           // (Euclidean's own serve path is already exact-or-decline.)
           if (recallTarget.isDefined && f.metric != MetricType.Euclidean) {
             val unseen = if (f.metric == MetricType.Cosine) 1.0 else 0.0
+            // fp margin scaled to the k-th hit's own magnitude: an
+            // absolute 1e-9 floor is blind to value scale — a raw dot
+            // accumulated from large sparse values carries absolute
+            // rounding error far above 1e-9, which would let a
+            // non-positive-dot candidate outrank an unseen exact-zero
+            // row (round-12 ADVICE). Cosine dots are normalized (|d|
+            // ≤ ~2) so the relative term is tiny there; raw dot
+            // distances grow with the data and the margin grows with
+            // them. Strictly larger margin than before → can only turn
+            // a serve into a decline, never the reverse.
+            val margin = 1e-9 * (1.0 + math.abs(hits.last._2))
             if (hits.isEmpty || hits.length < k ||
-                hits.last._2 >= unseen - 1e-9)
+                hits.last._2 >= unseen - margin)
               return None // k = 0 requests included: nothing provable
           }
           if (idx.servingWatermark() == pin && verifyDonor()) {

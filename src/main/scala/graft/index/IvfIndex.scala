@@ -292,10 +292,15 @@ class IvfIndex(
     import org.apache.spark.sql.functions.{col => c}
     // cache the INPUT plan: the raw-stats pass below and the staged write
     // both consume it — uncached, every append batch's lineage (store
-    // read + filter, or worse) would run twice (round-11 ADVICE)
-    val input = newRows.cache()
+    // read + filter, or worse) would run twice (round-11 ADVICE). If the
+    // CALLER already persisted the frame, leave its cache alone: the
+    // unconditional unpersist in finally would evict the caller's own
+    // cache as a side effect (round-12 ADVICE).
+    val callerCached =
+      newRows.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val input = if (callerCached) newRows else newRows.cache()
     try appendCached(input, vecCol)
-    finally input.unpersist()
+    finally if (!callerCached) input.unpersist()
   }
 
   private def appendCached(newRows: DataFrame, vecCol: String): Long = {
@@ -431,6 +436,17 @@ class IvfIndex(
     * nullVecRows check at the borrow site. */
   def universeComplete(): Boolean =
     synchronized { ensureServeFresh(); serveStamp._5 == 0L }
+
+  /** (universe complete, serving pin) read ATOMICALLY from one stamp
+    * snapshot under the instance lock. Reading them through two separate
+    * calls lets a throttled stamp refresh (or a rebase) land between
+    * them: the pin advances past freshly-appended NULL-vector rows, the
+    * borrower's tail nullVecRows check never sees those rows, and the
+    * borrowed verdict silently judges live rows non-passing (round-12
+    * ADVICE, medium). One lock, one `ensureServeFresh()`, one stamp —
+    * a pin that covers skipped nulls always arrives with complete=false. */
+  def universeCompletePin(): (Boolean, Long) =
+    synchronized { ensureServeFresh(); (serveStamp._5 == 0L, serveWatermark) }
 
   /** ANN top-K: prune to the nProbe nearest clusters of the query, exact
     * search within them.
