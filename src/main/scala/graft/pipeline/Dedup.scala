@@ -374,33 +374,56 @@ object Dedup {
     * the scrubbed text. `paras` is any array<string> paragraph column
     * ([[blankLineParagraphs]] or [[tokenWindows]]).
     *
-    * Scale shape: explode to one row per paragraph occurrence, ONE window
-    * shuffle partitioned by the 128-bit paragraph digest (state per task ∝
-    * occurrences of its digests, never the corpus), one groupBy(id) to
-    * re-assemble. No all-pairs anything; at 100 TB the digest shuffle
-    * carries each paragraph's bytes exactly once per occurrence — the
-    * minimum any reassembling span-dedup can move.
+    * Scale shape — SKEW-PROOF by construction (boilerplate is by
+    * definition a heavy hitter; a footer repeated 10⁹ times must never
+    * become one task's problem):
+    *
+    *  1. winners: `groupBy(digest).agg(min(struct(id, idx)))` over the
+    *     occurrence COORDINATES only (no text). Partial aggregation
+    *     collapses every heavy-hitter digest map-side to ONE row per
+    *     task before the shuffle — per-digest reduce input is #tasks,
+    *     never #occurrences. (The former window formulation shuffled
+    *     every occurrence of a digest into one task and sorted it
+    *     there — correct, but a single-task sort of 10⁹ rows at scale.)
+    *  2. survivor mark: left-join the exploded occurrences to the winner
+    *     coordinates on the UNIQUE (id, idx) key — both sides are
+    *     key-unique, so this shuffle is perfectly balanced no matter how
+    *     skewed the digests are. An occurrence matches iff it IS its own
+    *     digest's first occurrence (the winner coordinate of a digest is
+    *     itself one of that digest's occurrences).
+    *  3. one groupBy(id) to re-assemble, as before.
+    *
+    * Text bytes move once per occurrence (the (id, idx) join shuffle) +
+    * once for reassembly — the same volume the window paid, minus the
+    * skew. Winner semantics are IDENTICAL: min(struct(id, idx)) is the
+    * lexicographic (id, idx) minimum = row_number()=1 under
+    * orderBy(id, idx).
     *
     * Returns (idCol, clean_text, n_paras, n_dropped); a doc whose every
     * paragraph is a repeat comes back with clean_text = "". */
   def dropDuplicateParagraphs(df: DataFrame, idCol: String, paras: Column,
       sep: String = " "): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
     val exploded = df.select(id, posexplode_outer(paras).as(Seq("idx", "para")))
-    val w = Window.partitionBy(md5(col("para"))).orderBy(id, col("idx"))
+    val winners = exploded
+      .filter(col("idx").isNotNull)
+      .select(md5(col("para")).as("__digest"), struct(id, col("idx")).as("__occ"))
+      .groupBy(col("__digest"))
+      .agg(min(col("__occ")).as("__win"))
+      .select(col("__win")(idCol).as("__wid"), col("__win")("idx").as("__widx"))
     exploded
-      .withColumn("__rn", row_number().over(w))
+      .join(winners, id === col("__wid") && col("idx") === col("__widx"), "left")
+      .withColumn("__keep", col("__wid").isNotNull)
       .groupBy(id)
       .agg(
         count(when(col("idx").isNotNull, 1)).as("n_paras"),
-        count(when(col("idx").isNotNull && col("__rn") > 1, 1)).as("n_dropped"),
+        count(when(col("idx").isNotNull && !col("__keep"), 1)).as("n_dropped"),
         // nulls (dropped repeats) are skipped by both collect_list and
         // array_join; array_sort on struct orders by idx, restoring the
-        // document's paragraph order after the digest shuffle scattered it
+        // document's paragraph order after the join shuffle scattered it
         array_join(
           transform(
-            array_sort(collect_list(when(col("idx").isNotNull && col("__rn") === 1,
+            array_sort(collect_list(when(col("idx").isNotNull && col("__keep"),
               struct(col("idx"), col("para"))))),
             s => s("para")),
           sep).as("clean_text"))

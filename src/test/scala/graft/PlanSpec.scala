@@ -113,6 +113,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("dd_paragraph_dedup dedups via a partial-merge aggregate, not a digest window") {
+    // boilerplate paragraphs are heavy hitters: a window partitioned by
+    // the digest shuffles every occurrence of a repeated paragraph into
+    // ONE task and sorts it there (10⁹-row single-task sort at 100 TB).
+    // The skew-proof shape is groupBy(digest).agg(min(struct(id, idx)))
+    // — partial aggregation collapses heavy digests map-side — plus a
+    // join-back on the unique (id, idx) coordinate. Assert the plan has
+    // a partial min over the digest and NO window anywhere.
+    val p = SparkEntry.queries("dd_paragraph_dedup")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), s"digest window crept back into:\n$p")
+    assert(p.contains("partial_min"),
+      s"no map-side partial min over the digest in:\n$p")
+  }
+
   test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
     val p = explain("v2_sparse_inverted")
     // the pruned posting scan must carry a PartitionFilters entry on the
