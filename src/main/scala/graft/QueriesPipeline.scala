@@ -97,6 +97,24 @@ object QueriesPipeline {
        |  ELSE list_transform(range(len(th) - 2),
        |         i -> (th[i+1]*1000003 + th[i+2]*2000003 + th[i+3]*3000017) % $P) END""".stripMargin
 
+  /** k-gram generalization of [[sqlShingleHashes]] — mirrors
+    * TextAnalysis.shingleHashesFromTokenHashes(th, k) coefficient for
+    * coefficient (rCoef), including the short-doc single whole-doc
+    * shingle. */
+  private def sqlShingleHashesK(k: Int): String = {
+    import graft.pipeline.TextAnalysis.rCoef
+    val mids = (2 until k).map { m =>
+      val sum = (0 until m).map(j => s"th[${j + 1}]*${rCoef(j)}").mkString(" + ")
+      s"WHEN len(th) = $m THEN [($sum) % $P]"
+    }.mkString("\n  ")
+    val full = (0 until k).map(j => s"th[i+${j + 1}]*${rCoef(j)}").mkString(" + ")
+    s"""CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+       |  WHEN len(th) = 1 THEN [th[1]]
+       |  $mids
+       |  ELSE list_transform(range(len(th) - ${k - 1}),
+       |         i -> ($full) % $P) END""".stripMargin
+  }
+
   /** minhash signature as a DuckDB list literal expression over `hs`
     * (list of shingle hashes already mod P), using the same xorshift-derived
     * affine family as Dedup.hashFamily. */
@@ -178,6 +196,16 @@ object QueriesPipeline {
         .select(col("doc_id"), Dedup.tokenWindows(col("__toks"), 25).as("paras"))
       Dedup.dropDuplicateParagraphs(staged, "doc_id", col("paras"), " ")
         .select(col("doc_id"), col("clean_text"), col("n_paras"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+    // Arbitrary-alignment span masking (Lee et al. 2022's substring
+    // dedup): repeated 8-token spans are masked at every non-first
+    // occurrence at single-token alignment — the duplicates the
+    // fixed-window gate above cannot see (a shifted span straddles
+    // window boundaries). PipelineSpec proves the evasion pair.
+    "dd_span_mask" -> ((s, dir) => {
+      Dedup.maskRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("clean_text"), col("n_tokens"), col("n_masked"))
         .orderBy(col("doc_id"))
     }),
     "dd_minhash_lsh" -> ((s, dir) => {
@@ -994,6 +1022,33 @@ object QueriesPipeline {
         |  count(*) AS n_paras,
         |  count(*) FILTER (WHERE rn > 1) AS n_dropped
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_span_mask" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |tkh AS (SELECT doc_id, len(toks) n, $sqlTokenHashes th FROM tok),
+         |sh AS (SELECT doc_id, n, ${sqlShingleHashesK(8)} hs FROM tkh),
+         |occ AS (SELECT doc_id, n, CAST(u.i AS INT) pos, hs[u.i+1] h
+         |        FROM sh, unnest(range(0, len(hs))) u(i)),
+         |ranked AS (SELECT *, row_number()
+         |    OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM occ),
+         |masked AS (SELECT DISTINCT doc_id, pos + u.j AS p
+         |           FROM ranked, unnest(range(0, least(8, n))) u(j)
+         |           WHERE rn > 1),
+         |tr AS (SELECT t.doc_id, CAST(u.i AS INT) p, toks[u.i+1] tk
+         |       FROM tok t, unnest(range(0, len(toks))) u(i)),
+         |mr AS (SELECT tr.doc_id, tr.p, tr.tk, m.p IS NOT NULL msk
+         |       FROM tr LEFT JOIN masked m
+         |         ON tr.doc_id = m.doc_id AND tr.p = m.p),
+         |agg AS (SELECT doc_id,
+         |    coalesce(array_to_string(list(tk ORDER BY p)
+         |      FILTER (WHERE NOT msk), ' '), '') clean_text,
+         |    count(*) n_tokens,
+         |    count(*) FILTER (WHERE msk) n_masked
+         |  FROM mr GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_masked, 0) AS n_masked
+         |FROM tok t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dd_jaccard_pairs" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_distinct($sqlToks) toks FROM documents WHERE doc_id < 200)

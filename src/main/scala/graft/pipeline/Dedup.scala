@@ -429,6 +429,78 @@ object Dedup {
           sep).as("clean_text"))
   }
 
+  /** Arbitrary-alignment repeated-SPAN masking — the Spark-native form of
+    * Lee et al. 2022's suffix-array substring dedup. [[dropDuplicateParagraphs]]
+    * over [[blankLineParagraphs]] or [[tokenWindows]] is alignment-locked:
+    * a 50-token span duplicated at a DIFFERENT offset in another document
+    * straddles paragraph/window boundaries and evades both. This pass
+    * works at single-token alignment:
+    *
+    *  1. k-token shingle hash at EVERY token position (one per start,
+    *     [[TextAnalysis.shingleHashesFromTokenHashes]]; docs shorter than
+    *     k get one whole-doc shingle, so exact short duplicates are
+    *     covered too).
+    *  2. winner per shingle value = min(struct(id, pos)) via
+    *     groupBy(hash) — partial aggregation collapses heavy-hitter
+    *     shingles (boilerplate!) map-side, same skew-proof shape as
+    *     [[dropDuplicateParagraphs]].
+    *  3. an occurrence is MASK-ELIGIBLE iff it is not its shingle's
+    *     winner — a left_anti join on the unique (id, pos) coordinate
+    *     (a unique shingle's only occurrence IS its winner, so unique
+    *     text is never eligible: no repeated-set filter needed).
+    *  4. a token is masked iff SOME eligible shingle occurrence covers
+    *     it; covered positions explode (≤ k per occurrence), dedup on
+    *     the near-unique (id, p) key, and mark token rows by a left
+    *     join on (id, p) — key-unique both sides, balanced under any
+    *     shingle skew.
+    *  5. one groupBy(id) reassembles the survivors in token order.
+    *
+    * A repeated span of length ≥ k is masked IN FULL in every non-first
+    * occurrence (every one of its interior shingles is repeated and
+    * non-winning; their covers tile the span), while the first
+    * occurrence — and all unique text, including the k-1 tokens flanking
+    * a repeated span — survives untouched. Spans shorter than k are
+    * below the dedup resolution by design (Lee et al. use 50 tokens).
+    *
+    * Returns (idCol, clean_text, n_tokens, n_masked); a doc that is one
+    * big repeat comes back with clean_text = "". */
+  def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, sep: String = " "): DataFrame = {
+    require(k >= 1, "span shingle length must be >= 1")
+    val id = col(idCol)
+    val staged = df
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"),
+        TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
+      .select(id, col("__toks"), size(col("__toks")).as("__n"),
+        TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k).as("__hs"))
+    val occ = staged.select(id, col("__n"),
+      posexplode(col("__hs")).as(Seq("pos", "h")))
+    val winners = occ
+      .select(col("h"), struct(id, col("pos")).as("__occ"))
+      .groupBy(col("h")).agg(min(col("__occ")).as("__win"))
+      .select(col("__win")(idCol).as("__wid"), col("__win")("pos").as("__wpos"))
+    val eligible = occ.join(winners,
+      id === col("__wid") && col("pos") === col("__wpos"), "left_anti")
+    val maskedPos = eligible
+      .select(id, explode(sequence(col("pos"),
+        col("pos") + least(lit(k), col("__n")) - 1)).as("p"))
+      .distinct()
+      .withColumn("__m", lit(true))
+    staged
+      .select(id, posexplode_outer(col("__toks")).as(Seq("p", "tok")))
+      .join(maskedPos, Seq(idCol, "p"), "left")
+      .groupBy(id)
+      .agg(
+        count(when(col("p").isNotNull, 1)).as("n_tokens"),
+        count(when(col("p").isNotNull && col("__m"), 1)).as("n_masked"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("p").isNotNull && col("__m").isNull,
+              struct(col("p"), col("tok"))))),
+            s => s("tok")),
+          sep).as("clean_text"))
+  }
+
   /** Embedding near-dup at scale: pairs are formed ONLY within shared
     * buckets (equi-join on cluster id — never the all-pairs theta-join).
     * `probes` > 1 multi-assigns each row to its nearest clusters so pairs

@@ -145,7 +145,7 @@ object TextAnalysis {
   /** Polynomial-combine coefficient for shingle position j (R1..R3 for the
     * default 3-gram; deterministic extension beyond). Products stay well
     * inside Long: coef < 2^25, token hash < P = 2^31. */
-  private[pipeline] def rCoef(j: Int): Long = j match {
+  private[graft] def rCoef(j: Int): Long = j match {
     case 0 => R1
     case 1 => R2
     case 2 => R3

@@ -75,6 +75,57 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == (("", 0L, 0L)), r(5L).toString)
   }
 
+  test("maskRepeatedSpans: shifted duplicate spans that provably evade both paragraph units") {
+    // one 30-token span S shared by two docs at DIFFERENT offsets (3 vs 7)
+    // — the construction Lee et al. 2022's substring dedup exists for
+    val S = (1 to 30).map(i => s"s$i").mkString(" ")
+    val sdocs = Seq(
+      (1L, s"a1 a2 a3 $S a4 a5"),          // 35 tokens, S at 3..32 (first)
+      (2L, s"b1 b2 b3 b4 b5 b6 b7 $S b8")  // 38 tokens, S at 7..36
+    ).toDF("doc_id", "text")
+
+    // EVASION PROOF: both shipped alignment-locked units remove nothing.
+    // blank-line paragraphs: one block per doc, blocks differ.
+    val viaParas = Dedup.dropDuplicateParagraphs(
+      sdocs.select(col("doc_id"), Dedup.blankLineParagraphs(col("text")).as("p")),
+      "doc_id", col("p")).select("doc_id", "n_dropped")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaParas == Map(1L -> 0L, 2L -> 0L), viaParas.toString)
+    // 25-token windows: the shifted span straddles every window boundary,
+    // so all four windows are distinct.
+    val viaWindows = Dedup.dropDuplicateParagraphs(
+      sdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), Dedup.tokenWindows(col("__toks"), 25).as("p")),
+      "doc_id", col("p")).select("doc_id", "n_dropped")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaWindows == Map(1L -> 0L, 2L -> 0L), viaWindows.toString)
+
+    // span masking removes exactly S from doc 2 and nothing from doc 1
+    val r = Dedup.maskRepeatedSpans(sdocs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((s"a1 a2 a3 $S a4 a5", 35L, 0L)), r(1L).toString)
+    assert(r(2L) == (("b1 b2 b3 b4 b5 b6 b7 b8", 38L, 30L)), r(2L).toString)
+  }
+
+  test("maskRepeatedSpans: in-doc repeats, short-doc duplicates, empty docs") {
+    val sdocs = Seq(
+      (3L, "x y z"),   // 3 tokens < k: one whole-doc shingle (first)
+      (4L, "x y z"),   // exact short duplicate -> fully masked
+      (5L, ""),        // empty
+      // 8-token span repeated back-to-back IN the same doc: second copy
+      // masked, first survives, trailing unique token survives
+      (6L, "p q r s t u v w p q r s t u v w zz")
+    ).toDF("doc_id", "text")
+    val r = Dedup.maskRepeatedSpans(sdocs, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    assert(r(3L) == (("x y z", 3L, 0L)), r(3L).toString)
+    assert(r(4L) == (("", 3L, 3L)), r(4L).toString)
+    assert(r(5L) == (("", 0L, 0L)), r(5L).toString)
+    assert(r(6L) == (("p q r s t u v w zz", 17L, 8L)), r(6L).toString)
+  }
+
   test("tokenWindows: fixed-span unit, boundary + short-doc behavior") {
     val tdocs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val r = tdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
