@@ -117,10 +117,26 @@ object Dedup {
 
   /** LSH candidate pairs from banded minhash signatures.
     * bands * rowsPerBand must equal the signature length.
-    * Output: (id_a, id_b) with id_a < id_b, distinct. */
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * `maxBucket` (opt-in; default = unbounded, today's exact behavior)
+    * bounds the inherent within-bucket quadratic blow-up: a band bucket
+    * holding n co-hashing docs yields n·(n−1)/2 pairs — template spam
+    * (10⁵ identical docs) turns one bucket into 5·10⁹ pairs. Buckets
+    * over the cap emit STAR pairs instead: every member paired with the
+    * bucket's min-id representative (n−1 pairs, linear). The star keeps
+    * every over-cap bucket CONNECTED, so [[duplicateClusters]] resolves
+    * identical-doc floods to the same single component the full
+    * pairing would; the trade is that a near-dup member whose star
+    * edge fails the Jaccard verify loses its other potential partners —
+    * acceptable for the adversarial buckets the cap exists for (an
+    * over-cap bucket is near-certainly an exact-duplicate flood, which
+    * [[exactDuplicates]] upstream should have removed anyway). */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
     val r = numHashes / bands
     // cache: the self-join below would otherwise recompute the whole
     // tokenize->hash->signature pipeline for BOTH join sides
@@ -129,12 +145,29 @@ object Dedup {
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
       .cache()
-    // bucket self-join: same band index + identical band key
-    val a = banded.alias("a"); val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    if (maxBucket == Int.MaxValue) {
+      // bucket self-join: same band index + identical band key
+      val a = banded.alias("a"); val b = banded.alias("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    } else {
+      // bucket sizes + representatives via partial agg (skew-proof), then
+      // full pairing below the cap, star pairing above it
+      val stats = banded.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+      val tagged = banded.join(stats, Seq("band", "band_key"))
+      val a = tagged.filter(col("__n") <= maxBucket).alias("a")
+      val b = tagged.filter(col("__n") <= maxBucket).alias("b")
+      val full = a.join(b, col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val star = tagged
+        .filter(col("__n") > maxBucket && col("id") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("id").as("id_b"))
+      full.union(star).distinct()
+    }
   }
 
   /** Exact token-set Jaccard for a pair DataFrame (verify step after LSH). */
@@ -150,10 +183,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  /** MinHash near-dup pipeline: LSH candidates verified by exact Jaccard.
+    * `maxBucket` bounds adversarial band buckets — see [[lshCandidatePairs]]. */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, numHashes, bands)
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cands = lshCandidatePairs(df, textCol, idCol, numHashes, bands, maxBucket)
     withJaccard(cands, df, textCol, idCol).filter(col("jaccard") >= threshold)
   }
 
@@ -508,14 +543,41 @@ object Dedup {
     * candidate pairs are deduped before the cosine verify. Centroids come
     * from a k-means fit (IvfIndex.build) or any deterministic sample. */
   def embeddingNearDuplicatesBucketed(df: DataFrame, vecCol: String, idCol: String,
-      centroids: Array[Array[Double]], minCosine: Double, probes: Int = 1): DataFrame = {
+      centroids: Array[Array[Double]], minCosine: Double, probes: Int = 1,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least one pair")
     // cache: both self-join sides would otherwise recompute the assignment
     val assigned = assignClusters(df, vecCol, idCol, centroids, probes).cache()
-    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
-    val joined = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+    val joined = if (maxBucket == Int.MaxValue) {
+      val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+      a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+    } else {
+      // same cap policy as lshCandidatePairs: a cluster over the cap is a
+      // near-certain duplicate flood — pair members with the min-id
+      // representative (linear, keeps the cluster connected) instead of
+      // quadratically with each other
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("__n"), min(col("id")).as("__rep"))
+      val tagged = assigned.join(stats, Seq("cluster"))
+      val small = tagged.filter(col("__n") <= maxBucket)
+      val a = small.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      val b = small.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+      val full = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      val bigMembers = tagged
+        .filter(col("__n") > maxBucket && col("id") =!= col("__rep"))
+        .select(col("cluster"), col("__rep").as("id_a"),
+          col("id").as("id_b"), col("v").as("vb"))
+      val repVecs = assigned
+        .select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      val star = bigMembers.join(repVecs, Seq("cluster", "id_a"))
+        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      full.unionByName(star)
+    }
     // multi-probe can co-bucket a pair more than once; probes=1 cannot, so
     // skip the (array-keyed, shuffle-heavy) distinct there
     val cand = if (probes == 1) joined else joined.distinct()

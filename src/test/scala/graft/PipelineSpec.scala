@@ -621,4 +621,46 @@ class PipelineSpec extends SparkSpec {
     val recall = buck.size.toDouble / brute.size
     assert(recall >= 0.95, f"recall $recall%.3f (${buck.size}/${brute.size})")
   }
+
+  test("lshCandidatePairs maxBucket: a 100k identical-doc flood yields linear star pairs") {
+    // the adversarial case the cap exists for: template spam hashing every
+    // band into ONE bucket — uncapped that is n(n-1)/2 ≈ 5·10⁹ pairs;
+    // capped it is n−1 star edges to the min-id representative
+    val n = 100000L
+    val flood = spark.range(n).select(col("id"),
+      lit("buy cheap pills now best price online today").as("text"))
+    val pairs = Dedup.lshCandidatePairs(flood, "text", "id",
+      numHashes = 16, bands = 4, maxBucket = 64).cache()
+    try {
+      assert(pairs.count() == n - 1, "star pairing must emit exactly n-1 edges")
+      assert(pairs.agg(min(col("id_a")), max(col("id_a"))).head ==
+        org.apache.spark.sql.Row(0L, 0L), "every star edge roots at the min id")
+      // connectivity preserved: the flood resolves to ONE duplicate cluster
+      val clusters = Dedup.duplicateClusters(pairs)
+      assert(clusters.filter(col("cluster") === 0L).count() == n)
+    } finally pairs.unpersist()
+  }
+
+  test("maxBucket leaves the normal fixture's verified near-dup pairs unchanged") {
+    def pairSet(maxBucket: Int) =
+      Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          threshold = 0.5, numHashes = 32, bands = 8, maxBucket = maxBucket)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(Int.MaxValue)
+    assert(uncapped.nonEmpty, "fixture must have near-dup pairs")
+    assert(pairSet(8) == uncapped, "a cap above every bucket size must be a no-op")
+  }
+
+  test("embeddingNearDuplicatesBucketed maxBucket bounds an identical-vector flood") {
+    val n = 10000L
+    val flood = spark.range(n).select(col("id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("v"))
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0))
+    val pairs = Dedup.embeddingNearDuplicatesBucketed(flood, "v", "id", cents,
+      minCosine = 0.9, maxBucket = 32)
+    assert(pairs.count() == n - 1, "star pairing must emit exactly n-1 edges")
+    assert(pairs.agg(min(col("cos_sim")), max(col("cos_sim"))).head ==
+      org.apache.spark.sql.Row(1.0, 1.0))
+  }
 }
