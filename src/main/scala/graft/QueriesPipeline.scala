@@ -97,6 +97,35 @@ object QueriesPipeline {
        |  ELSE list_transform(range(len(th) - 2),
        |         i -> (th[i+1]*1000003 + th[i+2]*2000003 + th[i+3]*3000017) % $P) END""".stripMargin
 
+  /** Fixed tokenizer vocabulary for the BPE gates — the stand-in for a
+    * vocab-file input (TextAnalysis.loadBpeVocab reads real ones), shared
+    * verbatim with the DuckDB oracle below. */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    "the", "ing", "ion", "ent", "tion", "and", "er", "in", "on", "at",
+    "en", "re", "an", "or", "es", "ed", "te", "ti", "st", "ar", "nd",
+    "al", "le", "is", "it", "of", "to", "as", "ou", "ll", "se", "ve",
+    "ro", "ly", "ta", "ne", "co", "de", "ra", "row", "scan", "sort",
+    "data", "tab", "key", "val", "qu")
+
+  /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
+    * words: each step consumes the longest vocab entry prefixing the
+    * remaining suffix (char fallback when none). Yields wp(w, parts).
+    * Expects a `tok(doc_id, toks)` CTE and WITH RECURSIVE upstream. */
+  private def sqlBpeWordParts: String =
+    s"""vocab(v) AS (SELECT * FROM (VALUES ${BpeVocab.map(v => s"('$v')").mkString(",")}) t(v)),
+       |words AS (SELECT DISTINCT unnest(toks) w FROM tok),
+       |steps AS (
+       |  SELECT w, w AS rest, CAST([] AS VARCHAR[]) parts FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    substr(s.rest, 1 + coalesce((SELECT max(len(v.v)) FROM vocab v
+       |      WHERE starts_with(s.rest, v.v)), 1)),
+       |    list_append(s.parts, substr(s.rest, 1,
+       |      coalesce((SELECT max(len(v.v)) FROM vocab v
+       |        WHERE starts_with(s.rest, v.v)), 1)))
+       |  FROM steps s WHERE len(s.rest) > 0),
+       |wp AS (SELECT w, parts FROM steps WHERE rest = '')""".stripMargin
+
   /** k-gram generalization of [[sqlShingleHashes]] — mirrors
     * TextAnalysis.shingleHashesFromTokenHashes(th, k) coefficient for
     * coefficient (rCoef), including the short-doc single whole-doc
@@ -250,6 +279,29 @@ object QueriesPipeline {
           alpha = 0.5, targetFraction = 0.3)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
 
+    // greedy BPE apply from an input vocabulary — the real-tokenizer path
+    // the heuristic subwordCount approximates. The vocabulary is shared
+    // verbatim with the oracle; the gate hashes the first 12 subwords too,
+    // so the SPLIT is verified, not just the fertility count.
+    "tx_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokens(col("text"), BpeVocab).as("__bpe"))
+        .select(col("doc_id"), size(col("__bpe")).cast("long").as("n_bpe"),
+          array_join(slice(col("__bpe"), 1, 12), " ").as("bpe_head"))
+        .orderBy(col("doc_id"))
+    }),
+    // token-budget packing keyed to the BPE vocab's TRUE fertility — the
+    // production form of pl_pack_batches when a tokenizer vocab exists
+    "pl_pack_bpe" -> ((s, dir) => {
+      val sized = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(TextAnalysis.bpeTokens(col("text"), BpeVocab)).cast("long"))
+      Pipelines.packBySize(sized, "n_tokens", "doc_id", budget = 2000L)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("batch_id"))
+    }),
     // token-budget sequence packing: greedy running-sum batches
     "pl_pack_batches" -> ((s, dir) => {
       val sized = t(s, dir, "documents")
@@ -1112,6 +1164,38 @@ object QueriesPipeline {
          |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE ${sqlHash60("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate * 1000
          |ORDER BY d.doc_id""".stripMargin,
+    "tx_bpe_tokens" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |$sqlBpeWordParts,
+         |occ AS (SELECT doc_id, CAST(u.i AS INT) pos, toks[u.i+1] w
+         |        FROM tok, unnest(range(0, len(toks))) u(i)),
+         |subs AS (SELECT o.doc_id, o.pos, CAST(u.j AS INT) sj, wp.parts[u.j+1] sub
+         |         FROM occ o JOIN wp ON o.w = wp.w,
+         |           unnest(range(0, len(wp.parts))) u(j)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bpe,
+         |        array_to_string((list(sub ORDER BY pos, sj))[1:12], ' ') bpe_head
+         |        FROM subs GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+         |  coalesce(a.bpe_head, '') AS bpe_head
+         |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pl_pack_bpe" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |$sqlBpeWordParts,
+         |wc AS (SELECT w, CAST(len(parts) AS BIGINT) n_sub FROM wp),
+         |occ AS (SELECT doc_id, unnest(toks) w FROM tok),
+         |sized0 AS (SELECT o.doc_id, sum(wc.n_sub) n_tokens
+         |           FROM occ o JOIN wc USING (w) GROUP BY o.doc_id),
+         |sized AS (SELECT t.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) n_tokens
+         |          FROM tok t LEFT JOIN sized0 s USING (doc_id)),
+         |packed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      / 2000.0) AS BIGINT) AS batch_id
+         |  FROM sized)
+         |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     "pl_pack_batches" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |sized AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword tokenization against a FIXED vocabulary —
+  * the apply step of a trained BPE/WordPiece model (the public algorithm;
+  * the vocabulary is an input, e.g. a merges/vocab file). Per whitespace
+  * word, repeatedly emit the LONGEST vocabulary entry prefixing the
+  * remaining suffix; when nothing matches, fall back to the single next
+  * character (standard byte/char fallback). Deterministic, map-only, the
+  * vocabulary rides the expression as a broadcast-style reference object —
+  * no join, no shuffle, stays inside whole-stage codegen via a static
+  * kernel (same pattern as [[NearestCentroidsExact]]).
+  *
+  * Mirrored in the DuckDB oracle by a recursive CTE over distinct words
+  * (`starts_with(rest, v)` + max(len(v)) per step), so both engines agree
+  * word for word. Word boundaries are `\s+` on trimmed text — identical
+  * to [[graft.pipeline.TextAnalysis.tokens]]. Positions are UTF-16 code
+  * units; the oracle counts codepoints — identical on the BMP text this
+  * engine's corpora carry (documents are ASCII; a vocab entry with
+  * astral-plane characters would need a codepoint-stepping variant). */
+case class BpeGreedyTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "bpe_greedy_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val table: BpeGreedyTokens.Vocab =
+    new BpeGreedyTokens.Vocab(vocab.toArray)
+
+  override def nullSafeEval(t: Any): Any =
+    BpeGreedyTokens.tokenize(t.asInstanceOf[UTF8String], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("bpeVocab", table,
+      classOf[BpeGreedyTokens.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.BpeGreedyTokens$$.MODULE$$
+         |  .tokenize($c, $vocabRef);""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeGreedyTokens {
+  /** Pre-indexed vocabulary: membership set + max entry length bound the
+    * per-position probe to maxLen substring lookups. */
+  final class Vocab(entries: Array[String]) extends Serializable {
+    val set = new java.util.HashSet[String](math.max(16, entries.length * 2))
+    entries.foreach(set.add)
+    val maxLen: Int = entries.foldLeft(0)((m, e) => math.max(m, e.length))
+  }
+
+  def tokenize(text: UTF8String, v: Vocab): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef]()
+    for (w <- s.split("\\s+") if w.nonEmpty) {
+      val wl = w.length
+      var i = 0
+      while (i < wl) {
+        var l = math.min(v.maxLen, wl - i)
+        var m = 0
+        while (l >= 1 && m == 0) {
+          if (v.set.contains(w.substring(i, i + l))) m = l else l -= 1
+        }
+        if (m == 0) m = 1 // char fallback (also the empty-vocab path)
+        out.add(UTF8String.fromString(w.substring(i, i + m)))
+        i += m
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

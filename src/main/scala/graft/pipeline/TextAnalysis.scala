@@ -31,6 +31,43 @@ object TextAnalysis {
     size(filter(pieces, p => length(p) > 0))
   }
 
+  /** Greedy longest-match subword tokens from an INPUT VOCABULARY — the
+    * apply step of a trained BPE/WordPiece model. Map-only: the vocab
+    * rides the expression as a reference object (no join). Word
+    * boundaries match [[tokens]] (`\s+` on trimmed text); unmatched
+    * positions fall back to single characters. Use this instead of the
+    * heuristic [[subwordCount]] whenever a real tokenizer vocab is
+    * available — packing/mixing budgets keyed to it then match the
+    * training tokenizer's actual fertility. */
+  def bpeTokens(text: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    CatalystBridge.column(graft.functions.BpeGreedyTokens(
+      CatalystBridge.expression(text), vocab))
+  }
+
+  /** [[bpeTokens]] with the vocabulary loaded from a one-column DataFrame
+    * (a vocab file read as text/csv/parquet). Entries are collected to
+    * the driver — a tokenizer vocab is bounded (~10⁴..10⁵ entries), and
+    * `maxEntries` guards against an unbounded collect from a mis-pointed
+    * table; sorted for a deterministic expression regardless of the
+    * source's partitioning. */
+  def loadBpeVocab(vocabDf: org.apache.spark.sql.DataFrame,
+      vocabCol: String = "token", maxEntries: Int = 1 << 21): Seq[String] = {
+    val n = vocabDf.count()
+    require(n <= maxEntries,
+      s"vocab has $n entries (> $maxEntries): not a tokenizer vocabulary")
+    vocabDf.select(col(vocabCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  def bpeTokens(text: Column, vocabDf: org.apache.spark.sql.DataFrame,
+      vocabCol: String): Column =
+    bpeTokens(text, loadBpeVocab(vocabDf, vocabCol))
+
+  /** Subword count under an input vocab — see [[bpeTokens]]. */
+  def subwordCount(text: Column, vocab: Seq[String]): Column =
+    size(bpeTokens(text, vocab))
+
   /** English-ish stopword list used by quality scoring (fixed, public). */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

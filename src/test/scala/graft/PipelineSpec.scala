@@ -126,6 +126,38 @@ class PipelineSpec extends SparkSpec {
     assert(r(6L) == (("p q r s t u v w zz", 17L, 8L)), r(6L).toString)
   }
 
+  test("bpeTokens: greedy longest-match, char fallback, vocab-DataFrame load") {
+    val vocab = Seq("the", "qu", "ick", "ing", "er", "brown")
+    val bdocs = Seq(
+      (1L, "thequickbrown zebra thinger"), // merges + full fallback + mixed
+      (2L, ""), (3L, "   ")
+    ).toDF("id", "text")
+    val want = Seq("the", "qu", "ick", "brown", // longest-match merges
+      "z", "e", "b", "r", "a",                  // no vocab hit: chars
+      "t", "h", "ing", "er")                    // greedy, not optimal: t+h
+    val r = bdocs.select(col("id"),
+        TextAnalysis.bpeTokens(col("text"), vocab).as("b"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1)).toMap
+    assert(r(1L) == want, r(1L).toString)
+    assert(r(2L).isEmpty && r(3L).isEmpty)
+    // vocab loaded from a one-column frame (vocab file): same result
+    // regardless of the frame's row order, and the count overload agrees
+    val vdf = vocab.reverse.toDF("token")
+    val r2 = bdocs.filter(col("id") === 1L)
+      .select(TextAnalysis.bpeTokens(col("text"), vdf, "token"))
+      .head.getSeq[String](0)
+    assert(r2 == want, r2.toString)
+    val n = bdocs.filter(col("id") === 1L)
+      .select(TextAnalysis.subwordCount(col("text"), vocab)).head.getInt(0)
+    assert(n == want.length)
+    // the unbounded-collect guard on a mis-pointed "vocab"
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeVocab(
+        spark.range(10).selectExpr("CAST(id AS STRING) AS token"),
+        maxEntries = 5)
+    }
+  }
+
   test("tokenWindows: fixed-span unit, boundary + short-doc behavior") {
     val tdocs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val r = tdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
