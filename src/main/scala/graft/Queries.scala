@@ -39,17 +39,75 @@ object Queries {
     * column would be preferred). */
   private val serveFixtures =
     scala.collection.concurrent.TrieMap[(Int, String), graft.api.GraftDb]()
-  private def serveFixture(s: SparkSession, dir: String): graft.api.GraftDb =
-    serveFixtures.getOrElseUpdate((System.identityHashCode(s), dir), {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_servefx_${math.abs(dir.hashCode)}"
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val w = java.nio.file.Files.walk(p)
-        try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        finally w.close()
-      }
-      val db = new graft.api.GraftDb(s, root)
+
+  /** Fixture layout revision: bump when the build below changes shape, so
+    * persisted roots from an older layout are never mistaken for current. */
+  private val FixtureRev = 1
+
+  /** Content address of the fixture: source-parquet identity (name, size,
+    * mtime of every embeddings.parquet file) + layout revision + sf dir.
+    * A testdata regeneration changes the fingerprint, so a stale root can
+    * never serve against new source data; two sessions on the same dir
+    * share one root instead of deleting it out from under each other
+    * (round-12 ADVICE: the old root keyed on dir.hashCode alone). */
+  private def fixtureKey(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    def feed(f: java.nio.file.Path): Unit =
+      md.update((f.getFileName.toString + "|" + java.nio.file.Files.size(f) +
+        "|" + java.nio.file.Files.getLastModifiedTime(f).toMillis).getBytes("UTF-8"))
+    if (java.nio.file.Files.isDirectory(src)) {
+      val w = java.nio.file.Files.walk(src)
+      try w.iterator().asScala.toSeq
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .sortBy(_.toString).foreach(feed)
+      finally w.close()
+    } else if (java.nio.file.Files.exists(src)) feed(src)
+    md.update(s"|rev$FixtureRev|$dir".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def serveFixture(s: SparkSession, dir: String): graft.api.GraftDb = {
+    val key = fixtureKey(dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_servefx_$key"
+    serveFixtures.getOrElseUpdate((System.identityHashCode(s), root),
+      this.synchronized {
+        val manifest = java.nio.file.Paths.get(root, "fixture_manifest.json")
+        // WARM PATH: the manifest stamp is written only after a complete
+        // build, and the key embeds the source fingerprint — so a stamped
+        // root IS this fixture for this testdata generation. The store's
+        // own versioned manifests validate the segment files on open; a
+        // probe read + declaration re-apply completes the reuse. Any
+        // failure (torn root, old layout) falls through to a cold build.
+        val reused =
+          if (!java.nio.file.Files.exists(manifest)) None
+          else try {
+            val m = new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+            if (!m.contains(s""""key":"$key"""")) None
+            else {
+              val db = new graft.api.GraftDb(s, root)
+              require(db.store("emb").read().limit(1).count() == 1,
+                "empty fixture store")
+              db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
+              db.setServeFilterColumns("emb", "SV", Seq("label", "bucket"))
+              Some(db)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        reused.getOrElse(buildServeFixture(s, dir, root, key, manifest))
+      })
+  }
+
+  private def buildServeFixture(s: SparkSession, dir: String, root: String,
+      key: String, manifest: java.nio.file.Path): graft.api.GraftDb = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    val db = new graft.api.GraftDb(s, root)
       val emb = t(s, dir, "embeddings").orderBy("vec_id")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           (col("vec_id") % 7).as("bucket"), col("embedding"),
@@ -76,8 +134,12 @@ object Queries {
       require(db.rebuildIndex("emb", "SV"), "sparse index build skipped")
       db.setServeFilterColumns("emb", "embedding", Seq("label", "vec_id"))
       db.setServeFilterColumns("emb", "SV", Seq("label", "bucket"))
+      // stamp LAST: a crash anywhere above leaves no manifest, so the next
+      // run rebuilds instead of reusing a torn root
+      java.nio.file.Files.write(manifest,
+        s"""{"key":"$key","dir":"$dir"}""".getBytes("UTF-8"))
       db
-    })
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
