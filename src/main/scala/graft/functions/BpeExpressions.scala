@@ -56,7 +56,14 @@ object BpeGreedyTokens {
   }
 
   def tokenize(text: UTF8String, v: Vocab): ArrayData = {
-    val s = text.toString.trim
+    // trim SPACES only — Spark's trim() and DuckDB's trim() strip ' ',
+    // while Java's String.trim strips every char <= 0x20 (a word of
+    // control bytes would silently vanish and desync from the oracle)
+    val raw = text.toString
+    var st = 0; var en = raw.length
+    while (st < en && raw.charAt(st) == ' ') st += 1
+    while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+    val s = raw.substring(st, en)
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[AnyRef]()
     for (w <- s.split("\\s+") if w.nonEmpty) {

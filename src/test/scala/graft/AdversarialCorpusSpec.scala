@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Pipelines, TextAnalysis}
+
+/** Adversarial-corpus regression family: the r10–r12 defect classes were
+  * always an untested input COMBINATION, not a new operator. Every fixture
+  * here is a degenerate corpus shape a 100 TB crawl WILL contain — an
+  * all-identical template flood, one-token docs, a single enormous doc,
+  * zero-printable bytes, a doc that is one paragraph repeated — pushed
+  * through the full cleaning path (quality + dedup pipeline, repetition
+  * signals, both LM scorers, both span-dedup units) with expected outputs
+  * pinned, not just "does not throw". */
+class AdversarialCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and the cat is on the mat " +
+      "with a hat for it that is all there is to say about this fine day"
+
+  // the family: ids partition the classes so assertions can select them
+  //   0..199   identical flood (good text)
+  //   200..204 one-token docs (all the same token)
+  //   300      100k-token doc (one token repeated)
+  //   301      zero-printable bytes
+  //   302      single repeated paragraph
+  //   303      empty
+  //   304      unique healthy doc
+  private lazy val family = {
+    val flood = (0L until 200L).map(i => (i, goodText))
+    val oneTok = (200L until 205L).map(i => (i, "solo"))
+    val big = Seq((300L, Array.fill(100000)("w").mkString(" ")))
+    val ctrl = Seq((301L, "\u0001\u0002\u0007\u0003"))
+    val para = Seq((302L, "repeat me\n\nrepeat me\n\nrepeat me"))
+    val empty = Seq((303L, ""))
+    val healthy = Seq((304L,
+      "a completely different and quite unique document about the inner " +
+        "workings of a distributed query engine that is not like the others"))
+    (flood ++ oneTok ++ big ++ ctrl ++ para ++ empty ++ healthy)
+      .toDF("doc_id", "text")
+  }
+
+  test("cleanCorpus: flood collapses to its min id, degenerate docs never throw") {
+    // precondition, asserted so a scoring change fails loudly here instead
+    // of silently weakening the flood assertion
+    val q = family.filter(col("doc_id") === 0L)
+      .select(TextAnalysis.qualityScore(col("text"))).head.getDouble(0)
+    assert(q >= 0.5, s"fixture text must pass the quality gate (got $q)")
+    val survivors = Pipelines.cleanCorpus(family)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact dedup collapses the flood BEFORE the LSH stage ever sees it —
+    // the designed mitigation for quadratic buckets — keeping only id 0
+    assert(survivors.intersect((0L until 200L).toSet) == Set(0L), survivors.toString)
+    assert((200L until 205L).forall(i => !survivors.contains(i) || i == 200L),
+      "identical one-token docs must collapse to at most their min id")
+    assert(!survivors.contains(303L), "empty doc can never pass the quality gate")
+  }
+
+  test("repetitionSignals: the 100k-token doc and the repeated paragraph are maximal") {
+    val r = TextAnalysis.repetitionSignals(
+        family.filter(col("doc_id").isin(300L, 301L, 302L, 303L)))
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("adj_dup_frac"), col("dup_line_frac"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // one token repeated 100k times, capped at 512 by design: every bigram
+    // is THE bigram, every adjacent pair equal, 510 trigrams 1 distinct
+    assert(r(300L)._1 == 1.0 && r(300L)._3 == 1.0, r(300L).toString)
+    assert(r(300L)._2 == 0.998039, r(300L).toString) // round(1 - 1/510, 6)
+    // control bytes: one token, no bigrams, no repeated lines -> all zero
+    assert(r(301L) == ((0.0, 0.0, 0.0, 0.0)), r(301L).toString)
+    // "repeat me" x3 on blank lines: 3 lines 1 distinct -> 2/3; bigram
+    // occurrences: "repeat me" x3 + "me repeat" x2 of 5 -> 0.6
+    assert(r(302L)._4 == 0.666667 && r(302L)._1 == 0.6, r(302L).toString)
+    assert(r(303L) == ((0.0, 0.0, 0.0, 0.0)), r(303L).toString)
+  }
+
+  test("LM scoring: degenerate docs score NULL below the n-gram order, never throw") {
+    val bg = TextAnalysis.bigramLmScore(family)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(bg(303L).isEmpty && bg(301L).isEmpty && bg(200L).isEmpty,
+      "docs with < 2 tokens must carry NULL bigram scores")
+    assert(bg(0L).nonEmpty && bg(300L).nonEmpty && bg(304L).nonEmpty)
+    assert(bg(0L) == bg(1L), "identical docs must score identically")
+
+    val lm = TextAnalysis.trigramLmFit(family)
+    val tri = TextAnalysis.trigramLmApply(lm, family)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(tri(303L).isEmpty && tri(301L).isEmpty && tri(200L).isEmpty,
+      "docs with < 3 tokens must carry NULL trigram scores")
+    assert(tri(0L).nonEmpty && tri(300L).nonEmpty)
+    assert(tri(0L) == tri(1L))
+    // the all-"w w w" doc is its own perfect predictor: its trigram is the
+    // corpus mode, so its nll must be strictly below the healthy doc's
+    val nll300 = tri(300L).get.asInstanceOf[Double]
+    val nll304 = tri(304L).get.asInstanceOf[Double]
+    assert(nll300 < nll304, s"$nll300 vs $nll304")
+  }
+
+  test("paragraph dedup: the repeated-paragraph doc keeps exactly its first copy") {
+    val r = Dedup.dropDuplicateParagraphs(
+      family.filter(col("doc_id").isin(302L, 303L))
+        .select(col("doc_id"), Dedup.blankLineParagraphs(col("text")).as("p")),
+      "doc_id", col("p"), "\n\n")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    assert(r(302L) == (("repeat me", 3L, 2L)), r(302L).toString)
+    assert(r(303L) == (("", 0L, 0L)), r(303L).toString)
+  }
+
+  test("span masking: a 100k-token unigram doc collapses to one surviving token") {
+    // every 8-shingle in the doc is identical; only position 0 is the
+    // winner, and only token 0 is covered by no eligible occurrence — the
+    // degenerate-repetition shape must stay linear, not quadratic
+    val r = Dedup.maskRepeatedSpans(
+        family.filter(col("doc_id").isin(300L, 301L, 303L)), "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    assert(r(300L) == (("w", 100000L, 99999L)), (r(300L)._2, r(300L)._3).toString)
+    assert(r(301L) == (("\u0001\u0002\u0007\u0003", 1L, 0L)), "unique control-byte token survives")
+    assert(r(303L) == (("", 0L, 0L)), r(303L).toString)
+  }
+}
