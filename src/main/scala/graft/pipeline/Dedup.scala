@@ -503,13 +503,19 @@ object Dedup {
       k: Int = 8, sep: String = " "): DataFrame = {
     require(k >= 1, "span shingle length must be >= 1")
     val id = col(idCol)
-    val staged = df
-      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"),
-        TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
-      .select(id, col("__toks"), size(col("__toks")).as("__n"),
-        TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k).as("__hs"))
-    val occ = staged.select(id, col("__n"),
-      posexplode(col("__hs")).as(Seq("pos", "h")))
+    // cache the narrow (id, token-hash array) frame: the occurrence
+    // explode below is a Generate whose array input would otherwise
+    // re-evaluate PER OUTPUT ROW — with the md5 stage inlined that is
+    // O(tokens) md5s × O(tokens) shingle rows = quadratic per doc
+    // (measured 106 s for 5000 docs at sf0.1 vs ~2 s cached; the same
+    // trap `contamination` documents), and the frame is consumed twice
+    // more (winner pick + eligibility anti-join). No text rides in it.
+    val hashed = df
+      .select(id, TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
+      .cache()
+    val occ = hashed.select(id, size(col("__th")).as("__n"),
+      posexplode(TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k))
+        .as(Seq("pos", "h")))
     val winners = occ
       .select(col("h"), struct(id, col("pos")).as("__occ"))
       .groupBy(col("h")).agg(min(col("__occ")).as("__win"))
@@ -521,8 +527,9 @@ object Dedup {
         col("pos") + least(lit(k), col("__n")) - 1)).as("p"))
       .distinct()
       .withColumn("__m", lit(true))
-    staged
-      .select(id, posexplode_outer(col("__toks")).as(Seq("p", "tok")))
+    df
+      .select(id, posexplode_outer(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("p", "tok")))
       .join(maskedPos, Seq(idCol, "p"), "left")
       .groupBy(id)
       .agg(
