@@ -793,6 +793,33 @@ object QueriesPipeline {
       java.nio.file.Files.deleteIfExists(streamDir)
       local
     }),
+    // streaming twin of maskRepeatedSpans (DocStream.incrementalSpanDedup):
+    // k-gram shingle starts deduped by hash with checkpoint state — the
+    // incremental form of arbitrary-alignment span dedup. Contract = the
+    // distinct shingle-hash SET (which occurrence survives follows
+    // arrival order, so ids/positions stay out of the hash).
+    "st_span_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("st_span_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      val sink = s"st_span_stream_sink_${evStreamRuns.incrementAndGet()}"
+      val q = graft.streaming.DocStream
+        .incrementalSpanDedup(src, "doc_id", "text", k = 8)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).select(col("h")).orderBy(col("h"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
+    }),
     "ev_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1661,6 +1688,11 @@ object QueriesPipeline {
         |  FROM toks, unnest(range(1, CAST(ceil(len(t)/25.0) AS BIGINT) + 1)) u(i))
         |SELECT DISTINCT md5(para) AS digest, para FROM chunks
         |ORDER BY digest""".stripMargin,
+    "st_span_stream" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+         |sh AS (SELECT doc_id, ${sqlShingleHashesK(8)} hs FROM tkh)
+         |SELECT DISTINCT u.h FROM sh, unnest(hs) u(h) ORDER BY h""".stripMargin,
     "ev_hour_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

@@ -270,4 +270,29 @@ object DocStream {
     docs.select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
       .withColumn("digest", md5(col("para")))
       .dropDuplicates("digest")
+
+  /** Streaming twin of [[graft.pipeline.Dedup.maskRepeatedSpans]]:
+    * INCREMENTAL arbitrary-alignment span dedup. Every k-token shingle
+    * START (one per token position — the same hash chain as the batch
+    * operator) is deduped by its hash with the state in the checkpoint:
+    * emission is one row per FIRST-SEEN shingle carrying its (source id,
+    * position). A consumer masks a document's tokens exactly as the batch
+    * pass does — the doc's own shingle occurrences are recomputable from
+    * its text, the occurrences NOT in the emitted set are the
+    * mask-eligible ones, and their k-wide covers tile the repeated spans.
+    * Which occurrence survives follows arrival order (the streaming
+    * analogue of the batch min(id, pos) winner); the shingle-hash SET is
+    * deterministic, which is the gate contract. State = one row per
+    * DISTINCT shingle, sharded by the state store — never per occurrence.
+    * The token-hash array is staged in its own projection for the same
+    * Generate re-evaluation reason the batch operator documents. */
+  def incrementalSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.pipeline.TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
+      .select(col(idCol), posexplode(
+        graft.pipeline.TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k))
+        .as(Seq("pos", "h")))
+      .dropDuplicates("h")
 }

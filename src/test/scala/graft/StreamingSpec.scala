@@ -117,6 +117,49 @@ class StreamingSpec extends SparkSpec {
       headerSrc.toString)
   }
 
+  test("incremental span dedup: checkpointed shingle state masks a shifted span across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    import org.apache.spark.sql.functions.col
+    val srcDir = tmpDir("sp_stream_src")
+    val ckpt = tmpDir("sp_stream_ckpt")
+    val outDir = tmpDir("sp_stream_out")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val q = graft.streaming.DocStream
+        .incrementalSpanDedup(
+          spark.readStream.schema(docSchema).parquet(srcDir), "doc_id", "text", k = 3)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // snapshot 1: 5-token doc -> 3 shingle starts, all first-seen
+    Seq((1L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out1 = spark.read.parquet(outDir)
+    assert(out1.count() == 3, out1.collect().mkString(","))
+    assert(out1.select("doc_id").collect().forall(_.getLong(0) == 1L))
+    // snapshot 2 after a "restart": the same span SHIFTED by two tokens.
+    // Its three interior shingles hit checkpointed state (not re-emitted
+    // = mask-eligible downstream); only the two boundary-straddling
+    // shingles are new
+    Seq((2L, "b1 b2 s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val out2 = spark.read.parquet(outDir)
+    assert(out2.count() == 5, out2.collect().mkString(","))
+    val doc2 = out2.filter(col("doc_id") === 2L)
+      .select("pos").collect().map(_.getInt(0)).toSet
+    // new shingles of doc 2: starts 0 (b1 b2 s1) and 1 (b2 s1 s2); the
+    // span's own starts 2,3,4 were seen in snapshot 1
+    assert(doc2 == Set(0, 1), doc2.toString)
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
