@@ -107,6 +107,20 @@ object QueriesPipeline {
     "ro", "ly", "ta", "ne", "co", "de", "ra", "row", "scan", "sort",
     "data", "tab", "key", "val", "qu")
 
+  /** Fixed classifier weights for the quality-model gate — the stand-in
+    * for a trained fastText-style model file
+    * (TextAnalysis.loadLinearWeights reads real ones), shared verbatim
+    * with the DuckDB oracle. Mixed signs on the corpus vocabulary. */
+  private[graft] val QualityWeights: Map[String, Double] = Map(
+    "the" -> 0.8, "data" -> 0.5, "query" -> 0.4, "table" -> 0.3,
+    "join" -> 0.25, "order" -> 0.2, "group" -> 0.15, "column" -> 0.1,
+    "slow" -> -0.6, "dup" -> -0.9, "big" -> -0.2, "hash" -> -0.05,
+    "spark" -> 0.35, "stream" -> 0.3, "vector" -> 0.45)
+
+  private def sqlQualityWeights: String =
+    QualityWeights.toSeq.sorted
+      .map { case (t, w) => s"('$t', $w)" }.mkString(",")
+
   /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
     * words: each step consumes the longest vocab entry prefixing the
     * remaining suffix (char fallback when none). Yields wp(w, parts).
@@ -289,6 +303,17 @@ object QueriesPipeline {
           TextAnalysis.bpeTokens(col("text"), BpeVocab).as("__bpe"))
         .select(col("doc_id"), size(col("__bpe")).cast("long").as("n_bpe"),
           array_join(slice(col("__bpe"), 1, 12), " ").as("bpe_head"))
+        .orderBy(col("doc_id"))
+    }),
+    // fastText-style linear quality-classifier APPLY from input weights
+    // (the model-driven filter step of CCNet-class pipelines): logistic
+    // over the mean token weight, micro-quantized Long accumulation so
+    // the score is order-free and bit-identical cross-engine
+    "tx_quality_model" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.linearQualityScore(col("text"), QualityWeights,
+            bias = 0.1), 6).as("q_model"))
         .orderBy(col("doc_id"))
     }),
     // token-budget packing keyed to the BPE vocab's TRUE fertility — the
@@ -1205,6 +1230,19 @@ object QueriesPipeline {
          |SELECT t.doc_id, CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
          |  coalesce(a.bpe_head, '') AS bpe_head
          |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "tx_quality_model" ->
+      s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $sqlQualityWeights) v(tok, wt)),
+         |tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |ex AS (SELECT doc_id, len(toks) n, unnest(toks) t FROM tok),
+         |sc AS (SELECT ex.doc_id, any_value(ex.n) AS n,
+         |    sum(coalesce(CAST(round(w.wt * 1e6) AS BIGINT), 0)) AS sm
+         |  FROM ex LEFT JOIN w ON ex.t = w.tok GROUP BY ex.doc_id),
+         |z AS (SELECT t.doc_id,
+         |    0.1 + CASE WHEN coalesce(sc.n, 0) > 0
+         |      THEN (CAST(sc.sm AS DOUBLE) / 1e6) / sc.n ELSE 0.0 END AS zz
+         |  FROM tok t LEFT JOIN sc USING (doc_id))
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS q_model
+         |FROM z ORDER BY doc_id""".stripMargin,
     "pl_pack_bpe" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |$sqlBpeWordParts,

@@ -68,6 +68,48 @@ object TextAnalysis {
   def subwordCount(text: Column, vocab: Seq[String]): Column =
     size(bpeTokens(text, vocab))
 
+  /** Linear text-classifier APPLY from input weights — the fastText-style
+    * quality filter of CCNet-class pipelines (score a crawl doc by "looks
+    * like reference text", keep above a threshold): logistic over the
+    * mean token weight, `sigmoid(bias + (Σ w(tok)) / n)`. The weights
+    * ride as a LITERAL MAP (map-only, codegen'd builtins, no join/UDF;
+    * a trained quality vocab is bounded). Weights are quantized to
+    * MICRO-units and accumulated in Long so the sum is order-free and
+    * EXACT — the same score bit-for-bit on any engine, any partitioning
+    * (a double fold would be addition-order-dependent). Unknown tokens
+    * weigh 0; an empty doc scores sigmoid(bias). */
+  def linearQualityScore(text: Column, weights: Map[String, Double],
+      bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "empty weight table")
+    val micro: Map[String, Long] =
+      weights.map { case (t, w) => t -> math.round(w * 1e6) }
+    val m = typedLit(micro)
+    val toks = tokens(text)
+    val n = size(toks)
+    val sumMicro = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    val z = lit(bias) +
+      when(n > 0, (sumMicro.cast("double") / 1e6) / n).otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** [[linearQualityScore]] with the weights loaded from a two-column
+    * (token, weight) DataFrame — a trained model file. Bounded collect,
+    * deterministic (duplicate tokens keep the max-then-lexicographic
+    * weight so a malformed file can't make the score depend on row
+    * order). */
+  def loadLinearWeights(weightsDf: org.apache.spark.sql.DataFrame,
+      tokenCol: String = "token", weightCol: String = "weight",
+      maxEntries: Int = 1 << 21): Map[String, Double] = {
+    val n = weightsDf.count()
+    require(n <= maxEntries,
+      s"weight table has $n entries (> $maxEntries): not a classifier vocab")
+    weightsDf.select(col(tokenCol).cast("string"),
+        col(weightCol).cast("double")).na.drop()
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, ws) => t -> ws.map(_._2).max }
+  }
+
   /** English-ish stopword list used by quality scoring (fixed, public). */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

@@ -158,6 +158,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("linearQualityScore: hand-computed logistic, empty doc, weights-file load") {
+    val w = Map("the" -> 0.5, "dog" -> 1.0, "spam" -> -2.0)
+    val qdocs = Seq(
+      (1L, "the dog"),          // z = (0.5 + 1.0)/2 = 0.75
+      (2L, "spam spam zz"),     // z = (-2 -2 + 0)/3
+      (3L, "")                  // empty -> sigmoid(bias)
+    ).toDF("id", "text")
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val r = qdocs.select(col("id"),
+        TextAnalysis.linearQualityScore(col("text"), w).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - sig(0.75)) < 1e-12, r(1L).toString)
+    assert(math.abs(r(2L) - sig(-4.0 / 3)) < 1e-9, r(2L).toString)
+    assert(r(3L) == sig(0.0), r(3L).toString)
+    // bias shifts every score; empty doc scores exactly sigmoid(bias)
+    val rb = qdocs.filter(col("id") === 3L)
+      .select(TextAnalysis.linearQualityScore(col("text"), w, bias = 2.0))
+      .head.getDouble(0)
+    assert(rb == sig(2.0), rb.toString)
+    // weights from a (token, weight) frame: duplicate rows resolve to the
+    // max weight regardless of row order, and the collect is capped
+    val wdf = Seq(("dog", 0.25), ("dog", 1.0), ("the", 0.5))
+      .toDF("token", "weight")
+    assert(TextAnalysis.loadLinearWeights(wdf) == Map("dog" -> 1.0, "the" -> 0.5))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadLinearWeights(
+        spark.range(10).selectExpr("CAST(id AS STRING) token", "id * 1.0 weight"),
+        maxEntries = 5)
+    }
+  }
+
   test("tokenWindows: fixed-span unit, boundary + short-doc behavior") {
     val tdocs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val r = tdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
