@@ -453,6 +453,26 @@ object QueriesPipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal inside
+    // embedding clusters, one survivor per duplicate component by
+    // priority (highest label, id tie-break) — the composed pipeline
+    // form of the dd_embed_bucketed + dd_dup_clusters + survivorship
+    // primitives
+    "pl_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+      Pipelines.semDedup(emb, "embedding", "vec_id", cents, minCosine = 0.2,
+          priority = Seq(col("label").desc))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---------- text analysis ----------
     "tx_stats" -> ((s, dir) => {
       TextAnalysis.annotate(t(s, dir, "documents"))
@@ -1230,6 +1250,42 @@ object QueriesPipeline {
          |SELECT t.doc_id, CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
          |  coalesce(a.bpe_head, '') AS bpe_head
          |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pl_semdedup" -> {
+      val dot = "list_sum(list_transform(list_zip(a.v, b.v), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+      val na = "sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      val nb = "sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+      s"""WITH RECURSIVE nrm AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nv
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT x.vec_id AS id, x.embedding AS v,
+         |    (SELECT c.vec_id FROM nrm c WHERE c.vec_id < 16
+         |     ORDER BY list_sum(list_transform(list_zip(x.nv, c.nv),
+         |       p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.vec_id ASC LIMIT 1) AS cluster
+         |  FROM nrm x),
+         |edges AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+         |  WHERE $dot / ($na * $nb) >= 0.2),
+         |und AS (SELECT id_a AS s, id_b AS d FROM edges
+         |        UNION ALL SELECT id_b AS s, id_a AS d FROM edges),
+         |nodes AS (SELECT DISTINCT s AS id FROM und),
+         |reach AS (
+         |  SELECT id, id AS comp FROM nodes
+         |  UNION
+         |  SELECT u.s AS id, r.comp FROM und u JOIN reach r ON u.d = r.id),
+         |labs AS (SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS cluster
+         |         FROM reach GROUP BY id),
+         |j AS (SELECT e.vec_id, e.label, coalesce(l.cluster, e.vec_id) AS grp
+         |      FROM embeddings e LEFT JOIN labs l USING (vec_id)),
+         |rk AS (SELECT vec_id, label,
+         |         row_number() OVER (PARTITION BY grp
+         |           ORDER BY label DESC, vec_id ASC) AS rn
+         |       FROM j)
+         |SELECT vec_id, label FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "tx_quality_model" ->
       s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $sqlQualityWeights) v(tok, wt)),
          |tok AS (SELECT doc_id, $sqlToks toks FROM documents),

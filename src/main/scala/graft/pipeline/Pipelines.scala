@@ -122,6 +122,28 @@ object Pipelines {
       .drop("__bin")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public method): remove
+    * semantic near-duplicates by embedding similarity WITHIN k-means
+    * clusters, keeping one representative per duplicate group. Composed
+    * from the engine's scale primitives — candidate pairs only inside
+    * shared clusters ([[Dedup.embeddingNearDuplicatesBucketed]], with the
+    * same multi-probe boundary recovery and opt-in `maxBucket` star cap),
+    * connected components by pointer-jumping min-label propagation
+    * ([[Dedup.duplicateClusters]]), and the survivor per component picked
+    * by the caller's priority ([[Dedup.keepClusterSurvivors]] — e.g.
+    * highest quality score, the paper keeps low-centroid-distance).
+    * Never an all-pairs join anywhere; unclustered docs pass through. */
+  def semDedup(docs: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], minCosine: Double,
+      priority: Seq[Column], probes: Int = 1,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = Dedup.embeddingNearDuplicatesBucketed(docs, vecCol, idCol,
+      centroids, minCosine, probes, maxBucket)
+    val clusters = Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+    Dedup.keepClusterSurvivors(docs, idCol, clusters, priority)
+  }
+
   def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
