@@ -140,23 +140,17 @@ object QueriesPipeline {
        |  FROM steps s WHERE len(s.rest) > 0),
        |wp AS (SELECT w, parts FROM steps WHERE rest = '')""".stripMargin
 
-  /** k-gram generalization of [[sqlShingleHashes]] — mirrors
-    * TextAnalysis.shingleHashesFromTokenHashes(th, k) coefficient for
-    * coefficient (rCoef), including the short-doc single whole-doc
-    * shingle. */
-  private def sqlShingleHashesK(k: Int): String = {
-    import graft.pipeline.TextAnalysis.rCoef
-    val mids = (2 until k).map { m =>
-      val sum = (0 until m).map(j => s"th[${j + 1}]*${rCoef(j)}").mkString(" + ")
-      s"WHEN len(th) = $m THEN [($sum) % $P]"
-    }.mkString("\n  ")
-    val full = (0 until k).map(j => s"th[i+${j + 1}]*${rCoef(j)}").mkString(" + ")
-    s"""CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
-       |  WHEN len(th) = 1 THEN [th[1]]
-       |  $mids
-       |  ELSE list_transform(range(len(th) - ${k - 1}),
-       |         i -> ($full) % $P) END""".stripMargin
-  }
+  /** Span-mask occurrence CTEs: one row per k-token shingle START with a
+    * hash60 key over the SUBSTRING — mirrors Dedup.maskRepeatedSpans /
+    * DocStream.incrementalSpanDedup (60-bit md5, not the 31-bit minhash
+    * polynomial: span masking deletes text on key equality). Expects a
+    * `tok(doc_id, toks)` CTE; yields occ(doc_id, n, pos, h). */
+  private def sqlSpanOcc(k: Int): String =
+    s"""tl AS (SELECT doc_id, toks, len(toks) n FROM tok),
+       |occ AS (SELECT doc_id, n, CAST(u.i AS INT) pos,
+       |    ${sqlHash60(s"array_to_string(toks[(u.i+1):least(u.i+$k, n)], ' ')")} h
+       |  FROM tl, unnest(range(0, CASE WHEN n = 0 THEN 0
+       |    WHEN n < $k THEN 1 ELSE n - ${k - 1} END)) u(i))""".stripMargin
 
   /** minhash signature as a DuckDB list literal expression over `hs`
     * (list of shingle hashes already mod P), using the same xorshift-derived
@@ -1148,10 +1142,7 @@ object QueriesPipeline {
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_span_mask" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
-         |tkh AS (SELECT doc_id, len(toks) n, $sqlTokenHashes th FROM tok),
-         |sh AS (SELECT doc_id, n, ${sqlShingleHashesK(8)} hs FROM tkh),
-         |occ AS (SELECT doc_id, n, CAST(u.i AS INT) pos, hs[u.i+1] h
-         |        FROM sh, unnest(range(0, len(hs))) u(i)),
+         |${sqlSpanOcc(8)},
          |ranked AS (SELECT *, row_number()
          |    OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM occ),
          |masked AS (SELECT DISTINCT doc_id, pos + u.j AS p
@@ -1784,9 +1775,8 @@ object QueriesPipeline {
         |ORDER BY digest""".stripMargin,
     "st_span_stream" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
-         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
-         |sh AS (SELECT doc_id, ${sqlShingleHashesK(8)} hs FROM tkh)
-         |SELECT DISTINCT u.h FROM sh, unnest(hs) u(h) ORDER BY h""".stripMargin,
+         |${sqlSpanOcc(8)}
+         |SELECT DISTINCT h FROM occ ORDER BY h""".stripMargin,
     "ev_hour_stream" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

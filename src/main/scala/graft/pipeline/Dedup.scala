@@ -471,10 +471,10 @@ object Dedup {
     * straddles paragraph/window boundaries and evades both. This pass
     * works at single-token alignment:
     *
-    *  1. k-token shingle hash at EVERY token position (one per start,
-    *     [[TextAnalysis.shingleHashesFromTokenHashes]]; docs shorter than
-    *     k get one whole-doc shingle, so exact short duplicates are
-    *     covered too).
+    *  1. a 60-bit substring hash (hash60) at EVERY token position (one
+    *     per start; docs shorter than k get one whole-doc shingle, so
+    *     exact short duplicates are covered too — see the key-width note
+    *     in the body).
     *  2. winner per shingle value = min(struct(id, pos)) via
     *     groupBy(hash) — partial aggregation collapses heavy-hitter
     *     shingles (boilerplate!) map-side, same skew-proof shape as
@@ -503,19 +503,35 @@ object Dedup {
       k: Int = 8, sep: String = " "): DataFrame = {
     require(k >= 1, "span shingle length must be >= 1")
     val id = col(idCol)
-    // cache the narrow (id, token-hash array) frame: the occurrence
-    // explode below is a Generate whose array input would otherwise
-    // re-evaluate PER OUTPUT ROW — with the md5 stage inlined that is
-    // O(tokens) md5s × O(tokens) shingle rows = quadratic per doc
-    // (measured 106 s for 5000 docs at sf0.1 vs ~2 s cached; the same
-    // trap `contamination` documents), and the frame is consumed twice
-    // more (winner pick + eligibility anti-join). No text rides in it.
-    val hashed = df
-      .select(id, TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
+    // Shingle key = 60-bit md5 of the k-token SUBSTRING (hash60 — the
+    // same family the paragraph digest uses), NOT the 31-bit
+    // minhash-domain polynomial: span masking DELETES text on key
+    // equality, so birthday collisions are false masks of real unique
+    // text — at 2^31 that is ~2e-3 of occurrences by 10M shingles
+    // (measured: 51,681 docs masked vs 39,999 true on a 200k-doc
+    // PerfProbe corpus); at 2^60 it is negligible until ~10^9 distinct
+    // shingles and ~5e-7 at a trillion. (MinHash keeps the 31-bit domain:
+    // signature collisions only perturb similarity estimates, they never
+    // delete text directly.)
+    //
+    // Plan shape: explode the POSITIONS first (a cheap int sequence), then
+    // hash the slice once per exploded row — hashing inside the array fed
+    // to the explode would re-evaluate the whole array per output row
+    // (the Generate trap `contamination` documents; measured 106 s for
+    // 5000 docs at sf0.1). The staged (id, toks) frame is cached: the
+    // occurrence side is consumed twice (winner pick + eligibility
+    // anti-join) and .cache() spills to disk at corpus scale.
+    val staged = df
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"))
       .cache()
-    val occ = hashed.select(id, size(col("__th")).as("__n"),
-      posexplode(TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k))
-        .as(Seq("pos", "h")))
+    val occ = staged
+      .select(id, size(col("__toks")).as("__n"), col("__toks"),
+        explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))))
+          .as("pos"))
+      .select(id, col("__n"), col("pos"),
+        TextAnalysis.hash60(
+          concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
     val winners = occ
       .select(col("h"), struct(id, col("pos")).as("__occ"))
       .groupBy(col("h")).agg(min(col("__occ")).as("__win"))

@@ -284,15 +284,24 @@ object DocStream {
     * analogue of the batch min(id, pos) winner); the shingle-hash SET is
     * deterministic, which is the gate contract. State = one row per
     * DISTINCT shingle, sharded by the state store — never per occurrence.
-    * The token-hash array is staged in its own projection for the same
-    * Generate re-evaluation reason the batch operator documents. */
+    * Key and plan shape match the batch operator: hash60 of the k-token
+    * substring (a state collision would falsely suppress an emission =
+    * falsely mask real text downstream, so the 31-bit minhash domain is
+    * not enough), positions exploded BEFORE hashing so each shingle is
+    * hashed once per occurrence (the Generate re-evaluation trap — a
+    * streaming plan cannot stage behind a cache). */
   def incrementalSpanDedup(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame =
+      k: Int = 8): DataFrame = {
+    import graft.pipeline.TextAnalysis
     docs
-      .select(col(idCol),
-        graft.pipeline.TextAnalysis.tokenHashesMod(col(textCol)).as("__th"))
-      .select(col(idCol), posexplode(
-        graft.pipeline.TextAnalysis.shingleHashesFromTokenHashes(col("__th"), k))
-        .as(Seq("pos", "h")))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))))
+          .as("pos"))
+      .select(col(idCol), col("pos"),
+        graft.functions.hash60(
+          concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
       .dropDuplicates("h")
+  }
 }
