@@ -439,7 +439,15 @@ object Dedup {
   def dropDuplicateParagraphs(df: DataFrame, idCol: String, paras: Column,
       sep: String = " "): DataFrame = {
     val id = col(idCol)
-    val exploded = df.select(id, posexplode_outer(paras).as(Seq("idx", "para")))
+    // stage the paragraph ARRAY behind a cache before exploding: callers
+    // pass `paras` as an expression (blankLineParagraphs / tokenWindows),
+    // and a Generate over an inline HOF-built array re-evaluates the
+    // whole array per OUTPUT row — O(paras) array builds × O(text) each,
+    // quadratic for long documents (the contamination/maskRepeatedSpans
+    // trap). The cache also covers the frame's two consumptions below.
+    val staged = df.select(id, paras.as("__paras")).cache()
+    val exploded = staged
+      .select(id, posexplode_outer(col("__paras")).as(Seq("idx", "para")))
     val winners = exploded
       .filter(col("idx").isNotNull)
       .select(md5(col("para")).as("__digest"), struct(id, col("idx")).as("__occ"))
