@@ -108,6 +108,23 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert(r(303L) == (("", 0L, 0L)), r(303L).toString)
   }
 
+  test("paragraph dedup: 4000 identical windows of the 100k-token doc collapse to one") {
+    // the long-doc path: the windows array must not be re-evaluated per
+    // exploded row (quadratic — the staged-cache fix), and the 4000-way
+    // identical digest is the heavy-hitter shape the partial-agg winner
+    // pick exists for
+    val r = Dedup.dropDuplicateParagraphs(
+      family.filter(col("doc_id") === 300L)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), Dedup.tokenWindows(col("__toks"), 25).as("p")),
+      "doc_id", col("p"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(3), x.getLong(1), x.getLong(2))).toMap
+    val window = Array.fill(25)("w").mkString(" ")
+    assert(r(300L) == ((window, 4000L, 3999L)),
+      (r(300L)._1.length, r(300L)._2, r(300L)._3).toString)
+  }
+
   test("span masking: a 100k-token unigram doc collapses to one surviving token") {
     // every 8-shingle in the doc is identical; only position 0 is the
     // winner, and only token 0 is covered by no eligible occurrence — the
