@@ -299,6 +299,29 @@ object QueriesPipeline {
           array_join(slice(col("__bpe"), 1, 12), " ").as("bpe_head"))
         .orderBy(col("doc_id"))
     }),
+    // C4 line/document cleaning (Raffel et al. 2020 §2.2): the raw corpus
+    // has no newlines or punctuation, so the line structure is planted
+    // identically in both engines (same pattern as tx_scrub) — good
+    // lines, a short line, a javascript line, and doc-level lorem/brace
+    // poisons on arithmetic id subsets
+    "tx_c4_clean" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("t2",
+        concat(col("text"),
+          lit(".\nshort line\nanother good line with words here.\n" +
+            "this good line has five words.\n" +
+            "javascript line with five good words.\n"),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+            .otherwise(lit(""))))
+      TextAnalysis.c4Clean(injected, "t2", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // Gopher App. A document-quality rules (Rae et al. 2021): the seven
+    // public doc-level filters as booleans + the conjunction
+    "tx_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     // fastText-style linear quality-classifier APPLY from input weights
     // (the model-driven filter step of CCNet-class pipelines): logistic
     // over the mean token weight, micro-quantized Long accumulation so
@@ -1276,6 +1299,69 @@ object QueriesPipeline {
          |           ORDER BY label DESC, vec_id ASC) AS rn
          |       FROM j)
          |SELECT vec_id, label FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    "tx_c4_clean" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || '.' || chr(10) || 'short line' || chr(10) ||
+         |    'another good line with words here.' || chr(10) ||
+         |    'this good line has five words.' || chr(10) ||
+         |    'javascript line with five good words.' || chr(10) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum here' || chr(10) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN 'brace { line' || chr(10) ELSE '' END) AS t2
+         |  FROM documents),
+         |st AS (SELECT doc_id, t2, string_split(t2, chr(10)) lines FROM inj),
+         |k AS (SELECT doc_id, t2, lines,
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+         |      AND NOT contains(lower(l), 'javascript')) kept
+         |  FROM st),
+         |c AS (SELECT doc_id, t2, lines, kept,
+         |    array_to_string(kept, chr(10)) clean_text FROM k)
+         |SELECT doc_id, clean_text,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) AS n_sentences,
+         |  (NOT contains(lower(t2), 'lorem ipsum') AND NOT contains(t2, '{')
+         |   AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3) AS keep_doc
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "tx_gopher_rules" -> {
+      val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, text, $sqlToks toks FROM documents),
+         |st AS (SELECT doc_id, text, toks, len(toks) n,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> length(trim(l)) > 0) lines
+         |  FROM tok),
+         |r AS (SELECT doc_id, n, len(lines) nl,
+         |    (n >= 50 AND n <= 100000) AS word_count_ok,
+         |    CASE WHEN n = 0 THEN false ELSE
+         |      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n
+         |        BETWEEN 3.0 AND 10.0 END AS mean_word_len_ok,
+         |    CASE WHEN n = 0 THEN false ELSE
+         |      CAST(length(text) - length(replace(text, '#', '')) +
+         |        len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / n
+         |        <= 0.1 END AS symbol_ratio_ok,
+         |    CASE WHEN len(lines) = 0 THEN true ELSE
+         |      CAST(len(list_filter(lines,
+         |          l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE)
+         |        / len(lines) <= 0.9 END AS bullet_ratio_ok,
+         |    CASE WHEN len(lines) = 0 THEN true ELSE
+         |      CAST(len(list_filter(lines,
+         |          l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+         |        / len(lines) <= 0.3 END AS ellipsis_ratio_ok,
+         |    CASE WHEN n = 0 THEN false ELSE
+         |      CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+         |        AS DOUBLE) / n >= 0.8 END AS alpha_word_ok,
+         |    len(list_filter([$stops],
+         |      s -> list_contains(list_transform(toks, t -> lower(t)), s))) >= 2
+         |      AS stop_word_ok
+         |  FROM st)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_words, word_count_ok,
+         |  mean_word_len_ok, symbol_ratio_ok, bullet_ratio_ok,
+         |  ellipsis_ratio_ok, alpha_word_ok, stop_word_ok,
+         |  (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND
+         |   bullet_ratio_ok AND ellipsis_ratio_ok AND alpha_word_ok AND
+         |   stop_word_ok) AS pass_gopher
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "tx_quality_model" ->
       s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $sqlQualityWeights) v(tok, wt)),

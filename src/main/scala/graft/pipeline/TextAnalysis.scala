@@ -141,6 +141,107 @@ object TextAnalysis {
     round((lenScore * 0.3 + tokLenScore * 0.2 + stopScore * 0.3 + punctScore * 0.2), 6)
   }
 
+  /** Gopher document-quality stop set (Rae et al. 2021 App. A: a doc must
+    * contain at least two of these to pass the stop-word rule). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality RULES (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A — the public filter set;
+    * the n-gram REPETITION rules of the same appendix live in
+    * [[repetitionSignals]]). One boolean per rule plus the conjunction,
+    * all map-only codegen'd builtins over staged arrays, mirrored
+    * verbatim in the DuckDB oracle:
+    *
+    *  - word_count_ok      50 ≤ words ≤ 100,000
+    *  - mean_word_len_ok   3 ≤ mean characters per word ≤ 10
+    *  - symbol_ratio_ok    ('#' chars + '...' occurrences) / words ≤ 0.1
+    *  - bullet_ratio_ok    ≤ 90% of non-empty lines start with a bullet
+    *  - ellipsis_ratio_ok  ≤ 30% of non-empty lines end with an ellipsis
+    *  - alpha_word_ok      ≥ 80% of words contain ≥ 1 alphabetic char
+    *  - stop_word_ok       ≥ 2 DISTINCT members of [[GopherStops]] present
+    *
+    * Empty docs fail word_count_ok (and therefore pass_gopher). */
+  def gopherQualityFlags(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val text = col(textCol)
+    // staged arrays: every rule references them (some inside HOF lambdas)
+    val staged = df
+      .withColumn("__gt", tokens(text))
+      .withColumn("__gl", filter(split(text, "\n"), l => length(trim(l)) > 0))
+    val toks = col("__gt")
+    val lines = col("__gl")
+    val n = size(toks)
+    val nL = size(lines)
+    val wcOk = n >= 50 && n <= 100000
+    val meanWl = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / n
+    val mwlOk = n > 0 && meanWl >= 3.0 && meanWl <= 10.0
+    val symbols = length(text) - length(regexp_replace(text, "#", "")) +
+      regexp_count(text, lit("\\.\\.\\."))
+    val symOk = n > 0 && symbols.cast("double") / n <= 0.1
+    val bullets = size(filter(lines,
+      l => trim(l).rlike("^[\\u2022\\-\\*]")))
+    val bulletOk = nL === 0 || bullets.cast("double") / nL <= 0.9
+    val ellipses = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|\\u2026)$")))
+    val ellipsisOk = nL === 0 || ellipses.cast("double") / nL <= 0.3
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaOk = n > 0 && alphaWords.cast("double") / n >= 0.8
+    val stopsPresent = size(filter(
+      typedLit(GopherStops),
+      s => array_contains(transform(toks, t => lower(t)), s)))
+    val stopOk = stopsPresent >= 2
+    staged.select(col(idCol),
+      n.cast("long").as("n_words"),
+      wcOk.as("word_count_ok"),
+      mwlOk.as("mean_word_len_ok"),
+      symOk.as("symbol_ratio_ok"),
+      bulletOk.as("bullet_ratio_ok"),
+      ellipsisOk.as("ellipsis_ratio_ok"),
+      alphaOk.as("alpha_word_ok"),
+      stopOk.as("stop_word_ok"),
+      (wcOk && mwlOk && symOk && bulletOk && ellipsisOk && alphaOk && stopOk)
+        .as("pass_gopher"))
+  }
+
+  /** C4 line/document cleaning (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer" §2.2 —
+    * the public rule set, minus the obscenity word-list which is an input
+    * concern):
+    *
+    *  - keep only lines that end in terminal punctuation (. ! ? ")
+    *  - keep only lines with ≥ `minWordsPerLine` words
+    *  - drop lines mentioning javascript (case-insensitive)
+    *  - drop the whole DOC when it contains "lorem ipsum" or a curly
+    *    brace, or fewer than `minSentences` sentence enders survive
+    *
+    * Map-only (one staged line array per doc); returns (idCol,
+    * clean_text, n_lines, n_kept, n_sentences, keep_doc) — the caller
+    * filters on keep_doc and takes clean_text. */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWordsPerLine: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val text = col(textCol)
+    val staged = df.withColumn("__cl", split(text, "\n"))
+    val lines = col("__cl")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val staged2 = staged.withColumn("__ck", kept)
+      .withColumn("__ct", array_join(col("__ck"), "\n"))
+    val nSent = regexp_count(col("__ct"), lit("[.!?]"))
+    val keepDoc = !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") && nSent >= minSentences
+    staged2.select(col(idCol),
+      col("__ct").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(col("__ck")).cast("long").as("n_kept"),
+      nSent.cast("long").as("n_sentences"),
+      keepDoc.as("keep_doc"))
+  }
+
   /** Language-ID marker profiles (function words; public linguistic facts).
     * Ordered map: ties resolve to the earlier entry — the SQL mirror must
     * use the same order. */

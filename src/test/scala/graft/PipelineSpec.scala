@@ -189,6 +189,63 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("gopherQualityFlags: each App. A rule isolated on a hand-built doc") {
+    val base = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "alpha", "beta", "gamma", "delta")
+    val good = (1 to 5).flatMap(_ => base).mkString(" ") // 60 words, 8 stops
+    val gdocs = Seq(
+      (1L, good),                                    // passes every rule
+      (2L, base.mkString(" ")),                      // 12 words: wc fails
+      (3L, good + " # # # # # # #"),                 // 7/67 > 0.1: sym fails
+      (4L, (1 to 10).map(i => s"• item $i").mkString("\n")), // all bulleted
+      (5L, "one line fine\nsecond goes on...\nthird trails too..."),
+      (6L, (1 to 60).map(i => (i * 37 % 1000).toString).mkString(" ")), // digits
+      (7L, Array.fill(60)("extraordinarily").mkString(" ")) // mean wl 15
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(gdocs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def flag(id: Long, name: String) =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(flag(1L, "pass_gopher"), r(1L).toString)
+    assert(!flag(2L, "word_count_ok") && flag(2L, "stop_word_ok")
+      && !flag(2L, "pass_gopher"), r(2L).toString)
+    assert(!flag(3L, "symbol_ratio_ok") && flag(3L, "alpha_word_ok"),
+      r(3L).toString) // '#' words: 60/67 alpha still >= 0.8
+    assert(!flag(4L, "bullet_ratio_ok"), r(4L).toString)
+    assert(!flag(5L, "ellipsis_ratio_ok"), r(5L).toString) // 2 of 3 lines
+    assert(!flag(6L, "alpha_word_ok") && !flag(6L, "stop_word_ok"), r(6L).toString)
+    assert(!flag(7L, "mean_word_len_ok"), r(7L).toString)
+  }
+
+  test("c4Clean: line and document rules isolated") {
+    val cdocs = Seq(
+      (1L, "here is a good sentence.\nshort one.\n" +
+        "no terminal punctuation here at all\n" +
+        "this javascript line has five words.\n" +
+        "quoted line with five words \"\n" +
+        "second proper sentence right here!\n" +
+        "third full sentence also lives here?"),
+      (2L, "lorem ipsum somewhere...\nplus three good sentences right here. " +
+        "another fine sentence right here. a third one to be sure."),
+      (3L, "object notation { inside. with three sentences kept fine. " +
+        "one more right here. final full sentence right here."),
+      (4L, "only two sentences right here. second one with five words.")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(cdocs)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    // doc 1: 7 lines -> 4 kept (short, unpunctuated, javascript dropped);
+    // the quote-terminated line adds no sentence ender -> 3 sentences
+    assert(r(1L) == (("here is a good sentence.\n" +
+      "quoted line with five words \"\n" +
+      "second proper sentence right here!\n" +
+      "third full sentence also lives here?", 4L, 3L, true)), r(1L).toString)
+    assert(!r(2L)._4, "lorem ipsum must drop the doc: " + r(2L))
+    assert(!r(3L)._4, "a curly brace must drop the doc: " + r(3L))
+    assert(!r(4L)._4 && r(4L)._3 == 2L,
+      "below min sentences must drop the doc: " + r(4L))
+  }
+
   test("tokenWindows: fixed-span unit, boundary + short-doc behavior") {
     val tdocs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val r = tdocs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
