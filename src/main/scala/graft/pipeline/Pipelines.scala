@@ -144,6 +144,28 @@ object Pipelines {
     Dedup.keepClusterSurvivors(docs, idCol, clusters, priority)
   }
 
+  /** The full production cleaning chain, composed end-to-end: C4 line/doc
+    * rules → Gopher doc-quality rules → arbitrary-alignment span masking
+    * (first occurrence survives corpus-wide) → fully-masked-doc drop →
+    * exact dedup of the masked text. Every stage is the oracle-gated
+    * operator; the composition inherits their plan guarantees (map-only
+    * rules, skew-proof winner picks, no all-pairs joins anywhere).
+    * Returns (idCol, clean_text, n_final) — survivors only. */
+  def cleanCorpusFull(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", spanK: Int = 8): DataFrame = {
+    val c4 = TextAnalysis.c4Clean(docs, textCol, idCol)
+      .filter(col("keep_doc"))
+      .select(col(idCol), col("clean_text"))
+    val gopherPass = TextAnalysis.gopherQualityFlags(c4, "clean_text", idCol)
+      .filter(col("pass_gopher")).select(col(idCol))
+    val passed = c4.join(gopherPass, Seq(idCol))
+    val masked = Dedup.maskRepeatedSpans(passed, idCol, "clean_text", spanK)
+      .filter(col("n_tokens") > col("n_masked"))
+      .select(col(idCol), col("clean_text"),
+        (col("n_tokens") - col("n_masked")).as("n_final"))
+    Dedup.dropExactDuplicates(masked, "clean_text", idCol)
+  }
+
   def cleanCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
