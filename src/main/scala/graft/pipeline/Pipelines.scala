@@ -153,9 +153,13 @@ object Pipelines {
     * Returns (idCol, clean_text, n_final) — survivors only. */
   def cleanCorpusFull(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", spanK: Int = 8): DataFrame = {
+    // cache the C4 survivors: the regex-heavy line stage is consumed by
+    // the Gopher pass, the join, and (via maskRepeatedSpans) two more
+    // times — uncached, the whole C4 lineage re-executes per consumer
     val c4 = TextAnalysis.c4Clean(docs, textCol, idCol)
       .filter(col("keep_doc"))
       .select(col(idCol), col("clean_text"))
+      .cache()
     val gopherPass = TextAnalysis.gopherQualityFlags(c4, "clean_text", idCol)
       .filter(col("pass_gopher")).select(col(idCol))
     val passed = c4.join(gopherPass, Seq(idCol))
