@@ -1924,9 +1924,13 @@ class GraftDb(val spark: SparkSession, val root: String,
             // distances grow with the data and the margin grows with
             // them. Strictly larger margin than before → can only turn
             // a serve into a decline, never the reverse.
+            // hits can legitimately be EMPTY (every candidate excluded
+            // by tombstones/filter, or no query dim has postings) —
+            // guard before touching hits.last or the margin computation
+            // itself throws and escapes query() instead of declining.
+            if (hits.isEmpty || hits.length < k) return None
             val margin = 1e-9 * (1.0 + math.abs(hits.last._2))
-            if (hits.isEmpty || hits.length < k ||
-                hits.last._2 >= unseen - margin)
+            if (hits.last._2 >= unseen - margin)
               return None // k = 0 requests included: nothing provable
           }
           if (idx.servingWatermark() == pin && verifyDonor()) {
