@@ -45,44 +45,81 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
       .filter(col("n") > 1)
 
-  /** First-occurrence exact dedup: keep the lowest id per digest. */
+  /** Encode an ORDER-BY priority list (Columns, possibly carrying
+    * `.asc`/`.desc`/nulls-ordering SortOrder wrappers) plus the id
+    * tie-break into ONE struct whose natural (all-ascending,
+    * field-by-field) ordering matches `orderBy(priority :+ id.asc)` —
+    * so `min(struct)` picks exactly the row `row_number() = 1` would,
+    * but through a PARTIAL-MERGE aggregate instead of a skewed window.
+    * Per priority column two fields are emitted: a null flag (so
+    * nulls-first/last survives the encoding — a null struct FIELD would
+    * otherwise always sort first) and the value, negated for descending.
+    * Descending therefore requires a negatable (numeric) priority; NaN
+    * priorities rank last under desc here (the window ranked them
+    * first) — pre-clean NaNs if they can occur. */
+  private def winnerKey(priority: Seq[Column], tieBreak: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    val parts = priority.zipWithIndex.flatMap { case (p, i) =>
+      val (child, asc, nullsFirst) = bridge.unwrapSortOrder(p)
+        .getOrElse((p, true, true)) // plain column = orderBy default: asc nulls first
+      val flag = when(child.isNull, lit(if (nullsFirst) 0 else 1))
+        .otherwise(lit(if (nullsFirst) 1 else 0))
+      val v = if (asc) child else negate(child)
+      Seq(flag.as(s"__f$i"), v.as(s"__v$i"))
+    }
+    struct(parts :+ tieBreak.as("__tb"): _*)
+  }
+
+  /** First-occurrence exact dedup: keep the lowest id per digest.
+    * Skew-proof shape (same as [[dropDuplicateParagraphs]]): winners =
+    * groupBy(digest).agg(min(id)) — partial aggregation collapses a
+    * duplicate FLOOD (10⁹ identical docs) map-side to one row per task
+    * before the shuffle — then a left_semi join-back on the unique id.
+    * A digest-partitioned window would shuffle every full-text copy of
+    * a heavy digest into ONE task and sort it there. `idCol` must be
+    * unique (it is the document key everywhere this is called). */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val winners = df
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__wid"))
+    df.join(winners, df(idCol) === winners("__wid"), "left_semi")
   }
 
   /** Survivorship-policy exact dedup: keep ONE row per identical text,
     * picked by the caller's priority (e.g. `Seq(col("quality").desc)` —
     * a training pipeline usually wants the best-annotated copy, not the
     * earliest); the id ascending tie-break is appended so the winner is
-    * deterministic. Same single digest-partitioned window
-    * `dropExactDuplicates` pays. */
+    * deterministic. Same skew-proof winners-plus-semi-join shape as
+    * [[dropExactDuplicates]], with the priority encoded into the
+    * min(struct) key (see [[winnerKey]] for the desc/nulls encoding). */
   def dropExactDuplicatesBy(df: DataFrame, textCol: String, idCol: String,
       priority: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol)))
-      .orderBy(priority :+ col(idCol).asc: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val winners = df
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(winnerKey(priority, col(idCol))).as("__win"))
+      .select(col("__win")("__tb").as("__wid"))
+    df.join(winners, df(idCol) === winners("__wid"), "left_semi")
   }
 
   /** Survivorship over NEAR-dup clusters: given the (id, cluster) labels
     * [[duplicateClusters]] derives from an LSH pair list, keep the best
     * member of every duplicate cluster under the caller's priority;
     * unclustered docs (never in any pair) survive untouched. One
-    * equi-join on id + one cluster-partitioned window — the label list
-    * covers only docs that appeared in a pair, so the join side is the
+    * equi-join on the unique id + a groupBy(cluster) winner pick
+    * (partial-merge min(struct), skew-proof under any cluster size — a
+    * star-capped flood cluster is ONE group collapsed map-side) + a
+    * left_semi join-back on the unique winner id. The label list covers
+    * only docs that appeared in a pair, so the label join side is the
     * duplicate subset, never the corpus squared. */
   def keepClusterSurvivors(docs: DataFrame, idCol: String,
       clusters: DataFrame, priority: Seq[Column]): DataFrame = {
     val lab = clusters.select(col("id").cast("long").as("__did"),
       col("cluster").cast("long").as("__cl"))
-    val joined = docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
-      .withColumn("__grp", coalesce(col("__cl"), docs(idCol).cast("long")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__grp")).orderBy(priority :+ col(idCol).asc: _*)
-    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__grp", "__cl", "__did")
+    val winners = docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
+      .groupBy(coalesce(col("__cl"), docs(idCol).cast("long")).as("__grp"))
+      .agg(min(winnerKey(priority, docs(idCol))).as("__win"))
+      .select(col("__win")("__tb").as("__wid"))
+    docs.join(winners, docs(idCol) === winners("__wid"), "left_semi")
   }
 
   /** MinHash signature column over a PRE-MATERIALIZED shingle-hash array

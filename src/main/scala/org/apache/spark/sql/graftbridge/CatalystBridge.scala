@@ -12,6 +12,19 @@ object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** If the Column is a sort-order wrapper (`.asc`/`.desc`/nulls
+    * variants), return (child column, ascending?, nullsFirst?). Spark 4
+    * sort Columns are `internal.SortOrder` ColumnNodes (NOT catalyst
+    * SortOrder — `expression()` returns them still wrapped, and a
+    * SortOrder is unevaluable if it leaks into a value position). */
+  def unwrapSortOrder(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder =>
+      Some((Column(so.child),
+        so.sortDirection == org.apache.spark.sql.internal.SortOrder.Ascending,
+        so.nullOrdering == org.apache.spark.sql.internal.SortOrder.NullsFirst))
+    case _ => None
+  }
+
   /** Whether the Column references attribute `name` anywhere. Spark 4
     * Columns are ColumnNode trees (catalyst conversion is deferred, so a
     * plain Expression walk sees one opaque ColumnNodeExpression leaf);

@@ -128,6 +128,22 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial min over the digest in:\n$p")
   }
 
+  test("survivor picks dedup via partial-merge aggregates, not digest/cluster windows") {
+    // dropExactDuplicates[By] / keepClusterSurvivors are reachable from
+    // every shipped composition (cleanCorpusFull, cleanCorpus, semDedup);
+    // a digest- or cluster-partitioned window shuffles a duplicate FLOOD
+    // (10⁹ identical docs) into ONE task. Assert the whole composed
+    // plans are window-free and winner picks are partial-merge mins.
+    for (q <- Seq("dd_dup_survivors", "pl_semdedup", "pl_clean_full",
+        "pl_clean_corpus")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Window"), s"window crept back into $q:\n$p")
+      assert(p.contains("partial_min"),
+        s"no map-side partial min winner pick in $q:\n$p")
+    }
+  }
+
   test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
     val p = explain("v2_sparse_inverted")
     // the pruned posting scan must carry a PartitionFilters entry on the

@@ -53,4 +53,61 @@ class Round14Spec extends SparkSpec {
         |"limit":5,"serve":true,"recallTarget":0.5,"response":["ID"]}""".stripMargin)
     assert(resultIds(respCos, "ID").size == 5, respCos)
   }
+
+  // ---- de-skewed survivor picks: window null-ordering semantics pinned ----
+
+  test("dropExactDuplicatesBy desc priority ranks NULLs last (window parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same", Option.empty[Double]), (2L, "same", Some(0.3)),
+      (3L, "same", Some(0.9)), (4L, "solo", Option.empty[Double]))
+      .toDF("id", "text", "quality")
+    val kept = graft.pipeline.Dedup.dropExactDuplicatesBy(
+        docs, "text", "id", Seq(col("quality").desc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // desc = nulls LAST (the window's default): 0.9 beats 0.3 beats null
+    assert(kept == Set(3L, 4L), kept.toString)
+  }
+
+  test("dropExactDuplicatesBy asc priority ranks NULLs first (window parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same", Some(0.1)), (2L, "same", Option.empty[Double]),
+      (3L, "same", Option.empty[Double])).toDF("id", "text", "quality")
+    val kept = graft.pipeline.Dedup.dropExactDuplicatesBy(
+        docs, "text", "id", Seq(col("quality").asc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // asc = nulls FIRST; id tie-break picks 2 over 3
+    assert(kept == Set(2L), kept.toString)
+  }
+
+  test("dropExactDuplicatesBy explicit nulls-ordering variants are honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "same", Some(0.1)), (2L, "same", Option.empty[Double]))
+      .toDF("id", "text", "quality")
+    def keptWith(p: org.apache.spark.sql.Column): Set[Long] =
+      graft.pipeline.Dedup.dropExactDuplicatesBy(docs, "text", "id", Seq(p))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptWith(col("quality").asc_nulls_last) == Set(1L))
+    assert(keptWith(col("quality").desc_nulls_first) == Set(2L))
+  }
+
+  test("keepClusterSurvivors multi-priority with mixed directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster 10: len desc then cost asc — (len 5, cost 1) beats
+    // (len 5, cost 7) beats (len 3, cost 0)
+    val docs = Seq(
+      (10L, 5L, 7.0), (11L, 5L, 1.0), (12L, 3L, 0.0), (20L, 1L, 9.0))
+      .toDF("id", "len", "cost")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "cluster")
+    val kept = graft.pipeline.Dedup.keepClusterSurvivors(
+        docs, "id", clusters, Seq(col("len").desc, col("cost").asc))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 20L), kept.toString)
+  }
 }
