@@ -121,6 +121,31 @@ object QueriesPipeline {
     QualityWeights.toSeq.sorted
       .map { case (t, w) => s"('$t', $w)" }.mkString(",")
 
+  /** Fixed multi-class classifier model for the language-ID gate — the
+    * stand-in for a trained fastText-style language-ID model file
+    * (TextAnalysis.loadLinearClassWeights reads real ones), shared
+    * verbatim with the DuckDB oracle. Classes sorted asc so the argmax
+    * tie-break (first class wins) is canonical. */
+  private[graft] val LangIdClasses: Seq[String] = Seq("de", "en", "fr")
+  private[graft] val LangIdBiases: Seq[Double] = Seq(0.02, 0.01, 0.03)
+  private[graft] val LangIdWeights: Map[String, Seq[Double]] = Map(
+    "the" -> Seq(-0.3, 0.9, -0.2), "data" -> Seq(0.2, 0.5, 0.1),
+    "window" -> Seq(0.7, 0.1, -0.4), "group" -> Seq(0.4, 0.2, 0.6),
+    "join" -> Seq(-0.5, 0.3, 0.8), "table" -> Seq(0.1, 0.4, 0.5),
+    "scan" -> Seq(0.6, -0.2, 0.2), "query" -> Seq(0.3, 0.6, -0.1),
+    "fast" -> Seq(-0.2, 0.2, 0.4), "slow" -> Seq(0.5, -0.3, 0.1),
+    "value" -> Seq(0.2, 0.1, 0.3), "hash" -> Seq(0.8, -0.1, -0.6))
+
+  // (token, class, weight) triples for the oracle's literal model table
+  private def sqlLangIdWeights: String =
+    LangIdWeights.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
+      LangIdClasses.zip(ws).map { case (c, w) => s"('$t', '$c', $w)" }
+    }.mkString(",")
+
+  private def sqlLangIdClasses: String =
+    LangIdClasses.zip(LangIdBiases)
+      .map { case (c, b) => s"('$c', $b)" }.mkString(",")
+
   /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
     * words: each step consumes the longest vocab entry prefixing the
     * remaining suffix (char fallback when none). Yields wp(w, parts).
@@ -349,6 +374,19 @@ object QueriesPipeline {
         .select(col("doc_id"),
           round(TextAnalysis.linearQualityScore(col("text"), QualityWeights,
             bias = 0.1), 6).as("q_model"))
+        .orderBy(col("doc_id"))
+    }),
+    // model-driven language ID: multi-class linear classifier apply
+    // (fastText-style argmax over per-class weight tables — the CCNet
+    // pipeline's first stage), from a fixed input model
+    "tx_langid_model" -> ((s, dir) => {
+      val z = TextAnalysis.linearClassifyScores(col("text"), LangIdClasses,
+        LangIdWeights, LangIdBiases)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"),
+          round(array_max(z), 6).as("z_max"))
         .orderBy(col("doc_id"))
     }),
     // token-budget packing keyed to the BPE vocab's TRUE fertility — the
@@ -1466,6 +1504,26 @@ object QueriesPipeline {
          |  FROM tok t LEFT JOIN sc USING (doc_id))
          |SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS q_model
          |FROM z ORDER BY doc_id""".stripMargin,
+    "tx_langid_model" ->
+      s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
+         |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),
+         |tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) t FROM tok),
+         |sm AS (SELECT ex.doc_id, w.c,
+         |    sum(CAST(round(w.wt * 1e6) AS BIGINT)) AS micro
+         |  FROM ex JOIN w ON ex.t = w.tok GROUP BY ex.doc_id, w.c),
+         |base AS (SELECT t.doc_id, len(t.toks) n, cls.c, cls.bias
+         |  FROM tok t CROSS JOIN cls),
+         |z AS (SELECT b.doc_id, b.c,
+         |    b.bias + CASE WHEN b.n > 0
+         |      THEN (CAST(coalesce(s.micro, 0) AS DOUBLE) / 1e6) / b.n
+         |      ELSE 0.0 END AS zz
+         |  FROM base b LEFT JOIN sm s ON b.doc_id = s.doc_id AND b.c = s.c),
+         |r AS (SELECT doc_id, c, zz,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
+         |  FROM z)
+         |SELECT doc_id, c AS pred_class, round(zz, 6) AS z_max
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pl_pack_bpe" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |$sqlBpeWordParts,

@@ -81,16 +81,97 @@ object TextAnalysis {
   def linearQualityScore(text: Column, weights: Map[String, Double],
       bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "empty weight table")
-    val micro: Map[String, Long] =
-      weights.map { case (t, w) => t -> math.round(w * 1e6) }
-    val m = typedLit(micro)
     val toks = tokens(text)
     val n = size(toks)
-    val sumMicro = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    val sumMicro = element_at(linearClassSums(toks, 1,
+      weights.map { case (t, w) => t -> Seq(w) }), 1)
     val z = lit(bias) +
       when(n > 0, (sumMicro.cast("double") / 1e6) / n).otherwise(lit(0.0))
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Per-class micro-unit weight sums (`array<bigint>`, one Long per
+    * class) of a token-array column under a token -> per-class-weights
+    * table — the shared accumulation kernel of [[linearQualityScore]]
+    * and [[linearClassifyScores]]. O(1) hash lookup per token via a
+    * reference-object Expression (NOT a Catalyst literal map, whose
+    * `element_at` is a linear scan over the vocab per token); exact
+    * order-free Long accumulation, map-only, codegen'd. Weight rows are
+    * micro-quantized (`round(w * 1e6)`) and sorted for a canonical
+    * expression. */
+  def linearClassSums(toks: Column, numClasses: Int,
+      weights: Map[String, Seq[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val micro = weights.toSeq.sortBy(_._1).map { case (t, ws) =>
+      t -> ws.map(w => math.round(w * 1e6))
+    }
+    CatalystBridge.column(graft.functions.LinearClassSums(
+      CatalystBridge.expression(toks), numClasses, micro))
+  }
+
+  /** Multi-class linear classifier APPLY — the argmax generalization of
+    * [[linearQualityScore]] (fastText-style, Joulin et al. 2016 "Bag of
+    * Tricks for Efficient Text Classification"): per class c,
+    * `z_c = bias_c + (Σ w_c(tok)) / n` (mean pooling; an empty doc
+    * scores its biases). Returns `array<double>` of z scores aligned
+    * with `classes`. The canonical use is model-driven language ID —
+    * the first stage of a CCNet-class pipeline — with one weight row
+    * per (token) and one column per language. Map-only: the table rides
+    * the expression as a hash-indexed reference object, sums accumulate
+    * in exact micro-unit Longs (bit-identical on any engine /
+    * partitioning), z is one double op per class. */
+  def linearClassifyScores(text: Column, classes: Seq[String],
+      weights: Map[String, Seq[Double]],
+      biases: Seq[Double] = Nil): Column = {
+    require(classes.nonEmpty, "no classes")
+    require(classes.distinct.length == classes.length, "duplicate class names")
+    val b = if (biases.isEmpty) classes.map(_ => 0.0) else biases
+    require(b.length == classes.length, "one bias per class")
+    require(weights.values.forall(_.length == classes.length),
+      "every weight row must carry one value per class")
+    val toks = tokens(text)
+    val n = size(toks)
+    val sums = linearClassSums(toks, classes.length, weights)
+    zip_with(typedLit(b), sums, (bias, s) =>
+      bias + when(n > 0, (s.cast("double") / 1e6) / n).otherwise(lit(0.0)))
+  }
+
+  /** Predicted class label under [[linearClassifyScores]]: argmax over
+    * z, ties broken by class ORDER (first listed wins — pass classes
+    * sorted for a canonical tie-break). */
+  def linearClassifyLabel(text: Column, classes: Seq[String],
+      weights: Map[String, Seq[Double]],
+      biases: Seq[Double] = Nil): Column = {
+    val z = linearClassifyScores(text, classes, weights, biases)
+    element_at(typedLit(classes),
+      array_position(z, array_max(z)).cast("int"))
+  }
+
+  /** Load a multi-class weight table from a (token, class, weight)
+    * DataFrame — a trained model file. Returns (classes sorted asc,
+    * token -> per-class weights aligned with that order). Bounded
+    * collect with a mis-pointed-table guard; duplicate (token, class)
+    * rows keep the max weight so a malformed file can't make the model
+    * depend on row order; a token missing a class weighs 0 there. */
+  def loadLinearClassWeights(weightsDf: org.apache.spark.sql.DataFrame,
+      tokenCol: String = "token", classCol: String = "class",
+      weightCol: String = "weight", maxEntries: Int = 1 << 22)
+      : (Seq[String], Map[String, Seq[Double]]) = {
+    val n = weightsDf.count()
+    require(n <= maxEntries,
+      s"weight table has $n entries (> $maxEntries): not a classifier model")
+    val rows = weightsDf.select(col(tokenCol).cast("string"),
+        col(classCol).cast("string"), col(weightCol).cast("double"))
+      .na.drop()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val classes = rows.map(_._2).distinct.sorted.toSeq
+    val idx = classes.zipWithIndex.toMap
+    val table = rows.groupBy(_._1).map { case (t, rs) =>
+      val ws = Array.fill(classes.length)(0.0)
+      rs.groupBy(_._2).foreach { case (c, cs) => ws(idx(c)) = cs.map(_._3).max }
+      t -> ws.toSeq
+    }
+    (classes, table)
   }
 
   /** [[linearQualityScore]] with the weights loaded from a two-column

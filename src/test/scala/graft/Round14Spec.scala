@@ -96,6 +96,66 @@ class Round14Spec extends SparkSpec {
     assert(keptWith(col("quality").desc_nulls_first) == Set(2L))
   }
 
+  // ---- multi-class linear classifier apply (fastText-style langID) ----
+
+  test("linearClassifyLabel picks the argmax class; ties break to the first class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    val classes = Seq("de", "en", "fr")
+    val w = Map(
+      "der" -> Seq(1.0, 0.0, 0.0),
+      "the" -> Seq(0.0, 1.0, 0.0),
+      "les" -> Seq(0.0, 0.0, 1.0),
+      "tie" -> Seq(0.5, 0.5, 0.0))
+    val docs = Seq(
+      (1L, "der der the"), (2L, "the the les"), (3L, "les"),
+      (4L, "tie tie"), // de == en exactly -> first class (de) wins
+      (5L, ""), // empty -> biases only; max bias = fr
+      (6L, "unknown words only")) // all-zero sums -> biases decide
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        TextAnalysis.linearClassifyLabel(col("text"), classes, w,
+          Seq(0.0, 0.0, 0.1)).as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr",
+      4L -> "de", 5L -> "fr", 6L -> "fr"), got.toString)
+  }
+
+  test("loadLinearClassWeights: classes sorted, dup rows keep max, missing class weighs 0") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      ("tok1", "en", 0.5), ("tok1", "en", 0.2), // dup -> max 0.5
+      ("tok1", "de", -0.1),
+      ("tok2", "fr", 0.9)) // missing de/en -> 0
+      .toDF("token", "class", "weight")
+    val (classes, table) = TextAnalysis.loadLinearClassWeights(df)
+    assert(classes == Seq("de", "en", "fr"))
+    assert(table("tok1") == Seq(-0.1, 0.5, 0.0), table("tok1").toString)
+    assert(table("tok2") == Seq(0.0, 0.0, 0.9), table("tok2").toString)
+  }
+
+  test("linearClassSums kernel handles a large vocab without per-token scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.TextAnalysis
+    // 50k-entry vocab x 1k docs x ~40 tokens: a literal-map element_at
+    // would be ~2e9 string compares; the hash kernel is ~4e4 lookups
+    val vocab = (0 until 50000).map(i => s"w$i" -> Seq(i * 1e-4, -i * 1e-4)).toMap
+    val docs = (0 until 1000).map { d =>
+      (d.toLong, (0 until 40).map(j => s"w${(d * 37 + j * 911) % 60000}").mkString(" "))
+    }.toDF("id", "text")
+    val t0 = System.nanoTime()
+    val s = docs.select(sum(element_at(
+      TextAnalysis.linearClassSums(TextAnalysis.tokens(col("text")), 2, vocab),
+      1)).as("s")).collect()(0).getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // expected: each doc's tokens hit the vocab iff index < 50000
+    assert(s != 0L)
+    assert(secs < 30.0, s"large-vocab apply took ${secs}s — lookup is not O(1)")
+  }
+
   test("keepClusterSurvivors multi-priority with mixed directions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
