@@ -73,6 +73,17 @@ object Queries {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_servefx_$key"
     serveFixtures.getOrElseUpdate((System.identityHashCode(s), root),
       this.synchronized {
+        // this.synchronized serializes builders in ONE JVM; forked test
+        // JVMs share the same content-addressed root, so a cold build is
+        // additionally guarded by an OS file lock on a sidecar — the
+        // second JVM blocks, then sees the stamped manifest and reuses
+        // instead of deleting the root out from under the builder
+        val lockCh = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(root + ".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val osLock = lockCh.lock()
+        try {
         val manifest = java.nio.file.Paths.get(root, "fixture_manifest.json")
         // WARM PATH: the manifest stamp is written only after a complete
         // build, and the key embeds the source fingerprint — so a stamped
@@ -95,6 +106,7 @@ object Queries {
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         reused.getOrElse(buildServeFixture(s, dir, root, key, manifest))
+        } finally { osLock.release(); lockCh.close() }
       })
   }
 

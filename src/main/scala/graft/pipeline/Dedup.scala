@@ -181,7 +181,7 @@ object Dedup {
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      .cache()
+      .cache().transform(StageCaches.track)
     if (maxBucket == Int.MaxValue) {
       // bucket self-join: same band index + identical band key
       val a = banded.alias("a"); val b = banded.alias("b")
@@ -318,10 +318,10 @@ object Dedup {
     // a (non-codegen, HOF-built) array expression re-evaluates it per
     // OUTPUT row — the uncached benchmark side alone was 15.9 s vs 0.9 s
     // at sf0.1; same reason lshCandidatePairs caches its banded frame
-    val benchHs = shingled(benchmark).cache()
+    val benchHs = shingled(benchmark).cache().transform(StageCaches.track)
     val benchSet = benchHs
       .select(explode(col("hs")).as("h")).distinct()
-    val docHs = shingled(docs).cache()
+    val docHs = shingled(docs).cache().transform(StageCaches.track)
     val docShingles = docHs
       .select(col("id"), size(col("hs")).as("n_shingles"), explode(col("hs")).as("h"))
     docShingles
@@ -346,7 +346,7 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val norm = pairs.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).cache()
+      col("id_b").cast("long").as("id_b")).cache().transform(StageCaches.track)
     // size-adaptive cutover (same idea as broadcast joins): a small edge
     // set resolves in one collect + union-find instead of paying several
     // rounds of join/shuffle overhead; the distributed loop below is the
@@ -376,7 +376,7 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(norm
         .select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .cache().transform(StageCaches.track)
     // each round: (1) take the min label over the neighborhood, then
     // (2) pointer-jump — follow the label to ITS label (labels are node
     // ids, so a self-join resolves one hop). Jumping halves the distance
@@ -482,7 +482,7 @@ object Dedup {
     // whole array per OUTPUT row — O(paras) array builds × O(text) each,
     // quadratic for long documents (the contamination/maskRepeatedSpans
     // trap). The cache also covers the frame's two consumptions below.
-    val staged = df.select(id, paras.as("__paras")).cache()
+    val staged = df.select(id, paras.as("__paras")).cache().transform(StageCaches.track)
     val exploded = staged
       .select(id, posexplode_outer(col("__paras")).as(Seq("idx", "para")))
     val winners = exploded
@@ -565,10 +565,10 @@ object Dedup {
     // (the Generate trap `contamination` documents; measured 106 s for
     // 5000 docs at sf0.1). The staged (id, toks) frame is cached: the
     // occurrence side is consumed twice (winner pick + eligibility
-    // anti-join) and .cache() spills to disk at corpus scale.
+    // anti-join) and .cache().transform(StageCaches.track) spills to disk at corpus scale.
     val staged = df
       .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .cache()
+      .cache().transform(StageCaches.track)
     val occ = staged
       .select(id, size(col("__toks")).as("__n"), col("__toks"),
         explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
@@ -588,9 +588,11 @@ object Dedup {
         col("pos") + least(lit(k), col("__n")) - 1)).as("p"))
       .distinct()
       .withColumn("__m", lit(true))
-    df
-      .select(id, posexplode_outer(TextAnalysis.tokens(col(textCol)))
-        .as(Seq("p", "tok")))
+    // reassemble from the CACHED staged frame, not df: re-tokenizing df
+    // would re-execute its whole upstream lineage a third time (in
+    // cleanCorpusFull that re-runs the gopher join)
+    staged
+      .select(id, posexplode_outer(col("__toks")).as(Seq("p", "tok")))
       .join(maskedPos, Seq(idCol, "p"), "left")
       .groupBy(id)
       .agg(
@@ -615,7 +617,7 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least one pair")
     // cache: both self-join sides would otherwise recompute the assignment
-    val assigned = assignClusters(df, vecCol, idCol, centroids, probes).cache()
+    val assigned = assignClusters(df, vecCol, idCol, centroids, probes).cache().transform(StageCaches.track)
     val joined = if (maxBucket == Int.MaxValue) {
       val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
       val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))

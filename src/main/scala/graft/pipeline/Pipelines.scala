@@ -159,7 +159,7 @@ object Pipelines {
     val c4 = TextAnalysis.c4Clean(docs, textCol, idCol)
       .filter(col("keep_doc"))
       .select(col(idCol), col("clean_text"))
-      .cache()
+      .cache().transform(StageCaches.track)
     val gopherPass = TextAnalysis.gopherQualityFlags(c4, "clean_text", idCol)
       .filter(col("pass_gopher")).select(col(idCol))
     val passed = c4.join(gopherPass, Seq(idCol))

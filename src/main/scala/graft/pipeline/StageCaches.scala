@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry of the midstream frames the pipeline operators pin with
+  * `.cache()` (staged token/paragraph arrays, cluster assignments, the
+  * C4 survivor frame): the pins prevent quadratic Generate re-evaluation
+  * and multi-consumer recompute, but the operators return LAZY frames,
+  * so they cannot unpersist on the caller's behalf — Spark has no
+  * refcounted release. A long-lived application that runs many corpus
+  * passes should call [[unpersistAll]] between passes (after an action
+  * has materialized the downstream result) or executor storage stays
+  * pinned across invocations. References are weak: frames the caller
+  * dropped are collected normally and skipped here. */
+object StageCaches {
+  private val frames =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[DataFrame]]()
+
+  /** Track a frame the pipeline just cached; returns it unchanged. */
+  private[pipeline] def track(df: DataFrame): DataFrame = {
+    frames.add(new java.lang.ref.WeakReference(df))
+    df
+  }
+
+  /** Unpersist every tracked frame still reachable; returns the count.
+    * Safe to call while downstream frames are still lazy — the next
+    * action recomputes (slower, never wrong). */
+  def unpersistAll(blocking: Boolean = false): Int = {
+    var n = 0
+    var ref = frames.poll()
+    while (ref != null) {
+      val df = ref.get()
+      if (df != null) { df.unpersist(blocking); n += 1 }
+      ref = frames.poll()
+    }
+    n
+  }
+}

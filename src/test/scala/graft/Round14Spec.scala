@@ -96,6 +96,22 @@ class Round14Spec extends SparkSpec {
     assert(keptWith(col("quality").desc_nulls_first) == Set(2L))
   }
 
+  test("StageCaches.unpersistAll releases the pipeline's staged cache pins") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha beta g$i one two three"))
+      .toDF("doc_id", "text")
+    graft.pipeline.StageCaches.unpersistAll() // drain pins from earlier tests
+    val masked = graft.pipeline.Dedup.maskRepeatedSpans(docs, "doc_id", "text", 3)
+    assert(masked.count() == 50)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    assert(pinned > 0, "expected the staged token frame to be cached")
+    val released = graft.pipeline.StageCaches.unpersistAll(blocking = true)
+    assert(released > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size < pinned)
+    // downstream frames stay CORRECT after release (recompute, not wrong)
+    assert(masked.count() == 50)
+  }
+
   // ---- multi-class linear classifier apply (fastText-style langID) ----
 
   test("linearClassifyLabel picks the argmax class; ties break to the first class") {
