@@ -41,7 +41,13 @@ object Bench {
       val ok = try { run(fn); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // drop the pipeline operators' staged cache pins between queries:
+      // accumulated pins from earlier queries evict each other and turn
+      // per-query timings into a function of run ORDER (blocking, so the
+      // removal doesn't overlap the next query's measurement)
+      graft.pipeline.StageCaches.unpersistAll(blocking = true)
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -136,6 +136,53 @@ object QueriesPipeline {
     "fast" -> Seq(-0.2, 0.2, 0.4), "slow" -> Seq(0.5, -0.3, 0.1),
     "value" -> Seq(0.2, 0.1, 0.3), "hash" -> Seq(0.8, -0.1, -0.6))
 
+  /** BPE TRAINING mirror: Sennrich's loop unrolled to `rounds` SQL
+    * stages (DuckDB recursion disallows aggregates over the recursive
+    * reference, so each round is its own CTE chain over the tiny
+    * distinct-word table). Per round: overlap-counting pair counts via a
+    * positional lateral unnest, argmax with the (count desc, left, right)
+    * tie-break, greedy-leftmost kept matches (alternating rows inside
+    * each run of CONSECUTIVE match positions — the row_number-difference
+    * run grouping), and the list rebuild that emits the merged symbol at
+    * kept positions and drops the consumed right symbol. State CTEs are
+    * AS MATERIALIZED: DuckDB inlines plain CTEs, and each stage
+    * references its predecessor ~4 times — unmaterialized, the
+    * expansion is 4^rounds parquet scans. */
+  private def sqlBpeFit(rounds: Int): String = {
+    val stages = (0 until rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT t.toks[u.i] AS l, t.toks[u.i+1] AS r, sum(t.cnt) AS c
+         |  FROM w$k t, unnest(range(1, len(t.toks))) u(i) GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |mt$k AS (SELECT t.w, u.i
+         |  FROM w$k t, unnest(range(1, len(t.toks))) u(i), b$k b
+         |  WHERE t.toks[u.i] = b.l AND t.toks[u.i+1] = b.r),
+         |kp$k AS MATERIALIZED (SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, i - rn ORDER BY i) AS rn2
+         |    FROM (SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) AS rn
+         |          FROM mt$k)) WHERE rn2 % 2 = 1),
+         |ex$k AS (SELECT t.w, t.cnt, u.i AS p, t.toks[u.i] AS tok
+         |  FROM w$k t, unnest(range(1, len(t.toks)+1)) u(i)),
+         |w${k + 1} AS MATERIALIZED (SELECT e.w, any_value(e.cnt) AS cnt,
+         |    list(CASE WHEN m.i IS NOT NULL THEN (SELECT l || r FROM b$k)
+         |         ELSE e.tok END ORDER BY e.p) AS toks
+         |  FROM ex$k e
+         |  LEFT JOIN kp$k m  ON e.w = m.w  AND e.p = m.i
+         |  LEFT JOIN kp$k m2 ON e.w = m2.w AND e.p = m2.i + 1
+         |  WHERE m2.i IS NULL GROUP BY e.w)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until rounds).map { k =>
+      s"SELECT ${k + 1} AS rank, l AS lft, r AS rgt, l || r AS merged, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM b$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) w FROM tok) GROUP BY w),
+       |w0 AS MATERIALIZED (SELECT w, cnt,
+       |  list_transform(range(1, length(w)+1), i -> w[i]) AS toks FROM wc),
+       |$stages
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   // (token, class, weight) triples for the oracle's literal model table
   private def sqlLangIdWeights: String =
     LangIdWeights.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
@@ -375,6 +422,13 @@ object QueriesPipeline {
           round(TextAnalysis.linearQualityScore(col("text"), QualityWeights,
             bias = 0.1), 6).as("q_model"))
         .orderBy(col("doc_id"))
+    }),
+    // BPE vocabulary TRAINING (Sennrich et al. 2016): learn the merge
+    // table from the corpus itself — iterative most-frequent-pair
+    // counting over the distinct-word table, one groupBy per round
+    "tx_bpe_fit" -> ((s, dir) => {
+      TextAnalysis.bpeFit(t(s, dir, "documents"), "text", numMerges = 12)
+        .orderBy(col("rank"))
     }),
     // model-driven language ID: multi-class linear classifier apply
     // (fastText-style argmax over per-class weight tables — the CCNet
@@ -1504,6 +1558,7 @@ object QueriesPipeline {
          |  FROM tok t LEFT JOIN sc USING (doc_id))
          |SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS q_model
          |FROM z ORDER BY doc_id""".stripMargin,
+    "tx_bpe_fit" -> sqlBpeFit(12),
     "tx_langid_model" ->
       s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
          |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),

@@ -83,3 +83,52 @@ object BpeGreedyTokens {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** One BPE TRAINING merge step applied to a symbol array: greedy
+  * left-to-right replacement of every adjacent (left, right) pair with
+  * the concatenated symbol — Sennrich et al. 2016's merge operation
+  * (overlaps resolve leftmost: [a,a,a] under (a,a) -> [aa, a]). Map-only,
+  * codegen'd via a static kernel; the trainer calls this once per round
+  * over the distinct-WORD table, never over the corpus. */
+case class BpeMergePair(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  override def prettyName: String = "bpe_merge_pair"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val lu = UTF8String.fromString(left)
+  @transient private lazy val ru = UTF8String.fromString(right)
+  @transient private lazy val mu = UTF8String.fromString(left + right)
+
+  override def nullSafeEval(a: Any): Any =
+    BpeMergePair.merge(a.asInstanceOf[ArrayData], lu, ru, mu)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeL", lu, classOf[UTF8String].getName)
+    val r = ctx.addReferenceObj("bpeR", ru, classOf[UTF8String].getName)
+    val m = ctx.addReferenceObj("bpeM", mu, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.BpeMergePair$$.MODULE$$
+         |  .merge($c, $l, $r, $m);""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeMergePair {
+  def merge(toks: ArrayData, l: UTF8String, r: UTF8String,
+      m: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && toks.getUTF8String(i).equals(l) &&
+          toks.getUTF8String(i + 1).equals(r)) {
+        out.add(m); i += 2
+      } else {
+        out.add(toks.getUTF8String(i)); i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -71,55 +71,59 @@ object Dedup {
   }
 
   /** First-occurrence exact dedup: keep the lowest id per digest.
-    * Skew-proof shape (same as [[dropDuplicateParagraphs]]): winners =
-    * groupBy(digest).agg(min(id)) — partial aggregation collapses a
-    * duplicate FLOOD (10⁹ identical docs) map-side to one row per task
-    * before the shuffle — then a left_semi join-back on the unique id.
-    * A digest-partitioned window would shuffle every full-text copy of
-    * a heavy digest into ONE task and sort it there. `idCol` must be
-    * unique (it is the document key everywhere this is called). */
+    * Skew-proof SINGLE-PASS shape:
+    * `groupBy(digest).agg(min_by(struct(row), id))` — a partial-merge
+    * aggregate whose buffer is one row per digest per task, so a
+    * duplicate FLOOD (10⁹ identical docs) collapses map-side before the
+    * shuffle. A digest-partitioned window would shuffle every full-text
+    * copy of a heavy digest into ONE task and sort it there; a
+    * winners-plus-join-back would evaluate the input lineage twice.
+    * `idCol` must be unique (it is the document key everywhere this is
+    * called). */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val winners = df
-      .groupBy(md5(col(textCol)).as("__digest"))
-      .agg(min(col(idCol)).as("__wid"))
-    df.join(winners, df(idCol) === winners("__wid"), "left_semi")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__win"))
+      .select(cols.map(c => col("__win")(c).as(c)): _*)
   }
 
   /** Survivorship-policy exact dedup: keep ONE row per identical text,
     * picked by the caller's priority (e.g. `Seq(col("quality").desc)` —
     * a training pipeline usually wants the best-annotated copy, not the
     * earliest); the id ascending tie-break is appended so the winner is
-    * deterministic. Same skew-proof winners-plus-semi-join shape as
-    * [[dropExactDuplicates]], with the priority encoded into the
-    * min(struct) key (see [[winnerKey]] for the desc/nulls encoding). */
+    * deterministic. Same skew-proof single-pass min_by shape as
+    * [[dropExactDuplicates]], ordered by the priority encoded into a
+    * min(struct)-comparable key (see [[winnerKey]] for the desc/nulls
+    * encoding). */
   def dropExactDuplicatesBy(df: DataFrame, textCol: String, idCol: String,
       priority: Seq[Column]): DataFrame = {
-    val winners = df
-      .groupBy(md5(col(textCol)).as("__digest"))
-      .agg(min(winnerKey(priority, col(idCol))).as("__win"))
-      .select(col("__win")("__tb").as("__wid"))
-    df.join(winners, df(idCol) === winners("__wid"), "left_semi")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*),
+        winnerKey(priority, col(idCol))).as("__win"))
+      .select(cols.map(c => col("__win")(c).as(c)): _*)
   }
 
   /** Survivorship over NEAR-dup clusters: given the (id, cluster) labels
     * [[duplicateClusters]] derives from an LSH pair list, keep the best
     * member of every duplicate cluster under the caller's priority;
     * unclustered docs (never in any pair) survive untouched. One
-    * equi-join on the unique id + a groupBy(cluster) winner pick
-    * (partial-merge min(struct), skew-proof under any cluster size — a
-    * star-capped flood cluster is ONE group collapsed map-side) + a
-    * left_semi join-back on the unique winner id. The label list covers
+    * equi-join on the unique id + a groupBy(cluster)
+    * `min_by(struct(row), priority key)` winner pick — a partial-merge
+    * aggregate, skew-proof under any cluster size (a star-capped flood
+    * cluster is ONE group collapsed map-side). The label list covers
     * only docs that appeared in a pair, so the label join side is the
     * duplicate subset, never the corpus squared. */
   def keepClusterSurvivors(docs: DataFrame, idCol: String,
       clusters: DataFrame, priority: Seq[Column]): DataFrame = {
     val lab = clusters.select(col("id").cast("long").as("__did"),
       col("cluster").cast("long").as("__cl"))
-    val winners = docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
+    val cols = docs.columns.toSeq
+    docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
       .groupBy(coalesce(col("__cl"), docs(idCol).cast("long")).as("__grp"))
-      .agg(min(winnerKey(priority, docs(idCol))).as("__win"))
-      .select(col("__win")("__tb").as("__wid"))
-    docs.join(winners, docs(idCol) === winners("__wid"), "left_semi")
+      .agg(min_by(struct(cols.map(docs(_)): _*),
+        winnerKey(priority, docs(idCol))).as("__win"))
+      .select(cols.map(c => col("__win")(c).as(c)): _*)
   }
 
   /** MinHash signature column over a PRE-MATERIALIZED shingle-hash array

@@ -175,12 +175,19 @@ object Pipelines {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val id = col(idCol)
 
-    // 1. quality gate (annotate stages tokenization once)
+    // 1. quality gate (annotate stages tokenization once); project down
+    //    to what the later stages read before anything shuffles — the
+    //    dedup aggregate and the minhash pass otherwise carry (and
+    //    recompute) every annotate column
     val annotated = TextAnalysis.annotate(docs, textCol)
     val qualified = annotated.filter(col("quality") >= minQuality)
+      .select(id, col(textCol), col("n_tokens"), col("quality"))
 
-    // 2. exact dedup: keep the lowest id per content digest
+    // 2. exact dedup: keep the lowest id per content digest; cached —
+    //    consumed twice below (candidate pairs + the survivor join),
+    //    and each re-evaluation would re-run the whole annotate lineage
     val exactDeduped = Dedup.dropExactDuplicates(qualified, textCol, idCol)
+      .cache().transform(StageCaches.track)
 
     // 3. near-dup removal over the survivors: any doc that is the HIGHER id
     //    of a verified near-dup pair is dropped

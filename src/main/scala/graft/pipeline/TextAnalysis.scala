@@ -68,6 +68,97 @@ object TextAnalysis {
   def subwordCount(text: Column, vocab: Seq[String]): Column =
     size(bpeTokens(text, vocab))
 
+  /** BPE vocabulary TRAINING — the merge-learning step of Sennrich et
+    * al. 2016 ("Neural Machine Translation of Rare Words with Subword
+    * Units", the public algorithm): start from characters, repeatedly
+    * (1) count every adjacent symbol pair across the corpus (overlaps
+    * included, weighted by word frequency), (2) take the most frequent
+    * pair — ties broken (left, right) lexicographic so the model is
+    * deterministic on any engine — and (3) merge it greedily
+    * left-to-right in every word ([[graft.functions.BpeMergePair]]).
+    * Returns the learned merge table (rank, lft, rgt, merged,
+    * pair_count), rank = merge priority order.
+    *
+    * Spark shape: the state is the DISTINCT-WORD table (word, symbol
+    * array, count) — corpus text is read ONCE for the word count; every
+    * round after that is one partial-agg groupBy over the word table
+    * plus a single-row argmax to the driver (the algorithm's inherent
+    * sequential dependency) and a map-only merge apply. Per-round cost
+    * is independent of corpus size; rounds cache their word table and
+    * unpersist the previous one, with a `checkpointEvery` lineage
+    * truncation so thousand-merge fits don't accumulate a deep plan.
+    * Merging never crosses a word boundary (no end-of-word marker —
+    * the byte-level-BPE convention; words come from [[tokens]]).
+    * Stops early when no pair reaches `minPairCount`. */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L, checkpointEvery: Int = 32): DataFrame = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val sq = df.sparkSession
+    import sq.implicits._
+    var cur = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // split("", "") keeps a trailing empty string (Java regex split
+      // semantics) — filter it out of the initial symbol array
+      .select(col("cnt"),
+        filter(split(col("w"), ""), t => length(t) > 0).as("toks"))
+      .cache()
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    try {
+      while (rank <= numMerges && !done) {
+        val n = size(col("toks"))
+        // the one job per round: the argmax consumes cur fully, which
+        // also materializes its cache — only after that is the previous
+        // round's cache safe to drop
+        val best = cur
+          .select(col("cnt"), col("toks"),
+            explode(when(n < 2, array().cast("array<int>"))
+              .otherwise(sequence(lit(0), n - 2))).as("i"))
+          .select(col("cnt"),
+            element_at(col("toks"), col("i") + 1).as("lft"),
+            element_at(col("toks"), col("i") + 2).as("rgt"))
+          .groupBy(col("lft"), col("rgt"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lft").asc, col("rgt").asc)
+          .limit(1).collect()
+        if (prev != null) { prev.unpersist(); prev = null }
+        if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((rank, l, r, l + r, c))
+          val next = cur.withColumn("toks", CatalystBridge.column(
+            graft.functions.BpeMergePair(
+              CatalystBridge.expression(col("toks")), l, r)))
+          val materialized =
+            if (rank % checkpointEvery == 0) next.localCheckpoint(true)
+            else next.cache()
+          prev = cur
+          cur = materialized
+          rank += 1
+        }
+      }
+    } finally {
+      if (prev != null) prev.unpersist()
+      cur.unpersist()
+    }
+    merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_count")
+  }
+
+  /** The learned merge tokens of [[bpeFit]] as a greedy-longest-match
+    * vocabulary for [[bpeTokens]] (single characters fall back
+    * implicitly) — fit + apply end-to-end without a pre-trained file. */
+  def bpeFitVocab(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L): Seq[String] =
+    bpeFit(df, textCol, numMerges, minPairCount)
+      .select(col("merged")).collect().map(_.getString(0)).distinct.sorted.toSeq
+
   /** Linear text-classifier APPLY from input weights — the fastText-style
     * quality filter of CCNet-class pipelines (score a crawl doc by "looks
     * like reference text", keep above a threshold): logistic over the

@@ -172,6 +172,66 @@ class Round14Spec extends SparkSpec {
     assert(secs < 30.0, s"large-vocab apply took ${secs}s — lookup is not O(1)")
   }
 
+  // ---- BPE vocabulary training (fit) ----
+
+  test("bpeFit learns the Sennrich merges on the classic corpus") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // low x5, lower x2, newest x6, widest x3 (no end-of-word marker):
+    // (e,s)=9 ties (s,t)=9 -> lexicographic; then (es,t)=9; then
+    // (l,o)=7 ties (o,w)=7 -> lexicographic; then (lo,w)=7
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFit(docs, "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1, "es", 9L), (2, "est", 9L), (3, "lo", 7L), (4, "low", 7L)),
+      merges.mkString(","))
+  }
+
+  test("bpeFit counts overlapping pairs and merges greedily left-to-right") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeFit(docs, "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // "aaa": (a,a) occurs at 2 positions (overlap counted, Sennrich
+    // get_stats semantics); greedy merge -> [aa, a]; round 2: (aa,a)=1
+    assert(merges.toSeq == Seq((1, "aa", 2L), (2, "aaa", 1L)),
+      merges.mkString(","))
+  }
+
+  test("bpeFit stops early when no pair reaches minPairCount; empty corpus fits nothing") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every pair occurs once -> with minPairCount=2 nothing merges
+    assert(TextAnalysis.bpeFit(docs, "text", 5, minPairCount = 2).count() == 0)
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeFit(empty, "text", 5).count() == 0)
+  }
+
+  test("bpeFitVocab feeds bpeTokens: fit + apply end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" "))).toDF("doc_id", "text")
+    // merges 1-5 assemble "newest" (count 6 beats low's 5 at every
+    // tie-break), 6-7 assemble "low"
+    val vocab = TextAnalysis.bpeFitVocab(docs, "text", 7)
+    assert(vocab.contains("newest") && vocab.contains("low"), vocab.toString)
+    // the learned vocab retokenizes its own training words to one symbol
+    val split = Seq((1L, "low newest")).toDF("id", "t")
+      .select(TextAnalysis.bpeTokens(col("t"), vocab))
+      .collect()(0).getSeq[String](0)
+    assert(split == Seq("low", "newest"), split.toString)
+  }
+
   test("keepClusterSurvivors multi-priority with mixed directions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
