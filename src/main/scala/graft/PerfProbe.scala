@@ -33,6 +33,62 @@ object PerfProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_BPE_N > 0: BPE-training scale probe — N synthetic docs
+    // with ~N distinct words (unique word per doc + pooled words), the
+    // learned merge table compared EXACTLY against an independent local
+    // reference implementation over the same word multiset (the sf
+    // corpora have only ~31 distinct words, far too small to exercise
+    // the word-table path).
+    val bpeN = sys.env.getOrElse("SPARK_GRAFT_BPE_N", "0").toLong
+    if (bpeN > 0) {
+      val rounds = 8
+      val sdocs = spark.range(bpeN).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("alpha"), pmod(col("id"), lit(9973))),
+          concat(lit("beta"), pmod(col("id"), lit(997))),
+          concat(lit("uniq"), col("id")),
+          lit("common common tail")).as("text"))
+      // reference: plain-Scala Sennrich loop on the collected word counts
+      val wc = sdocs
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      println(s"bpe-fit probe: n=$bpeN distinctWords=${wc.length}")
+      def mergeGreedy(toks: Vector[String], l: String, r: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+      var ws = wc.map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var r0 = 0
+      while (r0 < rounds) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((toks, c) <- ws; i <- 0 until toks.length - 1)
+          counts((toks(i), toks(i + 1))) =
+            counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
+        val ((l, rr), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        expected += ((l, rr, c))
+        ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
+        r0 += 1
+      }
+      val t0 = System.nanoTime()
+      val got = graft.pipeline.TextAnalysis.bpeFit(sdocs, "text", rounds)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      println(f"bpe-fit $rounds rounds: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(s"got:      ${got.mkString(", ")}")
+      println(s"expected: ${expected.mkString(", ")}")
+      println(s"MATCH=${got == expected.toSeq}")
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     println(s"docs=${docs.count()}")
     def time(label: String)(f: => Long): Unit = {

@@ -183,6 +183,53 @@ object QueriesPipeline {
        |SELECT * FROM ($union) ORDER BY rank""".stripMargin
   }
 
+  /** Logistic-regression TRAINING mirror: [[TextAnalysis.linearFit]]'s
+    * full-batch GD unrolled to `iters` SQL stages (same reason as
+    * [[sqlBpeFit]]). Every cross-doc accumulation is integer (micro-unit
+    * weights, 1e-9-quantized per-doc gradient factors), so the unrolled
+    * chain is bit-deterministic; the only floats are per-doc sigmoids
+    * and the bias chain, with round-half-away-from-zero on both engines.
+    * Label: lang = 'en'. */
+  private def sqlLinearFit(iters: Int, lr: Double): String = {
+    val stages = (0 until iters).map { k =>
+      s"""s$k AS (SELECT c.doc_id, sum(w.wm * c.c) AS sm
+         |  FROM cnt c JOIN w$k w ON c.t = w.tok GROUP BY 1),
+         |z$k AS (SELECT d.doc_id, d.y, d.n,
+         |    (SELECT b FROM b$k) + CASE WHEN d.n > 0
+         |      THEN (CAST(coalesce(s.sm, 0) AS DOUBLE) / 1e6) / d.n
+         |      ELSE 0.0 END AS z
+         |  FROM d LEFT JOIN s$k s USING (doc_id)),
+         |f$k AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN n > 0 THEN CAST(round((1.0/(1.0+exp(-z)) - y)/n*1e9) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS fq,
+         |    CAST(round((1.0/(1.0+exp(-z)) - y)*1e9) AS BIGINT) AS fb
+         |  FROM z$k),
+         |g$k AS (SELECT c.t AS tok, sum(f.fq * c.c) AS g
+         |  FROM cnt c JOIN f$k f USING (doc_id) GROUP BY 1),
+         |w${k + 1} AS MATERIALIZED (SELECT w.tok,
+         |    w.wm - CAST(round($lr * coalesce(g.g, 0) /
+         |      ((SELECT nn FROM nd) * 1e3)) AS BIGINT) AS wm
+         |  FROM w$k w LEFT JOIN g$k g USING (tok)),
+         |b${k + 1} AS (SELECT (SELECT b FROM b$k) -
+         |    $lr * (SELECT sum(fb) FROM f$k) /
+         |    ((SELECT nn FROM nd) * 1e9) AS b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $sqlToks toks FROM documents),
+       |d AS MATERIALIZED (SELECT doc_id, y, len(toks) AS n FROM tok),
+       |cnt AS MATERIALIZED (SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS nn FROM d),
+       |w0 AS MATERIALIZED (SELECT DISTINCT t AS tok, CAST(0 AS BIGINT) AS wm FROM cnt),
+       |b0 AS (SELECT 0.0 AS b),
+       |$stages
+       |SELECT tok, wm AS w_micro FROM w$iters
+       |UNION ALL SELECT '__bias__' AS tok,
+       |  CAST(round((SELECT b FROM b$iters) * 1e6) AS BIGINT) AS w_micro
+       |ORDER BY tok""".stripMargin
+  }
+
   // (token, class, weight) triples for the oracle's literal model table
   private def sqlLangIdWeights: String =
     LangIdWeights.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
@@ -429,6 +476,21 @@ object QueriesPipeline {
     "tx_bpe_fit" -> ((s, dir) => {
       TextAnalysis.bpeFit(t(s, dir, "documents"), "text", numMerges = 12)
         .orderBy(col("rank"))
+    }),
+    // classifier TRAINING: binary logistic regression (label: lang='en')
+    // by full-batch GD — 3 iterations, lr 0.5; output = the learned
+    // micro-unit weight per token + the bias row
+    "tx_linear_fit" -> ((s, dir) => {
+      val (w, b) = TextAnalysis.linearFit(
+        t(s, dir, "documents").withColumn("__lab",
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "text", "__lab", iterations = 3, lr = 0.5)
+      import s.implicits._
+      def micro(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (w.toSeq.map { case (t, wv) => (t, micro(wv)) } :+
+        (("__bias__", micro(b))))
+        .toDF("tok", "w_micro").orderBy(col("tok"))
     }),
     // model-driven language ID: multi-class linear classifier apply
     // (fastText-style argmax over per-class weight tables — the CCNet
@@ -986,6 +1048,35 @@ object QueriesPipeline {
         .start()
       q.awaitTermination()
       val out = s.table(sink).select(col("h")).orderBy(col("h"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
+    }),
+    // streaming twin of tx_langid_model: the classifier apply is
+    // STATELESS map-only, so the same Column expression (hash-kernel
+    // micro-sums included) runs unchanged in a microbatch plan — the
+    // crawl-ingest shape: language-route documents as they arrive, no
+    // state, no shuffle
+    "st_langid_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("st_langid_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      val sink = s"st_langid_sink_${evStreamRuns.incrementAndGet()}"
+      val q = src
+        .select(col("doc_id"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(sink).orderBy(col("doc_id"))
       val local = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
       java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
@@ -1559,6 +1650,27 @@ object QueriesPipeline {
          |SELECT doc_id, round(1.0 / (1.0 + exp(-zz)), 6) AS q_model
          |FROM z ORDER BY doc_id""".stripMargin,
     "tx_bpe_fit" -> sqlBpeFit(12),
+    "tx_linear_fit" -> sqlLinearFit(3, 0.5),
+    "st_langid_stream" ->
+      s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
+         |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),
+         |tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) t FROM tok),
+         |sm AS (SELECT ex.doc_id, w.c,
+         |    sum(CAST(round(w.wt * 1e6) AS BIGINT)) AS micro
+         |  FROM ex JOIN w ON ex.t = w.tok GROUP BY ex.doc_id, w.c),
+         |base AS (SELECT t.doc_id, len(t.toks) n, cls.c, cls.bias
+         |  FROM tok t CROSS JOIN cls),
+         |z AS (SELECT b.doc_id, b.c,
+         |    b.bias + CASE WHEN b.n > 0
+         |      THEN (CAST(coalesce(s.micro, 0) AS DOUBLE) / 1e6) / b.n
+         |      ELSE 0.0 END AS zz
+         |  FROM base b LEFT JOIN sm s ON b.doc_id = s.doc_id AND b.c = s.c),
+         |r AS (SELECT doc_id, c, zz,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
+         |  FROM z)
+         |SELECT doc_id, c AS pred_class FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     "tx_langid_model" ->
       s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
          |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),

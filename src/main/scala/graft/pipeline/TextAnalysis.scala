@@ -238,6 +238,98 @@ object TextAnalysis {
       array_position(z, array_max(z)).cast("int"))
   }
 
+  /** Linear text-classifier TRAINING — binary logistic regression by
+    * full-batch gradient descent over mean-pooled bag-of-words features,
+    * the fit step behind [[linearQualityScore]] /
+    * [[linearClassifyScores]] (a fastText-style classifier without the
+    * embedding layer; multi-class = one-vs-all via [[linearFitOneVsAll]]).
+    * Model: `p = sigmoid(bias + (Σ_t w(t)·cnt(t)) / n)`; per iteration
+    * `w -= lr·Σ_d (p_d − y_d)·cnt_d(t)/n_d / N`, `bias -= lr·Σ_d (p_d −
+    * y_d) / N`. Deterministic on any engine and partitioning: weights
+    * live in MICRO units, the per-doc score reuses the exact-Long
+    * [[linearClassSums]] kernel, and the per-doc gradient factor is
+    * quantized to 1e-9 units before the cross-doc sums — every
+    * accumulation is integer, so addition order never matters; the only
+    * float ops are per-doc sigmoids and the driver-side update.
+    *
+    * Spark shape: the corpus is tokenized ONCE into a cached (y, tokens)
+    * frame; each iteration is one map-only scoring pass + a
+    * partial-agg groupBy(token) gradient (skew-proof: heavy tokens
+    * collapse map-side) + a vocab-bounded collect for the driver update
+    * (the same driver-coordination granularity as [[bpeFit]]; a 10⁷+
+    * vocab would switch to a joined weight table). Returns (weights in
+    * real units — micro-grained, so the apply's re-quantization is
+    * exact — and the bias). */
+  def linearFit(df: DataFrame, textCol: String, labelCol: String,
+      iterations: Int = 5, lr: Double = 0.5): (Map[String, Double], Double) = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val base = df
+      .select(col(labelCol).cast("double").as("__y"),
+        tokens(col(textCol)).as("__toks"))
+      .cache()
+    try {
+      val nDocs = base.count()
+      require(nDocs > 0, "empty training frame")
+      val wm = scala.collection.mutable.HashMap.empty[String, Long]
+      base.select(explode(col("__toks")).as("t")).distinct()
+        .collect().foreach(r => wm(r.getString(0)) = 0L)
+      var bias = 0.0
+      // round half AWAY from zero (Spark round / DuckDB round semantics;
+      // math.round floors negative halves toward +inf)
+      def roundAway(x: Double): Long =
+        new java.math.BigDecimal(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      var it = 0
+      while (it < iterations && wm.nonEmpty) {
+        val n = size(col("__toks"))
+        val sumMicro = element_at(linearClassSums(col("__toks"), 1,
+          wm.map { case (t, m) => t -> Seq(m / 1e6) }.toMap), 1)
+        val z = lit(bias) +
+          when(n > 0, (sumMicro.cast("double") / 1e6) / n).otherwise(lit(0.0))
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val fq = when(n > 0,
+          round((p - col("__y")) / n * 1e9, 0).cast("long")).otherwise(lit(0L))
+        val fb = round((p - col("__y")) * 1e9, 0).cast("long")
+        val stage = base.select(col("__toks"), fq.as("__fq"), fb.as("__fb"))
+        val gb = stage.agg(sum(col("__fb"))).head.getLong(0)
+        val gt = stage
+          .select(explode(col("__toks")).as("t"), col("__fq"))
+          .groupBy(col("t")).agg(sum(col("__fq")).as("g"))
+          .collect()
+        gt.foreach { r =>
+          val t = r.getString(0)
+          wm(t) = wm(t) - roundAway(lr * r.getLong(1) / (nDocs * 1e3))
+        }
+        bias -= lr * gb / (nDocs * 1e9)
+        it += 1
+      }
+      (wm.map { case (t, m) => t -> m / 1e6 }.toMap, bias)
+    } finally base.unpersist()
+  }
+
+  /** Multi-class training by one-vs-all [[linearFit]]: one binary fit
+    * per class (classes sorted for a canonical model), returning
+    * (classes, token -> per-class weights, per-class biases) in the
+    * exact shape [[linearClassifyScores]]/[[linearClassifyLabel]]
+    * consume. */
+  def linearFitOneVsAll(df: DataFrame, textCol: String, classCol: String,
+      iterations: Int = 5, lr: Double = 0.5)
+      : (Seq[String], Map[String, Seq[Double]], Seq[Double]) = {
+    val classes = df.select(col(classCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(classes.nonEmpty, "no classes")
+    val fits = classes.map { c =>
+      linearFit(df.withColumn("__lab",
+          when(col(classCol).cast("string") === c, 1.0).otherwise(0.0)),
+        textCol, "__lab", iterations, lr)
+    }
+    val vocab = fits.flatMap(_._1.keys).distinct
+    val table = vocab.map { t =>
+      t -> fits.map(_._1.getOrElse(t, 0.0))
+    }.toMap
+    (classes, table, fits.map(_._2))
+  }
+
   /** Load a multi-class weight table from a (token, class, weight)
     * DataFrame — a trained model file. Returns (classes sorted asc,
     * token -> per-class weights aligned with that order). Bounded

@@ -172,6 +172,59 @@ class Round14Spec extends SparkSpec {
     assert(secs < 30.0, s"large-vocab apply took ${secs}s — lookup is not O(1)")
   }
 
+  // ---- linear classifier training (logistic full-batch GD) ----
+
+  test("linearFit separates marker tokens and the fit model classifies its corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"good solid fine f$i", 1.0)
+      else (i.toLong, s"bad broken junk f$i", 0.0)
+    }.toDF("id", "text", "y")
+    val (w, b) = TextAnalysis.linearFit(docs, "text", "y", iterations = 20, lr = 2.0)
+    assert(w("good") > 0 && w("bad") < 0, s"good=${w("good")} bad=${w("bad")}")
+    // the learned model separates the training corpus at threshold 1/2
+    val scored = docs.select(col("y"),
+        TextAnalysis.linearQualityScore(col("text"), w, b).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(scored.forall { case (y, p) => (y > 0.5) == (p > 0.5) },
+      scored.take(6).mkString(","))
+  }
+
+  test("linearFit is bit-deterministic under repartitioning") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta t${i % 7} u$i", if (i % 3 == 0) 1.0 else 0.0)
+    }.toDF("id", "text", "y")
+    val (w1, b1) = TextAnalysis.linearFit(docs.repartition(2), "text", "y", 4, 0.5)
+    val (w2, b2) = TextAnalysis.linearFit(docs.repartition(13), "text", "y", 4, 0.5)
+    assert(b1 == b2, s"$b1 vs $b2")
+    assert(w1 == w2, (w1.toSeq.sorted zip w2.toSeq.sorted)
+      .filter { case (a, bb) => a != bb }.take(3).mkString(","))
+  }
+
+  test("linearFitOneVsAll model drives linearClassifyLabel on its training corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    val docs = (0 until 60).map { i =>
+      i % 3 match {
+        case 0 => (i.toLong, s"der die das f$i", "de")
+        case 1 => (i.toLong, s"the and of f$i", "en")
+        case _ => (i.toLong, s"les des une f$i", "fr")
+      }
+    }.toDF("id", "text", "lang")
+    val (classes, w, biases) =
+      TextAnalysis.linearFitOneVsAll(docs, "text", "lang", iterations = 15, lr = 2.0)
+    assert(classes == Seq("de", "en", "fr"))
+    val got = docs.select(col("lang"),
+        TextAnalysis.linearClassifyLabel(col("text"), classes, w, biases).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.forall { case (y, p) => y == p }, got.filterNot(t => t._1 == t._2).take(5).mkString(","))
+  }
+
   // ---- BPE vocabulary training (fit) ----
 
   test("bpeFit learns the Sennrich merges on the classic corpus") {
