@@ -240,6 +240,29 @@ object QueriesPipeline {
     LangIdClasses.zip(LangIdBiases)
       .map { case (c, b) => s"('$c', $b)" }.mkString(",")
 
+  /** LangID-apply oracle chain ending in `lr(doc_id, c, zz, rn)` — the
+    * per-class scores ranked per doc (rn = 1 is the argmax row with the
+    * first-class tie-break). Shared by tx_langid_model / st_langid_stream
+    * / pl_ccnet; names prefixed `l?` to compose with other chains. */
+  private def sqlLangIdChain: String =
+    s"""lw(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
+       |lcls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),
+       |litok AS (SELECT doc_id, $sqlToks toks FROM documents),
+       |liex AS (SELECT doc_id, unnest(toks) t FROM litok),
+       |lism AS (SELECT liex.doc_id, lw.c,
+       |    sum(CAST(round(lw.wt * 1e6) AS BIGINT)) AS micro
+       |  FROM liex JOIN lw ON liex.t = lw.tok GROUP BY liex.doc_id, lw.c),
+       |libase AS (SELECT t.doc_id, len(t.toks) n, lcls.c, lcls.bias
+       |  FROM litok t CROSS JOIN lcls),
+       |liz AS (SELECT b.doc_id, b.c,
+       |    b.bias + CASE WHEN b.n > 0
+       |      THEN (CAST(coalesce(s.micro, 0) AS DOUBLE) / 1e6) / b.n
+       |      ELSE 0.0 END AS zz
+       |  FROM libase b LEFT JOIN lism s ON b.doc_id = s.doc_id AND b.c = s.c),
+       |lr AS (SELECT doc_id, c, zz,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
+       |  FROM liz)""".stripMargin
+
   /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
     * words: each step consumes the longest vocab entry prefixing the
     * remaining suffix (char fallback when none). Yields wp(w, parts).
@@ -785,6 +808,30 @@ object QueriesPipeline {
           pmod(graft.functions.hash60(col("doc_id").cast("string")),
             lit(1000)) < 500))
         .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the COMPOSED CCNet flow (Wenzek et al. 2019, public method) with
+    // the MODEL-predicted language, not the table's label column:
+    // classifier langID -> per-predicted-language perplexity terciles ->
+    // keep head, hash-sample middle at 50%, drop tail. LangID is
+    // map-only; the terciles partition by predicted language (sharded
+    // window, never global); the sampler is the shuffle-free hash filter
+    "pl_ccnet" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"),
+        TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+          LangIdWeights, LangIdBiases).as("pred_class"))
+      val lm = TextAnalysis.bigramLmScore(docs)
+      val w = Window.partitionBy(col("pred_class"))
+        .orderBy(col("lm_nll"), col("doc_id"))
+      pred.join(lm, "doc_id").filter(col("lm_nll").isNotNull)
+        .withColumn("bucket", ntile(3).over(w))
+        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
+          pmod(graft.functions.hash60(col("doc_id").cast("string")),
+            lit(1000)) < 500))
+        .select(col("doc_id"), col("pred_class"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1652,45 +1699,26 @@ object QueriesPipeline {
     "tx_bpe_fit" -> sqlBpeFit(12),
     "tx_linear_fit" -> sqlLinearFit(3, 0.5),
     "st_langid_stream" ->
-      s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
-         |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),
-         |tok AS (SELECT doc_id, $sqlToks toks FROM documents),
-         |ex AS (SELECT doc_id, unnest(toks) t FROM tok),
-         |sm AS (SELECT ex.doc_id, w.c,
-         |    sum(CAST(round(w.wt * 1e6) AS BIGINT)) AS micro
-         |  FROM ex JOIN w ON ex.t = w.tok GROUP BY ex.doc_id, w.c),
-         |base AS (SELECT t.doc_id, len(t.toks) n, cls.c, cls.bias
-         |  FROM tok t CROSS JOIN cls),
-         |z AS (SELECT b.doc_id, b.c,
-         |    b.bias + CASE WHEN b.n > 0
-         |      THEN (CAST(coalesce(s.micro, 0) AS DOUBLE) / 1e6) / b.n
-         |      ELSE 0.0 END AS zz
-         |  FROM base b LEFT JOIN sm s ON b.doc_id = s.doc_id AND b.c = s.c),
-         |r AS (SELECT doc_id, c, zz,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
-         |  FROM z)
-         |SELECT doc_id, c AS pred_class FROM r WHERE rn = 1
+      s"""WITH $sqlLangIdChain
+         |SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "pl_ccnet" ->
+      s"""WITH $sqlLmNll,
+         |$sqlLangIdChain,
+         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+         |b AS (SELECT p.pred_class, lm.doc_id, lm.lm_nll,
+         |    ntile(3) OVER (PARTITION BY p.pred_class
+         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |  FROM lm JOIN pred p ON lm.doc_id = p.doc_id
+         |  WHERE lm.lm_nll IS NOT NULL)
+         |SELECT doc_id, pred_class, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
          |ORDER BY doc_id""".stripMargin,
     "tx_langid_model" ->
-      s"""WITH w(tok, c, wt) AS (SELECT * FROM (VALUES $sqlLangIdWeights) v(tok, c, wt)),
-         |cls(c, bias) AS (SELECT * FROM (VALUES $sqlLangIdClasses) v(c, bias)),
-         |tok AS (SELECT doc_id, $sqlToks toks FROM documents),
-         |ex AS (SELECT doc_id, unnest(toks) t FROM tok),
-         |sm AS (SELECT ex.doc_id, w.c,
-         |    sum(CAST(round(w.wt * 1e6) AS BIGINT)) AS micro
-         |  FROM ex JOIN w ON ex.t = w.tok GROUP BY ex.doc_id, w.c),
-         |base AS (SELECT t.doc_id, len(t.toks) n, cls.c, cls.bias
-         |  FROM tok t CROSS JOIN cls),
-         |z AS (SELECT b.doc_id, b.c,
-         |    b.bias + CASE WHEN b.n > 0
-         |      THEN (CAST(coalesce(s.micro, 0) AS DOUBLE) / 1e6) / b.n
-         |      ELSE 0.0 END AS zz
-         |  FROM base b LEFT JOIN sm s ON b.doc_id = s.doc_id AND b.c = s.c),
-         |r AS (SELECT doc_id, c, zz,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
-         |  FROM z)
+      s"""WITH $sqlLangIdChain
          |SELECT doc_id, c AS pred_class, round(zz, 6) AS z_max
-         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+         |FROM lr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pl_pack_bpe" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |$sqlBpeWordParts,
