@@ -539,6 +539,16 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("batch_id"))
     }),
+    // fixed-context training chunks with overlap: sliding window of 64
+    // tokens advancing by 48 (HF return_overflowing_tokens semantics) —
+    // the training-sample split, map-only, no shuffle
+    "pl_chunk_train" -> ((s, dir) => {
+      Pipelines.chunkTokens(t(s, dir, "documents"), "text", "doc_id",
+          maxLen = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     // token-budget sequence packing: greedy running-sum batches
     "pl_pack_batches" -> ((s, dir) => {
       val sized = t(s, dir, "documents")
@@ -1737,6 +1747,17 @@ object QueriesPipeline {
          |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "pl_chunk_train" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |st AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+         |ch AS (SELECT s.doc_id, u.i AS chunk_idx,
+         |    array_to_string(s.toks[(u.i*48+1):(u.i*48+64)], ' ') AS ctext,
+         |    least(64, s.n - u.i*48) AS nc
+         |  FROM st s, unnest(range(0, CAST(ceil((s.n - 1) / 48.0) AS BIGINT) + 1)) u(i)
+         |  WHERE u.i*48 < s.n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(nc AS BIGINT) AS n_chunk_tokens, md5(ctext) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "pl_pack_batches" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |sized AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),

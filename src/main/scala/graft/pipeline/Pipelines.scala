@@ -65,6 +65,43 @@ object Pipelines {
     stratifiedSample(docs, sourceCol, idCol, rates, defaultFraction = 0.0)
   }
 
+  /** Fixed-context training chunks with overlap — the sliding-window
+    * split every LM pretraining pipeline applies before batching (HF
+    * `return_overflowing_tokens` semantics): chunk c covers tokens
+    * [c·stride, c·stride + maxLen); starts advance by `stride`
+    * (stride < maxLen ⇒ maxLen − stride tokens of context overlap; the
+    * non-overlapping [[graft.pipeline.Dedup.tokenWindows]] is the dedup
+    * UNIT, this is the training SAMPLE shape), last chunk short, empty
+    * docs emit nothing, every token is covered. Map-only: one staged
+    * tokenize + a position explode — no shuffle, linear in output
+    * tokens (≈ input tokens × maxLen/stride). */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    require(stride >= 1 && stride <= maxLen,
+      "stride must be in [1, maxLen] (stride > maxLen would drop tokens)")
+    val id = col(idCol)
+    // stage the token array as an attribute before the explode: the
+    // position sequence is derived from its SIZE, and exploding over an
+    // inline-tokenize expression re-evaluates it per output row (the
+    // Generate trap) — here the explode payload is a cheap int sequence
+    // and the slice reads the staged attribute once per chunk
+    docs
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(id, col("__toks"), size(col("__toks")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(id, col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          ceil((col("__n") - 1).cast("double") / stride).cast("int"),
+          lit(1))).as("__i"))
+      .filter(col("__i") * stride < col("__n"))
+      .select(id, col("__i").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__i") * stride + 1, lit(maxLen)), " ")
+          .as("chunk_text"),
+        least(lit(maxLen), col("__n") - col("__i") * stride).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Token-budget sequence packing: assign rows (ordered by `orderCol`) to
     * consecutive batches so each batch holds ~`budget` units of `sizeCol`
     * (a row straddling the boundary starts inside its batch — the greedy

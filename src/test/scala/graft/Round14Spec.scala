@@ -172,6 +172,33 @@ class Round14Spec extends SparkSpec {
     assert(secs < 30.0, s"large-vocab apply took ${secs}s — lookup is not O(1)")
   }
 
+  // ---- fixed-context training chunks ----
+
+  test("chunkTokens: sliding windows cover every token, overlap by maxLen-stride, short tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: starts 0,4,8
+      (2L, "a b c"), // fits one chunk
+      (3L, "")).toDF("id", "text") // empty -> nothing
+    val got = graft.pipeline.Pipelines.chunkTokens(docs, "text", "id",
+        maxLen = 6, stride = 4)
+      .orderBy(col("id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4 t5 t6", 6L),
+      (1L, 1L, "t5 t6 t7 t8 t9 t10", 6L),
+      (1L, 2L, "t9 t10", 2L),
+      (2L, 0L, "a b c", 3L)), got.mkString("\n"))
+    // stride == maxLen degenerates to the non-overlapping split
+    val flat = graft.pipeline.Pipelines.chunkTokens(docs, "text", "id", 5, 5)
+      .orderBy(col("id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(flat.toSeq == Seq(
+      (1L, "t1 t2 t3 t4 t5"), (1L, "t6 t7 t8 t9 t10"), (2L, "a b c")),
+      flat.mkString("\n"))
+  }
+
   // ---- linear classifier training (logistic full-batch GD) ----
 
   test("linearFit separates marker tokens and the fit model classifies its corpus") {
