@@ -137,4 +137,38 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert(r(301L) == (("\u0001\u0002\u0007\u0003", 1L, 0L)), "unique control-byte token survives")
     assert(r(303L) == (("", 0L, 0L)), r(303L).toString)
   }
+
+  test("bpeFit survives the degenerate family and learns only from real structure") {
+    // the flood is ONE distinct word-multiset row after the word count, so
+    // merges are driven by content, not copy count explosion; the 100k-token
+    // unigram doc contributes a single ("w", 100000) word row; control
+    // bytes and empty docs must neither throw nor produce empty-string
+    // symbols
+    val merges = TextAnalysis.bpeFit(family, "text", numMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(merges.length == 4, merges.mkString(","))
+    assert(merges.forall { case (l, r, m) =>
+      l.nonEmpty && r.nonEmpty && m == l + r }, merges.mkString(","))
+    // a corpus of ONLY single-char words has no pairs: zero merges, no loop
+    val single = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeFit(single, "text", 5).count() == 0)
+    val empty = Seq((0L, ""), (1L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeFit(empty, "text", 5).count() == 0)
+  }
+
+  test("linearFit survives the degenerate family; constant labels push weights one way") {
+    // all-positive labels: every gradient factor is (p - 1) <= 0, so no
+    // learned weight can ever be negative; empty/control docs ride along
+    val allPos = family.withColumn("__y", lit(1.0))
+    val (w, b) = TextAnalysis.linearFit(allPos, "text", "__y", iterations = 2, lr = 1.0)
+    assert(w.values.forall(_ >= 0.0), w.filter(_._2 < 0).take(3).toString)
+    assert(b > 0.0, b.toString)
+    // flood + healthy separated: the flood's vocabulary gets negative
+    // weight when the flood is labeled 0 and the healthy doc 1
+    val labeled = family.withColumn("__y",
+      when(col("doc_id") === 304L, 1.0).otherwise(0.0))
+    val (w2, _) = TextAnalysis.linearFit(labeled, "text", "__y", iterations = 5, lr = 1.0)
+    assert(w2("workings") > w2("quick"),
+      s"healthy-doc marker must outweigh flood marker: ${w2("workings")} vs ${w2("quick")}")
+  }
 }
