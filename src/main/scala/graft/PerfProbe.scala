@@ -89,6 +89,28 @@ object PerfProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_FIT_N > 0: logistic-trainer scale probe — N synthetic
+    // docs with planted class markers + ~N unique filler tokens (vocab
+    // ~= N), timing per GD iteration and asserting the planted signs.
+    val fitN = sys.env.getOrElse("SPARK_GRAFT_FIT_N", "0").toLong
+    if (fitN > 0) {
+      val sdocs = spark.range(fitN).select(col("id").as("doc_id"),
+        (col("id") % 2).cast("double").as("y"),
+        concat_ws(" ",
+          when(col("id") % 2 === 1, lit("posmark")).otherwise(lit("negmark")),
+          concat(lit("filler"), col("id")),
+          lit("shared tokens everywhere")).as("text"))
+      val t0 = System.nanoTime()
+      val (w, b) = graft.pipeline.TextAnalysis.linearFit(
+        sdocs, "text", "y", iterations = 3, lr = 1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"linear-fit n=$fitN vocab=${w.size} 3 iters: $secs%.2f s " +
+        f"(${secs / 3}%.2f s/iter)")
+      println(s"posmark=${w("posmark")} negmark=${w("negmark")} bias=$b")
+      println(s"MATCH=${w("posmark") > 0 && w("negmark") < 0}")
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     println(s"docs=${docs.count()}")
     def time(label: String)(f: => Long): Unit = {
