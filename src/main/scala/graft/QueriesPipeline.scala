@@ -148,7 +148,19 @@ object QueriesPipeline {
     * AS MATERIALIZED: DuckDB inlines plain CTEs, and each stage
     * references its predecessor ~4 times — unmaterialized, the
     * expansion is 4^rounds parquet scans. */
-  private def sqlBpeFit(rounds: Int): String = {
+  private def sqlBpeFit(rounds: Int): String =
+    s"""WITH ${sqlBpeFitChain(rounds)}
+       |SELECT * FROM (${(0 until rounds).map { k =>
+            s"SELECT ${k + 1} AS rank, l AS lft, r AS rgt, l || r AS merged, " +
+              s"CAST(c AS BIGINT) AS pair_count FROM b$k"
+          }.mkString(" UNION ALL ")}) ORDER BY rank""".stripMargin
+
+  /** The shared fit-chain CTE block of [[sqlBpeFit]] /
+    * `tx_bpe_apply_merges`: word counts, char-split w0, and `rounds`
+    * unrolled merge stages ending in w`rounds` (each word's segmentation
+    * after ALL merges — which IS the merge-order apply result for the
+    * training corpus). */
+  private def sqlBpeFitChain(rounds: Int): String = {
     val stages = (0 until rounds).map { k =>
       s"""p$k AS MATERIALIZED (SELECT t.toks[u.i] AS l, t.toks[u.i+1] AS r, sum(t.cnt) AS c
          |  FROM w$k t, unnest(range(1, len(t.toks))) u(i) GROUP BY 1, 2),
@@ -170,17 +182,12 @@ object QueriesPipeline {
          |  LEFT JOIN kp$k m2 ON e.w = m2.w AND e.p = m2.i + 1
          |  WHERE m2.i IS NULL GROUP BY e.w)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until rounds).map { k =>
-      s"SELECT ${k + 1} AS rank, l AS lft, r AS rgt, l || r AS merged, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM b$k"
-    }.mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+    s"""tok AS (SELECT doc_id, $sqlToks toks FROM documents),
        |wc AS (SELECT w, count(*) AS cnt
        |  FROM (SELECT unnest(toks) w FROM tok) GROUP BY w),
        |w0 AS MATERIALIZED (SELECT w, cnt,
        |  list_transform(range(1, length(w)+1), i -> w[i]) AS toks FROM wc),
-       |$stages
-       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+       |$stages""".stripMargin
   }
 
   /** Logistic-regression TRAINING mirror: [[TextAnalysis.linearFit]]'s
@@ -514,6 +521,20 @@ object QueriesPipeline {
       (w.toSeq.map { case (t, wv) => (t, micro(wv)) } :+
         (("__bias__", micro(b))))
         .toDF("tok", "w_micro").orderBy(col("tok"))
+    }),
+    // ... and the merge-ORDER apply of the freshly fit model (fit +
+    // encode end-to-end, no pre-trained file): the canonical BPE
+    // inference, vs tx_bpe_tokens' longest-match heuristic
+    "tx_bpe_apply_merges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.loadBpeMerges(
+        TextAnalysis.bpeFit(docs, "text", numMerges = 12))
+      docs
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokensByMerges(col("text"), merges).as("__sub"))
+        .select(col("doc_id"), size(col("__sub")).cast("long").as("n_sub"),
+          md5(concat_ws(" ", slice(col("__sub"), 1, 12))).as("first12_md5"))
+        .orderBy(col("doc_id"))
     }),
     // model-driven language ID: multi-class linear classifier apply
     // (fastText-style argmax over per-class weight tables — the CCNet
@@ -1708,6 +1729,24 @@ object QueriesPipeline {
          |FROM z ORDER BY doc_id""".stripMargin,
     "tx_bpe_fit" -> sqlBpeFit(12),
     "tx_linear_fit" -> sqlLinearFit(3, 0.5),
+    // w12 of the fit chain IS each training word's merge-order apply
+    // result (applying a learned list in rank order = the training
+    // segmentation); join word occurrences back in document order
+    "tx_bpe_apply_merges" ->
+      s"""WITH ${sqlBpeFitChain(12)},
+         |occ AS (SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS w
+         |  FROM tok t, unnest(range(1, len(t.toks)+1)) u(i)),
+         |sub AS (SELECT o.doc_id, o.pos, w12.toks AS parts
+         |  FROM occ o JOIN w12 ON o.w = w12.w),
+         |agg AS (SELECT doc_id, sum(len(parts)) AS n_sub,
+         |    flatten(list(parts ORDER BY pos)) AS allsub
+         |  FROM sub GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, coalesce(a.n_sub, 0) AS n_sub,
+         |    coalesce(a.allsub, CAST([] AS VARCHAR[])) AS allsub
+         |  FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, CAST(n_sub AS BIGINT) AS n_sub,
+         |  md5(array_to_string(allsub[1:12], ' ')) AS first12_md5
+         |FROM base ORDER BY doc_id""".stripMargin,
     "st_langid_stream" ->
       s"""WITH $sqlLangIdChain
          |SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1

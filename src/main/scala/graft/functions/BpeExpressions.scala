@@ -132,3 +132,98 @@ object BpeMergePair {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Merge-ORDER BPE encode — the canonical inference of a trained BPE
+  * model (Sennrich et al. 2016 / the HF tokenizers algorithm): per word,
+  * repeatedly merge the adjacent pair with the LOWEST merge rank until no
+  * adjacent pair is in the merge table (each round merges every
+  * occurrence of that pair, greedy leftmost). For a merge list produced
+  * by training this equals applying the merges in rank order — a pair
+  * involving a merged symbol always ranks after the merge that created
+  * the symbol — and reproduces each training word's final training
+  * segmentation exactly. [[BpeGreedyTokens]] is the longest-match
+  * (WordPiece-style) heuristic over a FLAT vocab; this is the faithful
+  * apply for a merges file / [[graft.pipeline.TextAnalysis.bpeFit]]
+  * output. Map-only, static-kernel codegen, same trim/split contract as
+  * the other text kernels. O(rounds * len) per word with O(1) hash rank
+  * lookups; rank-scan loops suit bounded merge lists (a 30k-merge
+  * production encode would want the heap variant — documented cutover). */
+case class BpeMergeOrderTokens(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def prettyName: String = "bpe_merge_order_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val table: BpeMergeOrderTokens.Ranks =
+    new BpeMergeOrderTokens.Ranks(merges)
+
+  override def nullSafeEval(t: Any): Any =
+    BpeMergeOrderTokens.tokenize(t.asInstanceOf[UTF8String], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", table,
+      classOf[BpeMergeOrderTokens.Ranks].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.BpeMergeOrderTokens$$.MODULE$$
+         |  .tokenize($c, $ranksRef);""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeMergeOrderTokens {
+  /** pair -> rank (key = "left right"; merge symbols never contain
+    * whitespace — words come from a \s+ split — so the space-joined key
+    * is unambiguous); first listing of a duplicate pair wins (training
+    * never emits duplicates; a malformed file stays deterministic). */
+  final class Ranks(merges: Seq[(String, String)]) extends Serializable {
+    val map = new java.util.HashMap[String, Integer](
+      math.max(16, merges.length * 2))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      map.putIfAbsent(l + " " + r, Integer.valueOf(i))
+    }
+  }
+
+  def tokenize(text: UTF8String, ranks: Ranks): ArrayData = {
+    // trim SPACES only (the BpeGreedyTokens contract and why)
+    val raw = text.toString
+    var st = 0; var en = raw.length
+    while (st < en && raw.charAt(st) == ' ') st += 1
+    while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+    val s = raw.substring(st, en)
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[AnyRef]()
+    for (w <- s.split("\\s+") if w.nonEmpty) {
+      var toks = new Array[String](w.length)
+      var ci = 0
+      while (ci < w.length) { toks(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+      var done = false
+      while (!done && toks.length > 1) {
+        var best = -1
+        var bl: String = null; var br: String = null
+        var i = 0
+        while (i < toks.length - 1) {
+          val r = ranks.map.get(toks(i) + " " + toks(i + 1))
+          if (r != null && (best == -1 || r.intValue < best)) {
+            best = r.intValue; bl = toks(i); br = toks(i + 1)
+          }
+          i += 1
+        }
+        if (best == -1) done = true
+        else {
+          val nb = new java.util.ArrayList[String](toks.length)
+          var j = 0
+          while (j < toks.length) {
+            if (j + 1 < toks.length && toks(j) == bl && toks(j + 1) == br) {
+              nb.add(bl + br); j += 2
+            } else { nb.add(toks(j)); j += 1 }
+          }
+          toks = nb.toArray(new Array[String](nb.size))
+        }
+      }
+      var k = 0
+      while (k < toks.length) { out.add(UTF8String.fromString(toks(k))); k += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -68,6 +68,31 @@ object TextAnalysis {
   def subwordCount(text: Column, vocab: Seq[String]): Column =
     size(bpeTokens(text, vocab))
 
+  /** Merge-ORDER BPE encode from an ordered merge list — the faithful
+    * inference of a trained BPE model ([[graft.functions.BpeMergeOrderTokens]];
+    * [[bpeTokens]] is the longest-match heuristic over a flat vocab).
+    * Feed it [[bpeFit]]'s (lft, rgt) rows in rank order, or a merges
+    * file via [[loadBpeMerges]]. */
+  def bpeTokensByMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    CatalystBridge.column(graft.functions.BpeMergeOrderTokens(
+      CatalystBridge.expression(text), merges))
+  }
+
+  /** Ordered merge list from a merges DataFrame (rank, lft, rgt — the
+    * [[bpeFit]] output shape / a merges.txt read as columns). Bounded
+    * collect with a mis-pointed-table guard; sorted by rank. */
+  def loadBpeMerges(mergesDf: org.apache.spark.sql.DataFrame,
+      rankCol: String = "rank", leftCol: String = "lft",
+      rightCol: String = "rgt", maxEntries: Int = 1 << 21): Seq[(String, String)] = {
+    val n = mergesDf.count()
+    require(n <= maxEntries,
+      s"merge table has $n entries (> $maxEntries): not a BPE merges file")
+    mergesDf.select(col(rankCol).cast("long"), col(leftCol).cast("string"),
+        col(rightCol).cast("string")).na.drop()
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** BPE vocabulary TRAINING — the merge-learning step of Sennrich et
     * al. 2016 ("Neural Machine Translation of Rare Words with Subword
     * Units", the public algorithm): start from characters, repeatedly

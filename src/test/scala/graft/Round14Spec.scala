@@ -294,6 +294,47 @@ class Round14Spec extends SparkSpec {
     assert(TextAnalysis.bpeFit(empty, "text", 5).count() == 0)
   }
 
+  test("bpeTokensByMerges applies merges by RANK, diverging from longest-match where it should") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    // merges ranked: (a,b) < (c,d) < (b,c). On "bcd" the rank order
+    // merges (c,d) first -> [b, cd]; longest-match over the flat vocab
+    // {ab, cd, bc} eats "bc" from the left -> [bc, d]. Both are
+    // "valid-looking" splits; only the first is what the trained model
+    // means.
+    val merges = Seq(("a", "b"), ("c", "d"), ("b", "c"))
+    val df = Seq((1L, "bcd abcd"), (2L, ""), (3L, "xyz")).toDF("id", "t")
+    val byMerges = df.select(col("id"),
+        TextAnalysis.bpeTokensByMerges(col("t"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byMerges(1L) == Seq("b", "cd", "ab", "cd"), byMerges(1L).toString)
+    assert(byMerges(2L) == Seq.empty, byMerges(2L).toString)
+    assert(byMerges(3L) == Seq("x", "y", "z"), byMerges(3L).toString)
+    val byVocab = df.filter(col("id") === 1L).select(
+        TextAnalysis.bpeTokens(col("t"), Seq("ab", "cd", "bc")))
+      .collect()(0).getSeq[String](0)
+    assert(byVocab == Seq("bc", "d", "ab", "cd"), byVocab.toString)
+  }
+
+  test("bpeTokensByMerges reproduces the training segmentation of fit words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    // 4 merges: es, est, lo, low (pinned above) — training leaves
+    // "lower" as [low, e, r] and "widest" as [w, i, d, est]
+    val merges = TextAnalysis.loadBpeMerges(TextAnalysis.bpeFit(docs, "text", 4))
+    val got = Seq((1L, "lower widest")).toDF("id", "t")
+      .select(TextAnalysis.bpeTokensByMerges(col("t"), merges))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("low", "e", "r", "w", "i", "d", "est"), got.toString)
+  }
+
   test("bpeFitVocab feeds bpeTokens: fit + apply end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
