@@ -197,7 +197,12 @@ object QueriesPipeline {
     * chain is bit-deterministic; the only floats are per-doc sigmoids
     * and the bias chain, with round-half-away-from-zero on both engines.
     * Label: lang = 'en'. */
-  private def sqlLinearFit(iters: Int, lr: Double): String = {
+  private def sqlLinearFit(iters: Int, lr: Double, ngrams: Int = 1): String = {
+    // fastText wordNgrams: features = unigrams (++ space-joined bigrams)
+    val feat = if (ngrams == 1) "toks" else
+      """toks || CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
     val stages = (0 until iters).map { k =>
       s"""s$k AS (SELECT c.doc_id, sum(w.wm * c.c) AS sm
          |  FROM cnt c JOIN w$k w ON c.t = w.tok GROUP BY 1),
@@ -221,9 +226,10 @@ object QueriesPipeline {
          |    $lr * (SELECT sum(fb) FROM f$k) /
          |    ((SELECT nn FROM nd) * 1e9) AS b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (SELECT doc_id,
+    s"""WITH tok0 AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    $sqlToks toks FROM documents),
+       |tok AS (SELECT doc_id, y, $feat AS toks FROM tok0),
        |d AS MATERIALIZED (SELECT doc_id, y, len(toks) AS n FROM tok),
        |cnt AS MATERIALIZED (SELECT doc_id, t, count(*) AS c
        |  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2),
@@ -535,6 +541,22 @@ object QueriesPipeline {
         .select(col("doc_id"), size(col("__sub")).cast("long").as("n_sub"),
           md5(concat_ws(" ", slice(col("__sub"), 1, 12))).as("first12_md5"))
         .orderBy(col("doc_id"))
+    }),
+    // the same trainer with fastText wordNgrams=2: unigram + word-bigram
+    // features (bigrams stay strings — the weight table IS the bucket
+    // table), exercising feature extraction through fit AND the exact
+    // integer gradient chains over a 10x bigger feature space
+    "tx_linear_fit_bigram" -> ((s, dir) => {
+      val (w, b) = TextAnalysis.linearFit(
+        t(s, dir, "documents").withColumn("__lab",
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "text", "__lab", iterations = 2, lr = 0.5, wordNgrams = 2)
+      import s.implicits._
+      def micro(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (w.toSeq.map { case (tk, wv) => (tk, micro(wv)) } :+
+        (("__bias__", micro(b))))
+        .toDF("tok", "w_micro").orderBy(col("tok"))
     }),
     // model-driven language ID: multi-class linear classifier apply
     // (fastText-style argmax over per-class weight tables — the CCNet
@@ -1729,6 +1751,7 @@ object QueriesPipeline {
          |FROM z ORDER BY doc_id""".stripMargin,
     "tx_bpe_fit" -> sqlBpeFit(12),
     "tx_linear_fit" -> sqlLinearFit(3, 0.5),
+    "tx_linear_fit_bigram" -> sqlLinearFit(2, 0.5, ngrams = 2),
     // w12 of the fit chain IS each training word's merge-order apply
     // result (applying a learned list in rank order = the training
     // segmentation); join word occurrences back in document order

@@ -195,9 +195,9 @@ object TextAnalysis {
     * (a double fold would be addition-order-dependent). Unknown tokens
     * weigh 0; an empty doc scores sigmoid(bias). */
   def linearQualityScore(text: Column, weights: Map[String, Double],
-      bias: Double = 0.0): Column = {
+      bias: Double = 0.0, wordNgrams: Int = 1): Column = {
     require(weights.nonEmpty, "empty weight table")
-    val toks = tokens(text)
+    val toks = featureTokens(tokens(text), wordNgrams)
     val n = size(toks)
     val sumMicro = element_at(linearClassSums(toks, 1,
       weights.map { case (t, w) => t -> Seq(w) }), 1)
@@ -238,14 +238,14 @@ object TextAnalysis {
     * partitioning), z is one double op per class. */
   def linearClassifyScores(text: Column, classes: Seq[String],
       weights: Map[String, Seq[Double]],
-      biases: Seq[Double] = Nil): Column = {
+      biases: Seq[Double] = Nil, wordNgrams: Int = 1): Column = {
     require(classes.nonEmpty, "no classes")
     require(classes.distinct.length == classes.length, "duplicate class names")
     val b = if (biases.isEmpty) classes.map(_ => 0.0) else biases
     require(b.length == classes.length, "one bias per class")
     require(weights.values.forall(_.length == classes.length),
       "every weight row must carry one value per class")
-    val toks = tokens(text)
+    val toks = featureTokens(tokens(text), wordNgrams)
     val n = size(toks)
     val sums = linearClassSums(toks, classes.length, weights)
     zip_with(typedLit(b), sums, (bias, s) =>
@@ -257,10 +257,27 @@ object TextAnalysis {
     * sorted for a canonical tie-break). */
   def linearClassifyLabel(text: Column, classes: Seq[String],
       weights: Map[String, Seq[Double]],
-      biases: Seq[Double] = Nil): Column = {
-    val z = linearClassifyScores(text, classes, weights, biases)
+      biases: Seq[Double] = Nil, wordNgrams: Int = 1): Column = {
+    val z = linearClassifyScores(text, classes, weights, biases, wordNgrams)
     element_at(typedLit(classes),
       array_position(z, array_max(z)).cast("int"))
+  }
+
+  /** Bag-of-features array for the linear classifiers: unigrams plus,
+    * for `wordNgrams >= 2`, space-joined word n-grams up to that order —
+    * fastText's `wordNgrams` (Joulin et al. 2016; there the n-grams are
+    * hashed into buckets, here they stay strings — the weight table is
+    * the bucket table). `toks` must be a staged/cheap column; the n-gram
+    * transforms index it positionally (no re-tokenization per n-gram). */
+  def featureTokens(toks: Column, wordNgrams: Int): Column = {
+    require(wordNgrams >= 1 && wordNgrams <= 3, "wordNgrams must be 1..3")
+    (2 to wordNgrams).foldLeft(toks) { (acc, n) =>
+      concat(acc,
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(o => element_at(toks, i + o)): _*))))
+    }
   }
 
   /** Linear text-classifier TRAINING — binary logistic regression by
@@ -286,11 +303,13 @@ object TextAnalysis {
     * real units — micro-grained, so the apply's re-quantization is
     * exact — and the bias). */
   def linearFit(df: DataFrame, textCol: String, labelCol: String,
-      iterations: Int = 5, lr: Double = 0.5): (Map[String, Double], Double) = {
+      iterations: Int = 5, lr: Double = 0.5,
+      wordNgrams: Int = 1): (Map[String, Double], Double) = {
     require(iterations >= 0, "iterations must be >= 0")
     val base = df
       .select(col(labelCol).cast("double").as("__y"),
-        tokens(col(textCol)).as("__toks"))
+        tokens(col(textCol)).as("__t0"))
+      .select(col("__y"), featureTokens(col("__t0"), wordNgrams).as("__toks"))
       .cache()
     try {
       val nDocs = base.count()
@@ -338,7 +357,7 @@ object TextAnalysis {
     * exact shape [[linearClassifyScores]]/[[linearClassifyLabel]]
     * consume. */
   def linearFitOneVsAll(df: DataFrame, textCol: String, classCol: String,
-      iterations: Int = 5, lr: Double = 0.5)
+      iterations: Int = 5, lr: Double = 0.5, wordNgrams: Int = 1)
       : (Seq[String], Map[String, Seq[Double]], Seq[Double]) = {
     val classes = df.select(col(classCol).cast("string")).na.drop()
       .distinct().collect().map(_.getString(0)).sorted.toSeq
@@ -346,7 +365,7 @@ object TextAnalysis {
     val fits = classes.map { c =>
       linearFit(df.withColumn("__lab",
           when(col(classCol).cast("string") === c, 1.0).otherwise(0.0)),
-        textCol, "__lab", iterations, lr)
+        textCol, "__lab", iterations, lr, wordNgrams)
     }
     val vocab = fits.flatMap(_._1.keys).distinct
     val table = vocab.map { t =>

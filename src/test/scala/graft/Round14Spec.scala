@@ -219,6 +219,32 @@ class Round14Spec extends SparkSpec {
       scored.take(6).mkString(","))
   }
 
+  test("wordNgrams=2 separates an order-only corpus that unigrams provably cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    // the two classes have IDENTICAL unigram bags; only word ORDER
+    // (the bigram) differs — the fastText wordNgrams case
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta", 1.0)
+      else (i.toLong, "beta alpha", 0.0)
+    }.toDF("id", "text", "y")
+    val (w1, b1) = TextAnalysis.linearFit(docs, "text", "y", 10, 2.0)
+    val s1 = docs.select(col("y"),
+        TextAnalysis.linearQualityScore(col("text"), w1, b1).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(s1.map(_._2).distinct.length == 1,
+      s"unigram model must score both orders identically: ${s1.take(2).mkString(",")}")
+    val (w2, b2) = TextAnalysis.linearFit(docs, "text", "y", 10, 2.0, wordNgrams = 2)
+    assert(w2("alpha beta") > 0 && w2("beta alpha") < 0,
+      s"${w2.get("alpha beta")} vs ${w2.get("beta alpha")}")
+    val s2 = docs.select(col("y"),
+        TextAnalysis.linearQualityScore(col("text"), w2, b2, wordNgrams = 2).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(s2.forall { case (y, p) => (y > 0.5) == (p > 0.5) },
+      s2.take(4).mkString(","))
+  }
+
   test("linearFit is bit-deterministic under repartitioning") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
