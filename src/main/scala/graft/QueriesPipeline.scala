@@ -28,25 +28,30 @@ object QueriesPipeline {
   // pl_lm_buckets oracles — mirrors TextAnalysis.bigramLmScore term by
   // term (capped tokens, compressed (doc,bigram,multiplicity), add-0.5
   // smoothing, m·ln p, round 4). Yields table lm(doc_id, lm_nll).
-  private val sqlLmNll =
-    s"""ltok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM documents),
-       |lbge AS (SELECT doc_id,
+  /** Bigram add-k LM chain ending in `${p}m(doc_id, lm_nll)`, fit on
+    * (and scoring) `src` — parameterized so per-language CCNet fits one
+    * chain per predicted-language subset. */
+  private def sqlLmNllFor(p: String, src: String): String =
+    s"""${p}tok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $src),
+       |${p}bge AS (SELECT doc_id,
        |    unnest(CASE WHEN len(toks) >= 2
        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
        |      ELSE CAST([] AS VARCHAR[]) END) AS bg
-       |  FROM ltok),
-       |ldbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS m
-       |  FROM lbge GROUP BY 1, 2, 3),
-       |lbgc AS (SELECT bg, sum(m) AS c_bg FROM ldbg GROUP BY bg),
-       |llc AS (SELECT w1, sum(m) AS c_left FROM ldbg GROUP BY w1),
-       |lv AS (SELECT count(DISTINCT w) AS v
-       |  FROM (SELECT unnest(toks) AS w FROM ltok) u),
-       |lsc AS (SELECT d.doc_id,
-       |    -sum(d.m * ln((c.c_bg + 0.5) / (l.c_left + 0.5 * lv.v))) / sum(d.m) AS nll
-       |  FROM ldbg d JOIN lbgc c USING (bg) JOIN llc l USING (w1) CROSS JOIN lv
+       |  FROM ${p}tok),
+       |${p}dbg AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS m
+       |  FROM ${p}bge GROUP BY 1, 2, 3),
+       |${p}bgc AS (SELECT bg, sum(m) AS c_bg FROM ${p}dbg GROUP BY bg),
+       |${p}lc AS (SELECT w1, sum(m) AS c_left FROM ${p}dbg GROUP BY w1),
+       |${p}v AS (SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM ${p}tok) u),
+       |${p}sc AS (SELECT d.doc_id,
+       |    -sum(d.m * ln((c.c_bg + 0.5) / (l.c_left + 0.5 * ${p}v.v))) / sum(d.m) AS nll
+       |  FROM ${p}dbg d JOIN ${p}bgc c USING (bg) JOIN ${p}lc l USING (w1) CROSS JOIN ${p}v
        |  GROUP BY d.doc_id),
-       |lm AS (SELECT d.doc_id, round(s.nll, 4) AS lm_nll
-       |  FROM documents d LEFT JOIN lsc s ON d.doc_id = s.doc_id)""".stripMargin
+       |${p}m AS (SELECT d.doc_id, round(s.nll, 4) AS lm_nll
+       |  FROM $src d LEFT JOIN ${p}sc s ON d.doc_id = s.doc_id)""".stripMargin
+
+  private val sqlLmNll = sqlLmNllFor("l", "documents")
 
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
   private[graft] val Bm25Terms = Seq("vector", "join", "spark")
@@ -880,6 +885,32 @@ object QueriesPipeline {
       val w = Window.partitionBy(col("pred_class"))
         .orderBy(col("lm_nll"), col("doc_id"))
       pred.join(lm, "doc_id").filter(col("lm_nll").isNotNull)
+        .withColumn("bucket", ntile(3).over(w))
+        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
+          pmod(graft.functions.hash60(col("doc_id").cast("string")),
+            lit(1000)) < 500))
+        .select(col("doc_id"), col("pred_class"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the TRUE CCNet scoring: one LM PER predicted language, each doc
+    // scored by its own language's model (Wenzek et al. 2019 fit one
+    // KenLM per language) — classes are bounded, so per-class fits grow
+    // the plan linearly; a many-language production run loops with
+    // persisted per-lang models (bigramLmFit/Apply) instead
+    "pl_ccnet_perlang" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+          LangIdWeights, LangIdBiases).as("pred_class"))
+      val scored = LangIdClasses.map { c =>
+        TextAnalysis.bigramLmScore(pred.filter(col("pred_class") === c))
+          .withColumn("pred_class", lit(c))
+      }.reduce(_.unionByName(_))
+      val w = Window.partitionBy(col("pred_class"))
+        .orderBy(col("lm_nll"), col("doc_id"))
+      scored.filter(col("lm_nll").isNotNull)
         .withColumn("bucket", ntile(3).over(w))
         .filter(col("bucket") === 1 || (col("bucket") === 2 &&
           pmod(graft.functions.hash60(col("doc_id").cast("string")),
@@ -1773,6 +1804,27 @@ object QueriesPipeline {
     "st_langid_stream" ->
       s"""WITH $sqlLangIdChain
          |SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "pl_ccnet_perlang" ->
+      s"""WITH $sqlLangIdChain,
+         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'de'),
+         |${sqlLmNllFor("xde", "src_de")},
+         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'en'),
+         |${sqlLmNllFor("xen", "src_en")},
+         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'fr'),
+         |${sqlLmNllFor("xfr", "src_fr")},
+         |allscored AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM xdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM xenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM xfrm),
+         |b AS (SELECT pred_class, doc_id, lm_nll,
+         |    ntile(3) OVER (PARTITION BY pred_class
+         |                   ORDER BY lm_nll, doc_id) AS bucket
+         |  FROM allscored WHERE lm_nll IS NOT NULL)
+         |SELECT doc_id, pred_class, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
          |ORDER BY doc_id""".stripMargin,
     "pl_ccnet" ->
       s"""WITH $sqlLmNll,
