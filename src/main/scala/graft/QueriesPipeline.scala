@@ -202,12 +202,17 @@ object QueriesPipeline {
     * chain is bit-deterministic; the only floats are per-doc sigmoids
     * and the bias chain, with round-half-away-from-zero on both engines.
     * Label: lang = 'en'. */
-  private def sqlLinearFit(iters: Int, lr: Double, ngrams: Int = 1): String = {
-    // fastText wordNgrams: features = unigrams (++ space-joined bigrams)
+  private def sqlLinearFit(iters: Int, lr: Double, ngrams: Int = 1,
+      buckets: Int = 0): String = {
+    // fastText wordNgrams: features = unigrams (++ space-joined bigrams,
+    // optionally hashed into `buckets` bucket tokens)
+    val bg =
+      if (buckets == 0) "toks[i] || ' ' || toks[i+1]"
+      else s"'#' || CAST(${sqlHash60("toks[i] || ' ' || toks[i+1]")} % $buckets AS VARCHAR)"
     val feat = if (ngrams == 1) "toks" else
-      """toks || CASE WHEN len(toks) >= 2
-        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+      s"""toks || CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)), i -> $bg)
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
     val stages = (0 until iters).map { k =>
       s"""s$k AS (SELECT c.doc_id, sum(w.wm * c.c) AS sm
          |  FROM cnt c JOIN w$k w ON c.t = w.tok GROUP BY 1),
@@ -556,6 +561,22 @@ object QueriesPipeline {
         t(s, dir, "documents").withColumn("__lab",
           when(col("lang") === "en", 1.0).otherwise(0.0)),
         "text", "__lab", iterations = 2, lr = 0.5, wordNgrams = 2)
+      import s.implicits._
+      def micro(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      (w.toSeq.map { case (tk, wv) => (tk, micro(wv)) } :+
+        (("__bias__", micro(b))))
+        .toDF("tok", "w_micro").orderBy(col("tok"))
+    }),
+    // the SCALE form of the bigram trainer: n-grams hashed into 64
+    // bucket tokens (fastText's `bucket` option) — the weight table is
+    // capped at |unigrams| + buckets no matter how large the corpus
+    "tx_linear_fit_hashed" -> ((s, dir) => {
+      val (w, b) = TextAnalysis.linearFit(
+        t(s, dir, "documents").withColumn("__lab",
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "text", "__lab", iterations = 2, lr = 0.5, wordNgrams = 2,
+        hashBuckets = 64)
       import s.implicits._
       def micro(x: Double): Long = new java.math.BigDecimal(x * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
@@ -1783,6 +1804,7 @@ object QueriesPipeline {
     "tx_bpe_fit" -> sqlBpeFit(12),
     "tx_linear_fit" -> sqlLinearFit(3, 0.5),
     "tx_linear_fit_bigram" -> sqlLinearFit(2, 0.5, ngrams = 2),
+    "tx_linear_fit_hashed" -> sqlLinearFit(2, 0.5, ngrams = 2, buckets = 64),
     // w12 of the fit chain IS each training word's merge-order apply
     // result (applying a learned list in rank order = the training
     // segmentation); join word occurrences back in document order

@@ -195,9 +195,9 @@ object TextAnalysis {
     * (a double fold would be addition-order-dependent). Unknown tokens
     * weigh 0; an empty doc scores sigmoid(bias). */
   def linearQualityScore(text: Column, weights: Map[String, Double],
-      bias: Double = 0.0, wordNgrams: Int = 1): Column = {
+      bias: Double = 0.0, wordNgrams: Int = 1, hashBuckets: Int = 0): Column = {
     require(weights.nonEmpty, "empty weight table")
-    val toks = featureTokens(tokens(text), wordNgrams)
+    val toks = featureTokens(tokens(text), wordNgrams, hashBuckets)
     val n = size(toks)
     val sumMicro = element_at(linearClassSums(toks, 1,
       weights.map { case (t, w) => t -> Seq(w) }), 1)
@@ -238,14 +238,15 @@ object TextAnalysis {
     * partitioning), z is one double op per class. */
   def linearClassifyScores(text: Column, classes: Seq[String],
       weights: Map[String, Seq[Double]],
-      biases: Seq[Double] = Nil, wordNgrams: Int = 1): Column = {
+      biases: Seq[Double] = Nil, wordNgrams: Int = 1,
+      hashBuckets: Int = 0): Column = {
     require(classes.nonEmpty, "no classes")
     require(classes.distinct.length == classes.length, "duplicate class names")
     val b = if (biases.isEmpty) classes.map(_ => 0.0) else biases
     require(b.length == classes.length, "one bias per class")
     require(weights.values.forall(_.length == classes.length),
       "every weight row must carry one value per class")
-    val toks = featureTokens(tokens(text), wordNgrams)
+    val toks = featureTokens(tokens(text), wordNgrams, hashBuckets)
     val n = size(toks)
     val sums = linearClassSums(toks, classes.length, weights)
     zip_with(typedLit(b), sums, (bias, s) =>
@@ -257,8 +258,10 @@ object TextAnalysis {
     * sorted for a canonical tie-break). */
   def linearClassifyLabel(text: Column, classes: Seq[String],
       weights: Map[String, Seq[Double]],
-      biases: Seq[Double] = Nil, wordNgrams: Int = 1): Column = {
-    val z = linearClassifyScores(text, classes, weights, biases, wordNgrams)
+      biases: Seq[Double] = Nil, wordNgrams: Int = 1,
+      hashBuckets: Int = 0): Column = {
+    val z = linearClassifyScores(text, classes, weights, biases, wordNgrams,
+      hashBuckets)
     element_at(typedLit(classes),
       array_position(z, array_max(z)).cast("int"))
   }
@@ -269,14 +272,33 @@ object TextAnalysis {
     * hashed into buckets, here they stay strings — the weight table is
     * the bucket table). `toks` must be a staged/cheap column; the n-gram
     * transforms index it positionally (no re-tokenization per n-gram). */
-  def featureTokens(toks: Column, wordNgrams: Int): Column = {
+  def featureTokens(toks: Column, wordNgrams: Int): Column =
+    featureTokens(toks, wordNgrams, hashBuckets = 0)
+
+  /** [[featureTokens]] with fastText's n-gram HASH BUCKETS: for
+    * `hashBuckets` = B > 0, each n-gram (n >= 2) becomes the bucket
+    * token `"#" + (hash60(ngram) mod B)` instead of its raw string.
+    * Unigram vocab is corpus-bounded, but raw bigram vocab is
+    * quadratic in it — unbounded at crawl scale; bucketing caps the
+    * weight table at |unigrams| + B exactly as fastText's `bucket`
+    * option does (collisions share a weight, the standard trade).
+    * Bucket tokens start with '#', which [[tokens]] can also emit —
+    * harmless: a colliding literal token just shares the bucket weight,
+    * same as any other hash collision. */
+  def featureTokens(toks: Column, wordNgrams: Int, hashBuckets: Int): Column = {
     require(wordNgrams >= 1 && wordNgrams <= 3, "wordNgrams must be 1..3")
+    require(hashBuckets >= 0, "hashBuckets must be >= 0")
     (2 to wordNgrams).foldLeft(toks) { (acc, n) =>
       concat(acc,
         when(size(toks) < n, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(o => element_at(toks, i + o)): _*))))
+            i => {
+              val ngram = concat_ws(" ",
+                (0 until n).map(o => element_at(toks, i + o)): _*)
+              if (hashBuckets == 0) ngram
+              else concat(lit("#"),
+                pmod(hash60(ngram), lit(hashBuckets.toLong)).cast("string"))
+            })))
     }
   }
 
@@ -304,12 +326,13 @@ object TextAnalysis {
     * exact — and the bias). */
   def linearFit(df: DataFrame, textCol: String, labelCol: String,
       iterations: Int = 5, lr: Double = 0.5,
-      wordNgrams: Int = 1): (Map[String, Double], Double) = {
+      wordNgrams: Int = 1, hashBuckets: Int = 0): (Map[String, Double], Double) = {
     require(iterations >= 0, "iterations must be >= 0")
     val base = df
       .select(col(labelCol).cast("double").as("__y"),
         tokens(col(textCol)).as("__t0"))
-      .select(col("__y"), featureTokens(col("__t0"), wordNgrams).as("__toks"))
+      .select(col("__y"),
+        featureTokens(col("__t0"), wordNgrams, hashBuckets).as("__toks"))
       .cache()
     try {
       val nDocs = base.count()
@@ -357,7 +380,8 @@ object TextAnalysis {
     * exact shape [[linearClassifyScores]]/[[linearClassifyLabel]]
     * consume. */
   def linearFitOneVsAll(df: DataFrame, textCol: String, classCol: String,
-      iterations: Int = 5, lr: Double = 0.5, wordNgrams: Int = 1)
+      iterations: Int = 5, lr: Double = 0.5, wordNgrams: Int = 1,
+      hashBuckets: Int = 0)
       : (Seq[String], Map[String, Seq[Double]], Seq[Double]) = {
     val classes = df.select(col(classCol).cast("string")).na.drop()
       .distinct().collect().map(_.getString(0)).sorted.toSeq
@@ -365,7 +389,7 @@ object TextAnalysis {
     val fits = classes.map { c =>
       linearFit(df.withColumn("__lab",
           when(col(classCol).cast("string") === c, 1.0).otherwise(0.0)),
-        textCol, "__lab", iterations, lr, wordNgrams)
+        textCol, "__lab", iterations, lr, wordNgrams, hashBuckets)
     }
     val vocab = fits.flatMap(_._1.keys).distinct
     val table = vocab.map { t =>

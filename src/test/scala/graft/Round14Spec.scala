@@ -245,6 +245,32 @@ class Round14Spec extends SparkSpec {
       s2.take(4).mkString(","))
   }
 
+  test("hashBuckets caps the n-gram weight table at |unigrams| + buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.TextAnalysis
+    // 200 docs x distinct word pairs -> ~400 raw bigrams; with 16
+    // buckets the learned table is bounded by unigrams + 16
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"w${i} w${(i * 7) % 200} common", if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("id", "text", "y")
+    val (wRaw, _) = TextAnalysis.linearFit(docs, "text", "y", 1, 1.0, wordNgrams = 2)
+    val (wHash, _) = TextAnalysis.linearFit(docs, "text", "y", 1, 1.0,
+      wordNgrams = 2, hashBuckets = 16)
+    val unigrams = wHash.keySet.filterNot(_.startsWith("#"))
+    val bucketToks = wHash.keySet.filter(_.startsWith("#"))
+    assert(bucketToks.nonEmpty && bucketToks.size <= 16, bucketToks.toString)
+    assert(wHash.size <= unigrams.size + 16)
+    assert(wRaw.size > wHash.size, s"${wRaw.size} vs ${wHash.size}")
+    // hashed apply consumes the hashed model consistently (scores land
+    // in (0, 1) and the pipeline runs end-to-end)
+    val p = docs.select(TextAnalysis.linearQualityScore(col("text"), wHash,
+        0.0, wordNgrams = 2, hashBuckets = 16).as("p"))
+      .agg(org.apache.spark.sql.functions.min(col("p")),
+        org.apache.spark.sql.functions.max(col("p"))).head
+    assert(p.getDouble(0) > 0.0 && p.getDouble(1) < 1.0, p.toString)
+  }
+
   test("linearFit is bit-deterministic under repartitioning") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
