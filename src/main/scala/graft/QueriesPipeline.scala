@@ -286,6 +286,28 @@ object QueriesPipeline {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
        |  FROM liz)""".stripMargin
 
+  /** Per-class tercile VALUE-CUTOFF buckets — mirrors
+    * Pipelines.quantileBuckets(q=3): cutoff i = the smallest score whose
+    * per-class running count reaches ⌈i·n/3⌉ (exact integer arithmetic,
+    * `cum·3 >= i·n`), bucket = compare against the two cutoffs. Expects
+    * a `tscored($cls, doc_id, lm_nll)` CTE with non-null scores; yields
+    * `b` = tscored + bucket. (The oracle may use a window over the
+    * DISTINCT-score table — value-level, small; the Spark side folds a
+    * sorted per-class array instead, no window at all.) */
+  private def sqlTercileBuckets(cls: String): String =
+    s"""tcnts AS (SELECT $cls AS tcls, lm_nll, count(*) c
+       |  FROM tscored GROUP BY 1, 2),
+       |tcum AS (SELECT tcls, lm_nll, c,
+       |    sum(c) OVER (PARTITION BY tcls ORDER BY lm_nll) cum,
+       |    sum(c) OVER (PARTITION BY tcls) n FROM tcnts),
+       |tcut AS (SELECT tcls,
+       |    min(CASE WHEN cum*3 >= n THEN lm_nll END) t1,
+       |    min(CASE WHEN cum*3 >= 2*n THEN lm_nll END) t2
+       |  FROM tcum GROUP BY tcls),
+       |b AS (SELECT s.*, CASE WHEN s.lm_nll <= t.t1 THEN 1
+       |    WHEN s.lm_nll <= t.t2 THEN 2 ELSE 3 END AS bucket
+       |  FROM tscored s JOIN tcut t ON s.$cls = t.tcls)""".stripMargin
+
   /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
     * words: each step consumes the longest vocab entry prefixing the
     * remaining suffix (char fallback when none). Yields wp(w, parts).
@@ -848,20 +870,22 @@ object QueriesPipeline {
       TextAnalysis.trigramLmApply(lm, docs.filter(col("doc_id") >= 250))
         .orderBy(col("doc_id"))
     }),
-    // ... and the bucketing that consumes it: per-LANGUAGE terciles of the
-    // rounded score (CCNet buckets per language), summarized per bucket.
-    // ntile runs over (rounded score, id) so the cut is deterministic and
-    // engine-independent; min/max over 4-rounded values are exact.
+    // ... and the bucketing that consumes it: per-LANGUAGE terciles of
+    // the rounded score (CCNet buckets per language), summarized per
+    // bucket. Buckets come from BROADCAST VALUE CUTOFFS
+    // (Pipelines.quantileBuckets) — no per-language window: language is
+    // the canonical skewed key of a crawl, and an ntile over it would
+    // sort the heaviest language in one task. Cutoffs are exact integer
+    // count thresholds over the 4-rounded scores, so the cut is
+    // deterministic and engine-independent; min/max over 4-rounded
+    // values are exact.
     "pl_lm_buckets" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val lm = TextAnalysis.bigramLmScore(docs)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("lm_nll"), col("doc_id"))
-      docs.select(col("doc_id"), col("lang"))
+      val scored = docs.select(col("doc_id"), col("lang"))
         .join(lm, "doc_id")
         .filter(col("lm_nll").isNotNull)
-        .withColumn("bucket", ntile(3).over(w))
+      graft.pipeline.Pipelines.quantileBuckets(scored, "lang", "lm_nll", 3)
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_nll")).as("min_nll"),
@@ -869,74 +893,54 @@ object QueriesPipeline {
         .orderBy(col("lang"), col("bucket"))
     }),
 
-    // ... and the composed CCNet mixing flow the score/buckets exist FOR:
-    // keep the head tercile, hash-sample the middle at 50% (deterministic
-    // — the same content-hash sampler as pl_stratified_sample), drop the
-    // tail. Everything upstream is a map or a pre-partitioned join; the
-    // sampler adds no shuffle.
+    // ... and the mixing flow the score/buckets exist FOR: keep the head
+    // tercile, hash-sample the middle at 50% (deterministic — the same
+    // content-hash sampler as pl_stratified_sample), drop the tail
+    // (Pipelines.ccnetMix). Everything upstream is a map, a partial
+    // aggregate, or a broadcast join; the sampler adds no shuffle.
     "pl_lm_mix" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val lm = TextAnalysis.bigramLmScore(docs)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("lm_nll"), col("doc_id"))
-      docs.select(col("doc_id"), col("lang"))
+      val scored = docs.select(col("doc_id"), col("lang"))
         .join(lm, "doc_id").filter(col("lm_nll").isNotNull)
-        .withColumn("bucket", ntile(3).over(w))
-        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
-          pmod(graft.functions.hash60(col("doc_id").cast("string")),
-            lit(1000)) < 500))
+      graft.pipeline.Pipelines.ccnetMix(
+          graft.pipeline.Pipelines.quantileBuckets(scored, "lang", "lm_nll", 3),
+          "doc_id")
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
-    // the COMPOSED CCNet flow (Wenzek et al. 2019, public method) with
-    // the MODEL-predicted language, not the table's label column:
-    // classifier langID -> per-predicted-language perplexity terciles ->
-    // keep head, hash-sample middle at 50%, drop tail. LangID is
-    // map-only; the terciles partition by predicted language (sharded
-    // window, never global); the sampler is the shuffle-free hash filter
+    // the COMPOSED CCNet flow (Wenzek et al. 2019, public method) as the
+    // exported library operator (Pipelines.ccnetGlobalLm) with the
+    // MODEL-predicted language, not the table's label column: classifier
+    // langID (map-only) -> per-predicted-language perplexity terciles by
+    // broadcast value cutoffs (no skewed window) -> keep head,
+    // hash-sample middle at 50%, drop tail.
     "pl_ccnet" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val pred = docs.select(col("doc_id"),
-        TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
-          LangIdWeights, LangIdBiases).as("pred_class"))
-      val lm = TextAnalysis.bigramLmScore(docs)
-      val w = Window.partitionBy(col("pred_class"))
-        .orderBy(col("lm_nll"), col("doc_id"))
-      pred.join(lm, "doc_id").filter(col("lm_nll").isNotNull)
-        .withColumn("bucket", ntile(3).over(w))
-        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
-          pmod(graft.functions.hash60(col("doc_id").cast("string")),
-            lit(1000)) < 500))
-        .select(col("doc_id"), col("pred_class"), col("bucket"))
+      graft.pipeline.Pipelines.ccnetGlobalLm(docs, "text", "doc_id",
+          LangIdClasses, LangIdWeights, LangIdBiases,
+          TextAnalysis.bigramLmFit(docs))
         .orderBy(col("doc_id"))
     }),
 
-    // the TRUE CCNet scoring: one LM PER predicted language, each doc
-    // scored by its own language's model (Wenzek et al. 2019 fit one
-    // KenLM per language) — classes are bounded, so per-class fits grow
-    // the plan linearly; a many-language production run loops with
-    // persisted per-lang models (bigramLmFit/Apply) instead
+    // the TRUE CCNet scoring (Pipelines.ccnet): one LM PER predicted
+    // language, each doc scored by its own language's model (Wenzek et
+    // al. 2019 fit one KenLM per language) — here each class's model is
+    // FITTED on its predicted partition then applied through the
+    // fit/apply split the library operator consumes; a many-language
+    // production run loads persisted BigramLm models instead. Classes
+    // are bounded, so per-class fits grow the plan linearly.
     "pl_ccnet_perlang" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val pred = docs.select(col("doc_id"), col("text"),
         TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
           LangIdWeights, LangIdBiases).as("pred_class"))
-      val scored = LangIdClasses.map { c =>
-        TextAnalysis.bigramLmScore(pred.filter(col("pred_class") === c))
-          .withColumn("pred_class", lit(c))
-      }.reduce(_.unionByName(_))
-      val w = Window.partitionBy(col("pred_class"))
-        .orderBy(col("lm_nll"), col("doc_id"))
-      scored.filter(col("lm_nll").isNotNull)
-        .withColumn("bucket", ntile(3).over(w))
-        .filter(col("bucket") === 1 || (col("bucket") === 2 &&
-          pmod(graft.functions.hash60(col("doc_id").cast("string")),
-            lit(1000)) < 500))
-        .select(col("doc_id"), col("pred_class"), col("bucket"))
+      val lms = LangIdClasses.map { c =>
+        c -> TextAnalysis.bigramLmFit(pred.filter(col("pred_class") === c))
+      }.toMap
+      graft.pipeline.Pipelines.ccnet(docs, "text", "doc_id",
+          LangIdClasses, LangIdWeights, LangIdBiases, lms)
         .orderBy(col("doc_id"))
     }),
 
@@ -1840,10 +1844,9 @@ object QueriesPipeline {
          |  WHERE p.pred_class = 'fr'),
          |${sqlLmNllFor("xfr", "src_fr")},
          |allscored AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM xdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM xenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM xfrm),
-         |b AS (SELECT pred_class, doc_id, lm_nll,
-         |    ntile(3) OVER (PARTITION BY pred_class
-         |                   ORDER BY lm_nll, doc_id) AS bucket
-         |  FROM allscored WHERE lm_nll IS NOT NULL)
+         |tscored AS (SELECT pred_class, doc_id, lm_nll
+         |  FROM allscored WHERE lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("pred_class")}
          |SELECT doc_id, pred_class, bucket FROM b
          |WHERE bucket = 1 OR (bucket = 2 AND
          |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
@@ -1852,11 +1855,10 @@ object QueriesPipeline {
       s"""WITH $sqlLmNll,
          |$sqlLangIdChain,
          |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
-         |b AS (SELECT p.pred_class, lm.doc_id, lm.lm_nll,
-         |    ntile(3) OVER (PARTITION BY p.pred_class
-         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |tscored AS (SELECT p.pred_class, lm.doc_id, lm.lm_nll
          |  FROM lm JOIN pred p ON lm.doc_id = p.doc_id
-         |  WHERE lm.lm_nll IS NOT NULL)
+         |  WHERE lm.lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("pred_class")}
          |SELECT doc_id, pred_class, bucket FROM b
          |WHERE bucket = 1 OR (bucket = 2 AND
          |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
@@ -1890,7 +1892,7 @@ object QueriesPipeline {
          |    array_to_string(s.toks[(u.i*48+1):(u.i*48+64)], ' ') AS ctext,
          |    least(64, s.n - u.i*48) AS nc
          |  FROM st s, unnest(range(0, CAST(ceil((s.n - 1) / 48.0) AS BIGINT) + 1)) u(i)
-         |  WHERE u.i*48 < s.n)
+         |  WHERE u.i = 0 OR (u.i - 1)*48 + 64 < s.n)
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |  CAST(nc AS BIGINT) AS n_chunk_tokens, md5(ctext) AS chunk_md5
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
@@ -2170,21 +2172,19 @@ object QueriesPipeline {
          |ORDER BY d.doc_id""".stripMargin,
     "pl_lm_buckets" ->
       s"""WITH $sqlLmNll,
-         |b AS (SELECT d.lang, lm.doc_id, lm.lm_nll,
-         |    ntile(3) OVER (PARTITION BY d.lang
-         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |tscored AS (SELECT d.lang, lm.doc_id, lm.lm_nll
          |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
-         |  WHERE lm.lm_nll IS NOT NULL)
+         |  WHERE lm.lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("lang")}
          |SELECT lang, bucket, count(*) AS n_docs,
          |  min(lm_nll) AS min_nll, max(lm_nll) AS max_nll
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "pl_lm_mix" ->
       s"""WITH $sqlLmNll,
-         |b AS (SELECT d.lang, lm.doc_id, lm.lm_nll,
-         |    ntile(3) OVER (PARTITION BY d.lang
-         |                   ORDER BY lm.lm_nll, lm.doc_id) AS bucket
+         |tscored AS (SELECT d.lang, lm.doc_id, lm.lm_nll
          |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
-         |  WHERE lm.lm_nll IS NOT NULL)
+         |  WHERE lm.lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("lang")}
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket = 1 OR (bucket = 2 AND
          |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)

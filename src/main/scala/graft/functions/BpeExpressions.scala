@@ -145,7 +145,9 @@ object BpeMergePair {
   * (WordPiece-style) heuristic over a FLAT vocab; this is the faithful
   * apply for a merges file / [[graft.pipeline.TextAnalysis.bpeFit]]
   * output. Map-only, static-kernel codegen, same trim/split contract as
-  * the other text kernels. O(rounds * len) per word with O(1) hash rank
+  * the other text kernels; word symbols seed by CODE POINT (surrogate
+  * pairs stay whole), matching the fit's regex-split seeding on any
+  * text, BMP or not. O(rounds * len) per word with O(1) hash rank
   * lookups; rank-scan loops suit bounded merge lists (a 30k-merge
   * production encode would want the heap variant — documented cutover). */
 case class BpeMergeOrderTokens(child: Expression,
@@ -194,9 +196,18 @@ object BpeMergeOrderTokens {
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[AnyRef]()
     for (w <- s.split("\\s+") if w.nonEmpty) {
-      var toks = new Array[String](w.length)
+      // seed symbols by CODE POINT, not UTF-16 unit: the fit seeds with
+      // a regex split (code-point aware), so charAt seeding would break
+      // surrogate pairs into lone halves and never match learned merges
+      // on non-BMP text
+      var toks = new Array[String](w.codePointCount(0, w.length))
       var ci = 0
-      while (ci < w.length) { toks(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+      var off = 0
+      while (off < w.length) {
+        val n = Character.charCount(w.codePointAt(off))
+        toks(ci) = w.substring(off, off + n)
+        ci += 1; off += n
+      }
       var done = false
       while (!done && toks.length > 1) {
         var best = -1

@@ -53,18 +53,39 @@ object Dedup {
     * but through a PARTIAL-MERGE aggregate instead of a skewed window.
     * Per priority column two fields are emitted: a null flag (so
     * nulls-first/last survives the encoding — a null struct FIELD would
-    * otherwise always sort first) and the value, negated for descending.
-    * Descending therefore requires a negatable (numeric) priority; NaN
-    * priorities rank last under desc here (the window ranked them
-    * first) — pre-clean NaNs if they can occur. */
-  private def winnerKey(priority: Seq[Column], tieBreak: Column): Column = {
+    * otherwise always sort first) and the value, order-REVERSED for
+    * descending. Reversal is type-checked at plan time against `df`
+    * (plain analysis, no job): integral/date/timestamp types reverse by
+    * bitwise NOT (`~x = -x-1` — exact for every value, including
+    * Long.MinValue, where negate would silently overflow), fractional
+    * types by negation, and anything else — a string priority, say —
+    * FAILS with a clear message instead of the silent cast-to-NULL a
+    * bare negate would produce under non-ANSI casts. NaN priorities
+    * rank last under desc (the window ranked them first) — pre-clean
+    * NaNs if they can occur. */
+  private def winnerKey(df: DataFrame, priority: Seq[Column],
+      tieBreak: Column): Column = {
+    import org.apache.spark.sql.types._
     val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
     val parts = priority.zipWithIndex.flatMap { case (p, i) =>
       val (child, asc, nullsFirst) = bridge.unwrapSortOrder(p)
         .getOrElse((p, true, true)) // plain column = orderBy default: asc nulls first
       val flag = when(child.isNull, lit(if (nullsFirst) 0 else 1))
         .otherwise(lit(if (nullsFirst) 1 else 0))
-      val v = if (asc) child else negate(child)
+      val v =
+        if (asc) child
+        else df.select(child).schema.head.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            bitwise_not(child.cast("long"))
+          case FloatType | DoubleType | _: DecimalType => negate(child)
+          case BooleanType => !child
+          case DateType => bitwise_not(unix_date(child))
+          case TimestampType => bitwise_not(unix_micros(child))
+          case other => throw new IllegalArgumentException(
+            "descending survivor priority must be numeric, boolean, date, " +
+              s"or timestamp (got $other) — map it to a sortable numeric " +
+              "first; a silent cast would corrupt the winner pick")
+        }
       Seq(flag.as(s"__f$i"), v.as(s"__v$i"))
     }
     struct(parts :+ tieBreak.as("__tb"): _*)
@@ -100,7 +121,7 @@ object Dedup {
     val cols = df.columns.toSeq
     df.groupBy(md5(col(textCol)).as("__digest"))
       .agg(min_by(struct(cols.map(col): _*),
-        winnerKey(priority, col(idCol))).as("__win"))
+        winnerKey(df, priority, col(idCol))).as("__win"))
       .select(cols.map(c => col("__win")(c).as(c)): _*)
   }
 
@@ -122,7 +143,7 @@ object Dedup {
     docs.join(lab, docs(idCol).cast("long") === lab("__did"), "left")
       .groupBy(coalesce(col("__cl"), docs(idCol).cast("long")).as("__grp"))
       .agg(min_by(struct(cols.map(docs(_)): _*),
-        winnerKey(priority, docs(idCol))).as("__win"))
+        winnerKey(docs, priority, docs(idCol))).as("__win"))
       .select(cols.map(c => col("__win")(c).as(c)): _*)
   }
 

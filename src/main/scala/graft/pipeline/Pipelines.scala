@@ -69,12 +69,17 @@ object Pipelines {
     * split every LM pretraining pipeline applies before batching (HF
     * `return_overflowing_tokens` semantics): chunk c covers tokens
     * [c·stride, c·stride + maxLen); starts advance by `stride`
-    * (stride < maxLen ⇒ maxLen − stride tokens of context overlap; the
-    * non-overlapping [[graft.pipeline.Dedup.tokenWindows]] is the dedup
-    * UNIT, this is the training SAMPLE shape), last chunk short, empty
-    * docs emit nothing, every token is covered. Map-only: one staged
-    * tokenize + a position explode — no shuffle, linear in output
-    * tokens (≈ input tokens × maxLen/stride). */
+    * (stride < maxLen ⇒ maxLen − stride tokens of context overlap; HF
+    * names the OVERLAP `stride` — ours is the ADVANCE, i.e. maxLen −
+    * HF-stride; the non-overlapping
+    * [[graft.pipeline.Dedup.tokenWindows]] is the dedup UNIT, this is
+    * the training SAMPLE shape). Emission STOPS once a chunk reaches
+    * the document end — a further start would yield a chunk fully
+    * contained in the previous one, a duplicated training sample (the
+    * HF tokenizer stops there too). Last chunk short, empty docs emit
+    * nothing, every token is covered. Map-only: one staged tokenize +
+    * a position explode — no shuffle, linear in output tokens
+    * (≈ input tokens × maxLen/stride). */
   def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
       maxLen: Int, stride: Int): DataFrame = {
     require(maxLen >= 1, "maxLen must be >= 1")
@@ -94,7 +99,11 @@ object Pipelines {
         explode(sequence(lit(0),
           ceil((col("__n") - 1).cast("double") / stride).cast("int"),
           lit(1))).as("__i"))
-      .filter(col("__i") * stride < col("__n"))
+      // keep chunk i only if the PREVIOUS chunk did not already reach
+      // the document end (i > 0 with (i-1)·stride + maxLen >= n would be
+      // a strict subset of chunk i-1 — a duplicated sample)
+      .filter(col("__i") === 0 ||
+        (col("__i") - 1) * stride + maxLen < col("__n"))
       .select(id, col("__i").cast("long").as("chunk_idx"),
         array_join(slice(col("__toks"), col("__i") * stride + 1, lit(maxLen)), " ")
           .as("chunk_text"),
@@ -233,5 +242,129 @@ object Pipelines {
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     exactDeduped.join(losers, Seq(idCol), "left_anti")
       .select(id, col("n_tokens"), col("quality"))
+  }
+
+  /** Per-class q-quantile bucket assignment by BROADCAST VALUE CUTOFFS —
+    * the scale-safe form of "per-language perplexity terciles" (Wenzek
+    * et al. 2019 compute per-language cutoff values and compare; they do
+    * NOT rank every document). A `ntile(q) OVER (PARTITION BY class)`
+    * would shuffle every row of the heaviest class into ONE task and
+    * sort it there — and language is THE canonical skewed key of a web
+    * crawl (English ≈ half of CommonCrawl). Here instead:
+    *
+    *  1. `groupBy(class, score).count` — a partial-merge aggregate,
+    *     skew-proof (heavy (class, score) cells collapse map-side); its
+    *     size is bounded by the SCORE RESOLUTION (scores arrive rounded
+    *     — lm_nll is 4-decimal — so a class holds at most a few hundred
+    *     thousand distinct values regardless of corpus size).
+    *  2. one tiny per-class reduce folds the sorted (score, count) array
+    *     into the q−1 cutoff values — cutoff i = the smallest score
+    *     whose running count reaches ⌈i·n/q⌉ (`cum·q >= i·n` in exact
+    *     integer arithmetic; no division, no float thresholds). No
+    *     window anywhere in the plan.
+    *  3. the cutoff table (one row per class) broadcast-joins back and
+    *     the bucket is a map-only comparison:
+    *     `bucket = q − #{cutoffs >= score}`.
+    *
+    * Buckets are VALUE buckets: every row with the same (class, score)
+    * lands in the same bucket (ntile splits ties by id — at crawl scale
+    * that distinction is rank noise, and value buckets are the published
+    * CCNet semantics). Rows with a NULL score get a NULL bucket; a class
+    * whose scores are all NULL gets NULL buckets throughout. Scores must
+    * be numeric (compared as double — feed the ROUNDED score the
+    * pipeline already carries). */
+  def quantileBuckets(scored: DataFrame, classCol: String, scoreCol: String,
+      q: Int = 3): DataFrame = {
+    require(q >= 2, "need at least 2 buckets")
+    val cls = col(classCol)
+    val s = col(scoreCol).cast("double")
+    val cnts = scored.filter(s.isNotNull)
+      .groupBy(cls.as("__cls"), s.as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val thrs = transform(sequence(lit(1), lit(q - 1)), qi =>
+      aggregate(col("__arr"),
+        struct(lit(0L).as("cum"), lit(null).cast("double").as("t")),
+        (acc, x) => struct(
+          (acc("cum") + x("c")).as("cum"),
+          coalesce(acc("t"),
+            when((acc("cum") + x("c")) * q >= qi * col("__n"), x("s")))
+            .as("t")),
+        acc => acc("t")))
+    val cuts = cnts
+      .groupBy(col("__cls"))
+      .agg(sum(col("__c")).as("__n"),
+        sort_array(collect_list(struct(col("__s").as("s"), col("__c").as("c"))))
+          .as("__arr"))
+      .select(col("__cls"), thrs.as("__thr"))
+    scored
+      .join(broadcast(cuts), cls <=> col("__cls"), "left")
+      .withColumn("bucket",
+        when(s.isNull || col("__thr").isNull, lit(null).cast("int"))
+          .otherwise(lit(q) - size(filter(col("__thr"), t => s <= t))
+            .cast("int")))
+      .drop("__cls", "__thr")
+  }
+
+  /** The CCNet keep/sample/drop mix over [[quantileBuckets]] output:
+    * keep the head bucket, keep a deterministic hash-sample of the
+    * middle (`midKeepPermille`/1000 — the same content-hash sampler as
+    * [[stratifiedSample]]: reproducible, shuffle-free), drop the tail.
+    * Assumes q = 3 buckets upstream. */
+  def ccnetMix(bucketed: DataFrame, idCol: String,
+      midKeepPermille: Int = 500): DataFrame = {
+    require(midKeepPermille >= 0 && midKeepPermille <= 1000,
+      "midKeepPermille must be in [0, 1000]")
+    bucketed.filter(col("bucket") === 1 || (col("bucket") === 2 &&
+      pmod(graft.functions.hash60(col(idCol).cast("string")),
+        lit(1000L)) < midKeepPermille))
+  }
+
+  /** The COMPOSED CCNet pipeline (Wenzek et al. 2019, public method) as
+    * a library operator: fastText-style language ID -> each document
+    * scored by ITS OWN language's reference LM (`lmFor`, usually
+    * [[TextAnalysis.BigramLm.load]] of per-language models fitted on
+    * clean reference text) -> per-language perplexity terciles by
+    * broadcast value cutoffs ([[quantileBuckets]] — no skewed window)
+    * -> keep head / hash-sample middle / drop tail ([[ccnetMix]]).
+    * Returns (idCol, pred_class, bucket) for the kept rows.
+    *
+    * Scale shape: langID is map-only (hash-indexed codegen kernel); the
+    * per-class scoring joins each class partition against its own
+    * model's keys (the model side is the fitted table, so a 100 TB
+    * crawl shuffles only its compressed bigrams); classes are bounded,
+    * so the per-class union grows the PLAN linearly, not the data. */
+  def ccnet(docs: DataFrame, textCol: String, idCol: String,
+      classes: Seq[String], weights: Map[String, Seq[Double]],
+      biases: Seq[Double], lmFor: String => TextAnalysis.BigramLm,
+      midKeepPermille: Int = 500): DataFrame = {
+    val pred = docs.select(col(idCol), col(textCol),
+      TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
+        biases).as("pred_class"))
+    val scored = classes.map { c =>
+      TextAnalysis.bigramLmApply(lmFor(c),
+          pred.filter(col("pred_class") === c), textCol, idCol)
+        .withColumn("pred_class", lit(c))
+    }.reduce(_.unionByName(_)).filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col("pred_class"), col("bucket"))
+  }
+
+  /** [[ccnet]] with ONE global reference LM instead of per-language
+    * models — the single-model shortcut for corpora where one reference
+    * model covers the mix; buckets still cut PER predicted language. */
+  def ccnetGlobalLm(docs: DataFrame, textCol: String, idCol: String,
+      classes: Seq[String], weights: Map[String, Seq[Double]],
+      biases: Seq[Double], lm: TextAnalysis.BigramLm,
+      midKeepPermille: Int = 500): DataFrame = {
+    val pred = docs.select(col(idCol),
+      TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
+        biases).as("pred_class"))
+    val scored = TextAnalysis.bigramLmApply(lm, docs, textCol, idCol)
+      .join(pred.select(col(idCol), col("pred_class")), Seq(idCol))
+      .filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col("pred_class"), col("bucket"))
   }
 }

@@ -10,29 +10,30 @@ import org.apache.spark.sql.DataFrame
   * refcounted release. A long-lived application that runs many corpus
   * passes should call [[unpersistAll]] between passes (after an action
   * has materialized the downstream result) or executor storage stays
-  * pinned across invocations. References are weak: frames the caller
-  * dropped are collected normally and skipped here. */
+  * pinned across invocations. References are STRONG on purpose: Spark's
+  * CacheManager pins the cached data independently of the DataFrame
+  * object, so a weak ref that GC cleared would leave an unreleasable
+  * cache entry behind — and the queue cannot leak, because
+  * [[unpersistAll]] drains it fully. */
 object StageCaches {
   private val frames =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Track a frame the pipeline just cached; returns it unchanged. */
   private[pipeline] def track(df: DataFrame): DataFrame = {
-    frames.add(new java.lang.ref.WeakReference(df))
+    frames.add(df)
     df
   }
 
-  /** Unpersist every tracked frame still reachable; returns the count.
+  /** Unpersist every tracked frame; returns the count.
     * Safe to call while downstream frames are still lazy — the next
     * action recomputes (slower, never wrong). */
   def unpersistAll(blocking: Boolean = false): Int = {
     var n = 0
-    var ref = frames.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) { df.unpersist(blocking); n += 1 }
-      ref = frames.poll()
+    var df = frames.poll()
+    while (df != null) {
+      df.unpersist(blocking); n += 1
+      df = frames.poll()
     }
     n
   }

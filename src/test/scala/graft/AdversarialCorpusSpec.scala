@@ -171,4 +171,44 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert(w2("workings") > w2("quick"),
       s"healthy-doc marker must outweigh flood marker: ${w2("workings")} vs ${w2("quick")}")
   }
+
+  test("quantileBuckets: a 95%-one-language corpus buckets without any window, exactly") {
+    // the CommonCrawl shape: one language dominates. The old ntile form
+    // would sort all 19k English rows in ONE task; the cutoff form must
+    // plan NO window node and still assign every row the bucket the
+    // counted-threshold definition demands — verified here against an
+    // independent local computation, heavy score TIES included.
+    val rows = (0L until 20000L).map { i =>
+      val (lang, score) =
+        if (i < 19000L) ("en", (i % 41).toDouble * 0.25) // 41 distinct, ~463-deep ties
+        else if (i < 19500L) ("de", (i % 7).toDouble)
+        else ("fr", (i % 3).toDouble)
+      (i, lang, score)
+    }
+    val df = rows.toDF("doc_id", "lang", "score")
+    val out = Pipelines.quantileBuckets(df, "lang", "score", 3)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), s"skewed-key window in:\n$plan")
+    // independent expectation: per class, cutoff i = min score whose
+    // cumulative count reaches ceil(i*n/3); bucket by value compare
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val n = rs.size.toLong
+      val cum = rs.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+        .sortBy(_._1).scanLeft((Double.NaN, 0L)) {
+          case ((_, c0), (s, c)) => (s, c0 + c) }.drop(1)
+      val t1 = cum.find(_._2 * 3 >= n).get._1
+      val t2 = cum.find(_._2 * 3 >= 2 * n).get._1
+      rs.map { case (id, _, s) =>
+        id -> (if (s <= t1) 1 else if (s <= t2) 2 else 3) }
+    }
+    val got = out.select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 20000, got.size.toString)
+    val wrong = got.filter { case (id, b) => expected(id) != b }
+    assert(wrong.isEmpty, s"${wrong.size} mis-bucketed, e.g. ${wrong.take(3)}")
+    // every tied (class, score) cell landed in ONE bucket by construction
+    // of the value compare; spot-assert the tie mass is really deep
+    assert(rows.count(r => r._2 == "en" && r._3 == 0.0) > 400)
+  }
 }

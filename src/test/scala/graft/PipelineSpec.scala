@@ -350,6 +350,60 @@ class PipelineSpec extends SparkSpec {
     assert(scores(loaded) == r)
   }
 
+  test("ccnet: end-to-end from a loaded weight file and persisted per-language LMs") {
+    // the production shape the library operator exists for: a trained
+    // (token, class, weight) model FILE + per-language reference LMs
+    // persisted with BigramLm.save, composed by Pipelines.ccnet
+    val classes = Seq("aa", "bb", "cc")
+    val weightsDf = Seq(
+      ("alpha", "aa", 5.0), ("beta", "bb", 5.0), ("gamma", "cc", 5.0)
+    ).toDF("token", "class", "weight")
+    val (loadedClasses, table) = TextAnalysis.loadLinearClassWeights(weightsDf)
+    assert(loadedClasses == classes)
+    // per class: 12 docs around its marker; low ids share a frequent
+    // phrase (low NLL), high ids carry rare word sequences (high NLL)
+    val corpus = classes.zipWithIndex.flatMap { case (c, ci) =>
+      val m = Seq("alpha", "beta", "gamma")(ci)
+      (0 until 12).map { i =>
+        val body =
+          if (i < 6) s"common phrase here $c common phrase here $c"
+          else s"rare$i$c word$i salt$i pepper$i stone$i river$i"
+        ((ci * 100 + i).toLong, s"$m $body")
+      }
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ccnet_lms")
+    val lms = classes.map { c =>
+      val ci = classes.indexOf(c)
+      val fit = TextAnalysis.bigramLmFit(corpus.filter(
+        col("doc_id") >= ci * 100 && col("doc_id") < ci * 100 + 12))
+      fit.save(s"$tmp/$c")
+      c -> TextAnalysis.BigramLm.load(spark, s"$tmp/$c")
+    }.toMap
+    // head tercile only (midKeepPermille = 0): output must be exactly the
+    // per-class lowest-NLL value-tercile under the counted-cutoff rule
+    val out = Pipelines.ccnet(corpus, "text", "doc_id", classes, table,
+        Seq(0.0, 0.0, 0.0), lms, midKeepPermille = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.forall(_._3 == 1), out.mkString(","))
+    // every doc predicted its marker's class
+    assert(out.forall { case (id, c, _) => classes((id / 100).toInt) == c },
+      out.mkString(","))
+    val expected = classes.flatMap { c =>
+      val ci = classes.indexOf(c)
+      val scored = TextAnalysis.bigramLmApply(lms(c), corpus.filter(
+          col("doc_id") >= ci * 100 && col("doc_id") < ci * 100 + 12))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val n = scored.length.toLong
+      val cum = scored.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy(_._1).scanLeft((Double.NaN, 0L)) {
+          case ((_, c0), (s, k)) => (s, c0 + k) }.drop(1)
+      val t1 = cum.find(_._2 * 3 >= n).get._1
+      scored.filter(_._2 <= t1).map(_._1)
+    }.toSet
+    assert(out.map(_._1).toSet == expected,
+      s"got ${out.map(_._1).toSet}, want $expected")
+  }
+
   test("tokens: empty string yields empty array") {
     val r = docs.select(TextAnalysis.tokenCount(col("text")).as("n"), col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap

@@ -146,6 +146,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("per-language tercile buckets assign via broadcast cutoffs, not a language window") {
+    // language is THE canonical skewed key of a web crawl (English ≈ half
+    // of CommonCrawl): ntile(3) OVER (PARTITION BY lang) shuffles every
+    // row of the heaviest language into ONE task and sorts it there. The
+    // scale-safe shape (Pipelines.quantileBuckets) is a partial-agg
+    // (class, score) count, a tiny per-class cutoff fold, and a
+    // BROADCAST join + map-only compare. Assert: no Window node anywhere
+    // in any of the four composed plans, and the cutoff table joins back
+    // as a broadcast.
+    for (q <- Seq("pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
+        "pl_ccnet_perlang")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Window"),
+        s"skewed-key window crept back into $q:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"no broadcast cutoff join in $q:\n$p")
+    }
+  }
+
   test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
     val p = explain("v2_sparse_inverted")
     // the pruned posting scan must carry a PartitionFilters entry on the
