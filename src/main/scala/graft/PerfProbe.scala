@@ -111,6 +111,99 @@ object PerfProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_CLEAN_N > 0: FULL-CHAIN scale probe — N synthetic docs
+    // with violations planted at known rates through cleanCorpusFull
+    // (C4 -> Gopher -> span mask -> fully-masked drop -> exact dedup),
+    // asserting EXPECTED survivor counts per class. Per-stage oracles
+    // cannot see cross-stage interactions (a doc must survive C4+Gopher
+    // to reach masking; exact dedup fires on post-mask text); this is
+    // the planted-counts discipline applied to the composition.
+    // Classes by id % 10:
+    //   0,8,9 healthy unique (two C4 line violations ride along) -> keep, 50 toks
+    //   1 '{' doc-kill, 2 'lorem ipsum' doc-kill      -> C4 drops all
+    //   3 18-token doc                                 -> Gopher drops all
+    //   4 ALL IDENTICAL                                -> min id survives whole,
+    //     every other copy fully masked -> fully-masked drop
+    //   5 unique 6-token prefix F_j + shared 45-token span S
+    //   6 the SAME F_j + a different shared span S2
+    //     -> the first 5/6 docs keep everything; every later pair masks
+    //        down to the identical F_j, so exact dedup keeps the ≡5 doc
+    //        and drops the ≡6 one (the cross-stage interaction)
+    //   7 30-token span at an id-varying line offset inside 50 unique
+    //     tokens -> first doc whole (80), later docs keep exactly 50
+    val cleanN = sys.env.getOrElse("SPARK_GRAFT_CLEAN_N", "0").toLong
+    if (cleanN > 0) {
+      require(cleanN % 10 == 0 && cleanN >= 20, "CLEAN_N: multiple of 10, >= 20")
+      import org.apache.spark.sql.Column
+      val id = col("id")
+      // first AND last word of every unique line are id-tagged: a shared
+      // trailing word would form an all-shared 8-gram with a planted
+      // span's first 7 tokens and mask one token too many (measured)
+      def ulines(from: Column, to: Column): Column =
+        array_join(transform(sequence(from, to), l =>
+          concat_ws(" ",
+            concat(lit("u"), id, lit("w"), l, lit("a")),
+            lit("holds the fine and"),
+            concat(lit("u"), id, lit("w"), l, lit("b")),
+            concat(lit("u"), id, lit("w"), l, lit("c")),
+            concat(lit("u"), id, lit("w"), l, lit("d")),
+            concat(lit("u"), id, lit("w"), l, lit("e")),
+            concat(lit("u"), id, lit("w"), l, lit("f.")))), "\n")
+      val span30 = (1 to 15).map(i => s"sp${i}a").mkString(" ") + ".\n" +
+        (1 to 15).map(i => s"sp${i}b").mkString(" ") + "."
+      def span45(tag: String) = (1 to 3).map(i =>
+        (1 to 15).map(k => s"$tag$i" + s"x$k").mkString(" ") + ".").mkString("\n")
+      val template60 = (1 to 6).map(l =>
+        s"tmpl${l}a holds the fine and tmpl${l}b tmpl${l}c tmpl${l}d tmpl${l}e stays.")
+        .mkString("\n")
+      // the pair prefix F_j: 6 tokens (< the shingle width, so no
+      // F-only window exists), FOUR of them j-tagged — with only the
+      // first token tagged, the window [holds the line and stays. S0..]
+      // is identical across pairs and masks F down to one token
+      val fj = (id / 10).cast("long")
+      val prefixLine = concat(lit("pfx"), fj, lit("a hold"), fj,
+        lit("b the and mid"), fj, lit("c end"), fj, lit("d.\n"))
+      val healthy = concat(ulines(lit(1), lit(5)),
+        lit("\njavascript mention with five words here.\n" +
+          "no terminal punctuation on this line at all"))
+      val cls = pmod(id, lit(10))
+      val b = lit(1) + pmod(id, lit(3)) // class-7 span offset: 1..3 lines before
+      val text = when(cls === 1, concat(healthy, lit("\nbrace { line with words here.")))
+        .when(cls === 2, concat(healthy, lit("\nlorem ipsum here with more words.")))
+        .when(cls === 3, concat_ws("\n",
+          concat(lit("tiny"), id, lit(" sits the line and stays.")),
+          concat(lit("tiny"), id, lit(" alsoa the line and stays.")),
+          concat(lit("tiny"), id, lit(" again the line and stays."))))
+        .when(cls === 4, lit(template60))
+        .when(cls === 5, concat(prefixLine, lit(span45("spw"))))
+        .when(cls === 6, concat(prefixLine, lit(span45("sqw"))))
+        .when(cls === 7, concat(ulines(lit(1), b), lit("\n" + span30 + "\n"),
+          ulines(b + 1, lit(5))))
+        .otherwise(healthy)
+      val sdocs = spark.range(cleanN).select(id.as("doc_id"), text.as("text"))
+      val t0 = System.nanoTime()
+      val out = graft.pipeline.Pipelines.cleanCorpusFull(sdocs, "text", "doc_id")
+        .select(col("doc_id"), col("n_final"),
+          pmod(col("doc_id"), lit(10)).as("cls"))
+        .groupBy(col("cls"), col("n_final")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.pipeline.StageCaches.unpersistAll()
+      val g = cleanN / 10
+      val expected = Set(
+        (0L, 50L, g), (8L, 50L, g), (9L, 50L, g), // healthy
+        (4L, 60L, 1L), // identical flood: one whole survivor
+        (5L, 51L, 1L), (5L, 6L, g - 1), // first pair whole, later = F_j
+        (6L, 51L, 1L), // the j=0 pair partner; j>0 partners exact-deduped
+        (7L, 80L, 1L), (7L, 50L, g - 1)) // shifted span masked in full
+      println(f"clean-full n=$cleanN: $secs%.2f s survivors=" +
+        s"${out.toSeq.map(_._3).sum} expectedSurvivors=${cleanN / 2 + 2}")
+      println(s"got:      ${out.toSeq.sorted.mkString(", ")}")
+      println(s"expected: ${expected.toSeq.sorted.mkString(", ")}")
+      println(s"MATCH=${out == expected}")
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     println(s"docs=${docs.count()}")
     def time(label: String)(f: => Long): Unit = {

@@ -286,6 +286,85 @@ object QueriesPipeline {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY zz DESC, c ASC) rn
        |  FROM liz)""".stripMargin
 
+  /** The five-stage clean-chain mirror (C4 -> Gopher -> first-seen
+    * span mask -> fully-masked drop -> exact dedup) over the injected
+    * corpus — shared verbatim by pl_clean_full (the batch chain) and
+    * st_clean_stream (the streaming twin: one AvailableNow batch makes
+    * its deterministic winner — first batch, then min(id, pos) — equal
+    * the batch chain's). */
+  private def sqlCleanFullSql: String = {
+      val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
+      val sqlCtToks =
+        "CASE WHEN length(trim(ct)) = 0 THEN [] ELSE regexp_split_to_array(trim(ct), '\\s+') END"
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || '.' || chr(10) || 'short line' || chr(10) ||
+         |    'another good line with words here.' || chr(10) ||
+         |    'this good line has five words.' || chr(10) ||
+         |    'javascript line with five good words.' || chr(10) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum here' || chr(10) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN 'brace { line' || chr(10) ELSE '' END) AS t2
+         |  FROM documents),
+         |ck AS (SELECT doc_id, t2,
+         |    list_filter(string_split(t2, chr(10)),
+         |      l -> regexp_matches(trim(l), '[.!?"]$$')
+         |        AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+         |        AND NOT contains(lower(l), 'javascript')) kept
+         |  FROM inj),
+         |c4s AS (SELECT doc_id, array_to_string(kept, chr(10)) ct FROM ck
+         |  WHERE NOT contains(lower(t2), 'lorem ipsum')
+         |    AND NOT contains(t2, '{')
+         |    AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3),
+         |gt AS (SELECT doc_id, ct, $sqlCtToks gtoks,
+         |    list_filter(string_split(ct, chr(10)),
+         |      l -> length(trim(l)) > 0) glines
+         |  FROM c4s),
+         |gp AS (SELECT doc_id, ct FROM gt
+         |  WHERE len(gtoks) >= 50 AND len(gtoks) <= 100000
+         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
+         |      CAST(list_sum(list_transform(gtoks, t -> length(t))) AS DOUBLE)
+         |        / len(gtoks) BETWEEN 3.0 AND 10.0 END)
+         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
+         |      CAST(length(ct) - length(replace(ct, '#', '')) +
+         |        len(regexp_extract_all(ct, '\\.\\.\\.')) AS DOUBLE)
+         |        / len(gtoks) <= 0.1 END)
+         |    AND (CASE WHEN len(glines) = 0 THEN true ELSE
+         |      CAST(len(list_filter(glines,
+         |          l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE)
+         |        / len(glines) <= 0.9 END)
+         |    AND (CASE WHEN len(glines) = 0 THEN true ELSE
+         |      CAST(len(list_filter(glines,
+         |          l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+         |        / len(glines) <= 0.3 END)
+         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
+         |      CAST(len(list_filter(gtoks, t -> regexp_matches(t, '[A-Za-z]')))
+         |        AS DOUBLE) / len(gtoks) >= 0.8 END)
+         |    AND len(list_filter([$stops],
+         |      s -> list_contains(list_transform(gtoks, t -> lower(t)), s))) >= 2),
+         |tok AS (SELECT doc_id, $sqlCtToks toks FROM gp),
+         |${sqlSpanOcc(8)},
+         |ranked AS (SELECT *, row_number()
+         |    OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM occ),
+         |smask AS (SELECT DISTINCT doc_id, pos + u.j AS p
+         |          FROM ranked, unnest(range(0, least(8, n))) u(j)
+         |          WHERE rn > 1),
+         |tr AS (SELECT t.doc_id, CAST(u.i AS INT) p, toks[u.i+1] tk
+         |       FROM tok t, unnest(range(0, len(toks))) u(i)),
+         |mr AS (SELECT tr.doc_id, tr.p, tr.tk, m.p IS NOT NULL msk
+         |       FROM tr LEFT JOIN smask m
+         |         ON tr.doc_id = m.doc_id AND tr.p = m.p),
+         |fin AS (SELECT doc_id,
+         |    coalesce(array_to_string(list(tk ORDER BY p)
+         |      FILTER (WHERE NOT msk), ' '), '') ftext,
+         |    count(*) FILTER (WHERE NOT msk) n_final
+         |  FROM mr GROUP BY doc_id
+         |  HAVING count(*) > count(*) FILTER (WHERE msk)),
+         |dd AS (SELECT doc_id, ftext, n_final,
+         |    row_number() OVER (PARTITION BY md5(ftext) ORDER BY doc_id) rn
+         |  FROM fin)
+         |SELECT doc_id, md5(ftext) AS digest, CAST(n_final AS BIGINT) AS n_final
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-class tercile VALUE-CUTOFF buckets — mirrors
     * Pipelines.quantileBuckets(q=3): cutoff i = the smallest score whose
     * per-class running count reaches ⌈i·n/3⌉ (exact integer arithmetic,
@@ -1210,6 +1289,49 @@ object QueriesPipeline {
       java.nio.file.Files.deleteIfExists(streamDir)
       local
     }),
+    // streaming cleanCorpusFull twin: the C4+Gopher rule stages run
+    // map-only INSIDE the microbatch, the span first-seen state lives in
+    // the checkpoint (DocStream.cleanStreamEmit — deterministic
+    // first-batch-then-min(id, pos) winners via flatMapGroupsWithState),
+    // and the batch consumer (DocStream.cleanConsume) masks each doc
+    // against the emitted set, drops fully-masked docs, exact-dedups.
+    // One AvailableNow batch makes the winners equal the batch chain's,
+    // so the mirror is pl_clean_full's SQL verbatim (same injected
+    // corpus).
+    "st_clean_stream" -> ((s, dir) => {
+      val schema = t(s, dir, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("st_clean_src")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      def inject(df: org.apache.spark.sql.DataFrame) = df.withColumn("t2",
+        concat(col("text"),
+          lit(".\nshort line\nanother good line with words here.\n" +
+            "this good line has five words.\n" +
+            "javascript line with five good words.\n"),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+            .otherwise(lit(""))))
+      val src = inject(s.readStream.schema(schema).parquet(streamDir.toString))
+      val sink = s"st_clean_sink_${evStreamRuns.incrementAndGet()}"
+      val q = graft.streaming.DocStream.cleanStreamEmit(src, "t2", "doc_id", 8)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = graft.streaming.DocStream.cleanConsume(
+          inject(t(s, dir, "documents")), s.table(sink), "t2", "doc_id", 8)
+        .select(col("doc_id"), md5(col("clean_text")).as("digest"),
+          col("n_final"))
+        .orderBy(col("doc_id"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+      local
+    }),
     // streaming twin of tx_langid_model: the classifier apply is
     // STATELESS map-only, so the same Column expression (hash-kernel
     // micro-sums included) runs unchanged in a microbatch plan — the
@@ -1657,78 +1779,8 @@ object QueriesPipeline {
          |       FROM j)
          |SELECT vec_id, label FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
-    "pl_clean_full" -> {
-      val stops = TextAnalysis.GopherStops.map(s => s"'$s'").mkString(", ")
-      val sqlCtToks =
-        "CASE WHEN length(trim(ct)) = 0 THEN [] ELSE regexp_split_to_array(trim(ct), '\\s+') END"
-      s"""WITH inj AS (SELECT doc_id,
-         |    text || '.' || chr(10) || 'short line' || chr(10) ||
-         |    'another good line with words here.' || chr(10) ||
-         |    'this good line has five words.' || chr(10) ||
-         |    'javascript line with five good words.' || chr(10) ||
-         |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum here' || chr(10) ELSE '' END) ||
-         |    (CASE WHEN doc_id % 11 = 0 THEN 'brace { line' || chr(10) ELSE '' END) AS t2
-         |  FROM documents),
-         |ck AS (SELECT doc_id, t2,
-         |    list_filter(string_split(t2, chr(10)),
-         |      l -> regexp_matches(trim(l), '[.!?"]$$')
-         |        AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
-         |        AND NOT contains(lower(l), 'javascript')) kept
-         |  FROM inj),
-         |c4s AS (SELECT doc_id, array_to_string(kept, chr(10)) ct FROM ck
-         |  WHERE NOT contains(lower(t2), 'lorem ipsum')
-         |    AND NOT contains(t2, '{')
-         |    AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3),
-         |gt AS (SELECT doc_id, ct, $sqlCtToks gtoks,
-         |    list_filter(string_split(ct, chr(10)),
-         |      l -> length(trim(l)) > 0) glines
-         |  FROM c4s),
-         |gp AS (SELECT doc_id, ct FROM gt
-         |  WHERE len(gtoks) >= 50 AND len(gtoks) <= 100000
-         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
-         |      CAST(list_sum(list_transform(gtoks, t -> length(t))) AS DOUBLE)
-         |        / len(gtoks) BETWEEN 3.0 AND 10.0 END)
-         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
-         |      CAST(length(ct) - length(replace(ct, '#', '')) +
-         |        len(regexp_extract_all(ct, '\\.\\.\\.')) AS DOUBLE)
-         |        / len(gtoks) <= 0.1 END)
-         |    AND (CASE WHEN len(glines) = 0 THEN true ELSE
-         |      CAST(len(list_filter(glines,
-         |          l -> regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE)
-         |        / len(glines) <= 0.9 END)
-         |    AND (CASE WHEN len(glines) = 0 THEN true ELSE
-         |      CAST(len(list_filter(glines,
-         |          l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
-         |        / len(glines) <= 0.3 END)
-         |    AND (CASE WHEN len(gtoks) = 0 THEN false ELSE
-         |      CAST(len(list_filter(gtoks, t -> regexp_matches(t, '[A-Za-z]')))
-         |        AS DOUBLE) / len(gtoks) >= 0.8 END)
-         |    AND len(list_filter([$stops],
-         |      s -> list_contains(list_transform(gtoks, t -> lower(t)), s))) >= 2),
-         |tok AS (SELECT doc_id, $sqlCtToks toks FROM gp),
-         |${sqlSpanOcc(8)},
-         |ranked AS (SELECT *, row_number()
-         |    OVER (PARTITION BY h ORDER BY doc_id, pos) rn FROM occ),
-         |smask AS (SELECT DISTINCT doc_id, pos + u.j AS p
-         |          FROM ranked, unnest(range(0, least(8, n))) u(j)
-         |          WHERE rn > 1),
-         |tr AS (SELECT t.doc_id, CAST(u.i AS INT) p, toks[u.i+1] tk
-         |       FROM tok t, unnest(range(0, len(toks))) u(i)),
-         |mr AS (SELECT tr.doc_id, tr.p, tr.tk, m.p IS NOT NULL msk
-         |       FROM tr LEFT JOIN smask m
-         |         ON tr.doc_id = m.doc_id AND tr.p = m.p),
-         |fin AS (SELECT doc_id,
-         |    coalesce(array_to_string(list(tk ORDER BY p)
-         |      FILTER (WHERE NOT msk), ' '), '') ftext,
-         |    count(*) FILTER (WHERE NOT msk) n_final
-         |  FROM mr GROUP BY doc_id
-         |  HAVING count(*) > count(*) FILTER (WHERE msk)),
-         |dd AS (SELECT doc_id, ftext, n_final,
-         |    row_number() OVER (PARTITION BY md5(ftext) ORDER BY doc_id) rn
-         |  FROM fin)
-         |SELECT doc_id, md5(ftext) AS digest, CAST(n_final AS BIGINT) AS n_final
-         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+    "pl_clean_full" -> sqlCleanFullSql,
+    "st_clean_stream" -> sqlCleanFullSql,
     "tx_c4_clean" ->
       s"""WITH inj AS (SELECT doc_id,
          |    text || '.' || chr(10) || 'short line' || chr(10) ||

@@ -608,14 +608,63 @@ object Dedup {
       .select(col("__win")(idCol).as("__wid"), col("__win")("pos").as("__wpos"))
     val eligible = occ.join(winners,
       id === col("__wid") && col("pos") === col("__wpos"), "left_anti")
+    maskEligible(staged, idCol, eligible, k, sep)
+  }
+
+  /** Span masking against an EXTERNALLY-supplied first-seen winner set —
+    * the batch CONSUMER of the streaming span state
+    * ([[graft.streaming.DocStream.incrementalSpanWinners]]): `winners`
+    * is the emitted (id, pos, h) set (one row per distinct shingle, its
+    * corpus-wide first occurrence); each document's own occurrences are
+    * recomputed from its text, an occurrence is MASK-ELIGIBLE iff it is
+    * not ITS shingle's emitted winner, and the k-wide covers tile the
+    * repeated spans — exactly [[maskRepeatedSpans]] with the winner pick
+    * replaced by the stream's checkpointed state, so a span first seen
+    * in an EARLIER crawl snapshot masks its copies in this one. The
+    * winner side joins on the unique shingle coordinate (h, id, pos) —
+    * one row per distinct h, so the anti-join is balanced under any
+    * duplication skew. `winners` must cover this corpus's shingles (it
+    * is the stream's full first-seen set); an occurrence whose hash is
+    * genuinely absent could only come from text the stream never saw —
+    * those rows mask NOTHING extra here because absence means no match,
+    * keeping the operator fail-open on unseen text. Same return shape
+    * as [[maskRepeatedSpans]]. */
+  def maskSpansAgainstWinners(df: DataFrame, idCol: String, textCol: String,
+      winners: DataFrame, k: Int = 8, sep: String = " "): DataFrame = {
+    require(k >= 1, "span shingle length must be >= 1")
+    val id = col(idCol)
+    val staged = df
+      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .cache().transform(StageCaches.track)
+    val occ = staged
+      .select(id, size(col("__toks")).as("__n"), col("__toks"),
+        explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))))
+          .as("pos"))
+      .select(id, col("__n"), col("pos"),
+        TextAnalysis.hash60(
+          concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
+    val w = winners.select(col("h").as("__wh"),
+      col("id").cast("long").as("__wid"), col("pos").as("__wpos"))
+    val eligible = occ.join(w,
+      col("h") === col("__wh") && id.cast("long") === col("__wid") &&
+        col("pos") === col("__wpos"), "left_anti")
+    maskEligible(staged, idCol, eligible, k, sep)
+  }
+
+  /** Shared masking tail: explode each eligible occurrence's k-wide
+    * cover, dedup covered positions on the near-unique (id, p) key, and
+    * reassemble survivors in token order from the CACHED staged frame —
+    * re-tokenizing the input would re-execute its whole upstream lineage
+    * a third time (in cleanCorpusFull that re-runs the gopher stage). */
+  private def maskEligible(staged: DataFrame, idCol: String,
+      eligible: DataFrame, k: Int, sep: String): DataFrame = {
+    val id = col(idCol)
     val maskedPos = eligible
       .select(id, explode(sequence(col("pos"),
         col("pos") + least(lit(k), col("__n")) - 1)).as("p"))
       .distinct()
       .withColumn("__m", lit(true))
-    // reassemble from the CACHED staged frame, not df: re-tokenizing df
-    // would re-execute its whole upstream lineage a third time (in
-    // cleanCorpusFull that re-runs the gopher join)
     staged
       .select(id, posexplode_outer(col("__toks")).as(Seq("p", "tok")))
       .join(maskedPos, Seq(idCol, "p"), "left")

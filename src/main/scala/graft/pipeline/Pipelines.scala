@@ -190,26 +190,35 @@ object Pipelines {
     Dedup.keepClusterSurvivors(docs, idCol, clusters, priority)
   }
 
+  /** The shared rule head of the full cleaning chain: C4 line/document
+    * rules → Gopher document-quality rules, fully MAP-ONLY (the Gopher
+    * verdict rides along via [[TextAnalysis.gopherPassThrough]] instead
+    * of coming back through an id-join — one narrow stage, no cache, no
+    * shuffle, and the identical plan runs inside a streaming microbatch:
+    * [[graft.streaming.DocStream]] composes this same head). Returns
+    * (idCol, clean_text) survivors. */
+  def cleanStage(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    TextAnalysis.gopherPassThrough(
+        TextAnalysis.c4Clean(docs, textCol, idCol)
+          .filter(col("keep_doc"))
+          .select(col(idCol), col("clean_text")),
+        "clean_text")
+      .filter(col("pass_gopher"))
+      .select(col(idCol), col("clean_text"))
+
   /** The full production cleaning chain, composed end-to-end: C4 line/doc
-    * rules → Gopher doc-quality rules → arbitrary-alignment span masking
-    * (first occurrence survives corpus-wide) → fully-masked-doc drop →
-    * exact dedup of the masked text. Every stage is the oracle-gated
-    * operator; the composition inherits their plan guarantees (map-only
-    * rules, skew-proof winner picks, no all-pairs joins anywhere).
+    * rules → Gopher doc-quality rules ([[cleanStage]], map-only) →
+    * arbitrary-alignment span masking (first occurrence survives
+    * corpus-wide) → fully-masked-doc drop → exact dedup of the masked
+    * text. Every stage is the oracle-gated operator; the composition
+    * inherits their plan guarantees (map-only rules, skew-proof winner
+    * picks, no all-pairs joins anywhere).
     * Returns (idCol, clean_text, n_final) — survivors only. */
   def cleanCorpusFull(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", spanK: Int = 8): DataFrame = {
-    // cache the C4 survivors: the regex-heavy line stage is consumed by
-    // the Gopher pass, the join, and (via maskRepeatedSpans) two more
-    // times — uncached, the whole C4 lineage re-executes per consumer
-    val c4 = TextAnalysis.c4Clean(docs, textCol, idCol)
-      .filter(col("keep_doc"))
-      .select(col(idCol), col("clean_text"))
-      .cache().transform(StageCaches.track)
-    val gopherPass = TextAnalysis.gopherQualityFlags(c4, "clean_text", idCol)
-      .filter(col("pass_gopher")).select(col(idCol))
-    val passed = c4.join(gopherPass, Seq(idCol))
-    val masked = Dedup.maskRepeatedSpans(passed, idCol, "clean_text", spanK)
+    val masked = Dedup.maskRepeatedSpans(
+      cleanStage(docs, textCol, idCol), idCol, "clean_text", spanK)
       .filter(col("n_tokens") > col("n_masked"))
       .select(col(idCol), col("clean_text"),
         (col("n_tokens") - col("n_masked")).as("n_final"))

@@ -496,8 +496,18 @@ object TextAnalysis {
     * Empty docs fail word_count_ok (and therefore pass_gopher). */
   def gopherQualityFlags(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val (staged, flags) = gopherStagedFlags(df, textCol)
+    staged.select(col(idCol) +: flags: _*)
+  }
+
+  /** The shared Gopher rule computation: stages the token/line arrays
+    * (every rule references them, some inside HOF lambdas — a bare
+    * Column would re-tokenize per rule) and returns the staged frame
+    * plus the named flag columns ending in the `pass_gopher`
+    * conjunction. */
+  private def gopherStagedFlags(df: DataFrame, textCol: String)
+      : (DataFrame, Seq[Column]) = {
     val text = col(textCol)
-    // staged arrays: every rule references them (some inside HOF lambdas)
     val staged = df
       .withColumn("__gt", tokens(text))
       .withColumn("__gl", filter(split(text, "\n"), l => length(trim(l)) > 0))
@@ -524,7 +534,7 @@ object TextAnalysis {
       typedLit(GopherStops),
       s => array_contains(transform(toks, t => lower(t)), s)))
     val stopOk = stopsPresent >= 2
-    staged.select(col(idCol),
+    (staged, Seq(
       n.cast("long").as("n_words"),
       wcOk.as("word_count_ok"),
       mwlOk.as("mean_word_len_ok"),
@@ -534,7 +544,17 @@ object TextAnalysis {
       alphaOk.as("alpha_word_ok"),
       stopOk.as("stop_word_ok"),
       (wcOk && mwlOk && symOk && bulletOk && ellipsisOk && alphaOk && stopOk)
-        .as("pass_gopher"))
+        .as("pass_gopher")))
+  }
+
+  /** [[gopherQualityFlags]]' composite verdict APPENDED to the caller's
+    * own columns — the STREAMING-composable form: the flag rides along
+    * with the text instead of coming back through an id-join (a
+    * stream-stream join would need watermarks; this stays map-only).
+    * Same staged arrays, same rules, one `pass_gopher` column added. */
+  def gopherPassThrough(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val (staged, flags) = gopherStagedFlags(df, textCol)
+    staged.withColumn("pass_gopher", flags.last).drop("__gt", "__gl")
   }
 
   /** C4 line/document cleaning (Raffel et al. 2020, "Exploring the Limits

@@ -304,4 +304,107 @@ object DocStream {
           concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
       .dropDuplicates("h")
   }
+
+  /** [[incrementalSpanDedup]] with a DETERMINISTIC winner: one emitted
+    * row per distinct shingle hash, where the first BATCH containing the
+    * shingle wins (checkpointed state — the crawl-snapshot contract:
+    * snapshot 1's text beats snapshot 2's copies however ids compare)
+    * and WITHIN a batch the (id, pos)-minimal occurrence wins (a
+    * `flatMapGroupsWithState` group sees all of its batch occurrences
+    * together, so the pick is arrival-order-free — `dropDuplicates`
+    * keeps whichever row a partition raced in first). When everything
+    * arrives in ONE batch this is exactly
+    * [[graft.pipeline.Dedup.maskRepeatedSpans]]'s min(id, pos) winner,
+    * which is what makes the streaming chain batch-equal and the gate
+    * hashable. State stays one boolean per DISTINCT shingle, sharded by
+    * the state store; ids must be castable to long (the document key
+    * everywhere). */
+  def incrementalSpanWinners(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8)
+      : org.apache.spark.sql.Dataset[SpanOcc] = {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sq = docs.sparkSession
+    import sq.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"),
+        explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))))
+          .as("pos"))
+      .select(col("id"), col("pos"),
+        graft.functions.hash60(
+          concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
+      .as[SpanOcc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, SpanOcc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[SpanOcc], state:
+            org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var best: SpanOcc = null
+            while (rows.hasNext) {
+              val r = rows.next()
+              if (best == null || r.id < best.id ||
+                (r.id == best.id && r.pos < best.pos)) best = r
+            }
+            Iterator(best)
+          }
+      }
+  }
+
+  /** The shared upstream of the streaming clean chain: C4 line/document
+    * rules -> Gopher document-quality rules, both map-only (the Gopher
+    * verdict rides along via
+    * [[graft.pipeline.TextAnalysis.gopherPassThrough]] — no id-join, so
+    * the same plan runs in a microbatch or a batch). Returns
+    * (idCol, clean_text) survivors. */
+  def cleanStage(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    graft.pipeline.Pipelines.cleanStage(docs, textCol, idCol)
+
+  /** STREAMING side of the cleanCorpusFull twin: C4 -> Gopher ->
+    * deterministic incremental span winners ([[incrementalSpanWinners]]).
+    * The emitted (id, pos, h) first-seen set is the corpus-wide span
+    * state; a downstream consumer masks any document against it with
+    * [[cleanConsume]] — including documents from LATER snapshots whose
+    * spans were first seen earlier (the state lives in the checkpoint).
+    * Append-only and parquet-safe. */
+  def cleanStreamEmit(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8)
+      : org.apache.spark.sql.Dataset[SpanOcc] =
+    incrementalSpanWinners(cleanStage(docs, textCol, idCol), idCol,
+      "clean_text", k)
+
+  /** Batch CONSUMER of [[cleanStreamEmit]]'s state: re-derive the C4 +
+    * Gopher survivors of `docs` (the same map-only [[cleanStage]], so
+    * producer and consumer cannot drift), mask each document's spans
+    * against the emitted first-seen set
+    * ([[graft.pipeline.Dedup.maskSpansAgainstWinners]]), drop
+    * fully-masked docs, exact-dedup the masked text (keep lowest id).
+    * Run per snapshot after its emit pass — when one batch carried the
+    * whole corpus this equals
+    * [[graft.pipeline.Pipelines.cleanCorpusFull]] row for row; an
+    * always-on deployment would feed the masked stream through
+    * [[incrementalDedup]] instead of the batch exact dedup. Returns
+    * (idCol, clean_text, n_final) — survivors only. */
+  def cleanConsume(docs: DataFrame, emitted: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8): DataFrame = {
+    import graft.pipeline.Dedup
+    val masked = Dedup.maskSpansAgainstWinners(
+        cleanStage(docs, textCol, idCol), idCol, "clean_text", emitted, k)
+      .filter(col("n_tokens") > col("n_masked"))
+      .select(col(idCol), col("clean_text"),
+        (col("n_tokens") - col("n_masked")).as("n_final"))
+    Dedup.dropExactDuplicates(masked, "clean_text", idCol)
+  }
 }
+
+/** One k-token shingle occurrence: the document (long key), the token
+  * START position, and the 60-bit substring hash — the emitted unit of
+  * [[DocStream.incrementalSpanWinners]]. */
+case class SpanOcc(id: Long, pos: Int, h: Long)

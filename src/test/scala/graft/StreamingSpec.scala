@@ -160,6 +160,87 @@ class StreamingSpec extends SparkSpec {
     assert(doc2 == Set(0, 1), doc2.toString)
   }
 
+  test("clean stream twin: snapshot-2 shifted span masks against snapshot-1 state; union equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    import org.apache.spark.sql.functions.col
+    val srcDir = tmpDir("cl_stream_src")
+    val ckpt = tmpDir("cl_stream_ckpt")
+    val outDir = tmpDir("cl_stream_out")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // docs that PASS C4 (punctuated ≥5-word lines, ≥3 sentences, no
+    // braces) and Gopher (≥50 alpha tokens, stops present, sane word
+    // lengths); the 10-token span appears once in snapshot 1 (doc 1) and
+    // SHIFTED inside snapshot 2 (doc 21) — paragraph/window units would
+    // both miss the shifted alignment, the span state must not
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    // per-doc UNIQUE filler (tagged words): the span must be the ONLY
+    // cross-doc repeat, or its masking is indistinguishable from filler
+    // masking
+    def doc(tag: String, mid: String): String = {
+      def line(i: Int) =
+        s"the quiet${tag}$i engine hums and the long river$tag$i bends with that easy grace."
+      s"report $tag begins now and $mid the crew watched and waited with patience.\n" +
+        s"${line(1)}\n${line(2)}\n" +
+        s"every line$tag here ends with the punctuation that keeps it going.\n" +
+        s"${line(3)}"
+    }
+    val snap1 = Seq(
+      (1L, doc("aa", s"$span holds the key while")),
+      (2L, doc("bb", "nothing repeated appears in this one so")))
+    val snap2 = Seq(
+      (21L, doc("cc", s"$span holds the key while")),
+      (22L, doc("dd", "its content stays its own so")))
+    def run(): Unit = {
+      val q = graft.streaming.DocStream
+        .cleanStreamEmit(
+          spark.readStream.schema(docSchema).parquet(srcDir), "text",
+          "doc_id", k = 8)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    snap1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    snap2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    val emitted = spark.read.parquet(outDir)
+    // snapshot 1 won every shingle of the shared span: no emitted winner
+    // of the span's interior shingles names doc 21
+    val winners21 = emitted.filter(col("id") === 21L).count()
+    val all21 = graft.streaming.DocStream
+      .incrementalSpanDedup(snap2.toDF("doc_id", "text").limit(1)
+        .filter(col("doc_id") === 21L), "doc_id", "text", 8).count()
+    assert(winners21 < all21,
+      s"doc 21 won all $all21 of its shingles — snapshot-1 state ignored")
+    // the consumer masks doc 21's copy of the span against the state
+    val consumed2 = graft.streaming.DocStream.cleanConsume(
+      snap2.toDF("doc_id", "text"), emitted, "text", "doc_id", 8)
+    val c21 = consumed2.filter(col("doc_id") === 21L)
+      .select("clean_text").head.getString(0)
+    assert(!c21.contains("charlie delta echo"),
+      s"snapshot-2 copy of the span survived: $c21")
+    assert(c21.contains("quietcc1 engine"), s"unique text was over-masked: $c21")
+    // batch-vs-streaming survivor equality on the UNION (snapshot-1 ids
+    // are lower, so the batch min(id, pos) winner is the same doc the
+    // stream's first-batch rule picked)
+    val union = (snap1 ++ snap2).toDF("doc_id", "text")
+    val streaming = graft.streaming.DocStream
+      .cleanConsume(union, emitted, "text", "doc_id", 8)
+      .select("doc_id", "clean_text", "n_final")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.pipeline.Pipelines.cleanCorpusFull(union, "text", "doc_id", 8)
+      .select("doc_id", "clean_text", "n_final")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streaming == batch, s"streaming $streaming\nvs batch $batch")
+    assert(batch.map(_._1).contains(1L) && batch.nonEmpty)
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
