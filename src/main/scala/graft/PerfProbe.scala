@@ -41,7 +41,13 @@ object PerfProbe {
     // the word-table path).
     val bpeN = sys.env.getOrElse("SPARK_GRAFT_BPE_N", "0").toLong
     if (bpeN > 0) {
-      val rounds = 8
+      // SPARK_GRAFT_BPE_MERGES: merge rounds (default 8; 1000 for the
+      // production-shape wall-time measurement). SPARK_GRAFT_BPE_MINCOUNT:
+      // the count floor — the reference loop prunes ITS word table with
+      // the same floor, so merge-table equality is checked on the
+      // pruned-table semantics the operator promises.
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt
+      val minCount = sys.env.getOrElse("SPARK_GRAFT_BPE_MINCOUNT", "1").toLong
       val sdocs = spark.range(bpeN).select(col("id").as("doc_id"),
         concat_ws(" ",
           concat(lit("alpha"), pmod(col("id"), lit(9973))),
@@ -53,7 +59,9 @@ object PerfProbe {
         .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
-      println(s"bpe-fit probe: n=$bpeN distinctWords=${wc.length}")
+        .filter(_._2 >= minCount)
+      println(s"bpe-fit probe: n=$bpeN minCount=$minCount " +
+        s"prunedDistinctWords=${wc.length}")
       def mergeGreedy(toks: Vector[String], l: String, r: String): Vector[String] = {
         val out = Vector.newBuilder[String]
         var i = 0
@@ -72,17 +80,24 @@ object PerfProbe {
         for ((toks, c) <- ws; i <- 0 until toks.length - 1)
           counts((toks(i), toks(i + 1))) =
             counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
-        val ((l, rr), c) = counts.toSeq
-          .sortBy { case ((a, b), n) => (-n, a, b) }.head
-        expected += ((l, rr, c))
-        ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
-        r0 += 1
+        if (counts.isEmpty) r0 = rounds
+        else {
+          val ((l, rr), c) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }.head
+          expected += ((l, rr, c))
+          ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
+          r0 += 1
+        }
       }
       val t0 = System.nanoTime()
-      val got = graft.pipeline.TextAnalysis.bpeFit(sdocs, "text", rounds)
+      val got = graft.pipeline.TextAnalysis.bpeFit(sdocs, "text", rounds,
+          minWordCount = minCount)
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
-      println(f"bpe-fit $rounds rounds: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val bpeSecs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe-fit $rounds rounds: $bpeSecs%.2f s " +
+        f"(${bpeSecs / math.max(1, got.length)}%.3f s/merge, " +
+        f"32k-merge extrapolation ${bpeSecs / math.max(1, got.length) * 32768 / 3600}%.2f h)")
       println(s"got:      ${got.mkString(", ")}")
       println(s"expected: ${expected.mkString(", ")}")
       println(s"MATCH=${got == expected.toSeq}")
@@ -100,11 +115,28 @@ object PerfProbe {
           when(col("id") % 2 === 1, lit("posmark")).otherwise(lit("negmark")),
           concat(lit("filler"), col("id")),
           lit("shared tokens everywhere")).as("text"))
+      // SPARK_GRAFT_FIT_JOINED=1: same probe through the joined-weight
+      // path (linearFitDf, vocabCutover=0) — the 10⁷-vocab engine, where
+      // the weight table never touches the driver
+      val joined = sys.env.getOrElse("SPARK_GRAFT_FIT_JOINED", "0") == "1"
       val t0 = System.nanoTime()
-      val (w, b) = graft.pipeline.TextAnalysis.linearFit(
-        sdocs, "text", "y", iterations = 3, lr = 1.0)
+      val (w, b) =
+        if (joined) {
+          val (wdf, bb) = graft.pipeline.TextAnalysis.linearFitDf(
+            sdocs, "text", "y", iterations = 3, lr = 1.0, vocabCutover = 0L)
+          val marks = wdf.filter(col("token").isin("posmark", "negmark"))
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          val vocabN = wdf.count()
+          (marks.map { case (k, v) => k -> v } ++
+            Map("__vocab__" -> vocabN.toDouble), bb)
+        } else {
+          val (wm, bb) = graft.pipeline.TextAnalysis.linearFit(
+            sdocs, "text", "y", iterations = 3, lr = 1.0)
+          (wm ++ Map("__vocab__" -> wm.size.toDouble), bb)
+        }
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"linear-fit n=$fitN vocab=${w.size} 3 iters: $secs%.2f s " +
+      println(f"linear-fit${if (joined) " (joined)" else ""} n=$fitN " +
+        f"vocab=${w("__vocab__").toLong} 3 iters: $secs%.2f s " +
         f"(${secs / 3}%.2f s/iter)")
       println(s"posmark=${w("posmark")} negmark=${w("negmark")} bias=$b")
       println(s"MATCH=${w("posmark") > 0 && w("negmark") < 0}")

@@ -685,6 +685,24 @@ object QueriesPipeline {
         (("__bias__", micro(b))))
         .toDF("tok", "w_micro").orderBy(col("tok"))
     }),
+    // the same trainer through the JOINED-WEIGHT-TABLE path
+    // (linearFitDf, vocabCutover = 0 forces the 10⁷-vocab engine): the
+    // weight state lives in a DataFrame and every lookup/gradient is a
+    // join — the oracle is tx_linear_fit's SQL verbatim, so this gate IS
+    // the bit-equality proof of the cutover
+    "tx_linear_fit_joined" -> ((s, dir) => {
+      val (wdf, b) = TextAnalysis.linearFitDf(
+        t(s, dir, "documents").withColumn("__lab",
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "text", "__lab", iterations = 3, lr = 0.5, vocabCutover = 0L)
+      import s.implicits._
+      def micro(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      wdf.select(col("token").as("tok"),
+          round(col("weight") * lit(1e6), 0).cast("long").as("w_micro"))
+        .unionByName(Seq(("__bias__", micro(b))).toDF("tok", "w_micro"))
+        .orderBy(col("tok"))
+    }),
     // model-driven language ID: multi-class linear classifier apply
     // (fastText-style argmax over per-class weight tables — the CCNet
     // pipeline's first stage), from a fixed input model
@@ -1861,6 +1879,9 @@ object QueriesPipeline {
     "tx_linear_fit" -> sqlLinearFit(3, 0.5),
     "tx_linear_fit_bigram" -> sqlLinearFit(2, 0.5, ngrams = 2),
     "tx_linear_fit_hashed" -> sqlLinearFit(2, 0.5, ngrams = 2, buckets = 64),
+    // the joined-weight path must land on the SAME model as the driver
+    // path — one oracle, two engines
+    "tx_linear_fit_joined" -> sqlLinearFit(3, 0.5),
     // w12 of the fit chain IS each training word's merge-order apply
     // result (applying a learned list in rank order = the training
     // segmentation); join word occurrences back in document order

@@ -109,69 +109,91 @@ object TextAnalysis {
     * round after that is one partial-agg groupBy over the word table
     * plus a single-row argmax to the driver (the algorithm's inherent
     * sequential dependency) and a map-only merge apply. Per-round cost
-    * is independent of corpus size; rounds cache their word table and
-    * unpersist the previous one, with a `checkpointEvery` lineage
-    * truncation so thousand-merge fits don't accumulate a deep plan.
+    * is independent of corpus size; every round truncates its lineage
+    * with a LAZY localCheckpoint (materialized by the round's own
+    * argmax job, so it costs nothing extra over a cache — and unlike a
+    * cache chain it cannot accumulate plan depth: under AQE each nested
+    * cached round prints BOTH its initial and final physical plans, so
+    * a cache chain's plan STRING doubles per round and OOMs the driver
+    * near depth ~25; measured, hence truncate-every-round).
     * Merging never crosses a word boundary (no end-of-word marker —
     * the byte-level-BPE convention; words come from [[tokens]]).
-    * Stops early when no pair reaches `minPairCount`. */
+    * Stops early when no pair reaches `minPairCount`.
+    *
+    * `minWordCount` / `maxWords` prune the word table ONCE after the
+    * initial count — the standard trainer bound (SentencePiece/HF expose
+    * the same knobs): per-round cost is word-table-bound, so a
+    * production 32k-merge fit needs the table capped; on a Zipfian
+    * corpus the count floor discards a vanishing share of PAIR MASS
+    * (rank-r word frequency ~ 1/r: words below count c hold well under
+    * 1% of occurrences for any realistic c — the coverage math and the
+    * measured 1k-merge wall time live in SCALE.md). The floor changes
+    * the learned merges only where a tail word's pairs were decisive —
+    * exactly the noise the bound exists to drop. `maxWords` keeps the
+    * top-M by (count desc, word asc) — deterministic under ties. */
   def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 1L, checkpointEvery: Int = 32): DataFrame = {
+      minPairCount: Long = 1L,
+      minWordCount: Long = 1L, maxWords: Int = Int.MaxValue): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
+    require(minWordCount >= 1, "minWordCount must be >= 1")
+    require(maxWords >= 1, "maxWords must be >= 1")
     import org.apache.spark.sql.graftbridge.CatalystBridge
     val sq = df.sparkSession
     import sq.implicits._
-    var cur = df
+    val counted = df
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val floored =
+      if (minWordCount <= 1L) counted
+      else counted.filter(col("cnt") >= minWordCount)
+    val pruned =
+      if (maxWords == Int.MaxValue) floored
+      // top-M via TakeOrdered (distributed partial top-k), then fan the
+      // M survivors back out — the limit's single output partition would
+      // otherwise serialize every merge round
+      else floored.orderBy(col("cnt").desc, col("w").asc).limit(maxWords)
+        .repartition(col("w"))
+    var cur = pruned
       // split("", "") keeps a trailing empty string (Java regex split
       // semantics) — filter it out of the initial symbol array
       .select(col("cnt"),
         filter(split(col("w"), ""), t => length(t) > 0).as("toks"))
-      .cache()
-    var prev: DataFrame = null
+      // LAZY checkpoint: the first argmax job materializes it; no ref
+      // to the corpus lineage survives, and no round ever nests another
+      // round's plan. Older rounds' blocks are released by the context
+      // cleaner once the loop's vars drop them.
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var rank = 1
     var done = false
-    try {
-      while (rank <= numMerges && !done) {
-        val n = size(col("toks"))
-        // the one job per round: the argmax consumes cur fully, which
-        // also materializes its cache — only after that is the previous
-        // round's cache safe to drop
-        val best = cur
-          .select(col("cnt"), col("toks"),
-            explode(when(n < 2, array().cast("array<int>"))
-              .otherwise(sequence(lit(0), n - 2))).as("i"))
-          .select(col("cnt"),
-            element_at(col("toks"), col("i") + 1).as("lft"),
-            element_at(col("toks"), col("i") + 2).as("rgt"))
-          .groupBy(col("lft"), col("rgt"))
-          .agg(sum(col("cnt")).as("pair_count"))
-          .orderBy(col("pair_count").desc, col("lft").asc, col("rgt").asc)
-          .limit(1).collect()
-        if (prev != null) { prev.unpersist(); prev = null }
-        if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
-        else {
-          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          merges += ((rank, l, r, l + r, c))
-          val next = cur.withColumn("toks", CatalystBridge.column(
+    while (rank <= numMerges && !done) {
+      val n = size(col("toks"))
+      // the one job per round: the argmax consumes cur fully, which
+      // also materializes its (lazily checkpointed) blocks
+      val best = cur
+        .select(col("cnt"), col("toks"),
+          explode(when(n < 2, array().cast("array<int>"))
+            .otherwise(sequence(lit(0), n - 2))).as("i"))
+        .select(col("cnt"),
+          element_at(col("toks"), col("i") + 1).as("lft"),
+          element_at(col("toks"), col("i") + 2).as("rgt"))
+        .groupBy(col("lft"), col("rgt"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lft").asc, col("rgt").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, l + r, c))
+        cur = cur.withColumn("toks", CatalystBridge.column(
             graft.functions.BpeMergePair(
               CatalystBridge.expression(col("toks")), l, r)))
-          val materialized =
-            if (rank % checkpointEvery == 0) next.localCheckpoint(true)
-            else next.cache()
-          prev = cur
-          cur = materialized
-          rank += 1
-        }
+          .localCheckpoint(false)
+        rank += 1
       }
-    } finally {
-      if (prev != null) prev.unpersist()
-      cur.unpersist()
     }
     merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_count")
   }
@@ -371,6 +393,93 @@ object TextAnalysis {
         it += 1
       }
       (wm.map { case (t, m) => t -> m / 1e6 }.toMap, bias)
+    } finally base.unpersist()
+  }
+
+  /** [[linearFit]] with the weight table as a DATAFRAME keyed by token —
+    * the 10⁷+-vocab form: the per-iteration score lookup and gradient
+    * fold become JOINS against the distributed weight table instead of
+    * a driver-held literal map, so the vocab never has to fit on the
+    * driver (the cutover SCALE.md documents). Selected AUTOMATICALLY:
+    * at or below `vocabCutover` distinct features the driver path runs
+    * and its map comes back as a frame (one collect beats 2·iterations
+    * joins there); above it the joined path runs. BIT-EQUAL to the
+    * driver path (Round15Spec pins it): the per-doc score is the same
+    * exact-Long Σ count·w_micro, the per-doc gradient factor is the
+    * same HALF_UP 1e-9 quantization, the weight step rounds the same
+    * double lr·g/(N·1e3) — every cross-row accumulation stays integer,
+    * so partitioning never matters on either path. Per iteration:
+    * one join-aggregate for scores, one for gradients, a localCheckpoint
+    * to pin the new weights and truncate lineage; the only driver
+    * scalars are the bias gradient and the doc count. Returns
+    * ((token, weight) in real units — [[loadLinearWeights]]-ready —
+    * and the bias). */
+  def linearFitDf(df: DataFrame, textCol: String, labelCol: String,
+      iterations: Int = 5, lr: Double = 0.5, wordNgrams: Int = 1,
+      hashBuckets: Int = 0, vocabCutover: Long = 1L << 21)
+      : (DataFrame, Double) = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val sq = df.sparkSession
+    import sq.implicits._
+    val base = df
+      .select(col(labelCol).cast("double").as("__y"),
+        tokens(col(textCol)).as("__t0"))
+      .select(monotonically_increasing_id().as("__did"), col("__y"),
+        featureTokens(col("__t0"), wordNgrams, hashBuckets).as("__toks"))
+      .cache()
+    try {
+      val nVocab = base.select(explode(col("__toks")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0)
+      if (nVocab <= vocabCutover) {
+        val (w, b) = linearFit(df, textCol, labelCol, iterations, lr,
+          wordNgrams, hashBuckets)
+        return (w.toSeq.toDF("token", "weight"), b)
+      }
+      val nDocs = base.count()
+      require(nDocs > 0, "empty training frame")
+      val docMeta = base
+        .select(col("__did"), col("__y"), size(col("__toks")).as("__n"))
+        .cache()
+      val docTok = base
+        .select(col("__did"), explode(col("__toks")).as("t"))
+        .groupBy(col("__did"), col("t")).agg(count(lit(1)).as("__c"))
+        .cache()
+      var weights = docTok.select(col("t")).distinct()
+        .select(col("t"), lit(0L).as("__wm")).localCheckpoint(true)
+      var bias = 0.0
+      val scale = nDocs * 1e3 // precomputed once, like the driver path
+      var it = 0
+      while (it < iterations) {
+        val sums = docTok.join(weights, Seq("t"))
+          .groupBy(col("__did"))
+          .agg(sum(col("__c") * col("__wm")).as("__sm"))
+        val z = lit(bias) + when(col("__n") > 0,
+          (coalesce(col("__sm"), lit(0L)).cast("double") / 1e6) / col("__n"))
+          .otherwise(lit(0.0))
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val stage = docMeta.join(sums, Seq("__did"), "left")
+          .select(col("__did"),
+            when(col("__n") > 0,
+              round((p - col("__y")) / col("__n") * 1e9, 0).cast("long"))
+              .otherwise(lit(0L)).as("__fq"),
+            round((p - col("__y")) * 1e9, 0).cast("long").as("__fb"))
+          .cache()
+        val gb = stage.agg(sum(col("__fb"))).head.getLong(0)
+        val gt = docTok
+          .join(stage.select(col("__did"), col("__fq")), Seq("__did"))
+          .groupBy(col("t")).agg(sum(col("__fq") * col("__c")).as("__g"))
+        weights = weights.join(gt, Seq("t"), "left")
+          .select(col("t"), (col("__wm") - coalesce(
+            round(lit(lr) * col("__g") / scale, 0).cast("long"), lit(0L)))
+            .as("__wm"))
+          .localCheckpoint(true)
+        stage.unpersist()
+        bias -= lr * gb / (nDocs * 1e9)
+        it += 1
+      }
+      docTok.unpersist(); docMeta.unpersist()
+      (weights.select(col("t").as("token"),
+        (col("__wm").cast("double") / 1e6).as("weight")), bias)
     } finally base.unpersist()
   }
 
