@@ -716,6 +716,22 @@ object QueriesPipeline {
           round(array_max(z), 6).as("z_max"))
         .orderBy(col("doc_id"))
     }),
+    // the same langID through the JOINED-MODEL apply
+    // (linearClassifyLabelJoined): the model rides as a (token, class,
+    // weight) DataFrame and every lookup is a join — the 10⁷-vocab
+    // twin of the reference-object kernel. Oracle is tx_langid_model's
+    // SQL verbatim: two engines, one contract.
+    "tx_langid_joined" -> ((s, dir) => {
+      import s.implicits._
+      val wdf = LangIdWeights.toSeq.flatMap { case (tk, ws) =>
+        LangIdClasses.zip(ws).map { case (c, w) => (tk, c, w) }
+      }.toDF("token", "class", "weight")
+      TextAnalysis.linearClassifyLabelJoined(t(s, dir, "documents"),
+          "text", "doc_id", wdf, LangIdClasses.zip(LangIdBiases))
+        .select(col("doc_id"), col("pred_class"),
+          round(col("z_max"), 6).as("z_max"))
+        .orderBy(col("doc_id"))
+    }),
     // token-budget packing keyed to the BPE vocab's TRUE fertility — the
     // production form of pl_pack_batches when a tokenizer vocab exists
     "pl_pack_bpe" -> ((s, dir) => {
@@ -1937,6 +1953,12 @@ object QueriesPipeline {
          |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
          |ORDER BY doc_id""".stripMargin,
     "tx_langid_model" ->
+      s"""WITH $sqlLangIdChain
+         |SELECT doc_id, c AS pred_class, round(zz, 6) AS z_max
+         |FROM lr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the joined-model apply must land on the SAME predictions and
+    // scores — one oracle, two engines
+    "tx_langid_joined" ->
       s"""WITH $sqlLangIdChain
          |SELECT doc_id, c AS pred_class, round(zz, 6) AS z_max
          |FROM lr WHERE rn = 1 ORDER BY doc_id""".stripMargin,

@@ -288,6 +288,77 @@ object TextAnalysis {
       array_position(z, array_max(z)).cast("int"))
   }
 
+  /** Multi-class classifier APPLY with the model as a DATAFRAME — the
+    * 10⁷-vocab twin of [[linearClassifyScores]] (the kernel form holds
+    * the whole table in one reference object on every executor; a
+    * 10⁷-row model wants to stay distributed, exactly like
+    * [[linearFitDf]]'s weight state). Long-form output: one row per
+    * (doc, class) with the z score. Bit-equal to the kernel: weights
+    * dedupe to the MAX per (token, class) (the [[loadLinearClassWeights]]
+    * rule) and quantize with the kernel's own `math.round(w·1e6)`
+    * (= floor(w·1e6 + 0.5)); per-(doc, class) sums accumulate in exact
+    * Longs; z is the identical per-row double chain. Plan: one staged
+    * tokenize, one (doc, token) count partial-agg, one join against the
+    * model keyed by token (a 100 TB crawl shuffles only its compressed
+    * token counts), one (doc, class) partial-agg, a broadcast of the
+    * (class, bias) table. Docs with no known tokens (or no tokens at
+    * all) still score `bias_c` for every class. */
+  def linearClassifyScoresJoined(docs: DataFrame, textCol: String,
+      idCol: String, weightsDf: DataFrame,
+      classBiases: Seq[(String, Double)], wordNgrams: Int = 1,
+      hashBuckets: Int = 0, tokenCol: String = "token",
+      classCol: String = "class", weightCol: String = "weight")
+      : DataFrame = {
+    require(classBiases.nonEmpty, "no classes")
+    require(classBiases.map(_._1).distinct.length == classBiases.length,
+      "duplicate class names")
+    val sq = docs.sparkSession
+    import sq.implicits._
+    val id = col(idCol)
+    val staged = docs.select(id,
+      featureTokens(tokens(col(textCol)), wordNgrams, hashBuckets)
+        .as("__toks"))
+    val meta = staged.select(id, size(col("__toks")).as("__n"))
+    val occ = staged.select(id, explode(col("__toks")).as("__t"))
+      .groupBy(id, col("__t")).agg(count(lit(1)).as("__c"))
+    val w = weightsDf.select(col(tokenCol).cast("string").as("__t"),
+        col(classCol).cast("string").as("__cls"),
+        col(weightCol).cast("double").as("__w")).na.drop()
+      .groupBy(col("__t"), col("__cls")).agg(max(col("__w")).as("__w"))
+      .select(col("__t"), col("__cls"),
+        floor(col("__w") * lit(1e6) + lit(0.5)).as("__wm"))
+    val sums = occ.join(w, Seq("__t"))
+      .groupBy(id, col("__cls")).agg(sum(col("__c") * col("__wm")).as("__sm"))
+    val cls = broadcast(classBiases.toDF("__cls", "__bias"))
+    meta.crossJoin(cls)
+      .join(sums, Seq(idCol, "__cls"), "left")
+      .select(id, col("__cls").as("class"),
+        (col("__bias") + when(col("__n") > 0,
+          (coalesce(col("__sm"), lit(0L)).cast("double") / 1e6) / col("__n"))
+          .otherwise(lit(0.0))).as("z"))
+  }
+
+  /** Predicted label under [[linearClassifyScoresJoined]]: per-doc
+    * argmax via a partial-merge `min_by` over (−z, class) — ties break
+    * to the lexicographically FIRST class, which equals
+    * [[linearClassifyLabel]]'s first-listed rule when (as documented
+    * there) classes are passed sorted. Returns
+    * (idCol, pred_class, z_max). */
+  def linearClassifyLabelJoined(docs: DataFrame, textCol: String,
+      idCol: String, weightsDf: DataFrame,
+      classBiases: Seq[(String, Double)], wordNgrams: Int = 1,
+      hashBuckets: Int = 0, tokenCol: String = "token",
+      classCol: String = "class", weightCol: String = "weight")
+      : DataFrame = {
+    val scored = linearClassifyScoresJoined(docs, textCol, idCol, weightsDf,
+      classBiases, wordNgrams, hashBuckets, tokenCol, classCol, weightCol)
+    scored.groupBy(col(idCol))
+      .agg(min_by(struct(col("class"), col("z")),
+        struct(negate(col("z")), col("class"))).as("__win"))
+      .select(col(idCol), col("__win")("class").as("pred_class"),
+        col("__win")("z").as("z_max"))
+  }
+
   /** Bag-of-features array for the linear classifiers: unigrams plus,
     * for `wordNgrams >= 2`, space-joined word n-grams up to that order —
     * fastText's `wordNgrams` (Joulin et al. 2016; there the n-grams are

@@ -91,6 +91,36 @@ class Round15Spec extends SparkSpec {
     assert(e.getMessage.contains("descending survivor priority"), e.getMessage)
   }
 
+  test("linearClassifyLabelJoined equals the kernel apply — scores, argmax, ties, empty docs") {
+    val classes = Seq("aa", "bb", "cc")
+    val biases = Seq(0.05, 0.01, 0.01)
+    val weights = Map(
+      "alpha" -> Seq(2.0, 0.0, 0.0),
+      "beta" -> Seq(0.0, 2.0, 0.0),
+      "tied" -> Seq(0.0, 1.5, 1.5)) // bb/cc tie on 'tied'-only docs
+    val docs = Seq(
+      (1L, "alpha alpha beta x"),
+      (2L, "beta beta"),
+      (3L, "tied tied"), // bb vs cc tie at equal bias -> first class wins
+      (4L, ""), // empty: biases only -> aa
+      (5L, "unknown words only here")).toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+        TextAnalysis.linearClassifyLabel(col("text"), classes, weights,
+          biases).as("pred_class"),
+        array_max(TextAnalysis.linearClassifyScores(col("text"), classes,
+          weights, biases)).as("z_max"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val wdf = weights.toSeq.flatMap { case (t, ws) =>
+      classes.zip(ws).map { case (c, w) => (t, c, w) } }
+      .toDF("token", "class", "weight")
+    val joined = TextAnalysis.linearClassifyLabelJoined(docs, "text",
+        "doc_id", wdf, classes.zip(biases))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(joined == kernel, s"joined $joined\nvs kernel $kernel")
+    assert(kernel.exists { case (id, c, _) => id == 3L && c == "bb" })
+    assert(kernel.exists { case (id, c, _) => id == 4L && c == "aa" })
+  }
+
   test("quantileBuckets generalizes to q=4 and nulls get null buckets") {
     val df = (Seq.tabulate(40)(i => (i.toLong, "en", Some(i.toDouble))) :+
       ((99L, "en", Option.empty[Double]))).toDF("id", "cls", "s")
