@@ -287,7 +287,12 @@ object Pipelines {
     require(q >= 2, "need at least 2 buckets")
     val cls = col(classCol)
     val s = col(scoreCol).cast("double")
-    val cnts = scored.filter(s.isNotNull)
+    // cache: the input lineage (often a whole LM-scoring chain) is
+    // consumed twice — the cutoff counts AND the final bucket join;
+    // uncached it would evaluate end-to-end twice (the ntile it
+    // replaces read its input once)
+    val base = scored.cache().transform(StageCaches.track)
+    val cnts = base.filter(s.isNotNull)
       .groupBy(cls.as("__cls"), s.as("__s"))
       .agg(count(lit(1)).as("__c"))
     val thrs = transform(sequence(lit(1), lit(q - 1)), qi =>
@@ -305,7 +310,7 @@ object Pipelines {
         sort_array(collect_list(struct(col("__s").as("s"), col("__c").as("c"))))
           .as("__arr"))
       .select(col("__cls"), thrs.as("__thr"))
-    scored
+    base
       .join(broadcast(cuts), cls <=> col("__cls"), "left")
       .withColumn("bucket",
         when(s.isNull || col("__thr").isNull, lit(null).cast("int"))
@@ -346,9 +351,13 @@ object Pipelines {
       classes: Seq[String], weights: Map[String, Seq[Double]],
       biases: Seq[Double], lmFor: String => TextAnalysis.BigramLm,
       midKeepPermille: Int = 500): DataFrame = {
+    // cache: every class's apply chain filters this frame (classify is
+    // the expensive column) — uncached, the classifier would re-run
+    // once per class per consuming job
     val pred = docs.select(col(idCol), col(textCol),
-      TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
-        biases).as("pred_class"))
+        TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
+          biases).as("pred_class"))
+      .cache().transform(StageCaches.track)
     val scored = classes.map { c =>
       TextAnalysis.bigramLmApply(lmFor(c),
           pred.filter(col("pred_class") === c), textCol, idCol)

@@ -1123,8 +1123,12 @@ object TextAnalysis {
       k: Double = 0.5): BigramLm = {
     val id = col(idCol)
     val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
+    // cache: every apply consumes the model twice (the bigram join +
+    // the left-context groupBy) — uncached, the fit corpus's whole
+    // tokenize/count lineage re-executes per consumer
     val model = docBigrams(tok, id)
       .groupBy(col("bg"), col("w1")).agg(sum(col("m")).as("c_bg"))
+      .cache().transform(StageCaches.track)
     val v = tok.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v")).head().getLong(0)
     BigramLm(model, v, k, capTokens)

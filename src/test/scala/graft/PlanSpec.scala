@@ -33,7 +33,11 @@ class PlanSpec extends SparkSpec {
       "tx_lm_score", "pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
       "pl_ccnet_perlang",
       // the Zipf gate crossJoins two ONE-ROW aggregates (totals × slope)
-      "tx_zipf_stats")
+      "tx_zipf_stats",
+      // the joined-model classifier fans each doc out over the BOUNDED
+      // (class, bias) table — a broadcast BNLJ over |classes| rows is
+      // the intended per-class score expansion, not a blowup
+      "tx_langid_joined")
 
   // store-DML queries execute real writes at construction; plan-shape for
   // their read side is covered by a1_store_scan_page's oracle. The two
