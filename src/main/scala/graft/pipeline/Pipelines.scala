@@ -368,6 +368,36 @@ object Pipelines {
       .select(col(idCol), col("pred_class"), col("bucket"))
   }
 
+  /** [[ccnet]] with the langID model as a (token, class, weight)
+    * DATAFRAME ([[TextAnalysis.linearClassifyLabelJoined]]) — the form
+    * a production fastText language identifier needs: real langID
+    * models carry millions of hashed n-gram buckets × ~100 languages,
+    * which must stay distributed, not ride every executor as a
+    * reference object. Same flow downstream (per-language LM scoring,
+    * cutoff terciles, keep/sample/drop); bit-equal predictions to the
+    * kernel form (PipelineSpec pins the composed equality). */
+  def ccnet(docs: DataFrame, textCol: String, idCol: String,
+      weightsDf: DataFrame, classBiases: Seq[(String, Double)],
+      lmFor: String => TextAnalysis.BigramLm,
+      midKeepPermille: Int): DataFrame = {
+    val classes = classBiases.map(_._1)
+    // LabelJoined projects the text away; join it back on the unique id
+    // and cache — each class's apply chain filters this frame
+    val pred = TextAnalysis.linearClassifyLabelJoined(docs, textCol, idCol,
+        weightsDf, classBiases)
+      .select(col(idCol), col("pred_class"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .cache().transform(StageCaches.track)
+    val scored = classes.map { c =>
+      TextAnalysis.bigramLmApply(lmFor(c),
+          pred.filter(col("pred_class") === c), textCol, idCol)
+        .withColumn("pred_class", lit(c))
+    }.reduce(_.unionByName(_)).filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col("pred_class"), col("bucket"))
+  }
+
   /** [[ccnet]] with ONE global reference LM instead of per-language
     * models — the single-model shortcut for corpora where one reference
     * model covers the mix; buckets still cut PER predicted language. */

@@ -578,6 +578,33 @@ object TextAnalysis {
     (classes, table, fits.map(_._2))
   }
 
+  /** Multi-class one-vs-all training through [[linearFitDf]] — the
+    * 10⁷-vocab form of [[linearFitOneVsAll]]: one binary fit per class
+    * (classes sorted for a canonical model), each selecting the joined
+    * engine above `vocabCutover`, with the model returned as the LONG
+    * (token, class, weight) DataFrame that [[loadLinearClassWeights]]
+    * persists and [[linearClassifyScoresJoined]] consumes directly —
+    * train and apply both stay off-driver end to end. A (token, class)
+    * pair a class's fit never saw is simply absent (weighs 0 at apply,
+    * the same semantics as the driver table's 0.0 fill). Returns
+    * (classes sorted asc, weights frame, per-class biases). */
+  def linearFitOneVsAllDf(df: DataFrame, textCol: String, classCol: String,
+      iterations: Int = 5, lr: Double = 0.5, wordNgrams: Int = 1,
+      hashBuckets: Int = 0, vocabCutover: Long = 1L << 21)
+      : (Seq[String], DataFrame, Seq[Double]) = {
+    val classes = df.select(col(classCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(classes.nonEmpty, "no classes")
+    val fits = classes.map { c =>
+      val (wdf, b) = linearFitDf(df.withColumn("__lab",
+          when(col(classCol).cast("string") === c, 1.0).otherwise(0.0)),
+        textCol, "__lab", iterations, lr, wordNgrams, hashBuckets,
+        vocabCutover)
+      (wdf.select(col("token"), lit(c).as("class"), col("weight")), b)
+    }
+    (classes, fits.map(_._1).reduce(_.unionByName(_)), fits.map(_._2))
+  }
+
   /** Load a multi-class weight table from a (token, class, weight)
     * DataFrame — a trained model file. Returns (classes sorted asc,
     * token -> per-class weights aligned with that order). Bounded

@@ -121,6 +121,52 @@ class Round15Spec extends SparkSpec {
     assert(kernel.exists { case (id, c, _) => id == 4L && c == "aa" })
   }
 
+  test("linearFitOneVsAllDf through the joined engine equals the driver one-vs-all") {
+    val docs = (0 until 45).map { i =>
+      val c = Seq("de", "en", "fr")(i % 3)
+      (i.toLong, s"mark_$c common tok$i", c)
+    }.toDF("id", "text", "lang")
+    val (cm, tm, bm) = TextAnalysis.linearFitOneVsAll(docs, "text", "lang",
+      iterations = 3, lr = 0.8)
+    val (cj, wdf, bj) = TextAnalysis.linearFitOneVsAllDf(docs, "text", "lang",
+      iterations = 3, lr = 0.8, vocabCutover = 0L)
+    assert(cm == cj && bm == bj, s"$cm/$bm vs $cj/$bj")
+    val joined = wdf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // driver table fills absent (token, class) with 0.0; the frame omits
+    // the row — equality modulo that fill
+    val driver = for ((t, ws) <- tm.toSeq; (c, w) <- cm.zip(ws)) yield ((t, c), w)
+    val diff = driver.filter { case (k, w) => joined.getOrElse(k, 0.0) != w }
+    assert(diff.isEmpty, diff.take(5).toString)
+    assert(joined.keys.forall { case (t, _) => tm.contains(t) })
+  }
+
+  test("ccnet with a joined model DataFrame equals the kernel-model ccnet") {
+    val classes = Seq("aa", "bb")
+    val weights = Map("alpha" -> Seq(3.0, 0.0), "beta" -> Seq(0.0, 3.0))
+    val biases = Seq(0.0, 0.0)
+    val corpus = (0 until 24).map { i =>
+      val m = if (i % 2 == 0) "alpha" else "beta"
+      val body = if (i < 12) s"same phrase here again $i" // denser n-grams
+        else s"odd${i}x rare${i}y words${i}z"
+      (i.toLong, s"$m $body $m")
+    }.toDF("doc_id", "text")
+    val lms = classes.map { c =>
+      val ci = classes.indexOf(c)
+      c -> TextAnalysis.bigramLmFit(corpus.filter(col("doc_id") % 2 === ci))
+    }.toMap
+    val kernel = Pipelines.ccnet(corpus, "text", "doc_id", classes, weights,
+        biases, lms, midKeepPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val wdf = weights.toSeq.flatMap { case (t, ws) =>
+      classes.zip(ws).map { case (c, w) => (t, c, w) } }
+      .toDF("token", "class", "weight")
+    val joined = Pipelines.ccnet(corpus, "text", "doc_id", wdf,
+        classes.zip(biases), lms, midKeepPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(joined == kernel && kernel.nonEmpty, s"$joined vs $kernel")
+  }
+
   test("quantileBuckets generalizes to q=4 and nulls get null buckets") {
     val df = (Seq.tabulate(40)(i => (i.toLong, "en", Some(i.toDouble))) :+
       ((99L, "en", Option.empty[Double]))).toDF("id", "cls", "s")
