@@ -1046,9 +1046,13 @@ object QueriesPipeline {
     // are bounded, so per-class fits grow the plan linearly.
     "pl_ccnet_perlang" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // cache: three per-class FITS consume this frame (model counts +
+      // vocab action each) — uncached, the classifier column re-runs
+      // over the whole corpus per consuming job
       val pred = docs.select(col("doc_id"), col("text"),
-        TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
-          LangIdWeights, LangIdBiases).as("pred_class"))
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
       val lms = LangIdClasses.map { c =>
         c -> TextAnalysis.bigramLmFit(pred.filter(col("pred_class") === c))
       }.toMap

@@ -19,8 +19,10 @@ object StageCaches {
   private val frames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Track a frame the pipeline just cached; returns it unchanged. */
-  private[pipeline] def track(df: DataFrame): DataFrame = {
+  /** Track a frame the pipeline just cached; returns it unchanged.
+    * graft-wide: gate code composing pipeline operators pins its own
+    * staged frames through the same drained registry. */
+  private[graft] def track(df: DataFrame): DataFrame = {
     frames.add(df)
     df
   }
