@@ -172,6 +172,28 @@ class AdversarialCorpusSpec extends SparkSpec {
       s"healthy-doc marker must outweigh flood marker: ${w2("workings")} vs ${w2("quick")}")
   }
 
+  test("joined classifier apply + ccnet survive the degenerate family") {
+    // empty docs, a 100k-token unigram doc, control bytes, floods — the
+    // joined-model apply must classify every row (bias-only for empties)
+    // and the composed ccnet must bucket without throwing
+    val wdf = Seq(("the", "en", 1.0), ("der", "xx", 1.0))
+      .toDF("token", "class", "weight")
+    val pred = TextAnalysis.linearClassifyLabelJoined(family, "text",
+      "doc_id", wdf, Seq("en" -> 0.0, "xx" -> 0.0))
+    assert(pred.count() == family.count())
+    // the empty doc scores bias-only: tie at 0.0 -> first class
+    val empty = pred.filter(col("doc_id") === 303L).head
+    assert(empty.getString(1) == "en" && empty.getDouble(2) == 0.0,
+      empty.toString)
+    val lm = TextAnalysis.bigramLmFit(family)
+    val cc = Pipelines.ccnetGlobalLm(family, "text", "doc_id",
+        Seq("en", "xx"), Map("the" -> Seq(1.0, 0.0)), Seq(0.0, 0.0), lm)
+      .collect()
+    assert(cc.nonEmpty)
+    assert(cc.forall(r => r.getInt(2) == 1 || r.getInt(2) == 2),
+      cc.take(3).mkString(","))
+  }
+
   test("quantileBuckets: a 95%-one-language corpus buckets without any window, exactly") {
     // the CommonCrawl shape: one language dominates. The old ntile form
     // would sort all 19k English rows in ONE task; the cutoff form must
