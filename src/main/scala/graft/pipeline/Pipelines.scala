@@ -280,11 +280,17 @@ object Pipelines {
     * that distinction is rank noise, and value buckets are the published
     * CCNet semantics). Rows with a NULL score get a NULL bucket; a class
     * whose scores are all NULL gets NULL buckets throughout. Scores must
-    * be numeric (compared as double — feed the ROUNDED score the
-    * pipeline already carries). */
+    * be numeric and ROUNDED (the pipeline's lm_nll already is): the
+    * whole design rests on distinct-score cardinality being
+    * resolution-bounded — an unrounded raw double would grow a class's
+    * cutoff array toward corpus size. A class exceeding
+    * `maxDistinctScores` distinct values fails AT EXECUTION with an
+    * actionable message (round the score first) rather than silently
+    * broadcasting a corpus-sized cutoff table. */
   def quantileBuckets(scored: DataFrame, classCol: String, scoreCol: String,
-      q: Int = 3): DataFrame = {
+      q: Int = 3, maxDistinctScores: Int = 1 << 22): DataFrame = {
     require(q >= 2, "need at least 2 buckets")
+    require(maxDistinctScores >= q, "maxDistinctScores must be >= q")
     val cls = col(classCol)
     val s = col(scoreCol).cast("double")
     // cache: the input lineage (often a whole LM-scoring chain) is
@@ -309,7 +315,14 @@ object Pipelines {
       .agg(sum(col("__c")).as("__n"),
         sort_array(collect_list(struct(col("__s").as("s"), col("__c").as("c"))))
           .as("__arr"))
-      .select(col("__cls"), thrs.as("__thr"))
+      .select(col("__cls"),
+        when(size(col("__arr")) > maxDistinctScores,
+          raise_error(concat(
+            lit("quantileBuckets: class '"), col("__cls").cast("string"),
+            lit(s"' has more than $maxDistinctScores distinct scores — " +
+              "round the score column first (cutoffs are bounded by " +
+              "score RESOLUTION, not corpus size)"))))
+          .otherwise(thrs).as("__thr"))
     base
       .join(broadcast(cuts), cls <=> col("__cls"), "left")
       .withColumn("bucket",

@@ -179,4 +179,19 @@ class Round15Spec extends SparkSpec {
       out(20L) == 3 && out(29L) == 3 && out(30L) == 4 && out(39L) == 4,
       out.toSeq.sortBy(_._1).mkString(","))
   }
+
+  test("quantileBuckets fails actionably when a class exceeds the distinct-score bound") {
+    // an unrounded score column would grow the cutoff array toward
+    // corpus size — the guard must name the problem, not OOM later
+    val df = Seq.tabulate(50)(i => (i.toLong, "en", i * 1.0000001))
+      .toDF("id", "cls", "s")
+    val e = intercept[Exception] {
+      Pipelines.quantileBuckets(df, "cls", "s", 3, maxDistinctScores = 10)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("round the score column")),
+      msgs(e).mkString(" | "))
+  }
 }
