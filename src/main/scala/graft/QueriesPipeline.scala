@@ -387,6 +387,33 @@ object QueriesPipeline {
        |    WHEN s.lm_nll <= t.t2 THEN 2 ELSE 3 END AS bucket
        |  FROM tscored s JOIN tcut t ON s.$cls = t.tcls)""".stripMargin
 
+  /** The per-language CCNet mirror (classifier langID -> one bigram-LM
+    * chain fit+applied PER predicted language -> per-language terciles
+    * -> keep/sample/drop) — shared VERBATIM by pl_ccnet_perlang (the
+    * per-class apply chains) and pl_ccnet_joined (the one-pass
+    * bigramLmFitByClass / single-join bigramLmApplyJoined engine): one
+    * oracle, two engines. */
+  private def sqlCcnetPerlang: String =
+    s"""WITH $sqlLangIdChain,
+       |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+       |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'de'),
+       |${sqlLmNllFor("xde", "src_de")},
+       |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'en'),
+       |${sqlLmNllFor("xen", "src_en")},
+       |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'fr'),
+       |${sqlLmNllFor("xfr", "src_fr")},
+       |allscored AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM xdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM xenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM xfrm),
+       |tscored AS (SELECT pred_class, doc_id, lm_nll
+       |  FROM allscored WHERE lm_nll IS NOT NULL),
+       |${sqlTercileBuckets("pred_class")}
+       |SELECT doc_id, pred_class, bucket FROM b
+       |WHERE bucket = 1 OR (bucket = 2 AND
+       |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+       |ORDER BY doc_id""".stripMargin
+
   /** Greedy longest-match BPE apply as a recursive CTE over DISTINCT
     * words: each step consumes the longest vocab entry prefixing the
     * remaining suffix (char fallback when none). Yields wp(w, parts).
@@ -1058,6 +1085,30 @@ object QueriesPipeline {
       }.toMap
       graft.pipeline.Pipelines.ccnet(docs, "text", "doc_id",
           LangIdClasses, LangIdWeights, LangIdBiases, lms)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the JOINED-ENGINE twin of pl_ccnet_perlang — same oracle, second
+    // engine (the tx_langid_joined discipline): ALL per-language LMs fit
+    // in ONE groupBy(class, bg, w1) pass (bigramLmFitByClass — no
+    // sequential per-class fit jobs), every doc scored against ITS
+    // language's model in ONE join on (class, bg)
+    // (bigramLmApplyJoined — the prediction frame is scanned once; no
+    // C-way filter/union). At 3 classes this must land on the per-class
+    // chains' exact rows; at ~100 languages it is the only shape whose
+    // plan and job count don't grow with the language set.
+    "pl_ccnet_joined" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // cache: the one-pass fit consumes this frame twice (model counts
+      // + vocab sizes) — the classifier column must not re-run per pass
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.bigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class")
+      graft.pipeline.Pipelines.ccnet(docs, "text", "doc_id",
+          LangIdClasses, LangIdWeights, LangIdBiases, lm, 500)
         .orderBy(col("doc_id"))
     }),
 
@@ -1924,26 +1975,11 @@ object QueriesPipeline {
       s"""WITH $sqlLangIdChain
          |SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
-    "pl_ccnet_perlang" ->
-      s"""WITH $sqlLangIdChain,
-         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
-         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'de'),
-         |${sqlLmNllFor("xde", "src_de")},
-         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'en'),
-         |${sqlLmNllFor("xen", "src_en")},
-         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'fr'),
-         |${sqlLmNllFor("xfr", "src_fr")},
-         |allscored AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM xdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM xenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM xfrm),
-         |tscored AS (SELECT pred_class, doc_id, lm_nll
-         |  FROM allscored WHERE lm_nll IS NOT NULL),
-         |${sqlTercileBuckets("pred_class")}
-         |SELECT doc_id, pred_class, bucket FROM b
-         |WHERE bucket = 1 OR (bucket = 2 AND
-         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
-         |ORDER BY doc_id""".stripMargin,
+    "pl_ccnet_perlang" -> sqlCcnetPerlang,
+    // TWO ENGINES, ONE ORACLE: the joined-model gate reuses the
+    // per-language mirror VERBATIM — the one-pass fit and the single
+    // (class, bg) join must land on exactly the per-class chains' rows
+    "pl_ccnet_joined" -> sqlCcnetPerlang,
     "pl_ccnet" ->
       s"""WITH $sqlLmNll,
          |$sqlLangIdChain,

@@ -621,14 +621,14 @@ object Dedup {
     * repeated spans — exactly [[maskRepeatedSpans]] with the winner pick
     * replaced by the stream's checkpointed state, so a span first seen
     * in an EARLIER crawl snapshot masks its copies in this one. The
-    * winner side joins on the unique shingle coordinate (h, id, pos) —
-    * one row per distinct h, so the anti-join is balanced under any
-    * duplication skew. `winners` must cover this corpus's shingles (it
-    * is the stream's full first-seen set); an occurrence whose hash is
-    * genuinely absent could only come from text the stream never saw —
-    * those rows mask NOTHING extra here because absence means no match,
-    * keeping the operator fail-open on unseen text. Same return shape
-    * as [[maskRepeatedSpans]]. */
+    * winner side joins on the shingle hash — one row per distinct h, so
+    * the join is balanced under any duplication skew and never fans out.
+    * FAIL-OPEN on unseen text, structurally: an occurrence is
+    * mask-eligible only when its hash IS in `winners` AND it is not the
+    * emitted winner occurrence — a shingle the stream never saw (e.g.
+    * `cleanConsume` run on a snapshot whose emit pass hasn't happened)
+    * masks NOTHING, so partial state can only under-mask, never destroy
+    * unique text. Same return shape as [[maskRepeatedSpans]]. */
   def maskSpansAgainstWinners(df: DataFrame, idCol: String, textCol: String,
       winners: DataFrame, k: Int = 8, sep: String = " "): DataFrame = {
     require(k >= 1, "span shingle length must be >= 1")
@@ -646,9 +646,13 @@ object Dedup {
           concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
     val w = winners.select(col("h").as("__wh"),
       col("id").cast("long").as("__wid"), col("pos").as("__wpos"))
-    val eligible = occ.join(w,
-      col("h") === col("__wh") && id.cast("long") === col("__wid") &&
-        col("pos") === col("__wpos"), "left_anti")
+    // one equi-join on h (w is unique per h — no fan-out): a LEFT join
+    // plus the known/not-winner filter is the fail-open shape — an
+    // anti-join alone would mark every UNSEEN shingle eligible
+    val eligible = occ.join(w, col("h") === col("__wh"), "left")
+      .filter(col("__wh").isNotNull &&
+        !(id.cast("long") === col("__wid") && col("pos") === col("__wpos")))
+      .select(id, col("__n"), col("pos"), col("h"))
     maskEligible(staged, idCol, eligible, k, sep)
   }
 

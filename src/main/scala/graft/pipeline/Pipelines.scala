@@ -301,6 +301,27 @@ object Pipelines {
     val cnts = base.filter(s.isNotNull)
       .groupBy(cls.as("__cls"), s.as("__s"))
       .agg(count(lit(1)).as("__c"))
+    // the distinct-score bound must fire BEFORE collect_list builds the
+    // per-class array (an unrounded raw-double score would grow a task's
+    // aggregation buffer toward corpus size before a post-hoc size()
+    // check ever ran). The per-class row count of `cnts` IS the distinct
+    // count; it broadcast-joins back (one row per class) and the guard
+    // raises on the FIRST row of an oversized class — the broadcast
+    // build completes before the probe side feeds the collect. Cost on
+    // the happy path: one partial-merge count over cnts (re-aggregated
+    // from the cached base).
+    val nd = cnts.groupBy(col("__cls")).agg(count(lit(1)).as("__nd"))
+    val guarded = cnts.join(broadcast(nd), Seq("__cls"))
+      .select(col("__cls"),
+        when(col("__nd") > maxDistinctScores,
+          raise_error(concat(
+            lit("quantileBuckets: class '"), col("__cls").cast("string"),
+            lit(s"' has more than $maxDistinctScores distinct scores — " +
+              "round the score column first (cutoffs are bounded by " +
+              "score RESOLUTION, not corpus size)")))
+            .cast("double"))
+          .otherwise(col("__s")).as("__s"),
+        col("__c"))
     val thrs = transform(sequence(lit(1), lit(q - 1)), qi =>
       aggregate(col("__arr"),
         struct(lit(0L).as("cum"), lit(null).cast("double").as("t")),
@@ -310,19 +331,12 @@ object Pipelines {
             when((acc("cum") + x("c")) * q >= qi * col("__n"), x("s")))
             .as("t")),
         acc => acc("t")))
-    val cuts = cnts
+    val cuts = guarded
       .groupBy(col("__cls"))
       .agg(sum(col("__c")).as("__n"),
         sort_array(collect_list(struct(col("__s").as("s"), col("__c").as("c"))))
           .as("__arr"))
-      .select(col("__cls"),
-        when(size(col("__arr")) > maxDistinctScores,
-          raise_error(concat(
-            lit("quantileBuckets: class '"), col("__cls").cast("string"),
-            lit(s"' has more than $maxDistinctScores distinct scores — " +
-              "round the score column first (cutoffs are bounded by " +
-              "score RESOLUTION, not corpus size)"))))
-          .otherwise(thrs).as("__thr"))
+      .select(col("__cls"), thrs.as("__thr"))
     base
       .join(broadcast(cuts), cls <=> col("__cls"), "left")
       .withColumn("bucket",
@@ -388,16 +402,21 @@ object Pipelines {
     * which must stay distributed, not ride every executor as a
     * reference object. Same flow downstream (per-language LM scoring,
     * cutoff terciles, keep/sample/drop); bit-equal predictions to the
-    * kernel form (PipelineSpec pins the composed equality). */
+    * kernel form (PipelineSpec pins the composed equality).
+    * `classBiases` is sorted internally: the joined argmax breaks z-ties
+    * to the lexicographically FIRST class, which equals the kernel's
+    * first-LISTED rule only under sorted order — sorting here makes the
+    * documented equivalence hold for any caller order. */
   def ccnet(docs: DataFrame, textCol: String, idCol: String,
       weightsDf: DataFrame, classBiases: Seq[(String, Double)],
       lmFor: String => TextAnalysis.BigramLm,
       midKeepPermille: Int): DataFrame = {
-    val classes = classBiases.map(_._1)
+    val sortedBiases = classBiases.sortBy(_._1)
+    val classes = sortedBiases.map(_._1)
     // LabelJoined projects the text away; join it back on the unique id
     // and cache — each class's apply chain filters this frame
     val pred = TextAnalysis.linearClassifyLabelJoined(docs, textCol, idCol,
-        weightsDf, classBiases)
+        weightsDf, sortedBiases)
       .select(col(idCol), col("pred_class"))
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .cache().transform(StageCaches.track)
@@ -406,6 +425,36 @@ object Pipelines {
           pred.filter(col("pred_class") === c), textCol, idCol)
         .withColumn("pred_class", lit(c))
     }.reduce(_.unionByName(_)).filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col("pred_class"), col("bucket"))
+  }
+
+  /** [[ccnet]] on the LONG per-class model
+    * ([[TextAnalysis.BigramLmByClass]]) — the many-language production
+    * shape: langID is the same map-only kernel, but the per-language
+    * scoring is ONE join against the (class, bg, w1, c_bg) model frame
+    * ([[TextAnalysis.bigramLmApplyJoined]]) instead of one filtered
+    * apply chain PER class — the prediction frame is scanned ONCE and
+    * the plan size is independent of class count (at Wenzek et al.'s
+    * ~100 languages the per-class union form re-reads a corpus-sized
+    * cache 100 times; this reads it once). Same downstream flow
+    * (broadcast cutoff terciles, keep/sample/drop) and the same output
+    * contract as the per-class overload — PipelineSpec pins the
+    * composed equality, the `pl_ccnet_joined` gate shares
+    * `pl_ccnet_perlang`'s oracle verbatim. */
+  def ccnet(docs: DataFrame, textCol: String, idCol: String,
+      classes: Seq[String], weights: Map[String, Seq[Double]],
+      biases: Seq[Double], lm: TextAnalysis.BigramLmByClass,
+      midKeepPermille: Int): DataFrame = {
+    // no cache here: bigramLmApplyJoined stages (id, class, tokens) once
+    // and pins THAT — the classifier column evaluates exactly once
+    val pred = docs.select(col(idCol), col(textCol),
+      TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
+        biases).as("pred_class"))
+    val scored = TextAnalysis.bigramLmApplyJoined(lm, pred, textCol, idCol,
+        "pred_class")
+      .filter(col("lm_nll").isNotNull)
     ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
         midKeepPermille)
       .select(col(idCol), col("pred_class"), col("bucket"))

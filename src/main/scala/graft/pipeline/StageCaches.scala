@@ -13,17 +13,34 @@ import org.apache.spark.sql.DataFrame
   * pinned across invocations. References are STRONG on purpose: Spark's
   * CacheManager pins the cached data independently of the DataFrame
   * object, so a weak ref that GC cleared would leave an unreleasable
-  * cache entry behind — and the queue cannot leak, because
-  * [[unpersistAll]] drains it fully. */
+  * cache entry behind — and the queue cannot leak UNDER THE DRAIN
+  * DISCIPLINE: the strong refs accumulate without bound in an
+  * application that composes tracked operators (quantileBuckets, ccnet,
+  * maskSpans*, cleanCorpus*) but never calls [[unpersistAll]] — the
+  * drain between passes is a REQUIREMENT of using the pipeline surface,
+  * not an optimization, and [[track]] logs a warning once the queue
+  * passes [[warnThreshold]] so the omission is visible before executor
+  * storage is. */
 object StageCaches {
   private val frames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Queue depth at which [[track]] starts warning (once per crossing):
+    * a healthy pass tracks a handful of frames; hundreds pending means
+    * the application is skipping the [[unpersistAll]] drain. */
+  private val warnThreshold = 256
+  private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Track a frame the pipeline just cached; returns it unchanged.
     * graft-wide: gate code composing pipeline operators pins its own
     * staged frames through the same drained registry. */
   private[graft] def track(df: DataFrame): DataFrame = {
     frames.add(df)
+    if (frames.size > warnThreshold && warned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"StageCaches holds > $warnThreshold pinned frames — call " +
+          "StageCaches.unpersistAll() between corpus passes or executor " +
+          "storage stays pinned (strong refs accumulate until drained)")
     df
   }
 

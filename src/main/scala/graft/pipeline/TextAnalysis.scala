@@ -115,7 +115,14 @@ object TextAnalysis {
     * cache chain it cannot accumulate plan depth: under AQE each nested
     * cached round prints BOTH its initial and final physical plans, so
     * a cache chain's plan STRING doubles per round and OOMs the driver
-    * near depth ~25; measured, hence truncate-every-round).
+    * near depth ~25; measured, hence truncate-every-round). Each round
+    * EXPLICITLY releases the round-before-last's checkpoint blocks
+    * right after its argmax materializes the current round (storage is
+    * bounded at two rounds' worth deterministically, not
+    * when-the-driver-GCs); the trade of a LAZY checkpoint is that its
+    * blocks are non-recoverable — on executor/block loss the fit FAILS
+    * and must rerun rather than recomputing lineage (acceptable for a
+    * trainer job; rerun cost is the rounds so far).
     * Merging never crosses a word boundary (no end-of-word marker —
     * the byte-level-BPE convention; words come from [[tokens]]).
     * Stops early when no pair reaches `minPairCount`.
@@ -161,11 +168,15 @@ object TextAnalysis {
         filter(split(col("w"), ""), t => length(t) > 0).as("toks"))
       // LAZY checkpoint: the first argmax job materializes it; no ref
       // to the corpus lineage survives, and no round ever nests another
-      // round's plan. Older rounds' blocks are released by the context
-      // cleaner once the loop's vars drop them.
+      // round's plan. Superseded rounds release their blocks explicitly
+      // below (the ContextCleaner would get there eventually, but only
+      // after a driver GC — unbounded in the meantime).
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
+    // the frame cur's lazy checkpoint still READS from (its parent):
+    // freeable only after cur materializes in the next round's argmax
+    var dep: DataFrame = null
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
@@ -183,11 +194,15 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lft").asc, col("rgt").asc)
         .limit(1).collect()
+      // the argmax just materialized cur — the frame cur checkpointed
+      // FROM is unreachable by any later round; release it now
+      if (dep != null) { CatalystBridge.unpersistCheckpoint(dep); dep = null }
       if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((rank, l, r, l + r, c))
+        dep = cur
         cur = cur.withColumn("toks", CatalystBridge.column(
             graft.functions.BpeMergePair(
               CatalystBridge.expression(col("toks")), l, r)))
@@ -195,6 +210,10 @@ object TextAnalysis {
         rank += 1
       }
     }
+    // fit state is driver-side from here — free the last rounds' blocks
+    // (an unmaterialized lazy checkpoint unpersists as a no-op)
+    if (dep != null) CatalystBridge.unpersistCheckpoint(dep)
+    CatalystBridge.unpersistCheckpoint(cur)
     merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_count")
   }
 
@@ -1098,22 +1117,26 @@ object TextAnalysis {
   private def cappedTokens(text: Column, capTokens: Int): Column =
     slice(tokens(text), 1, capTokens)
 
-  /** Per-doc COMPRESSED bigrams: (id, bg, w1, m). Whitespace tokens cannot
-    * contain spaces, so "w1 w2" is an injective bigram key — no struct
-    * plumbing needed on either engine. */
-  private def docBigrams(tok: DataFrame, id: Column): DataFrame = {
+  /** The (bg, w1) struct array of a staged `toks` column — the shared
+    * bigram enumeration of every LM fit/apply path. Whitespace tokens
+    * cannot contain spaces, so "w1 w2" is an injective bigram key — no
+    * struct plumbing needed on either engine. */
+  private def bigramStructs: Column = {
     val nT = size(col("toks"))
-    val bgArr = when(nT >= 2,
+    when(nT >= 2,
       transform(sequence(lit(1), nT - 1),
         i => struct(
           concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1)).as("bg"),
           element_at(col("toks"), i).as("w1"))))
       .otherwise(array().cast("array<struct<bg:string,w1:string>>"))
-    tok.select(id, explode(bgArr).as("p"))
+  }
+
+  /** Per-doc COMPRESSED bigrams: (id, bg, w1, m). */
+  private def docBigrams(tok: DataFrame, id: Column): DataFrame =
+    tok.select(id, explode(bigramStructs).as("p"))
       .groupBy(id, col("p.bg").as("bg"), col("p.w1").as("w1"))
       .agg(count(lit(1)).as("m"))
-  }
 
   /** A FITTED bigram LM: the add-k model of `bigramLmScore`, separated
     * into fit/apply so the model can be estimated on a clean REFERENCE
@@ -1188,6 +1211,118 @@ object TextAnalysis {
       .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
     df.select(id).join(scored, Seq(idCol), "left")
       .select(id, round(col("nll"), 4).as("lm_nll"))
+  }
+
+  /** ALL per-class bigram LMs in ONE long model frame — the
+    * many-language form of [[BigramLm]] (Wenzek et al. 2019 fit one LM
+    * per language; at the ~100 languages of a real crawl, 100 driver-side
+    * [[BigramLm]] objects mean 100 sequential fit jobs and a 100-branch
+    * apply union — this keeps the whole model set distributed instead):
+    * `model` is (class, bg, w1, c_bg), `vocab` is (class, v). Fit is one
+    * `groupBy(class, bg, w1)` pass, apply is one join on (class, bg) —
+    * both independent of class count. Per-class counts and vocab sizes
+    * are EXACTLY those of [[bigramLmFit]] run on each class partition
+    * ([[bigramLmApplyJoined]] scores bit-equal to the per-class
+    * [[bigramLmApply]]); persistable via save/load. */
+  final case class BigramLmByClass(model: DataFrame, vocab: DataFrame,
+      k: Double, capTokens: Int) {
+    def save(dir: String): Unit = {
+      val spark = model.sparkSession
+      model.write.mode("overwrite").parquet(s"$dir/bigrams.parquet")
+      vocab.write.mode("overwrite").parquet(s"$dir/vocab.parquet")
+      import spark.implicits._
+      Seq((k, capTokens)).toDF("k", "cap_tokens")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object BigramLmByClass {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : BigramLmByClass = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      BigramLmByClass(spark.read.parquet(s"$dir/bigrams.parquet"),
+        spark.read.parquet(s"$dir/vocab.parquet"),
+        meta.getAs[Double]("k"), meta.getAs[Int]("cap_tokens"))
+    }
+  }
+
+  /** Fit ONE bigram LM PER CLASS in a single pass over the corpus —
+    * class-partition counts via `groupBy(class, bg, w1)` (a partial-merge
+    * aggregate: heavy (class, bigram) cells collapse map-side, so the
+    * skewed-language crawl never floods one task) and per-class vocab
+    * sizes via one `countDistinct` aggregate. No driver action at all
+    * (the per-class V lives in the model's `vocab` frame, unlike
+    * [[bigramLmFit]]'s scalar), and no per-class job: fitting 100
+    * languages costs the same two aggregates as fitting 3. Rows with a
+    * NULL class are excluded (they belong to no model). */
+  def bigramLmFitByClass(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", classCol: String = "class",
+      capTokens: Int = 512, k: Double = 0.5): BigramLmByClass = {
+    val tok = df.filter(col(classCol).isNotNull)
+      .select(col(classCol).cast("string").as("class"),
+        cappedTokens(col(textCol), capTokens).as("toks"))
+    // total occurrence count per (class, bg, w1) — integer-equal to
+    // bigramLmFit's per-doc-compress-then-sum on the class partition
+    val model = tok.select(col("class"), explode(bigramStructs).as("p"))
+      .groupBy(col("class"), col("p.bg").as("bg"), col("p.w1").as("w1"))
+      .agg(count(lit(1)).as("c_bg"))
+      // cache: every apply consumes the model twice (the bigram join +
+      // the left-context groupBy) — same pin as bigramLmFit's model
+      .cache().transform(StageCaches.track)
+    val vocab = tok.select(col("class"), explode(col("toks")).as("w"))
+      .groupBy(col("class")).agg(countDistinct(col("w")).as("v"))
+    BigramLmByClass(model, vocab, k, capTokens)
+  }
+
+  /** Score every document against ITS OWN class's model in ONE pass —
+    * the joined twin of per-class [[bigramLmApply]] chains (the
+    * two-engines-one-contract discipline of
+    * [[linearClassifyScoresJoined]]): one staged tokenize, one
+    * (id, class, bg) compress, one join against the long model on
+    * (class, bg), one against the derived left-context counts on
+    * (class, w1), a BROADCAST of the per-class smoothing mass k·V (one
+    * row per class), one per-doc reduce. A 100 TB crawl shuffles only
+    * its compressed bigrams ONCE, regardless of how many languages the
+    * model holds — vs the C-way filter/union that re-scans the
+    * prediction frame per class. Bit-equal to [[bigramLmApply]] on each
+    * class partition: identical smoothing chain with k·V as an exact
+    * 0.5·integer double, OOV bigrams/contexts coalescing to 0, and the
+    * same round-4 output. Docs with < 2 tokens — or whose class has no
+    * fitted model — carry NULL `lm_nll`. Returns
+    * (idCol, classCol, lm_nll). */
+  def bigramLmApplyJoined(lm: BigramLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      classCol: String = "class"): DataFrame = {
+    val id = col(idCol)
+    // cache: consumed twice (the bigram compress + the id/class join-back
+    // side) — without the pin the upstream lineage (often a whole langID
+    // classify) would evaluate twice
+    val tok = df
+      .select(id, col(classCol).cast("string").as("__cls"),
+        cappedTokens(col(textCol), lm.capTokens).as("toks"))
+      .cache().transform(StageCaches.track)
+    val docBg = tok.select(id, col("__cls"), explode(bigramStructs).as("p"))
+      .groupBy(id, col("__cls"), col("p.bg").as("bg"), col("p.w1").as("w1"))
+      .agg(count(lit(1)).as("m"))
+    val m = lm.model.select(col("class").as("__cls"), col("bg"), col("c_bg"))
+    val lc = lm.model.groupBy(col("class").as("__cls"), col("w1"))
+      .agg(sum(col("c_bg")).as("c_left"))
+    // per-class smoothing mass k·V: exact (0.5 × integer-valued double),
+    // one row per class — rides every executor as a broadcast
+    val vk = lm.vocab.select(col("class").as("__cls"),
+      (lit(lm.k) * col("v").cast("double")).as("__kv"))
+    val scored = docBg
+      .join(m, Seq("__cls", "bg"), "left")
+      .join(lc, Seq("__cls", "w1"), "left")
+      .join(broadcast(vk), Seq("__cls"), "left")
+      .select(id, (col("m") *
+        log((coalesce(col("c_bg"), lit(0L)) + lm.k) /
+            (coalesce(col("c_left"), lit(0L)) + col("__kv")))).as("lp"),
+        col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    tok.select(id, col("__cls")).join(scored, Seq(idCol), "left")
+      .select(id, col("__cls").as(classCol), round(col("nll"), 4).as("lm_nll"))
   }
 
   /** A FITTED trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large

@@ -12,6 +12,20 @@ object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Release the storage of a `localCheckpoint()`-backed Dataset: such a
+    * frame's plan is a LogicalRDD over the checkpointed RDD, and the
+    * blocks are OWNED by that RDD — `Dataset.unpersist` only touches
+    * CacheManager entries, so it is a no-op on them; without this the
+    * blocks wait for a driver GC + ContextCleaner sweep. Returns true
+    * when a checkpoint RDD was found and unpersisted. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame,
+      blocking: Boolean = false): Boolean =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking); true
+      case _ => false
+    }
+
   /** If the Column is a sort-order wrapper (`.asc`/`.desc`/nulls
     * variants), return (child column, ascending?, nullsFirst?). Spark 4
     * sort Columns are `internal.SortOrder` ColumnNodes (NOT catalyst

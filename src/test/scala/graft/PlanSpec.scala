@@ -159,8 +159,12 @@ class PlanSpec extends SparkSpec {
     // BROADCAST join + map-only compare. Assert: no Window node anywhere
     // in any of the four composed plans, and the cutoff table joins back
     // as a broadcast.
+    // pl_ccnet_joined: the joined multi-LM engine — additionally free of
+    // the 1-row vocab crossJoin the per-class chains carry (its k·V mass
+    // is a per-class broadcast HASH join), so it is NOT in the
+    // theta-join allowlist above
     for (q <- Seq("pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
-        "pl_ccnet_perlang")) {
+        "pl_ccnet_perlang", "pl_ccnet_joined")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Window"),
