@@ -36,23 +36,41 @@ object Bench {
       case None => SparkEntry.queries
     }
 
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+    // min-of-N mode: this machine's run-to-run variance is ~22% and a
+    // contended window can inflate single queries 8-75x — per-query
+    // MINIMA across N full passes in one JVM make the committed signal
+    // contention-proof (the minimum of N runs of a fixed plan converges
+    // on the true cost; a mean averages the contention in)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    def onePass(): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // drop the pipeline operators' staged cache pins between queries:
+        // accumulated pins from earlier queries evict each other and turn
+        // per-query timings into a function of run ORDER (blocking, so the
+        // removal doesn't overlap the next query's measurement)
+        graft.pipeline.StageCaches.unpersistAll(blocking = true)
+        name -> (if (ok) secs else -1.0)
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // drop the pipeline operators' staged cache pins between queries:
-      // accumulated pins from earlier queries evict each other and turn
-      // per-query timings into a function of run ORDER (blocking, so the
-      // removal doesn't overlap the next query's measurement)
-      graft.pipeline.StageCaches.unpersistAll(blocking = true)
-      name -> (if (ok) secs else -1.0)
+    val passes = (1 to runs).map { i =>
+      val p = onePass()
+      if (runs > 1)
+        System.err.println(f"[bench] pass $i/$runs total ${p.map(_._2).filter(_ >= 0).sum}%.1f s")
+      p
+    }
+    // a query that failed in any pass stays failed (-1); otherwise min
+    val results = passes.head.map(_._1).map { name =>
+      val vs = passes.map(_.find(_._1 == name).get._2)
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
