@@ -48,6 +48,11 @@ object PerfProbe {
       // pruned-table semantics the operator promises.
       val rounds = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "8").toInt
       val minCount = sys.env.getOrElse("SPARK_GRAFT_BPE_MINCOUNT", "1").toLong
+      // SPARK_GRAFT_BPE_BATCH: merges applied per round (batchMerges);
+      // the reference loop below implements the IDENTICAL contiguous
+      // symbol-disjoint-prefix rule, so MATCH checks the batched
+      // semantics exactly at any B
+      val batch = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCH", "1").toInt
       val sdocs = spark.range(bpeN).select(col("id").as("doc_id"),
         concat_ws(" ",
           concat(lit("alpha"), pmod(col("id"), lit(9973))),
@@ -82,20 +87,38 @@ object PerfProbe {
             counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
         if (counts.isEmpty) r0 = rounds
         else {
-          val ((l, rr), c) = counts.toSeq
-            .sortBy { case ((a, b), n) => (-n, a, b) }.head
-          expected += ((l, rr, c))
-          ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
-          r0 += 1
+          val cand = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a, b) }
+            .take(math.min(batch, rounds - r0))
+          // the operator's batched rule verbatim: contiguous prefix,
+          // stop at the first candidate sharing an accepted symbol or
+          // an accepted merge result
+          val used = scala.collection.mutable.Set.empty[String]
+          val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          var stop = false
+          cand.foreach { case ((l, rr), c) =>
+            if (!stop) {
+              if (used(l) || used(rr) || used(l + rr)) stop = true
+              else { acc += ((l, rr, c)); used += l; used += rr; used += (l + rr) }
+            }
+          }
+          if (acc.isEmpty) r0 = rounds
+          else {
+            acc.foreach { case (l, rr, c) =>
+              expected += ((l, rr, c))
+              ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
+              r0 += 1
+            }
+          }
         }
       }
       val t0 = System.nanoTime()
       val got = graft.pipeline.TextAnalysis.bpeFit(sdocs, "text", rounds,
-          minWordCount = minCount)
+          minWordCount = minCount, batchMerges = batch)
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
       val bpeSecs = (System.nanoTime() - t0) / 1e9
-      println(f"bpe-fit $rounds rounds: $bpeSecs%.2f s " +
+      println(f"bpe-fit $rounds rounds (batch=$batch): $bpeSecs%.2f s " +
         f"(${bpeSecs / math.max(1, got.length)}%.3f s/merge, " +
         f"32k-merge extrapolation ${bpeSecs / math.max(1, got.length) * 32768 / 3600}%.2f h)")
       println(s"got:      ${got.mkString(", ")}")

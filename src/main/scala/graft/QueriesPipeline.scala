@@ -1421,6 +1421,60 @@ object QueriesPipeline {
       java.nio.file.Files.deleteIfExists(streamDir)
       local
     }),
+    // ALWAYS-ON streaming clean (DocStream.cleanConsumeIncremental): TWO
+    // crawl snapshots (doc_id < 250, then the rest) each fold into the
+    // span state via cleanStreamEmit on a SHARED checkpoint, mask
+    // against the accumulated winner set, and exact-dedup through the
+    // checkpointed digest state — snapshot 2 dedups against snapshot 1's
+    // masked ingest WITHOUT re-reading it, across separate streaming
+    // query restarts. Snapshot ids increase, so the accumulated output
+    // equals the batch chain on the union corpus: the mirror is
+    // pl_clean_full's SQL verbatim (a third engine on that oracle —
+    // batch, one-shot stream, and now the always-on two-snapshot form).
+    "st_clean_incr" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("st_clean_incr")
+      val srcDir = base.resolve("src").toString
+      val winsDir = base.resolve("winners").toString
+      val ckEmit = base.resolve("ck_emit").toString
+      val inbox = base.resolve("inbox").toString
+      val ckDedup = base.resolve("ck_dedup").toString
+      val outDir = base.resolve("out").toString
+      val docs = t(s, dir, "documents")
+      val schema = docs.schema
+      def inject(df: org.apache.spark.sql.DataFrame) = df.withColumn("t2",
+        concat(col("text"),
+          lit(".\nshort line\nanother good line with words here.\n" +
+            "this good line has five words.\n" +
+            "javascript line with five good words.\n"),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+            .otherwise(lit(""))))
+      def snapshot(pred: Column): Unit = {
+        docs.filter(pred).write.mode("append").parquet(srcDir)
+        val src = inject(s.readStream.schema(schema).parquet(srcDir))
+        val q = graft.streaming.DocStream
+          .cleanStreamEmit(src, "t2", "doc_id", 8)
+          .writeStream.format("parquet")
+          .option("path", winsDir).option("checkpointLocation", ckEmit)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.DocStream.cleanConsumeIncremental(
+          inject(docs.filter(pred)), s.read.parquet(winsDir),
+          inbox, ckDedup, outDir, "t2", "doc_id", 8)
+      }
+      snapshot(col("doc_id") < 250)
+      snapshot(col("doc_id") >= 250)
+      val out = s.read.parquet(outDir)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("digest"),
+          col("n_final"))
+        .orderBy(col("doc_id"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      local
+    }),
     // streaming twin of tx_langid_model: the classifier apply is
     // STATELESS map-only, so the same Column expression (hash-kernel
     // micro-sums included) runs unchanged in a microbatch plan — the
@@ -1870,6 +1924,9 @@ object QueriesPipeline {
     },
     "pl_clean_full" -> sqlCleanFullSql,
     "st_clean_stream" -> sqlCleanFullSql,
+    // third engine on the same oracle: two snapshots + shared
+    // checkpoints must reproduce the batch chain on the union corpus
+    "st_clean_incr" -> sqlCleanFullSql,
     "tx_c4_clean" ->
       s"""WITH inj AS (SELECT doc_id,
          |    text || '.' || chr(10) || 'short line' || chr(10) ||

@@ -137,14 +137,36 @@ object TextAnalysis {
     * measured 1k-merge wall time live in SCALE.md). The floor changes
     * the learned merges only where a tail word's pairs were decisive —
     * exactly the noise the bound exists to drop. `maxWords` keeps the
-    * top-M by (count desc, word asc) — deterministic under ties. */
+    * top-M by (count desc, word asc) — deterministic under ties.
+    *
+    * `batchMerges` = B > 1 applies a BATCH of merges per round — the
+    * standard trainer trick for the sequential-latency bound (a 32k-merge
+    * fit is priced by rounds × job latency, not data size): each round
+    * takes the top-B pairs from the SAME count aggregate and keeps the
+    * CONTIGUOUS greedy prefix that is symbol-disjoint (stopping at the
+    * FIRST candidate sharing a symbol — including the freshly merged
+    * symbols — with an earlier accepted one), applies the accepted
+    * prefix as one chained map, and assigns ranks in candidate order.
+    * Exactness contract: an accepted prefix's own counts are invariant
+    * under each other (disjointness), and a pair CREATED by an accepted
+    * merge can never out-COUNT a later accepted candidate (its count is
+    * bounded by a destroyed pair's, which — ranking before the later
+    * candidate — would have stopped the prefix), so divergence from
+    * B = 1 requires a created pair to TIE a later accepted candidate's
+    * count exactly and beat it lexicographically through a multi-
+    * character symbol comparison — impossible in the first round over
+    * single-character symbols and vanishingly rare after (Round16Spec
+    * pins both the equality and a constructed near-miss); B = 1 is the
+    * exact escape hatch and the default. */
   def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 1L,
-      minWordCount: Long = 1L, maxWords: Int = Int.MaxValue): DataFrame = {
+      minWordCount: Long = 1L, maxWords: Int = Int.MaxValue,
+      batchMerges: Int = 1): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(minPairCount >= 1, "minPairCount must be >= 1")
     require(minWordCount >= 1, "minWordCount must be >= 1")
     require(maxWords >= 1, "maxWords must be >= 1")
+    require(batchMerges >= 1, "batchMerges must be >= 1")
     import org.apache.spark.sql.graftbridge.CatalystBridge
     val sq = df.sparkSession
     import sq.implicits._
@@ -180,10 +202,11 @@ object TextAnalysis {
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
+      val b = math.min(batchMerges, numMerges - rank + 1)
       val n = size(col("toks"))
-      // the one job per round: the argmax consumes cur fully, which
+      // the one job per round: the top-B consumes cur fully, which
       // also materializes its (lazily checkpointed) blocks
-      val best = cur
+      val cand = cur
         .select(col("cnt"), col("toks"),
           explode(when(n < 2, array().cast("array<int>"))
             .otherwise(sequence(lit(0), n - 2))).as("i"))
@@ -193,21 +216,44 @@ object TextAnalysis {
         .groupBy(col("lft"), col("rgt"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("lft").asc, col("rgt").asc)
-        .limit(1).collect()
-      // the argmax just materialized cur — the frame cur checkpointed
+        .limit(b).collect()
+      // the job just materialized cur — the frame cur checkpointed
       // FROM is unreachable by any later round; release it now
       if (dep != null) { CatalystBridge.unpersistCheckpoint(dep); dep = null }
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      // candidates are sorted, so the floor cuts a prefix too
+      val viable = cand.takeWhile(_.getLong(2) >= minPairCount)
+      if (viable.isEmpty) done = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((rank, l, r, l + r, c))
+        // contiguous symbol-disjoint prefix: stop at the FIRST conflict
+        // (skipping past one would reorder ranks vs the sequential fit);
+        // `used` holds accepted symbols AND their merged results — a
+        // later candidate touching either has a batch-dependent count
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Vector.newBuilder[(String, String, Long)]
+        var stop = false
+        viable.foreach { row =>
+          if (!stop) {
+            val (l, r) = (row.getString(0), row.getString(1))
+            if (used(l) || used(r) || used(l + r)) stop = true
+            else {
+              accepted += ((l, r, row.getLong(2)))
+              used += l; used += r; used += (l + r)
+            }
+          }
+        }
+        val acc = accepted.result()
+        acc.foreach { case (l, r, c) =>
+          merges += ((rank, l, r, l + r, c)); rank += 1
+        }
         dep = cur
-        cur = cur.withColumn("toks", CatalystBridge.column(
-            graft.functions.BpeMergePair(
-              CatalystBridge.expression(col("toks")), l, r)))
+        // one chained map applies the whole accepted prefix — disjoint
+        // pairs commute, but candidate order is kept anyway
+        val newToks = acc.foldLeft(
+            CatalystBridge.expression(col("toks"))) { case (e, (l, r, _)) =>
+          graft.functions.BpeMergePair(e, l, r)
+        }
+        cur = cur.withColumn("toks", CatalystBridge.column(newToks))
           .localCheckpoint(false)
-        rank += 1
       }
     }
     // fit state is driver-side from here — free the last rounds' blocks

@@ -393,14 +393,96 @@ object DocStream {
     * (idCol, clean_text, n_final) — survivors only. */
   def cleanConsume(docs: DataFrame, emitted: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 8): DataFrame = {
-    import graft.pipeline.Dedup
-    val masked = Dedup.maskSpansAgainstWinners(
+      k: Int = 8): DataFrame =
+    graft.pipeline.Dedup.dropExactDuplicates(
+      maskedSurvivors(docs, emitted, textCol, idCol, k), "clean_text", idCol)
+
+  /** The shared mask head of both consumers: re-derive the C4 + Gopher
+    * survivors, mask spans against the emitted first-seen set, drop
+    * fully-masked docs. Returns (idCol, clean_text, n_final). */
+  private def maskedSurvivors(docs: DataFrame, emitted: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame =
+    graft.pipeline.Dedup.maskSpansAgainstWinners(
         cleanStage(docs, textCol, idCol), idCol, "clean_text", emitted, k)
       .filter(col("n_tokens") > col("n_masked"))
       .select(col(idCol), col("clean_text"),
         (col("n_tokens") - col("n_masked")).as("n_final"))
-    Dedup.dropExactDuplicates(masked, "clean_text", idCol)
+
+  /** Streaming exact dedup of masked clean text with a DETERMINISTIC
+    * winner — the digest-keyed sibling of [[incrementalSpanWinners]]:
+    * one emitted row per DISTINCT clean_text digest, first BATCH wins
+    * (checkpointed state — a later snapshot's copy of earlier masked
+    * text is never re-emitted), within a batch the min-id row wins (a
+    * `flatMapGroupsWithState` group sees all of its batch rows, so the
+    * pick is arrival-order-free, unlike `dropDuplicates`). When
+    * snapshot ids arrive in increasing order this equals the batch
+    * [[graft.pipeline.Dedup.dropExactDuplicates]] keep-lowest-id rule
+    * on the union corpus. State = one boolean per DISTINCT digest. */
+  def incrementalCleanDedup(masked: DataFrame)
+      : org.apache.spark.sql.Dataset[CleanDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sq = masked.sparkSession
+    import sq.implicits._
+    masked.select(md5(col("clean_text")).as("digest"),
+        col("id").cast("long").as("id"), col("clean_text"),
+        col("n_final").cast("long").as("n_final"))
+      .as[CleanDocKeyed]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Boolean, CleanDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CleanDocKeyed], state:
+            org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var best: CleanDocKeyed = null
+            while (rows.hasNext) {
+              val r = rows.next()
+              if (best == null || r.id < best.id) best = r
+            }
+            Iterator(CleanDoc(best.id, best.clean_text, best.n_final))
+          }
+      }
+  }
+
+  /** ALWAYS-ON snapshot consumer — one call per crawl snapshot, after
+    * its [[cleanStreamEmit]] pass has folded the snapshot into the span
+    * state: masks the snapshot against the ACCUMULATED emitted winner
+    * set (exactly [[cleanConsume]]'s head), appends the masked
+    * survivors to `inboxDir`, and drives them through the checkpointed
+    * [[incrementalCleanDedup]] stream — so snapshot N exact-dedups
+    * against EVERY prior snapshot's masked ingest without re-reading
+    * it (the state is digest-sized, never corpus-sized). Newly
+    * surviving rows append to `outDir` (parquet — the accumulated
+    * clean corpus); `checkpointDir` holds the dedup state and the
+    * inbox file-source log. When snapshot ids arrive in increasing
+    * order, the accumulated `outDir` equals
+    * [[graft.pipeline.Pipelines.cleanCorpusFull]] on the union corpus
+    * row for row — the st_clean_incr gate drives two snapshots through
+    * two separate calls (separate streaming queries, shared
+    * checkpoints: the restart path) against pl_clean_full's mirror. */
+  def cleanConsumeIncremental(docs: DataFrame, emitted: DataFrame,
+      inboxDir: String, checkpointDir: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    maskedSurvivors(docs, emitted, textCol, idCol, k)
+      .select(col(idCol).cast("long").as("id"), col("clean_text"),
+        col("n_final").cast("long").as("n_final"))
+      .write.mode("append").parquet(inboxDir)
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("clean_text", StringType),
+      StructField("n_final", LongType)))
+    val q = incrementalCleanDedup(
+        spark.readStream.schema(schema).parquet(inboxDir))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
 
@@ -408,3 +490,12 @@ object DocStream {
   * START position, and the 60-bit substring hash — the emitted unit of
   * [[DocStream.incrementalSpanWinners]]. */
 case class SpanOcc(id: Long, pos: Int, h: Long)
+
+/** A masked clean-text row keyed by its content digest — the state unit
+  * of [[DocStream.incrementalCleanDedup]]. */
+case class CleanDocKeyed(digest: String, id: Long, clean_text: String,
+    n_final: Long)
+
+/** A surviving clean document — the emitted unit of
+  * [[DocStream.incrementalCleanDedup]]. */
+case class CleanDoc(id: Long, clean_text: String, n_final: Long)

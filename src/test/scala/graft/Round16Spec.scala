@@ -212,6 +212,47 @@ class Round16Spec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
+  test("bpeFit batchMerges equals B=1 on provably independent top pairs") {
+    // four disjoint-alphabet words with strictly ordered counts: the
+    // top-4 candidates share no symbols and create no cross pairs, so
+    // the batch contract guarantees exact equality with the sequential
+    // fit
+    val words = Seq.fill(100)("ab") ++ Seq.fill(90)("cd") ++
+      Seq.fill(80)("ef") ++ Seq.fill(70)("gh")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    def fit(b: Int) = TextAnalysis.bpeFit(docs, "text", numMerges = 4,
+        batchMerges = b)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val seq1 = fit(1)
+    assert(seq1.map(t => (t._2, t._3, t._5)) ==
+      Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L), ("g", "h", 70L)))
+    assert(fit(4) == seq1)
+    assert(fit(8) == seq1) // B past numMerges/table size is safe
+  }
+
+  test("bpeFit batch prefix stops at the first symbol conflict (near-miss stays exact)") {
+    // candidates round 1: (a,b)=10, (x,a)=10, (c,d)=9 — (x,a) shares
+    // 'a' with the accepted (a,b), so the contiguous prefix stops
+    // BEFORE it; the created pair (x,ab) (count 10) then wins round 2
+    // ahead of (c,d), exactly as the sequential fit orders them. A
+    // skip-past-conflicts rule would have merged (c,d) second — rank
+    // drift; the prefix rule keeps batch == sequential here.
+    val words = Seq.fill(10)("xab") ++ Seq.fill(9)("cd")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    def fit(b: Int) = TextAnalysis.bpeFit(docs, "text", numMerges = 3,
+        batchMerges = b)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val seq1 = fit(1)
+    assert(seq1 == Seq(("a", "b", 10L), ("x", "ab", 10L), ("c", "d", 9L)),
+      seq1.mkString(","))
+    assert(fit(3) == seq1)
+  }
+
   test("bpeFit releases every checkpoint block deterministically") {
     val docs = (0 until 30).map(i => (i.toLong, s"banana band bandit b$i"))
       .toDF("id", "text")

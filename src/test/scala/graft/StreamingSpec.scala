@@ -241,6 +241,82 @@ class StreamingSpec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
+  test("always-on clean: masked-text twin from snapshot 2 drops via checkpointed digest state") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val base = java.nio.file.Files.createTempDirectory("clean_incr_spec")
+    def p(s: String) = base.resolve(s).toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // six 10-token span lines banked in doc 1 (lowest id: wins every
+    // span shingle). Docs 2 and 21 interleave DIFFERENT banked spans
+    // between the SAME four short (< 8-token, so never self-shingling)
+    // connective lines: masking strips each doc's spans, leaving the
+    // identical "X M M2 Y" remainder — different ORIGINALS, equal
+    // MASKED text, the cross-stage interaction the digest state exists
+    // for. Doc 21 arrives in snapshot 2 and must drop against doc 2's
+    // checkpointed digest without re-reading snapshot 1.
+    // tags at token positions 1, 6 and 11 (the LAST token): every
+    // 8-window crossing a span boundary carries a tag, so boundary
+    // windows stay unique per doc — only fully-internal span windows
+    // repeat against the bank, and the connectives survive masking
+    def spanLine(tag: String) =
+      s"the $tag falcon crossed wide rivers $tag under bright skies calm $tag."
+    val spans = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+      .map(spanLine)
+    val xLine = "the crew wrote factual notes today."
+    val mLine = "and the log grew longer still."
+    val m2Line = "but the wind kept its pace."
+    val yLine = "so the watch ended without incident."
+    def fillerLine(tag: String, i: Int) =
+      s"the quiet$tag$i engine hums and the long river$tag$i bends with easy grace."
+    val doc1 = (fillerLine("bank", 0) +: spans.zipWithIndex.flatMap {
+      case (s, i) => Seq(s, fillerLine("bank", i + 1))
+    }).mkString("\n")
+    def combo(a: Int, b: Int, c: Int) =
+      Seq(xLine, spans(a), mLine, spans(b), m2Line, spans(c), yLine)
+        .mkString("\n")
+    def uniq(tag: String) = (0 to 4).map(i => fillerLine(tag, i)).mkString("\n")
+    val snap1 = Seq((1L, doc1), (2L, combo(0, 2, 4)), (3L, uniq("uu")))
+    val snap2 = Seq((21L, combo(1, 3, 5)), (22L, uniq("vv")))
+    def pass(snap: Seq[(Long, String)]): Unit = {
+      snap.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(p("src"))
+      val q = graft.streaming.DocStream
+        .cleanStreamEmit(
+          spark.readStream.schema(docSchema).parquet(p("src")), "text",
+          "doc_id", 8)
+        .writeStream.format("parquet").option("path", p("wins"))
+        .option("checkpointLocation", p("ck_emit"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.DocStream.cleanConsumeIncremental(
+        snap.toDF("doc_id", "text"), spark.read.parquet(p("wins")),
+        p("inbox"), p("ck_dedup"), p("out"), "text", "doc_id", 8)
+    }
+    pass(snap1)
+    val out1 = spark.read.parquet(p("out")).select("id").as[Long]
+      .collect().toSet
+    assert(out1 == Set(1L, 2L, 3L), s"snapshot-1 survivors drifted: $out1")
+    pass(snap2) // separate queries, shared checkpoints = the restart path
+    // the fixture really is the masked-text-twin interaction: different
+    // originals, equal masked text, both non-empty
+    val inboxRows = spark.read.parquet(p("inbox"))
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(inboxRows(21L) == inboxRows(2L),
+      s"fixture drifted — masked texts differ:\n${inboxRows(2L)}\nvs\n${inboxRows(21L)}")
+    assert(inboxRows(21L).nonEmpty)
+    val out2 = spark.read.parquet(p("out")).select("id").as[Long]
+      .collect().toSet
+    assert(!out2.contains(21L),
+      s"snapshot-2 masked twin survived the checkpointed digest state: $out2")
+    assert(out2 == Set(1L, 2L, 3L, 22L), s"survivors drifted: $out2")
+    graft.pipeline.StageCaches.unpersistAll()
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
