@@ -770,6 +770,20 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("batch_id"))
     }),
+    // TOKENIZER-TRUE chunking (Pipelines.chunkTokensBpe): the
+    // pl_chunk_train windows computed over the BPE SUBWORD stream
+    // (greedy longest-match under the fixture vocab) instead of
+    // whitespace tokens — context-window budgets match what the trained
+    // tokenizer emits. Same overlap + doc-end stop rule; the mirror
+    // re-derives the subword stream with the tx_bpe recursive-CTE split
+    // and applies the pl_chunk_train chunk CTE to it.
+    "pl_chunk_bpe" -> ((s, dir) => {
+      Pipelines.chunkTokensBpe(t(s, dir, "documents"), "text", "doc_id",
+          BpeVocab, maxLen = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
     // fixed-context training chunks with overlap: sliding window of 64
     // tokens advancing by 48 (HF return_overflowing_tokens semantics) —
     // the training-sample split, map-only, no shuffle
@@ -2077,6 +2091,25 @@ object QueriesPipeline {
          |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM packed GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "pl_chunk_bpe" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |$sqlBpeWordParts,
+         |occ AS (SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS w
+         |  FROM tok t, unnest(range(1, len(t.toks)+1)) u(i)),
+         |sub AS (SELECT o.doc_id, o.pos, wp.parts
+         |  FROM occ o JOIN wp ON o.w = wp.w),
+         |agg AS (SELECT doc_id, flatten(list(parts ORDER BY pos)) AS subs
+         |  FROM sub GROUP BY doc_id),
+         |st AS (SELECT doc_id, subs AS toks2, len(subs) AS n FROM agg
+         |  WHERE len(subs) > 0),
+         |ch AS (SELECT s.doc_id, u.i AS chunk_idx,
+         |    array_to_string(s.toks2[(u.i*48+1):(u.i*48+64)], ' ') AS ctext,
+         |    least(64, s.n - u.i*48) AS nc
+         |  FROM st s, unnest(range(0, CAST(ceil((s.n - 1) / 48.0) AS BIGINT) + 1)) u(i)
+         |  WHERE u.i = 0 OR (u.i - 1)*48 + 64 < s.n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(nc AS BIGINT) AS n_chunk_tokens, md5(ctext) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "pl_chunk_train" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
          |st AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),

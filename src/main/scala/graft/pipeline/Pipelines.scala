@@ -81,6 +81,24 @@ object Pipelines {
     * a position explode — no shuffle, linear in output tokens
     * (≈ input tokens × maxLen/stride). */
   def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+      maxLen: Int, stride: Int): DataFrame =
+    chunkArray(docs, TextAnalysis.tokens(col(textCol)), idCol, maxLen, stride)
+
+  /** TOKENIZER-TRUE training chunks: the same sliding windows as
+    * [[chunkTokens]], but over the document's SUBWORD sequence under a
+    * trained BPE vocabulary ([[TextAnalysis.bpeTokens]] greedy
+    * longest-match apply, map-only) — context-window math in a real
+    * pipeline budgets what the TRAINING TOKENIZER emits, and whitespace
+    * counts under-estimate fertility exactly where it matters (long
+    * or OOV words). `chunk_text` is the space-joined subword stream
+    * (the training sample unit; detokenization is the consumer's
+    * concern). Same overlap/stop-rule semantics, map-only, no shuffle. */
+  def chunkTokensBpe(docs: DataFrame, textCol: String, idCol: String,
+      vocab: Seq[String], maxLen: Int, stride: Int): DataFrame =
+    chunkArray(docs, TextAnalysis.bpeTokens(col(textCol), vocab), idCol,
+      maxLen, stride)
+
+  private def chunkArray(docs: DataFrame, tokensExpr: Column, idCol: String,
       maxLen: Int, stride: Int): DataFrame = {
     require(maxLen >= 1, "maxLen must be >= 1")
     require(stride >= 1 && stride <= maxLen,
@@ -92,7 +110,7 @@ object Pipelines {
     // Generate trap) — here the explode payload is a cheap int sequence
     // and the slice reads the staged attribute once per chunk
     docs
-      .select(id, TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(id, tokensExpr.as("__toks"))
       .select(id, col("__toks"), size(col("__toks")).as("__n"))
       .filter(col("__n") > 0)
       .select(id, col("__toks"), col("__n"),

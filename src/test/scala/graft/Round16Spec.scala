@@ -253,6 +253,33 @@ class Round16Spec extends SparkSpec {
     assert(fit(3) == seq1)
   }
 
+  test("chunkTokensBpe: overlap, short tail and doc-end stop over SUBWORD positions") {
+    // vocab {ab, cd}: "abab cdcd xy" -> subwords [ab, ab, cd, cd, x, y]
+    // (n = 6, vs 3 whitespace tokens — the fertility the BPE form exists
+    // to budget); "" -> nothing
+    val docs = Seq((1L, "abab cdcd xy"), (2L, "")).toDF("doc_id", "text")
+    val vocab = Seq("ab", "cd")
+    def run(maxLen: Int, stride: Int) =
+      Pipelines.chunkTokensBpe(docs, "text", "doc_id", vocab, maxLen, stride)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // stride 2: chunk 1 ends exactly at the doc end -> chunk 2 (a strict
+    // subset) is STOPPED; maxLen - stride = 2 subwords overlap
+    assert(run(4, 2) == Seq(
+      (1L, 0L, "ab ab cd cd", 4L),
+      (1L, 1L, "cd cd x y", 4L)))
+    // stride 3: short tail keeps the remaining 3 subwords
+    assert(run(4, 3) == Seq(
+      (1L, 0L, "ab ab cd cd", 4L),
+      (1L, 1L, "cd x y", 3L)))
+    // whitespace form on the same doc sees n = 3 tokens -> ONE chunk:
+    // the two forms genuinely budget different units
+    val ws = Pipelines.chunkTokens(docs, "text", "doc_id", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(ws == Seq((1L, "abab cdcd xy")))
+  }
+
   test("bpeFit releases every checkpoint block deterministically") {
     val docs = (0 until 30).map(i => (i.toLong, s"banana band bandit b$i"))
       .toDF("id", "text")
