@@ -1126,6 +1126,31 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // the FULLY-DISTRIBUTED production CCNet — langID model as a
+    // (token, class, weight) DataFrame AND the per-language LMs as the
+    // long model frame: both model sides stay distributed, which is the
+    // only shape that fits a real ~100-language identifier (10^7 hashed
+    // buckets) + 100 reference LMs. Fourth engine on the per-language
+    // oracle, verbatim.
+    "pl_ccnet_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val wdf = LangIdWeights.toSeq.flatMap { case (tk, ws) =>
+        LangIdClasses.zip(ws).map { case (c, w) => (tk, c, w) }
+      }.toDF("token", "class", "weight")
+      // fit on the joined-engine predictions (bit-equal to the kernel's)
+      val pred = TextAnalysis.linearClassifyLabelJoined(docs, "text",
+          "doc_id", wdf, LangIdClasses.zip(LangIdBiases))
+        .select(col("doc_id"), col("pred_class"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.bigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class")
+      graft.pipeline.Pipelines.ccnet(docs, "text", "doc_id", wdf,
+          LangIdClasses.zip(LangIdBiases), lm, 500)
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2047,10 +2072,12 @@ object QueriesPipeline {
          |SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
     "pl_ccnet_perlang" -> sqlCcnetPerlang,
-    // TWO ENGINES, ONE ORACLE: the joined-model gate reuses the
+    // ONE ORACLE, MANY ENGINES: the joined-model gates reuse the
     // per-language mirror VERBATIM — the one-pass fit and the single
     // (class, bg) join must land on exactly the per-class chains' rows
     "pl_ccnet_joined" -> sqlCcnetPerlang,
+    // ... and the fully-distributed form (DataFrame langID + long LM)
+    "pl_ccnet_distributed" -> sqlCcnetPerlang,
     "pl_ccnet" ->
       s"""WITH $sqlLmNll,
          |$sqlLangIdChain,

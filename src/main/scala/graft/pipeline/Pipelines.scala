@@ -478,6 +478,35 @@ object Pipelines {
       .select(col(idCol), col("pred_class"), col("bucket"))
   }
 
+  /** The FULLY-DISTRIBUTED production CCNet: langID model as a
+    * (token, class, weight) DATAFRAME ([[TextAnalysis
+    * .linearClassifyLabelJoined]] — a real fastText identifier is
+    * millions of hashed buckets × ~100 languages) AND the per-language
+    * LMs as the long model frame ([[TextAnalysis.bigramLmApplyJoined]])
+    * — at crawl scale BOTH model sides stay distributed, the corpus is
+    * scanned once, and neither the plan nor the job count grows with
+    * the language set. `classBiases` sorted internally (same tie-break
+    * contract as the other joined overload). This is the shape a ~100
+    * language deployment runs; the gate shares the per-language oracle
+    * verbatim — four engines, one contract. */
+  def ccnet(docs: DataFrame, textCol: String, idCol: String,
+      weightsDf: DataFrame, classBiases: Seq[(String, Double)],
+      lm: TextAnalysis.BigramLmByClass, midKeepPermille: Int): DataFrame = {
+    val sortedBiases = classBiases.sortBy(_._1)
+    // LabelJoined projects the text away; join it back on the unique id
+    // (bigramLmApplyJoined stages + pins the result once)
+    val pred = TextAnalysis.linearClassifyLabelJoined(docs, textCol, idCol,
+        weightsDf, sortedBiases)
+      .select(col(idCol), col("pred_class"))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val scored = TextAnalysis.bigramLmApplyJoined(lm, pred, textCol, idCol,
+        "pred_class")
+      .filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col("pred_class"), col("bucket"))
+  }
+
   /** [[ccnet]] with ONE global reference LM instead of per-language
     * models — the single-model shortcut for corpora where one reference
     * model covers the mix; buckets still cut PER predicted language. */

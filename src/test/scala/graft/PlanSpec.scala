@@ -37,7 +37,8 @@ class PlanSpec extends SparkSpec {
       // the joined-model classifier fans each doc out over the BOUNDED
       // (class, bias) table — a broadcast BNLJ over |classes| rows is
       // the intended per-class score expansion, not a blowup
-      "tx_langid_joined")
+      // (pl_ccnet_distributed composes that same classifier)
+      "tx_langid_joined", "pl_ccnet_distributed")
 
   // store-DML queries execute real writes at construction; plan-shape for
   // their read side is covered by a1_store_scan_page's oracle. The two
@@ -164,7 +165,7 @@ class PlanSpec extends SparkSpec {
     // is a per-class broadcast HASH join), so it is NOT in the
     // theta-join allowlist above
     for (q <- Seq("pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
-        "pl_ccnet_perlang", "pl_ccnet_joined")) {
+        "pl_ccnet_perlang", "pl_ccnet_joined", "pl_ccnet_distributed")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Window"),
