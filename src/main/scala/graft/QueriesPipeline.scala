@@ -1130,7 +1130,10 @@ object QueriesPipeline {
     // (token, class, weight) DataFrame AND the per-language LMs as the
     // long model frame: both model sides stay distributed, which is the
     // only shape that fits a real ~100-language identifier (10^7 hashed
-    // buckets) + 100 reference LMs. Fourth engine on the per-language
+    // buckets) + 100 reference LMs. The gate classifies ONCE (cached),
+    // fits on the predicted partitions, and buckets through
+    // ccnetPreClassified — the classify-and-delegate ccnet overload is
+    // pinned equal in Round16Spec. Fourth engine on the per-language
     // oracle, verbatim.
     "pl_ccnet_distributed" -> ((s, dir) => {
       import s.implicits._
@@ -1138,7 +1141,9 @@ object QueriesPipeline {
       val wdf = LangIdWeights.toSeq.flatMap { case (tk, ws) =>
         LangIdClasses.zip(ws).map { case (c, w) => (tk, c, w) }
       }.toDF("token", "class", "weight")
-      // fit on the joined-engine predictions (bit-equal to the kernel's)
+      // classify once (joined engine, bit-equal to the kernel's
+      // predictions); the cache feeds the one-pass fit AND the bucket
+      // tail — the expensive classify shuffle runs a single time
       val pred = TextAnalysis.linearClassifyLabelJoined(docs, "text",
           "doc_id", wdf, LangIdClasses.zip(LangIdBiases))
         .select(col("doc_id"), col("pred_class"))
@@ -1146,8 +1151,8 @@ object QueriesPipeline {
         .cache().transform(graft.pipeline.StageCaches.track)
       val lm = TextAnalysis.bigramLmFitByClass(pred, "text", "doc_id",
         "pred_class")
-      graft.pipeline.Pipelines.ccnet(docs, "text", "doc_id", wdf,
-          LangIdClasses.zip(LangIdBiases), lm, 500)
+      graft.pipeline.Pipelines.ccnetPreClassified(pred, "text", "doc_id",
+          "pred_class", lm, 500)
         .orderBy(col("doc_id"))
     }),
 

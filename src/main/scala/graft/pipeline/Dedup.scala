@@ -644,8 +644,22 @@ object Dedup {
       .select(id, col("__n"), col("pos"),
         TextAnalysis.hash60(
           concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"))
-    val w = winners.select(col("h").as("__wh"),
-      col("id").cast("long").as("__wid"), col("pos").as("__wpos"))
+    // canonicalize the winner set to ONE row per hash (min (id, pos) —
+    // the batch rule) BEFORE the join: the emitted set is normally
+    // unique per h, but a duplicated winner row (e.g. an emit
+    // checkpoint wiped while its output dir was kept, so a restarted
+    // stream re-emitted hashes already present) would otherwise fan the
+    // join out and match the true winner against the OTHER row's
+    // coordinate — masking every copy including the winner. A
+    // partial-merge min over the (small) winner side makes duplicates
+    // harmless instead of text-destroying.
+    val w = winners
+      .select(col("h").as("__wh"),
+        struct(col("id").cast("long").as("id"), col("pos").as("pos"))
+          .as("__wocc"))
+      .groupBy(col("__wh")).agg(min(col("__wocc")).as("__w"))
+      .select(col("__wh"), col("__w")("id").as("__wid"),
+        col("__w")("pos").as("__wpos"))
     // one equi-join on h (w is unique per h — no fan-out): a LEFT join
     // plus the known/not-winner filter is the fail-open shape — an
     // anti-join alone would mark every UNSEEN shingle eligible

@@ -328,12 +328,19 @@ object Pipelines {
     // build completes before the probe side feeds the collect. Cost on
     // the happy path: one partial-merge count over cnts (re-aggregated
     // from the cached base).
-    val nd = cnts.groupBy(col("__cls")).agg(count(lit(1)).as("__nd"))
-    val guarded = cnts.join(broadcast(nd), Seq("__cls"))
+    // null-SAFE guard join: a NULL class is a legal bucket class (the
+    // final cutoff join below is <=> for the same reason) — a plain
+    // equi-join here would silently drop its rows from the cutoff
+    // computation AND bypass the distinct-score guard
+    val nd = cnts.groupBy(col("__cls").as("__ndcls"))
+      .agg(count(lit(1)).as("__nd"))
+    val guarded = cnts.join(broadcast(nd), col("__cls") <=> col("__ndcls"))
       .select(col("__cls"),
         when(col("__nd") > maxDistinctScores,
           raise_error(concat(
-            lit("quantileBuckets: class '"), col("__cls").cast("string"),
+            lit("quantileBuckets: class '"),
+            // a NULL class is legal — don't let concat null the message
+            coalesce(col("__cls").cast("string"), lit("NULL")),
             lit(s"' has more than $maxDistinctScores distinct scores — " +
               "round the score column first (cutoffs are bounded by " +
               "score RESOLUTION, not corpus size)")))
@@ -419,22 +426,22 @@ object Pipelines {
     * models carry millions of hashed n-gram buckets × ~100 languages,
     * which must stay distributed, not ride every executor as a
     * reference object. Same flow downstream (per-language LM scoring,
-    * cutoff terciles, keep/sample/drop); bit-equal predictions to the
-    * kernel form (PipelineSpec pins the composed equality).
-    * `classBiases` is sorted internally: the joined argmax breaks z-ties
-    * to the lexicographically FIRST class, which equals the kernel's
-    * first-LISTED rule only under sorted order — sorting here makes the
-    * documented equivalence hold for any caller order. */
+    * cutoff terciles, keep/sample/drop). TIE-BREAK CONTRACT: the joined
+    * argmax breaks z-ties to the lexicographically FIRST class —
+    * independent of `classBiases` order (the biases ride a class-keyed
+    * broadcast) — while the kernel overload breaks to the first-LISTED
+    * class; the two overloads therefore agree on tied predictions
+    * exactly when the kernel's `classes` are passed sorted (PipelineSpec
+    * pins the composed equality under that convention). */
   def ccnet(docs: DataFrame, textCol: String, idCol: String,
       weightsDf: DataFrame, classBiases: Seq[(String, Double)],
       lmFor: String => TextAnalysis.BigramLm,
       midKeepPermille: Int): DataFrame = {
-    val sortedBiases = classBiases.sortBy(_._1)
-    val classes = sortedBiases.map(_._1)
+    val classes = classBiases.map(_._1)
     // LabelJoined projects the text away; join it back on the unique id
     // and cache — each class's apply chain filters this frame
     val pred = TextAnalysis.linearClassifyLabelJoined(docs, textCol, idCol,
-        weightsDf, sortedBiases)
+        weightsDf, classBiases)
       .select(col(idCol), col("pred_class"))
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .cache().transform(StageCaches.track)
@@ -470,12 +477,8 @@ object Pipelines {
     val pred = docs.select(col(idCol), col(textCol),
       TextAnalysis.linearClassifyLabel(col(textCol), classes, weights,
         biases).as("pred_class"))
-    val scored = TextAnalysis.bigramLmApplyJoined(lm, pred, textCol, idCol,
-        "pred_class")
-      .filter(col("lm_nll").isNotNull)
-    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
-        midKeepPermille)
-      .select(col(idCol), col("pred_class"), col("bucket"))
+    ccnetPreClassified(pred, textCol, idCol, "pred_class", lm,
+      midKeepPermille)
   }
 
   /** The FULLY-DISTRIBUTED production CCNet: langID model as a
@@ -485,26 +488,42 @@ object Pipelines {
     * LMs as the long model frame ([[TextAnalysis.bigramLmApplyJoined]])
     * — at crawl scale BOTH model sides stay distributed, the corpus is
     * scanned once, and neither the plan nor the job count grows with
-    * the language set. `classBiases` sorted internally (same tie-break
-    * contract as the other joined overload). This is the shape a ~100
-    * language deployment runs; the gate shares the per-language oracle
-    * verbatim — four engines, one contract. */
+    * the language set (same lex-first tie-break contract as the other
+    * joined overload). This is the shape a ~100 language deployment
+    * runs; composes [[ccnetPreClassified]] over the joined classifier
+    * (Round16Spec pins the delegation equality). */
   def ccnet(docs: DataFrame, textCol: String, idCol: String,
       weightsDf: DataFrame, classBiases: Seq[(String, Double)],
       lm: TextAnalysis.BigramLmByClass, midKeepPermille: Int): DataFrame = {
-    val sortedBiases = classBiases.sortBy(_._1)
     // LabelJoined projects the text away; join it back on the unique id
     // (bigramLmApplyJoined stages + pins the result once)
     val pred = TextAnalysis.linearClassifyLabelJoined(docs, textCol, idCol,
-        weightsDf, sortedBiases)
+        weightsDf, classBiases)
       .select(col(idCol), col("pred_class"))
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
-    val scored = TextAnalysis.bigramLmApplyJoined(lm, pred, textCol, idCol,
-        "pred_class")
+    ccnetPreClassified(pred, textCol, idCol, "pred_class", lm,
+      midKeepPermille)
+  }
+
+  /** CCNet's LM-scoring/bucketing/mixing tail on PRE-CLASSIFIED
+    * documents — bring your own language ID (a stored label column, a
+    * prior pipeline stage, or either classifier engine): one join
+    * against the long per-class model ([[TextAnalysis
+    * .bigramLmApplyJoined]]), broadcast cutoff terciles, keep/sample/
+    * drop. The production use: a crawl whose language was identified
+    * ONCE at ingest re-buckets against refreshed reference LMs without
+    * re-running the classifier; the long-model `ccnet` overloads
+    * compose their classifier with this tail. Returns
+    * (idCol, classCol, bucket) for the kept rows. */
+  def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
+      classCol: String, lm: TextAnalysis.BigramLmByClass,
+      midKeepPermille: Int): DataFrame = {
+    val scored = TextAnalysis.bigramLmApplyJoined(lm, docs, textCol, idCol,
+        classCol)
       .filter(col("lm_nll").isNotNull)
-    ccnetMix(quantileBuckets(scored, "pred_class", "lm_nll", 3), idCol,
+    ccnetMix(quantileBuckets(scored, classCol, "lm_nll", 3), idCol,
         midKeepPermille)
-      .select(col(idCol), col("pred_class"), col("bucket"))
+      .select(col(idCol), col(classCol), col("bucket"))
   }
 
   /** [[ccnet]] with ONE global reference LM instead of per-language

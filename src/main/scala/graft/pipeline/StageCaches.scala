@@ -54,6 +54,9 @@ object StageCaches {
       df.unpersist(blocking); n += 1
       df = frames.poll()
     }
+    // re-arm the growth warning: each drain starts a new accumulation
+    // window, so a LATER leak past the threshold warns again
+    warned.set(false)
     n
   }
 }

@@ -388,9 +388,9 @@ object DocStream {
     * Run per snapshot after its emit pass — when one batch carried the
     * whole corpus this equals
     * [[graft.pipeline.Pipelines.cleanCorpusFull]] row for row; an
-    * always-on deployment would feed the masked stream through
-    * [[incrementalDedup]] instead of the batch exact dedup. Returns
-    * (idCol, clean_text, n_final) — survivors only. */
+    * always-on deployment uses [[cleanConsumeIncremental]], which
+    * replaces the batch exact dedup with the checkpointed digest state.
+    * Returns (idCol, clean_text, n_final) — survivors only. */
   def cleanConsume(docs: DataFrame, emitted: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8): DataFrame =
@@ -417,14 +417,17 @@ object DocStream {
     * pick is arrival-order-free, unlike `dropDuplicates`). When
     * snapshot ids arrive in increasing order this equals the batch
     * [[graft.pipeline.Dedup.dropExactDuplicates]] keep-lowest-id rule
-    * on the union corpus. State = one boolean per DISTINCT digest. */
-  def incrementalCleanDedup(masked: DataFrame)
+    * on the union corpus. State = one boolean per DISTINCT digest.
+    * `masked` carries (idCol, clean_text, n_final) — the
+    * [[cleanConsume]]/mask-head shape; ids must cast to long. Output
+    * columns are the [[CleanDoc]] names (id, clean_text, n_final). */
+  def incrementalCleanDedup(masked: DataFrame, idCol: String = "id")
       : org.apache.spark.sql.Dataset[CleanDoc] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val sq = masked.sparkSession
     import sq.implicits._
     masked.select(md5(col("clean_text")).as("digest"),
-        col("id").cast("long").as("id"), col("clean_text"),
+        col(idCol).cast("long").as("id"), col("clean_text"),
         col("n_final").cast("long").as("n_final"))
       .as[CleanDocKeyed]
       .groupByKey(_.digest)
@@ -460,7 +463,12 @@ object DocStream {
     * [[graft.pipeline.Pipelines.cleanCorpusFull]] on the union corpus
     * row for row — the st_clean_incr gate drives two snapshots through
     * two separate calls (separate streaming queries, shared
-    * checkpoints: the restart path) against pl_clean_full's mirror. */
+    * checkpoints: the restart path) against pl_clean_full's mirror.
+    * RETRY-IDEMPOTENT: a snapshot call that failed between the inbox
+    * append and stream completion can simply be re-run — the re-masked
+    * rows re-append, but an already-emitted digest never re-emits
+    * (checkpoint state), and the exactly-once parquet sink commit makes
+    * duplicate output rows impossible. */
   def cleanConsumeIncremental(docs: DataFrame, emitted: DataFrame,
       inboxDir: String, checkpointDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",

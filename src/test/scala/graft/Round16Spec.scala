@@ -105,7 +105,12 @@ class Round16Spec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
-  test("joined-model ccnet overload sorts classBiases (any caller order, same rows)") {
+  test("DataFrame-langID ccnet is classBiases-order-independent and equals the sorted kernel") {
+    // the joined argmax tie-breaks lex-first regardless of classBiases
+    // order (biases ride a class-keyed broadcast); the kernel overload
+    // tie-breaks first-LISTED — so ANY caller order of the DataFrame
+    // overload must equal the kernel overload with SORTED classes (the
+    // documented agreement convention)
     val weightsDf = Weights.toSeq.flatMap { case (t, ws) =>
       Classes.zip(ws).map { case (c, w) => (t, c, w) }
     }.toDF("token", "class", "weight")
@@ -115,14 +120,84 @@ class Round16Spec extends SparkSpec {
         c -> TextAnalysis.bigramLmFit(pred.filter(col("pred_class") === c),
           "text", "doc_id")
       }.toMap
+      val kernel = Pipelines.ccnet(ccnetDocs, "text", "doc_id", Classes,
+          Weights, Biases, lms, midKeepPermille = 500)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
       def run(order: Seq[(String, Double)]) =
         Pipelines.ccnet(ccnetDocs, "text", "doc_id", weightsDf, order,
             lms, 500)
           .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
-      val sorted = run(Classes.zip(Biases))
-      val shuffled = run(Classes.zip(Biases).reverse)
-      assert(sorted == shuffled && sorted.nonEmpty)
+      assert(run(Classes.zip(Biases)) == kernel)
+      assert(run(Classes.zip(Biases).reverse) == kernel)
+      assert(kernel.nonEmpty)
     } finally { pred.unpersist(); graft.pipeline.StageCaches.unpersistAll() }
+  }
+
+  test("fully-distributed ccnet overload equals classify + ccnetPreClassified") {
+    val weightsDf = Weights.toSeq.flatMap { case (t, ws) =>
+      Classes.zip(ws).map { case (c, w) => (t, c, w) }
+    }.toDF("token", "class", "weight")
+    val pred = predFrame.cache()
+    try {
+      val lm = TextAnalysis.bigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class")
+      val composed = Pipelines.ccnet(ccnetDocs, "text", "doc_id",
+          weightsDf, Classes.zip(Biases), lm, 500)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val preClassified = Pipelines.ccnetPreClassified(pred, "text",
+          "doc_id", "pred_class", lm, 500)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(composed == preClassified && composed.nonEmpty)
+    } finally { pred.unpersist(); graft.pipeline.StageCaches.unpersistAll() }
+  }
+
+  test("quantileBuckets buckets a NULL class and guards it (null-safe join)") {
+    // NULL is a legal class: its rows must get real buckets (not be
+    // silently dropped by an equi-join in the guard path) and count
+    // toward the distinct-score bound
+    // en: 6 distinct scores (under the guard below); null class: 9
+    // distinct — ONLY the null class violates, so the raise proves the
+    // guard sees it
+    val scored = ((0 until 30).map(i => ("en", (i % 6) * 1.0)) ++
+      (0 until 30).map(i => (null.asInstanceOf[String], (i % 9) * 1.0)))
+      .toDF("lang", "score")
+    val out = Pipelines.quantileBuckets(scored, "lang", "score", 3)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getInt(2)))
+    val nullRows = out.filter(_._1.isEmpty)
+    assert(nullRows.length == 30, s"null-class rows dropped: ${nullRows.length}")
+    assert(nullRows.map(_._3).toSet == Set(1, 2, 3),
+      s"null class not bucketed: ${nullRows.map(_._3).toSet}")
+    // guard applies to the null class too
+    val e = intercept[Exception] {
+      Pipelines.quantileBuckets(scored, "lang", "score", 3,
+        maxDistinctScores = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("distinct scores")))
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("maskSpansAgainstWinners survives duplicate winner rows for one hash") {
+    // a duplicated winner row (emit checkpoint wiped, output dir kept)
+    // must not fan the join out and mask the true winner — the operator
+    // canonicalizes to min (id, pos) per hash
+    val docs = Seq(
+      (1L, "a b c d e f g h tail one"),
+      (2L, "a b c d e f g h tail two")).toDF("doc_id", "text")
+    // deterministic min(id, pos) winner set (flatMapGroupsWithState runs
+    // batch-mode with empty state here), then duplicate every row at a
+    // DIFFERENT coordinate (doc 2's)
+    val winners = graft.streaming.DocStream.incrementalSpanWinners(
+      docs, "doc_id", "text", k = 8).toDF()
+    val dup = winners.unionByName(winners.withColumn("id", lit(2L)))
+    val out = Dedup.maskSpansAgainstWinners(docs, "doc_id", "text", dup,
+        k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // min (id, pos) canonicalization keeps doc 1 the winner everywhere
+    assert(out(1L) == 0L, s"true winner masked under duplicate rows: $out")
+    assert(out(2L) > 0L, s"duplicate span not masked: $out")
+    graft.pipeline.StageCaches.unpersistAll()
   }
 
   test("40-class joined ccnet: no per-class union, plan independent of class count") {
