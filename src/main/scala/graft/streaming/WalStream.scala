@@ -468,7 +468,10 @@ object DocStream {
     * append and stream completion can simply be re-run — the re-masked
     * rows re-append, but an already-emitted digest never re-emits
     * (checkpoint state), and the exactly-once parquet sink commit makes
-    * duplicate output rows impossible. */
+    * duplicate output rows impossible. The inbox is a HAND-OFF buffer,
+    * not the durable artifact: files whose batch has committed may be
+    * vacuumed (the file-source log never re-reads a processed file) —
+    * `outDir` + the checkpoint are what must survive. */
   def cleanConsumeIncremental(docs: DataFrame, emitted: DataFrame,
       inboxDir: String, checkpointDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
