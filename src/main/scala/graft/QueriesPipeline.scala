@@ -53,6 +53,45 @@ object QueriesPipeline {
 
   private val sqlLmNll = sqlLmNllFor("l", "documents")
 
+  /** Stupid-backoff trigram chain ending in `${p}m(doc_id, lm_nll)`,
+    * fit on (and scoring) `src` — the per-language form of the
+    * tx_lm_trigram mirror (alpha = 0.4 inlined); parameterized so the
+    * per-language gate fits one chain per predicted-language subset. */
+  private def sqlTrigramNllFor(p: String, src: String): String =
+    s"""${p}tok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $src),
+       |${p}tre AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS tg
+       |  FROM ${p}tok),
+       |${p}c3 AS (SELECT tg, count(*) AS c3 FROM ${p}tre GROUP BY tg),
+       |${p}bge AS (SELECT unnest(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS bg
+       |  FROM ${p}tok),
+       |${p}c2 AS (SELECT bg, count(*) AS c2 FROM ${p}bge GROUP BY bg),
+       |${p}une AS (SELECT unnest(toks) AS w FROM ${p}tok),
+       |${p}c1 AS (SELECT w, count(*) AS c1 FROM ${p}une GROUP BY w),
+       |${p}nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM ${p}une),
+       |${p}dtg AS (SELECT doc_id, tg, count(*) AS m FROM ${p}tre GROUP BY 1, 2),
+       |${p}sp AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM ${p}dtg),
+       |${p}sc AS (SELECT a.doc_id, a.m,
+       |    CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / b12.c2
+       |         WHEN b23.c2 IS NOT NULL THEN 0.4 * CAST(b23.c2 AS DOUBLE) / u2.c1
+       |         ELSE 0.4 * 0.4 * (coalesce(u3.c1, 0) + 1.0) / (nv.n + nv.v)
+       |    END AS s
+       |  FROM ${p}sp a LEFT JOIN ${p}c3 c3 ON a.tg = c3.tg
+       |    LEFT JOIN ${p}c2 b12 ON a.ws[1] || ' ' || a.ws[2] = b12.bg
+       |    LEFT JOIN ${p}c2 b23 ON a.ws[2] || ' ' || a.ws[3] = b23.bg
+       |    LEFT JOIN ${p}c1 u2 ON a.ws[2] = u2.w
+       |    LEFT JOIN ${p}c1 u3 ON a.ws[3] = u3.w
+       |    CROSS JOIN ${p}nv nv),
+       |${p}lp AS (SELECT doc_id, -sum(m * ln(s)) / sum(m) AS nll
+       |  FROM ${p}sc GROUP BY doc_id),
+       |${p}m AS (SELECT d.doc_id, round(l.nll, 4) AS lm_nll
+       |  FROM $src d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
+
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
   private[graft] val Bm25Terms = Seq("vector", "join", "spark")
 
@@ -1156,6 +1195,28 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language TRIGRAM scoring through the JOINED engine: all
+    // per-class stupid-backoff models fit in three aggregates
+    // (trigramLmFitByClass), every doc scored against its predicted
+    // language's model in one five-join pass (trigramLmApplyJoined) —
+    // the n-gram-order step toward Wenzek et al.'s per-language KenLM
+    // with every model side distributed. Oracle fits one parameterized
+    // trigram chain per predicted-language subset.
+    "tx_lm_trigram_perlang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // cache: the one-pass fit reads it three times (tri/bi/uni) and
+      // the apply once more — classify must not re-run per pass
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.trigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class")
+      TextAnalysis.trigramLmApplyJoined(lm, pred, "text", "doc_id",
+          "pred_class")
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2083,6 +2144,21 @@ object QueriesPipeline {
     "pl_ccnet_joined" -> sqlCcnetPerlang,
     // ... and the fully-distributed form (DataFrame langID + long LM)
     "pl_ccnet_distributed" -> sqlCcnetPerlang,
+    "tx_lm_trigram_perlang" ->
+      s"""WITH $sqlLangIdChain,
+         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'de'),
+         |${sqlTrigramNllFor("gde", "src_de")},
+         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'en'),
+         |${sqlTrigramNllFor("gen", "src_en")},
+         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'fr'),
+         |${sqlTrigramNllFor("gfr", "src_fr")},
+         |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm)
+         |SELECT doc_id, pred_class, lm_nll FROM allg
+         |ORDER BY doc_id""".stripMargin,
     "pl_ccnet" ->
       s"""WITH $sqlLmNll,
          |$sqlLangIdChain,

@@ -1416,12 +1416,12 @@ object TextAnalysis {
     }
   }
 
-  /** Per-doc COMPRESSED trigram occurrences with the backoff keys the
-    * apply joins need: (id, tg, bg12, bg23, w2, w3, m). */
-  private def docTrigrams(tok: DataFrame, id: Column): DataFrame = {
+  /** The trigram struct array (with backoff keys) of a staged `toks`
+    * column — shared by every trigram fit/apply path. */
+  private def trigramStructs: Column = {
     val nT = size(col("toks"))
     def w(i: Column, o: Int) = element_at(col("toks"), i + o)
-    val tgArr = when(nT >= 3,
+    when(nT >= 3,
       transform(sequence(lit(1), nT - 2),
         i => struct(
           concat_ws(" ", w(i, 0), w(i, 1), w(i, 2)).as("tg"),
@@ -1430,11 +1430,15 @@ object TextAnalysis {
           w(i, 1).as("w2"), w(i, 2).as("w3"))))
       .otherwise(array().cast(
         "array<struct<tg:string,bg12:string,bg23:string,w2:string,w3:string>>"))
-    tok.select(id, explode(tgArr).as("p"))
+  }
+
+  /** Per-doc COMPRESSED trigram occurrences with the backoff keys the
+    * apply joins need: (id, tg, bg12, bg23, w2, w3, m). */
+  private def docTrigrams(tok: DataFrame, id: Column): DataFrame =
+    tok.select(id, explode(trigramStructs).as("p"))
       .groupBy(id, col("p.tg").as("tg"), col("p.bg12").as("bg12"),
         col("p.bg23").as("bg23"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .agg(count(lit(1)).as("m"))
-  }
 
   /** Estimate the stupid-backoff trigram model. Two driver scalars (N, V)
     * in one action; the count tables stay distributed. */
@@ -1488,6 +1492,120 @@ object TextAnalysis {
       .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
     df.select(id).join(scored, Seq(idCol), "left")
       .select(id, round(col("nll"), 4).as("lm_nll"))
+  }
+
+  /** ALL per-class stupid-backoff trigram LMs in one long model — the
+    * higher-order sibling of [[BigramLmByClass]] (Wenzek et al. score
+    * with one KenLM PER language; this is the n-gram-order step toward
+    * that shape with every model side distributed): three count frames
+    * keyed by class — (class, tg, c3), (class, bg, c2), (class, w, c1)
+    * — plus a (class, n, v) totals table. Fit and apply are both
+    * independent of class count; per-class counts are EXACTLY those of
+    * [[trigramLmFit]] on each class partition. Persistable. */
+  final case class TrigramLmByClass(tri: DataFrame, bi: DataFrame,
+      uni: DataFrame, totals: DataFrame, alpha: Double, capTokens: Int) {
+    def save(dir: String): Unit = {
+      val spark = tri.sparkSession
+      tri.write.mode("overwrite").parquet(s"$dir/trigrams.parquet")
+      bi.write.mode("overwrite").parquet(s"$dir/bigrams.parquet")
+      uni.write.mode("overwrite").parquet(s"$dir/unigrams.parquet")
+      totals.write.mode("overwrite").parquet(s"$dir/totals.parquet")
+      import spark.implicits._
+      Seq((alpha, capTokens)).toDF("alpha", "cap_tokens")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object TrigramLmByClass {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : TrigramLmByClass = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      TrigramLmByClass(spark.read.parquet(s"$dir/trigrams.parquet"),
+        spark.read.parquet(s"$dir/bigrams.parquet"),
+        spark.read.parquet(s"$dir/unigrams.parquet"),
+        spark.read.parquet(s"$dir/totals.parquet"),
+        meta.getAs[Double]("alpha"), meta.getAs[Int]("cap_tokens"))
+    }
+  }
+
+  /** Fit one stupid-backoff trigram LM PER CLASS in three partial-merge
+    * aggregates over one staged tokenize — no per-class jobs, no driver
+    * action (the per-class (N, V) live in the `totals` frame). Rows
+    * with a NULL class are excluded. */
+  def trigramLmFitByClass(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", classCol: String = "class",
+      capTokens: Int = 512, alpha: Double = 0.4): TrigramLmByClass = {
+    val tok = df.filter(col(classCol).isNotNull)
+      .select(col(classCol).cast("string").as("class"),
+        cappedTokens(col(textCol), capTokens).as("toks"))
+      // cache: three enumerations (tri/bi/uni) read the staged tokens —
+      // uncached, the upstream lineage (often a classifier) runs thrice
+      .cache().transform(StageCaches.track)
+    val tri = tok.select(col("class"), explode(trigramStructs).as("p"))
+      .groupBy(col("class"), col("p.tg").as("tg"))
+      .agg(count(lit(1)).as("c3"))
+    val bi = tok.select(col("class"), explode(bigramStructs).as("p"))
+      .groupBy(col("class"), col("p.bg").as("bg"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = tok.select(col("class"), explode(col("toks")).as("w"))
+      .groupBy(col("class"), col("w")).agg(count(lit(1)).as("c1"))
+      // cache: consumed twice (the apply's two unigram joins read it,
+      // and totals derives from it)
+      .cache().transform(StageCaches.track)
+    val totals = uni.groupBy(col("class"))
+      .agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    TrigramLmByClass(tri, bi, uni, totals, alpha, capTokens)
+  }
+
+  /** Score every document against ITS OWN class's stupid-backoff model
+    * in ONE pass — the joined twin of per-class [[trigramLmApply]]
+    * chains: one (id, class) trigram compress, five left joins against
+    * the long model's own keys, a BROADCAST of the per-class (N, V)
+    * totals, one per-doc reduce. Bit-equal to [[trigramLmApply]] on
+    * each class partition (identical backoff chain; N + V summed in
+    * exact integers either way). Docs with < 3 tokens — or whose class
+    * has no fitted model — carry NULL `lm_nll`. Returns
+    * (idCol, classCol, lm_nll). */
+  def trigramLmApplyJoined(lm: TrigramLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      classCol: String = "class"): DataFrame = {
+    val id = col(idCol)
+    // cache: consumed twice (trigram compress + the id/class join-back)
+    val tok = df
+      .select(id, col(classCol).cast("string").as("__cls"),
+        cappedTokens(col(textCol), lm.capTokens).as("toks"))
+      .cache().transform(StageCaches.track)
+    val docTg = tok.select(id, col("__cls"), explode(trigramStructs).as("p"))
+      .groupBy(id, col("__cls"), col("p.tg").as("tg"),
+        col("p.bg12").as("bg12"), col("p.bg23").as("bg23"),
+        col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("m"))
+    val a = lm.alpha
+    val floor = (coalesce(col("c1_w3"), lit(0L)) + lit(1.0)) /
+      (col("__n") + col("__v")).cast("double")
+    val s = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2_12"))
+      .otherwise(lit(a) * when(col("c2_23").isNotNull,
+          col("c2_23").cast("double") / col("c1_w2"))
+        .otherwise(lit(a) * floor))
+    val scored = docTg
+      .join(lm.tri.select(col("class").as("__cls"), col("tg"), col("c3")),
+        Seq("__cls", "tg"), "left")
+      .join(lm.bi.select(col("class").as("__cls"), col("bg").as("bg12"),
+        col("c2").as("c2_12")), Seq("__cls", "bg12"), "left")
+      .join(lm.bi.select(col("class").as("__cls"), col("bg").as("bg23"),
+        col("c2").as("c2_23")), Seq("__cls", "bg23"), "left")
+      .join(lm.uni.select(col("class").as("__cls"), col("w").as("w2"),
+        col("c1").as("c1_w2")), Seq("__cls", "w2"), "left")
+      .join(lm.uni.select(col("class").as("__cls"), col("w").as("w3"),
+        col("c1").as("c1_w3")), Seq("__cls", "w3"), "left")
+      .join(broadcast(lm.totals.select(col("class").as("__cls"),
+        col("n").as("__n"), col("v").as("__v"))), Seq("__cls"), "left")
+      .select(id, (col("m") * log(s)).as("lp"), col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    tok.select(id, col("__cls")).join(scored, Seq(idCol), "left")
+      .select(id, col("__cls").as(classCol), round(col("nll"), 4).as("lm_nll"))
   }
 
   /** Annotate a documents DataFrame with the full feature set.
