@@ -1195,6 +1195,24 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // the COMPOSED trigram CCNet: predicted-language trigram scoring
+    // through the joined engine, then the window-free tercile/mix tail
+    // (ccnetPreClassified on the TrigramLmByClass overload) — CCNet at
+    // the n-gram order its published pipeline ran, every model side
+    // distributed
+    "pl_ccnet_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.trigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class")
+      graft.pipeline.Pipelines.ccnetPreClassified(pred, "text", "doc_id",
+          "pred_class", lm, 500)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language TRIGRAM scoring through the JOINED engine: all
     // per-class stupid-backoff models fit in three aggregates
     // (trigramLmFitByClass), every doc scored against its predicted
@@ -2158,6 +2176,28 @@ object QueriesPipeline {
          |${sqlTrigramNllFor("gfr", "src_fr")},
          |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm)
          |SELECT doc_id, pred_class, lm_nll FROM allg
+         |ORDER BY doc_id""".stripMargin,
+    // the composed trigram CCNet: the same per-language trigram chains
+    // feeding the tercile/mix tail
+    "pl_ccnet_trigram" ->
+      s"""WITH $sqlLangIdChain,
+         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'de'),
+         |${sqlTrigramNllFor("gde", "src_de")},
+         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'en'),
+         |${sqlTrigramNllFor("gen", "src_en")},
+         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+         |  WHERE p.pred_class = 'fr'),
+         |${sqlTrigramNllFor("gfr", "src_fr")},
+         |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm),
+         |tscored AS (SELECT pred_class, doc_id, lm_nll
+         |  FROM allg WHERE lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("pred_class")}
+         |SELECT doc_id, pred_class, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
          |ORDER BY doc_id""".stripMargin,
     "pl_ccnet" ->
       s"""WITH $sqlLmNll,

@@ -526,6 +526,23 @@ object Pipelines {
       .select(col(idCol), col(classCol), col("bucket"))
   }
 
+  /** [[ccnetPreClassified]] with per-language STUPID-BACKOFF TRIGRAM
+    * models ([[TextAnalysis.TrigramLmByClass]]) — the n-gram order
+    * CCNet's published pipeline actually ran (per-language KenLM;
+    * Brants et al.'s backoff is its large-corpus cousin): same
+    * one-pass scoring shape (five joins against the long model,
+    * broadcast per-class totals), same window-free tercile/mix tail. */
+  def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
+      classCol: String, lm: TextAnalysis.TrigramLmByClass,
+      midKeepPermille: Int): DataFrame = {
+    val scored = TextAnalysis.trigramLmApplyJoined(lm, docs, textCol, idCol,
+        classCol)
+      .filter(col("lm_nll").isNotNull)
+    ccnetMix(quantileBuckets(scored, classCol, "lm_nll", 3), idCol,
+        midKeepPermille)
+      .select(col(idCol), col(classCol), col("bucket"))
+  }
+
   /** [[ccnet]] with ONE global reference LM instead of per-language
     * models — the single-model shortcut for corpora where one reference
     * model covers the mix; buckets still cut PER predicted language. */

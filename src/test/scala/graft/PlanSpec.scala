@@ -165,7 +165,8 @@ class PlanSpec extends SparkSpec {
     // is a per-class broadcast HASH join), so it is NOT in the
     // theta-join allowlist above
     for (q <- Seq("pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
-        "pl_ccnet_perlang", "pl_ccnet_joined", "pl_ccnet_distributed")) {
+        "pl_ccnet_perlang", "pl_ccnet_joined", "pl_ccnet_distributed",
+        "pl_ccnet_trigram")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Window"),
