@@ -33,6 +33,73 @@ object PerfProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_CCNET_N > 0: many-language CCNet scale probe — the
+    // measured form of the joined-vs-per-class claim. N synthetic docs
+    // over C = SPARK_GRAFT_CCNET_CLASSES languages (marker-token
+    // classify, per-class phrase backbone with per-doc variation so the
+    // terciles are non-trivial); the SAME corpus runs through (a) the
+    // joined engine — bigramLmFitByClass (one pass fits ALL models) +
+    // the long-model ccnet overload (one scan, one model join) — and
+    // (b) the per-class engine — C sequential bigramLmFit calls (each
+    // with its vocab driver action) + the lmFor overload's C-branch
+    // filter/union. Outputs must agree on (count, Σbucket, Σid·bucket);
+    // the wall-clock gap is the point.
+    val ccnetN = sys.env.getOrElse("SPARK_GRAFT_CCNET_N", "0").toLong
+    if (ccnetN > 0) {
+      val c = sys.env.getOrElse("SPARK_GRAFT_CCNET_CLASSES", "40").toInt
+      val classes = (0 until c).map(i => f"l$i%02d")
+      val weights = (0 until c).map { i =>
+        s"lang$i" -> (0 until c).map(j => if (i == j) 1.0 else 0.0)
+      }.toMap
+      val biases = Seq.fill(c)(0.0)
+      val cls = pmod(col("id"), lit(c.toLong))
+      val docs = spark.range(ccnetN).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("lang"), cls),
+          // class backbone: 20 tokens cycling through 9 class-keyed
+          // words, phase-shifted per doc — heavy shared bigrams within
+          // a class, enough per-doc variation for real terciles
+          array_join(transform(sequence(lit(1), lit(20)),
+            i => concat(lit("w"), cls, lit("_"),
+              pmod(i + col("id") % 5, lit(9)))), " "),
+          // a third of the docs carry unique noise (high-nll tail)
+          when(col("id") % 3 === 0,
+            array_join(transform(sequence(lit(1), lit(10)),
+              i => concat(lit("n"), col("id"), lit("_"), i)), " "))
+            .otherwise(lit(""))).as("text"))
+      import graft.pipeline.{Pipelines, StageCaches, TextAnalysis}
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("bucket")),
+          sum(col("doc_id") * col("bucket"))).head()
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), classes, weights,
+            biases).as("pred_class"))
+        .cache()
+      pred.count() // materialize: both engines fit from this cache
+      val tj0 = System.nanoTime()
+      val lmJoined = TextAnalysis.bigramLmFitByClass(pred, "text",
+        "doc_id", "pred_class")
+      val aj = agg(Pipelines.ccnet(docs, "text", "doc_id", classes,
+        weights, biases, lmJoined, 500))
+      val tJoined = (System.nanoTime() - tj0) / 1e9
+      StageCaches.unpersistAll(blocking = true)
+      val tp0 = System.nanoTime()
+      val lms = classes.map { k =>
+        k -> TextAnalysis.bigramLmFit(pred.filter(col("pred_class") === k),
+          "text", "doc_id")
+      }.toMap
+      val ap = agg(Pipelines.ccnet(docs, "text", "doc_id", classes,
+        weights, biases, lms, 500))
+      val tPerClass = (System.nanoTime() - tp0) / 1e9
+      StageCaches.unpersistAll(blocking = true)
+      val eq = (0 to 2).forall(i => aj.get(i) == ap.get(i))
+      println(f"ccnet-joined probe: n=$ccnetN classes=$c " +
+        f"joined=$tJoined%.1f s perClass=$tPerClass%.1f s " +
+        f"speedup=${tPerClass / tJoined}%.1fx kept=${aj.getLong(0)} " +
+        s"MATCH=$eq")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_BPE_N > 0: BPE-training scale probe — N synthetic docs
     // with ~N distinct words (unique word per doc + pooled words), the
     // learned merge table compared EXACTLY against an independent local
