@@ -53,28 +53,40 @@ object QueriesPipeline {
 
   private val sqlLmNll = sqlLmNllFor("l", "documents")
 
-  /** Stupid-backoff trigram chain ending in `${p}m(doc_id, lm_nll)`,
-    * fit on (and scoring) `src` — the per-language form of the
-    * tx_lm_trigram mirror (alpha = 0.4 inlined); parameterized so the
-    * per-language gate fits one chain per predicted-language subset. */
+  /** Stupid-backoff trigram chain ending in `${p}m(doc_id, lm_nll)`:
+    * counts fit on `fitSrc`, every `scoreSrc` doc scored through the
+    * three backoff branches (alpha = 0.4 inlined) — ONE copy of the
+    * trigram mirror semantics, parameterized for the held-out
+    * tx_lm_trigram split (fit < 250 / score >= 250) AND the
+    * per-language gates (fit = score = a predicted-language subset). */
   private def sqlTrigramNllFor(p: String, src: String): String =
-    s"""${p}tok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $src),
+    sqlTrigramNllFor(p, src, src)
+
+  private def sqlTrigramNllFor(p: String, fitSrc: String,
+      scoreSrc: String): String =
+    s"""${p}ftok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $fitSrc),
        |${p}tre AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
        |      THEN list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE CAST([] AS VARCHAR[]) END) AS tg
-       |  FROM ${p}tok),
+       |  FROM ${p}ftok),
        |${p}c3 AS (SELECT tg, count(*) AS c3 FROM ${p}tre GROUP BY tg),
        |${p}bge AS (SELECT unnest(CASE WHEN len(toks) >= 2
        |      THEN list_transform(range(1, len(toks)),
        |        i -> toks[i] || ' ' || toks[i+1])
        |      ELSE CAST([] AS VARCHAR[]) END) AS bg
-       |  FROM ${p}tok),
+       |  FROM ${p}ftok),
        |${p}c2 AS (SELECT bg, count(*) AS c2 FROM ${p}bge GROUP BY bg),
-       |${p}une AS (SELECT unnest(toks) AS w FROM ${p}tok),
+       |${p}une AS (SELECT unnest(toks) AS w FROM ${p}ftok),
        |${p}c1 AS (SELECT w, count(*) AS c1 FROM ${p}une GROUP BY w),
        |${p}nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM ${p}une),
-       |${p}dtg AS (SELECT doc_id, tg, count(*) AS m FROM ${p}tre GROUP BY 1, 2),
+       |${p}stok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $scoreSrc),
+       |${p}ste AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS tg
+       |  FROM ${p}stok),
+       |${p}dtg AS (SELECT doc_id, tg, count(*) AS m FROM ${p}ste GROUP BY 1, 2),
        |${p}sp AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM ${p}dtg),
        |${p}sc AS (SELECT a.doc_id, a.m,
        |    CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / b12.c2
@@ -90,7 +102,25 @@ object QueriesPipeline {
        |${p}lp AS (SELECT doc_id, -sum(m * ln(s)) / sum(m) AS nll
        |  FROM ${p}sc GROUP BY doc_id),
        |${p}m AS (SELECT d.doc_id, round(l.nll, 4) AS lm_nll
-       |  FROM $src d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
+       |  FROM $scoreSrc d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
+
+  /** LangID + per-predicted-language trigram chains ending in
+    * `allg(pred_class, doc_id, lm_nll)` — shared verbatim by
+    * tx_lm_trigram_perlang (scores) and pl_ccnet_trigram (the composed
+    * tercile/mix tail): one copy of the per-language wiring. */
+  private def sqlTrigramPerlangChain: String =
+    s"""$sqlLangIdChain,
+       |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+       |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'de'),
+       |${sqlTrigramNllFor("gde", "src_de")},
+       |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'en'),
+       |${sqlTrigramNllFor("gen", "src_en")},
+       |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'fr'),
+       |${sqlTrigramNllFor("gfr", "src_fr")},
+       |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm)""".stripMargin
 
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
   private[graft] val Bm25Terms = Seq("vector", "join", "spark")
@@ -2163,35 +2193,13 @@ object QueriesPipeline {
     // ... and the fully-distributed form (DataFrame langID + long LM)
     "pl_ccnet_distributed" -> sqlCcnetPerlang,
     "tx_lm_trigram_perlang" ->
-      s"""WITH $sqlLangIdChain,
-         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
-         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'de'),
-         |${sqlTrigramNllFor("gde", "src_de")},
-         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'en'),
-         |${sqlTrigramNllFor("gen", "src_en")},
-         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'fr'),
-         |${sqlTrigramNllFor("gfr", "src_fr")},
-         |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm)
+      s"""WITH $sqlTrigramPerlangChain
          |SELECT doc_id, pred_class, lm_nll FROM allg
          |ORDER BY doc_id""".stripMargin,
-    // the composed trigram CCNet: the same per-language trigram chains
+    // the composed trigram CCNet: the SAME per-language trigram chains
     // feeding the tercile/mix tail
     "pl_ccnet_trigram" ->
-      s"""WITH $sqlLangIdChain,
-         |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
-         |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'de'),
-         |${sqlTrigramNllFor("gde", "src_de")},
-         |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'en'),
-         |${sqlTrigramNllFor("gen", "src_en")},
-         |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
-         |  WHERE p.pred_class = 'fr'),
-         |${sqlTrigramNllFor("gfr", "src_fr")},
-         |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm),
+      s"""WITH $sqlTrigramPerlangChain,
          |tscored AS (SELECT pred_class, doc_id, lm_nll
          |  FROM allg WHERE lm_nll IS NOT NULL),
          |${sqlTercileBuckets("pred_class")}
@@ -2497,52 +2505,13 @@ object QueriesPipeline {
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
          |  LEFT JOIN alp l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // the held-out fit/apply split on the SAME parameterized chain the
+    // per-language gates use — one copy of the trigram mirror semantics
     "tx_lm_trigram" ->
-      s"""WITH ttok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
-         |    FROM documents WHERE doc_id < 250),
-         |tre AS (SELECT unnest(CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      ELSE CAST([] AS VARCHAR[]) END) AS tg
-         |  FROM ttok),
-         |tc3 AS (SELECT tg, count(*) AS c3 FROM tre GROUP BY tg),
-         |bge AS (SELECT unnest(CASE WHEN len(toks) >= 2
-         |      THEN list_transform(range(1, len(toks)),
-         |        i -> toks[i] || ' ' || toks[i+1])
-         |      ELSE CAST([] AS VARCHAR[]) END) AS bg
-         |  FROM ttok),
-         |tc2 AS (SELECT bg, count(*) AS c2 FROM bge GROUP BY bg),
-         |une AS (SELECT unnest(toks) AS w FROM ttok),
-         |tc1 AS (SELECT w, count(*) AS c1 FROM une GROUP BY w),
-         |nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM une),
-         |atok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks
-         |    FROM documents WHERE doc_id >= 250),
-         |atge AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-         |      THEN list_transform(range(1, len(toks) - 1),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         |      ELSE CAST([] AS VARCHAR[]) END) AS tg
-         |  FROM atok),
-         |adtg AS (SELECT doc_id, tg, count(*) AS m FROM atge GROUP BY 1, 2),
-         |asplit AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM adtg),
-         |score AS (SELECT a.doc_id, a.m,
-         |    CASE WHEN tc3.c3 IS NOT NULL
-         |           THEN CAST(tc3.c3 AS DOUBLE) / b12.c2
-         |         WHEN b23.c2 IS NOT NULL
-         |           THEN 0.4 * CAST(b23.c2 AS DOUBLE) / u2.c1
-         |         ELSE 0.4 * 0.4 * (coalesce(u3.c1, 0) + 1.0) / (nv.n + nv.v)
-         |    END AS s
-         |  FROM asplit a LEFT JOIN tc3 ON a.tg = tc3.tg
-         |    LEFT JOIN tc2 b12 ON a.ws[1] || ' ' || a.ws[2] = b12.bg
-         |    LEFT JOIN tc2 b23 ON a.ws[2] || ' ' || a.ws[3] = b23.bg
-         |    LEFT JOIN tc1 u2 ON a.ws[2] = u2.w
-         |    LEFT JOIN tc1 u3 ON a.ws[3] = u3.w
-         |    CROSS JOIN nv),
-         |alp AS (SELECT doc_id, -sum(m * ln(s)) / sum(m) AS nll
-         |  FROM score GROUP BY doc_id)
-         |SELECT d.doc_id, round(l.nll, 4) AS lm_nll
-         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
-         |  LEFT JOIN alp l ON d.doc_id = l.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH tfit AS (SELECT * FROM documents WHERE doc_id < 250),
+         |tscore AS (SELECT * FROM documents WHERE doc_id >= 250),
+         |${sqlTrigramNllFor("t", "tfit", "tscore")}
+         |SELECT doc_id, lm_nll FROM tm ORDER BY doc_id""".stripMargin,
     "pl_lm_buckets" ->
       s"""WITH $sqlLmNll,
          |tscored AS (SELECT d.lang, lm.doc_id, lm.lm_nll

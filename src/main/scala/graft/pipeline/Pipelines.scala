@@ -517,14 +517,9 @@ object Pipelines {
     * (idCol, classCol, bucket) for the kept rows. */
   def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
       classCol: String, lm: TextAnalysis.BigramLmByClass,
-      midKeepPermille: Int): DataFrame = {
-    val scored = TextAnalysis.bigramLmApplyJoined(lm, docs, textCol, idCol,
-        classCol)
-      .filter(col("lm_nll").isNotNull)
-    ccnetMix(quantileBuckets(scored, classCol, "lm_nll", 3), idCol,
-        midKeepPermille)
-      .select(col(idCol), col(classCol), col("bucket"))
-  }
+      midKeepPermille: Int): DataFrame =
+    ccnetTail(TextAnalysis.bigramLmApplyJoined(lm, docs, textCol, idCol,
+      classCol), idCol, classCol, midKeepPermille)
 
   /** [[ccnetPreClassified]] with per-language STUPID-BACKOFF TRIGRAM
     * models ([[TextAnalysis.TrigramLmByClass]]) — the n-gram order
@@ -534,14 +529,19 @@ object Pipelines {
     * broadcast per-class totals), same window-free tercile/mix tail. */
   def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
       classCol: String, lm: TextAnalysis.TrigramLmByClass,
-      midKeepPermille: Int): DataFrame = {
-    val scored = TextAnalysis.trigramLmApplyJoined(lm, docs, textCol, idCol,
-        classCol)
-      .filter(col("lm_nll").isNotNull)
-    ccnetMix(quantileBuckets(scored, classCol, "lm_nll", 3), idCol,
-        midKeepPermille)
+      midKeepPermille: Int): DataFrame =
+    ccnetTail(TextAnalysis.trigramLmApplyJoined(lm, docs, textCol, idCol,
+      classCol), idCol, classCol, midKeepPermille)
+
+  /** The shared CCNet tail over an already-scored (idCol, classCol,
+    * lm_nll) frame: drop unscorable rows, per-class broadcast-cutoff
+    * terciles, keep/sample/drop — ONE copy so the bigram and trigram
+    * flows cannot silently diverge. */
+  private def ccnetTail(scored: DataFrame, idCol: String, classCol: String,
+      midKeepPermille: Int): DataFrame =
+    ccnetMix(quantileBuckets(scored.filter(col("lm_nll").isNotNull),
+        classCol, "lm_nll", 3), idCol, midKeepPermille)
       .select(col(idCol), col(classCol), col("bucket"))
-  }
 
   /** [[ccnet]] with ONE global reference LM instead of per-language
     * models — the single-model shortcut for corpora where one reference

@@ -1334,7 +1334,10 @@ object TextAnalysis {
     * class partition: identical smoothing chain with k·V as an exact
     * 0.5·integer double, OOV bigrams/contexts coalescing to 0, and the
     * same round-4 output. Docs with < 2 tokens — or whose class has no
-    * fitted model — carry NULL `lm_nll`. Returns
+    * fitted model — carry NULL `lm_nll` (including the degenerate
+    * zero-token fit partition: no vocab row ⇒ NULL, where the
+    * per-class chain's k·V = 0 floor degenerates to −Infinity — NULL
+    * is this engine's contract). Returns
     * (idCol, classCol, lm_nll). */
   def bigramLmApplyJoined(lm: BigramLmByClass, df: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
@@ -1547,6 +1550,9 @@ object TextAnalysis {
     val bi = tok.select(col("class"), explode(bigramStructs).as("p"))
       .groupBy(col("class"), col("p.bg").as("bg"))
       .agg(count(lit(1)).as("c2"))
+      // cache: the apply joins bi TWICE (bg12 + bg23) — the largest of
+      // the three count frames must not re-aggregate per join
+      .cache().transform(StageCaches.track)
     val uni = tok.select(col("class"), explode(col("toks")).as("w"))
       .groupBy(col("class"), col("w")).agg(count(lit(1)).as("c1"))
       // cache: consumed twice (the apply's two unigram joins read it,
@@ -1564,7 +1570,13 @@ object TextAnalysis {
     * totals, one per-doc reduce. Bit-equal to [[trigramLmApply]] on
     * each class partition (identical backoff chain; N + V summed in
     * exact integers either way). Docs with < 3 tokens — or whose class
-    * has no fitted model — carry NULL `lm_nll`. Returns
+    * has no fitted model — carry NULL `lm_nll`. One documented edge
+    * where the engines differ: a class whose FIT partition held ZERO
+    * tokens has no totals row here ⇒ NULL scores ("no fitted model"),
+    * while the per-class chain's N = V = 0 degenerates its smoothing
+    * floor to a division by zero ⇒ −Infinity scores; NULL is this
+    * engine's contract (the same edge exists in the bigram twin).
+    * Returns
     * (idCol, classCol, lm_nll). */
   def trigramLmApplyJoined(lm: TrigramLmByClass, df: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
