@@ -256,53 +256,7 @@ object PerfProbe {
     val cleanN = sys.env.getOrElse("SPARK_GRAFT_CLEAN_N", "0").toLong
     if (cleanN > 0) {
       require(cleanN % 10 == 0 && cleanN >= 20, "CLEAN_N: multiple of 10, >= 20")
-      import org.apache.spark.sql.Column
-      val id = col("id")
-      // first AND last word of every unique line are id-tagged: a shared
-      // trailing word would form an all-shared 8-gram with a planted
-      // span's first 7 tokens and mask one token too many (measured)
-      def ulines(from: Column, to: Column): Column =
-        array_join(transform(sequence(from, to), l =>
-          concat_ws(" ",
-            concat(lit("u"), id, lit("w"), l, lit("a")),
-            lit("holds the fine and"),
-            concat(lit("u"), id, lit("w"), l, lit("b")),
-            concat(lit("u"), id, lit("w"), l, lit("c")),
-            concat(lit("u"), id, lit("w"), l, lit("d")),
-            concat(lit("u"), id, lit("w"), l, lit("e")),
-            concat(lit("u"), id, lit("w"), l, lit("f.")))), "\n")
-      val span30 = (1 to 15).map(i => s"sp${i}a").mkString(" ") + ".\n" +
-        (1 to 15).map(i => s"sp${i}b").mkString(" ") + "."
-      def span45(tag: String) = (1 to 3).map(i =>
-        (1 to 15).map(k => s"$tag$i" + s"x$k").mkString(" ") + ".").mkString("\n")
-      val template60 = (1 to 6).map(l =>
-        s"tmpl${l}a holds the fine and tmpl${l}b tmpl${l}c tmpl${l}d tmpl${l}e stays.")
-        .mkString("\n")
-      // the pair prefix F_j: 6 tokens (< the shingle width, so no
-      // F-only window exists), FOUR of them j-tagged — with only the
-      // first token tagged, the window [holds the line and stays. S0..]
-      // is identical across pairs and masks F down to one token
-      val fj = (id / 10).cast("long")
-      val prefixLine = concat(lit("pfx"), fj, lit("a hold"), fj,
-        lit("b the and mid"), fj, lit("c end"), fj, lit("d.\n"))
-      val healthy = concat(ulines(lit(1), lit(5)),
-        lit("\njavascript mention with five words here.\n" +
-          "no terminal punctuation on this line at all"))
-      val cls = pmod(id, lit(10))
-      val b = lit(1) + pmod(id, lit(3)) // class-7 span offset: 1..3 lines before
-      val text = when(cls === 1, concat(healthy, lit("\nbrace { line with words here.")))
-        .when(cls === 2, concat(healthy, lit("\nlorem ipsum here with more words.")))
-        .when(cls === 3, concat_ws("\n",
-          concat(lit("tiny"), id, lit(" sits the line and stays.")),
-          concat(lit("tiny"), id, lit(" alsoa the line and stays.")),
-          concat(lit("tiny"), id, lit(" again the line and stays."))))
-        .when(cls === 4, lit(template60))
-        .when(cls === 5, concat(prefixLine, lit(span45("spw"))))
-        .when(cls === 6, concat(prefixLine, lit(span45("sqw"))))
-        .when(cls === 7, concat(ulines(lit(1), b), lit("\n" + span30 + "\n"),
-          ulines(b + 1, lit(5))))
-        .otherwise(healthy)
-      val sdocs = spark.range(cleanN).select(id.as("doc_id"), text.as("text"))
+      val sdocs = plantedCleanCorpus(spark, cleanN)
       val t0 = System.nanoTime()
       val out = graft.pipeline.Pipelines.cleanCorpusFull(sdocs, "text", "doc_id")
         .select(col("doc_id"), col("n_final"),
@@ -311,15 +265,59 @@ object PerfProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
       graft.pipeline.StageCaches.unpersistAll()
-      val g = cleanN / 10
-      val expected = Set(
-        (0L, 50L, g), (8L, 50L, g), (9L, 50L, g), // healthy
-        (4L, 60L, 1L), // identical flood: one whole survivor
-        (5L, 51L, 1L), (5L, 6L, g - 1), // first pair whole, later = F_j
-        (6L, 51L, 1L), // the j=0 pair partner; j>0 partners exact-deduped
-        (7L, 80L, 1L), (7L, 50L, g - 1)) // shifted span masked in full
+      val expected = plantedCleanExpected(cleanN)
       println(f"clean-full n=$cleanN: $secs%.2f s survivors=" +
         s"${out.toSeq.map(_._3).sum} expectedSurvivors=${cleanN / 2 + 2}")
+      println(s"got:      ${out.toSeq.sorted.mkString(", ")}")
+      println(s"expected: ${expected.toSeq.sorted.mkString(", ")}")
+      println(s"MATCH=${out == expected}")
+      spark.stop()
+      return
+    }
+    // SPARK_GRAFT_CLEAN_INCR_N > 0: the SAME planted corpus driven
+    // through the ALWAYS-ON streaming path in TWO snapshots
+    // (doc_id < N/2, then the rest — emit + cleanConsumeIncremental per
+    // snapshot, separate queries on shared checkpoints): the
+    // accumulated output must hit the IDENTICAL per-class planted
+    // counts as the batch chain on the union — snapshot-2 copies of
+    // snapshot-1 text (the class-4 flood, later class-7 span carriers)
+    // must drop against checkpoint state without re-reading snapshot 1.
+    val cleanIncrN = sys.env.getOrElse("SPARK_GRAFT_CLEAN_INCR_N", "0").toLong
+    if (cleanIncrN > 0) {
+      require(cleanIncrN % 20 == 0 && cleanIncrN >= 40,
+        "CLEAN_INCR_N: multiple of 20, >= 40 (the split must not cut a decade)")
+      val sdocs = plantedCleanCorpus(spark, cleanIncrN)
+      val base = java.nio.file.Files.createTempDirectory("clean_incr_probe")
+      def p(s: String) = base.resolve(s).toString
+      val schema = sdocs.schema
+      val t0 = System.nanoTime()
+      def snapshot(pred: org.apache.spark.sql.Column): Unit = {
+        sdocs.filter(pred).write.mode("append").parquet(p("src"))
+        val q = graft.streaming.DocStream.cleanStreamEmit(
+            spark.readStream.schema(schema).parquet(p("src")),
+            "text", "doc_id", 8)
+          .writeStream.format("parquet").option("path", p("wins"))
+          .option("checkpointLocation", p("ck_emit"))
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.DocStream.cleanConsumeIncremental(
+          sdocs.filter(pred), spark.read.parquet(p("wins")),
+          p("inbox"), p("ck_dedup"), p("out"), "text", "doc_id", 8)
+      }
+      snapshot(col("doc_id") < cleanIncrN / 2)
+      snapshot(col("doc_id") >= cleanIncrN / 2)
+      val out = spark.read.parquet(p("out"))
+        .select(col("n_final"), pmod(col("id"), lit(10)).as("cls"))
+        .groupBy(col("cls"), col("n_final")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.pipeline.StageCaches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      val expected = plantedCleanExpected(cleanIncrN)
+      println(f"clean-incr n=$cleanIncrN (2 snapshots): $secs%.2f s survivors=" +
+        s"${out.toSeq.map(_._3).sum} expectedSurvivors=${cleanIncrN / 2 + 2}")
       println(s"got:      ${out.toSeq.sorted.mkString(", ")}")
       println(s"expected: ${expected.toSeq.sorted.mkString(", ")}")
       println(s"MATCH=${out == expected}")
@@ -342,5 +340,75 @@ object PerfProbe {
       Dedup.minhashNearDuplicates(docs, "text", "doc_id", 0.5, 32, 8).count()
     }
     spark.stop()
+  }
+
+  /** The planted clean-chain corpus shared by the CLEAN_N (batch) and
+    * CLEAN_INCR_N (always-on streaming) probes — ONE copy of the
+    * fixture so the two probes provably run the same input. Classes by
+    * id % 10 (see the CLEAN_N comment above for the per-class design
+    * and the expected interactions). */
+  private def plantedCleanCorpus(spark: SparkSession, n: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val id = col("id")
+    // first AND last word of every unique line are id-tagged: a shared
+    // trailing word would form an all-shared 8-gram with a planted
+    // span's first 7 tokens and mask one token too many (measured)
+    def ulines(from: Column, to: Column): Column =
+      array_join(transform(sequence(from, to), l =>
+        concat_ws(" ",
+          concat(lit("u"), id, lit("w"), l, lit("a")),
+          lit("holds the fine and"),
+          concat(lit("u"), id, lit("w"), l, lit("b")),
+          concat(lit("u"), id, lit("w"), l, lit("c")),
+          concat(lit("u"), id, lit("w"), l, lit("d")),
+          concat(lit("u"), id, lit("w"), l, lit("e")),
+          concat(lit("u"), id, lit("w"), l, lit("f.")))), "\n")
+    val span30 = (1 to 15).map(i => s"sp${i}a").mkString(" ") + ".\n" +
+      (1 to 15).map(i => s"sp${i}b").mkString(" ") + "."
+    def span45(tag: String) = (1 to 3).map(i =>
+      (1 to 15).map(k => s"$tag$i" + s"x$k").mkString(" ") + ".").mkString("\n")
+    val template60 = (1 to 6).map(l =>
+      s"tmpl${l}a holds the fine and tmpl${l}b tmpl${l}c tmpl${l}d tmpl${l}e stays.")
+      .mkString("\n")
+    // the pair prefix F_j: 6 tokens (< the shingle width, so no
+    // F-only window exists), FOUR of them j-tagged — with only the
+    // first token tagged, the window [holds the line and stays. S0..]
+    // is identical across pairs and masks F down to one token
+    val fj = (id / 10).cast("long")
+    val prefixLine = concat(lit("pfx"), fj, lit("a hold"), fj,
+      lit("b the and mid"), fj, lit("c end"), fj, lit("d.\n"))
+    val healthy = concat(ulines(lit(1), lit(5)),
+      lit("\njavascript mention with five words here.\n" +
+        "no terminal punctuation on this line at all"))
+    val cls = pmod(id, lit(10))
+    val b = lit(1) + pmod(id, lit(3)) // class-7 span offset: 1..3 lines before
+    val text = when(cls === 1, concat(healthy, lit("\nbrace { line with words here.")))
+      .when(cls === 2, concat(healthy, lit("\nlorem ipsum here with more words.")))
+      .when(cls === 3, concat_ws("\n",
+        concat(lit("tiny"), id, lit(" sits the line and stays.")),
+        concat(lit("tiny"), id, lit(" alsoa the line and stays.")),
+        concat(lit("tiny"), id, lit(" again the line and stays."))))
+      .when(cls === 4, lit(template60))
+      .when(cls === 5, concat(prefixLine, lit(span45("spw"))))
+      .when(cls === 6, concat(prefixLine, lit(span45("sqw"))))
+      .when(cls === 7, concat(ulines(lit(1), b), lit("\n" + span30 + "\n"),
+        ulines(b + 1, lit(5))))
+      .otherwise(healthy)
+    spark.range(n).select(id.as("doc_id"), text.as("text"))
+  }
+
+  /** Expected (cls, n_final, count) survivor set for
+    * [[plantedCleanCorpus]] of size n — identical for the batch chain
+    * and the increasing-id snapshot split (snapshot-1 ids are lower, so
+    * the stream's first-batch winners equal the batch min(id, pos)). */
+  private def plantedCleanExpected(n: Long): Set[(Long, Long, Long)] = {
+    val g = n / 10
+    Set(
+      (0L, 50L, g), (8L, 50L, g), (9L, 50L, g), // healthy
+      (4L, 60L, 1L), // identical flood: one whole survivor
+      (5L, 51L, 1L), (5L, 6L, g - 1), // first pair whole, later = F_j
+      (6L, 51L, 1L), // the j=0 pair partner; j>0 partners exact-deduped
+      (7L, 80L, 1L), (7L, 50L, g - 1)) // shifted span masked in full
   }
 }
