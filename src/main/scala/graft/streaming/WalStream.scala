@@ -356,6 +356,77 @@ object DocStream {
       }
   }
 
+  /** [[incrementalSpanWinners]] with TTL-BOUNDED state -- the
+    * operational form for ALWAYS-ON ingest: unbounded first-seen state
+    * is one entry per DISTINCT shingle EVER seen (~10^12 at 100 TB of
+    * crawl -- no state store holds that), while real boilerplate
+    * repeats within a bounded window. Each occurrence is stamped with
+    * its batch INGEST TIME (`current_timestamp()` -- constant per
+    * micro-batch) and the state carries an EVENT-TIME timeout that
+    * REFRESHES on every sighting: hot boilerplate stays suppressed
+    * indefinitely, cold shingles age out once the WATERMARK (driven by
+    * later ingest) passes their last sighting + ttl, and their state is
+    * REMOVED -- state is bounded by the distinct shingles of the
+    * trailing TTL window, i.e. the dedup semantics "mask repeats within
+    * T". After expiry the NEXT occurrence wins again (re-emission:
+    * downstream [[graft.pipeline.Dedup.maskSpansAgainstWinners]]
+    * canonicalizes duplicate winner rows per hash to min (id, pos), so
+    * consumers are already duplicate-winner-safe). Event-time timers
+    * fire only when NEW DATA advances the watermark -- no wake-up
+    * batches, so the query is `Trigger.AvailableNow`-compatible and
+    * idle streams cost nothing (a processing-time timeout instead turns
+    * the default trigger into a busy loop of empty batches: measured,
+    * hence the watermark design). Eviction is lazy: a shingle re-seen
+    * before a later batch evicted it refreshes and stays suppressed. */
+  def incrementalSpanWinnersTtl(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, ttlMs: Long)
+      : org.apache.spark.sql.Dataset[SpanOcc] = {
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val sq = docs.sparkSession
+    import sq.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"),
+        current_timestamp().as("ts"))
+      .select(col("id"), col("ts"), col("__toks"),
+        explode(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), greatest(size(col("__toks")) - k, lit(0)))))
+          .as("pos"))
+      .select(col("id"), col("pos"),
+        graft.functions.hash60(
+          concat_ws(" ", slice(col("__toks"), col("pos") + 1, lit(k)))).as("h"),
+        col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[SpanOccTs]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Boolean, SpanOcc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[SpanOccTs], state:
+            org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var best: SpanOccTs = null
+            var maxTs = Long.MinValue
+            while (rows.hasNext) {
+              val r = rows.next()
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (best == null || r.id < best.id ||
+                (r.id == best.id && r.pos < best.pos)) best = r
+            }
+            // refresh (or arm) the eviction timer off the newest sighting
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator(SpanOcc(best.id, best.pos, best.h))
+            }
+          }
+      }
+  }
+
   /** The shared upstream of the streaming clean chain: C4 line/document
     * rules -> Gopher document-quality rules, both map-only (the Gopher
     * verdict rides along via
@@ -501,6 +572,11 @@ object DocStream {
   * START position, and the 60-bit substring hash — the emitted unit of
   * [[DocStream.incrementalSpanWinners]]. */
 case class SpanOcc(id: Long, pos: Int, h: Long)
+
+/** A time-stamped shingle occurrence — the input unit of
+  * [[DocStream.incrementalSpanWinnersTtl]] (ts = batch ingest time,
+  * driving the eviction watermark). */
+case class SpanOccTs(id: Long, pos: Int, h: Long, ts: java.sql.Timestamp)
 
 /** A masked clean-text row keyed by its content digest — the state unit
   * of [[DocStream.incrementalCleanDedup]]. */

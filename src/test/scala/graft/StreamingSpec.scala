@@ -317,6 +317,49 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("TTL span state: hot shingles stay suppressed, expired ones re-win") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val base = java.nio.file.Files.createTempDirectory("ttl_span_spec")
+    def p(s: String) = base.resolve(s).toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    def pass(snap: Seq[(Long, String)]): Unit = {
+      snap.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(p("src"))
+      val q = graft.streaming.DocStream.incrementalSpanWinnersTtl(
+          spark.readStream.schema(docSchema).parquet(p("src")),
+          "doc_id", "text", k = 8, ttlMs = 2000L)
+        .toDF()
+        .writeStream.format("parquet").option("path", p("out"))
+        .option("checkpointLocation", p("ck"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def winnersOf(docId: Long): Long =
+      spark.read.parquet(p("out")).filter(col("id") === docId).count()
+    pass(Seq((1L, span)))
+    assert(winnersOf(1L) == 1L) // one shingle (8 tokens, k=8)
+    // within the TTL: the duplicate is suppressed (and refreshes)
+    pass(Seq((2L, span)))
+    assert(winnersOf(2L) == 0L, "within-TTL duplicate re-won")
+    // wait out the TTL, then two unrelated batches: the FIRST advances
+    // the watermark past the timer, the SECOND (running under that
+    // watermark — it lags one batch) fires the lazy eviction for the
+    // now-idle group; the next occurrence must then win again
+    Thread.sleep(3000)
+    pass(Seq((3L, "totally different words forming another doc here now")))
+    pass(Seq((4L, "yet another unrelated document with its own words here")))
+    pass(Seq((5L, span)))
+    assert(winnersOf(5L) == 1L,
+      s"expired shingle did not re-win: ${spark.read.parquet(p("out"))
+        .collect().mkString(", ")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("WAL replay resumes from checkpoint without reapplying") {
     val walDir = tmpDir("wal2")
     val ckpt = tmpDir("wal2_ckpt")
