@@ -40,8 +40,11 @@ object Bench {
     // contended window can inflate single queries 8-75x — per-query
     // MINIMA across N full passes in one JVM make the committed signal
     // contention-proof (the minimum of N runs of a fixed plan converges
-    // on the true cost; a mean averages the contention in)
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    // on the true cost; a mean averages the contention in). DEFAULT is 2
+    // so the committed artifact is contention-proof without env
+    // cooperation from whoever invokes the harness; set
+    // SPARK_GRAFT_BENCH_RUNS=1 for a quick single pass while iterating.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     def onePass(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

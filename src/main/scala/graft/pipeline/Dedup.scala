@@ -652,7 +652,17 @@ object Dedup {
     // join out and match the true winner against the OTHER row's
     // coordinate — masking every copy including the winner. A
     // partial-merge min over the (small) winner side makes duplicates
-    // harmless instead of text-destroying.
+    // harmless instead of text-destroying. TTL interplay
+    // (incrementalSpanWinnersTtl): an expired hash re-emits under its
+    // NEXT occurrence's (id, pos), so a consumer fed the accumulated
+    // emission log sees two winner rows for the hash and this min picks
+    // the (id, pos)-smaller one — possibly the LATER emission. That
+    // shift only changes WHICH single occurrence stays unmasked (still
+    // exactly one text survivor per hash; only under-masking is at
+    // stake, never text loss). Consumers needing the emission-order
+    // winner should feed the trailing window's emissions, not the
+    // all-time log — the TTL contract already says older output is
+    // outside the dedup window.
     val w = winners
       .select(col("h").as("__wh"),
         struct(col("id").cast("long").as("id"), col("pos").as("pos"))

@@ -30,13 +30,17 @@ object StageCaches {
     * the application is skipping the [[unpersistAll]] drain. */
   private val warnThreshold = 256
   private val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // O(1) depth mirror: ConcurrentLinkedQueue.size() is an O(n) traversal,
+  // so checking it in track() would make tracking cost quadratic in
+  // exactly the undrained-leak scenario the warning exists to catch
+  private val depth = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Track a frame the pipeline just cached; returns it unchanged.
     * graft-wide: gate code composing pipeline operators pins its own
     * staged frames through the same drained registry. */
   private[graft] def track(df: DataFrame): DataFrame = {
     frames.add(df)
-    if (frames.size > warnThreshold && warned.compareAndSet(false, true))
+    if (depth.incrementAndGet() > warnThreshold && warned.compareAndSet(false, true))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"StageCaches holds > $warnThreshold pinned frames — call " +
           "StageCaches.unpersistAll() between corpus passes or executor " +
@@ -55,7 +59,10 @@ object StageCaches {
       df = frames.poll()
     }
     // re-arm the growth warning: each drain starts a new accumulation
-    // window, so a LATER leak past the threshold warns again
+    // window, so a LATER leak past the threshold warns again.
+    // decrement (not set(0)): a concurrent track() between our last
+    // poll() and here must keep its +1 or the mirror undercounts
+    depth.addAndGet(-n)
     warned.set(false)
     n
   }

@@ -519,6 +519,68 @@ object DocStream {
       }
   }
 
+  /** [[incrementalCleanDedup]] with TTL-BOUNDED state — the digest
+    * sibling of [[incrementalSpanWinnersTtl]], closing the same
+    * operational ceiling: `NoTimeout` state is one entry per DISTINCT
+    * clean_text digest EVER ingested (~10^9–10^10 md5-string-keyed
+    * entries at always-on crawl scale — no state store holds an
+    * ever-growing set), while crawl duplicates overwhelmingly recur
+    * within a bounded window (the same snapshot, or the next few). Each
+    * row is stamped with its batch INGEST TIME (`current_timestamp()` —
+    * constant per micro-batch) and the state carries an EVENT-TIME
+    * timeout REFRESHED on every sighting: hot duplicates stay
+    * suppressed indefinitely, cold digests age out once the WATERMARK
+    * (driven by later ingest) passes their last sighting + ttl, and
+    * their state is REMOVED — state is bounded by the distinct digests
+    * of the trailing TTL window, i.e. "exact-dedup against the trailing
+    * T window" semantics. After expiry the NEXT occurrence of the text
+    * is re-admitted (re-emitted with its own id) — acceptable for crawl
+    * dedup, where a re-admission is a rare duplicate row downstream,
+    * never a lost document; callers needing dedup against ALL history
+    * keep [[incrementalCleanDedup]] and budget its state explicitly
+    * (SCALE.md). Event-time timers fire only when NEW DATA advances the
+    * watermark — `Trigger.AvailableNow`-compatible, no wake-up batches
+    * (the processing-time-timeout busy-loop trap measured for the span
+    * twin applies identically here). Winner contract per emission is
+    * unchanged: first batch wins, min-id within a batch. */
+  def incrementalCleanDedupTtl(masked: DataFrame, ttlMs: Long,
+      idCol: String = "id"): org.apache.spark.sql.Dataset[CleanDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val sq = masked.sparkSession
+    import sq.implicits._
+    masked.select(md5(col("clean_text")).as("digest"),
+        col(idCol).cast("long").as("id"), col("clean_text"),
+        col("n_final").cast("long").as("n_final"),
+        current_timestamp().as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[CleanDocKeyedTs]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Boolean, CleanDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[CleanDocKeyedTs], state:
+            org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var best: CleanDocKeyedTs = null
+            var maxTs = Long.MinValue
+            while (rows.hasNext) {
+              val r = rows.next()
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (best == null || r.id < best.id) best = r
+            }
+            // refresh (or arm) the eviction timer off the newest sighting
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator(CleanDoc(best.id, best.clean_text, best.n_final))
+            }
+          }
+      }
+  }
+
   /** ALWAYS-ON snapshot consumer — one call per crawl snapshot, after
     * its [[cleanStreamEmit]] pass has folded the snapshot into the span
     * state: masks the snapshot against the ACCUMULATED emitted winner
@@ -541,12 +603,19 @@ object DocStream {
     * (checkpoint state), and the exactly-once parquet sink commit makes
     * duplicate output rows impossible. The inbox is a HAND-OFF buffer,
     * not the durable artifact: files whose batch has committed may be
-    * vacuumed (the file-source log never re-reads a processed file) —
-    * `outDir` + the checkpoint are what must survive. */
+    * vacuumed ([[vacuumInbox]] — the file-source log never re-reads a
+    * processed file) — `outDir` + the checkpoint are what must survive.
+    * `ttlMs` > 0 bounds the digest state to the trailing TTL window
+    * ([[incrementalCleanDedupTtl]] — the always-on operational form);
+    * the default 0 keeps dedup-against-all-history semantics
+    * ([[incrementalCleanDedup]], state grows per distinct digest —
+    * budget it, see SCALE.md). Changing ttlMs on an EXISTING checkpoint
+    * is a state-schema-compatible switch of timeout mode; start a new
+    * checkpoint when changing semantics. */
   def cleanConsumeIncremental(docs: DataFrame, emitted: DataFrame,
       inboxDir: String, checkpointDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 8): Unit = {
+      k: Int = 8, ttlMs: Long = 0L): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     maskedSurvivors(docs, emitted, textCol, idCol, k)
       .select(col(idCol).cast("long").as("id"), col("clean_text"),
@@ -556,8 +625,10 @@ object DocStream {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("clean_text", StringType),
       StructField("n_final", LongType)))
-    val q = incrementalCleanDedup(
-        spark.readStream.schema(schema).parquet(inboxDir))
+    val inbox = spark.readStream.schema(schema).parquet(inboxDir)
+    val deduped = if (ttlMs > 0) incrementalCleanDedupTtl(inbox, ttlMs)
+      else incrementalCleanDedup(inbox)
+    val q = deduped
       .writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
@@ -565,6 +636,68 @@ object DocStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Inbox retention for [[cleanConsumeIncremental]]: delete inbox files
+    * whose micro-batch has COMMITTED, per the checkpoint's own logs —
+    * the file-source offset log (`sources/0/<batch>[.compact]`) records
+    * which files each batch read, and the commit log (`commits/<batch>`)
+    * records which batches completed end-to-end (sink commit included).
+    * Only files in a committed batch are deleted: an uncommitted batch's
+    * files must survive so a restart can re-read them (the file source
+    * replans an uncommitted batch from its logged file list — deleting
+    * those would fail the recovery read). Committed files are safe to
+    * drop because the source NEVER re-reads a path already in its log
+    * (`seenFiles` dedup — a re-appended copy of a vacuumed file is also
+    * ignored, which is what makes the retry-idempotence story hold after
+    * vacuum). Files under `inboxDir` not yet in the source log at all
+    * (appended after the last batch) are untouched. Paths outside
+    * `inboxDir` are never deleted, whatever the log says. Returns the
+    * number of files deleted. The TableStore retention analogue:
+    * vacuum drops what no live reader can need; `outDir` + the
+    * checkpoint remain the durable artifacts. */
+  def vacuumInbox(spark: SparkSession, inboxDir: String,
+      checkpointDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = spark.sessionState.newHadoopConf()
+    val commitsDir = new Path(checkpointDir, "commits")
+    val sourceDir = new Path(new Path(checkpointDir, "sources"), "0")
+    val cfs = commitsDir.getFileSystem(conf)
+    if (!cfs.exists(commitsDir) || !cfs.exists(sourceDir)) return 0
+    val committed = cfs.listStatus(commitsDir).toSeq
+      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    if (committed.isEmpty) return 0
+    val maxCommitted = committed.max
+    // source-log entries: {"path":...,"timestamp":...,"batchId":n};
+    // .compact files replay all prior entries — reading every log file
+    // and filtering on the entry's OWN batchId handles both forms
+    val logFiles = cfs.listStatus(sourceDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.takeWhile(_ != '.').forall(_.isDigit))
+    val committedPaths = logFiles.flatMap { lf =>
+      val in = cfs.open(lf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.startsWith("{")).flatMap { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "path", j \ "batchId") match {
+          case (JString(p), JInt(b)) if b <= maxCommitted => Some(p)
+          case _ => None
+        }
+      }
+    }.distinct
+    val ifs = new Path(inboxDir).getFileSystem(conf)
+    val inboxRoot = ifs.makeQualified(new Path(inboxDir)).toUri.getPath
+    var n = 0
+    committedPaths.foreach { p =>
+      val hp = ifs.makeQualified(new Path(new java.net.URI(p).getPath))
+      // containment check on the qualified path — the log is trusted for
+      // WHICH batch a file belongs to, never for deleting outside the inbox
+      if (hp.toUri.getPath.startsWith(inboxRoot + "/") &&
+          ifs.exists(hp) && ifs.delete(hp, false)) n += 1
+    }
+    n
   }
 }
 
@@ -582,6 +715,12 @@ case class SpanOccTs(id: Long, pos: Int, h: Long, ts: java.sql.Timestamp)
   * of [[DocStream.incrementalCleanDedup]]. */
 case class CleanDocKeyed(digest: String, id: Long, clean_text: String,
     n_final: Long)
+
+/** A time-stamped digest-keyed clean-text row — the input unit of
+  * [[DocStream.incrementalCleanDedupTtl]] (ts = batch ingest time,
+  * driving the eviction watermark). */
+case class CleanDocKeyedTs(digest: String, id: Long, clean_text: String,
+    n_final: Long, ts: java.sql.Timestamp)
 
 /** A surviving clean document — the emitted unit of
   * [[DocStream.incrementalCleanDedup]]. */

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Round-17 additions: TTL-bounded digest state for the always-on clean
+  * (the span-TTL pattern applied to exact dedup), inbox retention
+  * ([[graft.streaming.DocStream.vacuumInbox]]), and n-gram count pruning
+  * for the per-class LM trainers. */
+class Round17Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val inboxSchema = StructType(Seq(StructField("id", LongType),
+    StructField("clean_text", StringType),
+    StructField("n_final", LongType)))
+
+  test("TTL digest state: hot duplicates suppressed+refreshed, expired digests re-admit across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("ttl_digest_spec")
+    def p(s: String) = base.resolve(s).toString
+    val text = "alpha bravo charlie delta"
+    // separate AvailableNow queries on ONE checkpoint = the restart path
+    def pass(rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("id", "clean_text", "n_final").coalesce(1)
+        .write.mode("append").parquet(p("inbox"))
+      val q = graft.streaming.DocStream.incrementalCleanDedupTtl(
+          spark.readStream.schema(inboxSchema).parquet(p("inbox")),
+          ttlMs = 2000L)
+        .toDF()
+        .writeStream.format("parquet").option("path", p("out"))
+        .option("checkpointLocation", p("ck"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emittedIds: Set[Long] =
+      spark.read.parquet(p("out")).select("id").as[Long].collect().toSet
+    pass(Seq((1L, text, 4L)))
+    assert(emittedIds == Set(1L))
+    // within the TTL: the duplicate is suppressed (and refreshes the timer)
+    pass(Seq((2L, text, 4L)))
+    assert(!emittedIds.contains(2L), "within-TTL duplicate re-emitted")
+    // wait out the TTL, then two unrelated batches: the FIRST advances the
+    // watermark past the timer, the SECOND (the watermark lags one batch)
+    // fires the lazy eviction for the now-idle group; the next occurrence
+    // of the text must then be re-admitted under its own id
+    Thread.sleep(3000)
+    pass(Seq((3L, "totally different text one", 4L)))
+    pass(Seq((4L, "yet another unrelated text", 4L)))
+    pass(Seq((5L, text, 4L)))
+    assert(emittedIds.contains(5L),
+      s"expired digest was not re-admitted: $emittedIds")
+    assert(emittedIds == Set(1L, 3L, 4L, 5L))
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("cleanConsumeIncremental ttlMs>0 routes through the TTL dedup; default keeps all-history semantics") {
+    val base = java.nio.file.Files.createTempDirectory("ttl_route_spec")
+    def p(s: String) = base.resolve(s).toString
+    // a doc shape that survives C4 (>=5-word punctuated lines, >=3
+    // sentences) and Gopher (word count, stopwords) — the st_clean
+    // fixture's filler pattern
+    def fillerLine(tag: String, i: Int) =
+      s"the quiet$tag$i engine hums and the long river$tag$i bends with easy grace."
+    def uniq(tag: String) = (0 to 4).map(i => fillerLine(tag, i)).mkString("\n")
+    val docs = Seq((1L, uniq("tt")), (2L, uniq("tt"))).toDF("doc_id", "text")
+    val noWinners = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("pos", org.apache.spark.sql.types.IntegerType),
+        StructField("h", LongType))))
+    graft.streaming.DocStream.cleanConsumeIncremental(
+      docs, noWinners, p("inbox"), p("ck"), p("out"), "text", "doc_id",
+      k = 8, ttlMs = 60000L)
+    val out = spark.read.parquet(p("out")).select("id").as[Long].collect().toSet
+    assert(out == Set(1L), s"TTL-routed consume drifted: $out")
+    graft.pipeline.StageCaches.unpersistAll()
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("vacuumInbox deletes only committed files; state still dedups; re-appended copies are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("vacuum_inbox_spec")
+    def p(s: String) = base.resolve(s).toString
+    def pass(rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("id", "clean_text", "n_final").coalesce(1)
+        .write.mode("append").parquet(p("inbox"))
+      val q = graft.streaming.DocStream.incrementalCleanDedup(
+          spark.readStream.schema(inboxSchema).parquet(p("inbox")))
+        .toDF()
+        .writeStream.format("parquet").option("path", p("out"))
+        .option("checkpointLocation", p("ck"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emittedIds: Set[Long] =
+      spark.read.parquet(p("out")).select("id").as[Long].collect().toSet
+    pass(Seq((1L, "snapshot one text", 3L)))
+    assert(emittedIds == Set(1L))
+    // an appended-but-unprocessed file must survive the vacuum (no batch
+    // has read it, let alone committed it)
+    Seq((9L, "pending text", 2L)).toDF("id", "clean_text", "n_final")
+      .coalesce(1).write.mode("append").parquet(p("inbox"))
+    def dataFiles: Set[String] = {
+      val d = new java.io.File(p("inbox"))
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val beforeVacuum = dataFiles
+    val n = graft.streaming.DocStream.vacuumInbox(spark, p("inbox"), p("ck"))
+    assert(n == 1, s"expected exactly the snapshot-1 file deleted, got $n")
+    val afterVacuum = dataFiles
+    assert(afterVacuum.size == beforeVacuum.size - 1)
+    // snapshot 2 re-sends snapshot-1's text: the dedup must still
+    // suppress it — the digest lives in STATE, not in the vacuumed file —
+    // and must pick up the pending file's row
+    pass(Seq((21L, "snapshot one text", 3L), (22L, "snapshot two text", 3L)))
+    assert(emittedIds == Set(1L, 9L, 22L),
+      s"post-vacuum dedup drifted: $emittedIds")
+    // a second vacuum after the second commit drops the now-committed
+    // files; a re-run with no new data is a no-op end to end
+    val n2 = graft.streaming.DocStream.vacuumInbox(spark, p("inbox"), p("ck"))
+    assert(n2 >= 2, s"second vacuum should drop the committed files, got $n2")
+    pass(Seq((31L, "final text", 2L)))
+    assert(emittedIds == Set(1L, 9L, 22L, 31L))
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+}
