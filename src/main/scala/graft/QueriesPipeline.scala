@@ -64,21 +64,31 @@ object QueriesPipeline {
 
   private def sqlTrigramNllFor(p: String, fitSrc: String,
       scoreSrc: String): String =
+    sqlTrigramNllFor(p, fitSrc, scoreSrc, 1)
+
+  /** `minCount` > 1 adds the SAME HAVING floor to all three count CTEs
+    * that trigramLmFit(ByClass)'s pruning applies (n, v stay the full
+    * fit-corpus totals) — the pruned-model mirror. */
+  private def sqlTrigramNllFor(p: String, fitSrc: String,
+      scoreSrc: String, minCount: Int): String =
     s"""${p}ftok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $fitSrc),
        |${p}tre AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
        |      THEN list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE CAST([] AS VARCHAR[]) END) AS tg
        |  FROM ${p}ftok),
-       |${p}c3 AS (SELECT tg, count(*) AS c3 FROM ${p}tre GROUP BY tg),
+       |${p}c3 AS (SELECT tg, count(*) AS c3 FROM ${p}tre GROUP BY tg
+       |  HAVING count(*) >= $minCount),
        |${p}bge AS (SELECT unnest(CASE WHEN len(toks) >= 2
        |      THEN list_transform(range(1, len(toks)),
        |        i -> toks[i] || ' ' || toks[i+1])
        |      ELSE CAST([] AS VARCHAR[]) END) AS bg
        |  FROM ${p}ftok),
-       |${p}c2 AS (SELECT bg, count(*) AS c2 FROM ${p}bge GROUP BY bg),
+       |${p}c2 AS (SELECT bg, count(*) AS c2 FROM ${p}bge GROUP BY bg
+       |  HAVING count(*) >= $minCount),
        |${p}une AS (SELECT unnest(toks) AS w FROM ${p}ftok),
-       |${p}c1 AS (SELECT w, count(*) AS c1 FROM ${p}une GROUP BY w),
+       |${p}c1 AS (SELECT w, count(*) AS c1 FROM ${p}une GROUP BY w
+       |  HAVING count(*) >= $minCount),
        |${p}nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM ${p}une),
        |${p}stok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $scoreSrc),
        |${p}ste AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -108,18 +118,20 @@ object QueriesPipeline {
     * `allg(pred_class, doc_id, lm_nll)` — shared verbatim by
     * tx_lm_trigram_perlang (scores) and pl_ccnet_trigram (the composed
     * tercile/mix tail): one copy of the per-language wiring. */
-  private def sqlTrigramPerlangChain: String =
+  private def sqlTrigramPerlangChain: String = sqlTrigramPerlangChain(1)
+
+  private def sqlTrigramPerlangChain(minCount: Int): String =
     s"""$sqlLangIdChain,
        |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
        |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
        |  WHERE p.pred_class = 'de'),
-       |${sqlTrigramNllFor("gde", "src_de")},
+       |${sqlTrigramNllFor("gde", "src_de", "src_de", minCount)},
        |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
        |  WHERE p.pred_class = 'en'),
-       |${sqlTrigramNllFor("gen", "src_en")},
+       |${sqlTrigramNllFor("gen", "src_en", "src_en", minCount)},
        |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
        |  WHERE p.pred_class = 'fr'),
-       |${sqlTrigramNllFor("gfr", "src_fr")},
+       |${sqlTrigramNllFor("gfr", "src_fr", "src_fr", minCount)},
        |allg AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM gdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM genm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM gfrm)""".stripMargin
 
   // the fixed keyword query shared by the BM25 / hybrid-fusion gates
@@ -1265,6 +1277,27 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // the PRUNED per-language trigram model (minCount = 2 — KenLM's
+    // count-pruning recipe): every singleton n-gram drops from all three
+    // count frames AFTER the aggregate and falls through the existing
+    // backoff branches at score time; (N, V) stay the full-partition
+    // totals. The oracle applies the identical HAVING floor — this pins
+    // the pruned-model SEMANTICS, not just "fewer rows". At crawl scale
+    // the floor is what keeps the model side of the joined apply fixed
+    // instead of corpus-sized (SCALE.md).
+    "tx_lm_trigram_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.trigramLmFitByClass(pred, "text", "doc_id",
+        "pred_class", minCount = 2)
+      TextAnalysis.trigramLmApplyJoined(lm, pred, "text", "doc_id",
+          "pred_class")
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2194,6 +2227,12 @@ object QueriesPipeline {
     "pl_ccnet_distributed" -> sqlCcnetPerlang,
     "tx_lm_trigram_perlang" ->
       s"""WITH $sqlTrigramPerlangChain
+         |SELECT doc_id, pred_class, lm_nll FROM allg
+         |ORDER BY doc_id""".stripMargin,
+    // same chain with the minCount=2 HAVING floor on all three count
+    // CTEs — the pruned-model mirror
+    "tx_lm_trigram_pruned" ->
+      s"""WITH ${sqlTrigramPerlangChain(2)}
          |SELECT doc_id, pred_class, lm_nll FROM allg
          |ORDER BY doc_id""".stripMargin,
     // the composed trigram CCNet: the SAME per-language trigram chains

@@ -1213,10 +1213,22 @@ object TextAnalysis {
 
   /** Estimate the bigram model on a training corpus. The single driver
     * action is the vocab-size scalar (same class as topTermsTfIdf's doc
-    * count); the count table itself stays distributed. */
+    * count); the count table itself stays distributed.
+    *
+    * `minCount` > 1 PRUNES model rows whose count is below the floor
+    * AFTER the aggregate (KenLM's standard count-pruning recipe; the
+    * in-repo precedent is `bpeFit.minWordCount`) — without it the model
+    * itself grows corpus-sized on crawl-scale reference corpora (the
+    * zipfian tail is almost entirely count-1 bigrams). Pruned bigrams
+    * fall through the EXISTING OOV branch at apply time (coalesce to
+    * count 0 → k/(c_left + k·V)); left-context totals derive from the
+    * pruned table (the only counts the model still holds), and V stays
+    * the full training vocab so the smoothing mass is unchanged. No new
+    * math — minCount=1 is bit-identical to the unpruned fit. */
   def bigramLmFit(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", capTokens: Int = 512,
-      k: Double = 0.5): BigramLm = {
+      k: Double = 0.5, minCount: Int = 1): BigramLm = {
+    require(minCount >= 1, "minCount must be >= 1")
     val id = col(idCol)
     val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
     // cache: every apply consumes the model twice (the bigram join +
@@ -1224,6 +1236,7 @@ object TextAnalysis {
     // tokenize/count lineage re-executes per consumer
     val model = docBigrams(tok, id)
       .groupBy(col("bg"), col("w1")).agg(sum(col("m")).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
       .cache().transform(StageCaches.track)
     val v = tok.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v")).head().getLong(0)
@@ -1303,15 +1316,21 @@ object TextAnalysis {
     * NULL class are excluded (they belong to no model). */
   def bigramLmFitByClass(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", classCol: String = "class",
-      capTokens: Int = 512, k: Double = 0.5): BigramLmByClass = {
+      capTokens: Int = 512, k: Double = 0.5,
+      minCount: Int = 1): BigramLmByClass = {
+    require(minCount >= 1, "minCount must be >= 1")
     val tok = df.filter(col(classCol).isNotNull)
       .select(col(classCol).cast("string").as("class"),
         cappedTokens(col(textCol), capTokens).as("toks"))
     // total occurrence count per (class, bg, w1) — integer-equal to
-    // bigramLmFit's per-doc-compress-then-sum on the class partition
+    // bigramLmFit's per-doc-compress-then-sum on the class partition.
+    // minCount prunes AFTER the aggregate ([[bigramLmFit]]'s recipe,
+    // applied per class): pruned bigrams fall through the OOV branch at
+    // apply time; per-class V stays the full training vocab
     val model = tok.select(col("class"), explode(bigramStructs).as("p"))
       .groupBy(col("class"), col("p.bg").as("bg"), col("p.w1").as("w1"))
       .agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
       // cache: every apply consumes the model twice (the bigram join +
       // the left-context groupBy) — same pin as bigramLmFit's model
       .cache().transform(StageCaches.track)
@@ -1444,20 +1463,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("m"))
 
   /** Estimate the stupid-backoff trigram model. Two driver scalars (N, V)
-    * in one action; the count tables stay distributed. */
+    * in one action; the count tables stay distributed.
+    *
+    * `minCount` > 1 PRUNES all three count tables at the same floor
+    * AFTER their aggregates (KenLM's count-pruning recipe) — the model
+    * of a crawl-scale reference corpus is otherwise corpus-sized (the
+    * zipfian tail is count-1 n-grams). Pruned n-grams fall through the
+    * EXISTING backoff branches (a pruned trigram scores as α·S(w3|w2), a
+    * pruned bigram as α²·S(w3), a pruned unigram hits the add-one floor
+    * with count 0) — no new math. The SAME floor on every order keeps
+    * the seen-branch invariants: a kept trigram's bg12 count ≥ c3 ≥
+    * minCount survives, a kept bigram's w2 count likewise — seen
+    * branches still never divide by zero. (N, V) stay the FULL corpus
+    * totals so the smoothing floor is unchanged; minCount=1 is
+    * bit-identical to the unpruned fit. */
   def trigramLmFit(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", capTokens: Int = 512,
-      alpha: Double = 0.4): TrigramLm = {
+      alpha: Double = 0.4, minCount: Int = 1): TrigramLm = {
+    require(minCount >= 1, "minCount must be >= 1")
     val id = col(idCol)
     val tok = df.select(id, cappedTokens(col(textCol), capTokens).as("toks"))
     val tri = docTrigrams(tok, id)
       .groupBy(col("tg")).agg(sum(col("m")).as("c3"))
+      .filter(col("c3") >= minCount)
     val bi = docBigrams(tok, id)
       .groupBy(col("bg")).agg(sum(col("m")).as("c2"))
-    val uni = tok.select(explode(col("toks")).as("w"))
+      .filter(col("c2") >= minCount)
+    val uniAll = tok.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val nv = uni.agg(sum(col("c1")), count(lit(1))).head()
-    TrigramLm(tri, bi, uni,
+      // cache: consumed by the (N, V) action AND the pruned view below
+      .cache().transform(StageCaches.track)
+    val nv = uniAll.agg(sum(col("c1")), count(lit(1))).head()
+    TrigramLm(tri, bi, uniAll.filter(col("c1") >= minCount),
       if (nv.isNullAt(0)) 0L else nv.getLong(0), nv.getLong(1),
       alpha, capTokens)
   }
@@ -1534,10 +1571,18 @@ object TextAnalysis {
   /** Fit one stupid-backoff trigram LM PER CLASS in three partial-merge
     * aggregates over one staged tokenize — no per-class jobs, no driver
     * action (the per-class (N, V) live in the `totals` frame). Rows
-    * with a NULL class are excluded. */
+    * with a NULL class are excluded. `minCount` prunes all three count
+    * frames at the same floor AFTER their aggregates ([[trigramLmFit]]'s
+    * recipe per class: pruned n-grams fall through the existing backoff
+    * branches; per-class (N, V) stay the FULL partition totals so the
+    * smoothing floor is unchanged; minCount=1 is bit-identical) —
+    * without it the "model side stays small/fixed" claim of the joined
+    * apply only holds for bounded reference corpora. */
   def trigramLmFitByClass(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", classCol: String = "class",
-      capTokens: Int = 512, alpha: Double = 0.4): TrigramLmByClass = {
+      capTokens: Int = 512, alpha: Double = 0.4,
+      minCount: Int = 1): TrigramLmByClass = {
+    require(minCount >= 1, "minCount must be >= 1")
     val tok = df.filter(col(classCol).isNotNull)
       .select(col(classCol).cast("string").as("class"),
         cappedTokens(col(textCol), capTokens).as("toks"))
@@ -1547,20 +1592,23 @@ object TextAnalysis {
     val tri = tok.select(col("class"), explode(trigramStructs).as("p"))
       .groupBy(col("class"), col("p.tg").as("tg"))
       .agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
     val bi = tok.select(col("class"), explode(bigramStructs).as("p"))
       .groupBy(col("class"), col("p.bg").as("bg"))
       .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
       // cache: the apply joins bi TWICE (bg12 + bg23) — the largest of
       // the three count frames must not re-aggregate per join
       .cache().transform(StageCaches.track)
-    val uni = tok.select(col("class"), explode(col("toks")).as("w"))
+    val uniAll = tok.select(col("class"), explode(col("toks")).as("w"))
       .groupBy(col("class"), col("w")).agg(count(lit(1)).as("c1"))
-      // cache: consumed twice (the apply's two unigram joins read it,
-      // and totals derives from it)
+      // cache: consumed by totals (UNPRUNED — the full-corpus smoothing
+      // floor) and by the pruned view the apply's two unigram joins read
       .cache().transform(StageCaches.track)
-    val totals = uni.groupBy(col("class"))
+    val totals = uniAll.groupBy(col("class"))
       .agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
-    TrigramLmByClass(tri, bi, uni, totals, alpha, capTokens)
+    TrigramLmByClass(tri, bi, uniAll.filter(col("c1") >= minCount),
+      totals, alpha, capTokens)
   }
 
   /** Score every document against ITS OWN class's stupid-backoff model

@@ -78,6 +78,97 @@ class Round17Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  // ---------- n-gram count pruning (minCount) ----------
+
+  import graft.pipeline.TextAnalysis
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("trigram minCount=1 is bit-identical to the unpruned fit (joined engine)") {
+    val docs = Seq(
+      (0L, "x", "a b c a b c a b d"),
+      (1L, "x", "b c a"),
+      (2L, "x", "d a b"),
+      (3L, "y", "p q r p q r"),
+      (4L, "y", "q r p")).toDF("doc_id", "cls", "text")
+    val lm0 = TextAnalysis.trigramLmFitByClass(docs, "text", "doc_id", "cls")
+    val lm1 = TextAnalysis.trigramLmFitByClass(docs, "text", "doc_id", "cls",
+      minCount = 1)
+    val a = TextAnalysis.trigramLmApplyJoined(lm0, docs, "text", "doc_id", "cls")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.trigramLmApplyJoined(lm1, docs, "text", "doc_id", "cls")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "minCount=1 drifted from the unpruned fit")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("pruned trigram backoff: hand-computed fixture through every branch") {
+    // fit corpus (class x): tokens a b c a b c a b d
+    //   trigrams: abc*2 bca*2 cab*2 abd*1; bigrams: ab*3 bc*2 ca*2 bd*1;
+    //   unigrams: a*3 b*3 c*2 d*1; N=9 V=4
+    // minCount=2 prunes: trigram abd, bigram bd, unigram d
+    val fit = Seq((0L, "x", "a b c a b c a b d")).toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.trigramLmFitByClass(fit, "text", "doc_id", "cls",
+      minCount = 2)
+    val score = Seq(
+      (10L, "x", "b c a"), // kept trigram: s = c3(bca)/c2(bc) = 2/2 = 1
+      (11L, "x", "d a b"), // unseen trigram, kept bg23=ab: s = 0.4*3/3
+      (12L, "x", "a b d")) // PRUNED trigram abd, PRUNED bg23=bd, PRUNED uni d
+      .toDF("doc_id", "cls", "text") // -> floor: 0.4*0.4*(0+1)/(9+4)
+    val got = TextAnalysis.trigramLmApplyJoined(lm, score, "text", "doc_id",
+        "cls")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) == round4(-math.log(1.0)))
+    assert(got(11L) == round4(-math.log(0.4 * 3.0 / 3.0)))
+    assert(got(12L) == round4(-math.log(0.4 * 0.4 * 1.0 / 13.0)),
+      s"pruned trigram did not fall through to the smoothing floor: $got")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("pruned bigram model: pruned bigrams fall through the OOV branch; V stays full vocab") {
+    // fit (class x): a b a b c -> bigrams ab*2 ba*1 bc*1; V=3
+    // minCount=2 prunes ba, bc; c_left derives from the PRUNED table:
+    // c_left(a)=2, c_left(b)=0
+    val fit = Seq((0L, "x", "a b a b c")).toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.bigramLmFitByClass(fit, "text", "doc_id", "cls",
+      minCount = 2)
+    val got = TextAnalysis.bigramLmApplyJoined(lm,
+        Seq((10L, "x", "a b c")).toDF("doc_id", "cls", "text"),
+        "text", "doc_id", "cls")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expected = round4(-(math.log((2 + 0.5) / (2 + 0.5 * 3)) +
+      math.log(0.5 / (0 + 0.5 * 3))) / 2)
+    assert(got(10L) == expected,
+      s"pruned bigram scoring drifted: got ${got(10L)}, expected $expected")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("pruned joined trigram engine equals per-class pruned chains (twin contract at minCount=2)") {
+    val docs = Seq(
+      (0L, "x", "a b c a b c a b d"),
+      (1L, "x", "b c a d a b"),
+      (2L, "x", "d a b"),
+      (3L, "y", "p q r p q r s t"),
+      (4L, "y", "q r p"),
+      (5L, "y", "s t u")).toDF("doc_id", "cls", "text")
+    val joined = TextAnalysis.trigramLmApplyJoined(
+        TextAnalysis.trigramLmFitByClass(docs, "text", "doc_id", "cls",
+          minCount = 2),
+        docs, "text", "doc_id", "cls")
+      .orderBy("doc_id").collect().toSeq
+    val perClass = Seq("x", "y").map { c =>
+      val part = docs.filter(col("cls") === c)
+      val lm = TextAnalysis.trigramLmFit(part, "text", "doc_id", minCount = 2)
+      TextAnalysis.trigramLmApply(lm, part, "text", "doc_id")
+        .select(col("doc_id"), lit(c).as("cls"), col("lm_nll"))
+    }.reduce(_ unionByName _).orderBy("doc_id").collect().toSeq
+    assert(joined == perClass,
+      s"pruned twins diverged:\n$joined\nvs\n$perClass")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("vacuumInbox deletes only committed files; state still dedups; re-appended copies are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("vacuum_inbox_spec")
     def p(s: String) = base.resolve(s).toString
