@@ -76,6 +76,44 @@ object PerfProbe {
             biases).as("pred_class"))
         .cache()
       pred.count() // materialize: both engines fit from this cache
+      // SPARK_GRAFT_CCNET_TRIGRAM=1: the TRIGRAM engines on the same
+      // corpus — trigramLmFitByClass + the five-join trigramLmApplyJoined
+      // vs C sequential trigramLmFit/trigramLmApply chains. Scores (not
+      // the tercile tail) are the compared output: (row count, scored
+      // count, Σ lm_nll within 1e-3) — the apply plan is the claim under
+      // test, and it must stay flat in C.
+      if (sys.env.getOrElse("SPARK_GRAFT_CCNET_TRIGRAM", "0") == "1") {
+        def aggT(df: org.apache.spark.sql.DataFrame) = {
+          val r = df.agg(count(lit(1)), count(col("lm_nll")),
+            sum(col("lm_nll"))).head()
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        }
+        val tj0 = System.nanoTime()
+        val lmJ = TextAnalysis.trigramLmFitByClass(pred, "text", "doc_id",
+          "pred_class")
+        val aj = aggT(TextAnalysis.trigramLmApplyJoined(lmJ, pred, "text",
+          "doc_id", "pred_class"))
+        val tJoined = (System.nanoTime() - tj0) / 1e9
+        StageCaches.unpersistAll(blocking = true)
+        val tp0 = System.nanoTime()
+        val ap = aggT(classes.map { k =>
+          val part = pred.filter(col("pred_class") === k)
+          TextAnalysis.trigramLmApply(
+              TextAnalysis.trigramLmFit(part, "text", "doc_id"),
+              part, "text", "doc_id")
+            .select(col("doc_id"), lit(k).as("pred_class"), col("lm_nll"))
+        }.reduce(_ unionByName _))
+        val tPerClass = (System.nanoTime() - tp0) / 1e9
+        StageCaches.unpersistAll(blocking = true)
+        val eq = aj._1 == ap._1 && aj._2 == ap._2 &&
+          math.abs(aj._3 - ap._3) < 1e-3
+        println(f"ccnet-trigram probe: n=$ccnetN classes=$c " +
+          f"joined=$tJoined%.1f s perClass=$tPerClass%.1f s " +
+          f"speedup=${tPerClass / tJoined}%.1fx scored=${aj._2} " +
+          s"MATCH=$eq")
+        spark.stop()
+        return
+      }
       val tj0 = System.nanoTime()
       val lmJoined = TextAnalysis.bigramLmFitByClass(pred, "text",
         "doc_id", "pred_class")

@@ -114,6 +114,87 @@ object QueriesPipeline {
        |${p}m AS (SELECT d.doc_id, round(l.nll, 4) AS lm_nll
        |  FROM $scoreSrc d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
 
+  /** GENERIC order-n stupid-backoff chain ending in
+    * `${p}m(doc_id, lm_nll)` — the mirror of
+    * ngramLmFitByClass/ngramLmApplyJoined on one fit/score subset:
+    * count CTEs per order (with the minCount HAVING floor), (N, V) from
+    * the unpruned unigram enumeration, then the n-branch backoff CASE
+    * (suffix_k seen -> c_k/c_{k-1}(prefix); else alpha * next). The
+    * trigram mirror above stays as the independently-written r12
+    * formulation; this one is generated per order. */
+  private def sqlNgramNllFor(p: String, fitSrc: String, scoreSrc: String,
+      order: Int, minCount: Int): String = {
+    val n = order
+    def gramList(k: Int): String =
+      if (k == 1) "toks"
+      else s"""CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}),
+         |      i -> ${(0 until k).map(o => s"toks[i+$o]").mkString(" || ' ' || ")})
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    val countCtes = (1 to n).map { k =>
+      s"""${p}g$k AS (SELECT gram, count(*) AS c FROM (
+         |  SELECT unnest(${gramList(k)}) AS gram FROM ${p}ftok) x
+         |  GROUP BY gram HAVING count(*) >= $minCount)""".stripMargin
+    }.mkString(",\n")
+    // suffix_k = ws[n-k+1 : n]; its denominator (the k-1 prefix) =
+    // ws[n-k+1 : n-1] — the same slice minus the last token
+    def sufExpr(k: Int): String =
+      if (k == 1) s"a.ws[$n]" else s"array_to_string(a.ws[${n - k + 1}:$n], ' ')"
+    def denExpr(k: Int): String =
+      if (k == 1) s"a.ws[${n - 1}]"
+      else s"array_to_string(a.ws[${n - k}:${n - 1}], ' ')"
+    val joins =
+      ((n to 2 by -1).flatMap { k =>
+        Seq(s"LEFT JOIN ${p}g$k s$k ON ${sufExpr(k)} = s$k.gram",
+          s"LEFT JOIN ${p}g${k - 1} d${k - 1} ON ${denExpr(k - 1)} = d${k - 1}.gram")
+      } :+ s"LEFT JOIN ${p}g1 s1 ON ${sufExpr(1)} = s1.gram")
+        .mkString("\n    ")
+    def aPow(e: Int): String = Seq.fill(e)("0.4").mkString(" * ")
+    val branches = (n to 2 by -1).map { k =>
+      val pre = if (k == n) "" else aPow(n - k) + " * "
+      s"WHEN s$k.c IS NOT NULL THEN ${pre}CAST(s$k.c AS DOUBLE) / d${k - 1}.c"
+    }.mkString("\n         ")
+    s"""${p}ftok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $fitSrc),
+       |$countCtes,
+       |${p}une AS (SELECT unnest(toks) AS w FROM ${p}ftok),
+       |${p}nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM ${p}une),
+       |${p}stok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $scoreSrc),
+       |${p}ste AS (SELECT doc_id, unnest(${gramList(n)}) AS tg FROM ${p}stok),
+       |${p}dtg AS (SELECT doc_id, tg, count(*) AS m FROM ${p}ste GROUP BY 1, 2),
+       |${p}sp AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM ${p}dtg),
+       |${p}sc AS (SELECT a.doc_id, a.m,
+       |    CASE $branches
+       |         ELSE ${aPow(n - 1)} * (coalesce(s1.c, 0) + 1.0) / (nv.n + nv.v)
+       |    END AS s
+       |  FROM ${p}sp a
+       |    $joins
+       |    CROSS JOIN ${p}nv nv),
+       |${p}lp AS (SELECT doc_id, -sum(m * ln(s)) / sum(m) AS nll
+       |  FROM ${p}sc GROUP BY doc_id),
+       |${p}m AS (SELECT d.doc_id, round(l.nll, 4) + 0.0 AS lm_nll
+       |  FROM $scoreSrc d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
+    // (+ 0.0 normalizes IEEE -0.0: an all-seen doc with equal
+    // numerator/denominator counts scores ln(1)=0 per gram, and DuckDB's
+    // round keeps the negated sum's -0.0 where Spark's BigDecimal round
+    // does not; NULL + 0.0 stays NULL)
+  }
+
+  /** LangID + per-predicted-language order-n chains ending in
+    * `allq(pred_class, doc_id, lm_nll)` — the mirror of the
+    * tx_lm_5gram_perlang gate. */
+  private def sqlNgramPerlangChain(order: Int, minCount: Int): String =
+    s"""$sqlLangIdChain,
+       |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+       |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'de'),
+       |${sqlNgramNllFor("qde", "src_de", "src_de", order, minCount)},
+       |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'en'),
+       |${sqlNgramNllFor("qen", "src_en", "src_en", order, minCount)},
+       |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'fr'),
+       |${sqlNgramNllFor("qfr", "src_fr", "src_fr", order, minCount)},
+       |allq AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM qdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM qenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM qfrm)""".stripMargin
+
   /** LangID + per-predicted-language trigram chains ending in
     * `allg(pred_class, doc_id, lm_nll)` — shared verbatim by
     * tx_lm_trigram_perlang (scores) and pl_ccnet_trigram (the composed
@@ -1298,6 +1379,26 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Wenzek et al.'s ACTUAL configuration: a 5-GRAM per-language model
+    // on a PRUNED count set (minCount=2) through the generic order-n
+    // stupid-backoff engine — ngramLmFitByClass (one count frame per
+    // order, all classes in n aggregates) + ngramLmApplyJoined (2n-1
+    // left joins + broadcast totals, flat in class count). The oracle
+    // generates the same n-branch backoff CASE with the same HAVING
+    // floor per order.
+    "tx_lm_5gram_perlang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
+        "pred_class", order = 5, minCount = 2)
+      TextAnalysis.ngramLmApplyJoined(lm, pred, "text", "doc_id",
+          "pred_class")
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2234,6 +2335,11 @@ object QueriesPipeline {
     "tx_lm_trigram_pruned" ->
       s"""WITH ${sqlTrigramPerlangChain(2)}
          |SELECT doc_id, pred_class, lm_nll FROM allg
+         |ORDER BY doc_id""".stripMargin,
+    // the generated order-5 backoff chain at the same floor
+    "tx_lm_5gram_perlang" ->
+      s"""WITH ${sqlNgramPerlangChain(5, 2)}
+         |SELECT doc_id, pred_class, lm_nll FROM allq
          |ORDER BY doc_id""".stripMargin,
     // the composed trigram CCNet: the SAME per-language trigram chains
     // feeding the tercile/mix tail

@@ -1668,6 +1668,164 @@ object TextAnalysis {
       .select(id, col("__cls").as(classCol), round(col("nll"), 4).as("lm_nll"))
   }
 
+  /** ALL per-class order-n stupid-backoff LMs in one long model — the
+    * generalization of [[TrigramLmByClass]] to arbitrary order (Wenzek
+    * et al.'s actual configuration is 5-gram KenLM): one count frame
+    * per order k = 1..n, each (class, gram, c) with `gram` the
+    * space-joined k tokens, plus the (class, n, v) totals. Fit is n
+    * partial-merge aggregates over ONE staged tokenize; apply is
+    * 2n−1 left joins + a broadcast totals join — both independent of
+    * class count. `minCount` prunes every order at the same floor
+    * (totals stay full-corpus); at order=3 the engines are BIT-EQUAL
+    * to [[trigramLmFitByClass]]/[[trigramLmApplyJoined]]
+    * (Round17Spec). Persistable. */
+  final case class NgramLmByClass(order: Int, counts: Seq[DataFrame],
+      totals: DataFrame, alpha: Double, capTokens: Int) {
+    require(counts.length == order, "one count frame per order 1..n")
+    def save(dir: String): Unit = {
+      val spark = totals.sparkSession
+      counts.zipWithIndex.foreach { case (c, i) =>
+        c.write.mode("overwrite").parquet(s"$dir/grams_${i + 1}.parquet")
+      }
+      totals.write.mode("overwrite").parquet(s"$dir/totals.parquet")
+      import spark.implicits._
+      Seq((order, alpha, capTokens)).toDF("order", "alpha", "cap_tokens")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object NgramLmByClass {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : NgramLmByClass = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      val order = meta.getAs[Int]("order")
+      NgramLmByClass(order,
+        (1 to order).map(k => spark.read.parquet(s"$dir/grams_$k.parquet")),
+        spark.read.parquet(s"$dir/totals.parquet"),
+        meta.getAs[Double]("alpha"), meta.getAs[Int]("cap_tokens"))
+    }
+  }
+
+  /** The space-joined k-gram array of a staged `toks` column. */
+  private def kgramStrings(k: Int): Column = {
+    val nT = size(col("toks"))
+    if (k == 1) col("toks")
+    else when(nT >= k,
+      transform(sequence(lit(1), nT - (k - 1)),
+        i => concat_ws(" ",
+          (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fit one order-n stupid-backoff LM per class: n partial-merge
+    * `groupBy(class, gram)` aggregates over one staged tokenize, no
+    * per-class jobs, no driver action. `minCount` prunes every order at
+    * the same floor AFTER the aggregates; (N, V) stay the full
+    * partition totals ([[trigramLmFit]]'s pruning recipe). */
+  def ngramLmFitByClass(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", classCol: String = "class",
+      order: Int = 5, capTokens: Int = 512, alpha: Double = 0.4,
+      minCount: Int = 1): NgramLmByClass = {
+    require(order >= 2, "order must be >= 2")
+    require(minCount >= 1, "minCount must be >= 1")
+    val tok = df.filter(col(classCol).isNotNull)
+      .select(col(classCol).cast("string").as("class"),
+        cappedTokens(col(textCol), capTokens).as("toks"))
+      // cache: n enumerations read the staged tokens
+      .cache().transform(StageCaches.track)
+    // unigram counts stay UNPRUNED in the totals derivation
+    val uniAll = tok.select(col("class"), explode(col("toks")).as("gram"))
+      .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
+      .cache().transform(StageCaches.track)
+    val totals = uniAll.groupBy(col("class"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val counts = (1 to order).map { k =>
+      val base =
+        if (k == 1) uniAll.filter(col("c") >= minCount)
+        else tok
+          .select(col("class"), explode(kgramStrings(k)).as("gram"))
+          .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= minCount)
+      // cache: every order's frame is joined twice by the apply (as the
+      // suffix numerator and as the next order's denominator)
+      if (k == 1) base else base.cache().transform(StageCaches.track)
+    }
+    NgramLmByClass(order, counts, totals, alpha, capTokens)
+  }
+
+  /** Score every document against ITS class's order-n stupid-backoff
+    * model in one pass: one (id, class) n-gram compress carrying all
+    * 2n−1 backoff keys, then for k = n..2 a left join on the k-suffix
+    * (numerator) and the (k−1)-denominator (the suffix's own prefix),
+    * the unigram floor join, and a broadcast (N, V) join —
+    *
+    *   S_1 = (c1(w_n) + 1)/(N + V)
+    *   S_k = c_k(suffix_k)/c_{k-1}(prefix of suffix_k)  if suffix_k seen
+    *       = α · S_{k-1}                                 otherwise
+    *
+    * Seen branches never divide by zero/NULL at any `minCount`: a kept
+    * k-suffix's (k−1)-prefix count ≥ the suffix count ≥ the floor, so
+    * the denominator row survives the same pruning. Docs with < n
+    * tokens — or an unfitted class — carry NULL `lm_nll`. Returns
+    * (idCol, classCol, lm_nll). */
+  def ngramLmApplyJoined(lm: NgramLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      classCol: String = "class"): DataFrame = {
+    val n = lm.order
+    val id = col(idCol)
+    val tok = df
+      .select(id, col(classCol).cast("string").as("__cls"),
+        cappedTokens(col(textCol), lm.capTokens).as("toks"))
+      .cache().transform(StageCaches.track)
+    // the n-gram at position i covers tokens i..i+n−1; suffix_k is its
+    // last k tokens, den_k the k tokens ending one before the last —
+    // all keys derive from one enumeration pass (the Generate trap:
+    // positions explode once, every key is a projection of that row)
+    val nT = size(col("toks"))
+    def words(i: Column, from: Int, until: Int): Column =
+      concat_ws(" ",
+        (from until until).map(o => element_at(col("toks"), i + o)): _*)
+    val fields =
+      (1 to n).map(k => words(col("__i"), n - k, n).as(s"suf$k")) ++
+      (1 until n).map(k => words(col("__i"), n - 1 - k, n - 1).as(s"den$k"))
+    val occ = tok
+      .select(id, col("__cls"), col("toks"),
+        explode(when(nT >= n, sequence(lit(1), nT - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select((Seq(id, col("__cls")) ++ fields): _*)
+    val docNg = occ
+      .groupBy((Seq(id, col("__cls")) ++
+        (1 to n).map(k => col(s"suf$k")) ++
+        (1 until n).map(k => col(s"den$k"))).map(c => c): _*)
+      .agg(count(lit(1)).as("m"))
+    var cur = docNg
+    for (k <- n to 2 by -1) {
+      cur = cur.join(lm.counts(k - 1).select(col("class").as("__cls"),
+        col("gram").as(s"suf$k"), col("c").as(s"c_suf$k")),
+        Seq("__cls", s"suf$k"), "left")
+      cur = cur.join(lm.counts(k - 2).select(col("class").as("__cls"),
+        col("gram").as(s"den${k - 1}"), col("c").as(s"c_den${k - 1}")),
+        Seq("__cls", s"den${k - 1}"), "left")
+    }
+    cur = cur.join(lm.counts(0).select(col("class").as("__cls"),
+      col("gram").as("suf1"), col("c").as("c_suf1")),
+      Seq("__cls", "suf1"), "left")
+      .join(broadcast(lm.totals.select(col("class").as("__cls"),
+        col("n").as("__n"), col("v").as("__v"))), Seq("__cls"), "left")
+    var s: Column = (coalesce(col("c_suf1"), lit(0L)) + lit(1.0)) /
+      (col("__n") + col("__v")).cast("double")
+    for (k <- 2 to n)
+      s = when(col(s"c_suf$k").isNotNull,
+          col(s"c_suf$k").cast("double") / col(s"c_den${k - 1}"))
+        .otherwise(lit(lm.alpha) * s)
+    val scored = cur
+      .select(id, (col("m") * log(s)).as("lp"), col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    tok.select(id, col("__cls")).join(scored, Seq(idCol), "left")
+      .select(id, col("__cls").as(classCol), round(col("nll"), 4).as("lm_nll"))
+  }
+
   /** Annotate a documents DataFrame with the full feature set.
     * Tokenization and shingle hashing are staged into their own projection
     * so they run ONCE per row; every feature reads the materialized arrays.

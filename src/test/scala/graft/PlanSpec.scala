@@ -176,6 +176,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pruned and order-5 LM gates stay window-free with broadcast totals") {
+    // the minCount floor is a filter on the partial-merge aggregate and
+    // the order-n apply is left joins + a broadcast (N, V) attach — a
+    // Window or a non-broadcast totals join here would re-introduce the
+    // skewed-language single-task shapes these engines exist to avoid
+    for (q <- Seq("tx_lm_trigram_pruned", "tx_lm_5gram_perlang")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Window"),
+        s"skewed-key window crept back into $q:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"no broadcast totals join in $q:\n$p")
+    }
+  }
+
   test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
     val p = explain("v2_sparse_inverted")
     // the pruned posting scan must carry a PartitionFilters entry on the

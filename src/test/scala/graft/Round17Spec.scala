@@ -169,6 +169,85 @@ class Round17Spec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
+  // ---------- order-n stupid backoff (ngramLm*) ----------
+
+  test("order-3 ngram engine is bit-equal to the trigram engines (minCount 1 and 2)") {
+    val docs = Seq(
+      (0L, "x", "a b c a b c a b d"),
+      (1L, "x", "b c a d a b"),
+      (2L, "x", "d a b"),
+      (3L, "y", "p q r p q r s t"),
+      (4L, "y", "q r p"),
+      (5L, "y", "s t u"),
+      (6L, "y", "p q")).toDF("doc_id", "cls", "text")
+    for (mc <- Seq(1, 2)) {
+      val tri = TextAnalysis.trigramLmApplyJoined(
+          TextAnalysis.trigramLmFitByClass(docs, "text", "doc_id", "cls",
+            minCount = mc),
+          docs, "text", "doc_id", "cls")
+        .orderBy("doc_id").collect().toSeq
+      val ng = TextAnalysis.ngramLmApplyJoined(
+          TextAnalysis.ngramLmFitByClass(docs, "text", "doc_id", "cls",
+            order = 3, minCount = mc),
+          docs, "text", "doc_id", "cls")
+        .orderBy("doc_id").collect().toSeq
+      assert(ng == tri, s"order-3 ngram drifted from trigram at minCount=$mc")
+    }
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("5-gram backoff: hand-computed fixture through every branch incl. pruned fallthrough") {
+    // fit (class x): a b c d e a b c d e a b c d f — counts:
+    //   5g: abcde*2 ... abcdf*1; 4g: abcd*3 bcdf*1; 3g: abc*3 cdf*1;
+    //   2g: ab*3 df*1; 1g: a*3 ... f*1; N=15 V=6
+    // minCount=2 prunes the whole *f tail (abcdf, bcdf, cdf, df, f)
+    val fit = Seq((0L, "x", "a b c d e a b c d e a b c d f"))
+      .toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.ngramLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 5, minCount = 2)
+    val score = Seq(
+      (10L, "x", "a b c d e"), // seen 5g: 2 / c4(abcd)=3
+      (11L, "x", "x a b c d"), // backoff 4: a * c4(abcd)/c3(abc) = .4*3/3
+      (12L, "x", "x y a b c"), // backoff 3: a^2 * 3/3
+      (13L, "x", "x y z a b"), // backoff 2: a^3 * 3/3
+      (14L, "x", "x y z w a"), // floor: a^4 * (3+1)/(15+6)
+      (15L, "x", "a b c d f")) // PRUNED at every order -> a^4 * (0+1)/21
+      .toDF("doc_id", "cls", "text")
+    val got = TextAnalysis.ngramLmApplyJoined(lm, score, "text", "doc_id",
+        "cls")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = 0.4
+    assert(got(10L) == round4(-math.log(2.0 / 3)))
+    assert(got(11L) == round4(-math.log(a)))
+    assert(got(12L) == round4(-math.log(a * a)))
+    assert(got(13L) == round4(-math.log(a * a * a)))
+    assert(got(14L) == round4(-math.log(a * a * a * a * 4.0 / 21)))
+    assert(got(15L) == round4(-math.log(a * a * a * a * 1.0 / 21)),
+      s"pruned 5-gram did not fall through every backoff order: $got")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("ngram model save/load roundtrip preserves scores") {
+    val docs = Seq(
+      (0L, "x", "a b c d e a b c d e"),
+      (1L, "y", "p q r s t p q r s t")).toDF("doc_id", "cls", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ngram_lm").toString
+    TextAnalysis.ngramLmFitByClass(docs, "text", "doc_id", "cls",
+      order = 5, minCount = 2).save(dir)
+    val lm = TextAnalysis.NgramLmByClass.load(spark, dir)
+    assert(lm.order == 5)
+    // single-5-gram probes: seen (c5=2 / c4(abcd)=2) in each class
+    val score = Seq((10L, "x", "a b c d e"), (11L, "y", "p q r s t"))
+      .toDF("doc_id", "cls", "text")
+    val got = TextAnalysis.ngramLmApplyJoined(lm, score, "text", "doc_id",
+        "cls")
+      .orderBy("doc_id").collect().map(_.getDouble(2)).toSeq
+    assert(got == Seq(0.0, 0.0), s"save/load roundtrip drifted: $got")
+    graft.pipeline.StageCaches.unpersistAll()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("vacuumInbox deletes only committed files; state still dedups; re-appended copies are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("vacuum_inbox_spec")
     def p(s: String) = base.resolve(s).toString
