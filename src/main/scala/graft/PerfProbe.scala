@@ -182,41 +182,48 @@ object PerfProbe {
         }
         out.result()
       }
-      var ws = wc.map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }
-      val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var r0 = 0
-      while (r0 < rounds) {
-        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        for ((toks, c) <- ws; i <- 0 until toks.length - 1)
-          counts((toks(i), toks(i + 1))) =
-            counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
-        if (counts.isEmpty) r0 = rounds
-        else {
-          val cand = counts.toSeq
-            .sortBy { case ((a, b), n) => (-n, a, b) }
-            .take(math.min(batch, rounds - r0))
-          // the operator's batched rule verbatim: contiguous prefix,
-          // stop at the first candidate sharing an accepted symbol or
-          // an accepted merge result
-          val used = scala.collection.mutable.Set.empty[String]
-          val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-          var stop = false
-          cand.foreach { case ((l, rr), c) =>
-            if (!stop) {
-              if (used(l) || used(rr) || used(l + rr)) stop = true
-              else { acc += ((l, rr, c)); used += l; used += rr; used += (l + rr) }
-            }
-          }
-          if (acc.isEmpty) r0 = rounds
+      def referenceMerges(b: Int): Seq[(String, String, Long)] = {
+        var ws = wc.map { case (w, c) =>
+          (w.toCharArray.map(_.toString).toVector, c)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var r0 = 0
+        while (r0 < rounds) {
+          val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          for ((toks, c) <- ws; i <- 0 until toks.length - 1)
+            counts((toks(i), toks(i + 1))) =
+              counts.getOrElse((toks(i), toks(i + 1)), 0L) + c
+          if (counts.isEmpty) r0 = rounds
           else {
-            acc.foreach { case (l, rr, c) =>
-              expected += ((l, rr, c))
-              ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
-              r0 += 1
+            val cand = counts.toSeq
+              .sortBy { case ((a, b2), n) => (-n, a, b2) }
+              .take(math.min(b, rounds - r0))
+            // the operator's batched rule verbatim: contiguous prefix,
+            // stop at the first candidate sharing an accepted symbol or
+            // an accepted merge result (at b = 1 this IS the plain
+            // Sennrich loop — the batch of one is always disjoint)
+            val used = scala.collection.mutable.Set.empty[String]
+            val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+            var stop = false
+            cand.foreach { case ((l, rr), c) =>
+              if (!stop) {
+                if (used(l) || used(rr) || used(l + rr)) stop = true
+                else { acc += ((l, rr, c)); used += l; used += rr; used += (l + rr) }
+              }
+            }
+            if (acc.isEmpty) r0 = rounds
+            else {
+              acc.foreach { case (l, rr, c) =>
+                out += ((l, rr, c))
+                ws = ws.map { case (toks, cc) => (mergeGreedy(toks, l, rr), cc) }
+                r0 += 1
+              }
             }
           }
         }
+        out.toSeq
       }
+      val expected = referenceMerges(batch)
       val t0 = System.nanoTime()
       val got = graft.pipeline.TextAnalysis.bpeFit(sdocs, "text", rounds,
           minWordCount = minCount, batchMerges = batch)
@@ -228,7 +235,24 @@ object PerfProbe {
         f"32k-merge extrapolation ${bpeSecs / math.max(1, got.length) * 32768 / 3600}%.2f h)")
       println(s"got:      ${got.mkString(", ")}")
       println(s"expected: ${expected.mkString(", ")}")
-      println(s"MATCH=${got == expected.toSeq}")
+      println(s"MATCH=${got == expected}")
+      // independent validation of the BATCHED semantics (not just rule
+      // transcription): the exactness contract says batch == the B=1
+      // sequential Sennrich fit unless an exact count tie flips a
+      // multi-char lex comparison — so at probe scale (untied counts by
+      // construction) the batched output must equal the sequential one,
+      // and any divergence must sit on an exact tie
+      if (batch > 1) {
+        val seq = referenceMerges(1)
+        val seqMatch = got == seq
+        if (!seqMatch) {
+          val i = got.zip(seq).indexWhere { case (a, b) => a != b }
+          val (g, e) = (got(i), seq(i))
+          println(s"SEQ_DIVERGES_AT=$i got=$g seq=$e " +
+            s"TIE=${g._3 == e._3} (contract: divergence requires an exact count tie)")
+        }
+        println(s"SEQ_MATCH=$seqMatch")
+      }
       spark.stop()
       return
     }
