@@ -344,6 +344,10 @@ object PerfProbe {
     // counts as the batch chain on the union — snapshot-2 copies of
     // snapshot-1 text (the class-4 flood, later class-7 span carriers)
     // must drop against checkpoint state without re-reading snapshot 1.
+    // SPARK_GRAFT_CLEAN_TTL (ms, optional): run the digest dedup through
+    // the TTL-bounded form (incrementalCleanDedupTtl); with a TTL large
+    // enough to span both snapshots the planted counts must be UNCHANGED
+    // (the bound changes state size, not in-window semantics).
     val cleanIncrN = sys.env.getOrElse("SPARK_GRAFT_CLEAN_INCR_N", "0").toLong
     if (cleanIncrN > 0) {
       require(cleanIncrN % 20 == 0 && cleanIncrN >= 40,
@@ -366,7 +370,8 @@ object PerfProbe {
         q.awaitTermination()
         graft.streaming.DocStream.cleanConsumeIncremental(
           sdocs.filter(pred), spark.read.parquet(p("wins")),
-          p("inbox"), p("ck_dedup"), p("out"), "text", "doc_id", 8)
+          p("inbox"), p("ck_dedup"), p("out"), "text", "doc_id", 8,
+          ttlMs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_TTL", "0").toLong)
       }
       snapshot(col("doc_id") < cleanIncrN / 2)
       snapshot(col("doc_id") >= cleanIncrN / 2)

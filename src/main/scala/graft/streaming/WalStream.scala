@@ -271,6 +271,58 @@ object DocStream {
       .withColumn("digest", md5(col("para")))
       .dropDuplicates("digest")
 
+  /** [[incrementalParagraphDedup]] with TTL-BOUNDED state — the
+    * paragraph member of the TTL family
+    * ([[incrementalSpanWinnersTtl]] / [[incrementalCleanDedupTtl]]):
+    * event-time timeout REFRESHED per sighting, watermark-driven
+    * eviction, state bounded by the trailing TTL window's distinct
+    * paragraph digests; an expired digest's next occurrence re-emits.
+    * Emission gains the deterministic within-batch winner the NoTimeout
+    * form's `dropDuplicates` lacks: min (id, para_idx) — the batch
+    * operator's rule — since the `flatMapGroupsWithState` group sees
+    * all of its batch occurrences together. Same output shape
+    * (id, para_idx, para, digest); ids must cast to long. */
+  def incrementalParagraphDedupTtl(docs: DataFrame, idCol: String,
+      paras: Column, ttlMs: Long)
+      : org.apache.spark.sql.Dataset[ParaOcc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val sq = docs.sparkSession
+    import sq.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("id"), col("para_idx"), col("para"),
+        md5(col("para")).as("digest"), current_timestamp().as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[ParaOccTs]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Boolean, ParaOcc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[ParaOccTs], state:
+            org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var best: ParaOccTs = null
+            var maxTs = Long.MinValue
+            while (rows.hasNext) {
+              val r = rows.next()
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (best == null || r.id < best.id ||
+                (r.id == best.id && r.para_idx < best.para_idx)) best = r
+            }
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator(ParaOcc(best.id, best.para_idx, best.para,
+                best.digest))
+            }
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.pipeline.Dedup.maskRepeatedSpans]]:
     * INCREMENTAL arbitrary-alignment span dedup. Every k-token shingle
     * START (one per token position — the same hash chain as the batch
@@ -710,6 +762,14 @@ case class SpanOcc(id: Long, pos: Int, h: Long)
   * [[DocStream.incrementalSpanWinnersTtl]] (ts = batch ingest time,
   * driving the eviction watermark). */
 case class SpanOccTs(id: Long, pos: Int, h: Long, ts: java.sql.Timestamp)
+
+/** One paragraph occurrence — the emitted unit of
+  * [[DocStream.incrementalParagraphDedupTtl]]. */
+case class ParaOcc(id: Long, para_idx: Int, para: String, digest: String)
+
+/** A time-stamped paragraph occurrence — its input unit. */
+case class ParaOccTs(id: Long, para_idx: Int, para: String, digest: String,
+    ts: java.sql.Timestamp)
 
 /** A masked clean-text row keyed by its content digest — the state unit
   * of [[DocStream.incrementalCleanDedup]]. */

@@ -78,6 +78,47 @@ class Round17Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("TTL paragraph state: suppress within window, evict, re-admit; deterministic in-batch winner") {
+    val base = java.nio.file.Files.createTempDirectory("ttl_para_spec")
+    def p(s: String) = base.resolve(s).toString
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def pass(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(p("src"))
+      val q = graft.streaming.DocStream.incrementalParagraphDedupTtl(
+          spark.readStream.schema(docSchema).parquet(p("src")),
+          "doc_id", split(col("text"), "\\n\\n"), ttlMs = 2000L)
+        .toDF()
+        .writeStream.format("parquet").option("path", p("out"))
+        .option("checkpointLocation", p("ck"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emitted: Seq[(Long, Int, String)] =
+      spark.read.parquet(p("out")).select("id", "para_idx", "para")
+        .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // one batch, duplicate paragraph across docs AND positions: the
+    // min-(id, idx) occurrence must win, not arrival order
+    pass(Seq((2L, "shared para\n\nunique two"), (1L, "lead one\n\nshared para")))
+    val first = emitted
+    assert(first.map(r => (r._1, r._2, r._3)).contains((1L, 1, "shared para")),
+      s"in-batch winner not min-(id, idx): $first")
+    assert(!first.exists(r => r._3 == "shared para" && r._1 == 2L))
+    // within TTL: suppressed
+    pass(Seq((5L, "shared para")))
+    assert(!emitted.exists(_._1 == 5L), "within-TTL duplicate re-emitted")
+    Thread.sleep(3000)
+    pass(Seq((6L, "advance one")))
+    pass(Seq((7L, "advance two")))
+    pass(Seq((8L, "shared para")))
+    assert(emitted.exists(_._1 == 8L),
+      s"expired paragraph digest was not re-admitted: $emitted")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   // ---------- n-gram count pruning (minCount) ----------
 
   import graft.pipeline.TextAnalysis
