@@ -82,6 +82,29 @@ object PerfProbe {
       // the tercile tail) are the compared output: (row count, scored
       // count, Σ lm_nll within 1e-3) — the apply plan is the claim under
       // test, and it must stay flat in C.
+      // SPARK_GRAFT_CCNET_ORDER=n (n>3): the ORDER-N joined engine's
+      // flat-in-C timing (fit + 2n-1-join apply) — run at 10 and 40
+      // classes to confirm the generic engine inherits the class-count
+      // invariance (correctness is gate-pinned by tx_lm_5gram_perlang;
+      // order 3 bit-equals the trigram engines, so the trigram probe's
+      // joined-vs-per-class comparison covers the generic shape too)
+      val ccnetOrder = sys.env.getOrElse("SPARK_GRAFT_CCNET_ORDER", "0").toInt
+      if (ccnetOrder > 3) {
+        val t0 = System.nanoTime()
+        val lmN = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
+          "pred_class", order = ccnetOrder, minCount = 2)
+        val r = TextAnalysis.ngramLmApplyJoined(lmN, pred, "text",
+            "doc_id", "pred_class")
+          .agg(count(lit(1)), count(col("lm_nll")), sum(col("lm_nll")))
+          .head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        StageCaches.unpersistAll(blocking = true)
+        println(f"ccnet-ngram probe: n=$ccnetN classes=$c " +
+          f"order=$ccnetOrder joined=$secs%.1f s rows=${r.getLong(0)} " +
+          s"scored=${r.getLong(1)}")
+        spark.stop()
+        return
+      }
       if (sys.env.getOrElse("SPARK_GRAFT_CCNET_TRIGRAM", "0") == "1") {
         def aggT(df: org.apache.spark.sql.DataFrame) = {
           val r = df.agg(count(lit(1)), count(col("lm_nll")),

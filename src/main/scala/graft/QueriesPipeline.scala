@@ -1336,6 +1336,23 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet at Wenzek et al.'s ACTUAL configuration end to end:
+    // predicted language -> per-language 5-GRAM stupid-backoff models on
+    // a PRUNED count set (minCount=2) through the order-n joined engine
+    // -> the same window-free tercile/mix tail
+    "pl_ccnet_5gram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
+        "pred_class", order = 5, minCount = 2)
+      graft.pipeline.Pipelines.ccnetPreClassified(pred, "text", "doc_id",
+          "pred_class", lm, 500)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language TRIGRAM scoring through the JOINED engine: all
     // per-class stupid-backoff models fit in three aggregates
     // (trigramLmFitByClass), every doc scored against its predicted
@@ -2340,6 +2357,17 @@ object QueriesPipeline {
     "tx_lm_5gram_perlang" ->
       s"""WITH ${sqlNgramPerlangChain(5, 2)}
          |SELECT doc_id, pred_class, lm_nll FROM allq
+         |ORDER BY doc_id""".stripMargin,
+    // the composed 5-gram CCNet: the SAME generated chains feeding the
+    // tercile/mix tail
+    "pl_ccnet_5gram" ->
+      s"""WITH ${sqlNgramPerlangChain(5, 2)},
+         |tscored AS (SELECT pred_class, doc_id, lm_nll
+         |  FROM allq WHERE lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("pred_class")}
+         |SELECT doc_id, pred_class, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
          |ORDER BY doc_id""".stripMargin,
     // the composed trigram CCNet: the SAME per-language trigram chains
     // feeding the tercile/mix tail

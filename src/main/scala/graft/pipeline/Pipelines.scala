@@ -533,6 +533,17 @@ object Pipelines {
     ccnetTail(TextAnalysis.trigramLmApplyJoined(lm, docs, textCol, idCol,
       classCol), idCol, classCol, midKeepPermille)
 
+  /** [[ccnetPreClassified]] with per-language ORDER-N stupid-backoff
+    * models ([[TextAnalysis.NgramLmByClass]]) — at order 5 on a pruned
+    * count set this is Wenzek et al.'s actual configuration (per
+    * language, 5-gram KenLM, model pruned to stay fixed-size); same
+    * window-free tercile/mix tail. */
+  def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
+      classCol: String, lm: TextAnalysis.NgramLmByClass,
+      midKeepPermille: Int): DataFrame =
+    ccnetTail(TextAnalysis.ngramLmApplyJoined(lm, docs, textCol, idCol,
+      classCol), idCol, classCol, midKeepPermille)
+
   /** The shared CCNet tail over an already-scored (idCol, classCol,
     * lm_nll) frame: drop unscorable rows, per-class broadcast-cutoff
     * terciles, keep/sample/drop — ONE copy so the bigram and trigram
