@@ -119,6 +119,47 @@ class Round17Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("always-on digest dedup runs on the RocksDB state store (the 10^9-digest production provider)") {
+    // HDFS-backed state lives in executor-heap maps — fine for gate
+    // scale, memory-bound at the 10^9-digest budget SCALE.md documents;
+    // RocksDB spills to local disk with incremental checkpointing. The
+    // provider is a session conf read at QUERY start (a fresh checkpoint
+    // — state formats are not switchable in place), so the same operator
+    // code must run unchanged under it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("rocksdb_digest_spec")
+    def p(s: String) = base.resolve(s).toString
+    try {
+      def pass(rows: Seq[(Long, String, Long)]): Unit = {
+        rows.toDF("id", "clean_text", "n_final").coalesce(1)
+          .write.mode("append").parquet(p("inbox"))
+        val q = graft.streaming.DocStream.incrementalCleanDedup(
+            spark.readStream.schema(inboxSchema).parquet(p("inbox")))
+          .toDF()
+          .writeStream.format("parquet").option("path", p("out"))
+          .option("checkpointLocation", p("ck"))
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass(Seq((1L, "rocks one", 2L), (2L, "rocks one", 2L)))
+      pass(Seq((3L, "rocks one", 2L), (4L, "rocks two", 2L)))
+      val out = spark.read.parquet(p("out")).select("id").as[Long]
+        .collect().toSet
+      assert(out == Set(1L, 4L),
+        s"RocksDB-backed digest dedup drifted (cross-restart state): $out")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    }
+  }
+
   // ---------- n-gram count pruning (minCount) ----------
 
   import graft.pipeline.TextAnalysis
