@@ -1706,22 +1706,22 @@ object TextAnalysis {
     }
   }
 
-  /** The space-joined k-gram array of a staged `toks` column. */
-  private def kgramStrings(k: Int): Column = {
-    val nT = size(col("toks"))
-    if (k == 1) col("toks")
-    else when(nT >= k,
-      transform(sequence(lit(1), nT - (k - 1)),
-        i => concat_ws(" ",
-          (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** Fit one order-n stupid-backoff LM per class: n partial-merge
-    * `groupBy(class, gram)` aggregates over one staged tokenize, no
-    * per-class jobs, no driver action. `minCount` prunes every order at
-    * the same floor AFTER the aggregates; (N, V) stay the full
-    * partition totals ([[trigramLmFit]]'s pruning recipe). */
+  /** Fit one order-n stupid-backoff LM per class: one partial-merge
+    * `groupBy(class, gram)` aggregate PER ORDER over one staged
+    * tokenize, no per-class jobs, no driver action. `minCount` prunes
+    * every order at the same floor AFTER the aggregates; (N, V) stay
+    * the full partition totals ([[trigramLmFit]]'s pruning recipe).
+    *
+    * Measured design note: a single-pass variant (emit (k, gram)
+    * structs for all orders from one explode into ONE
+    * `groupBy(class, k, gram)`) was tried and REVERTED — it shuffles
+    * the same total rows but must cache the aggregate UNPRUNED (totals
+    * need unpruned unigrams), and every one of the apply's 2n−1 joins
+    * then re-scans that fat multi-order cache behind its per-order
+    * filter: min-of-2 at 100k docs / 40 classes / order 5 read 17.8 s
+    * vs 9.2 s for this per-order form, whose join sides are thin
+    * pruned caches. n extra reads of the cached token arrays are
+    * cheaper than 2n−1 scans of an n×-fat cache. */
   def ngramLmFitByClass(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", classCol: String = "class",
       order: Int = 5, capTokens: Int = 512, alpha: Double = 0.4,
@@ -1733,6 +1733,14 @@ object TextAnalysis {
         cappedTokens(col(textCol), capTokens).as("toks"))
       // cache: n enumerations read the staged tokens
       .cache().transform(StageCaches.track)
+    val nT = size(col("toks"))
+    def kgrams(k: Int): Column =
+      if (k == 1) col("toks")
+      else when(nT >= k,
+        transform(sequence(lit(1), nT - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
     // unigram counts stay UNPRUNED in the totals derivation
     val uniAll = tok.select(col("class"), explode(col("toks")).as("gram"))
       .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
@@ -1743,7 +1751,7 @@ object TextAnalysis {
       val base =
         if (k == 1) uniAll.filter(col("c") >= minCount)
         else tok
-          .select(col("class"), explode(kgramStrings(k)).as("gram"))
+          .select(col("class"), explode(kgrams(k)).as("gram"))
           .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= minCount)
       // cache: every order's frame is joined twice by the apply (as the
