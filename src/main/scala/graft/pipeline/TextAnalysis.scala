@@ -1163,26 +1163,30 @@ object TextAnalysis {
   private def cappedTokens(text: Column, capTokens: Int): Column =
     slice(tokens(text), 1, capTokens)
 
-  /** The (bg, w1) struct array of a staged `toks` column — the shared
+  /** The bigram string array of a staged `toks` column — the shared
     * bigram enumeration of every LM fit/apply path. Whitespace tokens
-    * cannot contain spaces, so "w1 w2" is an injective bigram key — no
-    * struct plumbing needed on either engine. */
-  private def bigramStructs: Column = {
+    * cannot contain spaces, so "w1 w2" is an injective bigram key and
+    * the left context w1 derives from it by splitting — the compress
+    * shuffles one string per row, not two. */
+  private def bigramStrings: Column = {
     val nT = size(col("toks"))
     when(nT >= 2,
       transform(sequence(lit(1), nT - 1),
-        i => struct(
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)).as("bg"),
-          element_at(col("toks"), i).as("w1"))))
-      .otherwise(array().cast("array<struct<bg:string,w1:string>>"))
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** The left-context key, derived from a `bg` column AFTER the
+    * compress aggregate. */
+  private def bigramW1: Column = element_at(split(col("bg"), " "), 1).as("w1")
 
   /** Per-doc COMPRESSED bigrams: (id, bg, w1, m). */
   private def docBigrams(tok: DataFrame, id: Column): DataFrame =
-    tok.select(id, explode(bigramStructs).as("p"))
-      .groupBy(id, col("p.bg").as("bg"), col("p.w1").as("w1"))
+    tok.select(id, explode(bigramStrings).as("bg"))
+      .groupBy(id, col("bg"))
       .agg(count(lit(1)).as("m"))
+      .select(id, col("bg"), bigramW1, col("m"))
 
   /** A FITTED bigram LM: the add-k model of `bigramLmScore`, separated
     * into fit/apply so the model can be estimated on a clean REFERENCE
@@ -1327,10 +1331,11 @@ object TextAnalysis {
     // minCount prunes AFTER the aggregate ([[bigramLmFit]]'s recipe,
     // applied per class): pruned bigrams fall through the OOV branch at
     // apply time; per-class V stays the full training vocab
-    val model = tok.select(col("class"), explode(bigramStructs).as("p"))
-      .groupBy(col("class"), col("p.bg").as("bg"), col("p.w1").as("w1"))
+    val model = tok.select(col("class"), explode(bigramStrings).as("bg"))
+      .groupBy(col("class"), col("bg"))
       .agg(count(lit(1)).as("c_bg"))
       .filter(col("c_bg") >= minCount)
+      .select(col("class"), col("bg"), bigramW1, col("c_bg"))
       // cache: every apply consumes the model twice (the bigram join +
       // the left-context groupBy) — same pin as bigramLmFit's model
       .cache().transform(StageCaches.track)
@@ -1369,9 +1374,10 @@ object TextAnalysis {
       .select(id, col(classCol).cast("string").as("__cls"),
         cappedTokens(col(textCol), lm.capTokens).as("toks"))
       .cache().transform(StageCaches.track)
-    val docBg = tok.select(id, col("__cls"), explode(bigramStructs).as("p"))
-      .groupBy(id, col("__cls"), col("p.bg").as("bg"), col("p.w1").as("w1"))
+    val docBg = tok.select(id, col("__cls"), explode(bigramStrings).as("bg"))
+      .groupBy(id, col("__cls"), col("bg"))
       .agg(count(lit(1)).as("m"))
+      .select(id, col("__cls"), col("bg"), bigramW1, col("m"))
     val m = lm.model.select(col("class").as("__cls"), col("bg"), col("c_bg"))
     val lc = lm.model.groupBy(col("class").as("__cls"), col("w1"))
       .agg(sum(col("c_bg")).as("c_left"))
@@ -1438,29 +1444,36 @@ object TextAnalysis {
     }
   }
 
-  /** The trigram struct array (with backoff keys) of a staged `toks`
-    * column — shared by every trigram fit/apply path. */
-  private def trigramStructs: Column = {
+  /** The trigram string array of a staged `toks` column — shared by
+    * every trigram fit/apply path. Whitespace tokens cannot contain
+    * spaces, so the joined trigram is an injective key and every
+    * backoff key (bg12, bg23, w2, w3) derives from it by splitting. */
+  private def trigramStrings: Column = {
     val nT = size(col("toks"))
     def w(i: Column, o: Int) = element_at(col("toks"), i + o)
     when(nT >= 3,
       transform(sequence(lit(1), nT - 2),
-        i => struct(
-          concat_ws(" ", w(i, 0), w(i, 1), w(i, 2)).as("tg"),
-          concat_ws(" ", w(i, 0), w(i, 1)).as("bg12"),
-          concat_ws(" ", w(i, 1), w(i, 2)).as("bg23"),
-          w(i, 1).as("w2"), w(i, 2).as("w3"))))
-      .otherwise(array().cast(
-        "array<struct<tg:string,bg12:string,bg23:string,w2:string,w3:string>>"))
+        i => concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The trigram backoff keys, derived from a `tg` column AFTER the
+    * compress aggregate — the shuffle carries one string + m per row
+    * instead of five overlapping substrings. */
+  private def trigramBackoffKeys: Seq[Column] = {
+    val ws = split(col("tg"), " ")
+    Seq(concat_ws(" ", slice(ws, 1, 2)).as("bg12"),
+      concat_ws(" ", slice(ws, 2, 2)).as("bg23"),
+      element_at(ws, 2).as("w2"), element_at(ws, 3).as("w3"))
   }
 
   /** Per-doc COMPRESSED trigram occurrences with the backoff keys the
     * apply joins need: (id, tg, bg12, bg23, w2, w3, m). */
   private def docTrigrams(tok: DataFrame, id: Column): DataFrame =
-    tok.select(id, explode(trigramStructs).as("p"))
-      .groupBy(id, col("p.tg").as("tg"), col("p.bg12").as("bg12"),
-        col("p.bg23").as("bg23"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    tok.select(id, explode(trigramStrings).as("tg"))
+      .groupBy(id, col("tg"))
       .agg(count(lit(1)).as("m"))
+      .select((Seq(id, col("tg")) ++ trigramBackoffKeys :+ col("m")): _*)
 
   /** Estimate the stupid-backoff trigram model. Two driver scalars (N, V)
     * in one action; the count tables stay distributed.
@@ -1589,12 +1602,12 @@ object TextAnalysis {
       // cache: three enumerations (tri/bi/uni) read the staged tokens —
       // uncached, the upstream lineage (often a classifier) runs thrice
       .cache().transform(StageCaches.track)
-    val tri = tok.select(col("class"), explode(trigramStructs).as("p"))
-      .groupBy(col("class"), col("p.tg").as("tg"))
+    val tri = tok.select(col("class"), explode(trigramStrings).as("tg"))
+      .groupBy(col("class"), col("tg"))
       .agg(count(lit(1)).as("c3"))
       .filter(col("c3") >= minCount)
-    val bi = tok.select(col("class"), explode(bigramStructs).as("p"))
-      .groupBy(col("class"), col("p.bg").as("bg"))
+    val bi = tok.select(col("class"), explode(bigramStrings).as("bg"))
+      .groupBy(col("class"), col("bg"))
       .agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
       // cache: the apply joins bi TWICE (bg12 + bg23) — the largest of
@@ -1635,11 +1648,13 @@ object TextAnalysis {
       .select(id, col(classCol).cast("string").as("__cls"),
         cappedTokens(col(textCol), lm.capTokens).as("toks"))
       .cache().transform(StageCaches.track)
-    val docTg = tok.select(id, col("__cls"), explode(trigramStructs).as("p"))
-      .groupBy(id, col("__cls"), col("p.tg").as("tg"),
-        col("p.bg12").as("bg12"), col("p.bg23").as("bg23"),
-        col("p.w2").as("w2"), col("p.w3").as("w3"))
+    // compress on the full trigram only; backoff keys derive from it
+    // post-shuffle (one string + m per shuffle row, not five)
+    val docTg = tok.select(id, col("__cls"), explode(trigramStrings).as("tg"))
+      .groupBy(id, col("__cls"), col("tg"))
       .agg(count(lit(1)).as("m"))
+      .select((Seq(id, col("__cls"), col("tg")) ++
+        trigramBackoffKeys :+ col("m")): _*)
     val a = lm.alpha
     val floor = (coalesce(col("c1_w3"), lit(0L)) + lit(1.0)) /
       (col("__n") + col("__v")).cast("double")
@@ -1785,27 +1800,33 @@ object TextAnalysis {
       .select(id, col(classCol).cast("string").as("__cls"),
         cappedTokens(col(textCol), lm.capTokens).as("toks"))
       .cache().transform(StageCaches.track)
-    // the n-gram at position i covers tokens i..i+n−1; suffix_k is its
-    // last k tokens, den_k the k tokens ending one before the last —
-    // all keys derive from one enumeration pass (the Generate trap:
-    // positions explode once, every key is a projection of that row)
+    // compress on the FULL n-gram only: every backoff key (suffix_k,
+    // den_k) is a substring of it, and whitespace tokens cannot contain
+    // spaces, so the n-gram string is an injective key and the other
+    // 2n−2 keys derive from it AFTER the aggregate — the compress
+    // shuffle carries one string + m per row instead of 2n−1 overlapping
+    // substrings (~O(n²) chars/row), the widest shuffle in the apply
     val nT = size(col("toks"))
-    def words(i: Column, from: Int, until: Int): Column =
-      concat_ws(" ",
-        (from until until).map(o => element_at(col("toks"), i + o)): _*)
-    val fields =
-      (1 to n).map(k => words(col("__i"), n - k, n).as(s"suf$k")) ++
-      (1 until n).map(k => words(col("__i"), n - 1 - k, n - 1).as(s"den$k"))
     val occ = tok
       .select(id, col("__cls"), col("toks"),
         explode(when(nT >= n, sequence(lit(1), nT - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("__i"))
-      .select((Seq(id, col("__cls")) ++ fields): _*)
+      .select(id, col("__cls"), concat_ws(" ",
+        (0 until n).map(o => element_at(col("toks"), col("__i") + o)): _*)
+        .as(s"suf$n"))
+    // suffix_k = last k words; den_k = the k words ending one before the
+    // last — slices of the split n-gram, derived map-side post-shuffle
+    val ws = split(col(s"suf$n"), " ")
+    val derived =
+      (1 until n).map(k =>
+        concat_ws(" ", slice(ws, n - k + 1, k)).as(s"suf$k")) ++
+      (1 until n).map(k =>
+        concat_ws(" ", slice(ws, n - k, k)).as(s"den$k"))
     val docNg = occ
-      .groupBy((Seq(id, col("__cls")) ++
-        (1 to n).map(k => col(s"suf$k")) ++
-        (1 until n).map(k => col(s"den$k"))).map(c => c): _*)
+      .groupBy(id, col("__cls"), col(s"suf$n"))
       .agg(count(lit(1)).as("m"))
+      .select((Seq(id, col("__cls"), col(s"suf$n"), col("m")) ++
+        derived): _*)
     var cur = docNg
     for (k <- n to 2 by -1) {
       cur = cur.join(lm.counts(k - 1).select(col("class").as("__cls"),
