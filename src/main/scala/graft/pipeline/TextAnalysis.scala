@@ -1776,6 +1776,24 @@ object TextAnalysis {
     NgramLmByClass(order, counts, totals, alpha, capTokens)
   }
 
+  /** Global (classless) order-n fit — the [[trigramLmFit]]-shaped form
+    * for corpora scored by ONE reference model: a thin adapter over the
+    * per-class engine with a single constant class (the class key adds
+    * one constant column to each join — broadcast-irrelevant), so the
+    * order-n math exists exactly once. */
+  def ngramLmFit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", order: Int = 5, capTokens: Int = 512,
+      alpha: Double = 0.4, minCount: Int = 1): NgramLmByClass =
+    ngramLmFitByClass(df.withColumn("__one", lit("")), textCol, idCol,
+      "__one", order, capTokens, alpha, minCount)
+
+  /** Score under a [[ngramLmFit]]-fitted global model; returns
+    * (idCol, lm_nll). */
+  def ngramLmApply(lm: NgramLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    ngramLmApplyJoined(lm, df.withColumn("__one", lit("")), textCol,
+      idCol, "__one").drop("__one")
+
   /** Score every document against ITS class's order-n stupid-backoff
     * model in one pass: one (id, class) n-gram compress carrying all
     * 2n−1 backoff keys, then for k = n..2 a left join on the k-suffix

@@ -310,6 +310,24 @@ class Round17Spec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
+  test("global ngram fit/apply at order 3 equals trigramLmFit/Apply") {
+    val docs = Seq(
+      (0L, "a b c a b c a b d"),
+      (1L, "b c a d a b"),
+      (2L, "d a b x y")).toDF("doc_id", "text")
+    val tri = TextAnalysis.trigramLmApply(
+        TextAnalysis.trigramLmFit(docs, "text", "doc_id", minCount = 2),
+        docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val ng = TextAnalysis.ngramLmApply(
+        TextAnalysis.ngramLmFit(docs, "text", "doc_id", order = 3,
+          minCount = 2),
+        docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(ng == tri, s"global order-3 drifted from trigram:\n$ng\nvs\n$tri")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("ngram model save/load roundtrip preserves scores") {
     val docs = Seq(
       (0L, "x", "a b c d e a b c d e"),
