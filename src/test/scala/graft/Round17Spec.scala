@@ -348,6 +348,60 @@ class Round17Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("vacuumInbox parses compacted source logs (11+ batches crosses the default compact interval)") {
+    // the file-source log compacts every 10 batches by default
+    // (spark.sql.streaming.fileSource.log.compactInterval): from then on
+    // the newest log file is <n>.compact holding ALL entries — a vacuum
+    // that mis-parsed it would stop deleting (or worse, delete by a
+    // stale batch map). Drive 12 batches, vacuum, and check every
+    // committed file is gone while dedup state still holds.
+    val base = java.nio.file.Files.createTempDirectory("vacuum_compact_spec")
+    def p(s: String) = base.resolve(s).toString
+    def pass(rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("id", "clean_text", "n_final").coalesce(1)
+        .write.mode("append").parquet(p("inbox"))
+      val q = graft.streaming.DocStream.incrementalCleanDedup(
+          spark.readStream.schema(inboxSchema).parquet(p("inbox")))
+        .toDF()
+        .writeStream.format("parquet").option("path", p("out"))
+        .option("checkpointLocation", p("ck"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    for (i <- 1 to 12) pass(Seq((i.toLong, s"compact text $i", 3L)))
+    val logDir = new java.io.File(p("ck") + "/sources/0")
+    assert(logDir.listFiles().exists(_.getName.endsWith(".compact")),
+      "fixture drifted: no compacted source log after 12 batches")
+    val n = graft.streaming.DocStream.vacuumInbox(spark, p("inbox"), p("ck"))
+    assert(n == 12, s"expected all 12 committed files deleted, got $n")
+    // the digest state (not the files) still suppresses every prior text
+    pass(Seq((100L, "compact text 7", 3L), (101L, "compact fresh", 3L)))
+    val out = spark.read.parquet(p("out")).select("id").as[Long]
+      .collect().toSet
+    assert(out == ((1 to 12).map(_.toLong).toSet + 101L),
+      s"post-compact-vacuum dedup drifted: $out")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("order-n apply: docs shorter than the order score NULL; unfitted class scores NULL") {
+    val fit = Seq((0L, "x", "a b c d e a b c d e")).toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.ngramLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 5)
+    val score = Seq(
+      (10L, "x", "a b c d"), // 4 tokens < order -> NULL
+      (11L, "x", ""), // empty -> NULL
+      (12L, "zz", "a b c d e")) // unfitted class -> NULL
+      .toDF("doc_id", "cls", "text")
+    val got = TextAnalysis.ngramLmApplyJoined(lm, score, "text", "doc_id",
+        "cls")
+      .orderBy("doc_id").collect()
+    assert(got.length == 3 && got.forall(_.isNullAt(2)),
+      s"short/empty/unfitted docs must carry NULL lm_nll: ${got.toSeq}")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("vacuumInbox deletes only committed files; state still dedups; re-appended copies are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("vacuum_inbox_spec")
     def p(s: String) = base.resolve(s).toString
