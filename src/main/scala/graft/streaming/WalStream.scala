@@ -502,6 +502,22 @@ object DocStream {
     incrementalSpanWinners(cleanStage(docs, textCol, idCol), idCol,
       "clean_text", k)
 
+  /** [[cleanStreamEmit]] with TTL-bounded span state
+    * ([[incrementalSpanWinnersTtl]]) — pair with
+    * `cleanConsumeIncremental(ttlMs = ...)` for the fully-bounded
+    * always-on chain: BOTH state stores (span winners AND clean-text
+    * digests) then hold only the trailing window's distinct keys.
+    * Downstream masking is already duplicate-winner-safe for the
+    * re-emissions expiry produces ([[graft.pipeline.Dedup
+    * .maskSpansAgainstWinners]] canonicalizes per hash); consumers
+    * should feed the trailing window's emissions, not the all-time
+    * log. */
+  def cleanStreamEmitTtl(docs: DataFrame, ttlMs: Long,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 8)
+      : org.apache.spark.sql.Dataset[SpanOcc] =
+    incrementalSpanWinnersTtl(cleanStage(docs, textCol, idCol), idCol,
+      "clean_text", k, ttlMs)
+
   /** Batch CONSUMER of [[cleanStreamEmit]]'s state: re-derive the C4 +
     * Gopher survivors of `docs` (the same map-only [[cleanStage]], so
     * producer and consumer cannot drift), mask each document's spans

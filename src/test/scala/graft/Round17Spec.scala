@@ -348,6 +348,54 @@ class Round17Spec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("fully TTL-bounded always-on chain: TTL span emit + TTL digest consume match the unbounded chain in-window") {
+    // one snapshot through (emit -> consume) twice: once with the
+    // NoTimeout operators, once with both TTLs spanning the run — the
+    // in-window semantics must be identical (the bound changes state
+    // size, not behavior inside the window)
+    import org.apache.spark.sql.types.{StructType, StructField}
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def fillerLine(tag: String, i: Int) =
+      s"the quiet$tag$i engine hums and the long river$tag$i bends with easy grace."
+    def doc(tag: String) = (0 to 4).map(i => fillerLine(tag, i)).mkString("\n")
+    val snap = Seq((1L, doc("aa")), (2L, doc("aa")), (3L, doc("bb")))
+    def run(ttl: Option[Long]): Set[Long] = {
+      val base = java.nio.file.Files.createTempDirectory("ttl_chain_spec")
+      def p(s: String) = base.resolve(s).toString
+      import spark.implicits._
+      snap.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(p("src"))
+      val src = spark.readStream.schema(docSchema).parquet(p("src"))
+      val emitted = ttl match {
+        case Some(t) => graft.streaming.DocStream.cleanStreamEmitTtl(
+          src, t, "text", "doc_id", 8)
+        case None => graft.streaming.DocStream.cleanStreamEmit(
+          src, "text", "doc_id", 8)
+      }
+      val q = emitted.toDF()
+        .writeStream.format("parquet").option("path", p("wins"))
+        .option("checkpointLocation", p("ck_emit"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.DocStream.cleanConsumeIncremental(
+        snap.toDF("doc_id", "text"), spark.read.parquet(p("wins")),
+        p("inbox"), p("ck_dedup"), p("out"), "text", "doc_id", 8,
+        ttlMs = ttl.getOrElse(0L))
+      val out = spark.read.parquet(p("out")).select("id").as[Long]
+        .collect().toSet
+      graft.pipeline.StageCaches.unpersistAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    }
+    val unbounded = run(None)
+    val bounded = run(Some(3600000L))
+    assert(unbounded == bounded && unbounded == Set(1L, 3L),
+      s"TTL chain diverged in-window: unbounded=$unbounded bounded=$bounded")
+  }
+
   test("vacuumInbox parses compacted source logs (11+ batches crosses the default compact interval)") {
     // the file-source log compacts every 10 batches by default
     // (spark.sql.streaming.fileSource.log.compactInterval): from then on
