@@ -397,6 +397,14 @@ object PerfProbe {
           ttlMs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_TTL", "0").toLong)
       }
       snapshot(col("doc_id") < cleanIncrN / 2)
+      // SPARK_GRAFT_CLEAN_VACUUM=1: drop snapshot 1's committed inbox
+      // files before snapshot 2 — the planted counts must be unchanged
+      // (dedup state lives in the checkpoint, not the vacuumed files)
+      if (sys.env.getOrElse("SPARK_GRAFT_CLEAN_VACUUM", "0") == "1") {
+        val nv = graft.streaming.DocStream.vacuumInbox(
+          spark, p("inbox"), p("ck_dedup"))
+        println(s"clean-incr vacuum after snapshot 1: $nv files deleted")
+      }
       snapshot(col("doc_id") >= cleanIncrN / 2)
       val out = spark.read.parquet(p("out"))
         .select(col("n_final"), pmod(col("id"), lit(10)).as("cls"))
