@@ -734,24 +734,33 @@ object DocStream {
     val sourceDir = new Path(new Path(checkpointDir, "sources"), "0")
     val cfs = commitsDir.getFileSystem(conf)
     if (!cfs.exists(commitsDir) || !cfs.exists(sourceDir)) return 0
+    def digitName(name: String): Boolean = {
+      val prefix = name.takeWhile(_ != '.')
+      // nonEmpty guards hidden/temp siblings like ".9.compact.tmp",
+      // whose empty digit-prefix would pass a bare forall vacuously
+      prefix.nonEmpty && prefix.forall(_.isDigit)
+    }
     val committed = cfs.listStatus(commitsDir).toSeq
-      .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+      .map(_.getPath.getName).filter(digitName).map(_.toLong)
     if (committed.isEmpty) return 0
     val maxCommitted = committed.max
     // source-log entries: {"path":...,"timestamp":...,"batchId":n};
     // .compact files replay all prior entries — reading every log file
     // and filtering on the entry's OWN batchId handles both forms
     val logFiles = cfs.listStatus(sourceDir).toSeq.map(_.getPath)
-      .filter(p => p.getName.takeWhile(_ != '.').forall(_.isDigit))
+      .filter(p => digitName(p.getName))
     val committedPaths = logFiles.flatMap { lf =>
       val in = cfs.open(lf)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
       lines.filter(_.startsWith("{")).flatMap { line =>
-        val j = JsonMethods.parse(line)
-        (j \ "path", j \ "batchId") match {
-          case (JString(p), JInt(b)) if b <= maxCommitted => Some(p)
-          case _ => None
+        // a truncated line (log caught mid-write) SKIPS, never aborts:
+        // skipping only under-deletes — the safe direction for a vacuum
+        scala.util.Try(JsonMethods.parse(line)).toOption.flatMap { j =>
+          (j \ "path", j \ "batchId") match {
+            case (JString(p), JInt(b)) if b <= maxCommitted => Some(p)
+            case _ => None
+          }
         }
       }
     }.distinct
