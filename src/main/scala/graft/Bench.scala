@@ -73,7 +73,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    // self-diagnosis: per-pass totals and per-query (min, max) make a
+    // CONTENDED invocation machine-detectable in the committed artifact —
+    // min-of-N inside one contended window inflates both passes together
+    // (BENCH_r17 shipped 3-5x inflated s*-rows that way), so the artifact
+    // itself must carry the spread. Discipline: max_spread > 2 on any
+    // material query => the window was contended; rerun before committing.
+    val passTotals = passes
+      .map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.3f").mkString("[", ",", "]")
+    val qmm = results.map { case (name, _) =>
+      val vs = passes.map(_.find(_._1 == name).get._2)
+      "\"" + name + "\":[" + f"${vs.min}%.3f" + "," + f"${vs.max}%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val maxSpread = results.flatMap { case (name, v) =>
+      val vs = passes.map(_.find(_._1 == name).get._2)
+      // ratio only meaningful on queries big enough to rise above timer
+      // jitter; 0.5 s floors out sub-second noise ratios
+      if (v >= 0.5) Some(vs.max / vs.min) else None
+    }.foldLeft(1.0)(math.max)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"pass_totals":$passTotals,"query_min_max":$qmm,"max_spread":$maxSpread%.2f}""")
     spark.stop()
   }
 }

@@ -109,7 +109,10 @@ object PerfProbe {
         def aggT(df: org.apache.spark.sql.DataFrame) = {
           val r = df.agg(count(lit(1)), count(col("lm_nll")),
             sum(col("lm_nll"))).head()
-          (r.getLong(0), r.getLong(1), r.getDouble(2))
+          // sum is NULL when zero rows scored — report 0.0, not an NPE
+          // (the scored count already distinguishes the empty case)
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) 0.0 else r.getDouble(2))
         }
         val tj0 = System.nanoTime()
         val lmJ = TextAnalysis.trigramLmFitByClass(pred, "text", "doc_id",

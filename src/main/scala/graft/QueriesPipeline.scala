@@ -1779,6 +1779,59 @@ object QueriesPipeline {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       local
     }),
+    // The RECOMMENDED always-on deployment shape, driver-gated: the same
+    // two-snapshot fixture through the FULLY TTL-BOUNDED chain —
+    // cleanStreamEmitTtl (span-winner state with event-time eviction) +
+    // cleanConsumeIncremental(ttlMs) (TTL digest state) — so BOTH state
+    // stores are bounded by the trailing window. The TTL (1h) spans the
+    // gate's snapshots, and in-window the TTL and all-history semantics
+    // COINCIDE (Round17Spec's equality, now oracle-checked): the mirror
+    // is pl_clean_full's SQL verbatim — a fourth engine on that oracle.
+    "st_clean_ttl" -> ((s, dir) => {
+      val ttlMs = 3600L * 1000
+      val base = java.nio.file.Files.createTempDirectory("st_clean_ttl")
+      val srcDir = base.resolve("src").toString
+      val winsDir = base.resolve("winners").toString
+      val ckEmit = base.resolve("ck_emit").toString
+      val inbox = base.resolve("inbox").toString
+      val ckDedup = base.resolve("ck_dedup").toString
+      val outDir = base.resolve("out").toString
+      val docs = t(s, dir, "documents")
+      val schema = docs.schema
+      def inject(df: org.apache.spark.sql.DataFrame) = df.withColumn("t2",
+        concat(col("text"),
+          lit(".\nshort line\nanother good line with words here.\n" +
+            "this good line has five words.\n" +
+            "javascript line with five good words.\n"),
+          when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+            .otherwise(lit(""))))
+      def snapshot(pred: Column): Unit = {
+        docs.filter(pred).write.mode("append").parquet(srcDir)
+        val src = inject(s.readStream.schema(schema).parquet(srcDir))
+        val q = graft.streaming.DocStream
+          .cleanStreamEmitTtl(src, ttlMs, "t2", "doc_id", 8)
+          .writeStream.format("parquet")
+          .option("path", winsDir).option("checkpointLocation", ckEmit)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.streaming.DocStream.cleanConsumeIncremental(
+          inject(docs.filter(pred)), s.read.parquet(winsDir),
+          inbox, ckDedup, outDir, "t2", "doc_id", 8, ttlMs = ttlMs)
+      }
+      snapshot(col("doc_id") < 250)
+      snapshot(col("doc_id") >= 250)
+      val out = s.read.parquet(outDir)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("digest"),
+          col("n_final"))
+        .orderBy(col("doc_id"))
+      val local = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      local
+    }),
     // streaming twin of tx_langid_model: the classifier apply is
     // STATELESS map-only, so the same Column expression (hash-kernel
     // micro-sums included) runs unchanged in a microbatch plan — the
@@ -2228,6 +2281,9 @@ object QueriesPipeline {
     },
     "pl_clean_full" -> sqlCleanFullSql,
     "st_clean_stream" -> sqlCleanFullSql,
+    // the fully TTL-bounded always-on chain: in-window, TTL and
+    // all-history semantics coincide, so the batch mirror serves verbatim
+    "st_clean_ttl" -> sqlCleanFullSql,
     // third engine on the same oracle: two snapshots + shared
     // checkpoints must reproduce the batch chain on the union corpus
     "st_clean_incr" -> sqlCleanFullSql,

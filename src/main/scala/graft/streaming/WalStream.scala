@@ -281,10 +281,11 @@ object DocStream {
     * form's `dropDuplicates` lacks: min (id, para_idx) — the batch
     * operator's rule — since the `flatMapGroupsWithState` group sees
     * all of its batch occurrences together. Same output shape
-    * (id, para_idx, para, digest); ids must cast to long. */
+    * (idCol, para_idx, para, digest) — a drop-in swap for consumers
+    * selecting by idCol — except ids must cast to long (the state
+    * encoder's key type) and come back as long. */
   def incrementalParagraphDedupTtl(docs: DataFrame, idCol: String,
-      paras: Column, ttlMs: Long)
-      : org.apache.spark.sql.Dataset[ParaOcc] = {
+      paras: Column, ttlMs: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(ttlMs > 0, "ttlMs must be positive")
     val sq = docs.sparkSession
@@ -321,6 +322,7 @@ object DocStream {
             }
           }
       }
+      .withColumnRenamed("id", idCol)
   }
 
   /** Streaming twin of [[graft.pipeline.Dedup.maskRepeatedSpans]]:
@@ -684,16 +686,78 @@ object DocStream {
       inboxDir: String, checkpointDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 8, ttlMs: Long = 0L): Unit = {
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     maskedSurvivors(docs, emitted, textCol, idCol, k)
       .select(col(idCol).cast("long").as("id"), col("clean_text"),
         col("n_final").cast("long").as("n_final"))
       .write.mode("append").parquet(inboxDir)
+    driveInboxDedup(docs.sparkSession, inboxDir, checkpointDir, outDir,
+      ttlMs)
+  }
+
+  /** HISTORY-COMPACTION HYBRID consumer — exact dedup beyond the
+    * checkpoint's state budget: anti-join the masked snapshot against
+    * the ACCUMULATED `outDir` digest set (the cold history, store-side)
+    * BEFORE the TTL-bounded stream (the hot window, checkpoint-side).
+    * SCALE.md's prescription for 10^10+ distinct digests made an
+    * operator: the checkpoint holds only the trailing TTL window's
+    * digests, while dedup against everything older rides a plain
+    * shuffle anti-join on (digest) against the clean corpus the chain
+    * has already written — O(window) state + O(history) store-side
+    * join, no growth in the checkpoint, and the join input is one
+    * 32-char digest per historical row (project before shuffle).
+    *
+    * EQUALITY CONTRACT (Round18Spec): output == the all-history
+    * `ttlMs = 0` form row for row, for ANY positive ttlMs — every
+    * previously-EMITTED digest is in `outDir` by the time the next
+    * snapshot's anti-join reads it (awaitTermination + the exactly-once
+    * sink commit), so an expired checkpoint entry can never re-admit:
+    * the anti-join catches what the TTL evicted. Within a snapshot the
+    * stream's min-id winner rule is unchanged. Retry-idempotence is
+    * inherited: a re-run re-masks and re-anti-joins (now also against
+    * whatever the failed run managed to commit) and the digest state
+    * suppresses inbox double-appends. `ttlMs` must be positive — with
+    * unbounded state this form is strictly worse than
+    * [[cleanConsumeIncremental]] (same semantics, extra join). */
+  def cleanConsumeHybrid(docs: DataFrame, emitted: DataFrame,
+      inboxDir: String, checkpointDir: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 8, ttlMs: Long = 3600L * 1000): Unit = {
+    require(ttlMs > 0, "hybrid form is TTL-bounded; use " +
+      "cleanConsumeIncremental for all-history checkpoint state")
     val spark = docs.sparkSession
+    val masked = maskedSurvivors(docs, emitted, textCol, idCol, k)
+      .select(col(idCol).cast("long").as("id"), col("clean_text"),
+        col("n_final").cast("long").as("n_final"))
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = if (fs.exists(outPath))
+      masked.withColumn("__digest", md5(col("clean_text")))
+        .join(spark.read.parquet(outDir)
+          .select(md5(col("clean_text")).as("__digest")),
+          Seq("__digest"), "left_anti")
+        .drop("__digest")
+    else masked // first snapshot: no history yet
+    fresh.write.mode("append").parquet(inboxDir)
+    driveInboxDedup(spark, inboxDir, checkpointDir, outDir, ttlMs)
+  }
+
+  /** The shared stream tail of both consumers: drive the inbox through
+    * the checkpointed digest dedup into the exactly-once parquet sink. */
+  private def driveInboxDedup(spark: SparkSession, inboxDir: String,
+      checkpointDir: String, outDir: String, ttlMs: Long): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("clean_text", StringType),
       StructField("n_final", LongType)))
-    val inbox = spark.readStream.schema(schema).parquet(inboxDir)
+    // maxFileAge pinned far past any deployment horizon: the file
+    // source purges seenFiles entries older than maxFileAge (default
+    // 7d) and would re-read a copy of a vacuumed file re-appended with
+    // a fresh mtime after that window — pinning it makes vacuumInbox's
+    // never-re-read invariant unconditional (cost: one in-memory
+    // seenFiles entry per inbox file ever ingested, driver-side — at
+    // snapshot cadence, thousands of entries per year)
+    val inbox = spark.readStream.schema(schema)
+      .option("maxFileAge", "36500d").parquet(inboxDir)
     val deduped = if (ttlMs > 0) incrementalCleanDedupTtl(inbox, ttlMs)
       else incrementalCleanDedup(inbox)
     val q = deduped
@@ -718,7 +782,11 @@ object DocStream {
     * drop because the source NEVER re-reads a path already in its log
     * (`seenFiles` dedup — a re-appended copy of a vacuumed file is also
     * ignored, which is what makes the retry-idempotence story hold after
-    * vacuum). Files under `inboxDir` not yet in the source log at all
+    * vacuum; NOTE that seenFiles entries older than the source's
+    * `maxFileAge` — default 7d — are purged, so the copy-ignored
+    * guarantee is time-bounded unless the consumer pins a large
+    * maxFileAge on its readStream, as [[cleanConsumeIncremental]]
+    * does). Files under `inboxDir` not yet in the source log at all
     * (appended after the last batch) are untouched. Paths outside
     * `inboxDir` are never deleted, whatever the log says. Returns the
     * number of files deleted. The TableStore retention analogue:
@@ -745,10 +813,21 @@ object DocStream {
     if (committed.isEmpty) return 0
     val maxCommitted = committed.max
     // source-log entries: {"path":...,"timestamp":...,"batchId":n};
-    // .compact files replay all prior entries — reading every log file
-    // and filtering on the entry's OWN batchId handles both forms
-    val logFiles = cfs.listStatus(sourceDir).toSeq.map(_.getPath)
+    // .compact files replay ALL prior entries — the file source's own
+    // compaction invariant — so the newest .compact plus the deltas
+    // after it carry the complete path history: reading only those
+    // bounds each vacuum at O(since-last-compaction) instead of
+    // O(all batches ever) (pre-compaction logs stay on disk for the
+    // source's own cleanup policy; re-parsing them adds nothing). The
+    // per-entry batchId filter below is unchanged — a replayed entry is
+    // deletable only if its OWN batch committed.
+    val allLogFiles = cfs.listStatus(sourceDir).toSeq.map(_.getPath)
       .filter(p => digitName(p.getName))
+    val newestCompact = allLogFiles.filter(_.getName.endsWith(".compact"))
+      .map(_.getName.takeWhile(_ != '.').toLong)
+      .sorted.lastOption.getOrElse(-1L)
+    val logFiles = allLogFiles
+      .filter(_.getName.takeWhile(_ != '.').toLong >= newestCompact)
     val committedPaths = logFiles.flatMap { lf =>
       val in = cfs.open(lf)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")

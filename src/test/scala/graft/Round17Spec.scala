@@ -98,7 +98,7 @@ class Round17Spec extends SparkSpec {
       q.awaitTermination()
     }
     def emitted: Seq[(Long, Int, String)] =
-      spark.read.parquet(p("out")).select("id", "para_idx", "para")
+      spark.read.parquet(p("out")).select("doc_id", "para_idx", "para")
         .as[(Long, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
     // one batch, duplicate paragraph across docs AND positions: the
     // min-(id, idx) occurrence must win, not arrival order
