@@ -1814,37 +1814,8 @@ object TextAnalysis {
       classCol: String = "class"): DataFrame = {
     val n = lm.order
     val id = col(idCol)
-    val tok = df
-      .select(id, col(classCol).cast("string").as("__cls"),
-        cappedTokens(col(textCol), lm.capTokens).as("toks"))
-      .cache().transform(StageCaches.track)
-    // compress on the FULL n-gram only: every backoff key (suffix_k,
-    // den_k) is a substring of it, and whitespace tokens cannot contain
-    // spaces, so the n-gram string is an injective key and the other
-    // 2n−2 keys derive from it AFTER the aggregate — the compress
-    // shuffle carries one string + m per row instead of 2n−1 overlapping
-    // substrings (~O(n²) chars/row), the widest shuffle in the apply
-    val nT = size(col("toks"))
-    val occ = tok
-      .select(id, col("__cls"), col("toks"),
-        explode(when(nT >= n, sequence(lit(1), nT - (n - 1)))
-          .otherwise(array().cast("array<int>"))).as("__i"))
-      .select(id, col("__cls"), concat_ws(" ",
-        (0 until n).map(o => element_at(col("toks"), col("__i") + o)): _*)
-        .as(s"suf$n"))
-    // suffix_k = last k words; den_k = the k words ending one before the
-    // last — slices of the split n-gram, derived map-side post-shuffle
-    val ws = split(col(s"suf$n"), " ")
-    val derived =
-      (1 until n).map(k =>
-        concat_ws(" ", slice(ws, n - k + 1, k)).as(s"suf$k")) ++
-      (1 until n).map(k =>
-        concat_ws(" ", slice(ws, n - k, k)).as(s"den$k"))
-    val docNg = occ
-      .groupBy(id, col("__cls"), col(s"suf$n"))
-      .agg(count(lit(1)).as("m"))
-      .select((Seq(id, col("__cls"), col(s"suf$n"), col("m")) ++
-        derived): _*)
+    val (tok, docNg) = ngramDocCompress(df, textCol, idCol, classCol, n,
+      lm.capTokens)
     var cur = docNg
     for (k <- n to 2 by -1) {
       cur = cur.join(lm.counts(k - 1).select(col("class").as("__cls"),
@@ -1865,6 +1836,294 @@ object TextAnalysis {
       s = when(col(s"c_suf$k").isNotNull,
           col(s"c_suf$k").cast("double") / col(s"c_den${k - 1}"))
         .otherwise(lit(lm.alpha) * s)
+    val scored = cur
+      .select(id, (col("m") * log(s)).as("lp"), col("m"))
+      .groupBy(id)
+      .agg((-sum(col("lp")) / sum(col("m"))).as("nll"))
+    tok.select(id, col("__cls")).join(scored, Seq(idCol), "left")
+      .select(id, col("__cls").as(classCol), round(col("nll"), 4).as("lm_nll"))
+  }
+
+  /** The shared doc-side head of the joined order-n applies
+    * ([[ngramLmApplyJoined]] / [[knLmApplyJoined]]): the staged
+    * (id, class, toks) cache, and the injective n-gram compress.
+    * Compresses on the FULL n-gram only: every backoff key (suffix_k,
+    * den_k) is a substring of it, and whitespace tokens cannot contain
+    * spaces, so the n-gram string is an injective key and the other
+    * 2n−2 keys derive from it AFTER the aggregate — the compress
+    * shuffle carries one string + m per row instead of 2n−1 overlapping
+    * substrings (~O(n²) chars/row), the widest shuffle in the apply.
+    * Returns (tok, docNg) where docNg carries (idCol, __cls, suf_n, m,
+    * suf_1..suf_{n−1}, den_1..den_{n−1}); suffix_k = last k words,
+    * den_k = the k words ending one before the last. */
+  private def ngramDocCompress(df: DataFrame, textCol: String,
+      idCol: String, classCol: String, n: Int, capTokens: Int)
+      : (DataFrame, DataFrame) = {
+    val id = col(idCol)
+    val tok = df
+      .select(id, col(classCol).cast("string").as("__cls"),
+        cappedTokens(col(textCol), capTokens).as("toks"))
+      .cache().transform(StageCaches.track)
+    val nT = size(col("toks"))
+    val occ = tok
+      .select(id, col("__cls"), col("toks"),
+        explode(when(nT >= n, sequence(lit(1), nT - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(id, col("__cls"), concat_ws(" ",
+        (0 until n).map(o => element_at(col("toks"), col("__i") + o)): _*)
+        .as(s"suf$n"))
+    val ws = split(col(s"suf$n"), " ")
+    val derived =
+      (1 until n).map(k =>
+        concat_ws(" ", slice(ws, n - k + 1, k)).as(s"suf$k")) ++
+      (1 until n).map(k =>
+        concat_ws(" ", slice(ws, n - k, k)).as(s"den$k"))
+    val docNg = occ
+      .groupBy(id, col("__cls"), col(s"suf$n"))
+      .agg(count(lit(1)).as("m"))
+      .select((Seq(id, col("__cls"), col(s"suf$n"), col("m")) ++
+        derived): _*)
+    (tok, docNg)
+  }
+
+  /** ALL per-class interpolated MODIFIED KNESER-NEY order-n LMs in one
+    * long model — the smoothing KenLM actually ships (Chen & Goodman
+    * 1998's modified KN; Wenzek et al.'s CCNet scorer), where
+    * [[NgramLmByClass]] is the stupid-backoff at-scale default. Per
+    * order k the model holds the ADJUSTED count table `grams(k−1)`
+    * (raw counts at the highest order, CONTINUATION counts — distinct
+    * left-extensions — below it), the prefix-history stats
+    * `prefixStats(k−2)` for k ≥ 2 (denominator mass + the
+    * count-of-count tallies the backoff weight γ(h) needs), per-class
+    * scalars (`classStats`: unigram mass, tallies, vocabulary), and the
+    * per-(class, order) discount triples D1/D2/D3+ (`discounts`, wide).
+    * No BOS/EOS markers — grams slide over the token array, matching
+    * the backoff engines, so order-3 scores are comparable across the
+    * two smoothers. Persistable. */
+  final case class KnLmByClass(order: Int, grams: Seq[DataFrame],
+      prefixStats: Seq[DataFrame], classStats: DataFrame,
+      discounts: DataFrame, capTokens: Int, minCount: Int) {
+    require(grams.length == order, "one adjusted-count frame per order")
+    require(prefixStats.length == order - 1, "prefix stats for k=2..n")
+    def save(dir: String): Unit = {
+      val spark = classStats.sparkSession
+      grams.zipWithIndex.foreach { case (g, i) =>
+        g.write.mode("overwrite").parquet(s"$dir/grams_${i + 1}.parquet")
+      }
+      prefixStats.zipWithIndex.foreach { case (ps, i) =>
+        ps.write.mode("overwrite").parquet(s"$dir/pstats_${i + 2}.parquet")
+      }
+      classStats.write.mode("overwrite").parquet(s"$dir/class_stats.parquet")
+      discounts.write.mode("overwrite").parquet(s"$dir/discounts.parquet")
+      import spark.implicits._
+      Seq((order, capTokens, minCount)).toDF("order", "cap_tokens",
+        "min_count").write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+  }
+
+  object KnLmByClass {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+        : KnLmByClass = {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").head()
+      val order = meta.getAs[Int]("order")
+      KnLmByClass(order,
+        (1 to order).map(k => spark.read.parquet(s"$dir/grams_$k.parquet")),
+        (2 to order).map(k => spark.read.parquet(s"$dir/pstats_$k.parquet")),
+        spark.read.parquet(s"$dir/class_stats.parquet"),
+        spark.read.parquet(s"$dir/discounts.parquet"),
+        meta.getAs[Int]("cap_tokens"), meta.getAs[Int]("min_count"))
+    }
+  }
+
+  /** Fit one interpolated modified-KN order-n LM per class. Statistics
+    * per order k (all partial-merge aggregates, no per-class jobs):
+    *
+    *  - raw k-gram TYPE tables (k = 2..n) over one staged tokenize;
+    *  - ADJUSTED counts a_k: raw counts at k = n; for k < n the
+    *    CONTINUATION count — the number of distinct left-extensions,
+    *    i.e. rows of the (k+1)-type table grouped by its k-suffix
+    *    (each (k+1)-gram type has a distinct first word given the
+    *    suffix, so `count(1)` IS the distinct-predecessor count: no
+    *    `count_distinct` shuffle);
+    *  - modified-KN discounts from the count-of-counts n1..n4 of a_k
+    *    (Chen & Goodman): Y = n1/(n1+2·n2), D1 = 1−2Y·n2/n1,
+    *    D2 = 2−3Y·n3/n2, D3+ = 3−4Y·n4/n3, each guarded (fallback
+    *    0.5/1.0/1.5 when its tally is zero) and clamped to [0, j] —
+    *    degenerate count-of-count shapes yield a valid if blunt
+    *    discount instead of KenLM's hard error;
+    *  - prefix-history stats for k ≥ 2: S(h) = Σ_w a_k(h·w) plus the
+    *    N1/N2/N3+(h·) tallies γ(h) needs, grouped from a_k by its
+    *    (k−1)-word prefix;
+    *  - per-class scalars from a_1 (unigram mass S1, tallies,
+    *    V = continuation vocabulary — words only ever seen
+    *    document-initial score through the uniform 1/V floor).
+    *
+    * `minCount` prunes the STORED numerator tables a_k at the floor
+    * AFTER every statistic is taken (discounts, prefix stats, and
+    * scalars stay full-corpus — the same pruning recipe as the backoff
+    * trainers; a pruned gram scores through γ(h)·p_{k−1}, mass no
+    * longer exactly normalized, as with KenLM's own --prune). */
+  def knLmFitByClass(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", classCol: String = "class",
+      order: Int = 5, capTokens: Int = 512, minCount: Int = 1)
+      : KnLmByClass = {
+    require(order >= 2, "order must be >= 2")
+    require(minCount >= 1, "minCount must be >= 1")
+    val tok = df.filter(col(classCol).isNotNull)
+      .select(col(classCol).cast("string").as("class"),
+        cappedTokens(col(textCol), capTokens).as("toks"))
+      .cache().transform(StageCaches.track)
+    val nT = size(col("toks"))
+    def kgrams(k: Int): Column =
+      if (k == 1) col("toks")
+      else when(nT >= k,
+        transform(sequence(lit(1), nT - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def rawTypes(k: Int): DataFrame = tok
+      .select(col("class"), explode(kgrams(k)).as("gram"))
+      .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
+    // adjusted counts; cached — each frame feeds discounts, prefix
+    // stats (or class scalars), and the stored numerator
+    val adj: Seq[DataFrame] = (1 to order).map { k =>
+      val a = if (k == order) rawTypes(k).withColumnRenamed("c", "a")
+      else rawTypes(k + 1)
+        .select(col("class"), concat_ws(" ",
+          slice(split(col("gram"), " "), 2, k)).as("gram"))
+        .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("a"))
+      a.cache().transform(StageCaches.track)
+    }
+    def tally(j: Int): Column =
+      sum(when(col("a") === j, 1L).otherwise(0L)).as(s"n$j")
+    def discFor(k: Int): DataFrame = {
+      val coc = adj(k - 1).groupBy(col("class"))
+        .agg(tally(1), tally(2), tally(3), tally(4))
+      val y = when(col("n1") + lit(2) * col("n2") > 0,
+        col("n1").cast("double") / (col("n1") + lit(2) * col("n2")))
+        .otherwise(lit(0.5))
+      def clamp(c: Column, hi: Double) =
+        greatest(lit(0.0), least(lit(hi), c))
+      coc.select(col("class"),
+        clamp(when(col("n1") > 0,
+          lit(1.0) - lit(2.0) * y * col("n2") / col("n1"))
+          .otherwise(lit(0.5)), 1.0).as(s"d1_$k"),
+        clamp(when(col("n2") > 0,
+          lit(2.0) - lit(3.0) * y * col("n3") / col("n2"))
+          .otherwise(lit(1.0)), 2.0).as(s"d2_$k"),
+        clamp(when(col("n3") > 0,
+          lit(3.0) - lit(4.0) * y * col("n4") / col("n3"))
+          .otherwise(lit(1.5)), 3.0).as(s"d3_$k"))
+    }
+    // wide per-class discount frame: inner join is lossless — a class
+    // that can score at all (some doc with >= n tokens) has rows at
+    // every order
+    val discounts = (1 to order).map(discFor)
+      .reduce((a, b) => a.join(b, Seq("class")))
+    val prefixStats = (2 to order).map { k =>
+      adj(k - 1)
+        .select(col("class"), concat_ws(" ",
+          slice(split(col("gram"), " "), 1, k - 1)).as("hist"), col("a"))
+        .groupBy(col("class"), col("hist"))
+        .agg(sum(col("a")).as("s"),
+          sum(when(col("a") === 1, 1L).otherwise(0L)).as("h1"),
+          sum(when(col("a") === 2, 1L).otherwise(0L)).as("h2"),
+          sum(when(col("a") >= 3, 1L).otherwise(0L)).as("h3p"))
+        // joined twice-shaped like the backoff counts: cache
+        .cache().transform(StageCaches.track)
+    }
+    val classStats = adj.head.groupBy(col("class"))
+      .agg(sum(col("a")).as("s1"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("u1"),
+        sum(when(col("a") === 2, 1L).otherwise(0L)).as("u2"),
+        sum(when(col("a") >= 3, 1L).otherwise(0L)).as("u3p"),
+        count(lit(1)).as("v"))
+    val grams = adj.map(a =>
+      if (minCount == 1) a else a.filter(col("a") >= minCount))
+    KnLmByClass(order, grams, prefixStats, classStats, discounts,
+      capTokens, minCount)
+  }
+
+  /** Global (classless) KN fit — [[knLmFitByClass]] with one constant
+    * class, so the KN math exists exactly once. */
+  def knLmFit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", order: Int = 5, capTokens: Int = 512,
+      minCount: Int = 1): KnLmByClass =
+    knLmFitByClass(df.withColumn("__one", lit("")), textCol, idCol,
+      "__one", order, capTokens, minCount)
+
+  /** Score under a [[knLmFit]]-fitted global model; returns
+    * (idCol, lm_nll). */
+  def knLmApply(lm: KnLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    knLmApplyJoined(lm, df.withColumn("__one", lit("")), textCol,
+      idCol, "__one").drop("__one")
+
+  /** Score every document against ITS class's interpolated modified-KN
+    * model in one pass — the same injective-compress + join shape as
+    * [[ngramLmApplyJoined]] (flat in class count): per level
+    * k = n..2 a left join on the k-suffix's adjusted count and on the
+    * (k−1)-history's prefix stats, the unigram adjusted count, and two
+    * broadcast joins (class scalars, discount triples). The recursion
+    * (D(a) selects D1/D2/D3+ by the adjusted count; u ∨ γ both read
+    * the SAME history row):
+    *
+    *   p_1 = max(a_1(w) − D(a_1), 0)/S1 + (γ-mass_1/S1)/V
+    *   p_k = max(a_k(suffix_k) − D(a_k), 0)/S(h_k)
+    *         + ((D1·N1(h_k) + D2·N2(h_k) + D3+·N3+(h_k))/S(h_k)) · p_{k−1}
+    *         — or p_{k−1} outright when h_k is unseen (no row: full
+    *           backoff, the unseen-history convention)
+    *
+    * with a final max(p, 1e-10) floor so a degenerate class (all
+    * discount mass clamped away) can never take log(0). Docs with < n
+    * tokens — or an unfitted class — carry NULL `lm_nll`. Returns
+    * (idCol, classCol, lm_nll). */
+  def knLmApplyJoined(lm: KnLmByClass, df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      classCol: String = "class"): DataFrame = {
+    val n = lm.order
+    val id = col(idCol)
+    val (tok, docNg) = ngramDocCompress(df, textCol, idCol, classCol, n,
+      lm.capTokens)
+    var cur = docNg
+    for (k <- n to 2 by -1) {
+      cur = cur.join(lm.grams(k - 1).select(col("class").as("__cls"),
+        col("gram").as(s"suf$k"), col("a").as(s"a_suf$k")),
+        Seq("__cls", s"suf$k"), "left")
+      cur = cur.join(lm.prefixStats(k - 2).select(col("class").as("__cls"),
+        col("hist").as(s"den${k - 1}"), col("s").as(s"s_$k"),
+        col("h1").as(s"h1_$k"), col("h2").as(s"h2_$k"),
+        col("h3p").as(s"h3p_$k")),
+        Seq("__cls", s"den${k - 1}"), "left")
+    }
+    cur = cur.join(lm.grams(0).select(col("class").as("__cls"),
+      col("gram").as("suf1"), col("a").as("a_suf1")),
+      Seq("__cls", "suf1"), "left")
+      .join(broadcast(lm.classStats.select(col("class").as("__cls"),
+        col("s1").as("__s1"), col("u1").as("__u1"), col("u2").as("__u2"),
+        col("u3p").as("__u3p"), col("v").as("__v"))), Seq("__cls"), "left")
+      .join(broadcast(lm.discounts.withColumnRenamed("class", "__cls")),
+        Seq("__cls"), "left")
+    def dsel(a: Column, k: Int): Column =
+      when(a >= 3, col(s"d3_$k")).when(a === 2, col(s"d2_$k"))
+        .when(a === 1, col(s"d1_$k")).otherwise(lit(0.0))
+    val a1 = coalesce(col("a_suf1"), lit(0L))
+    var p: Column =
+      greatest(a1.cast("double") - dsel(a1, 1), lit(0.0)) / col("__s1") +
+        ((col("d1_1") * col("__u1") + col("d2_1") * col("__u2") +
+          col("d3_1") * col("__u3p")) / col("__s1")) / col("__v")
+    for (k <- 2 to n) {
+      val ak = coalesce(col(s"a_suf$k"), lit(0L))
+      val pk =
+        greatest(ak.cast("double") - dsel(ak, k), lit(0.0)) /
+          col(s"s_$k") +
+          ((col(s"d1_$k") * col(s"h1_$k") + col(s"d2_$k") * col(s"h2_$k") +
+            col(s"d3_$k") * col(s"h3p_$k")) / col(s"s_$k")) * p
+      p = when(col(s"s_$k").isNotNull, pk).otherwise(p)
+    }
+    // floor only FITTED classes (greatest skips nulls — an unfitted
+    // class's all-null join row must stay NULL, not become 1e-10)
+    val s = when(col("__s1").isNotNull, greatest(p, lit(1e-10)))
     val scored = cur
       .select(id, (col("m") * log(s)).as("lp"), col("m"))
       .groupBy(id)

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+import graft.pipeline.TextAnalysis
+
 /** Round-18 additions: the history-compaction hybrid consumer
   * ([[graft.streaming.DocStream.cleanConsumeHybrid]] — store-side
   * anti-join for the cold history + TTL-bounded checkpoint for the hot
@@ -136,5 +138,102 @@ class Round18Spec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")),
       "the pending (unprocessed) file must survive")
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  // ---- interpolated modified Kneser-Ney ----
+  // Fixture corpus (class x): "a b a b c" / "a b c d" / "b c a".
+  // Hand-derived statistics (tools/kn_reference.py is the written-out
+  // third formulation; the arithmetic below was checked by hand):
+  //   raw bigram types: ab:3 ba:1 bc:3 cd:1 ca:1
+  //   continuation unigrams a1 (distinct left-extensions): a:2 b:1 c:1 d:1
+  //   order-1 count-of-counts n1..n4 = (3,1,0,0) -> Y=0.6,
+  //     D = (0.6, 2.0 [n3=0 via formula], 1.5 [n3=0 fallback])
+  //   order-2 count-of-counts (3,0,2,0) -> Y=1, D = (1.0, 1.0 fb, 3.0)
+  //   class scalars: S1=5, (u1,u2,u3p)=(3,1,0), V=4
+  //   e.g. p(b|a): hist a -> S=3, N3+=1; a(ab)=3 discounted by D3=3.0
+  //     to 0; gamma = 3.0*1/3 = 1; p1(b) = max(1-0.6,0)/5
+  //     + ((0.6*3 + 2.0*1 + 1.5*0)/5)/4 = 0.08 + 0.19 = 0.27
+  //   OOV-everything doc: p = uniform term 0.19 -> nll = 1.6607
+  private val knDocs = Seq(
+    (1L, "x", "a b a b c"), (2L, "x", "a b c d"), (3L, "x", "b c a"))
+
+  test("modified-KN order-2: hand-computed discounts, continuation counts, OOV and clamp branches") {
+    val fit = knDocs.toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.knLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 2)
+    // discounts and scalars exactly as hand-derived
+    val d = lm.discounts.head()
+    assert(math.abs(d.getAs[Double]("d1_1") - 0.6) < 1e-12)
+    assert(d.getAs[Double]("d2_1") == 2.0 && d.getAs[Double]("d3_1") == 1.5)
+    assert(d.getAs[Double]("d1_2") == 1.0 && d.getAs[Double]("d2_2") == 1.0
+      && d.getAs[Double]("d3_2") == 3.0)
+    val cs = lm.classStats.head()
+    assert(cs.getAs[Long]("s1") == 5L && cs.getAs[Long]("u1") == 3L &&
+      cs.getAs[Long]("u2") == 1L && cs.getAs[Long]("u3p") == 0L &&
+      cs.getAs[Long]("v") == 4L)
+    val a1 = lm.grams.head.collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("a")).toMap
+    assert(a1 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L),
+      s"continuation unigrams drifted: $a1")
+    val score = knDocs ++ Seq((4L, "x", "c d a b"), (5L, "x", "z z z"),
+      (6L, "x", "a"), (7L, "zz", "a b"))
+    val got = TextAnalysis.knLmApplyJoined(lm,
+        score.toDF("doc_id", "cls", "text"), "text", "doc_id", "cls")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null
+        else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    val expect = Map(1L -> 1.3972, 2L -> 1.3093, 3L -> 1.485,
+      4L -> 1.4265, 5L -> 1.6607)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, want $e") }
+    assert(got(6L) == null, "doc shorter than order must score NULL")
+    assert(got(7L) == null, "unfitted class must score NULL")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("modified-KN order-3 with and without pruning matches the reference; save/load roundtrips") {
+    val fit = knDocs.toDF("doc_id", "cls", "text")
+    val score = (knDocs ++ Seq((4L, "x", "c d a b"), (5L, "x", "z z z")))
+      .toDF("doc_id", "cls", "text")
+    def scores(lm: TextAnalysis.KnLmByClass): Map[Long, Double] =
+      TextAnalysis.knLmApplyJoined(lm, score, "text", "doc_id", "cls")
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lm1 = TextAnalysis.knLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 3)
+    assert(scores(lm1) == Map(1L -> 1.1223, 2L -> 1.2433, 3L -> 1.2264,
+      4L -> 1.485, 5L -> 1.6607), s"order-3 minCount=1: ${scores(lm1)}")
+    // pruning drops singleton ADJUSTED counts from the numerators only —
+    // stats stay full-corpus, pruned grams fall through gamma * p_{k-1}
+    val lm2 = TextAnalysis.knLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 3, minCount = 2)
+    assert(scores(lm2) == Map(1L -> 1.8744, 2L -> 1.9224, 3L -> 2.0662,
+      4L -> 1.6607, 5L -> 1.6607), s"order-3 minCount=2: ${scores(lm2)}")
+    val dir = java.nio.file.Files.createTempDirectory("kn_save").toString
+    lm2.save(dir)
+    val lm2r = TextAnalysis.KnLmByClass.load(spark, dir)
+    assert(lm2r.order == 3 && lm2r.minCount == 2 &&
+      scores(lm2r) == scores(lm2), "save/load drifted")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
+  test("per-class KN == per-class sequential global fits (the flat-in-C joined plan changes nothing)") {
+    val fit = (knDocs ++ Seq((11L, "y", "p q p q r"), (12L, "y", "q r s"),
+      (13L, "y", "p q s p"))).toDF("doc_id", "cls", "text")
+    val lm = TextAnalysis.knLmFitByClass(fit, "text", "doc_id", "cls",
+      order = 2)
+    val joined = TextAnalysis.knLmApplyJoined(lm, fit, "text", "doc_id",
+        "cls").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val perClass = Seq("x", "y").flatMap { c =>
+      val part = fit.filter(col("cls") === c)
+      val g = TextAnalysis.knLmFit(part, "text", "doc_id", order = 2)
+      TextAnalysis.knLmApply(g, part, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+    }.toMap
+    assert(joined == perClass,
+      s"joined != sequential per-class: $joined vs $perClass")
+    graft.pipeline.StageCaches.unpersistAll()
   }
 }
