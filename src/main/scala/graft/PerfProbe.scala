@@ -88,20 +88,43 @@ object PerfProbe {
       // invariance (correctness is gate-pinned by tx_lm_5gram_perlang;
       // order 3 bit-equals the trigram engines, so the trigram probe's
       // joined-vs-per-class comparison covers the generic shape too)
+      // SPARK_GRAFT_CCNET_KN=1 swaps in the modified-KN engines (same
+      // probe contract: the joined apply must stay flat in C).
+      // SPARK_GRAFT_LM_MINCOUNT sets the count floor (default 2) and the
+      // probe logs MODEL ROWS per order — the sweep mode behind
+      // SCALE.md's model-size table: minCount is the claimed scale
+      // control on unbounded corpora, so measure rows AND apply time
+      // at 1/2/5.
       val ccnetOrder = sys.env.getOrElse("SPARK_GRAFT_CCNET_ORDER", "0").toInt
       if (ccnetOrder > 3) {
+        val minCount = sys.env.getOrElse("SPARK_GRAFT_LM_MINCOUNT", "2").toInt
+        val useKn = sys.env.getOrElse("SPARK_GRAFT_CCNET_KN", "0") == "1"
         val t0 = System.nanoTime()
-        val lmN = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
-          "pred_class", order = ccnetOrder, minCount = 2)
-        val r = TextAnalysis.ngramLmApplyJoined(lmN, pred, "text",
-            "doc_id", "pred_class")
-          .agg(count(lit(1)), count(col("lm_nll")), sum(col("lm_nll")))
-          .head()
+        val (r, gramFrames) = if (useKn) {
+          val lmK = TextAnalysis.knLmFitByClass(pred, "text", "doc_id",
+            "pred_class", order = ccnetOrder, minCount = minCount)
+          (TextAnalysis.knLmApplyJoined(lmK, pred, "text", "doc_id",
+              "pred_class")
+            .agg(count(lit(1)), count(col("lm_nll")), sum(col("lm_nll")))
+            .head(), lmK.grams)
+        } else {
+          val lmN = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
+            "pred_class", order = ccnetOrder, minCount = minCount)
+          (TextAnalysis.ngramLmApplyJoined(lmN, pred, "text",
+              "doc_id", "pred_class")
+            .agg(count(lit(1)), count(col("lm_nll")), sum(col("lm_nll")))
+            .head(), lmN.counts)
+        }
         val secs = (System.nanoTime() - t0) / 1e9
+        // model rows AFTER the timing window (reads the fit's caches)
+        val modelRows = gramFrames.map(_.count())
         StageCaches.unpersistAll(blocking = true)
+        val eng = if (useKn) "kn" else "sb"
         println(f"ccnet-ngram probe: n=$ccnetN classes=$c " +
-          f"order=$ccnetOrder joined=$secs%.1f s rows=${r.getLong(0)} " +
-          s"scored=${r.getLong(1)}")
+          f"order=$ccnetOrder engine=$eng minCount=$minCount " +
+          f"joined=$secs%.1f s rows=${r.getLong(0)} " +
+          s"scored=${r.getLong(1)} " +
+          s"modelRows=${modelRows.mkString("+")}=${modelRows.sum}")
         spark.stop()
         return
       }

@@ -195,6 +195,139 @@ object QueriesPipeline {
        |${sqlNgramNllFor("qfr", "src_fr", "src_fr", order, minCount)},
        |allq AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM qdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM qenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM qfrm)""".stripMargin
 
+  /** GENERIC interpolated modified-Kneser-Ney order-n chain ending in
+    * `${p}m(doc_id, lm_nll)` — the mirror of
+    * knLmFitByClass/knLmApplyJoined on one fit/score subset. Same
+    * statistic definitions, generated per order: raw k-gram type
+    * tables, adjusted (continuation) counts, Chen-Goodman discounts
+    * from count-of-counts (guarded + clamped exactly as the engine),
+    * prefix-history stats, class scalars; the probability recursion is
+    * a CTE chain (pp1..ppn) so the nested backoff never duplicates
+    * subexpressions. `minCount` prunes the numerator joins only —
+    * every statistic CTE reads the unpruned adjusted tables, the
+    * engine's pruning recipe. */
+  private def sqlKnNllFor(p: String, fitSrc: String, scoreSrc: String,
+      order: Int, minCount: Int): String = {
+    val n = order
+    def gramList(k: Int): String =
+      if (k == 1) "toks"
+      else s"""CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}),
+         |      i -> ${(0 until k).map(o => s"toks[i+$o]").mkString(" || ' ' || ")})
+         |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    val rawCtes = (2 to n).map { k =>
+      s"""${p}r$k AS (SELECT gram, count(*) AS c FROM (
+         |  SELECT unnest(${gramList(k)}) AS gram FROM ${p}ftok) x
+         |  GROUP BY gram)""".stripMargin
+    }.mkString(",\n")
+    // adjusted counts: raw at order n; CONTINUATION below — rows of the
+    // (k+1)-type table grouped by its k-suffix (each type has a distinct
+    // first word given the suffix, so count(*) is the predecessor count)
+    val adjCtes = ((1 until n).map { k =>
+      s"""${p}a$k AS (SELECT array_to_string(string_split(gram, ' ')[2:${k + 1}], ' ') AS gram,
+         |  count(*) AS a FROM ${p}r${k + 1} GROUP BY 1)""".stripMargin
+    } :+ s"${p}a$n AS (SELECT gram, c AS a FROM ${p}r$n)").mkString(",\n")
+    val discCtes = (1 to n).map { k =>
+      s"""${p}d$k AS (SELECT
+         |    greatest(0.0, least(1.0, CASE WHEN n1 > 0 THEN 1.0 - 2.0 * y * n2 / n1 ELSE 0.5 END)) AS d1,
+         |    greatest(0.0, least(2.0, CASE WHEN n2 > 0 THEN 2.0 - 3.0 * y * n3 / n2 ELSE 1.0 END)) AS d2,
+         |    greatest(0.0, least(3.0, CASE WHEN n3 > 0 THEN 3.0 - 4.0 * y * n4 / n3 ELSE 1.5 END)) AS d3
+         |  FROM (SELECT n1, n2, n3, n4,
+         |      CASE WHEN n1 + 2*n2 > 0 THEN CAST(n1 AS DOUBLE) / (n1 + 2*n2) ELSE 0.5 END AS y
+         |    FROM (SELECT
+         |        sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS n1,
+         |        sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS n2,
+         |        sum(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS n3,
+         |        sum(CASE WHEN a = 4 THEN 1 ELSE 0 END) AS n4 FROM ${p}a$k) cc) y)""".stripMargin
+    }.mkString(",\n")
+    val psCtes = (2 to n).map { k =>
+      s"""${p}ps$k AS (SELECT array_to_string(string_split(gram, ' ')[1:${k - 1}], ' ') AS hist,
+         |    sum(a) AS s,
+         |    sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS h1,
+         |    sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS h2,
+         |    sum(CASE WHEN a >= 3 THEN 1 ELSE 0 END) AS h3p
+         |  FROM ${p}a$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    def sufExpr(k: Int): String =
+      if (k == 1) s"a.ws[$n]" else s"array_to_string(a.ws[${n - k + 1}:$n], ' ')"
+    def denExpr(k: Int): String =
+      if (k == 1) s"a.ws[${n - 1}]"
+      else s"array_to_string(a.ws[${n - k}:${n - 1}], ' ')"
+    def numSrc(k: Int): String =
+      if (minCount == 1) s"${p}a$k"
+      else s"(SELECT * FROM ${p}a$k WHERE a >= $minCount)"
+    val joinCols =
+      (1 to n).map(k => s"s$k.a AS a_$k") ++
+      (2 to n).flatMap(k => Seq(s"px$k.s AS s_$k", s"px$k.h1 AS h1_$k",
+        s"px$k.h2 AS h2_$k", s"px$k.h3p AS h3p_$k")) ++
+      Seq("cs.s1 AS s1", "cs.u1 AS u1", "cs.u2 AS u2", "cs.u3p AS u3p",
+        "cs.v AS v") ++
+      (1 to n).flatMap(k => Seq(s"dd$k.d1 AS d1_$k", s"dd$k.d2 AS d2_$k",
+        s"dd$k.d3 AS d3_$k"))
+    val joins =
+      ((n to 2 by -1).flatMap { k =>
+        Seq(s"LEFT JOIN ${numSrc(k)} s$k ON ${sufExpr(k)} = s$k.gram",
+          s"LEFT JOIN ${p}ps$k px$k ON ${denExpr(k - 1)} = px$k.hist")
+      } ++ Seq(s"LEFT JOIN ${numSrc(1)} s1 ON ${sufExpr(1)} = s1.gram",
+        s"CROSS JOIN ${p}cs cs") ++
+        (1 to n).map(k => s"CROSS JOIN ${p}d$k dd$k"))
+        .mkString("\n    ")
+    def dsel(a: String, k: Int): String =
+      s"CASE WHEN $a >= 3 THEN d3_$k WHEN $a = 2 THEN d2_$k WHEN $a = 1 THEN d1_$k ELSE 0.0 END"
+    val pCtes = (1 to n).map { k =>
+      if (k == 1)
+        s"""${p}q1 AS (SELECT *,
+           |    greatest(CAST(av1 AS DOUBLE) - ${dsel("av1", 1)}, 0.0) / s1
+           |    + ((d1_1 * u1 + d2_1 * u2 + d3_1 * u3p) / s1) / v AS pp1
+           |  FROM (SELECT *, coalesce(a_1, 0) AS av1 FROM ${p}j) x)""".stripMargin
+      else
+        s"""${p}q$k AS (SELECT *, CASE WHEN s_$k IS NOT NULL THEN
+           |    greatest(CAST(av$k AS DOUBLE) - ${dsel(s"av$k", k)}, 0.0) / s_$k
+           |    + ((d1_$k * h1_$k + d2_$k * h2_$k + d3_$k * h3p_$k) / s_$k) * pp${k - 1}
+           |  ELSE pp${k - 1} END AS pp$k
+           |  FROM (SELECT *, coalesce(a_$k, 0) AS av$k FROM ${p}q${k - 1}) x)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}ftok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $fitSrc),
+       |$rawCtes,
+       |$adjCtes,
+       |$discCtes,
+       |$psCtes,
+       |${p}cs AS (SELECT sum(a) AS s1,
+       |    sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS u1,
+       |    sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS u2,
+       |    sum(CASE WHEN a >= 3 THEN 1 ELSE 0 END) AS u3p,
+       |    count(*) AS v FROM ${p}a1),
+       |${p}stok AS (SELECT doc_id, ($sqlToks)[1:512] AS toks FROM $scoreSrc),
+       |${p}ste AS (SELECT doc_id, unnest(${gramList(n)}) AS tg FROM ${p}stok),
+       |${p}dtg AS (SELECT doc_id, tg, count(*) AS m FROM ${p}ste GROUP BY 1, 2),
+       |${p}sp AS (SELECT doc_id, tg, m, string_split(tg, ' ') AS ws FROM ${p}dtg),
+       |${p}j AS (SELECT a.doc_id, a.m,
+       |    ${joinCols.mkString(",\n    ")}
+       |  FROM ${p}sp a
+       |    $joins),
+       |$pCtes,
+       |${p}lp AS (SELECT doc_id, -sum(m * ln(greatest(pp$n, 1e-10))) / sum(m) AS nll
+       |  FROM ${p}q$n GROUP BY doc_id),
+       |${p}m AS (SELECT d.doc_id, round(l.nll, 4) + 0.0 AS lm_nll
+       |  FROM $scoreSrc d LEFT JOIN ${p}lp l ON d.doc_id = l.doc_id)""".stripMargin
+  }
+
+  /** LangID + per-predicted-language modified-KN chains ending in
+    * `allk(pred_class, doc_id, lm_nll)` — the mirror of the
+    * tx_lm_kn5_perlang gate. */
+  private def sqlKnPerlangChain(order: Int, minCount: Int): String =
+    s"""$sqlLangIdChain,
+       |pred AS (SELECT doc_id, c AS pred_class FROM lr WHERE rn = 1),
+       |src_de AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'de'),
+       |${sqlKnNllFor("kde", "src_de", "src_de", order, minCount)},
+       |src_en AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'en'),
+       |${sqlKnNllFor("ken", "src_en", "src_en", order, minCount)},
+       |src_fr AS (SELECT d.* FROM documents d JOIN pred p USING (doc_id)
+       |  WHERE p.pred_class = 'fr'),
+       |${sqlKnNllFor("kfr", "src_fr", "src_fr", order, minCount)},
+       |allk AS (SELECT 'de' AS pred_class, doc_id, lm_nll FROM kdem UNION ALL SELECT 'en' AS pred_class, doc_id, lm_nll FROM kenm UNION ALL SELECT 'fr' AS pred_class, doc_id, lm_nll FROM kfrm)""".stripMargin
+
   /** LangID + per-predicted-language trigram chains ending in
     * `allg(pred_class, doc_id, lm_nll)` — shared verbatim by
     * tx_lm_trigram_perlang (scores) and pl_ccnet_trigram (the composed
@@ -1416,6 +1549,30 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Wenzek et al.'s actual SMOOTHING on top of the r17 configuration:
+    // interpolated modified Kneser-Ney (KenLM's math — continuation
+    // counts below the top order, Chen-Goodman D1/D2/D3+ from
+    // count-of-counts, history-mass interpolation weights) as a
+    // per-language 5-gram on the pruned count set, through
+    // knLmFitByClass + the flat-in-class-count knLmApplyJoined. The
+    // oracle generates the same recursion per order: adjusted-count
+    // CTEs, discount CTEs with identical guards and clamps, and the
+    // pp1..pp5 interpolation chain. Stupid backoff stays the documented
+    // at-scale default (tx_lm_5gram_perlang); this is the published
+    // scorer's semantics.
+    "tx_lm_kn5_perlang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.knLmFitByClass(pred, "text", "doc_id",
+        "pred_class", order = 5, minCount = 2)
+      TextAnalysis.knLmApplyJoined(lm, pred, "text", "doc_id",
+          "pred_class")
+        .orderBy(col("doc_id"))
+    }),
+
     "tx_tfidf_topterms" -> ((s, dir) => {
       TextAnalysis.topTermsTfIdf(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2413,6 +2570,12 @@ object QueriesPipeline {
     "tx_lm_5gram_perlang" ->
       s"""WITH ${sqlNgramPerlangChain(5, 2)}
          |SELECT doc_id, pred_class, lm_nll FROM allq
+         |ORDER BY doc_id""".stripMargin,
+    // the generated order-5 interpolated modified-KN chain at the same
+    // floor — the published scorer's smoothing
+    "tx_lm_kn5_perlang" ->
+      s"""WITH ${sqlKnPerlangChain(5, 2)}
+         |SELECT doc_id, pred_class, lm_nll FROM allk
          |ORDER BY doc_id""".stripMargin,
     // the composed 5-gram CCNet: the SAME generated chains feeding the
     // tercile/mix tail

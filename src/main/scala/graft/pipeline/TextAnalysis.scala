@@ -1984,15 +1984,22 @@ object TextAnalysis {
     def rawTypes(k: Int): DataFrame = tok
       .select(col("class"), explode(kgrams(k)).as("gram"))
       .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("c"))
+    // the order-n type table is read twice (it IS a_n, and it is the
+    // continuation source for a_{n-1}) — cache it so the corpus-wide
+    // explode-aggregate runs once; the lower raw tables feed exactly
+    // one continuation group-by each and stay uncached
+    val rawN = rawTypes(order).cache().transform(StageCaches.track)
     // adjusted counts; cached — each frame feeds discounts, prefix
     // stats (or class scalars), and the stored numerator
     val adj: Seq[DataFrame] = (1 to order).map { k =>
-      val a = if (k == order) rawTypes(k).withColumnRenamed("c", "a")
-      else rawTypes(k + 1)
-        .select(col("class"), concat_ws(" ",
-          slice(split(col("gram"), " "), 2, k)).as("gram"))
-        .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("a"))
-      a.cache().transform(StageCaches.track)
+      if (k == order) rawN.withColumnRenamed("c", "a")
+      else {
+        val src = if (k == order - 1) rawN else rawTypes(k + 1)
+        src.select(col("class"), concat_ws(" ",
+            slice(split(col("gram"), " "), 2, k)).as("gram"))
+          .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("a"))
+          .cache().transform(StageCaches.track)
+      }
     }
     def tally(j: Int): Column =
       sum(when(col("a") === j, 1L).otherwise(0L)).as(s"n$j")

@@ -181,7 +181,8 @@ class PlanSpec extends SparkSpec {
     // the order-n apply is left joins + a broadcast (N, V) attach — a
     // Window or a non-broadcast totals join here would re-introduce the
     // skewed-language single-task shapes these engines exist to avoid
-    for (q <- Seq("tx_lm_trigram_pruned", "tx_lm_5gram_perlang")) {
+    for (q <- Seq("tx_lm_trigram_pruned", "tx_lm_5gram_perlang",
+        "tx_lm_kn5_perlang")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Window"),
