@@ -1486,6 +1486,24 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ... and with the published SMOOTHING: the same end-to-end CCNet
+    // with per-language interpolated modified-KN 5-gram models
+    // (knLmFitByClass at the same floor) feeding the same tercile/mix
+    // tail — langID -> KenLM-math scoring -> keep/sample/drop, the
+    // full published configuration
+    "pl_ccnet_kn5" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.linearClassifyLabel(col("text"), LangIdClasses,
+            LangIdWeights, LangIdBiases).as("pred_class"))
+        .cache().transform(graft.pipeline.StageCaches.track)
+      val lm = TextAnalysis.knLmFitByClass(pred, "text", "doc_id",
+        "pred_class", order = 5, minCount = 2)
+      graft.pipeline.Pipelines.ccnetPreClassified(pred, "text", "doc_id",
+          "pred_class", lm, 500)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language TRIGRAM scoring through the JOINED engine: all
     // per-class stupid-backoff models fit in three aggregates
     // (trigramLmFitByClass), every doc scored against its predicted
@@ -2583,6 +2601,17 @@ object QueriesPipeline {
       s"""WITH ${sqlNgramPerlangChain(5, 2)},
          |tscored AS (SELECT pred_class, doc_id, lm_nll
          |  FROM allq WHERE lm_nll IS NOT NULL),
+         |${sqlTercileBuckets("pred_class")}
+         |SELECT doc_id, pred_class, bucket FROM b
+         |WHERE bucket = 1 OR (bucket = 2 AND
+         |  ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+         |ORDER BY doc_id""".stripMargin,
+    // the composed KN CCNet: the SAME generated modified-KN chains
+    // feeding the same tercile/mix tail
+    "pl_ccnet_kn5" ->
+      s"""WITH ${sqlKnPerlangChain(5, 2)},
+         |tscored AS (SELECT pred_class, doc_id, lm_nll
+         |  FROM allk WHERE lm_nll IS NOT NULL),
          |${sqlTercileBuckets("pred_class")}
          |SELECT doc_id, pred_class, bucket FROM b
          |WHERE bucket = 1 OR (bucket = 2 AND

@@ -544,6 +544,17 @@ object Pipelines {
     ccnetTail(TextAnalysis.ngramLmApplyJoined(lm, docs, textCol, idCol,
       classCol), idCol, classCol, midKeepPermille)
 
+  /** [[ccnetPreClassified]] with per-language interpolated MODIFIED
+    * KNESER-NEY models ([[TextAnalysis.KnLmByClass]]) — the published
+    * pipeline with the published SMOOTHING (per-language 5-gram KenLM
+    * is modified KN): same one-pass joined scoring, same window-free
+    * tercile/mix tail. */
+  def ccnetPreClassified(docs: DataFrame, textCol: String, idCol: String,
+      classCol: String, lm: TextAnalysis.KnLmByClass,
+      midKeepPermille: Int): DataFrame =
+    ccnetTail(TextAnalysis.knLmApplyJoined(lm, docs, textCol, idCol,
+      classCol), idCol, classCol, midKeepPermille)
+
   /** The shared CCNet tail over an already-scored (idCol, classCol,
     * lm_nll) frame: drop unscorable rows, per-class broadcast-cutoff
     * terciles, keep/sample/drop — ONE copy so the bigram and trigram

@@ -166,7 +166,7 @@ class PlanSpec extends SparkSpec {
     // theta-join allowlist above
     for (q <- Seq("pl_lm_buckets", "pl_lm_mix", "pl_ccnet",
         "pl_ccnet_perlang", "pl_ccnet_joined", "pl_ccnet_distributed",
-        "pl_ccnet_trigram", "pl_ccnet_5gram")) {
+        "pl_ccnet_trigram", "pl_ccnet_5gram", "pl_ccnet_kn5")) {
       val p = SparkEntry.queries(q)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!p.contains("Window"),
