@@ -1319,6 +1319,19 @@ object QueriesPipeline {
       TextAnalysis.trigramLmApply(lm, docs.filter(col("doc_id") >= 250))
         .orderBy(col("doc_id"))
     }),
+    // HELD-OUT modified-KN: fit a global order-3 KN model on the first
+    // half, score the disjoint second half — the OOV and unseen-history
+    // interpolation branches (continuation-count unigram floor, full
+    // backoff on unseen histories, the 1e-10 guard) exercised at gate
+    // scale on text the model never saw, unpruned so the recursion is
+    // pure KN end to end
+    "tx_lm_kn_heldout" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.knLmFit(docs.filter(col("doc_id") < 250),
+        order = 3)
+      TextAnalysis.knLmApply(lm, docs.filter(col("doc_id") >= 250))
+        .orderBy(col("doc_id"))
+    }),
     // ... and the bucketing that consumes it: per-LANGUAGE terciles of
     // the rounded score (CCNet buckets per language), summarized per
     // bucket. Buckets come from BROADCAST VALUE CUTOFFS
@@ -2933,6 +2946,12 @@ object QueriesPipeline {
          |tscore AS (SELECT * FROM documents WHERE doc_id >= 250),
          |${sqlTrigramNllFor("t", "tfit", "tscore")}
          |SELECT doc_id, lm_nll FROM tm ORDER BY doc_id""".stripMargin,
+    // held-out KN: the generated recursion with fit/score split
+    "tx_lm_kn_heldout" ->
+      s"""WITH kfit AS (SELECT * FROM documents WHERE doc_id < 250),
+         |kscore AS (SELECT * FROM documents WHERE doc_id >= 250),
+         |${sqlKnNllFor("kh", "kfit", "kscore", 3, 1)}
+         |SELECT doc_id, lm_nll FROM khm ORDER BY doc_id""".stripMargin,
     "pl_lm_buckets" ->
       s"""WITH $sqlLmNll,
          |tscored AS (SELECT d.lang, lm.doc_id, lm.lm_nll

@@ -730,9 +730,18 @@ object DocStream {
         col("n_final").cast("long").as("n_final"))
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // explicit schema: a streaming-sink outDir can exist with only its
+    // _spark_metadata log (zero committed files) — inference would fail
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("clean_text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_final",
+        org.apache.spark.sql.types.LongType)))
     val fresh = if (fs.exists(outPath))
       masked.withColumn("__digest", md5(col("clean_text")))
-        .join(spark.read.parquet(outDir)
+        .join(spark.read.schema(outSchema).parquet(outDir)
           .select(md5(col("clean_text")).as("__digest")),
           Seq("__digest"), "left_anti")
         .drop("__digest")
