@@ -548,6 +548,39 @@ object QueriesPipeline {
        |ORDER BY tok""".stripMargin
   }
 
+  /** DSIR oracle chain (Xie et al. 2023 recomputed in SQL — an
+    * independent formulation: explode + model join + group-by, where the
+    * engine is a map-only hash-kernel sum): hashed unigram+bigram bucket
+    * counts of target (lang = 'en') vs raw (all docs) in one conditional
+    * aggregate, add-1 log-ratios micro-quantized to BIGINT over the FULL
+    * B-bucket domain (range join keeps unseen buckets), per-doc integer
+    * sums. Yields ds(doc_id, dsir_logw_micro). */
+  private def sqlDsirChain(buckets: Int): String = {
+    val ug = s"${sqlHash60("t")} % $buckets"
+    val bg = s"${sqlHash60("toks[i] || ' ' || toks[i+1]")} % $buckets"
+    s"""dtok AS (SELECT doc_id, lang, $sqlToks toks FROM documents),
+       |dfeat AS (SELECT doc_id, lang,
+       |    list_transform(toks, t -> $ug) ||
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)), i -> $bg)
+       |      ELSE CAST([] AS BIGINT[]) END AS bs
+       |  FROM dtok),
+       |dex AS MATERIALIZED (SELECT doc_id, lang, unnest(bs) AS b FROM dfeat),
+       |dcnt AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr FROM dex GROUP BY 1),
+       |dtotal AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dcnt),
+       |dmodel AS MATERIALIZED (SELECT r.range AS b,
+       |    CAST(round((ln(coalesce(c.ct, 0) + 1.0)
+       |      - ln((SELECT tt FROM dtotal) + 1.0 * $buckets)
+       |      - ln(coalesce(c.cr, 0) + 1.0)
+       |      + ln((SELECT tr FROM dtotal) + 1.0 * $buckets)) * 1e6) AS BIGINT) AS lrm
+       |  FROM range($buckets) r LEFT JOIN dcnt c ON r.range = c.b),
+       |dsum AS (SELECT e.doc_id, sum(m.lrm) AS micro
+       |  FROM dex e JOIN dmodel m ON e.b = m.b GROUP BY 1),
+       |ds AS (SELECT k.doc_id, CAST(coalesce(s.micro, 0) AS BIGINT) AS dsir_logw_micro
+       |  FROM dtok k LEFT JOIN dsum s USING (doc_id))""".stripMargin
+  }
+
   // (token, class, weight) triples for the oracle's literal model table
   private def sqlLangIdWeights: String =
     LangIdWeights.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
@@ -2309,6 +2342,38 @@ object QueriesPipeline {
         .select(col("doc_id"), col("media_status"), col("n_channels"),
           col("duration_ms"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    // bucket models (B = 256) fit on target (lang = 'en') vs raw (all
+    // docs) with add-1 smoothing; each doc's log importance weight is
+    // an EXACT micro-unit Long (quantized ratios summed per occurrence
+    // through the map-only langID kernel), so both engines hash-compare
+    // integers — zero float drift in the headline column. Fit is one
+    // tagged-union count aggregate bounded by B rows.
+    "tx_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.Dsir.fit(docs.filter(col("lang") === "en"),
+        docs, "text", wordNgrams = 2, buckets = 256, alpha = 1.0)
+      graft.pipeline.Dsir.score(docs, "text", model)
+        .select(col("doc_id"), col("dsir_logw_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the end-to-end DSIR pipeline: score (above) + Gumbel top-k
+    // resampling — k = 25% of the corpus drawn without replacement
+    // ∝ the importance weight, the Gumbel noise a deterministic
+    // md5-hash of the doc id so the "random" sample replays identically
+    // in DuckDB. One TakeOrderedAndProject, never a global sort.
+    "pl_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.Dsir.fit(docs.filter(col("lang") === "en"),
+        docs, "text", wordNgrams = 2, buckets = 256, alpha = 1.0)
+      val k = (docs.count() / 4).toInt
+      graft.pipeline.Dsir.resample(
+          graft.pipeline.Dsir.score(docs, "text", model), "doc_id", k)
+        .select(col("doc_id"), round(col("dsir_key"), 4).as("dsir_key"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -3240,5 +3305,25 @@ object QueriesPipeline {
       """SELECT doc_id, 'ok:mp3' AS media_status,
         |  CAST(2 AS INT) AS n_channels,
         |  CAST((4 + doc_id % 1000) * 8 // 128 AS BIGINT) AS duration_ms
-        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    "tx_dsir_score" ->
+      s"""WITH ${sqlDsirChain(256)}
+         |SELECT doc_id, dsir_logw_micro FROM ds ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-k: key = logw + (-ln(-ln u)), u a deterministic hash of
+    // the id; rank by (key desc, id) and keep the top count/4 — drawn
+    // without replacement ∝ the importance weight. round-4 on the key
+    // follows the LM gates' ln-math discipline.
+    "pl_dsir_select" ->
+      s"""WITH ${sqlDsirChain(256)},
+         |dkey AS (SELECT doc_id,
+         |    CAST(dsir_logw_micro AS DOUBLE) / 1e6
+         |    - ln(-ln((CAST(${sqlHash60("'g:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1e6)) AS kk
+         |  FROM ds),
+         |dnum AS (SELECT CAST(count(*) // 4 AS BIGINT) AS k FROM ds),
+         |dsel AS (SELECT doc_id, kk,
+         |    row_number() OVER (ORDER BY kk DESC, doc_id ASC) AS rn FROM dkey)
+         |SELECT doc_id, round(kk, 4) AS dsir_key FROM dsel
+         |WHERE rn <= (SELECT k FROM dnum) ORDER BY doc_id""".stripMargin)
 }

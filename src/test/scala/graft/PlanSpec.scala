@@ -192,6 +192,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("DSIR scoring is map-only (no shuffle, no join) and selection is a top-k") {
+    // the model rides the score expression as a hash-indexed reference
+    // object — an Exchange or Join in the score plan means the kernel
+    // regressed to a shuffle shape that can't scale to a 100 TB raw side
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.pipeline.Dsir.fit(docs.filter(col("lang") === "en"),
+      docs, "text", wordNgrams = 2, buckets = 64, alpha = 1.0)
+    val scorePlan = graft.pipeline.Dsir.score(docs, "text", model)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!scorePlan.contains("Exchange"),
+      s"DSIR score must stay map-only:\n$scorePlan")
+    assert(!scorePlan.contains("Join"),
+      s"the model must ride the kernel, not a join:\n$scorePlan")
+    val p = explain("pl_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k must be a TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("sparse index read prunes posting buckets at the directory level (v2_sparse_inverted)") {
     val p = explain("v2_sparse_inverted")
     // the pruned posting scan must carry a PartitionFilters entry on the

@@ -236,4 +236,115 @@ class Round18Spec extends SparkSpec {
       s"joined != sequential per-class: $joined vs $perClass")
     graft.pipeline.StageCaches.unpersistAll()
   }
+
+  // ---- DSIR (Xie et al. 2023 importance resampling) ----
+  // Independent reference formulation: md5 via hex-string parse (the
+  // tested-equivalent form of hash60), brute-force Map counting, direct
+  // ln arithmetic — none of the engine's aggregate/kernel machinery.
+  private def refBucket(s: String, b: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % b
+  }
+  private def refFeatures(text: String, b: Int): Seq[Long] = {
+    val toks = if (text.trim.isEmpty) Array.empty[String]
+      else text.trim.split("\\s+")
+    toks.toSeq.map(refBucket(_, b)) ++
+      toks.toSeq.sliding(2).filter(_.size == 2)
+        .map(p => refBucket(p.mkString(" "), b))
+  }
+  private val dsirDocs = Seq(
+    (1L, true, "the cat sat on the mat"),
+    (2L, true, "the dog sat on the log"),
+    (3L, false, "quantum flux capacitor alignment"),
+    (4L, false, "the cat chased the dog"),
+    (5L, false, ""),
+    (6L, false, "mat"))
+
+  test("DSIR fit+score matches a brute-force independent reference (micro-exact)") {
+    val B = 8
+    val df = dsirDocs.toDF("doc_id", "is_t", "text")
+    val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
+      wordNgrams = 2, buckets = B, alpha = 1.0)
+    // brute-force counts and ratios
+    val tCnt = dsirDocs.filter(_._2).flatMap(d => refFeatures(d._3, B))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rCnt = dsirDocs.flatMap(d => refFeatures(d._3, B))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (tt, rt) = (tCnt.values.sum, rCnt.values.sum)
+    def lr(b: Long): Double =
+      math.log(tCnt.getOrElse(b, 0L) + 1.0) - math.log(tt + 1.0 * B) -
+        math.log(rCnt.getOrElse(b, 0L) + 1.0) + math.log(rt + 1.0 * B)
+    assert(model.logRatio.size == B, "model must cover all buckets")
+    (0 until B).foreach { b =>
+      assert(model.logRatio("#" + b) == lr(b), s"bucket $b ratio drifted") }
+    val got = graft.pipeline.Dsir.score(df, "text", model)
+      .select(col("doc_id"), col("dsir_logw_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = dsirDocs.map { case (id, _, text) =>
+      id -> refFeatures(text, B).map(b => math.round(lr(b) * 1e6)).sum
+    }.toMap
+    assert(got == want, s"micro scores drifted: $got vs $want")
+    assert(got(5L) == 0L, "empty doc must score 0")
+  }
+
+  test("DSIR map-only kernel score == explode/join/group-by DataFrame formulation") {
+    val B = 16
+    val df = dsirDocs.toDF("doc_id", "is_t", "text")
+    val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
+      wordNgrams = 2, buckets = B, alpha = 0.5)
+    val kernel = graft.pipeline.Dsir.score(df, "text", model)
+      .select(col("doc_id"), col("dsir_logw_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val modelDf = model.logRatio.toSeq
+      .map { case (k, v) => (k, math.round(v * 1e6)) }
+      .toDF("bucket", "lrm")
+    val joined = df.select(col("doc_id"),
+        explode(graft.pipeline.Dsir.featureBuckets(
+          TextAnalysis.tokens(col("text")), 2, B)).as("bucket"))
+      .join(modelDf, "bucket")
+      .groupBy("doc_id").agg(sum(col("lrm")).as("micro"))
+    val ref = df.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    assert(kernel == ref, s"kernel != join formulation: $kernel vs $ref")
+  }
+
+  test("DSIR Gumbel top-k: deterministic keys, without-replacement selection, k edges") {
+    val B = 8
+    val df = dsirDocs.toDF("doc_id", "is_t", "text")
+    val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
+      wordNgrams = 2, buckets = B, alpha = 1.0)
+    val scored = graft.pipeline.Dsir.score(df, "text", model)
+    // reference keys: logw + standard Gumbel from the id hash
+    val micro = scored.select(col("doc_id"), col("dsir_logw_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def key(id: Long): Double = {
+      val u = ((refBucket(s"g:$id", 1000000).toDouble) + 0.5) / 1e6
+      micro(id).toDouble / 1e6 - math.log(-math.log(u))
+    }
+    val want = dsirDocs.map(_._1).sortBy(id => (-key(id), id)).take(3)
+    val got = graft.pipeline.Dsir.resample(scored, "doc_id", 3)
+      .select(col("doc_id"), col("dsir_key")).collect()
+    assert(got.map(_.getLong(0)).toSeq == want,
+      s"selection drifted: ${got.map(_.getLong(0)).toSeq} vs $want")
+    got.foreach(r => assert(r.getDouble(1) == key(r.getLong(0)),
+      s"key drifted for doc ${r.getLong(0)}"))
+    assert(graft.pipeline.Dsir.resample(scored, "doc_id", 0).count() == 0L)
+    assert(graft.pipeline.Dsir.resample(scored, "doc_id", 100).count() ==
+      dsirDocs.size.toLong, "k > n must keep every row")
+  }
+
+  test("DSIR model save/load roundtrips") {
+    val df = dsirDocs.toDF("doc_id", "is_t", "text")
+    val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
+      wordNgrams = 2, buckets = 8, alpha = 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_save").toString
+    model.save(spark, dir)
+    val loaded = graft.pipeline.Dsir.DsirModel.load(spark, dir)
+    assert(loaded == model, "save/load drifted")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
