@@ -33,6 +33,56 @@ object PerfProbe {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DSIR_N > 0: DSIR scale probe — N synthetic raw docs
+    // (every 10th target-like: an English phrase backbone; the rest
+    // unique gibberish) against a 5k-doc target corpus, at
+    // B = SPARK_GRAFT_DSIR_B buckets (default the paper's 10⁴). Times
+    // fit (the one tagged-union B-bounded aggregate), score (map-only
+    // kernel pass) and select (Gumbel top-N/4), and reports selection
+    // precision — the fraction of selected docs that are target-like,
+    // which importance weighting should pull far above the 10% base
+    // rate. The score pass is corpus-linear and shuffle-free; fit cost
+    // is the explode + partial-merge count.
+    val dsirN = sys.env.getOrElse("SPARK_GRAFT_DSIR_N", "0").toLong
+    if (dsirN > 0) {
+      val b = sys.env.getOrElse("SPARK_GRAFT_DSIR_B", "10000").toInt
+      val phrase = "the quick brown fox jumps over the lazy dog and " +
+        "the small cat sleeps near the warm fire while rain falls"
+      def filler(prefix: String, n: org.apache.spark.sql.Column) =
+        array_join(transform(sequence(lit(1), n),
+          i => concat(lit(prefix), col("id"), lit("_"), i)), " ")
+      val target = spark.range(5000).select(col("id"),
+        concat_ws(" ", lit(phrase), filler("t", (col("id") % 7 + 3).cast("int")))
+          .as("text"))
+      val raw = spark.range(dsirN).select(col("id").as("doc_id"),
+        (col("id") % 10 === 0).as("is_target_like"),
+        when(col("id") % 10 === 0,
+            concat_ws(" ", lit(phrase), filler("r", (col("id") % 5 + 2).cast("int"))))
+          .otherwise(filler("g", (col("id") % 11 + 20).cast("int")))
+          .as("text"))
+        .cache()
+      raw.count() // materialize outside the timing windows
+      val t0 = System.nanoTime()
+      val model = graft.pipeline.Dsir.fit(target, raw, "text",
+        wordNgrams = 2, buckets = b, alpha = 1.0)
+      val tFit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val scored = graft.pipeline.Dsir.score(raw, "text", model)
+      val scoreAgg = scored.agg(sum(col("dsir_logw_micro"))).head()
+      val tScore = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val k = (dsirN / 4).toInt
+      val sel = graft.pipeline.Dsir.resample(scored, "doc_id", k)
+        .agg(count(lit(1)), count(when(col("is_target_like"), 1))).head()
+      val tSel = (System.nanoTime() - t2) / 1e9
+      println(f"dsir n=$dsirN B=$b: fit=$tFit%.2f s score=$tScore%.2f s " +
+        f"select=$tSel%.2f s selected=${sel.getLong(0)} " +
+        f"targetLikeSelected=${sel.getLong(1)} " +
+        f"precision=${sel.getLong(1).toDouble / sel.getLong(0)}%.3f " +
+        s"(base rate 0.100) sumMicro=${scoreAgg.getLong(0)}")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_CCNET_N > 0: many-language CCNet scale probe — the
     // measured form of the joined-vs-per-class claim. N synthetic docs
     // over C = SPARK_GRAFT_CCNET_CLASSES languages (marker-token
