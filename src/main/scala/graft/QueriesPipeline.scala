@@ -581,6 +581,22 @@ object QueriesPipeline {
        |  FROM dtok k LEFT JOIN dsum s USING (doc_id))""".stripMargin
   }
 
+  /** Contamination mirror — shared by the broadcast-exact operator
+    * (dd_contamination) and the bloom pre-filter twin
+    * (dd_contamination_bloom), which is exact by construction. */
+  private def sqlContamination: String =
+    s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+       |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+       |h AS (SELECT doc_id, list_distinct($sqlShingleHashes) hs FROM tkh),
+       |bench AS (SELECT DISTINCT x.h FROM (
+       |  SELECT unnest(hs) AS h FROM h WHERE doc_id < 20) x),
+       |cand AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+       |  FROM h WHERE doc_id >= 20)
+       |SELECT c.doc_id, c.n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
+       |  round(CAST(count(*) AS DOUBLE) / c.n_shingles, 6) AS overlap
+       |FROM cand c JOIN bench b ON c.h = b.h
+       |GROUP BY c.doc_id, c.n_shingles ORDER BY c.doc_id""".stripMargin
+
   // (token, class, weight) triples for the oracle's literal model table
   private def sqlLangIdWeights: String =
     LangIdWeights.toSeq.sortBy(_._1).flatMap { case (t, ws) =>
@@ -1148,6 +1164,19 @@ object QueriesPipeline {
       val docs = t(s, dir, "documents")
       Dedup.contamination(docs.filter(col("doc_id") >= 20),
           docs.filter(col("doc_id") < 20), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the bloom pre-filter twin for benchmark sets too big to broadcast:
+    // the doc-shingle stream is thinned map-side by a bloom over the
+    // distributed benchmark set before the exact semi-join — identical
+    // output (no false negatives + exact re-check), so it runs against
+    // dd_contamination's oracle verbatim
+    "dd_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationBloom(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id", fpp = 0.03)
         .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"), col("overlap"))
         .orderBy(col("doc_id"))
     }),
@@ -2800,18 +2829,11 @@ object QueriesPipeline {
          |SELECT lang, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM packed GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
-    "dd_contamination" ->
-      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
-         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
-         |h AS (SELECT doc_id, list_distinct($sqlShingleHashes) hs FROM tkh),
-         |bench AS (SELECT DISTINCT x.h FROM (
-         |  SELECT unnest(hs) AS h FROM h WHERE doc_id < 20) x),
-         |cand AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
-         |  FROM h WHERE doc_id >= 20)
-         |SELECT c.doc_id, c.n_shingles, CAST(count(*) AS BIGINT) AS n_shared,
-         |  round(CAST(count(*) AS DOUBLE) / c.n_shingles, 6) AS overlap
-         |FROM cand c JOIN bench b ON c.h = b.h
-         |GROUP BY c.doc_id, c.n_shingles ORDER BY c.doc_id""".stripMargin,
+    "dd_contamination" -> sqlContamination,
+    // the bloom pre-filter form is EXACT (no false negatives + exact
+    // re-check), so it shares the exact operator's oracle verbatim —
+    // the fourth-engine-on-one-oracle pattern
+    "dd_contamination_bloom" -> sqlContamination,
     "v2_sparse_inverted" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),

@@ -48,6 +48,12 @@ package object functions {
   /** 60-bit md5-prefix hash (== conv(substr(md5(s),1,15),16,10)). */
   def hash60(c: Column): Column = col(Hash60(ex(c)))
 
+  /** Map-only membership probe against a pre-built bloom filter (no
+    * false negatives; see BloomMightContainLong). */
+  def bloom_might_contain_long(c: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(BloomMightContainLong(ex(c), bf))
+
   /** k affine minhash minimums in one pass over an array<long> column. */
   def minhash_signature(c: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     col(MinHashSignature(ex(c), a, b, p))

@@ -335,27 +335,72 @@ object Dedup {
     * comparison anywhere. */
   def contamination(docs: DataFrame, benchmark: DataFrame, textCol: String,
       idCol: String, shingleLen: Int = 3): DataFrame = {
-    def shingled(df: DataFrame) = df
-      .select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
-      .select(col("id"),
-        array_distinct(TextAnalysis.shingleHashesFromTokenHashes(col("th"), shingleLen)).as("hs"))
     // materialize the shingle arrays BEFORE each explode: a Generate over
     // a (non-codegen, HOF-built) array expression re-evaluates it per
     // OUTPUT row — the uncached benchmark side alone was 15.9 s vs 0.9 s
     // at sf0.1; same reason lshCandidatePairs caches its banded frame
-    val benchHs = shingled(benchmark).cache().transform(StageCaches.track)
+    val benchHs = contaminationShingled(benchmark, textCol, idCol, shingleLen)
+      .cache().transform(StageCaches.track)
     val benchSet = benchHs
       .select(explode(col("hs")).as("h")).distinct()
-    val docHs = shingled(docs).cache().transform(StageCaches.track)
-    val docShingles = docHs
+    val docShingles = contaminationDocShingles(docs, textCol, idCol, shingleLen)
+    contaminationOverlap(
+      docShingles.join(broadcast(benchSet), Seq("h"), "left_semi"))
+  }
+
+  /** Distinct shingle-hash arrays per doc — the shared head of both
+    * contamination forms. */
+  private def contaminationShingled(df: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int): DataFrame = df
+    .select(col(idCol).as("id"), TextAnalysis.tokenHashesMod(col(textCol)).as("th"))
+    .select(col("id"),
+      array_distinct(TextAnalysis.shingleHashesFromTokenHashes(col("th"), shingleLen)).as("hs"))
+
+  private def contaminationDocShingles(docs: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int): DataFrame =
+    contaminationShingled(docs, textCol, idCol, shingleLen)
+      .cache().transform(StageCaches.track)
       .select(col("id"), size(col("hs")).as("n_shingles"), explode(col("hs")).as("h"))
-    docShingles
-      .join(broadcast(benchSet), Seq("h"), "left_semi")
-      .groupBy(col("id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("overlap",
-        round(col("n_shared").cast("double") / col("n_shingles"), 6))
-      .select(col("id"), col("n_shingles"), col("n_shared"), col("overlap"))
+
+  private def contaminationOverlap(shared: DataFrame): DataFrame = shared
+    .groupBy(col("id"), col("n_shingles"))
+    .agg(count(lit(1)).as("n_shared"))
+    .withColumn("overlap",
+      round(col("n_shared").cast("double") / col("n_shingles"), 6))
+    .select(col("id"), col("n_shingles"), col("n_shared"), col("overlap"))
+
+  /** [[contamination]] for benchmark suites whose distinct shingle set is
+    * too large to broadcast (a full eval-union at 10⁸–10⁹ shingles is
+    * 1–8 GB as an exact set): the benchmark set stays DISTRIBUTED, a
+    * bloom filter built over it (one distributed `stat.bloomFilter`
+    * aggregate; ~0.9 GB for 10⁹ entries at fpp 0.03 — an order of
+    * magnitude under the exact set + hash overhead) rides the doc-side
+    * explode as a map-only codegen probe, and only the survivors — true
+    * matches plus the fpp sliver — pay the shuffle into the exact
+    * semi-join. No false negatives, and the exact re-check removes the
+    * false positives, so the output is IDENTICAL to [[contamination]]
+    * (the gate shares its oracle verbatim); what changes is the shuffle:
+    * ~fpp·|doc shingles| instead of all of them, and no broadcast of
+    * the benchmark side at all. */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 3,
+      fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val benchHs = contaminationShingled(benchmark, textCol, idCol, shingleLen)
+      .cache().transform(StageCaches.track)
+    // read twice (bloom build + exact join) — cache the distinct set too
+    val benchSet = benchHs.select(explode(col("hs")).as("h")).distinct()
+      .cache().transform(StageCaches.track)
+    // one driver scalar to size the filter (bigramLmFit's vocab-size
+    // class); the filter itself is built by a distributed aggregate
+    val expected = math.max(benchSet.count(), 1L)
+    val bloom = benchSet.stat.bloomFilter("h", expected, fpp)
+    val docShingles = contaminationDocShingles(docs, textCol, idCol, shingleLen)
+    val survivors = docShingles
+      .filter(graft.functions.bloom_might_contain_long(col("h"), bloom))
+    // deliberately NOT broadcast(): at scale AQE picks a shuffle join of
+    // the bloom-thinned stream against the distributed exact set
+    contaminationOverlap(survivors.join(benchSet, Seq("h"), "left_semi"))
   }
 
   /** Duplicate clusters from a near-dup pair list: every id that appears

@@ -337,6 +337,28 @@ class Round18Spec extends SparkSpec {
       dsirDocs.size.toLong, "k > n must keep every row")
   }
 
+  test("bloom contamination == broadcast-exact contamination, even at a deliberately bad fpp") {
+    // fpp 0.5 floods the pre-filter with false positives — the exact
+    // semi-join must still remove every one of them, proving the
+    // re-check is load-bearing and the bloom can never change results
+    // (only shuffle volume). 120 docs, first 20 = the benchmark.
+    val docs = (0 until 120).map { i =>
+      val base = s"shared prefix tokens w${i % 25} x${i % 7} y${i % 3}"
+      (i.toLong, s"$base unique$i tail$i closing words here")
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val exact = graft.pipeline.Dedup.contamination(train, bench,
+        "text", "doc_id").orderBy("id").collect().map(_.toSeq).toSeq
+    for (fpp <- Seq(0.5, 0.03)) {
+      val bloomed = graft.pipeline.Dedup.contaminationBloom(train, bench,
+          "text", "doc_id", fpp = fpp).orderBy("id").collect()
+        .map(_.toSeq).toSeq
+      assert(bloomed == exact, s"bloom twin drifted at fpp=$fpp")
+    }
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("DSIR model save/load roundtrips") {
     val df = dsirDocs.toDF("doc_id", "is_t", "text")
     val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
