@@ -1168,6 +1168,20 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // decontamination — the contamination check's end-use: training docs
+    // over the overlap threshold are DROPPED, zero-overlap docs survive
+    // via the anti-join (they never appear in the contamination frame).
+    // Runs the bloom engine end-to-end so the composed op exercises the
+    // at-scale path; digest column proves full-row retention.
+    "dd_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id",
+          maxOverlap = 0.2, useBloom = true)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the bloom pre-filter twin for benchmark sets too big to broadcast:
     // the doc-shingle stream is thinned map-side by a bloom over the
     // distributed benchmark set before the exact semi-join — identical
@@ -2834,6 +2848,25 @@ object QueriesPipeline {
     // re-check), so it shares the exact operator's oracle verbatim —
     // the fourth-engine-on-one-oracle pattern
     "dd_contamination_bloom" -> sqlContamination,
+
+    // contamination chain + threshold anti-join; zero-overlap docs are
+    // absent from the overlap frame and therefore survive the NOT IN
+    "dd_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks toks FROM documents),
+         |tkh AS (SELECT doc_id, $sqlTokenHashes th FROM tok),
+         |h AS (SELECT doc_id, list_distinct($sqlShingleHashes) hs FROM tkh),
+         |bench AS (SELECT DISTINCT x.h FROM (
+         |  SELECT unnest(hs) AS h FROM h WHERE doc_id < 20) x),
+         |cand AS (SELECT doc_id, len(hs) AS n_shingles, unnest(hs) AS h
+         |  FROM h WHERE doc_id >= 20),
+         |ov AS (SELECT c.doc_id,
+         |    round(CAST(count(*) AS DOUBLE) / c.n_shingles, 6) AS overlap
+         |  FROM cand c JOIN bench b ON c.h = b.h
+         |  GROUP BY c.doc_id, c.n_shingles),
+         |flagged AS (SELECT doc_id FROM ov WHERE overlap > 0.2)
+         |SELECT doc_id, md5(text) AS digest FROM documents
+         |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
     "v2_sparse_inverted" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks toks FROM documents),

@@ -403,6 +403,28 @@ object Dedup {
     contaminationOverlap(survivors.join(benchSet, Seq("h"), "left_semi"))
   }
 
+  /** Benchmark DECONTAMINATION — the end-use of the contamination check:
+    * drop every training document whose distinct-shingle overlap with
+    * the benchmark exceeds `maxOverlap`, keep everything else (including
+    * docs with ZERO overlap, which the contamination frame omits — the
+    * anti-join semantics handle them for free). `useBloom` selects the
+    * [[contaminationBloom]] engine for unbroadcastable benchmark sets;
+    * both engines flag the identical id set, so the choice is purely a
+    * shuffle-shape decision. The flagged-id side is benchmark-overlap
+    * bounded (a tiny fraction of training docs), so the anti-join
+    * broadcasts in practice; output preserves the input schema. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int = 3, maxOverlap: Double = 0.1,
+      useBloom: Boolean = false, fpp: Double = 0.03): DataFrame = {
+    require(maxOverlap >= 0 && maxOverlap < 1, "maxOverlap must be in [0, 1)")
+    val cont = if (useBloom)
+      contaminationBloom(docs, benchmark, textCol, idCol, shingleLen, fpp)
+    else contamination(docs, benchmark, textCol, idCol, shingleLen)
+    val flagged = cont.filter(col("overlap") > maxOverlap)
+      .select(col("id").as("__flagged_id"))
+    docs.join(flagged, docs(idCol) === col("__flagged_id"), "left_anti")
+  }
+
   /** Duplicate clusters from a near-dup pair list: every id that appears
     * in a pair gets a canonical id = the MIN id of its connected
     * component (the doc a dedup pipeline keeps). Iterative min-label

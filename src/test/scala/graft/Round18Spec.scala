@@ -359,6 +359,33 @@ class Round18Spec extends SparkSpec {
     graft.pipeline.StageCaches.unpersistAll()
   }
 
+  test("decontaminate drops over-threshold docs, keeps zero-overlap docs, bloom == exact") {
+    // doc 20 copies benchmark doc 1 wholesale (overlap 1.0 -> dropped);
+    // doc 21 shares a few shingles (small overlap -> kept); doc 22 is
+    // fully disjoint (ZERO overlap -> absent from the contamination
+    // frame, must still survive the anti-join)
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (Seq(
+      (1L, benchText),
+      (2L, "one two three four five six seven eight nine ten")) ++ Seq(
+      (20L, benchText),
+      (21L, s"alpha beta gamma unrelated filler words continue here now ok"),
+      (22L, "completely disjoint vocabulary nothing shared at all here friend")))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val exact = graft.pipeline.Dedup.decontaminate(train, bench, "text",
+        "doc_id", maxOverlap = 0.2).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(21L, 22L),
+      s"expected 20 dropped, 21 (low overlap) and 22 (zero overlap) kept: $exact")
+    val bloomed = graft.pipeline.Dedup.decontaminate(train, bench, "text",
+        "doc_id", maxOverlap = 0.2, useBloom = true, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bloomed == exact, "bloom decontaminate drifted from exact")
+    graft.pipeline.StageCaches.unpersistAll()
+  }
+
   test("DSIR model save/load roundtrips") {
     val df = dsirDocs.toDF("doc_id", "is_t", "text")
     val model = graft.pipeline.Dsir.fit(df.filter(col("is_t")), df, "text",
