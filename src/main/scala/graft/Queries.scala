@@ -428,6 +428,44 @@ object Queries {
       import s.implicits._
       Seq(if (recall >= 0.9) 1.0 else 0.0).toDF("recall_ok")
     }),
+    // V13 / R2: NSG graph refinement + graph serving (the reference's
+    // actual index family) — distributed MRNG build over the bucketed
+    // kNN graph (fixed first-16 centroids, same oracle-reproducible
+    // trick as r1_knn_graph), driver-resident bounded-queue best-first
+    // serve starting at the reference's search_length 45 and widening
+    // until recall@10 vs the in-query exact top-10 reaches 0.9; at
+    // l = N the walk visits the whole (connectivity-spurred) graph, so
+    // the loop always terminates at recall 1.0. The distributed search
+    // path remains IVF (IvfIndex.scala:9-48); this gates the graph
+    // refinement semantics and the reference's single-node serve regime.
+    "v13_nsg_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = SparkEntry.queryVectorOf(s, dir)
+      val exactIds = emb
+        .withColumn("@distance", l2sqr_distance(col("embedding"), lit(q)))
+        .orderBy(col("@distance").asc, col("vec_id").asc)
+        .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble).toArray
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+      val g = graft.index.NsgIndex.build(emb, "embedding", "vec_id",
+        cents, knnK = 12, poolSize = 48, outDegree = 12)
+      val srv = graft.index.NsgIndex.serve(g, emb, "embedding", "vec_id")
+      def recallAt(l: Int): Double =
+        srv.search(q, 10, l).map(_._1).toSet.intersect(exactIds).size / 10.0
+      var l = 45
+      var recall = recallAt(l)
+      while (recall < 0.9 && l < srv.size) {
+        l = math.min(srv.size, l * 2)
+        recall = recallAt(l)
+      }
+      import s.implicits._
+      Seq(if (recall >= 0.9) 1.0 else 0.0).toDF("recall_ok")
+    }),
     // V9: search-by-content — embed the query text, then vector search.
     // The embedder is pure, so the SAME query embedding is inlined into
     // the oracle SQL as a list literal (V9Q below) => full hash check.
@@ -1040,6 +1078,7 @@ object Queries {
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "v5_ann_ivf" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_ok",
+    "v13_nsg_serve" -> "SELECT CAST(1.0 AS DOUBLE) AS recall_ok",
     "v5_auto_probe" ->
       s"""SELECT vec_id FROM embeddings
          |ORDER BY ${sqlL2sqr("embedding", QV)} ASC, vec_id ASC LIMIT 10""".stripMargin,

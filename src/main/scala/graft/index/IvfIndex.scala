@@ -9,6 +9,11 @@ import graft.types.{FieldSchema, MetricType}
 /** IVF (inverted-file) ANN index: the Spark-native replacement for the
   * reference's NSG graph index (reference: engine/db/ann_graph_segment.cpp,
   * engine/db/index/nsg; batch rebuild semantics table_mvp.cpp:94-203).
+  * The NSG refinement + single-node graph serve themselves are ALSO
+  * implemented ([[graft.index.NsgIndex]], r18) — IVF remains the
+  * DISTRIBUTED search path for the reasons below; NSG covers the
+  * reference's graph semantics in its own regime (driver-resident
+  * serving).
   *
   * Why IVF instead of a graph at Spark scale: a best-first graph walk is
   * pointer-chasing over the whole dataset — the one access pattern a
