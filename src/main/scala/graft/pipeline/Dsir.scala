@@ -54,9 +54,18 @@ object Dsir {
     (1 to wordNgrams).map { n =>
       if (n == 1) transform(toks, t => bucketOf(t))
       else when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => bucketOf(concat_ws(" ",
-            (0 until n).map(o => element_at(toks, i + o)): _*))))
+        .otherwise {
+          // zip_with over shifted slices, NOT transform(sequence)/
+          // element_at: the latter re-evaluates the (inlined) toks
+          // expression per element — O(tokens²) per doc (see
+          // TextAnalysis.featureTokens)
+          val len = size(toks) - (n - 1)
+          val grams = (0 until n)
+            .map(o => slice(toks, lit(o + 1), len))
+            .reduce((a, b) =>
+              zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+          transform(grams, g => bucketOf(g))
+        }
     }.reduce(concat(_, _))
   }
 
