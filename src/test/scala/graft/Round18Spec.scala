@@ -17,9 +17,13 @@ class Round18Spec extends SparkSpec {
   test("hybrid consumer == all-history consumer across TTL expiry and restarts; pure TTL diverges") {
     // Four snapshots, each a separate AvailableNow query on a shared
     // checkpoint (the restart path). The duplicate in snapshot 4 arrives
-    // AFTER its digest expired from the TTL state (sleep + two
-    // watermark-advancing snapshots) — the pure TTL form re-admits it,
-    // the hybrid's anti-join against the accumulated outDir catches it,
+    // AFTER its digest expired from the TTL state: the sleep lapses the
+    // TTL FIRST, then snapshot 2 advances the watermark past the timer
+    // and snapshot 3 fires the lazy eviction (the watermark lags one
+    // batch — Round17Spec's proven ordering; sleeping after snapshots
+    // 2-3 instead leaves the watermark at t3 < t1+ttl and the digest
+    // never expires). The pure TTL form then re-admits id 5, the
+    // hybrid's anti-join against the accumulated outDir catches it,
     // and the all-history form is the reference.
     val docSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
@@ -28,7 +32,7 @@ class Round18Spec extends SparkSpec {
     def doc(tag: String) = (0 to 4).map(i => fillerLine(tag, i)).mkString("\n")
     val snaps: Seq[Seq[(Long, String)]] = Seq(
       Seq(1L -> doc("aa"), 2L -> doc("aa")), // in-batch dup: min-id wins
-      Seq(3L -> doc("bb")),                  // watermark advance
+      Seq(3L -> doc("bb")),                  // watermark advance past timer
       Seq(4L -> doc("cc")),                  // fires the lazy eviction
       Seq(5L -> doc("aa"), 6L -> doc("dd"))) // 5 = post-expiry duplicate
     val noWinners = spark.createDataFrame(
@@ -40,7 +44,7 @@ class Round18Spec extends SparkSpec {
       val base = java.nio.file.Files.createTempDirectory(s"hybrid_$mode")
       def p(s: String) = base.resolve(s).toString
       snaps.zipWithIndex.foreach { case (snap, i) =>
-        if (i == 3) Thread.sleep(3000) // let ttl=2000 lapse before snap 4
+        if (i == 1) Thread.sleep(3000) // let ttl=2000 lapse before snap 2
         val df = snap.toDF("doc_id", "text")
         mode match {
           case "hybrid" => graft.streaming.DocStream.cleanConsumeHybrid(
