@@ -1,0 +1,205 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{StageCaches, TextAnalysis}
+
+/** Round-18 optimization probe: sub-step wall-clock splits for the
+  * bench's heaviest gates, so changes target the measured cost and not
+  * a guess (optimization guide §1). One mode per arg; all timings print
+  * as `[probe] <label> <sec>`. Not part of the driver contract. */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", cpus)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm-up: JIT + parquet footer caches, not measured
+    try noop(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case _: Throwable => }
+
+    args.headOption.getOrElse("kn") match {
+      case "kn" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val pred = time("classify+cache+count") {
+          val p = docs.select(col("doc_id"), col("text"),
+            TextAnalysis.linearClassifyLabel(col("text"),
+              QueriesPipeline.LangIdClasses, QueriesPipeline.LangIdWeights,
+              QueriesPipeline.LangIdBiases).as("pred_class")).cache()
+          p.count(); p
+        }
+        val lm = TextAnalysis.knLmFitByClass(pred, "text", "doc_id",
+          "pred_class", order = 5, minCount = 2)
+        time("fit: grams (adjusted counts)") {
+          lm.grams.foreach(_.count())
+        }
+        time("fit: prefixStats") { lm.prefixStats.foreach(_.count()) }
+        time("fit: classStats+discounts") {
+          lm.classStats.count(); lm.discounts.count()
+        }
+        time("apply (noop, stats cached)") {
+          noop(TextAnalysis.knLmApplyJoined(lm, pred, "text", "doc_id",
+            "pred_class").orderBy(col("doc_id")))
+        }
+        time("apply again (noop)") {
+          noop(TextAnalysis.knLmApplyJoined(lm, pred, "text", "doc_id",
+            "pred_class").orderBy(col("doc_id")))
+        }
+        StageCaches.unpersistAll(blocking = true)
+        time("gate full (cold caches)") {
+          noop(SparkEntry.queries("tx_lm_kn5_perlang")(spark, sfDir))
+        }
+        StageCaches.unpersistAll(blocking = true)
+
+      case "ngram5" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val pred = time("classify+cache+count") {
+          val p = docs.select(col("doc_id"), col("text"),
+            TextAnalysis.linearClassifyLabel(col("text"),
+              QueriesPipeline.LangIdClasses, QueriesPipeline.LangIdWeights,
+              QueriesPipeline.LangIdBiases).as("pred_class")).cache()
+          p.count(); p
+        }
+        val lm = TextAnalysis.ngramLmFitByClass(pred, "text", "doc_id",
+          "pred_class", order = 5, minCount = 2)
+        time("fit: gram tables") { lm.counts.foreach(_.count()) }
+        time("fit: totals") { lm.totals.count() }
+        time("apply (noop, stats cached)") {
+          noop(TextAnalysis.ngramLmApplyJoined(lm, pred, "text", "doc_id",
+            "pred_class").orderBy(col("doc_id")))
+        }
+        StageCaches.unpersistAll(blocking = true)
+
+      case "stclean" =>
+        // one timed pass of the st_clean_ttl gate body, split per
+        // streaming lifecycle, at SPARK_GRAFT_PROBE_PARTS shuffle
+        // partitions (state-store partition count is pinned at
+        // checkpoint birth — the knob under test)
+        val ttlMs = 3600L * 1000
+        val base = java.nio.file.Files.createTempDirectory("opt_stclean")
+        def p(s: String) = base.resolve(s).toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val schema = docs.schema
+        def inject(df: DataFrame) = df.withColumn("t2",
+          concat(col("text"),
+            lit(".\nshort line\nanother good line with words here.\n" +
+              "this good line has five words.\n" +
+              "javascript line with five good words.\n"),
+            when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+              .otherwise(lit(""))))
+        def snapshot(tag: String, pred: org.apache.spark.sql.Column): Unit = {
+          time(s"snapshot $tag: src append") {
+            docs.filter(pred).write.mode("append").parquet(p("src"))
+          }
+          time(s"snapshot $tag: emit lifecycle") {
+            val src = inject(spark.readStream.schema(schema).parquet(p("src")))
+            val q = graft.streaming.DocStream
+              .cleanStreamEmitTtl(src, ttlMs, "t2", "doc_id", 8)
+              .writeStream.format("parquet")
+              .option("path", p("winners"))
+              .option("checkpointLocation", p("ck_emit"))
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            q.recentProgress.foreach { pr =>
+              println(s"[probe]   emit batch ${pr.batchId}: " +
+                s"${pr.durationMs} rows=${pr.numInputRows}")
+            }
+          }
+          time(s"snapshot $tag: mask+inbox append") {
+            graft.streaming.DocStream.maskedSurvivors(
+              inject(docs.filter(pred)), spark.read.parquet(p("winners")),
+              "t2", "doc_id", 8)
+              .select(col("doc_id").cast("long").as("id"),
+                col("clean_text"), col("n_final").cast("long").as("n_final"))
+              .write.mode("append").parquet(p("inbox"))
+          }
+          time(s"snapshot $tag: dedup stream lifecycle") {
+            val inbox = spark.readStream.schema(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("clean_text",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("n_final",
+                  org.apache.spark.sql.types.LongType))))
+              .option("maxFileAge", "36500d").parquet(p("inbox"))
+            val q = graft.streaming.DocStream
+              .incrementalCleanDedupTtl(inbox, ttlMs)
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", p("out"))
+              .option("checkpointLocation", p("ck_dedup"))
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            q.recentProgress.foreach { pr =>
+              println(s"[probe]   dedup batch ${pr.batchId}: " +
+                s"${pr.durationMs} rows=${pr.numInputRows}")
+            }
+          }
+        }
+        time("TOTAL gate body") {
+          snapshot("1", col("doc_id") < 250)
+          snapshot("2", col("doc_id") >= 250)
+          val out = spark.read.parquet(p("out"))
+            .select(col("id").as("doc_id"),
+              md5(col("clean_text")).as("digest"), col("n_final"))
+            .orderBy(col("doc_id"))
+          spark.createDataFrame(out.collectAsList(), out.schema)
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+
+      case "ivf" =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val path = s"${System.getProperty("java.io.tmpdir")}/opt_ivf_probe"
+        val idx = time("IvfIndex.build total") {
+          graft.index.IvfIndex.build(spark, emb, "embedding", "vec_id",
+            path, graft.types.MetricType.Euclidean, nClusters = 8,
+            maxIter = 3)
+        }
+        time("search fullprobe") {
+          noop(idx.search("embedding",
+            SparkEntry.queryVectorOf(spark, sfDir), k = 10,
+            nProbe = idx.centroids().length).select(col("vec_id")))
+        }
+        time("build again (overwrite)") {
+          graft.index.IvfIndex.build(spark, emb, "embedding", "vec_id",
+            path, graft.types.MetricType.Euclidean, nClusters = 8,
+            maxIter = 3)
+        }
+
+      case "gate" =>
+        args.drop(1).foreach { name =>
+          time(s"gate $name (run 1)") {
+            noop(SparkEntry.queries(name)(spark, sfDir))
+          }
+          StageCaches.unpersistAll(blocking = true)
+          time(s"gate $name (run 2)") {
+            noop(SparkEntry.queries(name)(spark, sfDir))
+          }
+          StageCaches.unpersistAll(blocking = true)
+        }
+
+      case other => System.err.println(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

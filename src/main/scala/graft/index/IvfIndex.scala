@@ -3701,6 +3701,12 @@ object IvfIndex {
       path: String, metric: MetricType.Value, nClusters: Int = 64,
       maxIter: Int = 10, purgeGen: Long = 0L): IvfIndex = {
     import spark.implicits._
+    val __dbg = sys.env.contains("SPARK_GRAFT_IVF_TIMINGS")
+    var __t = System.nanoTime()
+    def __lap(l: String): Unit = if (__dbg) {
+      val now = System.nanoTime()
+      println(f"[ivf] $l%-28s ${(now - __t) / 1e9}%.2f s"); __t = now
+    }
 
     val prepared = (if (metric == MetricType.Cosine)
       df.withColumn(vecCol, l2_normalize(col(vecCol)))
@@ -3717,6 +3723,7 @@ object IvfIndex {
     val nNulls = n - stats.getLong(2)
     val indexed =
       if (nNulls == 0L) prepared else prepared.filter(col(vecCol).isNotNull)
+    __lap("stats agg")
 
     // bounded fit sample (deterministic seed); Lloyd runs distributed over
     // the sample only — the full data is touched once more, at assignment
@@ -3733,6 +3740,7 @@ object IvfIndex {
       .orderBy(md5(col(idCol).cast("string")).asc).limit(nClusters)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    __lap("seed centroids collect")
 
     val dim = cents(0).length
     val vecIdx = fitDf.schema.fieldIndex(vecCol)
@@ -3771,6 +3779,7 @@ object IvfIndex {
       }
       cents = next
       iter += 1
+      __lap(s"lloyd iter $iter")
     }
     // PQ codebook on RESIDUALS (x − assigned centroid — classic IVFADC):
     // per-subspace k-means on a hash-ordered (deterministic) slice of the
@@ -3797,7 +3806,9 @@ object IvfIndex {
         val c = cents(r.getInt(1))
         Array.tabulate(v.length)(j => if (j < c.length) v(j) - c(j) else v(j))
       }
+    __lap("pq sample collect")
     val pqCb = PqCodebook.fit(pqSample, dim, PqCodebook.chooseM(dim))
+    __lap("pq codebook fit")
     pqCb.save(spark, s"$path/pq_codebook")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$path/pq_residual"), Array.emptyByteArray)
@@ -3820,21 +3831,45 @@ object IvfIndex {
         col("cluster"), pqCb, cIds, centsFlat))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
+    __lap("clustered write")
     // per-cluster row counts for the serving cardinality guard: counted
     // off the written layout's footers (partition column + parquet row
     // counts — no vector bytes are read)
-    spark.read.parquet(s"$path/clustered")
-      .groupBy(col("cluster").cast("int").as("cluster"))
-      .agg(count(lit(1)).as("cnt"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    // per-cluster ball radii for the recall-targeted probe bound
-    // (probeSetForRecall): one narrow pass over the fresh layout. Dot
-    // product has no triangle inequality — no radii, auto-probe declines.
-    if (metric != MetricType.DotProduct)
-      writeRadii(spark, path, vecCol, SaveMode.Overwrite, None)
+    // per-cluster row counts (serving cardinality guard) + ball radii
+    // (recall-targeted probe bound, probeSetForRecall) in ONE pass over
+    // the fresh layout: the radius agg already reads every vector, so
+    // count(1) rides along free — previously counts were a separate
+    // footer-count job, a second read-back of the layout per build.
+    // The ≤ nClusters agg rows collect to the driver and fan out as two
+    // tiny single-file writes (same schemas as before). Dot product has
+    // no triangle inequality — no radii, auto-probe declines — so it
+    // keeps the cheaper footer-only count.
+    if (metric != MetricType.DotProduct) {
+      val statsRadii = spark.read.parquet(s"$path/clustered")
+        .select(col("cluster").cast("int").as("cluster"), col(vecCol))
+        .join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cluster"))
+        .select(col("cluster"),
+          sqrt(graft.functions.l2sqr_distance(col(vecCol), col("centroid")))
+            .as("r"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cnt"), max(col("r")).as("r"))
+        .collect()
+      statsRadii.map(r => (r.getInt(0), r.getLong(1))).toSeq
+        .toDF("cluster", "cnt")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+      statsRadii.map(r => (r.getInt(0), r.getDouble(2))).toSeq
+        .toDF("cluster", "r")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_radii")
+    } else {
+      spark.read.parquet(s"$path/clustered")
+        .groupBy(col("cluster").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+    }
+    __lap("stats+radii one-pass write")
     // a FULL build bumps the generation: serving residency must flush
     // (cluster membership changed), unlike appends which preserve it
     val prevGen =
@@ -3849,6 +3884,7 @@ object IvfIndex {
     // locally before anyone serves from it
     splitOversized(spark, path, vecCol, idCol, metric,
       maxRows = math.max(4L * n / math.max(1, nClusters), MinimalIndexSize.toLong))
+    __lap("splitOversized")
     new IvfIndex(spark, path, idCol, metric)
   }
 

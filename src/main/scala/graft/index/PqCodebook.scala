@@ -155,11 +155,16 @@ object PqCodebook {
     val ksub = math.min(256, n)
     val dsub = dim / m
     val cents = new Array[Float](m * ksub * dsub)
-    val assign = new Array[Int](n)
-    val sums = Array.ofDim[Double](ksub, dsub)
-    val cnts = new Array[Long](ksub)
-    var sub = 0
-    while (sub < m) {
+    // the m sub-quantizers are independent k-means problems writing
+    // DISJOINT cents regions: run them in parallel with per-subspace
+    // scratch buffers (the within-subspace math is sequential and
+    // unchanged, so the codebook is bit-identical to the serial fit —
+    // this is driver-local model fitting, ~1 s single-threaded per
+    // build and the largest single step of IvfIndex.build)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { sub =>
+      val assign = new Array[Int](n)
+      val sums = Array.ofDim[Double](ksub, dsub)
+      val cnts = new Array[Long](ksub)
       val vOff = sub * dsub
       // init: evenly spaced rows' sub-vectors
       var c = 0
@@ -232,7 +237,6 @@ object PqCodebook {
         }
         iter += 1
       }
-      sub += 1
     }
     PqCodebook(dim, m, ksub, cents)
   }

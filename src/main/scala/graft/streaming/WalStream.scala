@@ -541,7 +541,7 @@ object DocStream {
   /** The shared mask head of both consumers: re-derive the C4 + Gopher
     * survivors, mask spans against the emitted first-seen set, drop
     * fully-masked docs. Returns (idCol, clean_text, n_final). */
-  private def maskedSurvivors(docs: DataFrame, emitted: DataFrame,
+  private[graft] def maskedSurvivors(docs: DataFrame, emitted: DataFrame,
       textCol: String, idCol: String, k: Int): DataFrame =
     graft.pipeline.Dedup.maskSpansAgainstWinners(
         cleanStage(docs, textCol, idCol), idCol, "clean_text", emitted, k)
