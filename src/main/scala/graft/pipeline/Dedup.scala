@@ -748,31 +748,44 @@ object Dedup {
   }
 
   /** Shared masking tail: explode each eligible occurrence's k-wide
-    * cover, dedup covered positions on the near-unique (id, p) key, and
-    * reassemble survivors in token order from the CACHED staged frame —
-    * re-tokenizing the input would re-execute its whole upstream lineage
-    * a third time (in cleanCorpusFull that re-runs the gopher stage). */
+    * cover, aggregate the DISTINCT covered positions per doc into one
+    * small array, and drop those token indices map-side with an indexed
+    * array filter over the CACHED staged frame (re-tokenizing the input
+    * would re-execute its whole upstream lineage a third time — in
+    * cleanCorpusFull that re-runs the gopher stage).
+    *
+    * Decide with small rows, never shuffle the payload (guide §8): the
+    * former shape posexploded EVERY token of EVERY doc, shuffle-joined
+    * the token rows against the masked positions on (id, p), and
+    * reassembled each doc with a collect_list + array_sort — two full
+    * shuffles of the token payload plus a per-doc sort, when the
+    * decision (which positions to drop) is a per-doc set usually far
+    * smaller than the doc. Now only the masked POSITIONS shuffle (the
+    * cover explode's partial-merge collect_set), the per-doc mask array
+    * joins back on id (broadcastable whenever few docs are masked), and
+    * the surviving tokens are re-joined in place without ever leaving
+    * their row. Output is identical: same distinct-position mask, same
+    * token order, same (n_tokens, n_masked, clean_text) values. */
   private def maskEligible(staged: DataFrame, idCol: String,
       eligible: DataFrame, k: Int, sep: String): DataFrame = {
     val id = col(idCol)
     val maskedPos = eligible
       .select(id, explode(sequence(col("pos"),
         col("pos") + least(lit(k), col("__n")) - 1)).as("p"))
-      .distinct()
-      .withColumn("__m", lit(true))
+      .groupBy(id).agg(collect_set(col("p")).as("__mask"))
     staged
-      .select(id, posexplode_outer(col("__toks")).as(Seq("p", "tok")))
-      .join(maskedPos, Seq(idCol, "p"), "left")
-      .groupBy(id)
-      .agg(
-        count(when(col("p").isNotNull, 1)).as("n_tokens"),
-        count(when(col("p").isNotNull && col("__m"), 1)).as("n_masked"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("p").isNotNull && col("__m").isNull,
-              struct(col("p"), col("tok"))))),
-            s => s("tok")),
-          sep).as("clean_text"))
+      .join(maskedPos, Seq(idCol), "left")
+      .select(id,
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("__mask")), lit(0)).cast("long").as("n_masked"),
+        // a NULL token array behaves like the empty one (the former
+        // posexplode_outer emitted a single null row for it: zero
+        // counts, empty clean_text)
+        coalesce(array_join(
+          when(col("__mask").isNull, col("__toks"))
+            .otherwise(filter(col("__toks"),
+              (t, i) => not(array_contains(col("__mask"), i)))),
+          sep), lit("")).as("clean_text"))
   }
 
   /** Embedding near-dup at scale: pairs are formed ONLY within shared
