@@ -583,22 +583,33 @@ object Dedup {
       .groupBy(col("__digest"))
       .agg(min(col("__occ")).as("__win"))
       .select(col("__win")(idCol).as("__wid"), col("__win")("idx").as("__widx"))
-    exploded
+    // Decide with small rows, never shuffle the payload (guide §8): the
+    // former tail joined the exploded PARAGRAPH TEXT rows against the
+    // winner coordinates and reassembled each doc with a collect_list +
+    // array_sort — two shuffles of every paragraph's bytes. The survivor
+    // decision only needs coordinates: join the SKINNY (id, idx, digest)
+    // occurrences on the unique (id, idx) winner key (balanced under any
+    // digest skew, as before), partial-merge the few DROPPED indices
+    // into one per-doc array, and filter the staged paragraph array in
+    // place — paragraph bytes never leave their row. Same winner rule,
+    // same order (an indexed filter preserves array order = the old
+    // array_sort by idx), same (n_paras, n_dropped, clean_text) values.
+    val dropped = exploded
+      .filter(col("idx").isNotNull)
+      .select(id, col("idx"))
       .join(winners, id === col("__wid") && col("idx") === col("__widx"), "left")
-      .withColumn("__keep", col("__wid").isNotNull)
-      .groupBy(id)
-      .agg(
-        count(when(col("idx").isNotNull, 1)).as("n_paras"),
-        count(when(col("idx").isNotNull && !col("__keep"), 1)).as("n_dropped"),
-        // nulls (dropped repeats) are skipped by both collect_list and
-        // array_join; array_sort on struct orders by idx, restoring the
-        // document's paragraph order after the join shuffle scattered it
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("idx").isNotNull && col("__keep"),
-              struct(col("idx"), col("para"))))),
-            s => s("para")),
-          sep).as("clean_text"))
+      .filter(col("__wid").isNull)
+      .groupBy(id).agg(collect_set(col("idx")).as("__drop"))
+    staged
+      .join(dropped, Seq(idCol), "left")
+      .select(id,
+        coalesce(size(col("__paras")), lit(0)).cast("long").as("n_paras"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        coalesce(array_join(
+          when(col("__drop").isNull, col("__paras"))
+            .otherwise(filter(col("__paras"),
+              (p, i) => not(array_contains(col("__drop"), i)))),
+          sep), lit("")).as("clean_text"))
   }
 
   /** Arbitrary-alignment repeated-SPAN masking — the Spark-native form of
