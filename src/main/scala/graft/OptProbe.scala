@@ -167,6 +167,70 @@ object OptProbe {
         }
         org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
 
+      case "emitparts" =>
+        // split the emit micro-batch's BATCH-expressible prefix from the
+        // stateful machinery: cleanStage (C4+Gopher), span explode+hash,
+        // and the span groupBy, each as a plain batch job over the same
+        // 250-doc snapshot the st_clean gates feed first
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") < 250)
+        def inject(df: DataFrame) = df.withColumn("t2",
+          concat(col("text"),
+            lit(".\nshort line\nanother good line with words here.\n" +
+              "this good line has five words.\n" +
+              "javascript line with five good words.\n"),
+            when(col("doc_id") % 7 === 0, lit("lorem ipsum here\n"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("brace { line\n"))
+              .otherwise(lit(""))))
+        val snap = inject(docs)
+        time("cleanStage (batch)") {
+          noop(graft.streaming.DocStream.cleanStage(snap, "t2", "doc_id"))
+        }
+        time("cleanStage again") {
+          noop(graft.streaming.DocStream.cleanStage(snap, "t2", "doc_id"))
+        }
+        val cleaned = graft.streaming.DocStream.cleanStage(snap, "t2", "doc_id")
+        time("span explode+hash+groupBy (batch)") {
+          val nT = size(split(col("clean_text"), "\\s+"))
+          noop(cleaned
+            .select(col("doc_id"),
+              graft.pipeline.TextAnalysis.tokens(col("clean_text")).as("__toks"))
+            .select(col("doc_id"),
+              explode(when(size(col("__toks")) === 0,
+                array().cast("array<int>"))
+                .otherwise(sequence(lit(0),
+                  greatest(size(col("__toks")) - 8, lit(0))))).as("pos"),
+              col("__toks"))
+            .select(col("doc_id"), col("pos"),
+              graft.functions.hash60(concat_ws(" ",
+                slice(col("__toks"), col("pos") + 1, lit(8)))).as("h"))
+            .groupBy(col("h")).agg(min(struct(col("doc_id"), col("pos")))))
+        }
+        val base = java.nio.file.Files.createTempDirectory("opt_emitparts")
+        time("incrementalSpanWinnersTtl lifecycle (streaming)") {
+          val src = inject(spark.readStream.schema(
+            spark.read.parquet(s"$sfDir/documents.parquet").schema)
+            .parquet(s"$sfDir"))
+          val q = graft.streaming.DocStream
+            .cleanStreamEmitTtl(inject(spark.readStream
+              .schema(docs.schema).parquet({
+                val d = base.resolve("src")
+                docs.write.parquet(d.toString); d.toString
+              })), 3600000L, "t2", "doc_id", 8)
+            .writeStream.format("noop")
+            .option("checkpointLocation", base.resolve("ck").toString)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.foreach { pr =>
+            println(s"[probe]   batch ${pr.batchId}: ${pr.durationMs} " +
+              s"rows=${pr.numInputRows}")
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+
       case "ivf" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val path = s"${System.getProperty("java.io.tmpdir")}/opt_ivf_probe"

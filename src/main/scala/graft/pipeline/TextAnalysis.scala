@@ -787,8 +787,19 @@ object TextAnalysis {
   private def gopherStagedFlags(df: DataFrame, textCol: String)
       : (DataFrame, Seq[Column]) = {
     val text = col(textCol)
+    // Per-task cost note (r18, measured via OptProbe emitparts): this
+    // map-only stage runs inside EVERY clean gate and every streaming
+    // emit/mask micro-batch, and its per-token/per-line java.util.regex
+    // work dominated cleanStage wall-clock. Each rule below that used a
+    // regex now uses a bit-EQUIVALENT char operation (translate /
+    // substring / endswith / literal replace / array_intersect) — the
+    // rule SEMANTICS and every flag value are unchanged (the DuckDB
+    // mirrors still express the same predicate), only the evaluation is
+    // cheaper. The lowered token array is staged once (__glt): the old
+    // stop-word lambda re-lowered the whole array once per stop word.
     val staged = df
       .withColumn("__gt", tokens(text))
+      .withColumn("__glt", transform(col("__gt"), t => lower(t)))
       .withColumn("__gl", filter(split(text, "\n"), l => length(trim(l)) > 0))
     val toks = col("__gt")
     val lines = col("__gl")
@@ -798,20 +809,31 @@ object TextAnalysis {
     val meanWl = aggregate(toks, lit(0L), (a, t) => a + length(t))
       .cast("double") / n
     val mwlOk = n > 0 && meanWl >= 3.0 && meanWl <= 10.0
-    val symbols = length(text) - length(regexp_replace(text, "#", "")) +
-      regexp_count(text, lit("\\.\\.\\."))
+    // '#' count and non-overlapping "..." count via literal replace
+    // (regexp_count over a literal pattern scans identically)
+    val symbols = length(text) - length(replace(text, lit("#"), lit(""))) +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
     val symOk = n > 0 && symbols.cast("double") / n <= 0.1
+    // first-char-in-set instead of ^[set] regex
     val bullets = size(filter(lines,
-      l => trim(l).rlike("^[\\u2022\\-\\*]")))
+      l => substring(trim(l), 1, 1).isin("\u2022", "-", "*")))
     val bulletOk = nL === 0 || bullets.cast("double") / nL <= 0.9
+    // suffix test instead of (...|…)$ regex
     val ellipses = size(filter(lines,
-      l => trim(l).rlike("(\\.\\.\\.|\\u2026)$")))
+      l => trim(l).endsWith("...") || trim(l).endsWith("\u2026")))
     val ellipsisOk = nL === 0 || ellipses.cast("double") / nL <= 0.3
-    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    // "contains an ASCII letter" via translate: removing [A-Za-z]
+    // shortens the token iff one is present
+    val alphaWords = size(filter(toks,
+      t => length(translate(t,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", "")) <
+        length(t)))
     val alphaOk = n > 0 && alphaWords.cast("double") / n >= 0.8
-    val stopsPresent = size(filter(
-      typedLit(GopherStops),
-      s => array_contains(transform(toks, t => lower(t)), s)))
+    // distinct stops present = |stops ∩ lowered tokens| (stop list is
+    // duplicate-free), one hash-set pass instead of 8 array scans each
+    // re-lowering the tokens
+    val stopsPresent = size(array_intersect(typedLit(GopherStops),
+      col("__glt")))
     val stopOk = stopsPresent >= 2
     (staged, Seq(
       n.cast("long").as("n_words"),
@@ -833,7 +855,7 @@ object TextAnalysis {
     * Same staged arrays, same rules, one `pass_gopher` column added. */
   def gopherPassThrough(df: DataFrame, textCol: String = "text"): DataFrame = {
     val (staged, flags) = gopherStagedFlags(df, textCol)
-    staged.withColumn("pass_gopher", flags.last).drop("__gt", "__gl")
+    staged.withColumn("pass_gopher", flags.last).drop("__gt", "__glt", "__gl")
   }
 
   /** C4 line/document cleaning (Raffel et al. 2020, "Exploring the Limits
@@ -856,13 +878,19 @@ object TextAnalysis {
     val text = col(textCol)
     val staged = df.withColumn("__cl", split(text, "\n"))
     val lines = col("__cl")
+    // last-char-in-set instead of [.!?"]$ regex, and a translate-based
+    // sentence-ender count instead of regexp_count([.!?]) — equivalent
+    // values, no per-line/per-doc java.util.regex cost (r18; the word
+    // count keeps its \s+ split: its empty-leading-token semantics are
+    // what the oracle mirrors)
     val kept = filter(lines, l =>
-      trim(l).rlike("[.!?\"]$") &&
+      substring(trim(l), -1, 1).isin(".", "!", "?", "\"") &&
         size(split(trim(l), "\\s+")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     val staged2 = staged.withColumn("__ck", kept)
       .withColumn("__ct", array_join(col("__ck"), "\n"))
-    val nSent = regexp_count(col("__ct"), lit("[.!?]"))
+    val nSent = length(col("__ct")) -
+      length(translate(col("__ct"), ".!?", ""))
     val keepDoc = !lower(text).contains("lorem ipsum") &&
       !text.contains("{") && nSent >= minSentences
     staged2.select(col(idCol),

@@ -280,10 +280,12 @@ object DocStream {
     * Emission gains the deterministic within-batch winner the NoTimeout
     * form's `dropDuplicates` lacks: min (id, para_idx) — the batch
     * operator's rule — since the `flatMapGroupsWithState` group sees
-    * all of its batch occurrences together. Same output shape
-    * (idCol, para_idx, para, digest) — a drop-in swap for consumers
-    * selecting by idCol — except ids must cast to long (the state
-    * encoder's key type) and come back as long. */
+    * all of its batch occurrences together. Output shape is
+    * (`id`, para_idx, para, digest): unlike the NoTimeout form, the id
+    * column comes back NAMED `id` and cast to long (the state encoder's
+    * key type) — consumers selecting by the original `idCol` name must
+    * alias it back (ADVICE r17: this is NOT a name-preserving drop-in
+    * swap, only a shape-compatible one). */
   def incrementalParagraphDedupTtl(docs: DataFrame, idCol: String,
       paras: Column, ttlMs: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
