@@ -209,9 +209,6 @@ object OptProbe {
         }
         val base = java.nio.file.Files.createTempDirectory("opt_emitparts")
         time("incrementalSpanWinnersTtl lifecycle (streaming)") {
-          val src = inject(spark.readStream.schema(
-            spark.read.parquet(s"$sfDir/documents.parquet").schema)
-            .parquet(s"$sfDir"))
           val q = graft.streaming.DocStream
             .cleanStreamEmitTtl(inject(spark.readStream
               .schema(docs.schema).parquet({
