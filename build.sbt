@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench consumer parses the LAST stdout line of `sbt "runMain
+// graft.Bench"`; sbt's "[success] Total time" trailer displaced the
+// contract JSON from that position every round (BENCH_r01..r18 all show
+// parsed: null). Success/exit codes are unaffected.
+showSuccess := false
+// With fork:=true sbt's default output strategy logs the child's stdout
+// through its logger, prefixing every line with "[info] " — so the bench
+// contract line was never a bare `{...}` JSON line. Pass child output
+// through verbatim instead.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
