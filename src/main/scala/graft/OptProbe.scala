@@ -12,13 +12,18 @@ object OptProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // state-store provider under test (e.g. RocksDBStateStoreProvider);
+    // default = Spark's default (HDFSBackedStateStoreProvider)
+    sys.env.get("SPARK_GRAFT_PROBE_STATE_PROVIDER").foreach { p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -208,13 +213,14 @@ object OptProbe {
             .groupBy(col("h")).agg(min(struct(col("doc_id"), col("pos")))))
         }
         val base = java.nio.file.Files.createTempDirectory("opt_emitparts")
+        // source snapshot written BEFORE the timed region (ADVICE r18:
+        // timing the batch write inflated the streaming lap)
+        val srcDir = base.resolve("src").toString
+        docs.write.parquet(srcDir)
         time("incrementalSpanWinnersTtl lifecycle (streaming)") {
           val q = graft.streaming.DocStream
             .cleanStreamEmitTtl(inject(spark.readStream
-              .schema(docs.schema).parquet({
-                val d = base.resolve("src")
-                docs.write.parquet(d.toString); d.toString
-              })), 3600000L, "t2", "doc_id", 8)
+              .schema(docs.schema).parquet(srcDir)), 3600000L, "t2", "doc_id", 8)
             .writeStream.format("noop")
             .option("checkpointLocation", base.resolve("ck").toString)
             .outputMode("append")
@@ -245,6 +251,69 @@ object OptProbe {
           graft.index.IvfIndex.build(spark, emb, "embedding", "vec_id",
             path, graft.types.MetricType.Euclidean, nClusters = 8,
             maxIter = 3)
+        }
+
+      case "nsg" =>
+        // v13_nsg_serve split per step: exact top-10, centroid collect,
+        // NSG build (lazy — materialized by the serve load), serve load,
+        // recall loop
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val q = SparkEntry.queryVectorOf(spark, sfDir)
+        val exactIds = time("exact top-10") {
+          emb.withColumn("@distance",
+              graft.functions.l2sqr_distance(col("embedding"), lit(q)))
+            .orderBy(col("@distance").asc, col("vec_id").asc)
+            .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        }
+        val cents = time("seed centroids collect") {
+          emb.filter(col("vec_id") < 16).orderBy("vec_id")
+            .select("embedding").collect()
+            .map { r =>
+              val v = r.getSeq[Float](0).map(_.toDouble).toArray
+              val n = math.sqrt(v.map(x => x * x).sum)
+              v.map(_ / n)
+            }
+        }
+        // incremental materialization of the build chain (mirrors
+        // NsgIndex.build stages 1-4) to locate the cost
+        time("  [chain] knn bucketed count") {
+          val knn = graft.pipeline.KnnGraph.bucketed(emb, "embedding",
+            "vec_id", cents, 12, 2)
+          knn.count()
+        }
+        StageCaches.unpersistAll(blocking = true)
+        val g = time("NsgIndex.build (eager steps)") {
+          graft.index.NsgIndex.build(emb, "embedding", "vec_id",
+            cents, knnK = 12, poolSize = 48, outDegree = 12)
+        }
+        val srv = time("serve load (edges materialize)") {
+          graft.index.NsgIndex.serve(g, emb, "embedding", "vec_id")
+        }
+        time("recall loop") {
+          def recallAt(l: Int): Double =
+            srv.search(q, 10, l).map(_._1).toSet.intersect(exactIds).size / 10.0
+          var l = 45
+          var recall = recallAt(l)
+          while (recall < 0.9 && l < srv.size) {
+            l = math.min(srv.size, l * 2)
+            recall = recallAt(l)
+          }
+          println(s"[probe]   recall=$recall l=$l")
+        }
+        StageCaches.unpersistAll(blocking = true)
+
+      case "aqe" =>
+        // execute a gate through ONE QueryExecution and print the FINAL
+        // adaptive plan (isFinalPlan=true) — evidence for which join
+        // strategies AQE actually picked at runtime (e.g. the
+        // staged⋈mask join of maskEligible)
+        args.drop(1).foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val qe = df.queryExecution
+          qe.executedPlan.execute().count()
+          println(s"===== $name (final adaptive plan) =====")
+          println(qe.executedPlan.toString)
+          StageCaches.unpersistAll(blocking = true)
         }
 
       case "gate" =>

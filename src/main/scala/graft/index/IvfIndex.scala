@@ -3819,7 +3819,35 @@ object IvfIndex {
     // keeps up to nClusters parquet writers open (tasks x clusters small
     // files + writer churn was 70s of a 73s build at 500k rows)
     val bc = spark.sparkContext.broadcast(cents)
-    withQuantized(indexed, vecCol)
+    // per-cluster row counts (serving cardinality guard) + ball radii
+    // (recall-targeted probe bound, probeSetForRecall) ride the WRITE
+    // JOB ITSELF as observed metrics (r19; was a one-pass read-back of
+    // the fresh layout, itself collapsed from two passes in r18): the
+    // write already evaluates every row, each row's centroid is the
+    // in-memory array the assignment just used, and 2·nClusters
+    // conditional aggregates are driver-negligible for any practical
+    // nClusters. Values are identical to the read-back: parquet
+    // round-trips floats exactly, and the counts are of the same rows
+    // the write commits. Dot product has no triangle inequality — no
+    // radii, auto-probe declines — so it observes counts only.
+    val withRadii = metric != MetricType.DotProduct
+    // per-row distance to the assigned centroid, STAGED as one column so
+    // the nClusters conditional max aggregates read an attribute instead
+    // of each re-running the O(dim) distance; the centroid lookup is the
+    // same in-memory float array the assignment used (parquet
+    // round-trips floats exactly, so this equals the old read-back's
+    // value bit for bit)
+    val rCol = sqrt(graft.functions.l2sqr_distance(col(vecCol),
+      element_at(typedlit(cents.map(_.toSeq).toSeq), col("cluster") + 1)))
+    val obsAggs: Seq[Column] =
+      cIds.map(i => sum(when(col("cluster") === i, 1L).otherwise(0L))
+        .as(s"cnt_$i")).toSeq ++
+      (if (withRadii)
+        cIds.map(i => max(when(col("cluster") === i, col("__r"))).as(s"r_$i"))
+          .toSeq
+      else Nil)
+    val obs = new org.apache.spark.sql.Observation("ivf_build_stats")
+    val staged = withQuantized(indexed, vecCol)
       .withColumn("cluster", nearestClusterCol(metric, col(vecCol), bc.value))
       .withColumn("__pqcode",
         pq_encode_res(col(vecCol), col("cluster"), pqCb, cIds, centsFlat))
@@ -3829,47 +3857,31 @@ object IvfIndex {
       // argmin)
       .withColumn("__pqerr", pq_rec_err_res(col(vecCol), col("__pqcode"),
         col("cluster"), pqCb, cIds, centsFlat))
+    (if (withRadii) staged.withColumn("__r", rCol) else staged)
+      .observe(obs, obsAggs.head, obsAggs.tail: _*)
+      .drop("__r")
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
-    __lap("clustered write")
-    // per-cluster row counts for the serving cardinality guard: counted
-    // off the written layout's footers (partition column + parquet row
-    // counts — no vector bytes are read)
+    val om = obs.get
+    __lap("clustered write (stats observed)")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
-    // per-cluster row counts (serving cardinality guard) + ball radii
-    // (recall-targeted probe bound, probeSetForRecall) in ONE pass over
-    // the fresh layout: the radius agg already reads every vector, so
-    // count(1) rides along free — previously counts were a separate
-    // footer-count job, a second read-back of the layout per build.
-    // The ≤ nClusters agg rows collect to the driver and fan out as two
-    // tiny single-file writes (same schemas as before). Dot product has
-    // no triangle inequality — no radii, auto-probe declines — so it
-    // keeps the cheaper footer-only count.
-    if (metric != MetricType.DotProduct) {
-      val statsRadii = spark.read.parquet(s"$path/clustered")
-        .select(col("cluster").cast("int").as("cluster"), col(vecCol))
-        .join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cluster"))
-        .select(col("cluster"),
-          sqrt(graft.functions.l2sqr_distance(col(vecCol), col("centroid")))
-            .as("r"))
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cnt"), max(col("r")).as("r"))
-        .collect()
-      statsRadii.map(r => (r.getInt(0), r.getLong(1))).toSeq
-        .toDF("cluster", "cnt")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
-      statsRadii.map(r => (r.getInt(0), r.getDouble(2))).toSeq
+    // fan the observed ≤ nClusters values out as the same two tiny
+    // single-file artifacts as before (empty clusters: no row — the
+    // read-back's groupBy produced none for them; their observed count
+    // is 0 and max radius NULL)
+    val obsCounts = cIds.map(i => (i, om(s"cnt_$i").asInstanceOf[Long]))
+      .filter(_._2 > 0L).toSeq
+    obsCounts.toDF("cluster", "cnt")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+    if (withRadii) {
+      cIds.flatMap(i => Option(om(s"r_$i"))
+          .map(r => (i, r.asInstanceOf[Double]))).toSeq
         .toDF("cluster", "r")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_radii")
-    } else {
-      spark.read.parquet(s"$path/clustered")
-        .groupBy(col("cluster").cast("int").as("cluster"))
-        .agg(count(lit(1)).as("cnt"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
     }
-    __lap("stats+radii one-pass write")
+    __lap("stats+radii fan-out")
     // a FULL build bumps the generation: serving residency must flush
     // (cluster membership changed), unlike appends which preserve it
     val prevGen =
@@ -3883,7 +3895,8 @@ object IvfIndex {
     // count (k-means collapsed a dense region into one cell) is re-split
     // locally before anyone serves from it
     splitOversized(spark, path, vecCol, idCol, metric,
-      maxRows = math.max(4L * n / math.max(1, nClusters), MinimalIndexSize.toLong))
+      maxRows = math.max(4L * n / math.max(1, nClusters), MinimalIndexSize.toLong),
+      knownCounts = Some(obsCounts.toMap))
     __lap("splitOversized")
     new IvfIndex(spark, path, idCol, metric)
   }
@@ -3908,23 +3921,24 @@ object IvfIndex {
     * as needsOrphanHeal. Returns the number of clusters split. */
   def splitOversized(spark: SparkSession, path: String, vecCol: String,
       idCol: String, metric: MetricType.Value, maxRows: Long,
-      maxIter: Int = 5): Int = {
+      maxIter: Int = 5, knownCounts: Option[Map[Int, Long]] = None): Int = {
     import spark.implicits._
     val metaFile = s"$path/ivf_meta.json"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(metaFile))) return 0
     val dataPath = s"$path/clustered"
     val statsPath = s"$path/cluster_stats"
     val centsPath = s"$path/centroids"
-    // counts from the persisted stats when present (appends land deltas:
-    // sum), else one footer-count pass over the layout
-    val counts: Map[Int, Long] =
+    // counts from the caller when it just computed them (build's observed
+    // stats — skips a read-back job), else from the persisted stats when
+    // present (appends land deltas: sum), else one footer-count pass
+    val counts: Map[Int, Long] = knownCounts.getOrElse(
       (if (java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)))
         spark.read.parquet(statsPath)
           .groupBy(col("cluster")).agg(sum(col("cnt")).as("cnt"))
       else spark.read.parquet(dataPath)
         .groupBy(col("cluster").cast("int").as("cluster"))
         .agg(count(lit(1)).as("cnt")))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val oversized = counts.filter(_._2 > maxRows).toSeq.sortBy(_._1)
     if (oversized.isEmpty) return 0
     val cents = scala.collection.mutable.LinkedHashMap[Int, Array[Float]]()

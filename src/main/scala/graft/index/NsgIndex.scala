@@ -84,6 +84,12 @@ object NsgIndex {
       "need 1 <= outDegree <= poolSize and knnK >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    val __dbg = sys.env.contains("SPARK_GRAFT_NSG_TIMINGS")
+    var __t = System.nanoTime()
+    def __lap(l: String): Unit = if (__dbg) {
+      val now = System.nanoTime()
+      println(f"[nsg] $l%-28s ${(now - __t) / 1e9}%.2f s"); __t = now
+    }
 
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
@@ -93,6 +99,7 @@ object NsgIndex {
       .select(col("qid").cast("long").as("qid"),
         col("nid").cast("long").as("nid"), col("d"))
       .cache().transform(graft.pipeline.StageCaches.track)
+    __lap("knn graph define")
     // 2. candidate pools: neighbors ∪ neighbors-of-neighbors, distances
     //    recomputed against the query vector, capped to poolSize by the
     //    bounded-heap aggregate (one heap per (qid, task))
@@ -141,28 +148,34 @@ object NsgIndex {
       .select(col("src"), explode(col("topk")).as("hit"))
       .select(col("src"), col("hit.id").as("dst"), col("hit.d").as("d"))
       .cache().transform(graft.pipeline.StageCaches.track)
+    __lap("stages defined (lazy)")
     // 5. navigation point: the row nearest the corpus mean vector
     val dim = vecs.select(size(col("v"))).head().getInt(0)
+    __lap("dim head")
     val mean = vecs.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("pos").agg(avg(col("x")).as("m"))
       .orderBy("pos").collect().map(_.getDouble(1).toFloat)
     require(mean.length == dim, "ragged vector column")
+    __lap("mean collect")
     val navId = vecs
       .withColumn("d", graft.index.IvfIndex.distColumns(
         graft.types.MetricType.Euclidean, col("v"), lit(mean)))
       .orderBy(col("d").asc, col("id").asc).select(col("id"))
       .head().getLong(0)
+    __lap("navId head")
     // 6. connectivity (CheckConnectivity batch form): components of the
     //    undirected edge set by min-label propagation; every component
     //    that misses the navigation point gets a bidirectional spur
     //    between the nav point and the component's canonical min-id node
     val comps = graft.pipeline.Dedup.duplicateClusters(
       capped.select(col("src").as("id_a"), col("dst").as("id_b")))
+    __lap("components (capped materializes)")
     val navComp = comps.filter(col("id") === navId)
       .select(col("cluster")).head().getLong(0)
     val orphanReps = comps.filter(col("cluster") =!= navComp)
       .select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // one row per orphan component
+    __lap("navComp+orphans")
     val spurs = if (orphanReps.isEmpty) capped.limit(0) else {
       val navV = vecs.filter(col("id") === navId).select(col("v"))
         .head().getSeq[Float](0).toArray

@@ -603,8 +603,13 @@ object Dedup {
     staged
       .join(dropped, Seq(idCol), "left")
       .select(id,
-        coalesce(size(col("__paras")), lit(0)).cast("long").as("n_paras"),
-        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),
+        // when(isNull) instead of coalesce(size, 0): size(NULL) is NULL
+        // only under ANSI/sizeOfNull defaults — a legacy-config
+        // deployment returns -1, which coalesce would pass through
+        when(col("__paras").isNull, lit(0)).otherwise(size(col("__paras")))
+          .cast("long").as("n_paras"),
+        when(col("__drop").isNull, lit(0)).otherwise(size(col("__drop")))
+          .cast("long").as("n_dropped"),
         coalesce(array_join(
           when(col("__drop").isNull, col("__paras"))
             .otherwise(filter(col("__paras"),
@@ -787,8 +792,12 @@ object Dedup {
     staged
       .join(maskedPos, Seq(idCol), "left")
       .select(id,
-        coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
-        coalesce(size(col("__mask")), lit(0)).cast("long").as("n_masked"),
+        // when(isNull) instead of coalesce(size, 0): config-independent
+        // (legacy sizeOfNull returns -1, which coalesce passes through)
+        when(col("__toks").isNull, lit(0)).otherwise(size(col("__toks")))
+          .cast("long").as("n_tokens"),
+        when(col("__mask").isNull, lit(0)).otherwise(size(col("__mask")))
+          .cast("long").as("n_masked"),
         // a NULL token array behaves like the empty one (the former
         // posexplode_outer emitted a single null row for it: zero
         // counts, empty clean_text)

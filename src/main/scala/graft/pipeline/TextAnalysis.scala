@@ -1907,12 +1907,16 @@ object TextAnalysis {
       .select(id, col("__cls"), concat_ws(" ",
         (0 until n).map(o => element_at(col("toks"), col("__i") + o)): _*)
         .as(s"suf$n"))
-    val ws = split(col(s"suf$n"), " ")
+    // suffix_k = last k words, den_k = the k words ending one before the
+    // last; substring_index ≡ concat_ws∘slice∘split (grams are
+    // space-joined whitespace tokens — no spaces inside a token), with
+    // no per-row split-array allocation (r19)
+    val head = substring_index(col(s"suf$n"), " ", n - 1)
     val derived =
       (1 until n).map(k =>
-        concat_ws(" ", slice(ws, n - k + 1, k)).as(s"suf$k")) ++
+        substring_index(col(s"suf$n"), " ", -k).as(s"suf$k")) ++
       (1 until n).map(k =>
-        concat_ws(" ", slice(ws, n - k, k)).as(s"den$k"))
+        substring_index(head, " ", -k).as(s"den$k"))
     val docNg = occ
       .groupBy(id, col("__cls"), col(s"suf$n"))
       .agg(count(lit(1)).as("m"))
@@ -2022,16 +2026,29 @@ object TextAnalysis {
     // the order-n type table is read twice (it IS a_n, and it is the
     // continuation source for a_{n-1}) — cache it so the corpus-wide
     // explode-aggregate runs once; the lower raw tables feed exactly
-    // one continuation group-by each and stay uncached
+    // one continuation group-by each and stay uncached.
+    //
+    // Measured design note (r19): deriving the lower-order RAW tables
+    // downward from rawN (c_k(g) = Σ_w c_{k+1}(g·w) + doc-final-tail
+    // correction — exact integer math, one prefix group-by over the
+    // (k+1) TYPE table instead of a corpus explode per order) was
+    // implemented and REVERTED: grams lap 5.6 → 6.4-7.0 s at sf0.1/32c
+    // (classify lap equal across windows). The per-order explodes over
+    // the cached token arrays are cheaper than the derivation's extra
+    // type-table aggregates + two cache materializations — the same
+    // lesson as r17/r18's reverted multi-order single-pass fit.
     val rawN = rawTypes(order).cache().transform(StageCaches.track)
     // adjusted counts; cached — each frame feeds discounts, prefix
-    // stats (or class scalars), and the stored numerator
+    // stats (or class scalars), and the stored numerator.
+    // substring_index ≡ concat_ws∘slice∘split here (grams are
+    // space-joined whitespace tokens — no spaces inside a token, no
+    // empty tokens), without the per-row split-array allocation.
     val adj: Seq[DataFrame] = (1 to order).map { k =>
       if (k == order) rawN.withColumnRenamed("c", "a")
       else {
         val src = if (k == order - 1) rawN else rawTypes(k + 1)
-        src.select(col("class"), concat_ws(" ",
-            slice(split(col("gram"), " "), 2, k)).as("gram"))
+        src.select(col("class"),
+            substring_index(col("gram"), " ", -k).as("gram"))
           .groupBy(col("class"), col("gram")).agg(count(lit(1)).as("a"))
           .cache().transform(StageCaches.track)
       }
@@ -2064,8 +2081,8 @@ object TextAnalysis {
       .reduce((a, b) => a.join(b, Seq("class")))
     val prefixStats = (2 to order).map { k =>
       adj(k - 1)
-        .select(col("class"), concat_ws(" ",
-          slice(split(col("gram"), " "), 1, k - 1)).as("hist"), col("a"))
+        .select(col("class"),
+          substring_index(col("gram"), " ", k - 1).as("hist"), col("a"))
         .groupBy(col("class"), col("hist"))
         .agg(sum(col("a")).as("s"),
           sum(when(col("a") === 1, 1L).otherwise(0L)).as("h1"),
