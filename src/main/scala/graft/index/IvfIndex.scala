@@ -3825,12 +3825,20 @@ object IvfIndex {
     // the fresh layout, itself collapsed from two passes in r18): the
     // write already evaluates every row, each row's centroid is the
     // in-memory array the assignment just used, and 2·nClusters
-    // conditional aggregates are driver-negligible for any practical
-    // nClusters. Values are identical to the read-back: parquet
-    // round-trips floats exactly, and the counts are of the same rows
-    // the write commits. Dot product has no triangle inequality — no
-    // radii, auto-probe declines — so it observes counts only.
+    // conditional aggregates are cheap per row. Values are identical to
+    // the read-back: parquet round-trips floats exactly, and the counts
+    // are of the same rows the write commits. Dot product has no
+    // triangle inequality — no radii, auto-probe declines — so it
+    // observes counts only.
+    //
+    // SCALE GUARD: CollectMetrics evaluates its aggregates through an
+    // interpreted accumulator, so 2·nClusters conditional updates per
+    // row grow linearly with the cluster count. Up to ~64 clusters they
+    // are cheaper than re-reading every vector byte; past that the
+    // distributed one-pass read-back (codegen'd scan + hash aggregate,
+    // the r18 shape) wins — keep both paths and pick by nClusters.
     val withRadii = metric != MetricType.DotProduct
+    val obsFused = cents.length <= 64
     // per-row distance to the assigned centroid, STAGED as one column so
     // the nClusters conditional max aggregates read an attribute instead
     // of each re-running the O(dim) distance; the centroid lookup is the
@@ -3857,13 +3865,13 @@ object IvfIndex {
       // argmin)
       .withColumn("__pqerr", pq_rec_err_res(col(vecCol), col("__pqcode"),
         col("cluster"), pqCb, cIds, centsFlat))
-    (if (withRadii) staged.withColumn("__r", rCol) else staged)
-      .observe(obs, obsAggs.head, obsAggs.tail: _*)
-      .drop("__r")
+    (if (obsFused && withRadii) staged.withColumn("__r", rCol)
+        .observe(obs, obsAggs.head, obsAggs.tail: _*).drop("__r")
+      else if (obsFused) staged.observe(obs, obsAggs.head, obsAggs.tail: _*)
+      else staged)
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$path/clustered")
-    val om = obs.get
-    __lap("clustered write (stats observed)")
+    __lap(if (obsFused) "clustered write (stats observed)" else "clustered write")
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
@@ -3871,15 +3879,45 @@ object IvfIndex {
     // single-file artifacts as before (empty clusters: no row — the
     // read-back's groupBy produced none for them; their observed count
     // is 0 and max radius NULL)
-    val obsCounts = cIds.map(i => (i, om(s"cnt_$i").asInstanceOf[Long]))
-      .filter(_._2 > 0L).toSeq
-    obsCounts.toDF("cluster", "cnt")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
-    if (withRadii) {
-      cIds.flatMap(i => Option(om(s"r_$i"))
-          .map(r => (i, r.asInstanceOf[Double]))).toSeq
+    val obsCounts: Seq[(Int, Long)] = if (obsFused) {
+      val om = obs.get
+      val cnts = cIds.map(i => (i, om(s"cnt_$i").asInstanceOf[Long]))
+        .filter(_._2 > 0L).toSeq
+      cnts.toDF("cluster", "cnt")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+      if (withRadii) {
+        cIds.flatMap(i => Option(om(s"r_$i"))
+            .map(r => (i, r.asInstanceOf[Double]))).toSeq
+          .toDF("cluster", "r")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_radii")
+      }
+      cnts
+    } else if (withRadii) {
+      // large-nClusters path: the r18 one-pass read-back (codegen'd)
+      val statsRadii = spark.read.parquet(s"$path/clustered")
+        .select(col("cluster").cast("int").as("cluster"), col(vecCol))
+        .join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cluster"))
+        .select(col("cluster"),
+          sqrt(graft.functions.l2sqr_distance(col(vecCol), col("centroid")))
+            .as("r"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cnt"), max(col("r")).as("r"))
+        .collect()
+      val cnts = statsRadii.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      cnts.toDF("cluster", "cnt")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+      statsRadii.map(r => (r.getInt(0), r.getDouble(2))).toSeq
         .toDF("cluster", "r")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_radii")
+      cnts
+    } else {
+      val cnts = spark.read.parquet(s"$path/clustered")
+        .groupBy(col("cluster").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      cnts.toDF("cluster", "cnt")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/cluster_stats")
+      cnts
     }
     __lap("stats+radii fan-out")
     // a FULL build bumps the generation: serving residency must flush
